@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed over a full execution (collect of a count/limited
+result — forces the whole plan without driver-side result blowup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("smashed_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            # force full execution without collecting a huge result
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        except Exception as e:  # keep benching the rest
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

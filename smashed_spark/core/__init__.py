@@ -1,0 +1,12 @@
+from .mapper import SparkMapper
+from .order import ROW_ID, with_order_key, with_row_index
+from .pipeline import Pipeline, make_pipeline
+
+__all__ = [
+    "SparkMapper",
+    "Pipeline",
+    "make_pipeline",
+    "ROW_ID",
+    "with_row_index",
+    "with_order_key",
+]

@@ -1,0 +1,170 @@
+"""Oracle-checked queries exercising the mapper operators
+(SURVEY.md §2 coverage) over the driver testdata tables.
+
+Conventions:
+* every computed column is aliased identically in the Spark pipeline
+  and the DuckDB oracle SQL;
+* doubles are rounded to 6 places on both sides (hash-stable);
+* each query includes a deterministic ORDER-insensitive result (the
+  driver sorts before hashing), so no ORDER BY is needed for parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.fields import (
+    ChangeFieldsMapper,
+    EnumerateFieldMapper,
+    MakeFieldMapper,
+    RenameFieldsMapper,
+)
+from ..operators.filters import FilterMapper
+from ..operators.types import (
+    BinarizerMapper,
+    CastMapper,
+    LookupMapper,
+    OneHotMapper,
+)
+from .registry import load, query
+
+# ---------------------------------------------------------------------------
+# M0 — projection / filter family (reference fields.py, filters.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT event_id AS id, user_id, event_type, ROUND(value, 6) AS val
+    FROM events WHERE value >= 50.0
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterMapper >> ChangeFieldsMapper >> RenameFieldsMapper."""
+    pipe = (
+        FilterMapper("value", ">=", 50.0)
+        >> ChangeFieldsMapper(keep_fields=["event_id", "user_id", "event_type", "value"])
+        >> RenameFieldsMapper({"event_id": "id", "value": "val"})
+    )
+    out = pipe.map(load(spark, sf_dir, "events"))
+    return out.withColumn("val", F.round("val", 6))
+
+
+@query(
+    "filter_in_contains",
+    oracle="""
+    SELECT doc_id, lang FROM documents WHERE contains(text, 'spark')
+    """,
+)
+def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterMapper 'in' semantics: field contains value."""
+    pipe = FilterMapper("text", "in", "spark") >> ChangeFieldsMapper(
+        keep_fields=["doc_id", "lang"]
+    )
+    return pipe.map(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "make_field_const",
+    oracle="""
+    SELECT doc_id, 1 AS flag, source FROM documents WHERE n_chars > 200
+    """,
+)
+def q_make_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = (
+        FilterMapper("n_chars", ">", 200)
+        >> MakeFieldMapper("flag", 1)
+        >> ChangeFieldsMapper(keep_fields=["doc_id", "flag", "source"])
+    )
+    return pipe.map(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "enumerate_field",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.lang_id
+    FROM documents d
+    JOIN (
+        SELECT lang, ROW_NUMBER() OVER (ORDER BY MIN(doc_id)) - 1 AS lang_id
+        FROM documents GROUP BY lang
+    ) e USING (lang)
+    """,
+)
+def q_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encode lang in first-seen doc_id order
+    (reference EnumerateFieldMapper, fields.py:134-196)."""
+    pipe = (
+        EnumerateFieldMapper(
+            "lang", destination_field="lang_id", order_by=["doc_id"]
+        )
+        >> ChangeFieldsMapper(keep_fields=["doc_id", "lang", "lang_id"])
+    )
+    out = pipe.map(load(spark, sf_dir, "documents"))
+    return out.withColumn("lang_id", F.col("lang_id").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# types family (reference types.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cast_binarize",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars_f,
+           CAST(n_chars > 500 AS BIGINT) AS is_long
+    FROM documents
+    """,
+)
+def q_cast_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = (
+        MakeFieldMapper("is_long", 0)
+        >> ChangeFieldsMapper(keep_fields=["doc_id", "n_chars"])
+    )
+    df = load(spark, sf_dir, "documents")
+    df = df.withColumn("is_long", F.col("n_chars"))
+    df = BinarizerMapper("is_long", 500).map(df)
+    df = CastMapper({"n_chars": float}).map(df)
+    df = RenameFieldsMapper({"n_chars": "n_chars_f"}).map(df)
+    return ChangeFieldsMapper(keep_fields=["doc_id", "n_chars_f", "is_long"]).map(df)
+
+
+@query(
+    "lookup_map",
+    oracle="""
+    SELECT event_id, CASE event_type
+        WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
+        WHEN 'signup' THEN 4 WHEN 'error' THEN 5
+        ELSE NULL END AS event_code
+    FROM events
+    """,
+)
+def q_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = {
+        "click": 1,
+        "view": 2,
+        "purchase": 3,
+        "signup": 4,
+        "error": 5,
+    }
+    df = load(spark, sf_dir, "events")
+    df = df.withColumn("event_code", F.col("event_type"))
+    df = LookupMapper("event_code", table).map(df)
+    return ChangeFieldsMapper(keep_fields=["event_id", "event_code"]).map(df)
+
+
+@query(
+    "one_hot",
+    oracle="""
+    SELECT vec_id,
+           list_transform(range(0, 16), i -> CAST(i = label AS BIGINT)) AS onehot
+    FROM embeddings
+    """,
+)
+def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "embeddings")
+    df = df.withColumn("onehot", F.col("label").cast("bigint"))
+    df = OneHotMapper(16, "onehot").map(df)
+    return ChangeFieldsMapper(keep_fields=["vec_id", "onehot"]).map(df)

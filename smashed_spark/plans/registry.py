@@ -1,0 +1,50 @@
+"""Query registry powering ``__spark_entry__.queries()`` /
+``oracle_sql()`` and ``bench.py``.
+
+Each registered query is a callable ``(spark, sf_dir) -> DataFrame``
+built from smashed_spark mappers / functions, paired (when
+SQL-expressible) with an ANSI-SQL oracle string DuckDB runs over the
+same parquet tables.  Column names are aliased identically on both
+sides (the driver hash-compares values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def query(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a testdata table.
+
+    The driver parquet stores nano-precision timestamps (INT64
+    TIMESTAMP(NANOS)) which Spark only reads as raw longs under
+    ``spark.sql.legacy.parquet.nanosAsLong``; normalize those columns
+    back to proper micro-precision timestamps so query semantics match
+    DuckDB's TIMESTAMP view of the same file.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
