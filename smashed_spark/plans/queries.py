@@ -21,6 +21,16 @@ from ..operators.fields import (
     RenameFieldsMapper,
 )
 from ..operators.filters import FilterMapper
+from ..operators.masks import (
+    IndicesToMaskMapper,
+    MaskToRangeMapper,
+)
+from ..operators.shape import (
+    FlattenMapper,
+    SingleSequenceStriderMapper,
+    UnpackingMapper,
+)
+from ..operators.tokenize import PaddingMapper, TruncateSingleFieldMapper
 from ..operators.types import (
     BinarizerMapper,
     CastMapper,
@@ -28,6 +38,13 @@ from ..operators.types import (
     OneHotMapper,
 )
 from .registry import load, query
+
+
+def _with_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a `words` array column (whitespace split)."""
+    return load(spark, sf_dir, "documents").withColumn(
+        "words", F.split(F.col("text"), " ")
+    )
 
 # ---------------------------------------------------------------------------
 # M0 — projection / filter family (reference fields.py, filters.py)
@@ -168,3 +185,115 @@ def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.withColumn("onehot", F.col("label").cast("bigint"))
     df = OneHotMapper(16, "onehot").map(df)
     return ChangeFieldsMapper(keep_fields=["vec_id", "onehot"]).map(df)
+
+
+# ---------------------------------------------------------------------------
+# shape family — explode / stride / flatten (reference shape.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpack_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS words FROM documents
+    """,
+)
+def q_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnpackingMapper with repeat semantics (reference shape.py:36-173)."""
+    df = _with_words(spark, sf_dir).select("doc_id", "words")
+    return UnpackingMapper(
+        fields_to_unpack=["words"], ignored_behavior="repeat"
+    ).map(df)
+
+
+@query(
+    "stride_windows",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id, list_slice(words, st + 1, st + 5) AS win
+    FROM (
+        SELECT doc_id, words,
+               CASE WHEN len(words) < 5 THEN [0]
+                    ELSE range(0, len(words) - 4, 5) END AS starts
+        FROM w
+    ), UNNEST(starts) AS t(st)
+    """,
+)
+def q_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SingleSequenceStriderMapper windows of 5, stride 5
+    (reference shape.py:176-247)."""
+    df = _with_words(spark, sf_dir).select("doc_id", "words")
+    out = SingleSequenceStriderMapper(
+        field_to_stride="words", max_length=5, stride=5
+    ).map(df)
+    return out.select("doc_id", F.col("words").alias("win"))
+
+
+@query(
+    "flatten_nested",
+    oracle="""
+    SELECT doc_id, flatten([[lang], [source]]) AS pair FROM documents
+    """,
+)
+def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents").withColumn(
+        "pair", F.array(F.array("lang"), F.array("source"))
+    )
+    out = FlattenMapper("pair").map(df)
+    return out.select("doc_id", "pair")
+
+
+# ---------------------------------------------------------------------------
+# masks family (reference masks.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mask_roundtrip",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), m AS (
+        SELECT doc_id, doc_id % len(words) AS loc, len(words) AS n FROM w
+    )
+    SELECT doc_id,
+           list_transform(range(0, n), i -> CASE WHEN i = loc THEN 1 ELSE 0 END)
+               AS mask,
+           [[loc, loc + 1]] AS ranges
+    FROM m
+    """,
+)
+def q_mask_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndicesToMask then MaskToRange round-trip (reference masks.py)."""
+    df = _with_words(spark, sf_dir).withColumn(
+        "locs", F.array(F.col("doc_id") % F.size("words"))
+    )
+    pipe = IndicesToMaskMapper(
+        mask_field_name="mask",
+        reference_field_name="words",
+        locations_field_name="locs",
+    ) >> MaskToRangeMapper(mask_field_name="mask", locations_field_name="ranges")
+    out = pipe.map(df)
+    return out.select("doc_id", F.col("mask").cast("array<bigint>"), "ranges")
+
+
+# ---------------------------------------------------------------------------
+# truncate / pad (reference tokenize.py:274-342)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "truncate_pad",
+    oracle="""
+    SELECT doc_id,
+           list_resize(list_slice(string_split(text, ' '), 1, 8), 8, 'PAD')
+               AS words
+    FROM documents
+    """,
+)
+def q_truncate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _with_words(spark, sf_dir).select("doc_id", "words")
+    pipe = TruncateSingleFieldMapper({"words": 8}) >> PaddingMapper(
+        8, "PAD", fields_to_pad=["words"]
+    )
+    return pipe.map(df)
