@@ -17,7 +17,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from smashed_spark.plans import queries as _q  # noqa: F401  (registers)
     from smashed_spark.plans.registry import QUERIES
 
-    return QUERIES["filter_project"](spark, "/root/testdata/sf0.001")
+    return QUERIES["flagship_preprocess"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

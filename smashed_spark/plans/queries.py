@@ -297,3 +297,269 @@ def q_truncate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
         8, "PAD", fields_to_pad=["words"]
     )
     return pipe.map(df)
+
+
+# ---------------------------------------------------------------------------
+# batching / order-sensitive grouping (reference batchers.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "batch_fixed_size",
+    oracle="""
+    SELECT list(doc_id ORDER BY doc_id) AS doc_id,
+           list(lang ORDER BY doc_id) AS lang
+    FROM documents GROUP BY doc_id // 10
+    """,
+)
+def q_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedBatchSizeMapper over the dense doc_id key — the scalable
+    contiguous-key path (plain hash aggregate, no global sort)."""
+    from ..operators.batchers import FixedBatchSizeMapper
+
+    df = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return FixedBatchSizeMapper(
+        10, order_by=["doc_id"], contiguous_key=True
+    ).map(df)
+
+
+# ---------------------------------------------------------------------------
+# prompting family (reference prompting.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prompt_fill_text",
+    oracle="""
+    SELECT doc_id,
+           'doc ' || doc_id || ' [' || lang || ']: ' || source AS prompt
+    FROM documents
+    """,
+)
+def q_prompt_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prompting import FillTextPromptMapper
+
+    df = load(spark, sf_dir, "documents")
+    out = FillTextPromptMapper(
+        "doc {doc_id} [{lang}]: {source}", "prompt"
+    ).map(df)
+    return out.select("doc_id", "prompt")
+
+
+@query(
+    "truncate_multi_longest",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS wa FROM documents
+    ), lens AS (
+        SELECT doc_id, wa, list_slice(wa, 1, 12) AS wb,
+               len(wa) AS la, least(len(wa), 12) AS lb
+        FROM w
+    ), alloc AS (
+        SELECT *,
+               greatest(la - 10, 0) + greatest(lb - 10, 0) AS sum_longer,
+               greatest(10 - la, 0) + greatest(10 - lb, 0) AS extra
+        FROM lens
+    ), fin AS (
+        SELECT doc_id, wa, wb,
+            CASE WHEN la + lb <= 20 THEN la
+                 WHEN la <= 10 THEN la
+                 ELSE 10 + CASE WHEN sum_longer > extra
+                     THEN CAST(floor(greatest(la - 10, 0) * extra / sum_longer) AS BIGINT)
+                     ELSE greatest(la - 10, 0) END
+            END AS na,
+            CASE WHEN la + lb <= 20 THEN lb
+                 WHEN lb <= 10 THEN lb
+                 ELSE 10 + CASE WHEN sum_longer > extra
+                     THEN CAST(floor(greatest(lb - 10, 0) * extra / sum_longer) AS BIGINT)
+                     ELSE greatest(lb - 10, 0) END
+            END AS nb
+        FROM alloc
+    )
+    SELECT doc_id, list_slice(wa, 1, na) AS a, list_slice(wb, 1, nb) AS b
+    FROM fin
+    """,
+)
+def q_truncate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TruncateMultipleFieldsMapper 'longest' strategy (reference
+    prompting.py:234-275) over two word-array fields, budget 20."""
+    from ..operators.prompting import TruncateMultipleFieldsMapper
+
+    df = _with_words(spark, sf_dir).select(
+        "doc_id",
+        F.col("words").alias("a"),
+        F.slice(F.col("words"), 1, 12).alias("b"),
+    )
+    out = TruncateMultipleFieldsMapper(
+        fields_to_truncate=["a", "b"], max_length=20, strategy="longest"
+    ).map(df)
+    return out.select("doc_id", "a", "b")
+
+
+@query(
+    "tokens_seq_padding",
+    oracle="""
+    SELECT doc_id,
+           [101, doc_id, doc_id + 1, 102, doc_id + 2, 103] AS input_ids,
+           [1, 1, 1, 1, 1, 1] AS attention_mask
+    FROM documents
+    """,
+)
+def q_seq_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TokensSequencesPadding >> SequencesConcatenate >>
+    MakeAttentionMask over synthetic two-sequence rows
+    (reference multiseq.py:27-103, 519-547, 172-194)."""
+    from ..operators.multiseq import (
+        MakeAttentionMaskMapper,
+        SequencesConcatenateMapper,
+        TokensSequencesPaddingMapper,
+    )
+
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            F.array(F.col("doc_id"), F.col("doc_id") + 1),
+            F.array(F.col("doc_id") + 2),
+        ).alias("input_ids"),
+    )
+    pipe = (
+        TokensSequencesPaddingMapper(bos=[101], sep=[102], eos=[103])
+        >> MakeAttentionMaskMapper()
+        >> SequencesConcatenateMapper(["input_ids"])
+    )
+    out = pipe.map(df)
+    return out.select(
+        "doc_id",
+        "input_ids",
+        F.flatten("attention_mask").alias("attention_mask"),
+    )
+
+
+@query(
+    "labels_mask_one",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_transform(list_slice(string_split(text, ' '), 1, 3),
+                              t -> CAST(length(t) AS BIGINT)) AS labels
+        FROM documents
+    )
+    SELECT doc_id,
+           list_transform(range(0, len(labels)),
+                          j -> CASE WHEN j = pos THEN labels[j + 1]
+                               ELSE -100 END) AS labels
+    FROM w, UNNEST(range(0, len(labels))) AS t(pos)
+    """,
+)
+def q_labels_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LabelsMaskerMapper strategy='one' (reference multiseq.py:197-295)."""
+    from ..operators.multiseq import LabelsMaskerMapper
+
+    df = _with_words(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            F.slice(F.col("words"), 1, 3), lambda w: F.length(w).cast("bigint")
+        ).alias("labels"),
+    )
+    return LabelsMaskerMapper(strategy="one").map(df)
+
+
+@query("multiseq_stride_pack")  # greedy scan: no tractable SQL oracle
+def q_multiseq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiSequenceStriderMapper greedy packing (reference
+    multiseq.py:298-449) — rows-only check (sequential fold semantics)."""
+    from ..operators.multiseq import MultiSequenceStriderMapper
+
+    df = _with_words(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            F.slice(F.col("words"), 1, 9),
+            lambda w: F.array(F.length(w).cast("bigint")),
+        ).alias("seqs"),
+    )
+    return MultiSequenceStriderMapper(
+        max_stride_count=4,
+        length_reference_field="seqs",
+        fields_to_stride=["seqs"],
+    ).map(df)
+
+
+@query(
+    "words_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(
+               list_slice(
+                   list_filter(string_split_regex(text, '\\s+'), t -> t != ''),
+                   1, 5),
+               ' ') AS t
+    FROM documents
+    """,
+)
+def q_words_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextToWords(ws) >> TruncateSingleField >> WordsToText
+    (reference text.py:67-114)."""
+    from ..operators.text import TextToWordsMapper, WordsToTextMapper
+
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("t")
+    )
+    pipe = (
+        TextToWordsMapper("t", splitter="ws")
+        >> TruncateSingleFieldMapper({"t": 5})
+        >> WordsToTextMapper("t")
+    )
+    return pipe.map(df)
+
+
+# ---------------------------------------------------------------------------
+# flagship — a realistic document-preprocessing pipeline composing the
+# mapper families end-to-end (filter -> split -> stride -> prompt)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_preprocess",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), t -> t != '')
+                   AS words
+        FROM documents WHERE n_chars >= 100
+    ), s AS (
+        SELECT doc_id, lang, list_slice(words, st + 1, st + 16) AS win
+        FROM (
+            SELECT doc_id, lang, words,
+                   CASE WHEN len(words) < 16 THEN [0]
+                        ELSE range(0, len(words) - 15, 16) END AS starts
+            FROM f
+        ), UNNEST(starts) AS t(st)
+    )
+    SELECT doc_id, lang,
+           'lang=' || lang || ' text=' || array_to_string(win, ' ') AS prompt,
+           len(win) AS n_tokens
+    FROM s
+    """,
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter >> TextToWords >> Strider >> WordsToText >> FillTextPrompt:
+    the reference's signature pipeline shape (README example), one fused
+    narrow Catalyst plan — no shuffle anywhere."""
+    from ..operators.text import TextToWordsMapper, WordsToTextMapper
+
+    df = load(spark, sf_dir, "documents")
+    pipe = (
+        FilterMapper("n_chars", ">=", 100)
+        >> ChangeFieldsMapper(keep_fields=["doc_id", "lang", "text"])
+        >> RenameFieldsMapper({"text": "win"})
+        >> TextToWordsMapper("win", splitter="ws")
+        >> SingleSequenceStriderMapper("win", max_length=16, stride=16)
+        >> MakeFieldMapper("n_tokens", 0)
+    )
+    out = pipe.map(df)
+    out = out.withColumn("n_tokens", F.size("win").cast("bigint"))
+    out = WordsToTextMapper("win").map(out)
+    from ..operators.prompting import FillTextPromptMapper
+
+    out = FillTextPromptMapper("lang={lang} text={win}", "prompt").map(out)
+    return out.select("doc_id", "lang", "prompt", "n_tokens")
