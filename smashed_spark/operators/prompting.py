@@ -264,10 +264,15 @@ class FillEncodedPromptMapper(SparkMapper):
         )
 
     def fname(self, field: str) -> str:
-        if field in self.output_rename_map:
-            return self.output_rename_map[field]
+        # reference GetTokenizerOutputFieldsAndNamesMixIn.fname
+        # (tokenize.py:70-81): prefix joins with "_", rename map raises
+        # on unknown fields
         if self.output_prefix:
-            return f"{self.output_prefix}{field}"
+            return f"{self.output_prefix}_{field}"
+        if self.output_rename_map:
+            if field in self.output_rename_map:
+                return self.output_rename_map[field]
+            raise ValueError(f"Field '{field}' is not in the rename map.")
         return field
 
     def config(self):

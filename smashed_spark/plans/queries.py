@@ -563,3 +563,121 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = FillTextPromptMapper("lang={lang} text={win}", "prompt").map(out)
     return out.select("doc_id", "lang", "prompt", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# python tier — jinja rendering, tokenization, collation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jinja_render",
+    oracle="""
+    SELECT doc_id,
+           'lang=' || lang || ' n=' || n_chars AS src,
+           source AS tgt
+    FROM documents
+    """,
+)
+def q_jinja(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JinjaMapper (reference promptsource.py:313-354): renders inside
+    Arrow-batched mapInPandas with a per-executor jinja env."""
+    from ..operators.jinja import JinjaMapper
+
+    df = load(spark, sf_dir, "documents")
+    out = JinjaMapper(
+        "lang={{lang}} n={{n_chars}}|||{{source}}",
+        source_field_name="src",
+        target_field_name="tgt",
+    ).map(df)
+    return out.select("doc_id", "src", "tgt")
+
+
+@query(
+    "fewshot_jinja",
+    oracle="""
+    SELECT string_agg(lang, ';' ORDER BY doc_id) AS src
+    FROM documents GROUP BY doc_id // 3 HAVING count(*) = 3
+    """,
+)
+def q_fewshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FewShotJinjaMapper: 2 shots + 1 sample per consecutive group
+    (reference promptsource.py:357-470)."""
+    from ..operators.jinja import FewShotJinjaMapper
+
+    df = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return FewShotJinjaMapper(
+        "{% for s in __shots__ %}{{s.lang}};{% endfor %}{{lang}}",
+        num_shots=2,
+        order_by=["doc_id"],
+        output_source_field_name="src",
+    ).map(df)
+
+
+@query(
+    "tokenize_wordpiece",
+    oracle="""
+    SELECT doc_id,
+           list_concat([CAST(2 AS BIGINT)],
+               list_concat(
+                   list_transform(string_split(text, ' '),
+                       w -> CASE WHEN w = 'a' THEN CAST(8 AS BIGINT)
+                                 WHEN w = 'the' THEN 15
+                                 ELSE 1 END),
+                   [CAST(3 AS BIGINT)])) AS input_ids
+    FROM documents
+    """,
+)
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TokenizerMapper with the deterministic WordPiece tokenizer
+    (reference tokenize.py:84-229); oracle derived from the tiny vocab
+    (every corpus word maps to one piece)."""
+    from ..functions.wordpiece import tiny_bert_tokenizer
+    from ..operators.hf_tokenize import TokenizerMapper
+
+    df = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TokenizerMapper(
+        tiny_bert_tokenizer(model_max_length=4096),
+        input_field="text",
+        return_attention_mask=False,
+    ).map(df)
+    return out.select("doc_id", "input_ids")
+
+
+@query(
+    "collate_pad_longest",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id // 10 AS gid, doc_id,
+               list_transform(string_split(text, ' '),
+                              w -> CAST(length(w) AS BIGINT)) AS ids
+        FROM documents
+    ), g AS (
+        SELECT list(doc_id ORDER BY doc_id) AS doc_id,
+               list(ids ORDER BY doc_id) AS ids,
+               max(len(ids)) AS m
+        FROM b GROUP BY gid
+    )
+    SELECT doc_id,
+           list_transform(ids,
+               s -> s || list_transform(range(0, m - len(s)),
+                                        x -> CAST(0 AS BIGINT))) AS ids
+    FROM g
+    """,
+)
+def q_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedBatchSize >> ListCollator pad-to-longest
+    (reference collators.py:318-475)."""
+    from ..operators.batchers import FixedBatchSizeMapper
+    from ..operators.collators import ListCollatorMapper
+
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "), lambda w: F.length(w).cast("bigint")
+        ).alias("ids"),
+    )
+    pipe = FixedBatchSizeMapper(
+        10, order_by=["doc_id"], contiguous_key=True
+    ) >> ListCollatorMapper(unk_fields_pad_id=0)
+    return pipe.map(df)

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
 
+from ..core.ship import ensure_shipped  # noqa: E402  (re-export)
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -25,7 +27,13 @@ TABLES = (
 
 def query(name: str, oracle: Optional[str] = None):
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

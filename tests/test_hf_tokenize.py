@@ -1,0 +1,146 @@
+"""Tokenizer mappers — goldens ported from reference
+tests/test_prompting.py:85-200 (deterministic 17-token BERT vocab)."""
+
+from smashed_spark.functions.wordpiece import tiny_bert_tokenizer
+from smashed_spark.operators.hf_tokenize import (
+    DecodingMapper,
+    EncodeFieldsMapper,
+    TokenizerMapper,
+)
+from smashed_spark.operators.prompting import (
+    FillEncodedPromptMapper,
+    TruncateMultipleFieldsMapper,
+)
+
+ROW = {
+    "a": "many " * 30 + " hello world",
+    "b": "hi" + "i" * 10 + " there",
+    "c": "this is a test",
+}
+
+
+def _df(spark, row=None):
+    row = row or ROW
+    return spark.createDataFrame(
+        [(row["a"], row["b"], row["c"])], "a: string, b: string, c: string"
+    )
+
+
+def test_encode_offsets(spark):
+    df = spark.createDataFrame(
+        [("many  hello world",)], "a: string"
+    )
+    out = (
+        EncodeFieldsMapper(
+            ["a"], tiny_bert_tokenizer(), fields_to_return_offset_mapping=True
+        )
+        .map(df)
+        .collect()[0]
+    )
+    assert out.offset_a == [[0, 4], [6, 11], [12, 17]]
+    assert out.a == [12, 4, 5]  # many hello world
+
+
+def test_encode_truncate_chain(spark):
+    tok = tiny_bert_tokenizer()
+    pipe = EncodeFieldsMapper(["a", "b", "c"], tok) >> TruncateMultipleFieldsMapper(
+        fields_to_truncate=["a", "b"],
+        fields_to_preserve=["c"],
+        max_length=16,
+        strategy="longest",
+    )
+    out = pipe.map(_df(spark)).collect()[0]
+    assert out.a == [12, 12, 12, 12, 12, 12]
+    assert out.b == [10, 13, 13, 13, 13, 13]
+    assert out.c == [6, 7, 8, 9]
+
+
+def test_encode_truncate_uniform_chain(spark):
+    tok = tiny_bert_tokenizer()
+    pipe = EncodeFieldsMapper(["a", "b", "c"], tok) >> TruncateMultipleFieldsMapper(
+        fields_to_truncate=["a", "b"],
+        fields_to_preserve=["c"],
+        max_length=16,
+        strategy="uniform",
+    )
+    out = pipe.map(_df(spark)).collect()[0]
+    assert out.a == [12] * 8
+    assert out.b == [10, 13, 13]
+    assert out.c == [6, 7, 8, 9]
+
+
+def test_full_fill_chain(spark):
+    # reference test_prompting.py test_fill golden
+    tok = tiny_bert_tokenizer()
+    pipe = (
+        EncodeFieldsMapper(["a", "b", "c"], tok)
+        >> TruncateMultipleFieldsMapper(
+            fields_to_truncate=["a", "b"],
+            fields_to_preserve=["c"],
+            max_length=16,
+            strategy="uniform",
+        )
+        >> FillEncodedPromptMapper(
+            template="{a} is a {b} with the help of {c}.", tokenizer=tok
+        )
+    )
+    out = pipe.map(_df(spark)).collect()[0]
+    assert out.input_ids == (
+        [12] * 8 + [7, 8] + [10, 13, 13] + [14, 15, 1, 16] + [6, 7, 8, 9] + [1]
+    )
+    assert out.attention_mask == [1] * 22
+
+
+def test_tokenizer_mapper(spark):
+    df = spark.createDataFrame([("hello world",)], "text: string")
+    out = (
+        TokenizerMapper(
+            tiny_bert_tokenizer(),
+            input_field="text",
+            return_attention_mask=True,
+            return_length=True,
+        )
+        .map(df)
+        .collect()[0]
+    )
+    # [CLS] hello world [SEP]
+    assert out.input_ids == [2, 4, 5, 3]
+    assert out.attention_mask == [1, 1, 1, 1]
+    assert out.length == 4
+
+
+def test_tokenizer_mapper_prefix_and_truncation(spark):
+    df = spark.createDataFrame([("hello world this is a test",)], "text: string")
+    out = (
+        TokenizerMapper(
+            tiny_bert_tokenizer(),
+            input_field="text",
+            output_prefix="tok",
+            max_length=5,
+            truncation=True,
+        )
+        .map(df)
+        .collect()[0]
+    )
+    assert out.tok_input_ids == [2, 4, 5, 6, 3]  # CLS hello world this SEP
+    assert "text" in out.asDict()  # merge semantics keep the input
+
+
+def test_decoding_roundtrip(spark):
+    tok = tiny_bert_tokenizer()
+    df = spark.createDataFrame([([4, 5, 10, 13],)], "ids: array<bigint>")
+    out = DecodingMapper(tok, ["ids"]).map(df).collect()[0]
+    assert out.ids == "hello world hii"
+
+
+def test_decoding_batch(spark):
+    tok = tiny_bert_tokenizer()
+    df = spark.createDataFrame(
+        [([[4, 5], [2, 6, 3]],)], "ids: array<array<bigint>>"
+    )
+    out = (
+        DecodingMapper(tok, ["ids"], decode_batch=True, skip_special_tokens=True)
+        .map(df)
+        .collect()[0]
+    )
+    assert out.ids == ["hello world", "this"]

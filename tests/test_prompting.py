@@ -133,7 +133,7 @@ def test_fill_encoded_prefix(spark):
         FillEncodedPromptMapper(
             "Q:{q}",
             tokenizer=FakeTokenizer(),
-            output_prefix="src_",
+            output_prefix="src",
             return_token_type_ids=True,
         )
         .map(df)
