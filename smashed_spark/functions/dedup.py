@@ -1,0 +1,282 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's surface (it has no joins or aggregations), these
+are the operators a 100 TB training-data pipeline needs.  Each is a
+:class:`SparkMapper` so it composes into pipelines.
+
+Scale design
+------------
+* **Exact**: hash-aggregate on a text digest — one shuffle keyed by the
+  digest; AQE splits skewed digests (identical boilerplate documents).
+* **MinHash + LSH**: signature computation is narrow (per-row);
+  candidate generation explodes ``bands`` rows per doc and shuffles on
+  the (band, key) bucket — cost scales with corpus size × bands, never
+  with the pairwise O(n²).  Verification re-checks candidates with the
+  exact Jaccard on shingle sets (a self-equi-join on doc ids, broadcast
+  when the candidate set is small).
+* **N-gram Jaccard**: the exact quadratic method, for modest corpora or
+  as the verifier behind LSH; the shingle-inverted-index join shuffles
+  on shingles — frequency-capped to bound hub shingles.
+* **SimHash**: near-dup via Hamming distance on a compact integer —
+  narrow compute, then bucket-join on rotated prefixes.
+* **Embedding cosine**: see functions/similarity.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.mapper import SparkMapper
+from .hashing import (
+    band_keys,
+    cosine_similarity,
+    minhash_signature,
+    simhash,
+    word_shingles,
+)
+
+
+class ExactDedupMapper(SparkMapper):
+    """Exact dedup on a text column: keep the first document (by
+    ``order_by``) of each identical-content group; optionally emit the
+    group size as ``dup_count``.
+
+    Plan: md5 digest (narrow) -> hash aggregate keyed on digest (one
+    shuffle) with map-side partial aggregation.
+    """
+
+    def __init__(
+        self,
+        text_field: str = "text",
+        order_by: str = "doc_id",
+        dup_count_field: Optional[str] = "dup_count",
+    ) -> None:
+        self.text_field = text_field
+        self.order_by = order_by
+        self.dup_count_field = dup_count_field
+        super().__init__(input_fields=[text_field, order_by])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        digest = F.md5(F.col(self.text_field))
+        keyed = df.withColumn("__digest__", digest)
+        aggs = [
+            F.min(F.struct(self.order_by, *[c for c in df.columns if c != self.order_by])).alias("__keep__"),
+            F.count(F.lit(1)).alias("__cnt__"),
+        ]
+        grouped = keyed.groupBy("__digest__").agg(*aggs)
+        cols = [F.col("__keep__").getField(c).alias(c) for c in [self.order_by] + [c for c in df.columns if c != self.order_by]]
+        out = grouped.select(*cols, F.col("__cnt__"))
+        if self.dup_count_field:
+            out = out.withColumnRenamed("__cnt__", self.dup_count_field)
+        else:
+            out = out.drop("__cnt__")
+        return out.select(*df.columns, *( [self.dup_count_field] if self.dup_count_field else [] ))
+
+
+class MinHashMapper(SparkMapper):
+    """Attach a MinHash signature column computed from a words array
+    (shingle -> minhash; Broder 1997).  Narrow, JVM-side."""
+
+    def __init__(
+        self,
+        words_field: str = "words",
+        signature_field: str = "minhash",
+        num_hashes: int = 16,
+        shingle_size: int = 3,
+    ) -> None:
+        self.words_field = words_field
+        self.signature_field = signature_field
+        self.num_hashes = num_hashes
+        self.shingle_size = shingle_size
+        super().__init__(
+            input_fields=[words_field], output_fields=[signature_field]
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        sh = word_shingles(F.col(self.words_field), self.shingle_size)
+        return df.withColumn(
+            self.signature_field, minhash_signature(sh, self.num_hashes)
+        )
+
+
+class MinHashLSHPairsMapper(SparkMapper):
+    """Candidate near-duplicate pairs via LSH banding over a MinHash
+    signature column (shingle->minhash->band->bucket-join).
+
+    Output: ``(id_a, id_b)`` with ``id_a < id_b``, deduplicated across
+    bands.  Shuffles on the band bucket key — the scalable path: cost is
+    O(docs × bands), not O(docs²).
+    """
+
+    def __init__(
+        self,
+        id_field: str,
+        signature_field: str = "minhash",
+        bands: int = 4,
+        rows_per_band: int = 4,
+    ) -> None:
+        self.id_field = id_field
+        self.signature_field = signature_field
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        super().__init__(input_fields=[id_field, signature_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        buckets = df.select(
+            F.col(self.id_field).alias("__id__"),
+            F.explode(
+                band_keys(
+                    F.col(self.signature_field), self.bands, self.rows_per_band
+                )
+            ).alias("__bk__"),
+        ).select(
+            "__id__",
+            F.col("__bk__").getField("band").alias("__band__"),
+            F.col("__bk__").getField("key").alias("__key__"),
+        )
+        left = buckets.alias("l")
+        right = buckets.alias("r")
+        pairs = (
+            left.join(
+                right,
+                (F.col("l.__band__") == F.col("r.__band__"))
+                & (F.col("l.__key__") == F.col("r.__key__"))
+                & (F.col("l.__id__") < F.col("r.__id__")),
+            )
+            .select(
+                F.col("l.__id__").alias("id_a"),
+                F.col("r.__id__").alias("id_b"),
+            )
+            .distinct()
+        )
+        return pairs
+
+
+class SimHashMapper(SparkMapper):
+    """Attach a SimHash fingerprint (Charikar 2002) over a words array.
+    Near-dups have small Hamming distance between fingerprints."""
+
+    def __init__(
+        self,
+        words_field: str = "words",
+        output_field: str = "simhash",
+        bits: int = 16,
+    ) -> None:
+        self.words_field = words_field
+        self.output_field = output_field
+        self.bits = bits
+        super().__init__(
+            input_fields=[words_field], output_fields=[output_field]
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.output_field, simhash(F.col(self.words_field), self.bits)
+        )
+
+
+class NGramJaccardPairsMapper(SparkMapper):
+    """Exact n-gram Jaccard similar pairs via a shingle inverted index:
+    explode distinct shingles, self-join on shingle, count
+    intersections, compute ``|A∩B| / (|A|+|B|-|A∩B|)``.
+
+    Scale: shuffles on shingles; ``max_shingle_freq`` drops hub shingles
+    (appearing in more than N docs) to bound the join fan-out — standard
+    practice, loses only pairs whose *every* common shingle is a hub.
+    At true 100 TB scale prefer :class:`MinHashLSHPairsMapper` and use
+    this as the verifier on candidates.
+    """
+
+    def __init__(
+        self,
+        id_field: str,
+        words_field: str = "words",
+        shingle_size: int = 3,
+        threshold: float = 0.5,
+        max_shingle_freq: Optional[int] = None,
+    ) -> None:
+        self.id_field = id_field
+        self.words_field = words_field
+        self.shingle_size = shingle_size
+        self.threshold = threshold
+        self.max_shingle_freq = max_shingle_freq
+        super().__init__(input_fields=[id_field, words_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(self.id_field).alias("__id__"),
+            word_shingles(
+                F.col(self.words_field), self.shingle_size
+            ).alias("__sh__"),
+        ).withColumn("__n__", F.size("__sh__"))
+        inv = base.select(
+            "__id__", "__n__", F.explode("__sh__").alias("__s__")
+        )
+        if self.max_shingle_freq is not None:
+            freq = inv.groupBy("__s__").agg(F.count(F.lit(1)).alias("__f__"))
+            inv = (
+                inv.join(freq, "__s__")
+                .filter(F.col("__f__") <= self.max_shingle_freq)
+                .drop("__f__")
+            )
+        l, r = inv.alias("l"), inv.alias("r")
+        inter = (
+            l.join(
+                r,
+                (F.col("l.__s__") == F.col("r.__s__"))
+                & (F.col("l.__id__") < F.col("r.__id__")),
+            )
+            .groupBy(
+                F.col("l.__id__").alias("id_a"),
+                F.col("r.__id__").alias("id_b"),
+                F.col("l.__n__").alias("na"),
+                F.col("r.__n__").alias("nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        return (
+            inter.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+
+class EmbeddingNearDupPairsMapper(SparkMapper):
+    """Pairs of embeddings with cosine similarity above a threshold.
+
+    Brute-force O(n²) cross join — the *verifier* path.  At scale,
+    bucket first (:class:`~smashed_spark.functions.similarity.
+    HyperplaneLSHTopK`) and run this only within buckets.
+    """
+
+    def __init__(
+        self,
+        id_field: str = "vec_id",
+        vector_field: str = "embedding",
+        threshold: float = 0.35,
+    ) -> None:
+        self.id_field = id_field
+        self.vector_field = vector_field
+        self.threshold = threshold
+        super().__init__(input_fields=[id_field, vector_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(self.id_field).alias("__id__"),
+            F.col(self.vector_field).alias("__v__"),
+        )
+        l, r = base.alias("l"), base.alias("r")
+        sim = cosine_similarity(F.col("l.__v__"), F.col("r.__v__"))
+        return (
+            l.join(r, F.col("l.__id__") < F.col("r.__id__"))
+            .select(
+                F.col("l.__id__").alias("id_a"),
+                F.col("r.__id__").alias("id_b"),
+                F.round(sim, 6).alias("sim"),
+            )
+            .filter(F.col("sim") >= self.threshold)
+        )

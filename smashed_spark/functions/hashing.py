@@ -1,0 +1,138 @@
+"""Portable hashing primitives for dedup / fingerprinting.
+
+Everything here is chosen to be *engine-portable*: the same value is
+computable in Spark SQL and in DuckDB (for oracle checks), with no
+Python in the hot path.
+
+Base primitive: the first 8 hex chars of ``md5(s)`` parsed as an
+integer — ``conv(substr(md5(s),1,8),16,10)`` in Spark,
+``('0x' || substr(md5(s),1,8))::BIGINT`` in DuckDB.  32 bits of a
+cryptographic digest: uniform, deterministic, cheap (JVM-side).
+
+MinHash permutations are affine maps ``(a_k * h + b_k) mod P`` over
+that base hash (standard construction, e.g. Broder 1997; P is the
+Mersenne prime 2^31-1).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def hash_coeffs(k: int) -> List[tuple]:
+    """Deterministic affine coefficients for k minhash permutations."""
+    return [(1 + 2 * i, 97 + 31 * i) for i in range(k)]
+
+
+def portable_hash32(col: Column) -> Column:
+    """32-bit integer from the md5 hex prefix (portable to DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def word_shingles(words: Column, n: int) -> Column:
+    """Distinct word n-grams (joined with a space) from a words array.
+
+    Narrow per-row expression; output size is O(len(words)).
+    """
+    count = F.size(words) - F.lit(n - 1)
+    starts = F.when(count > 0, F.sequence(F.lit(0), count - 1)).otherwise(
+        F.array().cast("array<integer>")
+    )
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, k: int) -> Column:
+    """k-element minhash signature over a shingle array.
+
+    One pass per permutation over the shingle hashes; all JVM-side.
+    Empty shingle sets get ``P`` (the max value) in every slot so they
+    never collide with real content.
+    """
+    base = F.transform(shingles, portable_hash32)
+
+    def affine(a: int, b: int):
+        # NB: no default-arg capture — pyspark counts default args as
+        # lambda parameters when binding higher-order functions
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+
+    sig = []
+    for a, b in hash_coeffs(k):
+        perm = F.transform(base, affine(a, b))
+        sig.append(F.coalesce(F.array_min(perm), F.lit(MERSENNE_P)))
+    return F.array(*sig)
+
+
+def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: md5 of each signature slice, as
+    ``array<struct<band int, key string>>``.  Documents sharing any
+    (band, key) are candidate pairs.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        ",",
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash(tokens: Column, bits: int = 16) -> Column:
+    """SimHash over a token array (Charikar 2002): for each bit
+    position, sum +1/-1 according to each token-hash's bit, then take
+    the sign.  Returns a ``bigint``.
+
+    JVM-side: O(bits × tokens) boolean arithmetic per row, no shuffle.
+    """
+    hashes = F.transform(tokens, portable_hash32)
+
+    def bit_step(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    total = []
+    for b in range(bits):
+        bit_sum = F.aggregate(
+            hashes, F.lit(0).cast("bigint"), bit_step(b)
+        )
+        total.append(
+            F.when(bit_sum > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
+        )
+    out = total[0]
+    for t in total[1:]:
+        out = out + t
+    return out
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity between two numeric arrays, computed in double
+    precision with sequential summation (stable across engines)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(da, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    nb = F.sqrt(
+        F.aggregate(db, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return dot / (na * nb)

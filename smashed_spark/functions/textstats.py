@@ -1,0 +1,194 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, fingerprinting.  All pure Column expressions — JVM-side,
+narrow, zero shuffle — so they run at scan speed over 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.mapper import SparkMapper
+
+# Minimal high-frequency stopword markers per language.  An n-gram /
+# stopword-count heuristic (the classic "stopword profiling" approach
+# to language ID); counts of ' <word> ' occurrences are portable to any
+# SQL engine via the length-difference trick.
+DEFAULT_LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "de", "que"],
+    "fr": ["le", "la", "et", "les"],
+    "de": ["der", "die", "und", "das"],
+}
+
+DEFAULT_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that".split()
+)
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Number of occurrences of ``needle`` via the length-difference
+    trick (portable: only length/replace)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+class LangIdMapper(SparkMapper):
+    """Heuristic language ID: per language, count marker-stopword hits
+    (padded with spaces so only whole words match); argmax wins, ties
+    and zero scores fall back to ``'und'``."""
+
+    def __init__(
+        self,
+        text_field: str = "text",
+        output_field: str = "lang_pred",
+        markers: Optional[Dict[str, List[str]]] = None,
+    ) -> None:
+        self.text_field = text_field
+        self.output_field = output_field
+        self.markers = {k: list(v) for k, v in (markers or DEFAULT_LANG_MARKERS).items()}
+        super().__init__(input_fields=[text_field], output_fields=[output_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        padded = F.concat(F.lit(" "), F.col(self.text_field), F.lit(" "))
+        scores = []
+        for lang in sorted(self.markers):
+            score = F.lit(0).cast("bigint")
+            for w in self.markers[lang]:
+                score = score + occurrences(padded, f" {w} ")
+            scores.append(F.struct(score.alias("s"), F.lit(lang).alias("l")))
+        # argmax by (score, then reverse-alphabetical so ties pick the
+        # earliest language deterministically after the greatest())
+        best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+        pred = F.when(best.getField("s") > 0, best.getField("l")).otherwise(
+            F.lit("und")
+        )
+        return df.withColumn(self.output_field, pred)
+
+
+class QualityScoreMapper(SparkMapper):
+    """Heuristic document-quality features (the usual corpus-curation
+    signals: length, mean word length, alpha/punct ratios, stopword
+    ratio) plus a composite 0-1 score."""
+
+    def __init__(
+        self,
+        text_field: str = "text",
+        stopwords: Optional[Sequence[str]] = None,
+        prefix: str = "q",
+    ) -> None:
+        self.text_field = text_field
+        self.stopwords = list(stopwords or DEFAULT_STOPWORDS)
+        self.prefix = prefix
+        super().__init__(input_fields=[text_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_field)
+        p = self.prefix
+        words = F.split(text, r"\s+")
+        n_chars = F.length(text)
+        n_words = F.size(words)
+        mean_word_len = F.round(
+            (n_chars - n_words + 1).cast("double") / n_words, 6
+        )
+        non_alpha = F.length(F.regexp_replace(text, r"[A-Za-z\s]", ""))
+        non_alpha_ratio = F.round(non_alpha.cast("double") / n_chars, 6)
+        padded = F.concat(F.lit(" "), text, F.lit(" "))
+        stop_hits = F.lit(0).cast("bigint")
+        for w in self.stopwords:
+            stop_hits = stop_hits + occurrences(padded, f" {w} ")
+        stop_ratio = F.round(stop_hits.cast("double") / n_words, 6)
+        score = F.round(
+            F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (F.lit(1.0) - F.least(non_alpha_ratio * 5, F.lit(1.0))) * 0.3
+            + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3,
+            6,
+        )
+        return df.withColumns(
+            {
+                f"{p}_n_chars": n_chars.cast("bigint"),
+                f"{p}_n_words": n_words.cast("bigint"),
+                f"{p}_mean_word_len": mean_word_len,
+                f"{p}_non_alpha_ratio": non_alpha_ratio,
+                f"{p}_stopword_ratio": stop_ratio,
+                f"{p}_score": score,
+            }
+        )
+
+
+class TokenCountMapper(SparkMapper):
+    """Token counts: whitespace tokens and a BPE-ish segment count
+    (word chunks of <=4 chars + punctuation runs — the usual cheap
+    proxy for subword token counts)."""
+
+    BPE_PATTERN = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
+
+    def __init__(
+        self,
+        text_field: str = "text",
+        ws_field: str = "n_ws_tokens",
+        bpe_field: str = "n_bpe_tokens",
+    ) -> None:
+        self.text_field = text_field
+        self.ws_field = ws_field
+        self.bpe_field = bpe_field
+        super().__init__(
+            input_fields=[text_field], output_fields=[ws_field, bpe_field]
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_field)
+        ws = F.size(
+            F.filter(F.split(text, r"\s+"), lambda t: t != "")
+        ).cast("bigint")
+        bpe = F.size(
+            F.regexp_extract_all(text, F.lit(self.BPE_PATTERN), 0)
+        ).cast("bigint")
+        return df.withColumns(
+            {self.ws_field: ws, self.bpe_field: bpe}
+        )
+
+
+class FingerprintMapper(SparkMapper):
+    """Document fingerprints: a normalization-invariant content digest
+    (lowercase, collapse whitespace, md5) plus a winnowing-style
+    min-hash of character k-grams (the rolling-hash document sketch)."""
+
+    def __init__(
+        self,
+        text_field: str = "text",
+        digest_field: str = "fingerprint",
+        sketch_field: Optional[str] = "min_kgram_hash",
+        k: int = 8,
+    ) -> None:
+        self.text_field = text_field
+        self.digest_field = digest_field
+        self.sketch_field = sketch_field
+        self.k = k
+        super().__init__(input_fields=[text_field], output_fields=[digest_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from .hashing import portable_hash32
+
+        norm = F.lower(
+            F.trim(F.regexp_replace(F.col(self.text_field), r"\s+", " "))
+        )
+        out = {self.digest_field: F.md5(norm)}
+        if self.sketch_field:
+            n = F.length(norm) - F.lit(self.k - 1)
+            starts = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<integer>")
+            )
+            # k-gram hashes via substr on the normalized text
+            gram_hashes = F.transform(
+                starts,
+                lambda i: portable_hash32(norm.substr(i, F.lit(self.k))),
+            )
+            out[self.sketch_field] = F.coalesce(
+                F.array_min(gram_hashes), F.lit(None).cast("bigint")
+            )
+        return df.withColumns(out)

@@ -681,3 +681,7 @@ def q_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
         10, order_by=["doc_id"], contiguous_key=True
     ) >> ListCollatorMapper(unk_fields_pad_id=0)
     return pipe.map(df)
+
+
+# register the beyond-reference query block
+from . import queries_scale  # noqa: E402,F401

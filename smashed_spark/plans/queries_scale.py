@@ -1,0 +1,429 @@
+"""Gate queries for the beyond-reference block: dedup, similarity
+search, text analysis, and relational analytics (SURVEY.md §2 "M6" /
+BASELINE north star).
+
+MinHash/SimHash oracle SQL is *generated* from the same coefficient
+lists the Spark operators use (functions/hashing.py), so both engines
+compute byte-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_P, hash_coeffs
+from .registry import load, query
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(0, greatest(len(words) - 2, 0)),
+               i -> array_to_string(words[i + 1 : i + 3], ' '))) AS shingles
+    FROM w
+),
+base AS (
+    SELECT doc_id,
+           list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+    FROM sh
+)
+"""
+
+
+def _minhash_sql(k: int) -> str:
+    slots = ",\n        ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P})"
+        for a, b in hash_coeffs(k)
+    )
+    return _SHINGLES_SQL + f"SELECT doc_id, [{slots}] AS minhash FROM base"
+
+
+def _simhash_sql(bits: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    base AS (
+        SELECT doc_id,
+               list_transform(words,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+        FROM w
+    )
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM base
+    """
+
+
+_COS_SQL = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH g AS (
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM documents GROUP BY text
+    )
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, g.dup_count
+    FROM documents d JOIN g USING (doc_id)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-digest hash aggregate, keep first doc per
+    content group."""
+    from ..functions.dedup import ExactDedupMapper
+
+    return ExactDedupMapper().map(load(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_sig", oracle=_minhash_sql(8))
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8, 3-word shingles): engine-portable
+    md5-prefix hashes + affine permutations — narrow, JVM-side."""
+    from ..functions.dedup import MinHashMapper
+
+    df = load(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    out = MinHashMapper(num_hashes=8).map(df)
+    return out.select("doc_id", "minhash")
+
+
+def _lsh_pairs_sql(k: int, bands: int, rows: int) -> str:
+    slots = ",\n        ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P})"
+        for a, b in hash_coeffs(k)
+    )
+    return (
+        _SHINGLES_SQL
+        + f""", sig AS (SELECT doc_id, [{slots}] AS minhash FROM base),
+    bands AS (
+        SELECT doc_id, b,
+               md5(array_to_string(
+                   minhash[b * {rows} + 1 : b * {rows} + {rows}], ',')) AS bkey
+        FROM sig, UNNEST(range(0, {bands})) AS t(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+        AND a.doc_id < b.doc_id
+    """
+    )
+
+
+@query("dedup_lsh_pairs", oracle=_lsh_pairs_sql(16, 4, 4))
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 hashes, 4 bands x 4 rows):
+    explode band buckets, bucket-equi-join — O(docs x bands)."""
+    from ..functions.dedup import MinHashLSHPairsMapper, MinHashMapper
+
+    df = load(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    pipe = MinHashMapper(num_hashes=16) >> MinHashLSHPairsMapper(
+        "doc_id", bands=4, rows_per_band=4
+    )
+    return pipe.map(df)
+
+
+@query("dedup_simhash", oracle=_simhash_sql(16))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (16 bits) over document words."""
+    from ..functions.dedup import SimHashMapper
+
+    df = load(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    return SimHashMapper(bits=16).map(df).select("doc_id", "simhash")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLES_SQL
+    + """
+    , inv AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(count(*)::DOUBLE /
+                 (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING jaccard >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= 0.2 via shingle inverted index."""
+    from ..functions.dedup import NGramJaccardPairsMapper
+
+    df = load(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    return NGramJaccardPairsMapper("doc_id", threshold=0.2).map(df)
+
+
+@query(
+    "embedding_near_dup",
+    oracle=_COS_SQL
+    + """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) *
+           sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.35)."""
+    from ..functions.dedup import EmbeddingNearDupPairsMapper
+
+    return EmbeddingNearDupPairsMapper(threshold=0.35).map(
+        load(spark, sf_dir, "embeddings")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=_COS_SQL
+    + """
+    , scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM e a JOIN e b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 20 query vectors; ranking
+    over *rounded* similarity so ordering is engine-stable."""
+    from ..functions.similarity import CosineTopK
+
+    out = CosineTopK(k=5, queries_filter="vec_id < 20").map(
+        load(spark, sf_dir, "embeddings")
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query("ann_lsh_topk")  # approximate: rows-only check + recall unit test
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the 100 TB path) — approximate by
+    construction, verified by a recall test against CosineTopK."""
+    from ..functions.similarity import HyperplaneLSHTopK
+
+    return HyperplaneLSHTopK(
+        k=5, num_bits=6, num_tables=4, queries_filter="vec_id < 20"
+    ).map(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+               ::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]'))
+               ::BIGINT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import TokenCountMapper
+
+    out = TokenCountMapper().map(load(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+        FROM documents
+    )
+    SELECT doc_id, md5(norm) AS fingerprint,
+           list_min(list_transform(
+               range(1, greatest(length(norm) - 6, 1)),
+               i -> ('0x' || substr(md5(substr(norm, i, 8)), 1, 8))::BIGINT))
+               AS min_kgram_hash
+    FROM n
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import FingerprintMapper
+
+    out = FingerprintMapper().map(load(spark, sf_dir, "documents"))
+    return out.select("doc_id", "fingerprint", "min_kgram_hash")
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               length(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) AS non_alpha
+        FROM documents
+    )
+    SELECT doc_id,
+           n_chars::BIGINT AS q_n_chars,
+           n_words::BIGINT AS q_n_words,
+           round((n_chars - n_words + 1)::DOUBLE / n_words, 6)
+               AS q_mean_word_len,
+           round(non_alpha::DOUBLE / n_chars, 6) AS q_non_alpha_ratio
+    FROM q
+    """,
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import QualityScoreMapper
+
+    out = QualityScoreMapper().map(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "q_n_chars", "q_n_words", "q_mean_word_len",
+        "q_non_alpha_ratio",
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, ' ' || text || ' ' AS t FROM documents
+    ), s AS (
+        SELECT doc_id,
+            (length(t) - length(replace(t, ' der ', ''))) // 5
+          + (length(t) - length(replace(t, ' die ', ''))) // 5
+          + (length(t) - length(replace(t, ' und ', ''))) // 5
+          + (length(t) - length(replace(t, ' das ', ''))) // 5 AS s_de,
+            (length(t) - length(replace(t, ' the ', ''))) // 5
+          + (length(t) - length(replace(t, ' and ', ''))) // 5
+          + (length(t) - length(replace(t, ' of ', ''))) // 4
+          + (length(t) - length(replace(t, ' is ', ''))) // 4 AS s_en,
+            (length(t) - length(replace(t, ' el ', ''))) // 4
+          + (length(t) - length(replace(t, ' la ', ''))) // 4
+          + (length(t) - length(replace(t, ' de ', ''))) // 4
+          + (length(t) - length(replace(t, ' que ', ''))) // 5 AS s_es,
+            (length(t) - length(replace(t, ' le ', ''))) // 4
+          + (length(t) - length(replace(t, ' la ', ''))) // 4
+          + (length(t) - length(replace(t, ' et ', ''))) // 4
+          + (length(t) - length(replace(t, ' les ', ''))) // 5 AS s_fr
+        FROM p
+    )
+    SELECT doc_id,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+             WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+             WHEN s_en >= s_de THEN 'en'
+             ELSE 'de' END AS lang_pred
+    FROM s
+    """,
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID.  Spark's argmax is
+    greatest(struct(score, lang)) — ties break toward the later
+    language name, mirrored in the oracle's CASE ordering."""
+    from ..functions.textstats import LangIdMapper
+
+    out = LangIdMapper().map(load(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# relational analytics (bench headliners; joins + aggregations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: partial (map-side) aggregation
+    then one shuffle on the 2-value grouping key."""
+    df = load(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "join_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders x customer x nation revenue rollup.  customer and nation
+    are broadcast (dimension tables) so the fact table never shuffles
+    for the join — only the final small aggregation shuffles."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(customer),
+        orders.o_custkey == customer.c_custkey,
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

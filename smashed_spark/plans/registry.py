@@ -51,8 +51,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     DuckDB's TIMESTAMP view of the same file.
     """
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    ts_cols = {
+        "events": ["ts"],
+        "orders": ["o_orderdate"],
+        "lineitem": ["l_shipdate"],
+    }.get(table, [])
+    dtypes = dict(df.dtypes)
+    from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for c in ts_cols:
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df

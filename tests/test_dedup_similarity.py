@@ -1,0 +1,170 @@
+"""Dedup / similarity / textstats operators (beyond-reference block)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smashed_spark.functions.dedup import (
+    EmbeddingNearDupPairsMapper,
+    ExactDedupMapper,
+    MinHashLSHPairsMapper,
+    MinHashMapper,
+    NGramJaccardPairsMapper,
+    SimHashMapper,
+)
+from smashed_spark.functions.similarity import CosineTopK, HyperplaneLSHTopK
+from smashed_spark.functions.textstats import (
+    FingerprintMapper,
+    LangIdMapper,
+    QualityScoreMapper,
+    TokenCountMapper,
+)
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(0, "aaa"), (1, "bbb"), (2, "aaa"), (3, "aaa")],
+        "doc_id: bigint, text: string",
+    )
+    out = ExactDedupMapper().map(df).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.dup_count) for r in out] == [(0, 3), (1, 1)]
+
+
+def test_minhash_identical_and_disjoint(spark):
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words entirely unrelated content here now"
+    df = spark.createDataFrame(
+        [(0, t1), (1, t1), (2, t2)], "doc_id: bigint, text: string"
+    ).withColumn("words", F.split("text", " "))
+    out = MinHashMapper(num_hashes=8).map(df).orderBy("doc_id").collect()
+    assert out[0].minhash == out[1].minhash  # identical docs
+    assert out[0].minhash != out[2].minhash  # disjoint docs
+    assert len(out[0].minhash) == 8
+
+
+def test_minhash_lsh_pairs(spark):
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words entirely unrelated content here now"
+    df = spark.createDataFrame(
+        [(0, t1), (1, t1), (2, t2)], "doc_id: bigint, text: string"
+    ).withColumn("words", F.split("text", " "))
+    pipe = MinHashMapper(num_hashes=16) >> MinHashLSHPairsMapper(
+        "doc_id", bands=4, rows_per_band=4
+    )
+    pairs = {(r.id_a, r.id_b) for r in pipe.map(df).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    df = spark.createDataFrame(
+        [(0, base), (1, base + "extra"), (2, "zz yy xx ww vv uu tt ss")],
+        "doc_id: bigint, text: string",
+    ).withColumn("words", F.split("text", " "))
+    out = SimHashMapper(bits=16).map(df).orderBy("doc_id").collect()
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[0].simhash, out[1].simhash) < hamming(
+        out[0].simhash, out[2].simhash
+    )
+
+
+def test_ngram_jaccard_pairs(spark):
+    t1 = "a b c d e f g h"
+    t2 = "a b c d e f g x"  # shares 5 of the 6+6 3-grams
+    t3 = "p q r s t u v w"
+    df = spark.createDataFrame(
+        [(0, t1), (1, t2), (2, t3)], "doc_id: bigint, text: string"
+    ).withColumn("words", F.split("text", " "))
+    out = NGramJaccardPairsMapper("doc_id", threshold=0.5).map(df).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] == pytest.approx(5 / 7, abs=1e-6)
+
+
+def test_cosine_topk(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    out = (
+        CosineTopK(k=2, queries_filter="vec_id = 0")
+        .map(df)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert out[0].sim > 0.99
+
+
+def test_embedding_near_dup(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.14]), (2, [0.0, 1.0])],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    out = EmbeddingNearDupPairsMapper(threshold=0.9).map(df).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = CosineTopK(k=3, queries_filter="vec_id < 10").map(df).collect()
+    approx = HyperplaneLSHTopK(
+        k=3, num_bits=4, num_tables=8, queries_filter="vec_id < 10"
+    ).map(df).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is of note"),
+            (1, "el gato y la casa de que"),
+            (2, "xyzzy plugh"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    out = LangIdMapper().map(df).orderBy("doc_id").collect()
+    assert [r.lang_pred for r in out] == ["en", "es", "und"]
+
+
+def test_quality_score(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox is running over the hill")],
+        "doc_id: bigint, text: string",
+    )
+    out = QualityScoreMapper().map(df).collect()[0]
+    assert out.q_n_words == 9
+    assert 0.0 <= out.q_score <= 1.0
+    assert out.q_non_alpha_ratio == 0.0
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(0, "hello worldly, test!")], "doc_id: bigint, text: string"
+    )
+    out = TokenCountMapper().map(df).collect()[0]
+    assert out.n_ws_tokens == 3
+    # hell+o wor+ldly+, test+! -> chunks of <=4 + punct
+    assert out.n_bpe_tokens == 7
+
+
+def test_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "bye")],
+        "doc_id: bigint, text: string",
+    )
+    out = FingerprintMapper().map(df).orderBy("doc_id").collect()
+    assert out[0].fingerprint == out[1].fingerprint  # normalization
+    assert out[0].fingerprint != out[2].fingerprint
+    assert out[0].min_kgram_hash == out[1].min_kgram_hash

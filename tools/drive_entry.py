@@ -7,6 +7,8 @@ spark = (SparkSession.builder.master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.driver.memory", "6g")
+    .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
