@@ -427,3 +427,125 @@ def q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped aggregation (batch-checkable) + contrib family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "windowed_event_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (streaming/runner.py) —
+    identical code path runs on readStream with a watermark."""
+    from ..streaming.runner import windowed_event_counts
+
+    return windowed_event_counts(load(spark, sf_dir, "events"))
+
+
+@query(
+    "context_concat",
+    oracle="""
+    SELECT doc_id, '' || lang || chr(10) || source || chr(10) AS context
+    FROM documents
+    """,
+)
+def q_context_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConcatenateContextMapper over a list-of-sections context
+    (reference contrib/squad.py:47-139)."""
+    from ..recipes.contrib import ConcatenateContextMapper
+
+    df = load(spark, sf_dir, "documents").withColumn(
+        "context", F.array("lang", "source")
+    )
+    out = ConcatenateContextMapper().map(df)
+    return out.select("doc_id", "context")
+
+
+@query(
+    "evidence_locations",
+    oracle="""
+    WITH e AS (
+        SELECT doc_id, text,
+               [string_split(text, ' ')[3], 'zzz_not_there'] AS evs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_transform(evs, v -> CASE WHEN strpos(text, v) > 0
+               THEN [CAST(strpos(text, v) - 1 AS BIGINT),
+                     CAST(strpos(text, v) - 1 + length(v) AS BIGINT)]
+               ELSE [CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)] END) AS locations
+    FROM e
+    """,
+)
+def q_evidence_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AddEvidencesLocationMapper: char spans of evidence substrings
+    (reference contrib/squad.py:161-195)."""
+    from ..recipes.contrib import AddEvidencesLocationMapper
+
+    df = load(spark, sf_dir, "documents").withColumn(
+        "evidences",
+        F.array(
+            F.element_at(F.split("text", " "), 3), F.lit("zzz_not_there")
+        ),
+    )
+    out = AddEvidencesLocationMapper(context_field="text").map(df)
+    return out.select("doc_id", "locations")
+
+
+@query(
+    "unique_answers",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text, ' '))) AS answers
+    FROM documents
+    """,
+)
+def q_unique_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqueAnswerMapper (reference contrib/squad.py:142-158); sorted
+    on both sides because DuckDB's list_distinct has no order
+    guarantee (order-preservation is pinned in the unit test)."""
+    from ..recipes.contrib import UniqueAnswerMapper
+
+    df = load(spark, sf_dir, "documents").withColumn(
+        "answers", F.split("text", " ")
+    )
+    out = UniqueAnswerMapper().map(df)
+    return out.select("doc_id", F.array_sort("answers").alias("answers"))
+
+
+@query(
+    "annotator_split",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id,
+               [CAST(doc_id % 5 AS DOUBLE), CAST(n_chars % 7 AS DOUBLE),
+                CAST(length(lang) AS DOUBLE)] AS annotations
+        FROM documents
+    )
+    SELECT doc_id, annotations[1] AS preds,
+           round((annotations[2] + annotations[3]) / 2, 6) AS labels
+    FROM a
+    """,
+)
+def q_annotator_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OneVsOtherAnnotatorMapper (reference contrib/sse.py:5-38)."""
+    from ..recipes.contrib import OneVsOtherAnnotatorMapper
+
+    df = load(spark, sf_dir, "documents").withColumn(
+        "annotations",
+        F.array(
+            (F.col("doc_id") % 5).cast("double"),
+            (F.col("n_chars") % 7).cast("double"),
+            F.length("lang").cast("double"),
+        ),
+    )
+    out = OneVsOtherAnnotatorMapper().map(df)
+    return out.select("doc_id", "preds", "labels")

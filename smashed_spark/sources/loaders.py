@@ -1,0 +1,179 @@
+"""Source loaders (reference: src/smashed/mappers/loaders.py).
+
+The reference's loader mappers take rows that *carry file paths* and
+yield one row per record of each file (CsvLoaderMapper,
+JsonlLoaderMapper, loaders.py:139-192), plus a HF-dataset loader that
+combines sources by concatenation or interleaving (loaders.py:37-136).
+
+Spark-first: file reading belongs to ``spark.read`` (distributed,
+splittable, predicate-pushdown).  The path-column-driven variants
+collect the path list (metadata-scale, not data-scale) and hand it to
+the DataSource API; S3 paths work via Hadoop's ``s3a://`` natively
+(the reference needs smart_open + boto, io_utils/multipath.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.mapper import SparkMapper
+
+
+class CsvLoaderMapper(SparkMapper):
+    """Rows carry CSV paths in ``paths_field``; output is one row per
+    CSV record across all files (reference loaders.py:139-168).
+
+    ``headers=None`` uses each file's first line as the header (the
+    ``csv.DictReader`` default); pass an explicit list to name the
+    columns of header-less files.
+    """
+
+    def __init__(
+        self,
+        paths_field: str,
+        headers: Optional[List[str]] = None,
+        encoding: str = "utf-8",
+        **reader_options,
+    ) -> None:
+        self.paths_field = paths_field
+        self.headers = list(headers) if headers else None
+        self.encoding = encoding
+        self.reader_options = dict(reader_options)
+        super().__init__(input_fields=[paths_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        paths = [
+            r[0] for r in df.select(self.paths_field).distinct().collect()
+        ]
+        spark = df.sparkSession
+        reader = spark.read.options(
+            encoding=self.encoding, **self.reader_options
+        )
+        if self.headers is None:
+            return reader.csv(paths, header=True)
+        out = reader.csv(paths, header=False)
+        return out.toDF(*self.headers)
+
+
+class JsonlLoaderMapper(SparkMapper):
+    """Rows carry JSONL paths; output is one row per JSON line
+    (reference loaders.py:171-192)."""
+
+    def __init__(self, paths_field: str, encoding: str = "utf-8") -> None:
+        self.paths_field = paths_field
+        self.encoding = encoding
+        super().__init__(input_fields=[paths_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        paths = [
+            r[0] for r in df.select(self.paths_field).distinct().collect()
+        ]
+        return df.sparkSession.read.option("encoding", self.encoding).json(
+            paths
+        )
+
+
+def concatenate_datasets(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Union by name (reference combine_strategy='concatenate',
+    loaders.py:100-116)."""
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs
+    )
+
+
+INTERLEAVE_ORDER = "__interleave_order__"
+
+
+def interleave_datasets(
+    dfs: Sequence[DataFrame],
+    order_by: Sequence[str],
+    keep_order_column: bool = False,
+) -> DataFrame:
+    """Round-robin interleave (reference combine_strategy='interleave'):
+    row i of source 0, row i of source 1, ..., like HF
+    ``interleave_datasets`` — stops after the shortest source is
+    exhausted (HF's default ``all_exhausted=False`` semantics).
+
+    Spark DataFrames are unordered, so each source needs an explicit
+    ``order_by``; the output carries ``__interleave_order__`` (rank,
+    source) unless dropped, which downstream order-sensitive mappers
+    can use as their ordering key.
+    """
+    from pyspark.sql.window import Window
+
+    n = None
+    ranked = []
+    for src_idx, df in enumerate(dfs):
+        w = Window.orderBy(*order_by)
+        rn = F.row_number().over(w) - F.lit(1)
+        ranked.append(
+            df.withColumn("__rn__", rn).withColumn(
+                "__src__", F.lit(src_idx)
+            )
+        )
+        c = df.count()
+        n = c if n is None else min(n, c)
+    out = concatenate_datasets(ranked).filter(F.col("__rn__") < n)
+    out = out.withColumn(
+        INTERLEAVE_ORDER,
+        F.col("__rn__") * len(dfs) + F.col("__src__"),
+    ).drop("__rn__", "__src__")
+    if not keep_order_column:
+        out = out.orderBy(INTERLEAVE_ORDER).drop(INTERLEAVE_ORDER)
+    return out
+
+
+class DatasetLoaderMapper(SparkMapper):
+    """Rows describe datasets to load (format + path); loads each and
+    combines (reference HuggingFaceDatasetLoaderMapper,
+    loaders.py:37-136: ``load_dataset(**row)`` then concatenate or
+    interleave, with optional column pruning)."""
+
+    def __init__(
+        self,
+        combine_strategy: str = "interleave",
+        fields_to_keep: Optional[Sequence[str]] = None,
+        format_field: str = "format",
+        path_field: str = "path",
+        order_by: Sequence[str] = (),
+    ) -> None:
+        if combine_strategy not in ("concatenate", "interleave"):
+            raise ValueError(
+                f"Invalid combine_strategy {combine_strategy}"
+            )
+        if combine_strategy == "interleave" and not order_by:
+            raise ValueError("interleave requires order_by")
+        self.combine_strategy = combine_strategy
+        self.fields_to_keep = list(fields_to_keep) if fields_to_keep else None
+        self.format_field = format_field
+        self.path_field = path_field
+        self.order_by = list(order_by)
+        super().__init__(input_fields=[format_field, path_field])
+
+    def _load_one(self, spark: SparkSession, fmt: str, path: str) -> DataFrame:
+        if fmt == "parquet":
+            df = spark.read.parquet(path)
+        elif fmt == "csv":
+            df = spark.read.csv(path, header=True)
+        elif fmt in ("json", "jsonl"):
+            df = spark.read.json(path)
+        else:
+            raise ValueError(f"Unsupported dataset format {fmt}")
+        if self.fields_to_keep:
+            df = df.select(*self.fields_to_keep)
+        return df
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        specs = df.select(self.format_field, self.path_field).collect()
+        dfs = [
+            self._load_one(spark, r[self.format_field], r[self.path_field])
+            for r in specs
+        ]
+        if self.combine_strategy == "concatenate":
+            return concatenate_datasets(dfs)
+        return interleave_datasets(dfs, self.order_by)

@@ -1,0 +1,94 @@
+"""Structured Streaming support.
+
+The reference has NO streaming semantics (SURVEY.md §2.9) — its only
+lazy surface is generator-based batched mappers and HF
+``IterableDataset`` pass-through.  This module is the additive Spark
+analog: every *row-local* mapper (no shuffle, no order dependence)
+works unchanged on a streaming DataFrame because it is just a Column
+expression or mapInPandas over micro-batches.
+
+Provided here:
+* ``streamable(mapper)`` / ``assert_streamable(pipeline)`` — classify
+  which mappers are safe on unbounded input;
+* ``apply_pipeline_stream`` — fold a pipeline over ``readStream``;
+* ``windowed_event_counts`` — the canonical watermark + event-time
+  window aggregation over the ``events`` table shape.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.mapper import SparkMapper
+from ..core.pipeline import Pipeline
+
+# mapper classes whose semantics need bounded input (order-sensitive
+# grouping, global ranks, self-joins)
+_UNSTREAMABLE = {
+    "EnumerateFieldMapper",
+    "FixedBatchSizeMapper",
+    "FewShotJinjaMapper",
+    "MinHashLSHPairsMapper",
+    "NGramJaccardPairsMapper",
+    "EmbeddingNearDupPairsMapper",
+    "CosineTopK",
+    "HyperplaneLSHTopK",
+    "ExactDedupMapper",
+}
+
+
+def streamable(mapper: SparkMapper) -> bool:
+    return type(mapper).__name__ not in _UNSTREAMABLE
+
+
+def assert_streamable(pipeline: Pipeline) -> None:
+    bad = [m.name for m in pipeline.mappers if not streamable(m)]
+    if bad:
+        raise ValueError(
+            f"mappers not applicable to unbounded streams: {bad} "
+            "(order-sensitive or multi-pass semantics)"
+        )
+
+
+def apply_pipeline_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    pipeline: Pipeline,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """``readStream`` -> pipeline -> streaming DataFrame (start a sink
+    with ``.writeStream`` on the result)."""
+    assert_streamable(pipeline)
+    stream = (
+        spark.readStream.format(fmt).schema(schema).load(path)
+    )
+    return pipeline.map(stream)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Watermarked event-time windowed counts — the standard late-data-
+    tolerant streaming aggregation; also valid on a batch DataFrame
+    (used for the oracle check)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,155 @@
+"""Contrib mappers, loaders, caching round-trip, converters stubs."""
+
+import os
+
+import pytest
+
+from smashed_spark.recipes.contrib import (
+    AddEvidencesLocationMapper,
+    ConcatenateContextMapper,
+    OneVsOtherAnnotatorMapper,
+    ReplaceIfNoEvidencePromptMapper,
+    UniqueAnswerMapper,
+)
+from smashed_spark.sources.cache import (
+    EndCachingMapper,
+    StartCachingMapper,
+)
+from smashed_spark.sources.loaders import (
+    CsvLoaderMapper,
+    JsonlLoaderMapper,
+    concatenate_datasets,
+    interleave_datasets,
+)
+
+
+def test_context_concat_string_passthrough(spark):
+    df = spark.createDataFrame([("plain",)], "context: string")
+    out = ConcatenateContextMapper().map(df).collect()[0]
+    assert out.context == "plain"
+
+
+def test_context_concat_list(spark):
+    df = spark.createDataFrame([(["s1", "s2"],)], "context: array<string>")
+    out = ConcatenateContextMapper().map(df).collect()[0]
+    assert out.context == "s1\ns2\n"
+
+
+def test_context_concat_nested(spark):
+    df = spark.createDataFrame(
+        [([["hdr", "p1"], ["hdr2"]],)], "context: array<array<string>>"
+    )
+    out = ConcatenateContextMapper().map(df).collect()[0]
+    # header gets par_bos/eos; subsequent paragraphs too (defaults)
+    assert out.context == "\n\nhdr\n\n\np1\n\n\nhdr2\n"
+
+
+def test_unique_answer(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "a", "c", "b"],)], "answers: array<string>"
+    )
+    out = UniqueAnswerMapper().map(df).collect()[0]
+    assert out.answers == ["a", "b", "c"]
+
+
+def test_evidence_locations(spark):
+    df = spark.createDataFrame(
+        [("hello world test", ["world", "zzz"])],
+        "context: string, evidences: array<string>",
+    )
+    out = AddEvidencesLocationMapper().map(df).collect()[0]
+    assert out.locations == [[6, 11], [-1, -1]]
+
+
+def test_replace_if_no_evidence(spark):
+    df = spark.createDataFrame(
+        [([[0, 5]], [1, 2]), ([[-1, -1]], [1, 2])],
+        "locations: array<array<bigint>>, labels: array<bigint>",
+    )
+    out = (
+        ReplaceIfNoEvidencePromptMapper([9, 9])
+        .map(df)
+        .collect()
+    )
+    got = sorted(tuple(r.labels) for r in out)
+    assert got == [(1, 2), (9, 9)]
+
+
+def test_one_vs_other_annotator(spark):
+    df = spark.createDataFrame(
+        [([3.0, 1.0, 2.0],)], "annotations: array<double>"
+    )
+    out = OneVsOtherAnnotatorMapper().map(df).collect()[0]
+    assert out.preds == 3.0
+    assert out.labels == 1.5
+
+
+def test_csv_jsonl_loaders(spark, tmp_path):
+    csv_path = str(tmp_path / "a.csv")
+    with open(csv_path, "w") as f:
+        f.write("x,y\n1,foo\n2,bar\n")
+    jsonl_path = str(tmp_path / "b.jsonl")
+    with open(jsonl_path, "w") as f:
+        f.write('{"x": 1}\n{"x": 2}\n')
+
+    paths_df = spark.createDataFrame([(csv_path,)], "p: string")
+    out = CsvLoaderMapper("p").map(paths_df)
+    assert sorted((r.x, r.y) for r in out.collect()) == [
+        ("1", "foo"),
+        ("2", "bar"),
+    ]
+    paths_df2 = spark.createDataFrame([(jsonl_path,)], "p: string")
+    out2 = JsonlLoaderMapper("p").map(paths_df2)
+    assert sorted(r.x for r in out2.collect()) == [1, 2]
+
+
+def test_concatenate_and_interleave(spark):
+    a = spark.createDataFrame([(0, "a0"), (1, "a1")], "i: bigint, v: string")
+    b = spark.createDataFrame(
+        [(0, "b0"), (1, "b1"), (2, "b2")], "i: bigint, v: string"
+    )
+    cat = concatenate_datasets([a, b])
+    assert cat.count() == 5
+    inter = interleave_datasets(
+        [a, b], order_by=["i"], keep_order_column=True
+    )
+    rows = inter.orderBy("__interleave_order__").collect()
+    assert [r.v for r in rows] == ["a0", "b0", "a1", "b1"]
+
+
+def test_caching_roundtrip(spark, tmp_path):
+    from smashed_spark import Pipeline
+    from smashed_spark.operators.debug import MockMapper
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "a: bigint")
+    pipe = Pipeline(
+        [
+            StartCachingMapper(cache_dir=str(tmp_path)),
+            MockMapper(1),
+            MockMapper(2),
+            EndCachingMapper(),
+        ]
+    )
+    first = sorted(r.a for r in pipe.map(df).collect())
+    # cache dir now populated
+    assert any(os.scandir(str(tmp_path)))
+    second = sorted(r.a for r in pipe.map(df).collect())
+    assert first == second == [i + 3 for i in range(10)]
+
+
+def test_caching_unmatched_raises(spark):
+    from smashed_spark import Pipeline
+    from smashed_spark.operators.debug import MockMapper
+
+    df = spark.createDataFrame([(1,)], "a: bigint")
+    with pytest.raises(RuntimeError):
+        Pipeline([StartCachingMapper(), MockMapper(1)]).map(df)
+    with pytest.raises(RuntimeError):
+        Pipeline([MockMapper(1), EndCachingMapper()]).map(df)
+
+
+def test_converters_stub():
+    with pytest.raises(ImportError):
+        from smashed_spark.operators.converters import Python2TorchMapper
+
+        Python2TorchMapper()

@@ -1,0 +1,116 @@
+"""Multimodal binary plumbing + structured streaming."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smashed_spark.operators.multimodal import (
+    AudioFeatureMapper,
+    BinaryMetadataMapper,
+    FrameSampleMapper,
+    ImageDecodeMapper,
+)
+from smashed_spark.streaming.runner import (
+    apply_pipeline_stream,
+    assert_streamable,
+    windowed_event_counts,
+)
+
+
+def _bin_df(spark):
+    return spark.createDataFrame(
+        [(0, bytearray(b"hello world")), (1, bytearray(b"xyz"))],
+        "id: bigint, blob: binary",
+    )
+
+
+def test_binary_metadata(spark):
+    out = BinaryMetadataMapper("blob").map(_bin_df(spark)).orderBy("id").collect()
+    assert out[0].blob_n_bytes == 11
+    assert len(out[0].blob_md5) == 32
+
+
+def test_image_decode_fake(spark):
+    df = _bin_df(spark).withColumnRenamed("blob", "image")
+    out = ImageDecodeMapper().map(df).orderBy("id").collect()
+    meta = out[0].image_meta
+    assert meta.mode == "FAKE"
+    assert 64 <= meta.width < 128 and 64 <= meta.height < 128
+    # deterministic
+    out2 = ImageDecodeMapper().map(df).orderBy("id").collect()
+    assert out2[0].image_meta == meta
+
+
+def test_frame_sample_cardinality(spark):
+    df = _bin_df(spark).withColumnRenamed("blob", "video")
+    out = FrameSampleMapper(num_frames=3).map(df)
+    rows = out.collect()
+    assert len(rows) == 6  # 2 videos x 3 frames
+    assert sorted({r.frame_idx for r in rows}) == [0, 1, 2]
+
+
+def test_audio_features(spark):
+    df = _bin_df(spark).withColumnRenamed("blob", "audio")
+    out = AudioFeatureMapper().map(df).orderBy("id").collect()
+    assert out[0].audio_n_bytes == 11
+    assert out[0].audio_mean_level > 0
+
+
+def test_assert_streamable():
+    from smashed_spark import Pipeline
+    from smashed_spark.operators.debug import MockMapper
+    from smashed_spark.operators.fields import EnumerateFieldMapper
+
+    assert_streamable(Pipeline([MockMapper(1)]))
+    with pytest.raises(ValueError):
+        assert_streamable(
+            Pipeline([EnumerateFieldMapper("x", order_by=["x"])])
+        )
+
+
+def test_streaming_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    from smashed_spark import Pipeline
+    from smashed_spark.operators.filters import FilterMapper
+    from smashed_spark.plans.registry import load
+
+    batch = load(spark, sf_dir, "events")
+    # write a clean copy (micro-precision ts) for the stream source
+    src = str(tmp_path / "events_src")
+    batch.write.parquet(src)
+
+    pipe = Pipeline([FilterMapper("value", ">=", 50.0)])
+    stream = apply_pipeline_stream(
+        spark, src, batch.schema, pipe, fmt="parquet"
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ev_filtered")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM ev_filtered").collect()[0].n
+    want = pipe.map(batch).count()
+    assert got == want > 0
+
+
+def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
+    from smashed_spark.plans.registry import load
+
+    batch = load(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src2")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_windowed")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT sum(n_events) AS n FROM ev_windowed"
+    ).collect()[0].n
+    assert got == batch.count()
