@@ -96,10 +96,21 @@ class MinHashMapper(SparkMapper):
         )
 
     def apply(self, df: DataFrame) -> DataFrame:
+        from .hashing import portable_hash32
+
         sh = word_shingles(F.col(self.words_field), self.shingle_size)
-        return df.withColumn(
-            self.signature_field, minhash_signature(sh, self.num_hashes)
+        # materialize the base hashes once so the k permutations reuse
+        # them instead of re-hashing every shingle k times
+        df = df.withColumn("__shingle_hashes__", F.transform(sh, portable_hash32))
+        out = df.withColumn(
+            self.signature_field,
+            minhash_signature(
+                F.col("__shingle_hashes__"),
+                self.num_hashes,
+                hashes_precomputed=True,
+            ),
         )
+        return out.drop("__shingle_hashes__")
 
 
 class MinHashLSHPairsMapper(SparkMapper):
@@ -264,13 +275,94 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
         self.threshold = threshold
         super().__init__(input_fields=[id_field, vector_field])
 
+    BROADCAST_LIMIT = 200_000  # rows; ~100 MB at 64 float64 dims
+
     def apply(self, df: DataFrame) -> DataFrame:
+        n = df.count()
+        if n <= self.BROADCAST_LIMIT:
+            return self._apply_broadcast_matrix(df)
+        return self._apply_pairwise_expr(df)
+
+    def _apply_broadcast_matrix(self, df: DataFrame) -> DataFrame:
+        """Broadcast the (small) corpus matrix; each partition computes
+        its rows' similarities against it with one BLAS matmul —
+        vectorized C, no per-pair expression evaluation.  The join
+        disappears entirely."""
+        import numpy as np
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        rows = df.select(self.id_field, self.vector_field).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        spark = df.sparkSession
+        b = spark.sparkContext.broadcast((ids, mat, norms))
+        threshold = self.threshold
+        id_field, vector_field = self.id_field, self.vector_field
+
+        schema = StructType(
+            [
+                StructField("id_a", LongType()),
+                StructField("id_b", LongType()),
+                StructField("sim", DoubleType()),
+            ]
+        )
+
+        def run(batches):
+            import pandas as pd
+
+            c_ids, c_mat, c_norms = b.value
+            for pdf in batches:
+                q_ids = pdf[id_field].to_numpy(dtype=np.int64)
+                q_mat = np.array(list(pdf[vector_field]), dtype=np.float64)
+                if len(q_mat) == 0:
+                    yield pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+                    continue
+                q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+                sims = (q_mat @ c_mat.T) / np.outer(q_norms, c_norms)
+                sims = np.round(sims, 6)
+                # pair constraint id_a < id_b keeps each pair once
+                qi, cj = np.where(
+                    (sims >= threshold) & (q_ids[:, None] < c_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "id_a": q_ids[qi],
+                        "id_b": c_ids[cj],
+                        "sim": sims[qi, cj],
+                    }
+                )
+
+        from ..core.ship import ensure_shipped
+
+        ensure_shipped(spark)
+        return df.mapInPandas(run, schema=schema)
+
+    def _apply_pairwise_expr(self, df: DataFrame) -> DataFrame:
+        """Expression fallback for corpora too large to broadcast —
+        though at that size the LSH bucketing path is the right tool."""
+        from .hashing import vector_norm
+
         base = df.select(
             F.col(self.id_field).alias("__id__"),
-            F.col(self.vector_field).alias("__v__"),
-        )
+            F.transform(
+                F.col(self.vector_field), lambda x: x.cast("double")
+            ).alias("__v__"),
+        ).withColumn("__n__", vector_norm(F.col("__v__")))
         l, r = base.alias("l"), base.alias("r")
-        sim = cosine_similarity(F.col("l.__v__"), F.col("r.__v__"))
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("l.__v__"), F.col("r.__v__"), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sim = dot / (F.col("l.__n__") * F.col("r.__n__"))
         return (
             l.join(r, F.col("l.__id__") < F.col("r.__id__"))
             .select(

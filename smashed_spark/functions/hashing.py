@@ -49,14 +49,22 @@ def word_shingles(words: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: Column, k: int) -> Column:
+def minhash_signature(
+    shingles: Column, k: int, hashes_precomputed: bool = False
+) -> Column:
     """k-element minhash signature over a shingle array.
 
     One pass per permutation over the shingle hashes; all JVM-side.
     Empty shingle sets get ``P`` (the max value) in every slot so they
     never collide with real content.
+
+    Performance: pass ``hashes_precomputed=True`` with a column of
+    *already-hashed* shingles — otherwise the md5 base hash appears
+    once per permutation in the expression tree (Catalyst does not CSE
+    across the k ``transform`` lambdas, so k=16 would md5 every shingle
+    16 times).
     """
-    base = F.transform(shingles, portable_hash32)
+    base = shingles if hashes_precomputed else F.transform(shingles, portable_hash32)
 
     def affine(a: int, b: int):
         # NB: no default-arg capture — pyspark counts default args as
@@ -117,6 +125,35 @@ def simhash(tokens: Column, bits: int = 16) -> Column:
     for t in total[1:]:
         out = out + t
     return out
+
+
+def unrolled_dot(a: Column, b: Column, dims: int) -> Column:
+    """Dot product as a flat ``sum(a[i]*b[i])`` expression.
+
+    Higher-order ``F.aggregate`` folds are interpreted (no whole-stage
+    codegen); for a known dimensionality an unrolled sum compiles into
+    generated Java and runs an order of magnitude faster on O(n²) pair
+    joins.  Left-to-right summation — floating-point identical to the
+    sequential fold (and to DuckDB's ``list_dot_product``).
+    """
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dims + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
+def probe_dims(df, vector_field: str) -> int:
+    """Array length of a vector column (one-row driver probe — schema
+    does not carry array lengths)."""
+    row = df.select(vector_field).limit(1).collect()
+    return len(row[0][0]) if row else 0
+
+
+def vector_norm(v: Column) -> Column:
+    """L2 norm of a double array (sequential sum — engine-portable)."""
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

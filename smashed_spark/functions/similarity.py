@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..core.mapper import SparkMapper
-from .hashing import cosine_similarity
+from .hashing import cosine_similarity, vector_norm
 
 
 class CosineTopK(SparkMapper):
@@ -53,22 +53,116 @@ class CosineTopK(SparkMapper):
         self.exclude_self = exclude_self
         super().__init__(input_fields=[id_field, vector_field])
 
+    BROADCAST_LIMIT = 200_000  # rows; corpus matrix broadcast cap
+
     def apply(self, df: DataFrame) -> DataFrame:
-        corpus = df.select(
-            F.col(self.id_field).alias("__cid__"),
-            F.col(self.vector_field).alias("__cv__"),
+        if df.count() <= self.BROADCAST_LIMIT:
+            return self._apply_broadcast_matrix(df)
+        return self._apply_pairwise_expr(df)
+
+    def _apply_broadcast_matrix(self, df: DataFrame) -> DataFrame:
+        """Broadcast the corpus matrix; each partition of the query side
+        scores against it with one BLAS matmul and selects its top-k
+        locally — no join, no shuffle except the trivially small
+        result."""
+        import numpy as np
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
         )
+
+        rows = df.select(self.id_field, self.vector_field).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        spark = df.sparkSession
+        b = spark.sparkContext.broadcast((ids, mat, norms))
+        k, exclude_self = self.k, self.exclude_self
+        id_field, vector_field = self.id_field, self.vector_field
+
         queries = df
         if self.queries_filter:
             queries = df.filter(self.queries_filter)
-        queries = queries.select(
-            F.col(self.id_field).alias("__qid__"),
-            F.col(self.vector_field).alias("__qv__"),
+        queries = queries.select(id_field, vector_field)
+
+        schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("neighbor_id", LongType()),
+                StructField("sim", DoubleType()),
+                StructField("rank", LongType()),
+            ]
         )
+
+        def run(batches):
+            import pandas as pd
+
+            c_ids, c_mat, c_norms = b.value
+            for pdf in batches:
+                out = {"query_id": [], "neighbor_id": [], "sim": [], "rank": []}
+                if len(pdf) == 0:
+                    yield pd.DataFrame(out)
+                    continue
+                q_ids = pdf[id_field].to_numpy(dtype=np.int64)
+                q_mat = np.array(list(pdf[vector_field]), dtype=np.float64)
+                q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+                sims = np.round(
+                    (q_mat @ c_mat.T) / np.outer(q_norms, c_norms), 6
+                )
+                for qi in range(len(q_ids)):
+                    s = sims[qi]
+                    mask = np.ones(len(c_ids), dtype=bool)
+                    if exclude_self:
+                        mask &= c_ids != q_ids[qi]
+                    idx = np.nonzero(mask)[0]
+                    # order: sim desc, neighbor_id asc (oracle tie-break)
+                    order = np.lexsort((c_ids[idx], -s[idx]))[:k]
+                    chosen = idx[order]
+                    out["query_id"].extend([int(q_ids[qi])] * len(chosen))
+                    out["neighbor_id"].extend(c_ids[chosen].tolist())
+                    out["sim"].extend(s[chosen].tolist())
+                    out["rank"].extend(range(1, len(chosen) + 1))
+                yield pd.DataFrame(out)
+
+        from ..core.ship import ensure_shipped
+
+        ensure_shipped(spark)
+        return queries.mapInPandas(run, schema=schema)
+
+    def _apply_pairwise_expr(self, df: DataFrame) -> DataFrame:
+        from .hashing import vector_norm
+
+        # norms precomputed once per vector (narrow); each of the Q x N
+        # pairs then costs a single dot product — arithmetic identical
+        # to dot/(norm_q*norm_c)
+        base = df.select(
+            F.col(self.id_field).alias("__cid__"),
+            F.transform(
+                F.col(self.vector_field), lambda x: x.cast("double")
+            ).alias("__cv__"),
+        ).withColumn("__cn__", vector_norm(F.col("__cv__")))
+        corpus = base
+        queries = base.select(
+            F.col("__cid__").alias("__qid__"),
+            F.col("__cv__").alias("__qv__"),
+            F.col("__cn__").alias("__qn__"),
+        )
+        if self.queries_filter:
+            ids = df.filter(self.queries_filter).select(
+                F.col(self.id_field).alias("__qid__")
+            )
+            queries = queries.join(F.broadcast(ids), "__qid__")
         joined = queries.crossJoin(corpus)
         if self.exclude_self:
             joined = joined.filter(F.col("__qid__") != F.col("__cid__"))
-        sim = cosine_similarity(F.col("__qv__"), F.col("__cv__"))
+        dot = F.aggregate(
+            F.zip_with(F.col("__qv__"), F.col("__cv__"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sim = dot / (F.col("__qn__") * F.col("__cn__"))
         scored = joined.select(
             F.col("__qid__").alias("query_id"),
             F.col("__cid__").alias("neighbor_id"),
@@ -84,10 +178,20 @@ class CosineTopK(SparkMapper):
         )
 
 
-def _hyperplane_component(table: int, bit: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
-    h = F.xxhash64(F.lit(table), F.lit(bit), F.lit(dim))
-    return (h % 10_000).cast("double") / 5_000.0 - F.lit(1.0)
+def _hyperplane(table: int, bit: int, dims: int) -> list:
+    """Deterministic pseudo-random hyperplane components in [-1, 1),
+    generated driver-side (md5-seeded) so the per-row signature is a
+    single fold over a literal array instead of a dims-wide expression
+    tree (which blows past the codegen method-size limit)."""
+    import hashlib
+
+    out = []
+    for d in range(dims):
+        h = int(
+            hashlib.md5(f"{table}:{bit}:{d}".encode()).hexdigest()[:8], 16
+        )
+        out.append((h % 10_000) / 5_000.0 - 1.0)
+    return out
 
 
 class HyperplaneLSHTopK(SparkMapper):
@@ -122,11 +226,14 @@ class HyperplaneLSHTopK(SparkMapper):
     def _signature(self, vec: Column, table: int, dims: int) -> Column:
         bits = []
         for b in range(self.num_bits):
-            dot = F.lit(0.0)
-            for d in range(dims):
-                dot = dot + F.element_at(vec, d + 1).cast(
-                    "double"
-                ) * _hyperplane_component(table, b, d)
+            plane = F.array(
+                *[F.lit(c) for c in _hyperplane(table, b, dims)]
+            )
+            dot = F.aggregate(
+                F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
             bits.append(F.when(dot >= 0, F.lit(2 ** b)).otherwise(F.lit(0)))
         out = bits[0]
         for x in bits[1:]:
