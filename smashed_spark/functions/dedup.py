@@ -62,18 +62,28 @@ class ExactDedupMapper(SparkMapper):
     def apply(self, df: DataFrame) -> DataFrame:
         digest = F.md5(F.col(self.text_field))
         keyed = df.withColumn("__digest__", digest)
+        # min_by keeps the whole first row per group and stays in the
+        # (object) hash aggregate — min(struct(...)) would force a
+        # sort-based aggregate, a per-partition sort we don't need
         aggs = [
-            F.min(F.struct(self.order_by, *[c for c in df.columns if c != self.order_by])).alias("__keep__"),
+            F.min_by(F.struct(*df.columns), F.col(self.order_by)).alias(
+                "__keep__"
+            ),
             F.count(F.lit(1)).alias("__cnt__"),
         ]
         grouped = keyed.groupBy("__digest__").agg(*aggs)
-        cols = [F.col("__keep__").getField(c).alias(c) for c in [self.order_by] + [c for c in df.columns if c != self.order_by]]
+        cols = [
+            F.col("__keep__").getField(c).alias(c) for c in df.columns
+        ]
         out = grouped.select(*cols, F.col("__cnt__"))
         if self.dup_count_field:
             out = out.withColumnRenamed("__cnt__", self.dup_count_field)
         else:
             out = out.drop("__cnt__")
-        return out.select(*df.columns, *( [self.dup_count_field] if self.dup_count_field else [] ))
+        return out.select(
+            *df.columns,
+            *([self.dup_count_field] if self.dup_count_field else []),
+        )
 
 
 class MinHashMapper(SparkMapper):

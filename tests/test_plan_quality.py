@@ -1,0 +1,88 @@
+"""Physical-plan quality gates: these assert the plans we *want* at
+100 TB, not just correct answers — filter pushdown into the parquet
+scan, column pruning, broadcast joins for dimensions, map-side partial
+aggregation, and no Python in native-operator plans.
+"""
+
+from pyspark.sql import functions as F
+
+from smashed_spark.operators.fields import ChangeFieldsMapper
+from smashed_spark.operators.filters import FilterMapper
+from smashed_spark.plans.registry import load
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load(spark, sf_dir, "documents")
+    out = FilterMapper("n_chars", ">=", 100).map(df)
+    plan = _explain(out)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,100)" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load(spark, sf_dir, "documents")
+    out = ChangeFieldsMapper(keep_fields=["doc_id", "lang"]).map(df)
+    plan = _explain(out)
+    # ReadSchema must not include the wide text column
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_pipeline_fuses_into_one_projection(spark, sf_dir):
+    # N chained row-local mappers must not stack N projections
+    from smashed_spark.operators.debug import MockMapper
+
+    df = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pipe = MockMapper(1) >> MockMapper(2) >> MockMapper(3) >> MockMapper(4)
+    plan = _explain(pipe.map(df))
+    assert plan.count("Project") <= 2, plan
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    from smashed_spark.plans.queries_scale import q_revenue_nation
+
+    plan = _explain(q_revenue_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_has_partial_phase(spark, sf_dir):
+    from smashed_spark.plans.queries_scale import q_pricing
+
+    plan = _explain(q_pricing(spark, sf_dir))
+    # two HashAggregate nodes = map-side partial + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_native_pipeline_has_no_python(spark, sf_dir):
+    from smashed_spark.plans.queries import q_flagship
+
+    plan = _explain(q_flagship(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    from smashed_spark.functions.dedup import ExactDedupMapper
+
+    out = ExactDedupMapper().map(load(spark, sf_dir, "documents"))
+    plan = _explain(out)
+    # "Exchange (n)" appears once per node in the tree section.
+    # One shuffle keyed on the digest is the floor for global dedup;
+    # the aggregate is sort-based (struct-typed min_by buffer), which
+    # beats the agg+join-back alternative's extra shuffle.
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_wholestage_codegen_covers_flagship(spark, sf_dir):
+    from smashed_spark.plans.queries import q_flagship
+
+    # the '*' node prefix marks whole-stage-codegen'd operators in
+    # formatted explain output
+    plan = _explain(q_flagship(spark, sf_dir))
+    assert "* Filter" in plan and "* Project" in plan, plan
