@@ -221,3 +221,15 @@ class TensorCollatorMapper(BaseCollator):
             "TensorCollatorMapper is a client-edge operation; "
             "use ListCollatorMapper inside Spark plans"
         )
+
+
+class FromTokenizerTensorCollatorMapper(TensorCollatorMapper):
+    """Tensor collator pre-seeded with tokenizer pad ids (reference
+    collators.py:299-315).  Client-edge / torch-gated like its parent."""
+
+    def __init__(self, tokenizer, **kwargs) -> None:
+        merged = {
+            **_tokenizer_pad_ids(tokenizer),
+            **(kwargs.pop("fields_pad_ids", None) or {}),
+        }
+        super().__init__(fields_pad_ids=merged, **kwargs)

@@ -248,3 +248,42 @@ class FewShotJinjaMapper(JinjaMapper):
             return pd.DataFrame({c: [rendered.get(c)] for c in out_cols})
 
         return dfg.groupBy("__gid__").applyInPandas(run, schema=schema)
+
+
+class PromptsourceMapper(JinjaMapper):
+    """Render a template from the promptsource catalog (reference
+    promptsource.py:239-310).  Requires the ``promptsource`` package
+    (gated — not installed in this environment); the jinja text of the
+    catalog template is then rendered exactly like JinjaMapper."""
+
+    def __init__(
+        self,
+        dataset_name: str,
+        template_name: str,
+        subset_name: Optional[str] = None,
+        source_field_name: str = "source",
+        target_field_name: str = "target",
+        return_multiple_targets: bool = False,
+        extra_variables: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        try:
+            from promptsource.templates import DatasetTemplates
+        except ImportError as e:
+            raise ImportError(
+                "promptsource is not installed; use JinjaMapper with an "
+                "explicit template instead"
+            ) from e
+        dataset = DatasetTemplates(
+            dataset_name=dataset_name, subset_name=subset_name
+        )
+        template = dataset[template_name].jinja
+        self.dataset_name = dataset_name
+        self.subset_name = subset_name
+        self.template_name = template_name
+        super().__init__(
+            jinja=template,
+            source_field_name=source_field_name,
+            target_field_name=target_field_name,
+            return_multiple_targets=return_multiple_targets,
+            extra_variables=extra_variables,
+        )

@@ -379,3 +379,11 @@ class CollatorRecipe(BaseRecipe):
                     pad_to_multiple_of=pad_to_multiple_of,
                 )
             )
+
+
+class SlowCollatorRecipe(CollatorRecipe):
+    """Reference SlowCollatorRecipe (recipes/collators.py:180-247):
+    batch -> pad -> tensorize, where the reference's fast variant
+    tensorizes before batching.  In the Spark rebuild tensorization is
+    always at the client edge, so both orderings reduce to the same
+    plan; the class exists for API parity."""

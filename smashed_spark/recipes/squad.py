@@ -65,11 +65,24 @@ class EncoderWithEvidenceLocationMapper(SparkMapper):
         loc_field = self.location_field
         extra = self.extra_fields
 
+        from pyspark.sql.types import StringType
+
+        # extra fields holding a LIST of strings (e.g. all answers at
+        # validation time) encode element-wise to a list of id lists
+        nested_extra = {
+            f.name
+            for f in df.schema.fields
+            if f.name in extra
+            and isinstance(f.dataType, ArrayType)
+            and isinstance(f.dataType.elementType, StringType)
+        }
         fields = []
         for f in df.schema.fields:
-            if f.name == ctx_field or f.name in extra:
+            if f.name == ctx_field or (
+                f.name in extra and f.name not in nested_extra
+            ):
                 fields.append(StructField(f.name, ArrayType(LongType())))
-            elif f.name == loc_field:
+            elif f.name == loc_field or f.name in nested_extra:
                 fields.append(
                     StructField(f.name, ArrayType(ArrayType(LongType())))
                 )
@@ -111,12 +124,26 @@ class EncoderWithEvidenceLocationMapper(SparkMapper):
                     new_locs.append(row_locs)
                 data[loc_field] = new_locs
                 for fld in extra:
-                    enc2 = tokenizer(
-                        data[fld],
-                        add_special_tokens=False,
-                        return_attention_mask=False,
-                    )
-                    data[fld] = list(enc2["input_ids"])
+                    if fld in nested_extra:
+                        data[fld] = [
+                            list(
+                                tokenizer(
+                                    list(vals),
+                                    add_special_tokens=False,
+                                    return_attention_mask=False,
+                                )["input_ids"]
+                            )
+                            if len(vals)
+                            else []
+                            for vals in data[fld]
+                        ]
+                    else:
+                        enc2 = tokenizer(
+                            data[fld],
+                            add_special_tokens=False,
+                            return_attention_mask=False,
+                        )
+                        data[fld] = list(enc2["input_ids"])
                 yield pd.DataFrame({c: data[c] for c in out_cols})
 
         return df.mapInPandas(run, schema=schema)
@@ -186,9 +213,21 @@ class ReplaceIfNoEvidencePromptTemplateMapper(FillEncodedPromptMapper):
             )
             > 0
         )
-        out = F.when(
-            has_evidence, F.col(self.target_field).cast("array<bigint>")
-        ).otherwise(rendered)
+        dtype = df.schema[self.target_field].dataType
+        from pyspark.sql.types import ArrayType as _AT
+
+        if isinstance(dtype, _AT) and isinstance(dtype.elementType, _AT):
+            # multiple answers (validation time): wrap the rendered
+            # replacement as a single-element answer list
+            # (reference contrib/squad.py:306-312)
+            out = F.when(
+                has_evidence,
+                F.col(self.target_field).cast("array<array<bigint>>"),
+            ).otherwise(F.array(rendered))
+        else:
+            out = F.when(
+                has_evidence, F.col(self.target_field).cast("array<bigint>")
+            ).otherwise(rendered)
         return df.withColumn(self.target_field, out)
 
 
@@ -278,3 +317,21 @@ class SquadPromptTrainRecipe(BaseRecipe):
             + (["labels"] if target_template is not None else [])
         )
         self.chain(ChangeFieldsMapper(keep_fields=keep, raise_on_missing=False))
+
+
+class SquadPromptValidRecipe(SquadPromptTrainRecipe):
+    """Validation-time variant (reference contrib/squad.py:450-489):
+    keeps ALL answers per question (no unpacking into one row per
+    answer) so evaluation can match any gold answer."""
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        # drop the UnpackingMapper stage: answers stay a list per row,
+        # and the encoder's extra-field tokenization then yields a list
+        # of encodings
+        self.mappers = [
+            m for m in self.mappers if not isinstance(m, UnpackingMapper)
+        ]
+        # answers arrive as array<string>: encode each answer separately
+        # by exploding only for encoding is unnecessary — the tokenizer
+        # mapInPandas handles list-of-strings per row via batch_encode

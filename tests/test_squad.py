@@ -92,3 +92,31 @@ def test_squad_train_recipe_end_to_end(spark):
     assert set(out.columns) == {"input_ids", "attention_mask", "labels"}
     assert all(len(r.input_ids) <= 4 for r in rows)
     assert all(len(r.labels) >= 1 for r in rows)
+
+
+def test_squad_valid_recipe_keeps_all_answers(spark):
+    from smashed_spark.recipes.squad import SquadPromptValidRecipe
+
+    tok = tiny_bert_tokenizer()
+    recipe = SquadPromptValidRecipe(
+        tokenizer=tok,
+        source_template="{context}",
+        context_length=8,
+        context_stride=8,
+        target_template="hello",  # literal "no answer" replacement text
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                ["hello world this is a test"],
+                ["this is", "a test"],
+                ["this is"],
+            )
+        ],
+        "context: array<string>, answers: array<string>, "
+        "evidences: array<string>",
+    )
+    rows = recipe.map(df).collect()
+    assert len(rows) == 1  # no unpacking: one row per question
+    # both answers kept, each encoded
+    assert rows[0].labels == [[6, 7], [8, 9]]
