@@ -45,9 +45,12 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
     queries = entry_mod.queries()
+    import gc
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
+        gc.collect()  # release prior queries' broadcasts before timing
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

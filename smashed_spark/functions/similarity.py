@@ -295,10 +295,55 @@ class HyperplaneLSHTopK(SparkMapper):
         if self.exclude_self:
             cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
-        sim = cosine_similarity(F.col("__qv__"), F.col("__cv__"))
-        scored = cand.select(
-            "query_id", "neighbor_id", F.round(sim, 6).alias("sim")
+        # vectorized rerank: row-wise einsum over Arrow batches instead
+        # of an interpreted per-pair aggregate fold
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
         )
+
+        from ..core.ship import ensure_shipped
+
+        ensure_shipped(df.sparkSession)
+        score_schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("neighbor_id", LongType()),
+                StructField("sim", DoubleType()),
+            ]
+        )
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(
+                        {"query_id": [], "neighbor_id": [], "sim": []}
+                    )
+                    continue
+                q = np.array(list(pdf["__qv__"]), dtype=np.float64)
+                c = np.array(list(pdf["__cv__"]), dtype=np.float64)
+                dots = np.einsum("ij,ij->i", q, c)
+                sims = np.round(
+                    dots
+                    / (
+                        np.sqrt(np.einsum("ij,ij->i", q, q))
+                        * np.sqrt(np.einsum("ij,ij->i", c, c))
+                    ),
+                    6,
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "sim": sims,
+                    }
+                )
+
+        scored = cand.mapInPandas(score, schema=score_schema)
         w = Window.partitionBy("query_id").orderBy(
             F.col("sim").desc(), F.col("neighbor_id")
         )

@@ -181,6 +181,7 @@ class FewShotJinjaMapper(JinjaMapper):
         return_multiple_targets: bool = False,
         extra_variables: Optional[Dict[str, Any]] = None,
         order_by: Sequence[str] = (),
+        contiguous_key: bool = False,
     ) -> None:
         if num_shots != "max" and not (
             isinstance(num_shots, int) and num_shots >= 0
@@ -197,9 +198,12 @@ class FewShotJinjaMapper(JinjaMapper):
             raise ValueError(
                 "order_by is required: few-shot grouping is order-sensitive"
             )
+        if contiguous_key and len(order_by) != 1:
+            raise ValueError("contiguous_key requires a single order_by column")
         self.num_shots = num_shots
         self.keep_last = bool(keep_last or num_shots == "max")
         self.order_by = list(order_by)
+        self.contiguous_key = contiguous_key
         super().__init__(
             jinja=jinja,
             source_field_name=output_source_field_name,
@@ -232,9 +236,16 @@ class FewShotJinjaMapper(JinjaMapper):
         keep_last = self.keep_last
         order_cols = list(self.order_by)
 
-        w = Window.orderBy(*order_cols)
-        rn = F.row_number().over(w) - F.lit(1)
-        gid = F.lit(0) if group_size is None else F.floor(rn / group_size)
+        if group_size is None:
+            gid = F.lit(0)
+        elif self.contiguous_key:
+            # dense 0-based key: group id without a global sort — the
+            # scalable path (plain hash shuffle on gid)
+            gid = (F.col(self.order_by[0]) / group_size).cast("bigint")
+        else:
+            w = Window.orderBy(*order_cols)
+            rn = F.row_number().over(w) - F.lit(1)
+            gid = F.floor(rn / group_size)
         dfg = df.withColumn("__gid__", gid)
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:

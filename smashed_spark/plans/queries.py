@@ -610,6 +610,7 @@ def q_fewshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "{% for s in __shots__ %}{{s.lang}};{% endfor %}{{lang}}",
         num_shots=2,
         order_by=["doc_id"],
+        contiguous_key=True,
         output_source_field_name="src",
     ).map(df)
 

@@ -549,3 +549,57 @@ def q_annotator_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = OneVsOtherAnnotatorMapper().map(df)
     return out.select("doc_id", "preds", "labels")
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH x AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM x
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-user windows,
+    fully parallel across users."""
+    from ..functions.sessions import SessionizeMapper
+
+    out = SessionizeMapper().map(load(spark, sf_dir, "events"))
+    return out.select("event_id", "user_id", "session_idx")
+
+
+@query(
+    "session_stats",
+    oracle="""
+    WITH x AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM x
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_seconds,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session rollup: count, span, value per (user, session)."""
+    from ..functions.sessions import SessionStatsMapper
+
+    return SessionStatsMapper().map(load(spark, sf_dir, "events"))

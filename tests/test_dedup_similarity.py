@@ -168,3 +168,21 @@ def test_fingerprint(spark):
     assert out[0].fingerprint == out[1].fingerprint  # normalization
     assert out[0].fingerprint != out[2].fingerprint
     assert out[0].min_kgram_hash == out[1].min_kgram_hash
+
+
+def test_sessionize(spark):
+    from datetime import datetime
+
+    from smashed_spark.functions.sessions import SessionizeMapper
+
+    rows = [
+        (0, 1, datetime(2024, 1, 1, 10, 0)),
+        (1, 1, datetime(2024, 1, 1, 10, 10)),   # same session (10 min)
+        (2, 1, datetime(2024, 1, 1, 11, 0)),    # new session (50 min gap)
+        (3, 2, datetime(2024, 1, 1, 10, 5)),    # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: bigint, user_id: bigint, ts: timestamp"
+    )
+    out = SessionizeMapper().map(df).orderBy("event_id").collect()
+    assert [r.session_idx for r in out] == [1, 1, 2, 1]
