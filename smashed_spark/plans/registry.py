@@ -50,6 +50,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     back to proper micro-precision timestamps so query semantics match
     DuckDB's TIMESTAMP view of the same file.
     """
+    # the driver may hand us a session without these (both are
+    # runtime-settable SQLConfs): nano-precision INT64 timestamps are
+    # unreadable without nanosAsLong, and hashing timestamps needs a
+    # fixed zone to match the (zone-less) DuckDB oracle
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     ts_cols = {
         "events": ["ts"],
