@@ -218,15 +218,19 @@ class NGramJaccardPairsMapper(SparkMapper):
         shingle_size: int = 3,
         threshold: float = 0.5,
         max_shingle_freq: Optional[int] = None,
+        method: str = "grouplist",
     ) -> None:
+        if method not in ("grouplist", "join"):
+            raise ValueError(f"unknown method {method}")
         self.id_field = id_field
         self.words_field = words_field
         self.shingle_size = shingle_size
         self.threshold = threshold
         self.max_shingle_freq = max_shingle_freq
+        self.method = method
         super().__init__(input_fields=[id_field, words_field])
 
-    def apply(self, df: DataFrame) -> DataFrame:
+    def _inverted(self, df: DataFrame) -> DataFrame:
         base = df.select(
             F.col(self.id_field).alias("__id__"),
             word_shingles(
@@ -243,8 +247,37 @@ class NGramJaccardPairsMapper(SparkMapper):
                 .filter(F.col("__f__") <= self.max_shingle_freq)
                 .drop("__f__")
             )
+        return inv
+
+    def _pairs_grouplist(self, inv: DataFrame) -> DataFrame:
+        """Default: group docs per shingle and explode the pair
+        combinations — one shuffle on the shingle instead of a two-sided
+        join, ~2x faster.  Each shingle's doc list must fit in memory:
+        hub shingles MUST be capped with ``max_shingle_freq`` at scale
+        (the ``join`` method streams and has no such requirement)."""
+        groups = inv.groupBy("__s__").agg(
+            F.collect_list(F.struct("__id__", "__n__")).alias("__ds__")
+        )
+        pair_expr = F.expr(
+            """
+            flatten(transform(__ds__, (x, i) ->
+                transform(slice(__ds__, i + 2, size(__ds__)), y -> struct(
+                    least(x.__id__, y.__id__) as id_a,
+                    greatest(x.__id__, y.__id__) as id_b,
+                    if(x.__id__ < y.__id__, x.__n__, y.__n__) as na,
+                    if(x.__id__ < y.__id__, y.__n__, x.__n__) as nb))))
+            """
+        )
+        return (
+            groups.select(F.explode(pair_expr).alias("__p__"))
+            .select("__p__.*")
+            .groupBy("id_a", "id_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+
+    def _pairs_join(self, inv: DataFrame) -> DataFrame:
         l, r = inv.alias("l"), inv.alias("r")
-        inter = (
+        return (
             l.join(
                 r,
                 (F.col("l.__s__") == F.col("r.__s__"))
@@ -257,6 +290,14 @@ class NGramJaccardPairsMapper(SparkMapper):
                 F.col("r.__n__").alias("nb"),
             )
             .agg(F.count(F.lit(1)).alias("inter"))
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        inv = self._inverted(df)
+        inter = (
+            self._pairs_grouplist(inv)
+            if self.method == "grouplist"
+            else self._pairs_join(inv)
         )
         jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
         return (
