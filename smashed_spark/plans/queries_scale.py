@@ -603,3 +603,22 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sessions import SessionStatsMapper
 
     return SessionStatsMapper().map(load(spark, sf_dir, "events"))
+
+
+@query("stream_sessionize")  # custom stateful streaming: rows-only check
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState
+    (streaming/stateful.py) — genuinely non-SQL-expressible (engine
+    GroupState + processing-time timeouts); equivalence with the batch
+    sessionizer is pinned by test_streaming_sessionize_matches_batch."""
+    import tempfile
+
+    from ..streaming.stateful import run_sessionize_to_memory
+
+    batch = load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="smashed_stream_") + "/events"
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = "smashed_stream_sessions"
+    run_sessionize_to_memory(stream, name, gap_minutes=30)
+    return spark.table(name)

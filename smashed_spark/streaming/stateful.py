@@ -1,0 +1,168 @@
+"""Custom stateful streaming operator: streaming sessionization with
+``applyInPandasWithState``.
+
+The batch :class:`~smashed_spark.functions.sessions.SessionizeMapper`
+needs the whole history per user; on an unbounded stream the state is
+instead carried by the engine's GroupState — per user we keep
+(last event time, current session index, session start, running count)
+and emit one row per CLOSED session.  Sessions close when the
+inactivity gap exceeds ``gap_minutes``, enforced both by incoming
+events and by processing-time state timeouts (so idle users eventually
+flush).
+
+Scale: state is partitioned by user (the group key) — the same hash
+shuffle the batch version needs, but with O(users) state instead of
+O(events) history.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+# state tuple: (last_ts_epoch_us, session_start_epoch_us, n_events,
+#               total_value)
+STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("start_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_field: str = "user_id",
+    ts_field: str = "ts",
+    value_field: str = "value",
+) -> DataFrame:
+    """Emit one row per closed session from a streaming events frame."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                last_us, start_us, n, total = state.get
+                rows.append((user_id, start_us, last_us, n, total))
+                state.remove()
+        else:
+            events_ts = []
+            for pdf in batches:
+                for ts, value in zip(pdf[ts_field], pdf[value_field]):
+                    events_ts.append(
+                        (int(pd.Timestamp(ts).value // 1000), float(value))
+                    )
+            events_ts.sort()
+            if state.exists:
+                last_us, start_us, n, total = state.get
+            else:
+                last_us, start_us, n, total = None, None, 0, 0.0
+            for ts_us, value in events_ts:
+                if last_us is not None and ts_us - last_us > gap_us:
+                    rows.append((user_id, start_us, last_us, n, total))
+                    start_us, n, total = ts_us, 0, 0.0
+                if start_us is None:
+                    start_us = ts_us
+                last_us = ts_us
+                n += 1
+                total += value
+            if last_us is not None:
+                state.update((last_us, start_us, n, total))
+                state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "start_us",
+                "end_us",
+                "n_events",
+                "total_value",
+            ],
+        )
+        out["session_start"] = pd.to_datetime(out["start_us"], unit="us")
+        out["session_end"] = pd.to_datetime(out["end_us"], unit="us")
+        yield out[
+            ["user_id", "session_start", "session_end", "n_events", "total_value"]
+        ]
+
+    from ..core.ship import ensure_shipped
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy(user_field).applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_sessionize_to_memory(
+    stream: DataFrame,
+    query_name: str,
+    gap_minutes: int = 30,
+    poll_seconds: float = 1.0,
+    stable_polls: int = 3,
+    max_seconds: float = 120.0,
+) -> None:
+    """Run streaming sessionization into a memory sink and stop once the
+    output stabilizes.
+
+    With ``ProcessingTimeTimeout`` state registered, neither
+    ``availableNow`` termination nor ``processAllAvailable`` settles
+    (the engine keeps scheduling batches to evaluate future timeouts),
+    so completion is detected by polling the sink row count.
+    """
+    import time
+
+    sessions = streaming_sessionize(stream, gap_minutes=gap_minutes)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    spark = stream.sparkSession
+    last, stable, waited = -1, 0, 0.0
+    while waited < max_seconds:
+        time.sleep(poll_seconds)
+        waited += poll_seconds
+        n = spark.sql(f"SELECT count(*) AS n FROM {query_name}").collect()[0].n
+        if n == last and n > 0:
+            stable += 1
+            if stable >= stable_polls:
+                break
+        else:
+            stable = 0
+        last = n
+    q.stop()

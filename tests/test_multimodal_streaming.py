@@ -114,3 +114,21 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
         "SELECT sum(n_events) AS n FROM ev_windowed"
     ).collect()[0].n
     assert got == batch.count()
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    from smashed_spark.functions.sessions import SessionStatsMapper
+    from smashed_spark.plans.registry import load
+
+    batch = load(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_state")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    from smashed_spark.streaming.stateful import run_sessionize_to_memory
+
+    run_sessionize_to_memory(stream, "sess_state", gap_minutes=30)
+    closed = spark.sql("SELECT count(*) AS n FROM sess_state").collect()[0].n
+    total = SessionStatsMapper().map(batch).count()
+    open_sessions = batch.select("user_id").distinct().count()
+    # every session except each user's last (still open in state) closes
+    assert closed == total - open_sessions
