@@ -352,3 +352,166 @@ class HyperplaneLSHTopK(SparkMapper):
             .filter(F.col("rank") <= self.k)
             .select("query_id", "neighbor_id", "sim", "rank")
         )
+
+
+class IVFCosineTopK(SparkMapper):
+    """Approximate cosine top-k via an IVF (inverted-file) index: an
+    MLlib KMeans coarse quantizer partitions the corpus into
+    ``n_centroids`` cells; each query scores only the ``n_probe``
+    nearest cells, then exact cosine reranks the candidates.
+
+    Scale: the corpus is scanned once for clustering and once for
+    assignment; per-query cost drops from O(N) to O(N * n_probe /
+    n_centroids) on average.  The centroid table is tiny and broadcast.
+    """
+
+    def __init__(
+        self,
+        id_field: str = "vec_id",
+        vector_field: str = "embedding",
+        k: int = 5,
+        n_centroids: int = 16,
+        n_probe: int = 4,
+        queries_filter: Optional[str] = None,
+        exclude_self: bool = True,
+        seed: int = 42,
+    ) -> None:
+        self.id_field = id_field
+        self.vector_field = vector_field
+        self.k = k
+        self.n_centroids = n_centroids
+        self.n_probe = n_probe
+        self.queries_filter = queries_filter
+        self.exclude_self = exclude_self
+        self.seed = seed
+        super().__init__(input_fields=[id_field, vector_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        from ..core.ship import ensure_shipped
+
+        ensure_shipped(df.sparkSession)
+
+        # 1. coarse quantizer: MLlib KMeans on the (unit-normalized)
+        #    vectors — cosine cells
+        base = df.select(
+            F.col(self.id_field).alias("__id__"),
+            F.transform(
+                F.col(self.vector_field), lambda x: x.cast("double")
+            ).alias("__v__"),
+        )
+        with_vec = base.withColumn("__mlvec__", array_to_vector("__v__"))
+        km = KMeans(
+            k=self.n_centroids,
+            seed=self.seed,
+            featuresCol="__mlvec__",
+            predictionCol="__cell__",
+            distanceMeasure="cosine",
+            maxIter=5,
+        )
+        model = km.fit(with_vec)
+        assigned = model.transform(with_vec).select(
+            "__id__", "__v__", "__cell__"
+        )
+
+        # 2. driver-side: for each query cell we need its n_probe
+        #    nearest centroids (tiny matrix)
+        centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        cell_sims = cn @ cn.T
+        probes = {
+            int(c): [int(x) for x in np.argsort(-cell_sims[c])[: self.n_probe]]
+            for c in range(len(centroids))
+        }
+        probe_map = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in probes]),
+            F.array(
+                *[
+                    F.array(*[F.lit(p) for p in ps])
+                    for c, ps in probes.items()
+                ]
+            ),
+        )
+
+        # 3. queries explode over their probe cells; join candidates on
+        #    the cell id (hash shuffle on small cell keys)
+        queries = assigned
+        if self.queries_filter:
+            ids = df.filter(self.queries_filter).select(
+                F.col(self.id_field).alias("__id__")
+            )
+            queries = assigned.join(F.broadcast(ids), "__id__")
+        queries = queries.select(
+            F.col("__id__").alias("query_id"),
+            F.col("__v__").alias("__qv__"),
+            F.explode(probe_map[F.col("__cell__")]).alias("__cell__"),
+        )
+        cand = queries.join(
+            assigned.select(
+                F.col("__id__").alias("neighbor_id"),
+                F.col("__v__").alias("__cv__"),
+                "__cell__",
+            ),
+            "__cell__",
+        )
+        if self.exclude_self:
+            cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+
+        # 4. exact cosine rerank (vectorized) + top-k per query
+        import pandas as pd
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        score_schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("neighbor_id", LongType()),
+                StructField("sim", DoubleType()),
+            ]
+        )
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(
+                        {"query_id": [], "neighbor_id": [], "sim": []}
+                    )
+                    continue
+                q = np.array(list(pdf["__qv__"]), dtype=np.float64)
+                c = np.array(list(pdf["__cv__"]), dtype=np.float64)
+                dots = np.einsum("ij,ij->i", q, c)
+                sims = np.round(
+                    dots
+                    / (
+                        np.sqrt(np.einsum("ij,ij->i", q, q))
+                        * np.sqrt(np.einsum("ij,ij->i", c, c))
+                    ),
+                    6,
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "sim": sims,
+                    }
+                )
+
+        scored = cand.mapInPandas(score, schema=score_schema)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select("query_id", "neighbor_id", "sim", "rank")
+        )

@@ -622,3 +622,15 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "smashed_stream_sessions"
     run_sessionize_to_memory(stream, name, gap_minutes=30)
     return spark.table(name)
+
+
+@query("ann_ivf_topk")  # approximate by construction: rows-only + recall test
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: MLlib KMeans cosine cells as the coarse quantizer,
+    n_probe cells scored per query, exact rerank (the second scale
+    path beside hyperplane LSH)."""
+    from ..functions.similarity import IVFCosineTopK
+
+    return IVFCosineTopK(
+        k=5, n_centroids=8, n_probe=3, queries_filter="vec_id < 20"
+    ).map(load(spark, sf_dir, "embeddings"))

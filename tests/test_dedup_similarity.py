@@ -186,3 +186,17 @@ def test_sessionize(spark):
     )
     out = SessionizeMapper().map(df).orderBy("event_id").collect()
     assert [r.session_idx for r in out] == [1, 1, 2, 1]
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from smashed_spark.functions.similarity import IVFCosineTopK
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = CosineTopK(k=3, queries_filter="vec_id < 10").map(df).collect()
+    approx = IVFCosineTopK(
+        k=3, n_centroids=8, n_probe=4, queries_filter="vec_id < 10"
+    ).map(df).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
