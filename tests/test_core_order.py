@@ -1,0 +1,68 @@
+"""Core ordering utilities and remaining mapper option paths."""
+
+from smashed_spark.core.order import with_order_key, with_row_index
+
+
+def test_with_row_index_contiguous(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in "edcba"], "v: string"
+    ).repartition(3)
+    out = with_row_index(df, order_by=["v"]).collect()
+    by_v = {r.v: r["__row_id__"] for r in out}
+    # contiguous 0-based ids following the requested order
+    assert sorted(by_v.values()) == [0, 1, 2, 3, 4]
+    assert by_v["a"] == 0 and by_v["e"] == 4
+
+
+def test_with_row_index_no_order(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "v: bigint")
+    out = with_row_index(df)
+    ids = sorted(r["__row_id__"] for r in out.collect())
+    assert ids == list(range(100))
+
+
+def test_with_order_key(spark):
+    df = spark.createDataFrame([(3,), (1,), (2,)], "v: bigint")
+    out = with_order_key(df, ["v"]).orderBy("v").collect()
+    assert [r["__row_id__"] for r in out] == [0, 1, 2]
+
+
+def test_enumerate_without_broadcast(spark):
+    from smashed_spark.operators.fields import EnumerateFieldMapper
+
+    df = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (2, "x")], "i: bigint, v: string"
+    )
+    out = (
+        EnumerateFieldMapper(
+            "v", destination_field="e", order_by=["i"],
+            broadcast_dictionary=False,
+        )
+        .map(df)
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.e for r in out] == [0, 1, 0]
+
+
+def test_nested_cache_brackets(spark, tmp_path):
+    from smashed_spark import Pipeline
+    from smashed_spark.operators.debug import MockMapper
+    from smashed_spark.sources.cache import EndCachingMapper, StartCachingMapper
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "a: bigint")
+    pipe = Pipeline(
+        [
+            StartCachingMapper(cache_dir=str(tmp_path / "outer")),
+            MockMapper(1),
+            StartCachingMapper(cache_dir=str(tmp_path / "inner")),
+            MockMapper(2),
+            EndCachingMapper(),
+            EndCachingMapper(),
+        ]
+    )
+    out = sorted(r.a for r in pipe.map(df).collect())
+    assert out == [i + 3 for i in range(5)]
+    # second run hits the outer cache
+    out2 = sorted(r.a for r in pipe.map(df).collect())
+    assert out2 == out
