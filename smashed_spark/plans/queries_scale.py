@@ -620,7 +620,16 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch.write.parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(src)
     name = "smashed_stream_sessions"
-    run_sessionize_to_memory(stream, name, gap_minutes=30)
+    # a state store is created per shuffle partition: cap them for this
+    # bounded replay so store setup doesn't dominate (restored after)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_sessionize_to_memory(
+            stream, name, gap_minutes=30, poll_seconds=0.5, stable_polls=2
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -65,6 +65,17 @@ def segment_fingerprint(mappers: List[SparkMapper]) -> str:
     return h.hexdigest()
 
 
+def _cache_hit(spark, path: str) -> bool:
+    """Check for a completed checkpoint via the Hadoop FileSystem API so
+    cache dirs may live on any supported filesystem (s3a://, hdfs://,
+    file:) — a local os.path check would silently miss remote caches."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_SUCCESS"))
+    fs = p.getFileSystem(conf)
+    return bool(fs.exists(p))
+
+
 def run_with_cache(mappers: List[SparkMapper], df: DataFrame) -> DataFrame:
     """Fold ``df`` through ``mappers`` honoring caching brackets.
 
@@ -96,8 +107,7 @@ def run_with_cache(mappers: List[SparkMapper], df: DataFrame) -> DataFrame:
             seg_fp = segment_fingerprint(segment)
             path = os.path.join(m.cache_dir, ds_fp, seg_fp)
             spark = df.sparkSession
-            success = os.path.join(path, "_SUCCESS")
-            if os.path.exists(success):
+            if _cache_hit(spark, path):
                 df = spark.read.parquet(path)
             else:
                 for seg_m in segment:
