@@ -138,10 +138,24 @@ class SparkMapper(ABC):
                 f"{df.columns}"
             )
 
-    def map(self, df: DataFrame) -> DataFrame:
+    def map(self, df: DataFrame, remove_columns: bool = False) -> DataFrame:
+        """Apply with field validation.
+
+        ``remove_columns=True`` keeps only the mapper's declared
+        ``output_fields`` (reference map_kwargs at
+        base/interfaces.py:54-59,217-221: only the transform output
+        survives); requires declared output fields.
+        """
         self._check_fields(df, self.input_fields, "input")
         out = self.apply(df)
         self._check_fields(out, self.output_fields, "output")
+        if remove_columns:
+            if not self.output_fields:
+                raise ValueError(
+                    f"{self.name}: remove_columns=True requires declared "
+                    "output_fields"
+                )
+            out = out.select(*self.output_fields)
         return out
 
     def one(self, spark, **sample) -> Dict[str, Any]:

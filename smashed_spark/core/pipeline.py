@@ -69,10 +69,27 @@ class Pipeline(SparkMapper):
 
         return run_with_cache(self.mappers, df)
 
-    def map(self, df: DataFrame) -> DataFrame:
+    def map(self, df: DataFrame, remove_columns: bool = False) -> DataFrame:
+        """Fold the DataFrame through the chain.
+
+        ``remove_columns=True`` prunes to the FINAL mapper's declared
+        ``output_fields`` (the reference threads the flag through every
+        stage — base/interfaces.py:240-243 — but mid-chain pruning only
+        matters for its row-dict backend; in a columnar plan Catalyst
+        prunes unused intermediates automatically).
+        """
         if not self.mappers:
             raise RuntimeError("cannot run an empty Pipeline")
-        return self.apply(df)
+        out = self.apply(df)
+        if remove_columns:
+            last = self.mappers[-1]
+            if not last.output_fields:
+                raise ValueError(
+                    "remove_columns=True requires the final mapper to "
+                    "declare output_fields"
+                )
+            out = out.select(*last.output_fields)
+        return out
 
 
 def make_pipeline(first: SparkMapper, *rest: SparkMapper) -> Pipeline:

@@ -47,3 +47,21 @@ def test_empty_pipeline_raises(spark):
 def test_one(spark):
     out = MockMapper(1).one(spark, a=1)
     assert out["a"] == 2
+
+
+def test_remove_columns_kwarg(spark):
+    # reference map(dataset, remove_columns=True): only transform
+    # output survives (base/interfaces.py:217-221)
+    from smashed_spark.operators.fields import MakeFieldMapper
+
+    df = spark.createDataFrame([(1, 2)], "a: bigint, b: bigint")
+    kept = MakeFieldMapper("c", 9).map(df)
+    assert set(kept.columns) == {"a", "b", "c"}
+    only = MakeFieldMapper("c", 9).map(df, remove_columns=True)
+    assert only.columns == ["c"]
+    import pytest
+
+    from smashed_spark.operators.debug import MockMapper
+
+    with pytest.raises(ValueError):
+        MockMapper(1).map(df, remove_columns=True)  # no declared outputs
