@@ -1,0 +1,37 @@
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions","8")
+    .config("spark.sql.adaptive.enabled","true")
+    .config("spark.driver.memory","6g")
+    .config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as E
+Q = E.queries()
+
+def explain(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+HEADLINERS = {
+    "flagship_preprocess": "Every mapper fuses into one narrow codegen'd pass; "
+        "the n_chars filter is pushed into the parquet scan.",
+    "join_revenue_by_nation": "Dimension tables broadcast (no fact shuffle for "
+        "the join); only the final small rollup exchanges.",
+    "agg_pricing_summary": "Map-side partial HashAggregate before the single "
+        "exchange on the 2-value grouping key.",
+    "dedup_lsh_pairs": "Narrow signature compute, explode to band buckets, one "
+        "equi-join on the bucket key — O(docs x bands).",
+    "dedup_exact": "One exchange keyed on the content digest.",
+}
+out = ["# PLANS — physical plans of the headline queries",
+       "",
+       "Generated from the live Catalyst plans at sf0.001 (plan shape is",
+       "scale-invariant; AQE adjusts partitioning at runtime).  `*` marks",
+       "whole-stage-codegen'd operators.  Regenerate with",
+       "`python tools/gen_plans.py`.", ""]
+for name, note in HEADLINERS.items():
+    plan = explain(Q[name](spark, "/root/testdata/sf0.001"))
+    tree = plan.split("\n\n")[0]  # tree section only
+    out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
+open("/root/repo/PLANS.md","w").write("\n".join(out))
+print("written", len("\n".join(out)), "chars")
