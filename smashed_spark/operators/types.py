@@ -110,7 +110,20 @@ class LookupMapper(SparkMapper):
         for k, v in self.lookup_table.items():
             pairs.extend([F.lit(k), F.lit(v)])
         mapping = F.create_map(*pairs)
-        return df.withColumn(self.field_name, mapping[F.col(self.field_name)])
+        # the reference recurses into list fields (RecurseOpMixIn,
+        # types.py:31-40): every element is looked up
+        dtype = df.schema[self.field_name].dataType
+        col = F.col(self.field_name)
+        if isinstance(dtype, ArrayType):
+            if isinstance(dtype.elementType, ArrayType):
+                new = F.transform(
+                    col, lambda xs: F.transform(xs, lambda x: mapping[x])
+                )
+            else:
+                new = F.transform(col, lambda x: mapping[x])
+        else:
+            new = mapping[col]
+        return df.withColumn(self.field_name, new)
 
 
 class OneHotMapper(SparkMapper):

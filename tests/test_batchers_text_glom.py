@@ -115,3 +115,15 @@ def test_glom_fanout(spark):
     )
     out = GlomMapper({"questions": ("qas", [("q",)])}).map(df).collect()[0]
     assert out.questions == ["q1", "q2"]
+
+
+def test_trail_roundtrip_reference_golden(spark):
+    # reference golden (tests/test_text2words.py:8-15): trail split +
+    # empty joiner reconstructs the original text exactly
+    text = "Hello world! What a beautiful day...\nOR NOT?"
+    df = spark.createDataFrame([(text,)], "text: string")
+    pipe = TextToWordsMapper("text", splitter="trail") >> WordsToTextMapper(
+        "text", joiner=""
+    )
+    out = pipe.map(df).collect()[0]
+    assert out.text == text

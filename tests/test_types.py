@@ -48,3 +48,36 @@ def test_one_hot(spark):
     df = spark.createDataFrame([(2,)], "y: bigint")
     out = OneHotMapper(4, "y").map(df).collect()[0]
     assert out.y == [0, 0, 1, 0]
+
+
+def test_lookup_recurses_into_lists(spark):
+    # reference golden (tests/test_types.py:32-50)
+    df = spark.createDataFrame(
+        [(["apple", "pie"],), (["key lime", "pie"],), (["fudge", "pie"],), ([],)],
+        "menu: array<string>",
+    )
+    table = {
+        "apple": "fruit",
+        "key lime": "fruit",
+        "pie": "dessert",
+        "fudge": "chocolate",
+    }
+    out = sorted(
+        (r.menu for r in LookupMapper("menu", table).map(df).collect()),
+        key=repr,
+    )
+    assert sorted(
+        [["fruit", "dessert"], ["fruit", "dessert"], ["chocolate", "dessert"], []],
+        key=repr,
+    ) == out
+
+
+def test_binarizer_mixed_golden(spark):
+    # reference golden (tests/test_types.py:12-29)
+    df = spark.createDataFrame(
+        [([0.3, 0.4, 0.8], 0.9)], "a: array<double>, b: double"
+    )
+    pipe = BinarizerMapper("a", 0.7) >> BinarizerMapper("b", 0.7)
+    out = pipe.map(df).collect()[0]
+    assert out.a == [0, 0, 1]
+    assert out.b == 1
