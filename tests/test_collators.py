@@ -94,3 +94,50 @@ def test_from_tokenizer(spark):
     out = FromTokenizerListCollatorMapper(tok).map(df).collect()[0]
     assert out.input_ids == [[1, 2, 3], [4, 5, 0]]
     assert out.attention_mask == [[1, 1, 1], [1, 1, 0]]
+
+
+def test_batch_collate_reference_golden(spark):
+    # reference tests/test_collators.py:23-61 exact padded batches
+    from smashed_spark.operators.batchers import FixedBatchSizeMapper
+
+    rows = [
+        (0, [1, 2, 3], [11, 12]),
+        (1, [4, 5], [13]),
+        (2, [6, 7, 8, 9, 10], [14]),
+        (3, [15], [15, 16, 17, 18, 19, 20]),
+        (4, [21, 22], [23, 24, 25]),
+    ]
+    df = spark.createDataFrame(
+        rows, "i: bigint, a: array<bigint>, b: array<bigint>"
+    )
+    pipe = FixedBatchSizeMapper(
+        3, order_by=["i"], contiguous_key=True
+    ) >> ListCollatorMapper(fields_pad_ids={"a": -1, "b": -2, "i": 0})
+    out = {tuple(r.i): r for r in pipe.map(df).collect()}
+    first, second = out[(0, 1, 2)], out[(3, 4)]
+    assert first.a == [[1, 2, 3, -1, -1], [4, 5, -1, -1, -1], [6, 7, 8, 9, 10]]
+    assert first.b == [[11, 12], [13, -2], [14, -2]]
+    assert second.a == [[15, -1], [21, 22]]
+    assert second.b == [[15, 16, 17, 18, 19, 20], [23, 24, 25, -2, -2, -2]]
+
+
+def test_nested_collate_reference_golden(spark):
+    # reference tests/test_collators.py:63-80: 3-deep rectangularization
+    from smashed_spark.operators.batchers import FixedBatchSizeMapper
+
+    rows = [
+        (0, [[1.0, 1.1], [2.0], [3.0, 3.1, 3.2, 3.3]], [11, 12]),
+        (1, [[4.0, 4.1, 4.2, 4.3, 4.4], [5.0, 5.1]], [13]),
+    ]
+    df = spark.createDataFrame(
+        rows, "i: bigint, a: array<array<double>>, b: array<bigint>"
+    )
+    pipe = FixedBatchSizeMapper(
+        2, order_by=["i"], contiguous_key=True
+    ) >> ListCollatorMapper(fields_pad_ids={"a": -1, "b": -2, "i": 0})
+    out = pipe.map(df).collect()[0]
+    assert len(out.a) == 2
+    for seq in out.a:
+        assert len(seq) == 3
+        for inner in seq:
+            assert len(inner) == 5

@@ -144,3 +144,17 @@ def test_decoding_batch(spark):
         .collect()[0]
     )
     assert out.ids == ["hello world", "this"]
+
+
+def test_tokenizer_remove_columns_reference_pattern(spark):
+    # reference tests/test_drop_fields.py: remove_columns keeps only
+    # tokenizer outputs; default merges over the input row
+    tok = tiny_bert_tokenizer()
+    df = spark.createDataFrame(
+        [("hello world", 1), ("this test", 0)], "text: string, label: bigint"
+    )
+    mapper = TokenizerMapper(tok, input_field="text", return_attention_mask=False)
+    only = mapper.map(df, remove_columns=True)
+    assert only.columns == ["input_ids"]
+    merged = mapper.map(df)
+    assert set(merged.columns) == {"text", "label", "input_ids"}
