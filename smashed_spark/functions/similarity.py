@@ -375,6 +375,7 @@ class IVFCosineTopK(SparkMapper):
         queries_filter: Optional[str] = None,
         exclude_self: bool = True,
         seed: int = 42,
+        max_iter: int = 5,
     ) -> None:
         self.id_field = id_field
         self.vector_field = vector_field
@@ -384,6 +385,7 @@ class IVFCosineTopK(SparkMapper):
         self.queries_filter = queries_filter
         self.exclude_self = exclude_self
         self.seed = seed
+        self.max_iter = max_iter
         super().__init__(input_fields=[id_field, vector_field])
 
     def apply(self, df: DataFrame) -> DataFrame:
@@ -410,7 +412,7 @@ class IVFCosineTopK(SparkMapper):
             featuresCol="__mlvec__",
             predictionCol="__cell__",
             distanceMeasure="cosine",
-            maxIter=5,
+            maxIter=self.max_iter,
         )
         model = km.fit(with_vec)
         assigned = model.transform(with_vec).select(

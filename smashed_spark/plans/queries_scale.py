@@ -641,5 +641,6 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import IVFCosineTopK
 
     return IVFCosineTopK(
-        k=5, n_centroids=8, n_probe=3, queries_filter="vec_id < 20"
+        k=5, n_centroids=8, n_probe=3, max_iter=3,
+        queries_filter="vec_id < 20",
     ).map(load(spark, sf_dir, "embeddings"))
