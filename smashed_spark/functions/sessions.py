@@ -43,9 +43,13 @@ class SessionizeMapper(SparkMapper):
             self.ts_field, self.id_field
         )
         prev_ts = F.lag(self.ts_field).over(w)
-        gap = F.col(self.ts_field).cast("long") - prev_ts.cast("long")
+        # compare at microsecond precision: cast("long") truncates to
+        # whole seconds, so a 1800.5 s gap would (wrongly) not break a
+        # 30-min session while a microsecond-exact oracle would
+        gap_us = F.unix_micros(F.col(self.ts_field)) - F.unix_micros(prev_ts)
         brk = F.when(
-            prev_ts.isNull() | (gap > self.gap_minutes * 60), 1
+            prev_ts.isNull() | (gap_us > self.gap_minutes * 60 * 1_000_000),
+            1,
         ).otherwise(0)
         running = Window.partitionBy(self.user_field).orderBy(
             self.ts_field, self.id_field

@@ -176,7 +176,8 @@ def q_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one_hot",
     oracle="""
     SELECT vec_id,
-           list_transform(range(0, 16), i -> CAST(i = label AS BIGINT)) AS onehot
+           to_json(list_transform(range(0, 16), i -> CAST(i = label AS BIGINT)))
+               AS onehot
     FROM embeddings
     """,
 )
@@ -210,7 +211,7 @@ def q_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stride_windows",
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-    SELECT doc_id, list_slice(words, st + 1, st + 5) AS win
+    SELECT doc_id, to_json(list_slice(words, st + 1, st + 5)) AS win
     FROM (
         SELECT doc_id, words,
                CASE WHEN len(words) < 5 THEN [0]
@@ -232,7 +233,7 @@ def q_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "flatten_nested",
     oracle="""
-    SELECT doc_id, flatten([[lang], [source]]) AS pair FROM documents
+    SELECT doc_id, to_json(flatten([[lang], [source]])) AS pair FROM documents
     """,
 )
 def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,9 +258,9 @@ def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, doc_id % len(words) AS loc, len(words) AS n FROM w
     )
     SELECT doc_id,
-           list_transform(range(0, n), i -> CASE WHEN i = loc THEN 1 ELSE 0 END)
-               AS mask,
-           [[loc, loc + 1]] AS ranges
+           to_json(list_transform(range(0, n),
+                   i -> CASE WHEN i = loc THEN 1 ELSE 0 END)) AS mask,
+           to_json([[loc, loc + 1]]) AS ranges
     FROM m
     """,
 )
@@ -286,8 +287,8 @@ def q_mask_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "truncate_pad",
     oracle="""
     SELECT doc_id,
-           list_resize(list_slice(string_split(text, ' '), 1, 8), 8, 'PAD')
-               AS words
+           to_json(list_resize(list_slice(string_split(text, ' '), 1, 8),
+                               8, 'PAD')) AS words
     FROM documents
     """,
 )
@@ -307,8 +308,8 @@ def q_truncate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "batch_fixed_size",
     oracle="""
-    SELECT list(doc_id ORDER BY doc_id) AS doc_id,
-           list(lang ORDER BY doc_id) AS lang
+    SELECT to_json(list(doc_id ORDER BY doc_id)) AS doc_id,
+           to_json(list(lang ORDER BY doc_id)) AS lang
     FROM documents GROUP BY doc_id // 10
     """,
 )
@@ -376,7 +377,8 @@ def q_prompt_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             END AS nb
         FROM alloc
     )
-    SELECT doc_id, list_slice(wa, 1, na) AS a, list_slice(wb, 1, nb) AS b
+    SELECT doc_id, to_json(list_slice(wa, 1, na)) AS a,
+           to_json(list_slice(wb, 1, nb)) AS b
     FROM fin
     """,
 )
@@ -400,8 +402,9 @@ def q_truncate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokens_seq_padding",
     oracle="""
     SELECT doc_id,
-           [101, doc_id, doc_id + 1, 102, doc_id + 2, 103] AS input_ids,
-           [1, 1, 1, 1, 1, 1] AS attention_mask
+           to_json([101, doc_id, doc_id + 1, 102, doc_id + 2, 103])
+               AS input_ids,
+           to_json([1, 1, 1, 1, 1, 1]) AS attention_mask
     FROM documents
     """,
 )
@@ -445,9 +448,9 @@ def q_seq_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           list_transform(range(0, len(labels)),
+           to_json(list_transform(range(0, len(labels)),
                           j -> CASE WHEN j = pos THEN labels[j + 1]
-                               ELSE -100 END) AS labels
+                               ELSE -100 END)) AS labels
     FROM w, UNNEST(range(0, len(labels))) AS t(pos)
     """,
 )
@@ -619,13 +622,13 @@ def q_fewshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokenize_wordpiece",
     oracle="""
     SELECT doc_id,
-           list_concat([CAST(2 AS BIGINT)],
+           to_json(list_concat([CAST(2 AS BIGINT)],
                list_concat(
                    list_transform(string_split(text, ' '),
                        w -> CASE WHEN w = 'a' THEN CAST(8 AS BIGINT)
                                  WHEN w = 'the' THEN 15
                                  ELSE 1 END),
-                   [CAST(3 AS BIGINT)])) AS input_ids
+                   [CAST(3 AS BIGINT)]))) AS input_ids
     FROM documents
     """,
 )
@@ -659,10 +662,10 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(len(ids)) AS m
         FROM b GROUP BY gid
     )
-    SELECT doc_id,
-           list_transform(ids,
+    SELECT to_json(doc_id) AS doc_id,
+           to_json(list_transform(ids,
                s -> s || list_transform(range(0, m - len(s)),
-                                        x -> CAST(0 AS BIGINT))) AS ids
+                                        x -> CAST(0 AS BIGINT)))) AS ids
     FROM g
     """,
 )

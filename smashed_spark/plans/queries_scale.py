@@ -42,7 +42,10 @@ def _minhash_sql(k: int) -> str:
         f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P})"
         for a, b in hash_coeffs(k)
     )
-    return _SHINGLES_SQL + f"SELECT doc_id, [{slots}] AS minhash FROM base"
+    return (
+        _SHINGLES_SQL
+        + f"SELECT doc_id, to_json([{slots}]) AS minhash FROM base"
+    )
 
 
 def _simhash_sql(bits: int) -> str:
@@ -478,10 +481,11 @@ def q_context_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           list_transform(evs, v -> CASE WHEN strpos(text, v) > 0
+           to_json(list_transform(evs, v -> CASE WHEN strpos(text, v) > 0
                THEN [CAST(strpos(text, v) - 1 AS BIGINT),
                      CAST(strpos(text, v) - 1 + length(v) AS BIGINT)]
-               ELSE [CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)] END) AS locations
+               ELSE [CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)] END))
+               AS locations
     FROM e
     """,
 )
@@ -504,7 +508,8 @@ def q_evidence_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unique_answers",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(string_split(text, ' '))) AS answers
+           to_json(list_sort(list_distinct(string_split(text, ' '))))
+               AS answers
     FROM documents
     """,
 )
@@ -563,8 +568,9 @@ def q_annotator_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id, user_id,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_idx
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
     FROM x
     """,
 )
@@ -588,8 +594,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
-        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        SELECT *, CAST(sum(brk) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM x
     )
     SELECT user_id, session_idx, count(*) AS n_events,

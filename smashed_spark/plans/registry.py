@@ -25,11 +25,34 @@ TABLES = (
 ).split()
 
 
+def jsonify_arrays(df: DataFrame) -> DataFrame:
+    """Scalar-only gate surface: the driver canonicalizes results with
+    pandas (``sort_values`` + hash), which cannot hash list cells.  Wrap
+    every non-atomic column as canonical JSON text — Spark ``to_json``
+    and DuckDB ``to_json`` emit byte-identical text for the types the
+    gate queries use (ints, strings, nesting, empties, null elements,
+    null columns; verified empirically), so oracles mirror this with
+    ``to_json(...)`` and hashes still compare value-for-value.
+
+    Array-native result shapes stay available to library users — this
+    wrapper is applied only at the query-registry edge, never inside
+    the mappers themselves.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    out = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            out = out.withColumn(f.name, F.to_json(F.col(f.name)))
+    return out
+
+
 def query(name: str, oracle: Optional[str] = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_shipped(spark)
-            return fn(spark, sf_dir)
+            return jsonify_arrays(fn(spark, sf_dir))
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

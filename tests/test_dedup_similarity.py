@@ -188,6 +188,28 @@ def test_sessionize(spark):
     assert [r.session_idx for r in out] == [1, 1, 2, 1]
 
 
+def test_sessionize_subsecond_gap(spark):
+    """A 1800.5 s gap must split a 30-min session: gaps compare at
+    microsecond precision, not truncated whole seconds."""
+    from datetime import datetime
+
+    from smashed_spark.functions.sessions import SessionizeMapper
+
+    rows = [
+        (0, 1, datetime(2024, 1, 1, 10, 0, 0, 0)),
+        # exactly 1800 s later: NOT a break (gap must exceed 30 min)
+        (1, 1, datetime(2024, 1, 1, 10, 30, 0, 0)),
+        # 1800.5 s after event 1: a break at us precision, but
+        # second-truncated arithmetic would see 1800 s and merge
+        (2, 1, datetime(2024, 1, 1, 11, 0, 0, 500_000)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: bigint, user_id: bigint, ts: timestamp"
+    )
+    out = SessionizeMapper().map(df).orderBy("event_id").collect()
+    assert [r.session_idx for r in out] == [1, 1, 2]
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     from smashed_spark.functions.similarity import IVFCosineTopK
 
