@@ -46,30 +46,44 @@ def with_row_index(
         df = df.orderBy(*order_by)
 
     spark = df.sparkSession
-    schema = df.schema
+    in_cols = df.columns
 
-    # Phase 1: count rows per partition (cheap action over counts only).
-    sizes = df.rdd.mapPartitionsWithIndex(
-        lambda pid, it: [(pid, sum(1 for _ in it))]
-    ).collect()
-    offsets = {}
+    # Both phases stay in Catalyst (Tungsten rows, whole-stage codegen —
+    # no Python/RDD serialization round-trip):
+    #   phase 1: per-partition (min monotonic id, count) — a tiny
+    #            aggregate, one row per partition;
+    #   phase 2: broadcast-join the KB-sized offset table back and
+    #            compute off + (mid - mn) per row, narrow.
+    # ``monotonically_increasing_id`` is contiguous within a partition
+    # (pid << 33 + local row number), so mid - min(mid) is the local
+    # index.  ``persist`` pins one materialization so the two phases
+    # can never diverge even for nondeterministic inputs; where the
+    # input is too large to cache, its scan order is deterministic
+    # (parquet) and the persist is a no-op safety net at worst.
+    tagged = df.withColumn("__pid__", F.spark_partition_id()).withColumn(
+        "__mid__", F.monotonically_increasing_id()
+    )
+    tagged.persist()
+    sizes = (
+        tagged.groupBy("__pid__")
+        .agg(F.min("__mid__").alias("__mn__"), F.count(F.lit(1)).alias("__cnt__"))
+        .collect()
+    )
     acc = 0
-    for pid, n in sorted(sizes):
-        offsets[pid] = acc
-        acc += n
-    b_offsets = spark.sparkContext.broadcast(offsets)
-
-    # Phase 2: per-partition sequential assignment (narrow, no shuffle).
-    def assign(pid, it):
-        base = b_offsets.value[pid]
-        for i, row in enumerate(it):
-            yield (*row, base + i)
-
-    rdd = df.rdd.mapPartitionsWithIndex(assign, preservesPartitioning=True)
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    new_schema = StructType(list(schema.fields) + [StructField(col_name, LongType(), False)])
-    return spark.createDataFrame(rdd, new_schema)
+    offset_rows = []
+    for r in sorted(sizes, key=lambda r: r["__pid__"]):
+        offset_rows.append((r["__pid__"], r["__mn__"], acc))
+        acc += r["__cnt__"]
+    offsets = spark.createDataFrame(
+        offset_rows, "__pid__: int, __mn__: bigint, __off__: bigint"
+    )
+    out = tagged.join(F.broadcast(offsets), "__pid__")
+    return out.select(
+        *in_cols,
+        (F.col("__off__") + F.col("__mid__") - F.col("__mn__"))
+        .cast("bigint")
+        .alias(col_name),
+    )
 
 
 def with_order_key(

@@ -310,9 +310,17 @@ class NGramJaccardPairsMapper(SparkMapper):
 class EmbeddingNearDupPairsMapper(SparkMapper):
     """Pairs of embeddings with cosine similarity above a threshold.
 
-    Brute-force O(n²) cross join — the *verifier* path.  At scale,
-    bucket first (:class:`~smashed_spark.functions.similarity.
-    HyperplaneLSHTopK`) and run this only within buckets.
+    Strategy by corpus size:
+
+    * ``n <= BROADCAST_LIMIT`` — exact: broadcast the corpus matrix,
+      one BLAS matmul per partition (no join at all).
+    * larger — approximate: hyperplane-LSH bucket join (cost scales
+      with bucket occupancy × tables, never O(n²)) + vectorized exact
+      cosine rerank of bucket-mates.  Recall grows with ``num_tables``;
+      a pair is missed only if it collides in *no* table.
+    * ``exact=True`` — force the exact all-pairs expression join at any
+      size.  This is O(n²) above the broadcast limit; it exists for
+      verification, not production.
     """
 
     def __init__(
@@ -320,10 +328,18 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
         id_field: str = "vec_id",
         vector_field: str = "embedding",
         threshold: float = 0.35,
+        exact: bool = False,
+        num_bits: int = 8,
+        num_tables: int = 6,
+        dims: Optional[int] = None,
     ) -> None:
         self.id_field = id_field
         self.vector_field = vector_field
         self.threshold = threshold
+        self.exact = exact
+        self.num_bits = num_bits
+        self.num_tables = num_tables
+        self.dims = dims
         super().__init__(input_fields=[id_field, vector_field])
 
     BROADCAST_LIMIT = 200_000  # rows; ~100 MB at 64 float64 dims
@@ -332,7 +348,63 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
         n = df.count()
         if n <= self.BROADCAST_LIMIT:
             return self._apply_broadcast_matrix(df)
-        return self._apply_pairwise_expr(df)
+        if self.exact:
+            return self._apply_pairwise_expr(df)
+        return self._apply_lsh_buckets(df)
+
+    def _apply_lsh_buckets(self, df: DataFrame) -> DataFrame:
+        """The 100 TB shape: explode each vector into ``num_tables``
+        (table, bucket) keys, equi-join bucket-mates, rerank with exact
+        cosine, keep pairs above the threshold.  The join is a plain
+        hash/sort-merge equi-join on the bucket key — no cartesian
+        product anywhere in the plan."""
+        from .similarity import exact_cosine_scores, hyperplane_signature
+
+        dims = self.dims or len(
+            df.select(self.vector_field).limit(1).collect()[0][0]
+        )
+        vec = F.transform(
+            F.col(self.vector_field), lambda x: x.cast("double")
+        )
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    hyperplane_signature(vec, t, self.num_bits, dims).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(self.num_tables)
+            ]
+        )
+        base = df.select(
+            F.col(self.id_field).alias("__id__"),
+            vec.alias("__v__"),
+            F.explode(tables).alias("__tb__"),
+        ).select(
+            "__id__",
+            "__v__",
+            F.col("__tb__").getField("table").alias("__t__"),
+            F.col("__tb__").getField("bucket").alias("__b__"),
+        )
+        l, r = base.alias("l"), base.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.__t__") == F.col("r.__t__"))
+                & (F.col("l.__b__") == F.col("r.__b__"))
+                & (F.col("l.__id__") < F.col("r.__id__")),
+            )
+            .select(
+                F.col("l.__id__").alias("id_a"),
+                F.col("r.__id__").alias("id_b"),
+                F.col("l.__v__").alias("__qv__"),
+                F.col("r.__v__").alias("__cv__"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        scored = exact_cosine_scores(cand, id_a="id_a", id_b="id_b")
+        return scored.filter(F.col("sim") >= self.threshold)
 
     def _apply_broadcast_matrix(self, df: DataFrame) -> DataFrame:
         """Broadcast the (small) corpus matrix; each partition computes
@@ -395,8 +467,9 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
         return df.mapInPandas(run, schema=schema)
 
     def _apply_pairwise_expr(self, df: DataFrame) -> DataFrame:
-        """Expression fallback for corpora too large to broadcast —
-        though at that size the LSH bucketing path is the right tool."""
+        """Exact all-pairs expression join — O(n²), reached only via
+        ``exact=True`` above the broadcast limit (verification use);
+        the default large-corpus path is ``_apply_lsh_buckets``."""
         from .hashing import vector_norm
 
         base = df.select(

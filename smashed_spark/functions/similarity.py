@@ -32,10 +32,13 @@ class CosineTopK(SparkMapper):
     """Exact cosine top-k neighbors for each query vector.
 
     ``queries_filter`` limits the query side (e.g. ``vec_id < 100``);
-    the corpus side stays full.  The corpus side is broadcast when
-    small; for large corpora the cross join shuffles corpus partitions
-    across queries — exact kNN is inherently O(Q×N), which is why the
-    LSH variant exists.
+    the corpus side stays full.  The corpus side is broadcast when it
+    fits (``BROADCAST_LIMIT`` rows).  Beyond that, exact kNN is
+    inherently O(Q×N): the cross-join path is a scale-killer at corpus
+    sizes too big to broadcast, so it must be explicitly opted into
+    with ``force_exact=True`` — otherwise this raises and points at
+    :class:`HyperplaneLSHTopK` / :class:`IVFCosineTopK` (the 100 TB
+    paths, which rerank with this class's math inside buckets).
     """
 
     def __init__(
@@ -45,12 +48,14 @@ class CosineTopK(SparkMapper):
         k: int = 5,
         queries_filter: Optional[str] = None,
         exclude_self: bool = True,
+        force_exact: bool = False,
     ) -> None:
         self.id_field = id_field
         self.vector_field = vector_field
         self.k = k
         self.queries_filter = queries_filter
         self.exclude_self = exclude_self
+        self.force_exact = force_exact
         super().__init__(input_fields=[id_field, vector_field])
 
     BROADCAST_LIMIT = 200_000  # rows; corpus matrix broadcast cap
@@ -58,6 +63,13 @@ class CosineTopK(SparkMapper):
     def apply(self, df: DataFrame) -> DataFrame:
         if df.count() <= self.BROADCAST_LIMIT:
             return self._apply_broadcast_matrix(df)
+        if not self.force_exact:
+            raise ValueError(
+                f"corpus exceeds BROADCAST_LIMIT={self.BROADCAST_LIMIT} "
+                "rows: exact top-k would be an O(Q x N) cross join. Use "
+                "HyperplaneLSHTopK or IVFCosineTopK (bucketed ANN + exact "
+                "rerank), or pass force_exact=True to run it anyway."
+            )
         return self._apply_pairwise_expr(df)
 
     def _apply_broadcast_matrix(self, df: DataFrame) -> DataFrame:
@@ -178,6 +190,63 @@ class CosineTopK(SparkMapper):
         )
 
 
+def exact_cosine_scores(
+    cand: DataFrame,
+    id_a: str = "query_id",
+    id_b: str = "neighbor_id",
+    va: str = "__qv__",
+    vb: str = "__cv__",
+) -> DataFrame:
+    """Vectorized exact cosine over candidate pairs: one einsum (BLAS)
+    per Arrow batch instead of an interpreted per-pair expression fold.
+    Returns ``(id_a, id_b, sim)`` with sim rounded to 6 places."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..core.ship import ensure_shipped
+
+    ensure_shipped(cand.sparkSession)
+    schema = StructType(
+        [
+            StructField(id_a, LongType()),
+            StructField(id_b, LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_a: [], id_b: [], "sim": []})
+                continue
+            q = np.array(list(pdf[va]), dtype=np.float64)
+            c = np.array(list(pdf[vb]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", q, c)
+            sims = np.round(
+                dots
+                / (
+                    np.sqrt(np.einsum("ij,ij->i", q, q))
+                    * np.sqrt(np.einsum("ij,ij->i", c, c))
+                ),
+                6,
+            )
+            yield pd.DataFrame(
+                {
+                    id_a: pdf[id_a].to_numpy(),
+                    id_b: pdf[id_b].to_numpy(),
+                    "sim": sims,
+                }
+            )
+
+    return cand.select(id_a, id_b, va, vb).mapInPandas(score, schema=schema)
+
+
 def _hyperplane(table: int, bit: int, dims: int) -> list:
     """Deterministic pseudo-random hyperplane components in [-1, 1),
     generated driver-side (md5-seeded) so the per-row signature is a
@@ -192,6 +261,26 @@ def _hyperplane(table: int, bit: int, dims: int) -> list:
         )
         out.append((h % 10_000) / 5_000.0 - 1.0)
     return out
+
+
+def hyperplane_signature(
+    vec: Column, table: int, num_bits: int, dims: int
+) -> Column:
+    """``num_bits``-bit sign-pattern bucket id of ``vec`` against the
+    deterministic hyperplanes of ``table`` (Charikar 2002)."""
+    bits = []
+    for b in range(num_bits):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(table, b, dims)])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(2 ** b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out.cast("bigint")
 
 
 class HyperplaneLSHTopK(SparkMapper):
@@ -213,6 +302,7 @@ class HyperplaneLSHTopK(SparkMapper):
         num_tables: int = 4,
         queries_filter: Optional[str] = None,
         exclude_self: bool = True,
+        dims: Optional[int] = None,
     ) -> None:
         self.id_field = id_field
         self.vector_field = vector_field
@@ -221,33 +311,20 @@ class HyperplaneLSHTopK(SparkMapper):
         self.num_tables = num_tables
         self.queries_filter = queries_filter
         self.exclude_self = exclude_self
+        self.dims = dims
         super().__init__(input_fields=[id_field, vector_field])
 
     def _signature(self, vec: Column, table: int, dims: int) -> Column:
-        bits = []
-        for b in range(self.num_bits):
-            plane = F.array(
-                *[F.lit(c) for c in _hyperplane(table, b, dims)]
-            )
-            dot = F.aggregate(
-                F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(dot >= 0, F.lit(2 ** b)).otherwise(F.lit(0)))
-        out = bits[0]
-        for x in bits[1:]:
-            out = out + x
-        return out.cast("bigint")
+        return hyperplane_signature(vec, table, self.num_bits, dims)
 
     def apply(self, df: DataFrame) -> DataFrame:
         from pyspark.sql.types import ArrayType
 
         dtype = df.schema[self.vector_field].dataType
         assert isinstance(dtype, ArrayType)
-        # dims must be known to build the plan: probe one row (tiny
-        # driver-side action, OK — schema carries no array length)
-        dims = len(
+        # dims must be known to build the plan; pass dims= to avoid the
+        # one-row probe job at plan-construction time
+        dims = self.dims or len(
             df.select(self.vector_field).limit(1).collect()[0][0]
         )
 
@@ -297,53 +374,7 @@ class HyperplaneLSHTopK(SparkMapper):
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
         # vectorized rerank: row-wise einsum over Arrow batches instead
         # of an interpreted per-pair aggregate fold
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.types import (
-            DoubleType,
-            LongType,
-            StructField,
-            StructType,
-        )
-
-        from ..core.ship import ensure_shipped
-
-        ensure_shipped(df.sparkSession)
-        score_schema = StructType(
-            [
-                StructField("query_id", LongType()),
-                StructField("neighbor_id", LongType()),
-                StructField("sim", DoubleType()),
-            ]
-        )
-
-        def score(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pd.DataFrame(
-                        {"query_id": [], "neighbor_id": [], "sim": []}
-                    )
-                    continue
-                q = np.array(list(pdf["__qv__"]), dtype=np.float64)
-                c = np.array(list(pdf["__cv__"]), dtype=np.float64)
-                dots = np.einsum("ij,ij->i", q, c)
-                sims = np.round(
-                    dots
-                    / (
-                        np.sqrt(np.einsum("ij,ij->i", q, q))
-                        * np.sqrt(np.einsum("ij,ij->i", c, c))
-                    ),
-                    6,
-                )
-                yield pd.DataFrame(
-                    {
-                        "query_id": pdf["query_id"].to_numpy(),
-                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                        "sim": sims,
-                    }
-                )
-
-        scored = cand.mapInPandas(score, schema=score_schema)
+        scored = exact_cosine_scores(cand)
         w = Window.partitionBy("query_id").orderBy(
             F.col("sim").desc(), F.col("neighbor_id")
         )
@@ -466,49 +497,7 @@ class IVFCosineTopK(SparkMapper):
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
 
         # 4. exact cosine rerank (vectorized) + top-k per query
-        import pandas as pd
-        from pyspark.sql.types import (
-            DoubleType,
-            LongType,
-            StructField,
-            StructType,
-        )
-
-        score_schema = StructType(
-            [
-                StructField("query_id", LongType()),
-                StructField("neighbor_id", LongType()),
-                StructField("sim", DoubleType()),
-            ]
-        )
-
-        def score(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pd.DataFrame(
-                        {"query_id": [], "neighbor_id": [], "sim": []}
-                    )
-                    continue
-                q = np.array(list(pdf["__qv__"]), dtype=np.float64)
-                c = np.array(list(pdf["__cv__"]), dtype=np.float64)
-                dots = np.einsum("ij,ij->i", q, c)
-                sims = np.round(
-                    dots
-                    / (
-                        np.sqrt(np.einsum("ij,ij->i", q, q))
-                        * np.sqrt(np.einsum("ij,ij->i", c, c))
-                    ),
-                    6,
-                )
-                yield pd.DataFrame(
-                    {
-                        "query_id": pdf["query_id"].to_numpy(),
-                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                        "sim": sims,
-                    }
-                )
-
-        scored = cand.mapInPandas(score, schema=score_schema)
+        scored = exact_cosine_scores(cand)
         w = Window.partitionBy("query_id").orderBy(
             F.col("sim").desc(), F.col("neighbor_id")
         )

@@ -21,6 +21,24 @@ def test_with_row_index_no_order(spark):
     assert ids == list(range(100))
 
 
+def test_with_row_index_stays_in_catalyst(spark):
+    """No RDD round-trip: the plan must not re-serialize rows through
+    Python (ExistingRDD scan) and the offset join must broadcast."""
+    df = spark.range(50).withColumnRenamed("id", "v").repartition(4)
+    out = with_row_index(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the only Python-originated node allowed is the KB-sized offsets
+    # table feeding the broadcast; the input side must not round-trip
+    # (each node appears twice in formatted explain: tree + detail)
+    assert plan.count("Scan ExistingRDD") <= 2, plan
+    ids = sorted(r["__row_id__"] for r in out.collect())
+    assert ids == list(range(50))
+
+
 def test_with_order_key(spark):
     df = spark.createDataFrame([(3,), (1,), (2,)], "v: bigint")
     out = with_order_key(df, ["v"]).orderBy("v").collect()

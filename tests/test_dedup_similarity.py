@@ -113,6 +113,68 @@ def test_embedding_near_dup(spark):
     assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
 
 
+def test_near_dup_lsh_path_above_limit(spark, sf_dir):
+    """Above BROADCAST_LIMIT the near-dup mapper must use the bucketed
+    LSH join — no cartesian/nested-loop node in the plan — and its
+    exact rerank admits no false positives vs the exact pair set."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact_set = {
+        (r.id_a, r.id_b)
+        for r in EmbeddingNearDupPairsMapper(threshold=0.35).map(df).collect()
+    }
+    m = EmbeddingNearDupPairsMapper(
+        threshold=0.35, num_bits=3, num_tables=10
+    )
+    m.BROADCAST_LIMIT = 0  # force the large-corpus path
+    out = m.map(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    approx_set = {(r.id_a, r.id_b) for r in out.collect()}
+    assert approx_set <= exact_set  # exact rerank: no false positives
+    assert exact_set, "fixture should contain near-dup pairs"
+    recall = len(approx_set & exact_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH near-dup recall too low: {recall}"
+
+
+def test_cosine_topk_guards_unbroadcastable_corpus(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    guarded = CosineTopK(k=2, queries_filter="vec_id = 0")
+    guarded.BROADCAST_LIMIT = 2
+    with pytest.raises(ValueError, match="force_exact"):
+        guarded.map(df)
+    forced = CosineTopK(k=2, queries_filter="vec_id = 0", force_exact=True)
+    forced.BROADCAST_LIMIT = 2
+    out = forced.map(df).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+
+
+def test_ngram_jaccard_shingle_freq_cap(spark):
+    """A shingle shared by k docs contributes k^2/2 join rows; the
+    frequency cap drops hub shingles before the fan-out."""
+    rows = [(i, f"x y z a{i} b{i} c{i} d{i}") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id: bigint, text: string"
+    ).withColumn("words", F.split("text", " "))
+    uncapped = NGramJaccardPairsMapper("doc_id", threshold=0.01).map(df)
+    # the single hub shingle 'x y z' fans out to all C(10,2) pairs
+    assert uncapped.count() == 45
+    capped = NGramJaccardPairsMapper(
+        "doc_id", threshold=0.01, max_shingle_freq=5
+    ).map(df)
+    assert capped.count() == 0  # hub dropped -> no candidates at all
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = CosineTopK(k=3, queries_filter="vec_id < 10").map(df).collect()
