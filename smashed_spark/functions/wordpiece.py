@@ -134,56 +134,110 @@ class WordPieceTokenizer:
             out += [*ids1, self.sep_token_id]
         return out
 
+    def _pieces_with_words(
+        self, t: Union[str, Sequence[str]], is_split_into_words: bool
+    ) -> List[Tuple[int, Tuple[int, int], int]]:
+        """(piece_id, (start, end), word_index) triples for one sample.
+        For pre-split input the offsets are within each word (matching
+        HF fast-tokenizer behavior)."""
+        pieces: List[Tuple[int, Tuple[int, int], int]] = []
+        if is_split_into_words:
+            for wi, w in enumerate(t):
+                w = w.lower() if self.lowercase else w
+                pieces += [
+                    (pid, off, wi) for pid, off in self._wordpiece(w, 0)
+                ]
+        else:
+            for wi, (word, s, _) in enumerate(
+                basic_tokenize(t, self.lowercase)
+            ):
+                pieces += [
+                    (pid, off, wi) for pid, off in self._wordpiece(word, s)
+                ]
+        return pieces
+
     def __call__(
         self,
-        text: Union[str, Sequence[str]],
+        text: Union[str, Sequence[str], Sequence[Sequence[str]]],
         add_special_tokens: bool = True,
         max_length: Optional[int] = None,
         truncation: bool = False,
+        is_split_into_words: bool = False,
         return_attention_mask: bool = True,
         return_token_type_ids: bool = False,
         return_special_tokens_mask: bool = False,
         return_offsets_mapping: bool = False,
         return_length: bool = False,
+        return_overflowing_tokens: bool = False,
+        stride: int = 0,
         **_: object,
     ) -> Dict[str, list]:
-        single = isinstance(text, str)
-        texts: Iterable[str] = [text] if single else text
-        out: Dict[str, list] = {"input_ids": []}
+        if is_split_into_words:
+            single = bool(text) and isinstance(text[0], str)
+        else:
+            single = isinstance(text, str)
+        texts: Iterable = [text] if single else text
+        out: Dict[str, list] = {"input_ids": [], "word_ids": []}
         for key, flag in (
             ("attention_mask", return_attention_mask),
             ("token_type_ids", return_token_type_ids),
             ("special_tokens_mask", return_special_tokens_mask),
             ("offset_mapping", return_offsets_mapping),
             ("length", return_length),
+            ("overflow_to_sample_mapping", return_overflowing_tokens),
         ):
             if flag:
                 out[key] = []
-        limit = max_length or (self.model_max_length if truncation else None)
-        for t in texts:
-            enc = self.tokenize_with_offsets(t)
-            if truncation and limit is not None:
-                body = limit - (2 if add_special_tokens else 0)
-                enc = enc[: max(body, 0)]
-            ids = [i for i, _ in enc]
-            offsets = [list(o) for _, o in enc]
-            special = [0] * len(ids)
-            if add_special_tokens:
-                ids = [self.cls_token_id, *ids, self.sep_token_id]
-                offsets = [[0, 0], *offsets, [0, 0]]
-                special = [1, *special, 1]
-            out["input_ids"].append(ids)
-            if return_attention_mask:
-                out["attention_mask"].append([1] * len(ids))
-            if return_token_type_ids:
-                out["token_type_ids"].append([0] * len(ids))
-            if return_special_tokens_mask:
-                out["special_tokens_mask"].append(special)
-            if return_offsets_mapping:
-                out["offset_mapping"].append(offsets)
-            if return_length:
-                out["length"].append(len(ids))
-        if single:
+        limit = max_length or (
+            self.model_max_length
+            if (truncation or return_overflowing_tokens)
+            else None
+        )
+        body = (
+            limit - (2 if add_special_tokens else 0)
+            if limit is not None
+            else None
+        )
+        for sample_idx, t in enumerate(texts):
+            pieces = self._pieces_with_words(t, is_split_into_words)
+            if return_overflowing_tokens and body:
+                # HF fast-tokenizer overflow: contiguous windows (with
+                # `stride` overlap), flattened across the batch with a
+                # sample-index mapping
+                step = max(body - stride, 1)
+                chunks = [
+                    pieces[k : k + body]
+                    for k in range(0, max(len(pieces), 1), step)
+                ]
+            elif truncation and body is not None:
+                chunks = [pieces[: max(body, 0)]]
+            else:
+                chunks = [pieces]
+            for chunk in chunks:
+                ids = [i for i, _, _ in chunk]
+                offsets = [list(o) for _, o, _ in chunk]
+                word_ids = [w for _, _, w in chunk]
+                special = [0] * len(ids)
+                if add_special_tokens:
+                    ids = [self.cls_token_id, *ids, self.sep_token_id]
+                    offsets = [[0, 0], *offsets, [0, 0]]
+                    word_ids = [None, *word_ids, None]
+                    special = [1, *special, 1]
+                out["input_ids"].append(ids)
+                out["word_ids"].append(word_ids)
+                if return_attention_mask:
+                    out["attention_mask"].append([1] * len(ids))
+                if return_token_type_ids:
+                    out["token_type_ids"].append([0] * len(ids))
+                if return_special_tokens_mask:
+                    out["special_tokens_mask"].append(special)
+                if return_offsets_mapping:
+                    out["offset_mapping"].append(offsets)
+                if return_length:
+                    out["length"].append(len(ids))
+                if return_overflowing_tokens:
+                    out["overflow_to_sample_mapping"].append(sample_idx)
+        if single and not return_overflowing_tokens:
             return {k: v[0] for k, v in out.items()}
         return out
 

@@ -201,10 +201,84 @@ class FromTokenizerListCollatorMapper(ListCollatorMapper):
         )
 
 
+def _shape_of(x) -> list:
+    """Max dimension sizes of a ragged nested list, per depth."""
+    if not isinstance(x, (list, tuple)):
+        return []
+    dims = [len(x)]
+    inner = [_shape_of(e) for e in x]
+    depth = max((len(s) for s in inner), default=0)
+    for d in range(depth):
+        dims.append(max((s[d] for s in inner if len(s) > d), default=0))
+    return dims
+
+
+def _filled(dims: list, pad):
+    if not dims:
+        return pad
+    return [_filled(dims[1:], pad) for _ in range(dims[0])]
+
+
+def _pad_nested(x, dims: list, pad, left: bool):
+    if not dims:
+        return x
+    items = (
+        [_pad_nested(e, dims[1:], pad, left) for e in x]
+        if dims[1:]
+        else list(x)
+    )
+    fill = _filled(dims[1:], pad) if dims[1:] else pad
+    pads = [fill] * (dims[0] - len(items))
+    return pads + items if left else items + pads
+
+
+def pad_batch(
+    seqs: Sequence,
+    pad: Union[int, float],
+    pad_to_length: Optional[Union[int, Sequence[int]]] = None,
+    pad_to_multiple_of: Optional[int] = None,
+    left: bool = False,
+) -> list:
+    """Rectangularize one batch of (arbitrarily nested) ragged
+    sequences: every ragged dimension pads to the batch max — or to
+    ``pad_to_length`` / the next ``pad_to_multiple_of`` — right-padded
+    unless ``left`` (reference collators.py:162-296 semantics, shared
+    by the tensor collator's stack step)."""
+    py = [s.tolist() if hasattr(s, "tolist") else s for s in seqs]
+    dims: list = []
+    for s in py:
+        sh = _shape_of(s)
+        dims = [
+            max(a, b)
+            for a, b in zip(
+                dims + [0] * (len(sh) - len(dims)),
+                sh + [0] * (len(dims) - len(sh)),
+            )
+        ]
+    if pad_to_length is not None:
+        want = (
+            [pad_to_length] * len(dims)
+            if isinstance(pad_to_length, int)
+            else list(pad_to_length)
+        )
+        for i, w in enumerate(want[: len(dims)]):
+            if dims[i] > w:
+                raise ValueError(
+                    f"sequence dim {i} is {dims[i]} > pad_to_length {w}"
+                )
+            dims[i] = w
+    if pad_to_multiple_of:
+        m = pad_to_multiple_of
+        dims = [int(math.ceil(d / m) * m) for d in dims]
+    return [_pad_nested(s, dims, pad, left) for s in py]
+
+
 class TensorCollatorMapper(BaseCollator):
     """Tensor collation (reference collators.py:162-296) is client-edge:
-    torch tensors exist only after ``collect()``/``toPandas()``.  Kept
-    for API parity; requires torch."""
+    torch tensors exist only after ``collect()``/``toPandas()``.  The
+    padding math is real (:meth:`collate` pads and stacks one batch into
+    tensors, matching the reference's test goldens); only the *in-plan*
+    ``apply`` is refused — inside Spark plans use ListCollatorMapper."""
 
     def __init__(self, *args: Any, **kwargs: Any) -> None:
         try:
@@ -215,6 +289,24 @@ class TensorCollatorMapper(BaseCollator):
                 "use ListCollatorMapper and convert at the client edge"
             ) from e
         super().__init__(*args, **kwargs)
+
+    def collate(self, batch: Mapping[str, Sequence]) -> dict:
+        """Pad + stack one collected batch: ``{field: [seq, ...]}`` ->
+        ``{field: torch.Tensor}`` (reference collators.py:190-296)."""
+        import torch
+
+        out = {}
+        for field, seqs in batch.items():
+            out[field] = torch.tensor(
+                pad_batch(
+                    seqs,
+                    self._get_padding_value(field),
+                    pad_to_length=self.pad_to_length,
+                    pad_to_multiple_of=self.pad_to_multiple_of,
+                    left=field in self.left_pad_fields,
+                )
+            )
+        return out
 
     def apply(self, df: DataFrame) -> DataFrame:
         raise NotImplementedError(

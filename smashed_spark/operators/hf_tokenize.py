@@ -35,7 +35,21 @@ _FIELD_TYPES: Dict[str, Any] = {
     "offset_mapping": ArrayType(ArrayType(LongType())),
     "length": LongType(),
     "overflow_to_sample_mapping": ArrayType(LongType()),
+    "word_ids": ArrayType(LongType()),
+    "words": ArrayType(StringType()),
 }
+
+
+def _field_type(raw_field: str, overflowing: bool):
+    """Under ``return_overflowing_tokens`` every per-sequence field
+    nests one level: each row carries a LIST of chunk encodings (the
+    reference calls the tokenizer per sample, tokenize.py:196-200, so
+    its rows hold the chunk list; we regroup the batched call to the
+    same shape).  ``overflow_to_sample_mapping`` is already per-row."""
+    t = _FIELD_TYPES[raw_field]
+    if overflowing and raw_field != "overflow_to_sample_mapping":
+        return ArrayType(t)
+    return t
 
 
 def output_fields_from_tokenizer_kwargs(kwargs: Optional[dict]) -> List[str]:
@@ -97,6 +111,8 @@ class TokenizerMapper(SparkMapper, _FnameMixin):
         return_special_tokens_mask: bool = False,
         return_offsets_mapping: bool = False,
         return_length: bool = False,
+        return_word_ids: bool = False,
+        return_words: bool = False,
         **tokenizer_kwargs: Any,
     ) -> None:
         self._init_fname(output_prefix, output_rename_map)
@@ -118,6 +134,14 @@ class TokenizerMapper(SparkMapper, _FnameMixin):
         self._raw_fields = output_fields_from_tokenizer_kwargs(
             self.tokenize_kwargs
         )
+        # word_ids/words are computed from the encodings, not returned
+        # by the tokenizer call (reference tokenize.py:176-195, 201-229)
+        self.return_word_ids = bool(return_word_ids)
+        self.return_words = bool(return_words and return_word_ids)
+        if self.return_word_ids:
+            self._raw_fields.append("word_ids")
+        if self.return_words:
+            self._raw_fields.append("words")
         super().__init__(
             input_fields=[input_field],
             output_fields=[self.fname(f) for f in self._raw_fields],
@@ -144,6 +168,8 @@ class TokenizerMapper(SparkMapper, _FnameMixin):
         fname = self.fname
         in_field = self.to_tokenize_field
 
+        overflowing = bool(kwargs.get("return_overflowing_tokens", False))
+
         out_fields = [
             f
             for f in df.schema.fields
@@ -151,19 +177,79 @@ class TokenizerMapper(SparkMapper, _FnameMixin):
         ]
         schema = StructType(
             out_fields
-            + [StructField(fname(r), _FIELD_TYPES[r]) for r in raw_fields]
+            + [
+                StructField(fname(r), _field_type(r, overflowing))
+                for r in raw_fields
+            ]
         )
         out_cols = [f.name for f in schema.fields]
         passthrough = [f.name for f in out_fields]
+
+        def word_ids_of(enc, j: int):
+            # HF BatchEncoding exposes .word_ids(j) (fast tokenizers);
+            # the built-in WordPiece tokenizer returns a plain dict key
+            try:
+                return enc.word_ids(j)
+            except (AttributeError, TypeError):
+                return enc["word_ids"][j]
+
+        def words_of(enc, j: int, sample):
+            # reference tokenize.py:186-195: index the tokenized field
+            # by word id (a word list under is_split_into_words)
+            return [
+                None if wid is None else sample[wid]
+                for wid in word_ids_of(enc, j)
+            ]
 
         def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
             for pdf in batches:
                 texts = pdf[in_field].tolist()
                 enc = tokenizer(texts, **kwargs)
                 data = {c: pdf[c].tolist() for c in passthrough}
-                for r in raw_fields:
-                    vals = enc[r] if r in enc.keys() else [None] * len(texts)
-                    data[fname(r)] = list(vals)
+                n = len(texts)
+                if overflowing:
+                    # the flattened chunk encodings regroup per input
+                    # row: chunk j belongs to row mapping[j]
+                    mapping = list(enc["overflow_to_sample_mapping"])
+                    groups: List[List[int]] = [[] for _ in range(n)]
+                    for j, src in enumerate(mapping):
+                        groups[int(src)].append(j)
+                    for r in raw_fields:
+                        if r == "overflow_to_sample_mapping":
+                            # per-sample view (as the reference's
+                            # one-row-at-a-time calls produce): chunk
+                            # k of a row maps to sample 0
+                            data[fname(r)] = [[0] * len(g) for g in groups]
+                        elif r == "word_ids":
+                            data[fname(r)] = [
+                                [word_ids_of(enc, j) for j in g]
+                                for g in groups
+                            ]
+                        elif r == "words":
+                            data[fname(r)] = [
+                                [words_of(enc, j, texts[i]) for j in g]
+                                for i, g in enumerate(groups)
+                            ]
+                        else:
+                            vals = enc[r]
+                            data[fname(r)] = [
+                                [vals[j] for j in g] for g in groups
+                            ]
+                else:
+                    for r in raw_fields:
+                        if r == "word_ids":
+                            data[fname(r)] = [
+                                word_ids_of(enc, j) for j in range(n)
+                            ]
+                        elif r == "words":
+                            data[fname(r)] = [
+                                words_of(enc, j, texts[j]) for j in range(n)
+                            ]
+                        else:
+                            vals = (
+                                enc[r] if r in enc.keys() else [None] * n
+                            )
+                            data[fname(r)] = list(vals)
                 yield pd.DataFrame({c: data[c] for c in out_cols})
 
         return df.mapInPandas(run, schema=schema)

@@ -169,6 +169,13 @@ class FewShotJinjaMapper(JinjaMapper):
     are formed by ``floor(rank / (num_shots+1))`` and rendered with
     ``applyInPandas`` — one shuffle on the group id, then parallel
     rendering per group.
+
+    Memory bound: ``applyInPandas`` materializes one GROUP per call —
+    here a group is ``num_shots + 1`` rows, so executor memory holds
+    O(num_shots × row width), never a whole partition.  Arrow batch
+    size (``spark.sql.execution.arrow.maxRecordsPerBatch``) bounds the
+    transfer; groups are tiny by construction so this operator is safe
+    at any corpus size.
     """
 
     def __init__(

@@ -370,6 +370,19 @@ class MultiSequenceStriderMapper(SparkMapper):
                      F.array(n.cast("integer"))),
             lambda s, e: F.struct(s.alias("s"), e.alias("e")),
         )
+        # an empty reference array has no group starts; without a guard
+        # zip_with null-pads against [n] and the row would come out with
+        # null strided fields — the reference instead passes the row
+        # through with its empty lists (multiseq.py batch loop), i.e.
+        # one (0, 0) window
+        bounds = F.when(n > 0, bounds).otherwise(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("integer").alias("s"),
+                    F.lit(0).cast("integer").alias("e"),
+                )
+            )
+        )
         exploded = df.select("*", F.explode(bounds).alias("__win__"))
         s = F.col("__win__").getField("s")
         e = F.col("__win__").getField("e")

@@ -122,7 +122,9 @@ class TruncateMultipleNestedFieldsMapper(TruncateMultipleFieldsMapper):
     *flattened* token counts, then each nested list is truncated
     left-to-right to its allocation (reference prompting.py:313-335 +
     utils/shape_utils.py flatten/reconstruct round-trip — reconstruction
-    keeps sub-list boundaries, dropping now-empty tails).
+    keeps every sub-list boundary, so tails truncated to zero remain as
+    empty lists: shape_utils.reconstruct_from_indices:110-112 yields
+    ``[[0,1,2],[3,4],[]]`` for budget 5 over ``[[0,1,2],[3,4],[5,6,7]]``).
     """
 
     def apply(self, df: DataFrame) -> DataFrame:
@@ -155,10 +157,9 @@ class TruncateMultipleNestedFieldsMapper(TruncateMultipleFieldsMapper):
                     )
                     keep = F.least(F.size(seq).cast("bigint"), remaining)
                     piece = F.slice(seq, 1, keep.cast("int"))
-                    new_acc = F.when(
-                        keep > 0,
-                        F.concat(acc.getField("acc"), F.array(piece)),
-                    ).otherwise(acc.getField("acc"))
+                    # always append, even when the slice is empty: the
+                    # reference reconstructs every sub-list boundary
+                    new_acc = F.concat(acc.getField("acc"), F.array(piece))
                     return F.struct(
                         (acc.getField("used") + F.size(seq)).alias("used"),
                         new_acc.alias("acc"),

@@ -122,6 +122,15 @@ class SingleSequenceStriderMapper(SparkMapper):
     over the strided field(s); rows shorter than ``max_length`` pass
     through unchanged (reference shape.py:176-247).
 
+    Deliberate deviation: the reference's ``_transform_single`` with
+    ``keep_last=True`` yields a short row TWICE (the ``seq_len <
+    max_length`` branch yields the sample, then ``range(0, seq_len+1,
+    stride)`` still yields a whole-array window), and also emits a
+    trailing *empty* window whenever ``seq_len`` is a multiple of
+    ``stride``.  Both are artifacts of a missing early-return
+    (reference shape.py:221-237), not useful semantics; this mapper
+    emits each short row once and no empty windows.
+
     Spark plan: ``posexplode`` of the start-offset sequence, then
     ``F.slice`` per strided field — non-strided fields duplicate
     automatically.  Narrow op; output row count grows by the window

@@ -133,6 +133,7 @@ def run_sessionize_to_memory(
     poll_seconds: float = 1.0,
     stable_polls: int = 3,
     max_seconds: float = 120.0,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Run streaming sessionization into a memory sink and stop once the
     output stabilizes.
@@ -141,28 +142,57 @@ def run_sessionize_to_memory(
     ``availableNow`` termination nor ``processAllAvailable`` settles
     (the engine keeps scheduling batches to evaluate future timeouts),
     so completion is detected by polling the sink row count.
+
+    An explicit checkpoint location is used (and removed only after the
+    query has fully stopped): the default ``temporary-*`` checkpoint is
+    deleted during ``stop()`` while state-store commits may still be
+    in flight, which spews FileNotFoundException noise.  Stopping also
+    waits for the trigger to go idle first so no micro-batch is
+    aborted mid-commit.
     """
+    import shutil
+    import tempfile
     import time
 
+    own_checkpoint = checkpoint_dir is None
+    if own_checkpoint:
+        checkpoint_dir = tempfile.mkdtemp(prefix="smashed_stream_ckpt_")
     sessions = streaming_sessionize(stream, gap_minutes=gap_minutes)
     q = (
         sessions.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime="1 second")
         .start()
     )
     spark = stream.sparkSession
-    last, stable, waited = -1, 0, 0.0
-    while waited < max_seconds:
-        time.sleep(poll_seconds)
-        waited += poll_seconds
-        n = spark.sql(f"SELECT count(*) AS n FROM {query_name}").collect()[0].n
-        if n == last and n > 0:
-            stable += 1
-            if stable >= stable_polls:
-                break
-        else:
-            stable = 0
-        last = n
-    q.stop()
+    try:
+        last, stable, waited = -1, 0, 0.0
+        while waited < max_seconds:
+            time.sleep(poll_seconds)
+            waited += poll_seconds
+            n = (
+                spark.sql(f"SELECT count(*) AS n FROM {query_name}")
+                .collect()[0]
+                .n
+            )
+            if n == last and n > 0:
+                stable += 1
+                if stable >= stable_polls:
+                    break
+            else:
+                stable = 0
+            last = n
+        # stop between micro-batches, not through one
+        idle_wait = 0.0
+        while (
+            q.status.get("isTriggerActive", False) and idle_wait < 10.0
+        ):
+            time.sleep(0.05)
+            idle_wait += 0.05
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+        if own_checkpoint:
+            shutil.rmtree(checkpoint_dir, ignore_errors=True)

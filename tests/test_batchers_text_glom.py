@@ -117,6 +117,65 @@ def test_glom_fanout(spark):
     assert out.questions == ["q1", "q2"]
 
 
+def test_glom_reference_empty_tuple_chain(spark):
+    # the reference's own test spec ('answers', 'text', ()) — an empty
+    # tuple chain is identity (reference tests/test_glom.py:101-123)
+    df = spark.createDataFrame(
+        [
+            ("56be4db0", (["Denver Broncos"] * 3, [177, 177, 177])),
+            ("572763a8", (["chairman and CEO", "chairman and CEO", "chairman"], [103, 103, 103])),
+        ],
+        "id: string, answers: struct<text: array<string>, answer_start: array<bigint>>",
+    )
+    out = (
+        GlomMapper({"answers": ("answers", "text", tuple())})
+        .map(df)
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0].answers == ["Denver Broncos"] * 3
+    assert out[1].answers == ["chairman and CEO", "chairman and CEO", "chairman"]
+
+
+def test_glom_exotic_specs_python_tier(spark):
+    """Specs beyond path+fanout run through the pyglom fallback:
+    mid-position fanout, dict multi-extract, and callables."""
+    df = spark.createDataFrame(
+        [([("q1", ["a1", "a2"]), ("q2", ["a3"])],)],
+        "qas: array<struct<q: string, answers: array<string>>>",
+    )
+    out = GlomMapper(
+        {
+            # fanout NOT in last position: per-qa first answer
+            "first_answers": ("qas", [("answers", lambda xs: list(xs)[0])]),
+            # dict spec
+            "packed": {"n": ("qas", len)},
+        },
+        output_types={
+            "first_answers": "array<string>",
+            "packed": "struct<n: bigint>",
+        },
+    ).map(df).collect()[0]
+    assert out.first_answers == ["a1", "a3"]
+    assert out.packed.n == 2
+
+
+def test_glom_exotic_without_types_raises(spark):
+    df = spark.createDataFrame([("x",)], "a: string")
+    with pytest.raises(ValueError, match="output_types"):
+        GlomMapper({"b": ("a", lambda v: v)}).map(df)
+
+
+def test_pyglom_interpreter():
+    from smashed_spark.operators.glom import pyglom
+
+    data = {"a": {"b": [{"c": 1}, {"c": 2}]}}
+    assert pyglom(data, "a.b") == [{"c": 1}, {"c": 2}]
+    assert pyglom(data, ("a", "b", ["c"])) == [1, 2]
+    assert pyglom(data, {"n": ("a", "b", len)}) == {"n": 2}
+    assert pyglom(data, ("a", "b", [("c",)], sum)) == 3
+
+
 def test_trail_roundtrip_reference_golden(spark):
     # reference golden (tests/test_text2words.py:8-15): trail split +
     # empty joiner reconstructs the original text exactly

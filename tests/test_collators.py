@@ -141,3 +141,68 @@ def test_nested_collate_reference_golden(spark):
         assert len(seq) == 3
         for inner in seq:
             assert len(inner) == 5
+
+
+def test_pad_batch_reference_goldens():
+    """Reference tests/test_collators.py TestListCollators.test_base_collator
+    / test_nested_collators / test_left_padding / test_padding_to_multiple
+    goldens against the shared client-edge padding math."""
+    from smashed_spark.operators.collators import pad_batch
+
+    a = [[1, 2, 3], [4, 5], [6, 7, 8, 9, 10]]
+    assert pad_batch(a, -1) == [
+        [1, 2, 3, -1, -1],
+        [4, 5, -1, -1, -1],
+        [6, 7, 8, 9, 10],
+    ]
+    nested = [
+        [[1.0, 1.1], [2.0], [3.0, 3.1, 3.2, 3.3]],
+        [[4.0, 4.1, 4.2, 4.3, 4.4], [5.0, 5.1]],
+    ]
+    out = pad_batch(nested, -1)
+    assert out[0] == [
+        [1.0, 1.1, -1, -1, -1],
+        [2.0, -1, -1, -1, -1],
+        [3.0, 3.1, 3.2, 3.3, -1],
+    ]
+    assert out[1] == [
+        [4.0, 4.1, 4.2, 4.3, 4.4],
+        [5.0, 5.1, -1, -1, -1],
+        [-1, -1, -1, -1, -1],
+    ]
+    assert pad_batch(a, -1, left=True) == [
+        [-1, -1, 1, 2, 3],
+        [-1, -1, -1, 4, 5],
+        [6, 7, 8, 9, 10],
+    ]
+    # pad_to_multiple_of rounds every ragged dim up: (.,3,5) -> (.,4,8)
+    m = pad_batch(nested, -1, pad_to_multiple_of=4)
+    assert len(m[0]) == 4 and all(len(s) == 8 for s in m[0])
+    assert len(m[1]) == 4 and all(len(s) == 8 for s in m[1])
+
+
+def test_pad_batch_pad_to_length_guard():
+    from smashed_spark.operators.collators import pad_batch
+
+    with pytest.raises(ValueError, match="pad_to_length"):
+        pad_batch([[1, 2, 3]], -1, pad_to_length=2)
+    assert pad_batch([[1, 2]], -1, pad_to_length=4) == [[1, 2, -1, -1]]
+
+
+def test_tensor_collate_goldens_with_torch():
+    """Reference TestTensorCollators.test_base_collator shapes/counts;
+    runs only where torch is importable (ImportError contract is pinned
+    by test_tensor_collator_requires_torch)."""
+    torch = pytest.importorskip("torch")
+    from smashed_spark.operators.collators import TensorCollatorMapper
+
+    coll = TensorCollatorMapper(fields_pad_ids={"a": -1, "b": -2})
+    batch = {
+        "a": [[1, 2, 3], [4, 5], [6, 7, 8, 9, 10]],
+        "b": [[11, 12], [13], [14]],
+    }
+    out = coll.collate(batch)
+    assert out["a"].shape == (3, 5)
+    assert out["b"].shape == (3, 2)
+    assert int((out["a"] == -1).sum()) == 5
+    assert int((out["b"] == -2).sum()) == 2

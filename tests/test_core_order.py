@@ -84,3 +84,42 @@ def test_nested_cache_brackets(spark, tmp_path):
     # second run hits the outer cache
     out2 = sorted(r.a for r in pipe.map(df).collect())
     assert out2 == out
+
+
+import pytest
+
+
+@pytest.mark.parametrize("scheme", ["bare", "file"])
+def test_cache_roundtrip_schemes(spark, tmp_path, scheme):
+    """The cache resolves paths through the Hadoop FileSystem API so
+    cache dirs can live on any scheme (s3a://, hdfs://, file:). Locally
+    exercise the bare-path and explicit file:-URI forms; the second run
+    must READ the checkpoint (proven by tampering with it)."""
+    from smashed_spark.operators.debug import MockMapper
+    from smashed_spark.sources.cache import (
+        EndCachingMapper,
+        StartCachingMapper,
+        run_with_cache,
+    )
+
+    base = str(tmp_path / "cache")
+    cache_dir = base if scheme == "bare" else f"file://{base}"
+    df = spark.createDataFrame([(i,) for i in range(5)], "a: bigint")
+    pipe = [
+        StartCachingMapper(cache_dir=cache_dir),
+        MockMapper(1),
+        EndCachingMapper(),
+    ]
+    out1 = sorted(r.a for r in run_with_cache(pipe, df).collect())
+    assert out1 == [1, 2, 3, 4, 5]
+
+    # overwrite the checkpoint: a second run must return the tampered
+    # rows, proving it read the cache rather than recomputing
+    import glob
+
+    (ckpt,) = glob.glob(f"{base}/*/*")
+    spark.createDataFrame([(99,)], "a: bigint").write.mode(
+        "overwrite"
+    ).parquet(ckpt)
+    out2 = [r.a for r in run_with_cache(pipe, df).collect()]
+    assert out2 == [99]

@@ -158,3 +158,80 @@ def test_tokenizer_remove_columns_reference_pattern(spark):
     assert only.columns == ["input_ids"]
     merged = mapper.map(df)
     assert set(merged.columns) == {"text", "label", "input_ids"}
+
+
+def test_tokenizer_overflowing_chunks(spark):
+    """return_overflowing_tokens regroups the flattened chunk encodings
+    per input row (reference tokenize.py per-sample semantics: each row
+    holds its list of chunks)."""
+    tok = tiny_bert_tokenizer()
+    df = spark.createDataFrame(
+        [
+            (0, "hello world this is a test hi there"),  # 8 pieces
+            (1, "many hello"),                           # 2 pieces
+        ],
+        "i: bigint, t: string",
+    )
+    out = (
+        TokenizerMapper(
+            tok,
+            input_field="t",
+            max_length=6,  # body = 4 after [CLS]/[SEP]
+            truncation=True,
+            return_overflowing_tokens=True,
+            return_attention_mask=True,
+        )
+        .map(df)
+        .orderBy("i")
+        .collect()
+    )
+    cls, sep = 2, 3
+    # row 0: 8 pieces -> two chunks of 4
+    assert out[0].input_ids == [
+        [cls, 4, 5, 6, 7, sep],
+        [cls, 8, 9, 10, 11, sep],
+    ]
+    assert out[0].overflow_to_sample_mapping == [0, 0]
+    assert out[0].attention_mask == [[1] * 6, [1] * 6]
+    # row 1: fits in one chunk
+    assert out[1].input_ids == [[cls, 12, 4, sep]]
+    assert out[1].overflow_to_sample_mapping == [0]
+
+
+def test_tokenizer_word_ids_and_words(spark):
+    tok = tiny_bert_tokenizer()
+    df = spark.createDataFrame(
+        [(["many", "hello", "world"],)], "w: array<string>"
+    )
+    out = (
+        TokenizerMapper(
+            tok,
+            input_field="w",
+            is_split_into_words=True,
+            return_word_ids=True,
+            return_words=True,
+            return_attention_mask=False,
+        )
+        .map(df)
+        .collect()[0]
+    )
+    assert out.word_ids == [None, 0, 1, 2, None]  # specials -> None
+    assert out.words == [None, "many", "hello", "world", None]
+
+
+def test_tokenizer_word_ids_multi_piece_word(spark):
+    tok = tiny_bert_tokenizer()
+    # "hii" -> pieces "hi" + "##i": both map to word 0
+    df = spark.createDataFrame([(["hii", "there"],)], "w: array<string>")
+    out = (
+        TokenizerMapper(
+            tok,
+            input_field="w",
+            is_split_into_words=True,
+            return_word_ids=True,
+            return_attention_mask=False,
+        )
+        .map(df)
+        .collect()[0]
+    )
+    assert out.word_ids == [None, 0, 0, 1, None]

@@ -121,6 +121,18 @@ def test_multiseq_strider_max_length(spark):
     assert rows == [[[1, 2], [3, 4]], [[5, 6]]]
 
 
+def test_multiseq_strider_empty_ref_array(spark):
+    """An empty length-reference array passes the row through with
+    empty lists (reference behavior), never null fields."""
+    df = spark.createDataFrame([([],), ([[1], [2]],)], SCHEMA)
+    out = MultiSequenceStriderMapper(
+        max_stride_count=2, length_reference_field="input_ids"
+    ).map(df)
+    rows = sorted((r.input_ids for r in out.collect()), key=len)
+    assert rows == [[], [[1], [2]]]
+    assert all(r.input_ids is not None for r in out.collect())
+
+
 def test_multiseq_strider_too_long_raises(spark):
     df = spark.createDataFrame([([[1, 2, 3, 4, 5]],)], SCHEMA)
     with pytest.raises(Exception):

@@ -84,8 +84,10 @@ def test_truncate_nested(spark):
         .map(df)
         .collect()[0]
     )
-    # flattened len 8 -> budget 5, cut left-to-right: [0,1,2],[3,4]
-    assert out.a == [[0, 1, 2], [3, 4]]
+    # flattened len 8 -> budget 5, cut left-to-right; the tail sub-list
+    # stays as [] (reference shape_utils.reconstruct_from_indices keeps
+    # every sub-list boundary: [[0,1,2],[3,4],[5,6,7]] @5 -> ...,[ ])
+    assert out.a == [[0, 1, 2], [3, 4], []]
 
 
 def test_fill_text_prompt(spark):
