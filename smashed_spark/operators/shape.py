@@ -220,6 +220,8 @@ class SingleSequenceStriderMapperWithLocations(SingleSequenceStriderMapper):
         self.fields_replacement_map = dict(fields_replacement_map or {})
         self.input_fields += (field_with_locations, *self.fields_replacement_map)
 
+    _INLOC = "__in_locations__"
+
     def apply(self, df: DataFrame) -> DataFrame:
         cols = df.columns
         exploded = self._exploded(df)
@@ -236,7 +238,15 @@ class SingleSequenceStriderMapperWithLocations(SingleSequenceStriderMapper):
                 (cum_len < end) & (end <= end_stride)
             )
 
-        in_locations = F.exists(F.col(self.field_with_locations), overlaps)
+        # materialize the flag BEFORE the select that overwrites the
+        # strided column: inside that select, Spark's lateral column
+        # alias resolution would bind ref_field to the freshly sliced
+        # window, silently double-slicing end_stride's size() input
+        exploded = exploded.withColumn(
+            self._INLOC,
+            F.exists(F.col(self.field_with_locations), overlaps),
+        )
+        in_locations = F.col(self._INLOC)
 
         out_cols = []
         for c in cols:

@@ -687,5 +687,5 @@ def q_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.map(df)
 
 
-# register the beyond-reference query block
-from . import queries_scale  # noqa: E402,F401
+# register the beyond-reference and round-2 coverage query blocks
+from . import queries_more, queries_scale  # noqa: E402,F401

@@ -134,3 +134,28 @@ def test_strider_with_locations(spark):
     by_ids = {tuple(r.ids): r.tag for r in out}
     assert by_ids[(1, 2, 3, 4)] == "keepme"
     assert by_ids[(5, 6, 7, 8)] == "REPLACED"
+
+
+def test_strider_with_locations_later_window(spark):
+    """Regression: a span overlapping a window past index 0 must keep.
+    (Spark's lateral column alias resolution once bound the overlap
+    check's ref-field size() to the already-sliced window, marking all
+    later windows as non-overlapping.)"""
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12], [[5, 7]], "keepme")],
+        "ids: array<bigint>, locs: array<array<bigint>>, tag: string",
+    )
+    out = (
+        SingleSequenceStriderMapperWithLocations(
+            field_to_stride="ids",
+            max_length=4,
+            field_with_locations="locs",
+            fields_replacement_map={"tag": "REPLACED"},
+        )
+        .map(df)
+        .collect()
+    )
+    by_ids = {tuple(r.ids): r.tag for r in out}
+    assert by_ids[(1, 2, 3, 4)] == "REPLACED"
+    assert by_ids[(5, 6, 7, 8)] == "keepme"  # span [5,7) hits window 1
+    assert by_ids[(9, 10, 11, 12)] == "REPLACED"
