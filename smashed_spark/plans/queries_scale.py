@@ -627,10 +627,12 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch.write.parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(src)
     name = "smashed_stream_sessions"
-    # a state store is created per shuffle partition: cap them for this
-    # bounded replay so store setup doesn't dominate (restored after)
+    # a state store is created per shuffle partition: bound them for
+    # this bounded replay so store setup doesn't dominate, but keep
+    # enough for parallel Python workers in the stateful stage
+    # (16 measured ~25% faster than 8 at sf0.1 on local[32])
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         run_sessionize_to_memory(
             stream, name, gap_minutes=30, poll_seconds=0.5, stable_polls=2

@@ -146,9 +146,14 @@ def run_sessionize_to_memory(
     An explicit checkpoint location is used (and removed only after the
     query has fully stopped): the default ``temporary-*`` checkpoint is
     deleted during ``stop()`` while state-store commits may still be
-    in flight, which spews FileNotFoundException noise.  Stopping also
-    waits for the trigger to go idle first so no micro-batch is
-    aborted mid-commit.
+    in flight, which spews FileNotFoundException noise.
+
+    With ``ProcessingTimeTimeout`` state the trigger is almost never
+    idle (every micro-batch re-evaluates timeouts), so stopping will
+    interrupt an in-flight batch; for this bounded replay that is
+    intentional and harmless (memory sink, checkpoint discarded), and
+    the expected task-abort log noise is silenced for just the
+    teardown window, then the previous log level is restored.
     """
     import shutil
     import tempfile
@@ -184,15 +189,20 @@ def run_sessionize_to_memory(
             else:
                 stable = 0
             last = n
-        # stop between micro-batches, not through one
-        idle_wait = 0.0
-        while (
-            q.status.get("isTriggerActive", False) and idle_wait < 10.0
-        ):
-            time.sleep(0.05)
-            idle_wait += 0.05
     finally:
-        q.stop()
-        q.awaitTermination(30)
-        if own_checkpoint:
-            shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        prev_level = (
+            jvm.org.apache.logging.log4j.LogManager.getRootLogger()
+            .getLevel()
+            .toString()
+        )
+        sc.setLogLevel("OFF")
+        try:
+            q.stop()
+            q.awaitTermination(30)
+            time.sleep(0.3)  # let async task-abort logging drain
+        finally:
+            sc.setLogLevel(prev_level)
+            if own_checkpoint:
+                shutil.rmtree(checkpoint_dir, ignore_errors=True)
