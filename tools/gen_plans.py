@@ -22,6 +22,11 @@ HEADLINERS = {
     "dedup_lsh_pairs": "Narrow signature compute, explode to band buckets, one "
         "equi-join on the bucket key — O(docs x bands).",
     "dedup_exact": "One exchange keyed on the content digest.",
+    "join_shipping_priority": "Customer dimension broadcasts; at this SF AQE "
+        "broadcasts the filtered orders side too (no fact shuffle at all), "
+        "while at scale the lineitem-orders equi-join shuffles once on the "
+        "shared orderkey. The rank<=10 filter collapses into "
+        "TakeOrderedAndProject - no global sort.",
 }
 out = ["# PLANS — physical plans of the headline queries",
        "",
