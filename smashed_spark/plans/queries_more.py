@@ -460,3 +460,167 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sources / sinks round-trips (reference loaders.py:100-192) and the
+# skew utilities (core/skew.py) — previously unit-only
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write_csv sink then CsvLoaderMapper (reference loaders.py:139-168):
+    the full write/read cycle must preserve every row and value."""
+    import tempfile
+
+    from ..sources.loaders import CsvLoaderMapper
+    from ..sources.sinks import write_csv
+
+    out_dir = tempfile.mkdtemp(prefix="smashed_csv_") + "/docs"
+    df = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_csv(df, out_dir, mode="overwrite")
+    paths = spark.createDataFrame([(out_dir,)], "path: string")
+    loaded = CsvLoaderMapper("path").map(paths)
+    return loaded.select(
+        F.col("doc_id").cast("bigint"),
+        "lang",
+        F.col("n_chars").cast("bigint"),
+    )
+
+
+@query(
+    "jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, text FROM documents
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write_jsonl (gzip) then JsonlLoaderMapper (reference
+    loaders.py:171-192): lossless typed round-trip through JSON lines."""
+    import tempfile
+
+    from ..sources.loaders import JsonlLoaderMapper
+    from ..sources.sinks import write_jsonl
+
+    out_dir = tempfile.mkdtemp(prefix="smashed_jsonl_") + "/docs"
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    write_jsonl(df, out_dir, mode="overwrite")
+    paths = spark.createDataFrame([(out_dir,)], "path: string")
+    loaded = JsonlLoaderMapper("path").map(paths)
+    return loaded.select("doc_id", "lang", "source", "text")
+
+
+@query(
+    "concat_sources",
+    oracle="""
+    SELECT doc_id, lang FROM documents WHERE n_chars > 500
+    UNION ALL
+    SELECT doc_id, lang FROM documents WHERE n_chars <= 100
+    """,
+)
+def q_concat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concatenate_datasets (reference combine_strategy='concatenate',
+    loaders.py:100-116)."""
+    from ..sources.loaders import concatenate_datasets
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter("n_chars > 500").select("doc_id", "lang")
+    b = docs.filter("n_chars <= 100").select("doc_id", "lang")
+    return concatenate_datasets([a, b])
+
+
+@query(
+    "interleave_sources",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, lang, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn,
+               0 AS src
+        FROM documents WHERE n_chars > 500
+    ), b AS (
+        SELECT doc_id, lang, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn,
+               1 AS src
+        FROM documents WHERE n_chars <= 100
+    ), u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+    n AS (SELECT least((SELECT count(*) FROM a),
+                       (SELECT count(*) FROM b)) AS m)
+    SELECT doc_id, lang, CAST(rn * 2 + src AS BIGINT) AS ord
+    FROM u, n WHERE rn < m
+    """,
+)
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interleave_datasets round-robin (reference
+    combine_strategy='interleave'): row i of each source alternating,
+    stopping with the shortest source; the explicit order column is the
+    downstream ordering key."""
+    from ..sources.loaders import INTERLEAVE_ORDER, interleave_datasets
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter("n_chars > 500").select("doc_id", "lang")
+    b = docs.filter("n_chars <= 100").select("doc_id", "lang")
+    out = interleave_datasets(
+        [a, b], order_by=["doc_id"], keep_order_column=True
+    )
+    return out.select(
+        "doc_id", "lang", F.col(INTERLEAVE_ORDER).cast("bigint").alias("ord")
+    )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_groupby_agg two-phase aggregation: partials on
+    (key, salt), algebraic re-merge on the key — byte-identical to the
+    direct group-by, immune to hot keys."""
+    from ..core.skew import salted_groupby_agg
+
+    out = salted_groupby_agg(
+        load(spark, sf_dir, "events"),
+        ["user_id"],
+        {"n_events": ("event_id", "count"), "total_value": ("value", "sum")},
+        num_salts=8,
+    )
+    return out.withColumn("total_value", F.round("total_value", 6))
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_join: dimension replicated num_salts times, fact scattered
+    uniformly, equi-join on (key, salt) — result equals the direct join
+    even under key skew."""
+    from ..core.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    customer = load(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    joined = salted_join(orders, customer, on="custkey", num_salts=8)
+    return joined.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
