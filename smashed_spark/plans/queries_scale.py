@@ -256,79 +256,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_token_counts",
-    oracle="""
-    SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
-               ::BIGINT AS n_ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]'))
-               ::BIGINT AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.textstats import TokenCountMapper
-
-    out = TokenCountMapper().map(load(spark, sf_dir, "documents"))
-    return out.select("doc_id", "n_ws_tokens", "n_bpe_tokens")
-
-
-@query(
-    "text_fingerprint",
+    "text_stats",
     oracle="""
     WITH n AS (
         SELECT doc_id,
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
         FROM documents
-    )
-    SELECT doc_id, md5(norm) AS fingerprint,
-           list_min(list_transform(
-               range(1, greatest(length(norm) - 6, 1)),
-               i -> ('0x' || substr(md5(substr(norm, i, 8)), 1, 8))::BIGINT))
-               AS min_kgram_hash
-    FROM n
-    """,
-)
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.textstats import FingerprintMapper
-
-    out = FingerprintMapper().map(load(spark, sf_dir, "documents"))
-    return out.select("doc_id", "fingerprint", "min_kgram_hash")
-
-
-@query(
-    "text_quality",
-    oracle="""
-    WITH q AS (
+    ), q AS (
         SELECT doc_id, text,
                length(text) AS n_chars,
                len(string_split(text, ' ')) AS n_words,
                length(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) AS non_alpha
         FROM documents
-    )
-    SELECT doc_id,
-           n_chars::BIGINT AS q_n_chars,
-           n_words::BIGINT AS q_n_words,
-           round((n_chars - n_words + 1)::DOUBLE / n_words, 6)
-               AS q_mean_word_len,
-           round(non_alpha::DOUBLE / n_chars, 6) AS q_non_alpha_ratio
-    FROM q
-    """,
-)
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.textstats import QualityScoreMapper
-
-    out = QualityScoreMapper().map(load(spark, sf_dir, "documents"))
-    return out.select(
-        "doc_id", "q_n_chars", "q_n_words", "q_mean_word_len",
-        "q_non_alpha_ratio",
-    )
-
-
-@query(
-    "text_langid",
-    oracle="""
-    WITH p AS (
+    ), p AS (
         SELECT doc_id, ' ' || text || ' ' AS t FROM documents
     ), s AS (
         SELECT doc_id,
@@ -350,23 +290,66 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
           + (length(t) - length(replace(t, ' les ', ''))) // 5 AS s_fr
         FROM p
     )
-    SELECT doc_id,
-        CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-             WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-             WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-             WHEN s_en >= s_de THEN 'en'
-             ELSE 'de' END AS lang_pred
-    FROM s
+    SELECT d.doc_id,
+           len(list_filter(string_split_regex(d.text, '\\s+'), t -> t != ''))
+               ::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(d.text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]'))
+               ::BIGINT AS n_bpe_tokens,
+           md5(n.norm) AS fingerprint,
+           list_min(list_transform(
+               range(1, greatest(length(n.norm) - 6, 1)),
+               i -> ('0x' || substr(md5(substr(n.norm, i, 8)), 1, 8))::BIGINT))
+               AS min_kgram_hash,
+           q.n_chars::BIGINT AS q_n_chars,
+           q.n_words::BIGINT AS q_n_words,
+           round((q.n_chars - q.n_words + 1)::DOUBLE / q.n_words, 6)
+               AS q_mean_word_len,
+           round(q.non_alpha::DOUBLE / q.n_chars, 6) AS q_non_alpha_ratio,
+           CASE WHEN greatest(s.s_de, s.s_en, s.s_es, s.s_fr) = 0 THEN 'und'
+                WHEN s.s_fr >= s.s_es AND s.s_fr >= s.s_en
+                     AND s.s_fr >= s.s_de THEN 'fr'
+                WHEN s.s_es >= s.s_en AND s.s_es >= s.s_de THEN 'es'
+                WHEN s.s_en >= s.s_de THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM documents d
+    JOIN n ON d.doc_id = n.doc_id
+    JOIN q ON d.doc_id = q.doc_id
+    JOIN s ON d.doc_id = s.doc_id
     """,
 )
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language ID.  Spark's argmax is
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole text-analysis family in one scan-speed pipeline:
+    TokenCountMapper, FingerprintMapper, QualityScoreMapper, and
+    LangIdMapper chained — all pure column expressions, one narrow
+    pass over documents.  Spark's langid argmax is
     greatest(struct(score, lang)) — ties break toward the later
     language name, mirrored in the oracle's CASE ordering."""
-    from ..functions.textstats import LangIdMapper
+    from ..functions.textstats import (
+        FingerprintMapper,
+        LangIdMapper,
+        QualityScoreMapper,
+        TokenCountMapper,
+    )
 
-    out = LangIdMapper().map(load(spark, sf_dir, "documents"))
-    return out.select("doc_id", "lang_pred")
+    pipe = (
+        TokenCountMapper()
+        >> FingerprintMapper()
+        >> QualityScoreMapper()
+        >> LangIdMapper()
+    )
+    out = pipe.map(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "fingerprint",
+        "min_kgram_hash",
+        "q_n_chars",
+        "q_n_words",
+        "q_mean_word_len",
+        "q_non_alpha_ratio",
+        "lang_pred",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -454,106 +437,78 @@ def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "context_concat",
-    oracle="""
-    SELECT doc_id, '' || lang || chr(10) || source || chr(10) AS context
-    FROM documents
-    """,
-)
-def q_context_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ConcatenateContextMapper over a list-of-sections context
-    (reference contrib/squad.py:47-139)."""
-    from ..recipes.contrib import ConcatenateContextMapper
-
-    df = load(spark, sf_dir, "documents").withColumn(
-        "context", F.array("lang", "source")
-    )
-    out = ConcatenateContextMapper().map(df)
-    return out.select("doc_id", "context")
-
-
-@query(
-    "evidence_locations",
+    "contrib_squad",
     oracle="""
     WITH e AS (
         SELECT doc_id, text,
-               [string_split(text, ' ')[3], 'zzz_not_there'] AS evs
+               [string_split(text, ' ')[3], 'zzz_not_there'] AS evs,
+               [CAST(doc_id % 5 AS DOUBLE), CAST(n_chars % 7 AS DOUBLE),
+                CAST(length(lang) AS DOUBLE)] AS annotations,
+               '' || lang || chr(10) || source || chr(10) AS context
         FROM documents
     )
-    SELECT doc_id,
+    SELECT doc_id, context,
            to_json(list_transform(evs, v -> CASE WHEN strpos(text, v) > 0
                THEN [CAST(strpos(text, v) - 1 AS BIGINT),
                      CAST(strpos(text, v) - 1 + length(v) AS BIGINT)]
                ELSE [CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)] END))
-               AS locations
+               AS locations,
+           to_json(list_sort(list_distinct(string_split(text, ' '))))
+               AS answers,
+           annotations[1] AS preds,
+           round((annotations[2] + annotations[3]) / 2, 6) AS labels
     FROM e
     """,
 )
-def q_evidence_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AddEvidencesLocationMapper: char spans of evidence substrings
-    (reference contrib/squad.py:161-195)."""
-    from ..recipes.contrib import AddEvidencesLocationMapper
-
-    df = load(spark, sf_dir, "documents").withColumn(
-        "evidences",
-        F.array(
-            F.element_at(F.split("text", " "), 3), F.lit("zzz_not_there")
-        ),
+def q_contrib_squad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contrib-recipe family in one pipeline over documents:
+    ConcatenateContextMapper (reference contrib/squad.py:47-139),
+    AddEvidencesLocationMapper (squad.py:161-195), UniqueAnswerMapper
+    (squad.py:142-158; sorted on both sides because DuckDB's
+    list_distinct has no order guarantee — order-preservation is
+    pinned in the unit test), and OneVsOtherAnnotatorMapper
+    (contrib/sse.py:5-38)."""
+    from ..recipes.contrib import (
+        AddEvidencesLocationMapper,
+        ConcatenateContextMapper,
+        OneVsOtherAnnotatorMapper,
+        UniqueAnswerMapper,
     )
-    out = AddEvidencesLocationMapper(context_field="text").map(df)
-    return out.select("doc_id", "locations")
 
-
-@query(
-    "unique_answers",
-    oracle="""
-    SELECT doc_id,
-           to_json(list_sort(list_distinct(string_split(text, ' '))))
-               AS answers
-    FROM documents
-    """,
-)
-def q_unique_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UniqueAnswerMapper (reference contrib/squad.py:142-158); sorted
-    on both sides because DuckDB's list_distinct has no order
-    guarantee (order-preservation is pinned in the unit test)."""
-    from ..recipes.contrib import UniqueAnswerMapper
-
-    df = load(spark, sf_dir, "documents").withColumn(
-        "answers", F.split("text", " ")
+    df = (
+        load(spark, sf_dir, "documents")
+        .withColumn("context", F.array("lang", "source"))
+        .withColumn(
+            "evidences",
+            F.array(
+                F.element_at(F.split("text", " "), 3), F.lit("zzz_not_there")
+            ),
+        )
+        .withColumn("answers", F.split("text", " "))
+        .withColumn(
+            "annotations",
+            F.array(
+                (F.col("doc_id") % 5).cast("double"),
+                (F.col("n_chars") % 7).cast("double"),
+                F.length("lang").cast("double"),
+            ),
+        )
     )
-    out = UniqueAnswerMapper().map(df)
-    return out.select("doc_id", F.array_sort("answers").alias("answers"))
-
-
-@query(
-    "annotator_split",
-    oracle="""
-    WITH a AS (
-        SELECT doc_id,
-               [CAST(doc_id % 5 AS DOUBLE), CAST(n_chars % 7 AS DOUBLE),
-                CAST(length(lang) AS DOUBLE)] AS annotations
-        FROM documents
+    pipe = (
+        ConcatenateContextMapper()
+        >> AddEvidencesLocationMapper(context_field="text")
+        >> UniqueAnswerMapper()
+        >> OneVsOtherAnnotatorMapper()
     )
-    SELECT doc_id, annotations[1] AS preds,
-           round((annotations[2] + annotations[3]) / 2, 6) AS labels
-    FROM a
-    """,
-)
-def q_annotator_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OneVsOtherAnnotatorMapper (reference contrib/sse.py:5-38)."""
-    from ..recipes.contrib import OneVsOtherAnnotatorMapper
-
-    df = load(spark, sf_dir, "documents").withColumn(
-        "annotations",
-        F.array(
-            (F.col("doc_id") % 5).cast("double"),
-            (F.col("n_chars") % 7).cast("double"),
-            F.length("lang").cast("double"),
-        ),
+    out = pipe.map(df)
+    return out.select(
+        "doc_id",
+        "context",
+        "locations",
+        F.array_sort("answers").alias("answers"),
+        "preds",
+        "labels",
     )
-    out = OneVsOtherAnnotatorMapper().map(df)
-    return out.select("doc_id", "preds", "labels")
 
 
 @query(
