@@ -56,14 +56,19 @@ def with_row_index(
     #            compute off + (mid - mn) per row, narrow.
     # ``monotonically_increasing_id`` is contiguous within a partition
     # (pid << 33 + local row number), so mid - min(mid) is the local
-    # index.  ``persist`` pins one materialization so the two phases
-    # can never diverge even for nondeterministic inputs; where the
-    # input is too large to cache, its scan order is deterministic
-    # (parquet) and the persist is a no-op safety net at worst.
-    tagged = df.withColumn("__pid__", F.spark_partition_id()).withColumn(
-        "__mid__", F.monotonically_increasing_id()
+    # index.  ``localCheckpoint`` pins one eager materialization so the
+    # two phases can never diverge even for nondeterministic inputs —
+    # and, unlike ``persist`` (whose CacheManager entry survives until
+    # an explicit unpersist), the checkpoint blocks are released by the
+    # ContextCleaner once the caller drops the returned DataFrame, so
+    # repeated calls don't pin input copies for the session.  Executor
+    # loss after lineage truncation fails the job loudly rather than
+    # recomputing inconsistently.
+    tagged = (
+        df.withColumn("__pid__", F.spark_partition_id())
+        .withColumn("__mid__", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
-    tagged.persist()
     sizes = (
         tagged.groupBy("__pid__")
         .agg(F.min("__mid__").alias("__mn__"), F.count(F.lit(1)).alias("__cnt__"))

@@ -204,11 +204,18 @@ class WordPieceTokenizer:
                 # HF fast-tokenizer overflow: contiguous windows (with
                 # `stride` overlap), flattened across the batch with a
                 # sample-index mapping
+                # windows advance by (body - stride) and stop at the
+                # first window whose end reaches the sequence end —
+                # continuing past it would re-emit trailing subsets HF
+                # fast tokenizers never produce
                 step = max(body - stride, 1)
-                chunks = [
-                    pieces[k : k + body]
-                    for k in range(0, max(len(pieces), 1), step)
-                ]
+                chunks = []
+                k = 0
+                while True:
+                    chunks.append(pieces[k : k + body])
+                    if k + body >= len(pieces):
+                        break
+                    k += step
             elif truncation and body is not None:
                 chunks = [pieces[: max(body, 0)]]
             else:

@@ -138,6 +138,14 @@ class TokenizerMapper(SparkMapper, _FnameMixin):
         # by the tokenizer call (reference tokenize.py:176-195, 201-229)
         self.return_word_ids = bool(return_word_ids)
         self.return_words = bool(return_words and return_word_ids)
+        if self.return_words and not is_split_into_words:
+            # words are recovered by indexing the input sample with each
+            # word id — on a raw string that silently yields single
+            # characters, so require the documented word-list contract
+            raise ValueError(
+                "return_words=True requires is_split_into_words=True: "
+                "word ids index the input word list, not a raw string"
+            )
         if self.return_word_ids:
             self._raw_fields.append("word_ids")
         if self.return_words:

@@ -198,6 +198,38 @@ def test_tokenizer_overflowing_chunks(spark):
     assert out[1].overflow_to_sample_mapping == [0]
 
 
+def test_tokenizer_overflow_stride_stops_at_covering_window():
+    """With stride > 0 window generation must stop at the first window
+    whose end reaches the sequence end (HF fast-tokenizer semantics):
+    8 pieces, body 6, stride 4 -> exactly 2 chunks [0:6] and [2:8],
+    not the trailing subset windows a plain range() would add."""
+    tok = tiny_bert_tokenizer()
+    text = "hello world this is a test hi there"  # 8 pieces
+    enc = tok(
+        text,
+        max_length=8,  # body = 6 after [CLS]/[SEP]
+        return_overflowing_tokens=True,
+        return_attention_mask=False,
+        add_special_tokens=True,
+        stride=4,
+    )
+    assert len(enc["input_ids"]) == 2
+    cls, sep = tok.cls_token_id, tok.sep_token_id
+    assert enc["input_ids"][0] == [cls, 4, 5, 6, 7, 8, 9, sep]
+    assert enc["input_ids"][1] == [cls, 6, 7, 8, 9, 10, 11, sep]
+    assert enc["overflow_to_sample_mapping"] == [0, 0]
+
+    # stride 0 keeps the old contiguous-window behavior
+    enc0 = tok(
+        text,
+        max_length=6,
+        return_overflowing_tokens=True,
+        return_attention_mask=False,
+        add_special_tokens=True,
+    )
+    assert [len(c) for c in enc0["input_ids"]] == [6, 6]
+
+
 def test_tokenizer_word_ids_and_words(spark):
     tok = tiny_bert_tokenizer()
     df = spark.createDataFrame(
