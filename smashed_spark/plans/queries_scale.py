@@ -567,34 +567,79 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SessionStatsMapper().map(load(spark, sf_dir, "events"))
 
 
-@query("stream_sessionize")  # custom stateful streaming: rows-only check
+@query(
+    "stream_sessionize",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, sum(brk) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization via applyInPandasWithState
-    (streaming/stateful.py) — genuinely non-SQL-expressible (engine
-    GroupState + processing-time timeouts); equivalence with the batch
-    sessionizer is pinned by test_streaming_sessionize_matches_batch."""
+    (streaming/stateful.py).
+
+    The bounded replay appends one sentinel event per user past the
+    inactivity gap, so every *real* session closes in-stream (the
+    sentinel's own one-event session stays open and is never emitted).
+    That makes the streaming output deterministic and equal to the
+    batch gap-sessionization — hence the SQL oracle.  Runs with
+    ``idle_timeout=False`` + ``trigger(availableNow=True)``: the query
+    drains the replay and terminates on its own (no polling loop).
+    """
     import tempfile
 
-    from ..streaming.stateful import run_sessionize_to_memory
+    from ..streaming.stateful import run_sessionize_bounded
 
     batch = load(spark, sf_dir, "events")
+    events = batch.select("user_id", "ts", "value")
+    sentinels = (
+        batch.groupBy("user_id")
+        .agg(F.max("ts").alias("ts"))
+        .select(
+            "user_id",
+            (F.col("ts") + F.expr("INTERVAL 31 MINUTES")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
     src = tempfile.mkdtemp(prefix="smashed_stream_") + "/events"
-    batch.write.parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
+    # one file -> one availableNow micro-batch, so per-user in-batch
+    # ordering (the stateful fn sorts each batch) is total ordering
+    events.unionAll(sentinels).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
     name = "smashed_stream_sessions"
     # a state store is created per shuffle partition: bound them for
     # this bounded replay so store setup doesn't dominate, but keep
     # enough for parallel Python workers in the stateful stage
-    # (16 measured ~25% faster than 8 at sf0.1 on local[32])
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        run_sessionize_to_memory(
-            stream, name, gap_minutes=30, poll_seconds=0.5, stable_polls=2
-        )
+        run_sessionize_bounded(stream, name, gap_minutes=30)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
 
 
 @query("ann_ivf_topk")  # approximate by construction: rows-only + recall test

@@ -58,8 +58,18 @@ def streaming_sessionize(
     user_field: str = "user_id",
     ts_field: str = "ts",
     value_field: str = "value",
+    idle_timeout: bool = True,
 ) -> DataFrame:
-    """Emit one row per closed session from a streaming events frame."""
+    """Emit one row per closed session from a streaming events frame.
+
+    ``idle_timeout=True`` (the unbounded-stream default) registers a
+    processing-time state timeout so idle users eventually flush their
+    open session.  ``idle_timeout=False`` disables timeouts entirely —
+    only gap-closed sessions are emitted — which lets a *bounded*
+    replay run under ``trigger(availableNow=True)`` and terminate on
+    its own (with ProcessingTimeTimeout the engine keeps scheduling
+    batches forever to evaluate future timeouts).
+    """
     gap_us = gap_minutes * 60 * 1_000_000
 
     def update(
@@ -97,7 +107,10 @@ def streaming_sessionize(
                 total += value
             if last_us is not None:
                 state.update((last_us, start_us, n, total))
-                state.setTimeoutDuration(gap_minutes * 60 * 1000)
+                if idle_timeout:
+                    state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if not rows:  # nothing closed this batch: yield no frame
+            return
         out = pd.DataFrame(
             rows,
             columns=[
@@ -122,8 +135,54 @@ def streaming_sessionize(
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
+
+
+def run_sessionize_bounded(
+    stream: DataFrame,
+    query_name: str,
+    gap_minutes: int = 30,
+    timeout_seconds: float = 120.0,
+) -> None:
+    """Sessionize a *bounded* replay into a memory sink and return when
+    the stream is exhausted.
+
+    Uses ``idle_timeout=False`` + ``trigger(availableNow=True)``: the
+    query processes everything available and terminates by itself — no
+    polling loop, no forced ``stop()`` mid-batch, no task-abort log
+    noise, and the checkpoint is removed only after clean termination.
+    Only gap-closed sessions are emitted; callers that need every
+    session closed should append a per-user sentinel event past the
+    gap before replaying (see the ``stream_sessionize`` gate query).
+    """
+    import shutil
+    import tempfile
+
+    checkpoint_dir = tempfile.mkdtemp(prefix="smashed_stream_ckpt_")
+    sessions = streaming_sessionize(
+        stream, gap_minutes=gap_minutes, idle_timeout=False
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_seconds)
+    finally:
+        if q.isActive:  # timed out: don't yank the checkpoint mid-commit
+            q.stop()
+            q.awaitTermination(30)
+        if not q.isActive:
+            shutil.rmtree(checkpoint_dir, ignore_errors=True)
 
 
 def run_sessionize_to_memory(
@@ -204,5 +263,8 @@ def run_sessionize_to_memory(
             time.sleep(0.3)  # let async task-abort logging drain
         finally:
             sc.setLogLevel(prev_level)
-            if own_checkpoint:
+            # if the query is somehow still committing after the stop
+            # timeout, leave the checkpoint on disk — deleting it
+            # mid-commit reintroduces the FileNotFound noise
+            if own_checkpoint and not q.isActive:
                 shutil.rmtree(checkpoint_dir, ignore_errors=True)

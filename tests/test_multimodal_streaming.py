@@ -132,3 +132,60 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
     open_sessions = batch.select("user_id").distinct().count()
     # every session except each user's last (still open in state) closes
     assert closed == total - open_sessions
+
+
+def test_bounded_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """idle_timeout=False + availableNow terminates on its own and the
+    emitted (gap-closed) sessions agree with the batch sessionizer
+    row-for-row on (user, start, end, count, value)."""
+    from pyspark.sql import functions as F
+
+    from smashed_spark.functions.sessions import SessionizeMapper
+    from smashed_spark.plans.registry import load
+    from smashed_spark.streaming.stateful import run_sessionize_bounded
+
+    batch = load(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_bounded")
+    batch.select("user_id", "ts", "value").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        batch.select("user_id", "ts", "value").schema
+    ).parquet(src)
+    run_sessionize_bounded(stream, "sess_bounded", gap_minutes=30)
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, round(r.total_value, 6))
+        for r in spark.table("sess_bounded")
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+    sessions = (
+        SessionizeMapper()
+        .map(batch)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    # batch emits every session incl. each user's final (open) one;
+    # the bounded stream emits only gap-closed sessions — drop each
+    # user's last session from the batch side before comparing
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    want = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, round(r.total_value, 6))
+        for r in sessions.withColumn(
+            "last_idx", F.max("session_idx").over(w)
+        )
+        .filter(F.col("session_idx") < F.col("last_idx"))
+        .collect()
+    }
+    assert got == want
