@@ -204,9 +204,13 @@ class NGramJaccardPairsMapper(SparkMapper):
     explode distinct shingles, self-join on shingle, count
     intersections, compute ``|A∩B| / (|A|+|B|-|A∩B|)``.
 
-    Scale: shuffles on shingles; ``max_shingle_freq`` drops hub shingles
-    (appearing in more than N docs) to bound the join fan-out — standard
-    practice, loses only pairs whose *every* common shingle is a hub.
+    Scale: shuffles on shingles; ``max_shingle_freq`` (default **1024**)
+    drops hub shingles (appearing in more than N docs) to bound the join
+    fan-out — standard practice, loses only pairs whose *every* common
+    shingle is a hub.  Passing ``max_shingle_freq=None`` disables the
+    cap; the fast ``grouplist`` path (which ``collect_list``\\ s every
+    doc sharing a shingle) is memory-unsafe uncapped, so an uncapped
+    mapper automatically falls back to the streaming ``join`` method.
     At true 100 TB scale prefer :class:`MinHashLSHPairsMapper` and use
     this as the verifier on candidates.
     """
@@ -217,11 +221,24 @@ class NGramJaccardPairsMapper(SparkMapper):
         words_field: str = "words",
         shingle_size: int = 3,
         threshold: float = 0.5,
-        max_shingle_freq: Optional[int] = None,
+        max_shingle_freq: Optional[int] = 1024,
         method: str = "grouplist",
     ) -> None:
         if method not in ("grouplist", "join"):
             raise ValueError(f"unknown method {method}")
+        if max_shingle_freq is None and method == "grouplist":
+            # uncapped hub shingles would blow up collect_list: use the
+            # streaming two-sided join, which has no per-group memory
+            # requirement
+            import warnings
+
+            warnings.warn(
+                "NGramJaccardPairsMapper: max_shingle_freq=None is "
+                "incompatible with the grouplist path (unbounded "
+                "per-shingle doc lists); falling back to method='join'",
+                stacklevel=2,
+            )
+            method = "join"
         self.id_field = id_field
         self.words_field = words_field
         self.shingle_size = shingle_size
@@ -310,17 +327,21 @@ class NGramJaccardPairsMapper(SparkMapper):
 class EmbeddingNearDupPairsMapper(SparkMapper):
     """Pairs of embeddings with cosine similarity above a threshold.
 
-    Strategy by corpus size:
+    Strategy by corpus size (Catalyst's plan-time size estimate —
+    choosing a path triggers **no Spark job**):
 
-    * ``n <= BROADCAST_LIMIT`` — exact: broadcast the corpus matrix,
-      one BLAS matmul per partition (no join at all).
+    * within ``BROADCAST_LIMIT_BYTES`` — exact: broadcast the corpus
+      matrix, one BLAS matmul per partition (no join at all).
     * larger — approximate: hyperplane-LSH bucket join (cost scales
       with bucket occupancy × tables, never O(n²)) + vectorized exact
       cosine rerank of bucket-mates.  Recall grows with ``num_tables``;
-      a pair is missed only if it collides in *no* table.
+      a pair is missed only if it collides in *no* table.  A warning is
+      emitted when auto-selection downgrades to approximate semantics.
     * ``exact=True`` — force the exact all-pairs expression join at any
       size.  This is O(n²) above the broadcast limit; it exists for
       verification, not production.
+    * ``strategy`` pins the plan explicitly (``"broadcast"`` |
+      ``"lsh"`` | ``"pairwise"``), bypassing estimate and warning.
     """
 
     def __init__(
@@ -332,7 +353,10 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
         num_bits: int = 8,
         num_tables: int = 6,
         dims: Optional[int] = None,
+        strategy: Optional[str] = None,
     ) -> None:
+        if strategy not in (None, "broadcast", "lsh", "pairwise"):
+            raise ValueError(f"unknown strategy {strategy}")
         self.id_field = id_field
         self.vector_field = vector_field
         self.threshold = threshold
@@ -340,15 +364,46 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
         self.num_bits = num_bits
         self.num_tables = num_tables
         self.dims = dims
+        self.strategy = strategy
         super().__init__(input_fields=[id_field, vector_field])
 
-    BROADCAST_LIMIT = 200_000  # rows; ~100 MB at 64 float64 dims
+    # corpus matrix broadcast cap (plan-time size estimate)
+    BROADCAST_LIMIT_BYTES = 128 << 20
+    # fallback cap when the estimate is unknown (local / RDD-backed
+    # frames only — never file-backed production inputs)
+    BROADCAST_LIMIT_ROWS = 200_000
+
+    def _fits_broadcast(self, df: DataFrame) -> bool:
+        from .similarity import plan_size_bytes
+
+        size = plan_size_bytes(df)
+        if size is not None:
+            return size <= self.BROADCAST_LIMIT_BYTES
+        return df.count() <= self.BROADCAST_LIMIT_ROWS
 
     def apply(self, df: DataFrame) -> DataFrame:
-        n = df.count()
-        if n <= self.BROADCAST_LIMIT:
+        strategy = self.strategy
+        if strategy is None:
+            if self._fits_broadcast(df):
+                strategy = "broadcast"
+            elif self.exact:
+                strategy = "pairwise"
+            else:
+                import warnings
+
+                warnings.warn(
+                    "EmbeddingNearDupPairsMapper: corpus exceeds "
+                    f"BROADCAST_LIMIT_BYTES={self.BROADCAST_LIMIT_BYTES}; "
+                    f"switching to approximate LSH pairs (num_tables="
+                    f"{self.num_tables}, num_bits={self.num_bits}) — "
+                    "pairs colliding in no table are missed. Pass "
+                    "exact=True (O(n^2)) or strategy='lsh' to silence.",
+                    stacklevel=2,
+                )
+                strategy = "lsh"
+        if strategy == "broadcast":
             return self._apply_broadcast_matrix(df)
-        if self.exact:
+        if strategy == "pairwise":
             return self._apply_pairwise_expr(df)
         return self._apply_lsh_buckets(df)
 

@@ -28,17 +28,36 @@ from ..core.mapper import SparkMapper
 from .hashing import cosine_similarity, vector_norm
 
 
+_UNKNOWN_SIZE = (1 << 63) - 1  # Catalyst's defaultSizeInBytes sentinel
+
+
+def plan_size_bytes(df: DataFrame) -> Optional[int]:
+    """Catalyst's size estimate for a DataFrame (optimized-plan stats,
+    e.g. parquet file bytes for a scan) — available at plan time, so
+    strategy selection triggers **no Spark job**, unlike ``df.count()``
+    (a full scan at 100 TB).  Returns ``None`` when the estimate is the
+    unknown-size sentinel (RDD-backed / ``createDataFrame`` inputs);
+    file-backed sources always report a real size."""
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return None if size >= _UNKNOWN_SIZE else size
+
+
 class CosineTopK(SparkMapper):
     """Exact cosine top-k neighbors for each query vector.
 
     ``queries_filter`` limits the query side (e.g. ``vec_id < 100``);
     the corpus side stays full.  The corpus side is broadcast when it
-    fits (``BROADCAST_LIMIT`` rows).  Beyond that, exact kNN is
-    inherently O(Q×N): the cross-join path is a scale-killer at corpus
-    sizes too big to broadcast, so it must be explicitly opted into
-    with ``force_exact=True`` — otherwise this raises and points at
-    :class:`HyperplaneLSHTopK` / :class:`IVFCosineTopK` (the 100 TB
+    fits (``BROADCAST_LIMIT_BYTES`` by Catalyst's plan-time size
+    estimate — no probe job is run to decide).  Beyond that, exact kNN
+    is inherently O(Q×N): the cross-join path is a scale-killer at
+    corpus sizes too big to broadcast, so it must be explicitly opted
+    into with ``force_exact=True`` — otherwise this raises and points
+    at :class:`HyperplaneLSHTopK` / :class:`IVFCosineTopK` (the 100 TB
     paths, which rerank with this class's math inside buckets).
+    ``strategy`` pins the plan explicitly (``"broadcast"`` |
+    ``"exact_join"``), bypassing the estimate entirely.
     """
 
     def __init__(
@@ -49,27 +68,49 @@ class CosineTopK(SparkMapper):
         queries_filter: Optional[str] = None,
         exclude_self: bool = True,
         force_exact: bool = False,
+        strategy: Optional[str] = None,
     ) -> None:
+        if strategy not in (None, "broadcast", "exact_join"):
+            raise ValueError(f"unknown strategy {strategy}")
         self.id_field = id_field
         self.vector_field = vector_field
         self.k = k
         self.queries_filter = queries_filter
         self.exclude_self = exclude_self
         self.force_exact = force_exact
+        self.strategy = strategy
         super().__init__(input_fields=[id_field, vector_field])
 
-    BROADCAST_LIMIT = 200_000  # rows; corpus matrix broadcast cap
+    # corpus matrix broadcast cap (Catalyst size estimate; float arrays
+    # barely compress, so parquet bytes ~ in-memory matrix bytes)
+    BROADCAST_LIMIT_BYTES = 128 << 20
+    # fallback cap when the plan-time estimate is unknown (local /
+    # RDD-backed frames only — never file-backed production inputs)
+    BROADCAST_LIMIT_ROWS = 200_000
+
+    def _fits_broadcast(self, df: DataFrame) -> bool:
+        size = plan_size_bytes(df)
+        if size is not None:
+            return size <= self.BROADCAST_LIMIT_BYTES
+        return df.count() <= self.BROADCAST_LIMIT_ROWS
 
     def apply(self, df: DataFrame) -> DataFrame:
-        if df.count() <= self.BROADCAST_LIMIT:
+        strategy = self.strategy
+        if strategy is None:
+            if self._fits_broadcast(df):
+                strategy = "broadcast"
+            elif self.force_exact:
+                strategy = "exact_join"
+            else:
+                raise ValueError(
+                    "corpus exceeds BROADCAST_LIMIT_BYTES="
+                    f"{self.BROADCAST_LIMIT_BYTES}: exact top-k would be "
+                    "an O(Q x N) cross join. Use HyperplaneLSHTopK or "
+                    "IVFCosineTopK (bucketed ANN + exact rerank), or pass "
+                    "force_exact=True to run it anyway."
+                )
+        if strategy == "broadcast":
             return self._apply_broadcast_matrix(df)
-        if not self.force_exact:
-            raise ValueError(
-                f"corpus exceeds BROADCAST_LIMIT={self.BROADCAST_LIMIT} "
-                "rows: exact top-k would be an O(Q x N) cross join. Use "
-                "HyperplaneLSHTopK or IVFCosineTopK (bucketed ANN + exact "
-                "rerank), or pass force_exact=True to run it anyway."
-            )
         return self._apply_pairwise_expr(df)
 
     def _apply_broadcast_matrix(self, df: DataFrame) -> DataFrame:

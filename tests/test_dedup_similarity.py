@@ -123,10 +123,11 @@ def test_near_dup_lsh_path_above_limit(spark, sf_dir):
         for r in EmbeddingNearDupPairsMapper(threshold=0.35).map(df).collect()
     }
     m = EmbeddingNearDupPairsMapper(
-        threshold=0.35, num_bits=3, num_tables=10
+        threshold=0.35, num_bits=3, num_tables=10, dims=64
     )
-    m.BROADCAST_LIMIT = 0  # force the large-corpus path
-    out = m.map(df)
+    m.BROADCAST_LIMIT_BYTES = 0  # force the large-corpus path
+    with pytest.warns(UserWarning, match="approximate LSH"):
+        out = m.map(df)
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
     )
@@ -150,12 +151,16 @@ def test_cosine_topk_guards_unbroadcastable_corpus(spark):
         "vec_id: bigint, embedding: array<float>",
     )
     guarded = CosineTopK(k=2, queries_filter="vec_id = 0")
-    guarded.BROADCAST_LIMIT = 2
+    guarded.BROADCAST_LIMIT_ROWS = 0  # local frame: rows fallback path
     with pytest.raises(ValueError, match="force_exact"):
         guarded.map(df)
     forced = CosineTopK(k=2, queries_filter="vec_id = 0", force_exact=True)
-    forced.BROADCAST_LIMIT = 2
+    forced.BROADCAST_LIMIT_ROWS = 0
     out = forced.map(df).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    # explicit strategy pins the plan with no estimate at all
+    pinned = CosineTopK(k=2, queries_filter="vec_id = 0", strategy="exact_join")
+    out = pinned.map(df).orderBy("rank").collect()
     assert [r.neighbor_id for r in out] == [1, 2]
 
 
@@ -166,13 +171,22 @@ def test_ngram_jaccard_shingle_freq_cap(spark):
     df = spark.createDataFrame(
         rows, "doc_id: bigint, text: string"
     ).withColumn("words", F.split("text", " "))
-    uncapped = NGramJaccardPairsMapper("doc_id", threshold=0.01).map(df)
+    default = NGramJaccardPairsMapper("doc_id", threshold=0.01)
+    assert default.max_shingle_freq == 1024  # finite, safe by default
     # the single hub shingle 'x y z' fans out to all C(10,2) pairs
-    assert uncapped.count() == 45
+    assert default.map(df).count() == 45
     capped = NGramJaccardPairsMapper(
         "doc_id", threshold=0.01, max_shingle_freq=5
     ).map(df)
     assert capped.count() == 0  # hub dropped -> no candidates at all
+    # explicitly uncapped: grouplist would collect_list unboundedly, so
+    # the mapper must fall back to the streaming join method
+    with pytest.warns(UserWarning, match="falling back to method='join'"):
+        uncapped = NGramJaccardPairsMapper(
+            "doc_id", threshold=0.01, max_shingle_freq=None
+        )
+    assert uncapped.method == "join"
+    assert uncapped.map(df).count() == 45
 
 
 def test_lsh_topk_recall(spark, sf_dir):

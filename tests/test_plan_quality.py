@@ -86,3 +86,37 @@ def test_wholestage_codegen_covers_flagship(spark, sf_dir):
     # formatted explain output
     plan = _explain(q_flagship(spark, sf_dir))
     assert "* Filter" in plan and "* Project" in plan, plan
+
+
+def _jobs_submitted(spark) -> int:
+    # the DAGScheduler's job counter: how many jobs have been submitted
+    # in this session so far
+    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+
+def test_ann_plan_construction_runs_no_jobs(spark, sf_dir):
+    """Strategy selection + plan building must be pure plan-time work:
+    the VERDICT-flagged df.count()/limit(1).collect() probes are gone
+    — building any ANN/near-dup plan with dims pinned submits zero
+    Spark jobs before the terminal action."""
+    from smashed_spark.functions.dedup import EmbeddingNearDupPairsMapper
+    from smashed_spark.functions.similarity import (
+        CosineTopK,
+        HyperplaneLSHTopK,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    before = _jobs_submitted(spark)
+    CosineTopK(k=5, queries_filter="vec_id < 20", strategy="exact_join").map(df)
+    EmbeddingNearDupPairsMapper(threshold=0.35, dims=64, strategy="lsh").map(df)
+    HyperplaneLSHTopK(k=5, num_bits=6, num_tables=4, dims=64).map(df)
+    # auto strategy reads Catalyst stats only — still no job (the
+    # broadcast tier would legitimately collect at build time, so pin
+    # the estimate below the corpus to route auto -> lsh)
+    import pytest
+
+    auto = EmbeddingNearDupPairsMapper(threshold=0.35, dims=64)
+    auto.BROADCAST_LIMIT_BYTES = 0
+    with pytest.warns(UserWarning, match="approximate LSH"):
+        auto.map(df)
+    assert _jobs_submitted(spark) == before
