@@ -567,21 +567,63 @@ def q_labels_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LabelsMaskerMapper(strategy="one").map(df)
 
 
-@query("multiseq_stride_pack")  # greedy scan: no tractable SQL oracle
+@query(
+    "multiseq_stride_pack",
+    oracle="""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sq AS (
+        SELECT doc_id,
+               list_transform(words[1:9],
+                   t -> range(1, greatest(least(length(t), 10), 1) + 1)) AS seqs
+        FROM w
+    ),
+    seq AS (
+        SELECT doc_id, g - 1 AS pos, len(seqs[g]) AS l
+        FROM (SELECT doc_id, seqs,
+                     unnest(generate_series(1, len(seqs))) AS g FROM sq)
+    ),
+    walk(doc_id, pos, start, cum) AS (
+        SELECT doc_id, 0, 0, l FROM seq WHERE pos = 0
+        UNION ALL
+        SELECT s.doc_id, s.pos,
+               CASE WHEN wk.cum + s.l > 12 OR s.pos - wk.start >= 4
+                    THEN s.pos ELSE wk.start END,
+               CASE WHEN wk.cum + s.l > 12 OR s.pos - wk.start >= 4
+                    THEN s.l ELSE wk.cum + s.l END
+        FROM walk wk JOIN seq s ON s.doc_id = wk.doc_id AND s.pos = wk.pos + 1
+    ),
+    win AS (
+        SELECT doc_id, start, max(pos) + 1 AS e
+        FROM walk GROUP BY doc_id, start
+    )
+    SELECT win.doc_id AS doc_id,
+           to_json(sq.seqs[win.start + 1 : win.e]) AS seqs
+    FROM win JOIN sq USING (doc_id)
+    """,
+)
 def q_multiseq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiSequenceStriderMapper greedy packing (reference
-    multiseq.py:298-449) — rows-only check (sequential fold semantics)."""
+    multiseq.py:298-449): pack up to 4 sequences / 12 cumulative tokens
+    per window.  The sequential greedy fold is mirrored in the oracle
+    by a recursive CTE walking positions per doc and resetting the
+    running (start, cum) at each break — both length- and count-driven
+    breaks are exercised (sequence sizes vary with word length)."""
     from ..operators.multiseq import MultiSequenceStriderMapper
 
     df = _with_words(spark, sf_dir).select(
         "doc_id",
         F.transform(
             F.slice(F.col("words"), 1, 9),
-            lambda w: F.array(F.length(w).cast("bigint")),
+            lambda w: F.sequence(
+                F.lit(1),
+                F.greatest(F.least(F.length(w), F.lit(10)), F.lit(1)),
+            ),
         ).alias("seqs"),
     )
     return MultiSequenceStriderMapper(
         max_stride_count=4,
+        max_length=12,
         length_reference_field="seqs",
         fields_to_stride=["seqs"],
     ).map(df)

@@ -246,16 +246,69 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-@query("ann_lsh_topk")  # approximate: rows-only check + recall unit test
+def _lsh_topk_sql(k: int, num_bits: int, num_tables: int, dims: int) -> str:
+    """Oracle for HyperplaneLSHTopK: the hyperplanes are deterministic
+    md5-derived literals (similarity.py:_hyperplane), so the oracle
+    embeds the exact same plane vectors and mirrors signature ->
+    bucket-join -> exact-cosine rerank in pure SQL."""
+    from ..functions.similarity import _hyperplane
+
+    def plane_lit(t: int, b: int) -> str:
+        return (
+            "[" + ", ".join(repr(c) for c in _hyperplane(t, b, dims)) + "]"
+        )
+
+    table_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, v, {t} AS tbl, ("
+        + " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(t, b)}) >= 0 "
+            f"THEN {2 ** b} ELSE 0 END)"
+            for b in range(num_bits)
+        )
+        + ") AS bucket FROM e"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sig AS (
+    {table_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+        FROM sig l JOIN sig r ON l.tbl = r.tbl AND l.bucket = r.bucket
+        WHERE l.vec_id < 20 AND r.vec_id != l.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM cand JOIN e a ON a.vec_id = cand.query_id
+                  JOIN e b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_lsh_topk", oracle=_lsh_topk_sql(5, 6, 4, 64))
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (the 100 TB path) — approximate by
-    construction, verified by a recall test against CosineTopK."""
+    """Hyperplane-LSH bucketed ANN (the 100 TB path).  Deterministic
+    given the md5-seeded hyperplanes, so fully oracle-checked (the
+    oracle replays the same planes); recall vs CosineTopK is pinned by
+    a separate unit test."""
     from ..functions.similarity import HyperplaneLSHTopK
 
-    return HyperplaneLSHTopK(
+    out = HyperplaneLSHTopK(
         k=5, num_bits=6, num_tables=4, queries_filter="vec_id < 20",
         dims=64,  # known testdata width: skips the one-row probe job
     ).map(load(spark, sf_dir, "embeddings"))
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
 # ---------------------------------------------------------------------------
