@@ -46,11 +46,31 @@ def main() -> None:
 
     queries = entry_mod.queries()
     import gc
+    import glob
+    import shutil
+    import tempfile
+
+    def isolate() -> None:
+        """Clear cross-query session debris so one query's leftovers
+        (cached tables, streaming state, temp-dir writes, unreleased
+        broadcasts) don't tax the next query's timing — BENCH_r02
+        showed 2-4x regressions on byte-identical code from exactly
+        this shared-session pressure."""
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
+        for d in glob.glob(tempfile.gettempdir() + "/smashed_*"):
+            shutil.rmtree(d, ignore_errors=True)
+        gc.collect()  # drops py4j refs -> JVM ContextCleaner reclaims
+        spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
-        gc.collect()  # release prior queries' broadcasts before timing
+        isolate()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
