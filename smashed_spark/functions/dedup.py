@@ -248,19 +248,28 @@ class NGramJaccardPairsMapper(SparkMapper):
         super().__init__(input_fields=[id_field, words_field])
 
     def _inverted(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
         base = df.select(
             F.col(self.id_field).alias("__id__"),
             word_shingles(
                 F.col(self.words_field), self.shingle_size
             ).alias("__sh__"),
         ).withColumn("__n__", F.size("__sh__"))
+        # shuffle 8-byte shingle keys, not n-gram strings (xxhash64
+        # collisions across distinct shingles are ~|shingles|^2 / 2^65
+        # — negligible vs the shuffle-width win at 100 TB)
         inv = base.select(
-            "__id__", "__n__", F.explode("__sh__").alias("__s__")
-        )
+            "__id__", "__n__", F.explode("__sh__").alias("__s0__")
+        ).select("__id__", "__n__", F.xxhash64("__s0__").alias("__s__"))
         if self.max_shingle_freq is not None:
-            freq = inv.groupBy("__s__").agg(F.count(F.lit(1)).alias("__f__"))
+            # frequency cap as a window over __s__: ONE hash exchange
+            # that the downstream per-shingle groupBy/self-join reuses,
+            # instead of a groupBy(freq)+join (two more exchanges of
+            # the full inverted index)
+            w = Window.partitionBy("__s__")
             inv = (
-                inv.join(freq, "__s__")
+                inv.withColumn("__f__", F.count(F.lit(1)).over(w))
                 .filter(F.col("__f__") <= self.max_shingle_freq)
                 .drop("__f__")
             )
