@@ -422,7 +422,7 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
         cosine, keep pairs above the threshold.  The join is a plain
         hash/sort-merge equi-join on the bucket key — no cartesian
         product anywhere in the plan."""
-        from .similarity import exact_cosine_scores, hyperplane_signature
+        from .similarity import exact_cosine_scores, hyperplane_buckets
 
         dims = self.dims or len(
             df.select(self.vector_field).limit(1).collect()[0][0]
@@ -430,26 +430,14 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
         vec = F.transform(
             F.col(self.vector_field), lambda x: x.cast("double")
         )
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    hyperplane_signature(vec, t, self.num_bits, dims).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(self.num_tables)
-            ]
-        )
         base = df.select(
             F.col(self.id_field).alias("__id__"),
             vec.alias("__v__"),
-            F.explode(tables).alias("__tb__"),
-        ).select(
-            "__id__",
-            "__v__",
-            F.col("__tb__").getField("table").alias("__t__"),
-            F.col("__tb__").getField("bucket").alias("__b__"),
+            F.posexplode(
+                hyperplane_buckets(
+                    vec, self.num_tables, self.num_bits, dims
+                )
+            ).alias("__t__", "__b__"),
         )
         l, r = base.alias("l"), base.alias("r")
         cand = (

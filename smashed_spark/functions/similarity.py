@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -324,6 +325,42 @@ def hyperplane_signature(
     return out.cast("bigint")
 
 
+def hyperplane_buckets(
+    vec: Column, num_tables: int, num_bits: int, dims: int
+) -> Column:
+    """``array<bigint>`` of per-table bucket ids for ``vec`` — same
+    md5-derived hyperplanes as :func:`hyperplane_signature`, but all
+    ``num_tables * num_bits`` dot products computed as ONE BLAS matmul
+    per Arrow batch instead of an interpreted per-plane aggregate fold
+    (which cost O(tables * bits * dims) expression-tree evaluations per
+    row and dominated the LSH gate's runtime)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(
+        [
+            _hyperplane(t, b, dims)
+            for t in range(num_tables)
+            for b in range(num_bits)
+        ],
+        dtype=np.float64,
+    )  # (T*B, D)
+    weights = 1 << np.arange(num_bits, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(v), dtype=np.float64)  # (N, D)
+        dots = mat @ planes.T  # (N, T*B)
+        bits = (dots >= 0).reshape(len(v), num_tables, num_bits)
+        ids = (bits * weights).sum(axis=2, dtype=np.int64)  # (N, T)
+        return pd.Series(list(ids))
+
+    return _buckets(vec)
+
+
 class HyperplaneLSHTopK(SparkMapper):
     """Approximate cosine top-k via random-hyperplane LSH.
 
@@ -370,24 +407,14 @@ class HyperplaneLSHTopK(SparkMapper):
         )
 
         vec = F.col(self.vector_field)
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    self._signature(vec, t, dims).alias("bucket"),
-                )
-                for t in range(self.num_tables)
-            ]
-        )
         base = df.select(
             F.col(self.id_field).alias("__id__"),
             vec.alias("__v__"),
-            F.explode(tables).alias("__tb__"),
-        ).select(
-            "__id__",
-            "__v__",
-            F.col("__tb__").getField("table").alias("__t__"),
-            F.col("__tb__").getField("bucket").alias("__b__"),
+            F.posexplode(
+                hyperplane_buckets(
+                    vec, self.num_tables, self.num_bits, dims
+                )
+            ).alias("__t__", "__b__"),
         )
         queries = base
         if self.queries_filter:

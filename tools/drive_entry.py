@@ -35,8 +35,9 @@ def norm(v):
 Q, O = E.queries(), E.oracle_sql()
 print(f"{len(Q)} queries, {len(O)} oracles")
 assert set(O) <= set(Q), "oracle keys must be subset of query keys"
+only = set(sys.argv[1:])  # optional: check just these query names
 fails = []
-for name in sorted(Q):
+for name in sorted(only or Q):
     sdf = Q[name](spark, "/root/testdata/sf0.01")
     scols = sorted(sdf.columns)
     srows = sorted((tuple(norm(r[c]) for c in scols) for r in sdf.collect()), key=repr)

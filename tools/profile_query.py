@@ -37,6 +37,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry_mod
 
     spark.range(1000).selectExpr("sum(id)").collect()
