@@ -166,16 +166,16 @@ class FewShotJinjaMapper(JinjaMapper):
     render the (num_shots+1)-th row (reference promptsource.py:357-470).
 
     Order-sensitive (SURVEY.md §7 risk 1): requires ``order_by``.  Groups
-    are formed by ``floor(rank / (num_shots+1))`` and rendered with
-    ``applyInPandas`` — one shuffle on the group id, then parallel
-    rendering per group.
+    are formed by ``floor(rank / (num_shots+1))``, folded into one row
+    each by a JVM-side ``collect_list`` hash-agg (one shuffle on the
+    group id), and rendered in bulk with ``mapInPandas`` — thousands of
+    groups per Arrow batch, not one Python call per group.
 
-    Memory bound: ``applyInPandas`` materializes one GROUP per call —
-    here a group is ``num_shots + 1`` rows, so executor memory holds
-    O(num_shots × row width), never a whole partition.  Arrow batch
-    size (``spark.sql.execution.arrow.maxRecordsPerBatch``) bounds the
-    transfer; groups are tiny by construction so this operator is safe
-    at any corpus size.
+    Memory bound: a collected group is ``num_shots + 1`` rows, so the
+    per-key agg state is O(num_shots × row width), never a whole
+    partition; Arrow batch size
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``) bounds the
+    transfer.  Safe at any corpus size.
     """
 
     def __init__(
@@ -255,17 +255,39 @@ class FewShotJinjaMapper(JinjaMapper):
             gid = F.floor(rn / group_size)
         dfg = df.withColumn("__gid__", gid)
 
-        def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(order_cols)
-            records = pdf.drop(columns=["__gid__"]).to_dict(orient="records")
-            full = group_size is not None and len(records) == group_size
-            if not full and not keep_last:
-                return pd.DataFrame({c: [] for c in out_cols})
-            *shots, sample = records
-            rendered = format_output(render({**sample, VARSHOTS: shots}))
-            return pd.DataFrame({c: [rendered.get(c)] for c in out_cols})
+        # fold each (tiny) group into ONE row JVM-side — order_cols
+        # lead the struct so sort_array realizes the required in-group
+        # ordering — then render thousands of groups per Arrow batch.
+        # (groupBy().applyInPandas here would pay one Python call +
+        # pandas construction per num_shots+1 rows: ~60% of the gate's
+        # runtime at sf0.1 was that per-group overhead.)
+        rest = [c for c in df.columns if c not in order_cols]
+        grouped = dfg.groupBy("__gid__").agg(
+            F.sort_array(
+                F.collect_list(F.struct(*order_cols, *rest))
+            ).alias("__recs__")
+        )
 
-        return dfg.groupBy("__gid__").applyInPandas(run, schema=schema)
+        def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            for pdf in batches:
+                out: Dict[str, List[Any]] = {c: [] for c in out_cols}
+                for recs in pdf["__recs__"]:
+                    records = [dict(r) for r in recs]
+                    full = (
+                        group_size is not None
+                        and len(records) == group_size
+                    )
+                    if not full and not keep_last:
+                        continue
+                    *shots, sample = records
+                    rendered = format_output(
+                        render({**sample, VARSHOTS: shots})
+                    )
+                    for c in out_cols:
+                        out[c].append(rendered.get(c))
+                yield pd.DataFrame(out, columns=out_cols)
+
+        return grouped.mapInPandas(run, schema=schema)
 
 
 class PromptsourceMapper(JinjaMapper):

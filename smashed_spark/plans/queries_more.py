@@ -252,8 +252,12 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint"),
         )
     )
-    from_jsonl = JsonlLoaderMapper("path").map(jsonl_paths).select(
-        "doc_id", "source", "text"
+    from_jsonl = (
+        JsonlLoaderMapper(
+            "path", schema="doc_id bigint, source string, text string"
+        )
+        .map(jsonl_paths)
+        .select("doc_id", "source", "text")
     )
     return from_csv.join(from_jsonl, "doc_id").select(
         "doc_id", "lang", "n_chars", "source", "text"

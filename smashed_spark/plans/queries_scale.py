@@ -680,9 +680,12 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     src = tempfile.mkdtemp(prefix="smashed_stream_") + "/events"
-    # one file -> one availableNow micro-batch, so per-user in-batch
-    # ordering (the stateful fn sorts each batch) is total ordering
-    events.unionAll(sentinels).coalesce(1).write.parquet(src)
+    # availableNow with no read limits (maxFilesPerTrigger unset)
+    # snapshots every file into ONE micro-batch, and the stateful fn
+    # sorts each user's rows within a batch — so the write can be
+    # parallel (coalesce(1) previously serialized the union + sentinel
+    # agg through a single task: ~3s of the gate at sf0.1)
+    events.unionAll(sentinels).repartition(8).write.parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     name = "smashed_stream_sessions"
     # a state store is created per shuffle partition: bound them for

@@ -61,20 +61,29 @@ class CsvLoaderMapper(SparkMapper):
 
 class JsonlLoaderMapper(SparkMapper):
     """Rows carry JSONL paths; output is one row per JSON line
-    (reference loaders.py:171-192)."""
+    (reference loaders.py:171-192).
 
-    def __init__(self, paths_field: str, encoding: str = "utf-8") -> None:
+    Pass ``schema`` (DDL string or StructType) to skip schema
+    inference — inference is an extra full scan of every file, which
+    at 100 TB doubles the read.
+    """
+
+    def __init__(
+        self, paths_field: str, encoding: str = "utf-8", schema=None
+    ) -> None:
         self.paths_field = paths_field
         self.encoding = encoding
+        self.schema = schema
         super().__init__(input_fields=[paths_field])
 
     def apply(self, df: DataFrame) -> DataFrame:
         paths = [
             r[0] for r in df.select(self.paths_field).distinct().collect()
         ]
-        return df.sparkSession.read.option("encoding", self.encoding).json(
-            paths
-        )
+        reader = df.sparkSession.read.option("encoding", self.encoding)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.json(paths)
 
 
 def concatenate_datasets(dfs: Sequence[DataFrame]) -> DataFrame:

@@ -120,3 +120,41 @@ def test_ann_plan_construction_runs_no_jobs(spark, sf_dir):
     with pytest.warns(UserWarning, match="approximate LSH"):
         auto.map(df)
     assert _jobs_submitted(spark) == before
+
+
+def test_fewshot_single_exchange_single_python_stage(spark, sf_dir):
+    """FewShotJinjaMapper (contiguous-key path): one hash exchange on
+    the group id, groups folded JVM-side by collect_list, exactly one
+    Python stage (the bulk MapInPandas render) — NOT one Python call
+    per group (FlatMapGroupsInPandas)."""
+    from smashed_spark.plans.queries import q_fewshot
+
+    plan = _explain(q_fewshot(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    # "<Node> (n)" matches the tree section only (details render as
+    # "(n) <Node>"), so these count physical nodes exactly once
+    assert plan.count("MapInPandas (") == 1, plan
+    assert plan.count("Exchange (") == 1, plan
+    assert "Sort (" not in plan, plan  # no global sort on the scale path
+
+
+def test_ngram_cap_adds_no_extra_exchange(spark, sf_dir):
+    """The hub-shingle frequency cap is a count window over the same
+    hashpartitioning(__s__) the pair-generation groupBy needs: capped
+    and uncapped plans must have the SAME number of exchanges of the
+    inverted index."""
+    from smashed_spark.functions.dedup import NGramJaccardPairsMapper
+
+    df = load(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    capped = _explain(
+        NGramJaccardPairsMapper(
+            "doc_id", threshold=0.2, max_shingle_freq=1024
+        ).map(df)
+    )
+    # exactly two exchanges: hashpartitioning(__s__) — shared by the
+    # count window AND the per-shingle groupBy — plus the final
+    # pair-key groupBy.  A third exchange means the cap's frequency
+    # filter stopped reusing the shingle partitioning.
+    assert capped.count("Exchange (") == 2, capped
