@@ -708,12 +708,69 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_topk")  # approximate by construction: rows-only + recall test
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: MLlib KMeans cosine cells as the coarse quantizer,
-    n_probe cells scored per query, exact rerank (the second scale
-    path beside hyperplane LSH)."""
+    """IVF ANN: spherical-kmeans cosine cells (fit on a bounded
+    driver-side sample) as the coarse quantizer, n_probe cells scored
+    per query, exact rerank (the second scale path beside hyperplane
+    LSH)."""
     from ..functions.similarity import IVFCosineTopK
 
     return IVFCosineTopK(
         k=5, n_centroids=8, n_probe=3, max_iter=3,
         queries_filter="vec_id < 20",
     ).map(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "multimodal_binary",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+    ), f AS (
+        SELECT doc_id, n, i
+        FROM m, (SELECT unnest(range(4)) AS i)
+    )
+    SELECT f.doc_id,
+           CAST(m.n AS BIGINT) AS media_n_bytes,
+           md5(m.text) AS media_md5,
+           CAST(f.i AS INT) AS frame_idx,
+           md5(substring(m.text, (f.n * f.i) // 4 + 1,
+                         (f.n * (f.i + 1)) // 4 - (f.n * f.i) // 4))
+               AS frame_digest,
+           CAST(CASE WHEN m.n = 0 THEN 0 ELSE floor(
+               (SELECT avg(ascii(c))
+                FROM unnest(string_split_regex(m.text, '')) AS t(c)
+                WHERE c != '')) END AS BIGINT) AS media_mean_level
+    FROM f JOIN m ON f.doc_id = m.doc_id
+    """,
+)
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline over an opaque media column
+    (documents.text utf-8-encoded — ASCII in this corpus, so the
+    DuckDB oracle's char arithmetic equals byte arithmetic): native
+    metadata (length+md5 at scan speed), N:M frame sampling (one row
+    per pseudo-frame via mapInPandas), and byte-level feature
+    extraction — certifying the binary schema, Arrow batch plumbing,
+    and fan-out cardinality end-to-end."""
+    from ..core.pipeline import Pipeline
+    from ..operators.multimodal import (
+        AudioFeatureMapper,
+        BinaryMetadataMapper,
+        FrameSampleMapper,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    pipe = (
+        BinaryMetadataMapper("media", prefix="media")
+        >> AudioFeatureMapper("media", prefix="level")
+        >> FrameSampleMapper("media", num_frames=4)
+    )
+    return pipe.map(docs).select(
+        "doc_id",
+        "media_n_bytes",
+        "media_md5",
+        "frame_idx",
+        "frame_digest",
+        F.col("level_mean_level").alias("media_mean_level"),
+    )
