@@ -13,13 +13,32 @@ passed to the mappers instead.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+# one ASCII punctuation char (exactly the 33-47/58-64/91-96/123-126
+# ranges _is_punct tests) or a run of non-space non-punct chars
+_ASCII_TOKEN_RE = re.compile(r"[!-/:-@\[-`{-~]|[^\s!-/:-@\[-`{-~]+")
 
 
 def basic_tokenize(text: str, lowercase: bool = True) -> List[Tuple[str, int, int]]:
     """Whitespace + punctuation splitting with char offsets (the BERT
-    "basic tokenizer" step).  Returns (token, start, end) triples."""
+    "basic tokenizer" step).  Returns (token, start, end) triples.
+
+    ASCII text (the overwhelming hot path) is tokenized by one
+    compiled-regex scan; the per-char loop below only runs for inputs
+    with non-ASCII chars (where Unicode P* categories matter)."""
+    if text.isascii():
+        if lowercase:
+            return [
+                (m.group().lower(), m.start(), m.end())
+                for m in _ASCII_TOKEN_RE.finditer(text)
+            ]
+        return [
+            (m.group(), m.start(), m.end())
+            for m in _ASCII_TOKEN_RE.finditer(text)
+        ]
     tokens: List[Tuple[str, int, int]] = []
     i, n = 0, len(text)
     while i < n:
@@ -85,13 +104,27 @@ class WordPieceTokenizer:
         # BERT-style tokenizers have no bos/eos distinct from cls/sep
         self.bos_token_id = None
         self.eos_token_id = None
+        self._wp_cache: Dict[str, List[Tuple[int, Tuple[int, int]]]] = {}
 
     # -- core ------------------------------------------------------------
 
     def _wordpiece(
         self, word: str, start: int
     ) -> List[Tuple[int, Tuple[int, int]]]:
-        """Greedy longest-match-first subword split of one word."""
+        """Greedy longest-match-first subword split of one word.
+        Splits are word-relative and memoized (corpora repeat words far
+        more than they introduce them), then shifted by ``start``."""
+        cache = self._wp_cache
+        rel = cache.get(word)
+        if rel is None:
+            if len(cache) >= 262_144:  # bound executor memory
+                cache.clear()
+            cache[word] = rel = self._wordpiece_rel(word)
+        return [(i, (start + s, start + e)) for i, (s, e) in rel]
+
+    def _wordpiece_rel(
+        self, word: str
+    ) -> List[Tuple[int, Tuple[int, int]]]:
         pieces: List[Tuple[int, Tuple[int, int]]] = []
         pos = 0
         n = len(word)
@@ -109,8 +142,8 @@ class WordPieceTokenizer:
                     break
                 end -= 1
             if cur is None:
-                return [(self.unk_token_id, (start, start + n))]
-            pieces.append((cur, (start + pos, start + cur_end)))
+                return [(self.unk_token_id, (0, n))]
+            pieces.append((cur, (pos, cur_end)))
             pos = cur_end
         return pieces
 
