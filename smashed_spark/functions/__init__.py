@@ -14,9 +14,12 @@ from .hashing import (
     word_shingles,
 )
 from .similarity import CosineTopK, HyperplaneLSHTopK
+from .similarity import IVFCosineTopK
 from .textstats import (
+    DecontaminateMapper,
     FingerprintMapper,
     LangIdMapper,
+    PiiRedactMapper,
     QualityScoreMapper,
     TokenCountMapper,
 )
@@ -24,14 +27,17 @@ from .wordpiece import WordPieceTokenizer, tiny_bert_tokenizer
 
 __all__ = [
     "CosineTopK",
+    "DecontaminateMapper",
     "EmbeddingNearDupPairsMapper",
     "ExactDedupMapper",
     "FingerprintMapper",
     "HyperplaneLSHTopK",
+    "IVFCosineTopK",
     "LangIdMapper",
     "MinHashLSHPairsMapper",
     "MinHashMapper",
     "NGramJaccardPairsMapper",
+    "PiiRedactMapper",
     "QualityScoreMapper",
     "SimHashMapper",
     "TokenCountMapper",

@@ -192,3 +192,141 @@ class FingerprintMapper(SparkMapper):
                 F.array_min(gram_hashes), F.lit(None).cast("bigint")
             )
         return df.withColumns(out)
+
+
+class PiiRedactMapper(SparkMapper):
+    """Redact common PII patterns (emails, phone numbers, IPv4
+    addresses) from a text column and count what was removed — the
+    standard scrub step before training-data release.
+
+    Pure ``regexp_replace``/``regexp_count`` column expressions:
+    JVM-side, scan-speed, no Python.  Patterns are deliberately simple
+    RE2-compatible classes (no lookbehind) so external engines
+    (and the DuckDB oracle) agree on matches.
+    """
+
+    #: (name, pattern, replacement) — applied in order
+    PATTERNS = (
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        ("phone", r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}(?:[-. ]\d{3,4})?", "<PHONE>"),
+        ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    )
+
+    def __init__(
+        self,
+        text_field: str = "text",
+        output_field: Optional[str] = None,
+        count_prefix: Optional[str] = "n_pii",
+    ) -> None:
+        self.text_field = text_field
+        self.output_field = output_field or text_field
+        self.count_prefix = count_prefix
+        super().__init__(
+            input_fields=[text_field], output_fields=[self.output_field]
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        col = F.col(self.text_field)
+        out = {}
+        if self.count_prefix:
+            for name, pat, _ in self.PATTERNS:
+                out[f"{self.count_prefix}_{name}"] = F.regexp_count(
+                    col, F.lit(pat)
+                ).cast("bigint")
+        red = col
+        for _, pat, repl in self.PATTERNS:
+            red = F.regexp_replace(red, pat, repl)
+        out[self.output_field] = red
+        return df.withColumns(out)
+
+
+class DecontaminateMapper(SparkMapper):
+    """Train/test decontamination: count n-gram (shingle) overlap of
+    each document against a benchmark corpus and flag (or drop)
+    contaminated documents — the GPT-3-style eval-leakage scrub.
+
+    Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    the benchmark's distinct shingles BROADCAST; the corpus side is one
+    narrow explode + broadcast-hash semi-join — the corpus itself never
+    shuffles.  Only the matched (doc, shingle) rows — bounded by
+    |benchmark shingles| x docs sharing them — reach the per-doc
+    overlap count, and in ``drop``/``flag_any`` mode even that
+    aggregation is skipped in favor of a semi/anti join.
+    """
+
+    def __init__(
+        self,
+        benchmark: DataFrame,
+        id_field: str = "doc_id",
+        words_field: str = "words",
+        shingle_size: int = 8,
+        min_overlap: int = 1,
+        mode: str = "flag",
+        flag_field: str = "contaminated",
+        overlap_field: str = "n_overlap",
+    ) -> None:
+        if mode not in ("flag", "drop"):
+            raise ValueError(f"unknown mode {mode}")
+        self.benchmark = benchmark
+        self.id_field = id_field
+        self.words_field = words_field
+        self.shingle_size = shingle_size
+        self.min_overlap = int(min_overlap)
+        self.mode = mode
+        self.flag_field = flag_field
+        self.overlap_field = overlap_field
+        super().__init__(input_fields=[id_field, words_field])
+
+    def _bench_shingles(self) -> DataFrame:
+        from .hashing import word_shingles
+
+        return (
+            self.benchmark.select(
+                F.explode(
+                    word_shingles(
+                        F.col(self.words_field), self.shingle_size
+                    )
+                ).alias("__s__")
+            )
+            .distinct()
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from .hashing import word_shingles
+
+        bench = F.broadcast(self._bench_shingles())
+        sh = word_shingles(F.col(self.words_field), self.shingle_size)
+        inv = df.select(
+            F.col(self.id_field).alias("__id__"),
+            F.explode(sh).alias("__s__"),
+        )
+        if self.mode == "drop" and self.min_overlap == 1:
+            # any overlap disqualifies: anti-join on contaminated ids,
+            # no aggregation at all
+            bad = inv.join(bench, "__s__").select("__id__").distinct()
+            return df.join(
+                bad.withColumnRenamed("__id__", self.id_field),
+                self.id_field,
+                "left_anti",
+            )
+        counts = (
+            inv.join(bench, "__s__")
+            .groupBy("__id__")
+            .agg(F.count(F.lit(1)).alias(self.overlap_field))
+        )
+        joined = df.join(
+            counts.withColumnRenamed("__id__", self.id_field),
+            self.id_field,
+            "left",
+        ).withColumn(
+            self.overlap_field,
+            F.coalesce(F.col(self.overlap_field), F.lit(0)),
+        )
+        if self.mode == "drop":
+            return joined.filter(
+                F.col(self.overlap_field) < self.min_overlap
+            ).drop(self.overlap_field)
+        return joined.withColumn(
+            self.flag_field,
+            (F.col(self.overlap_field) >= self.min_overlap),
+        )

@@ -774,3 +774,110 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_digest",
         F.col("level_mean_level").alias("media_mean_level"),
     )
+
+
+@query(
+    "pii_redact",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               'reach me at ' || source || '_' || doc_id ||
+               '@example.com or +1-555-01' || (doc_id % 90) ||
+               ' host 10.0.' || (doc_id % 256) || '.7 ' || text AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_pii_email,
+           CAST(len(regexp_extract_all(raw,
+               '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}(?:[-. ]\\d{3,4})?')) AS BIGINT)
+               AS n_pii_phone,
+           CAST(len(regexp_extract_all(
+               regexp_replace(regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}(?:[-. ]\\d{3,4})?',
+                   '<PHONE>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_pii_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}(?:[-. ]\\d{3,4})?',
+               '<PHONE>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS redacted
+    FROM t
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a synthesized-PII text column (emails / phones /
+    IPv4 embedded deterministically from doc_id so both engines build
+    identical inputs): counts per category + the redacted text.  Pure
+    regexp column expressions — scan-speed, RE2-compatible patterns.
+
+    NB: the ipv4 *count* in the oracle runs on the email/phone-redacted
+    text, mirroring that the mapper counts each pattern on the original
+    text but the phone pattern never overlaps an IP here — both engines
+    count the same matches.
+    """
+    from ..functions.textstats import PiiRedactMapper
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("reach me at "),
+            F.col("source"),
+            F.lit("_"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1-555-01"),
+            F.col("doc_id") % 90,
+            F.lit(" host 10.0."),
+            F.col("doc_id") % 256,
+            F.lit(".7 "),
+            F.col("text"),
+        ).alias("raw"),
+    )
+    out = PiiRedactMapper("raw", output_field="redacted").map(docs)
+    return out.select(
+        "doc_id", "n_pii_email", "n_pii_phone", "n_pii_ipv4", "redacted"
+    )
+
+
+@query(
+    "decontaminate",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(words) - 7, 0)),
+                   i -> array_to_string(words[i + 1 : i + 8], ' ')))
+                   AS shingles
+        FROM w
+    ),
+    bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+              WHERE doc_id % 40 = 0),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cnt AS (SELECT i.doc_id, count(*) AS n_overlap
+            FROM inv i JOIN bench b ON i.s = b.s GROUP BY 1)
+    SELECT s.doc_id,
+           coalesce(c.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+           coalesce(c.n_overlap, 0) >= 1 AS contaminated
+    FROM sh s LEFT JOIN cnt c ON s.doc_id = c.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: 8-gram overlap of every document
+    against a benchmark slice (doc_id % 40 == 0) of the same corpus —
+    benchmark shingles broadcast, corpus side stays unshuffled."""
+    from ..functions.textstats import DecontaminateMapper
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    out = DecontaminateMapper(
+        bench, shingle_size=8, min_overlap=1, mode="flag"
+    ).map(docs)
+    return out.select("doc_id", "n_overlap", "contaminated")

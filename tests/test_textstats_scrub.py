@@ -1,0 +1,90 @@
+"""PII redaction + decontamination unit tests."""
+
+from pyspark.sql import functions as F
+
+from smashed_spark.functions.textstats import (
+    DecontaminateMapper,
+    PiiRedactMapper,
+)
+
+
+def test_pii_redact_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org now"),
+            (2, "call +1-555-867-5309 or 310 555 0199 x"),
+            (3, "host 192.168.0.1 and 8.8.8.8"),
+            (4, "clean text only"),
+            (5, None),
+        ],
+        "id: bigint, text: string",
+    )
+    out = {r.id: r for r in PiiRedactMapper("text").map(df).collect()}
+    assert out[1].text == "mail <EMAIL> now"
+    assert out[1].n_pii_email == 1
+    assert out[2].text == "call <PHONE> or <PHONE> x"
+    assert out[2].n_pii_phone == 2
+    assert out[3].text == "host <IP> and <IP>"
+    assert out[3].n_pii_ipv4 == 2
+    assert out[4].text == "clean text only"
+    assert (
+        out[4].n_pii_email == out[4].n_pii_phone == out[4].n_pii_ipv4 == 0
+    )
+    assert out[5].text is None
+
+
+def test_pii_redact_separate_output_field(spark):
+    df = spark.createDataFrame([(1, "x@y.io")], "id: bigint, text: string")
+    r = PiiRedactMapper("text", output_field="clean").map(df).first()
+    assert r.text == "x@y.io" and r.clean == "<EMAIL>"
+
+
+def _docs(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),      # contains bench 8-gram run
+        (2, "a b c d e f g h zz qq"),    # shares 'a b c d e f g h'
+        (3, "totally different words here with no overlap at all"),
+        (4, "short"),                     # too short for any 8-gram
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id: bigint, text: string"
+    ).withColumn("words", F.split("text", " "))
+
+
+def test_decontaminate_flag_counts(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") == 1)
+    out = {
+        r.doc_id: r
+        for r in DecontaminateMapper(bench, shingle_size=8)
+        .map(docs)
+        .collect()
+    }
+    assert out[1].contaminated and out[1].n_overlap == 3  # its own 3 8-grams
+    assert out[2].contaminated and out[2].n_overlap == 1
+    assert not out[3].contaminated and out[3].n_overlap == 0
+    assert not out[4].contaminated and out[4].n_overlap == 0
+
+
+def test_decontaminate_drop_is_anti_join(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") == 1)
+    m = DecontaminateMapper(bench, shingle_size=8, mode="drop")
+    kept = sorted(r.doc_id for r in m.map(docs).collect())
+    assert kept == [3, 4]
+    # plan shape: benchmark broadcast + anti join, no aggregation
+    plan = m.map(docs)._sc._jvm.PythonSQLUtils.explainString(
+        m.map(docs)._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") == 1)
+    out = DecontaminateMapper(
+        bench, shingle_size=8, min_overlap=2, mode="drop"
+    ).map(docs)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [2, 3, 4]  # only doc 1 (3 overlaps) >= 2
