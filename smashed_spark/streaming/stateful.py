@@ -164,6 +164,12 @@ def run_sessionize_bounded(
     import tempfile
 
     checkpoint_dir = tempfile.mkdtemp(prefix="smashed_stream_ckpt_")
+    spark = stream.sparkSession
+    # a bounded replay with NoTimeout state never needs the trailing
+    # no-data micro-batch (it exists to advance watermarks/timeouts)
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    nd_prev = spark.conf.get(nd_key)
+    spark.conf.set(nd_key, "false")
     sessions = streaming_sessionize(
         stream, gap_minutes=gap_minutes, idle_timeout=False
     )
@@ -178,6 +184,7 @@ def run_sessionize_bounded(
     try:
         q.awaitTermination(timeout_seconds)
     finally:
+        spark.conf.set(nd_key, nd_prev)
         if q.isActive:  # timed out: don't yank the checkpoint mid-commit
             q.stop()
             q.awaitTermination(30)
