@@ -1,0 +1,80 @@
+"""End-to-end training-data curation: quality filter -> language ID ->
+PII redaction -> exact dedup -> near-dedup (MinHash LSH) -> train/test
+decontamination -> token accounting.  The whole chain is lazy: one
+logical plan, and every narrow step fuses; the only shuffles are the
+two dedup aggregations and the LSH bucket join.
+
+Run: python examples/curate_corpus.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from smashed_spark.functions.dedup import (
+    ExactDedupMapper,
+    MinHashLSHPairsMapper,
+    MinHashMapper,
+)
+from smashed_spark.functions.textstats import (
+    DecontaminateMapper,
+    LangIdMapper,
+    PiiRedactMapper,
+    QualityScoreMapper,
+    TokenCountMapper,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1-3. narrow, scan-speed: quality gate, language tag, PII scrub
+    pipe = (
+        QualityScoreMapper("text")
+        >> LangIdMapper("text")
+        >> PiiRedactMapper("text")
+        >> TokenCountMapper("text")
+    )
+    scored = pipe.map(docs).filter(F.col("q_score") >= 0.3)
+
+    # 4. exact dedup (one shuffle on the content digest)
+    deduped = ExactDedupMapper().map(scored)
+
+    # 5. near-dedup: LSH candidates; drop the higher doc_id of each pair
+    with_words = deduped.withColumn("words", F.split("text", " "))
+    pairs = (
+        MinHashMapper(num_hashes=16)
+        >> MinHashLSHPairsMapper("doc_id", bands=4, rows_per_band=4)
+    ).map(with_words)
+    near_dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = with_words.join(near_dupes, "doc_id", "left_anti")
+
+    # 6. decontaminate against a benchmark slice (broadcast semi-join)
+    benchmark = with_words.filter(F.col("doc_id") % 97 == 0)
+    clean = DecontaminateMapper(
+        benchmark, shingle_size=8, mode="drop"
+    ).map(survivors)
+
+    # 7. account
+    stats = clean.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_ws_tokens").alias("tokens"),
+        F.sum("n_pii_email").alias("emails_redacted"),
+    )
+    stats.show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
