@@ -91,3 +91,104 @@ def test_mask_range_roundtrip_property(spark):
     out = RangeToMaskMapper("m2", "m", "r").map(df2).collect()
     for row in out:
         assert row.m2 == row.m, (row.m, row.r, row.m2)
+
+
+def test_ngram_jaccard_methods_agree_on_random_corpora(spark):
+    """grouplist (windowed hub cap, shared shuffle) and join (streaming
+    two-sided) must produce identical pair sets — including under a
+    binding frequency cap — on seeded-random corpora."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from smashed_spark.functions.dedup import NGramJaccardPairsMapper
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    bases = [
+        [rng.choice(vocab) for _ in range(rng.randint(12, 40))]
+        for _ in range(12)
+    ]
+    rows = []
+    for i in range(120):
+        w = list(rng.choice(bases))
+        for _ in range(rng.randint(0, 4)):  # small mutations -> real pairs
+            w[rng.randrange(len(w))] = rng.choice(vocab)
+        rows.append((i, " ".join(w)))
+    rows += [(200 + i, "") for i in range(3)]  # empty docs
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string").withColumn(
+        "words", F.split("text", " ")
+    )
+    for cap in (None, 8):
+        kw = dict(threshold=0.15, max_shingle_freq=cap)
+        a = NGramJaccardPairsMapper("doc_id", method="grouplist", **kw)
+        if cap is None:
+            import pytest
+
+            with pytest.warns(UserWarning, match="falling back"):
+                a = NGramJaccardPairsMapper(
+                    "doc_id", method="grouplist", **kw
+                )
+        b = NGramJaccardPairsMapper("doc_id", method="join", **kw)
+        ra = sorted(map(tuple, a.map(df).collect()))
+        rb = sorted(map(tuple, b.map(df).collect()))
+        assert ra == rb, (cap, ra[:5], rb[:5])
+        if cap == 8:
+            assert ra, "cap test corpus produced no pairs at all"
+
+
+def test_pii_redaction_is_idempotent(spark):
+    """Redacting already-redacted text must be a no-op (replacement
+    tokens never re-match any pattern)."""
+    import random
+
+    from smashed_spark.functions.textstats import PiiRedactMapper
+
+    rng = random.Random(11)
+    bits = [
+        "a@b.co", "x.y+z@mail.example.org", "+44-123-456-7890",
+        "555 123 4567", "10.0.0.1", "plain words", "dots.and.dashes-",
+        "@", "1.2.3", "<EMAIL>",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(bits) for _ in range(rng.randint(1, 8))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id: bigint, text: string")
+    once = PiiRedactMapper("text", count_prefix=None).map(df)
+    twice = PiiRedactMapper("text", count_prefix=None).map(once)
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_hyperplane_buckets_match_expression_signatures(spark):
+    """The vectorized (BLAS matmul) bucket computation must equal the
+    per-plane Catalyst fold it replaced, plane by plane."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from smashed_spark.functions.similarity import (
+        hyperplane_buckets,
+        hyperplane_signature,
+    )
+
+    rng = random.Random(3)
+    dims, tables, bits = 16, 3, 5
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dims)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id: bigint, v: array<double>")
+    out = df.select(
+        "id",
+        hyperplane_buckets(F.col("v"), tables, bits, dims).alias("fast"),
+        F.array(
+            *[
+                hyperplane_signature(F.col("v"), t, bits, dims)
+                for t in range(tables)
+            ]
+        ).alias("ref"),
+    )
+    for r in out.collect():
+        assert list(r.fast) == list(r.ref), r.id
