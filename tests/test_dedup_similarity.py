@@ -179,14 +179,23 @@ def test_ngram_jaccard_shingle_freq_cap(spark):
         "doc_id", threshold=0.01, max_shingle_freq=5
     ).map(df)
     assert capped.count() == 0  # hub dropped -> no candidates at all
-    # explicitly uncapped: grouplist would collect_list unboundedly, so
-    # the mapper must fall back to the streaming join method
-    with pytest.warns(UserWarning, match="falling back to method='join'"):
-        uncapped = NGramJaccardPairsMapper(
-            "doc_id", threshold=0.01, max_shingle_freq=None
-        )
+    # uncapped is fine on the default streaming join path (no per-group
+    # memory requirement)...
+    uncapped = NGramJaccardPairsMapper(
+        "doc_id", threshold=0.01, max_shingle_freq=None
+    )
     assert uncapped.method == "join"
     assert uncapped.map(df).count() == 45
+    # ...but explicitly requesting grouplist uncapped would
+    # collect_list unboundedly, so it must fall back to join
+    with pytest.warns(UserWarning, match="falling back to method='join'"):
+        forced = NGramJaccardPairsMapper(
+            "doc_id",
+            threshold=0.01,
+            max_shingle_freq=None,
+            method="grouplist",
+        )
+    assert forced.method == "join"
 
 
 def test_lsh_topk_recall(spark, sf_dir):

@@ -139,22 +139,30 @@ def test_fewshot_single_exchange_single_python_stage(spark, sf_dir):
 
 
 def test_ngram_cap_adds_no_extra_exchange(spark, sf_dir):
-    """The hub-shingle frequency cap is a count window over the same
-    hashpartitioning(__s__) the pair-generation groupBy needs: capped
-    and uncapped plans must have the SAME number of exchanges of the
-    inverted index."""
+    """grouplist path: the hub-shingle frequency cap is a count window
+    over the same hashpartitioning(__s__) the pair-generation groupBy
+    needs — exactly two exchanges total (shingle key + final pair key).
+    A third exchange means the cap's frequency filter stopped reusing
+    the shingle partitioning.  The default join path must stay a plain
+    equi-join: no CartesianProduct, no BroadcastNestedLoopJoin."""
     from smashed_spark.functions.dedup import NGramJaccardPairsMapper
 
     df = load(spark, sf_dir, "documents").withColumn(
         "words", F.split("text", " ")
     )
-    capped = _explain(
+    grouplist = _explain(
+        NGramJaccardPairsMapper(
+            "doc_id",
+            threshold=0.2,
+            max_shingle_freq=1024,
+            method="grouplist",
+        ).map(df)
+    )
+    assert grouplist.count("Exchange (") == 2, grouplist
+    join = _explain(
         NGramJaccardPairsMapper(
             "doc_id", threshold=0.2, max_shingle_freq=1024
         ).map(df)
     )
-    # exactly two exchanges: hashpartitioning(__s__) — shared by the
-    # count window AND the per-shingle groupBy — plus the final
-    # pair-key groupBy.  A third exchange means the cap's frequency
-    # filter stopped reusing the shingle partitioning.
-    assert capped.count("Exchange (") == 2, capped
+    assert "CartesianProduct" not in join, join
+    assert "BroadcastNestedLoopJoin" not in join, join
