@@ -392,9 +392,6 @@ class HyperplaneLSHTopK(SparkMapper):
         self.dims = dims
         super().__init__(input_fields=[id_field, vector_field])
 
-    def _signature(self, vec: Column, table: int, dims: int) -> Column:
-        return hyperplane_signature(vec, table, self.num_bits, dims)
-
     def apply(self, df: DataFrame) -> DataFrame:
         from pyspark.sql.types import ArrayType
 
