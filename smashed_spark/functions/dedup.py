@@ -213,7 +213,11 @@ class NGramJaccardPairsMapper(SparkMapper):
     ``grouplist`` alternative (whose nested higher-order pair expansion
     runs in the expression interpreter, and which additionally requires
     every shingle's doc list to fit in memory, so it refuses to run
-    uncapped).  At true 100 TB scale prefer
+    uncapped).  Trade-off: the self-join derives the inverted index on
+    both sides (Spark's ReuseExchange collapses the duplicate shuffle
+    when neither side converts to a broadcast); ``grouplist`` scans
+    once, so prefer it when the corpus scan itself dominates and hub
+    caps are tight.  At true 100 TB scale prefer
     :class:`MinHashLSHPairsMapper` and use this as the verifier on
     candidates.
     """

@@ -111,6 +111,13 @@ def interleave_datasets(
     ``order_by``; the output carries ``__interleave_order__`` (rank,
     source) unless dropped, which downstream order-sensitive mappers
     can use as their ordering key.
+
+    Scale: round-robin interleaving is inherently a total order, so
+    each source pays one global ``row_number`` window (a single-task
+    sort).  That is fine for the metadata-scale source lists this
+    mapper exists for (reference loaders.py combines a handful of HF
+    datasets); to mix data-scale corpora, sample/union by fractions
+    instead of rank-interleaving.
     """
     from pyspark.sql.window import Window
 
