@@ -227,7 +227,10 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import write_csv, write_jsonl
 
     base = tempfile.mkdtemp(prefix="smashed_io_")
-    docs = load(spark, sf_dir, "documents")
+    # repartition before writing: the parquet scan yields 1-2 input
+    # splits at test SF, which would serialize the (gzip) encode work
+    # through as few tasks
+    docs = load(spark, sf_dir, "documents").repartition(8)
 
     write_csv(
         docs.select("doc_id", "lang", "n_chars"),
