@@ -5,6 +5,7 @@ from .dedup import (
     MinHashMapper,
     NGramJaccardPairsMapper,
     SimHashMapper,
+    SimHashNearDupPairsMapper,
 )
 from .hashing import (
     cosine_similarity,
@@ -40,6 +41,7 @@ __all__ = [
     "PiiRedactMapper",
     "QualityScoreMapper",
     "SimHashMapper",
+    "SimHashNearDupPairsMapper",
     "TokenCountMapper",
     "WordPieceTokenizer",
     "cosine_similarity",

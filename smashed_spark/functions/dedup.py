@@ -199,6 +199,89 @@ class SimHashMapper(SparkMapper):
         )
 
 
+class SimHashNearDupPairsMapper(SparkMapper):
+    """Pairs of documents within a Hamming ball of each other's SimHash
+    — the classic simhash near-dup detector (Charikar 2002; Manku et
+    al. 2007 use exactly this banding for web-scale dedup).
+
+    EXACT by pigeonhole: two fingerprints with Hamming distance <=
+    ``max_hamming`` must agree exactly on at least one of
+    ``max_hamming + 1`` disjoint bit-bands, so banding loses nothing.
+    Plan shape: explode each fingerprint into its bands, equi-join on
+    (band index, band value) — a plain shuffled hash join, O(docs x
+    bands) rows, no cartesian product — then one ``bit_count(xor)``
+    verifies candidates.  All JVM-side bit algebra.
+    """
+
+    def __init__(
+        self,
+        id_field: str,
+        simhash_field: str = "simhash",
+        bits: int = 16,
+        max_hamming: int = 3,
+        hamming_field: str = "hamming",
+    ) -> None:
+        if max_hamming < 0 or max_hamming >= bits:
+            raise ValueError("need 0 <= max_hamming < bits")
+        self.id_field = id_field
+        self.simhash_field = simhash_field
+        self.bits = bits
+        self.max_hamming = max_hamming
+        self.hamming_field = hamming_field
+        super().__init__(input_fields=[id_field, simhash_field])
+
+    def _band_widths(self) -> List[int]:
+        n_bands = self.max_hamming + 1
+        base, rem = divmod(self.bits, n_bands)
+        return [base + (1 if i < rem else 0) for i in range(n_bands)]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        sim = F.col(self.simhash_field).cast("bigint")
+        bands = []
+        offset = 0
+        for i, width in enumerate(self._band_widths()):
+            mask = (1 << width) - 1
+            bands.append(
+                F.struct(
+                    F.lit(i).alias("b"),
+                    F.shiftrightunsigned(sim, offset)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("v"),
+                )
+            )
+            offset += width
+        base = df.select(
+            F.col(self.id_field).alias("__id__"),
+            sim.alias("__h__"),
+            F.explode(F.array(*bands)).alias("__band__"),
+        ).select(
+            "__id__",
+            "__h__",
+            F.col("__band__.b").alias("__b__"),
+            F.col("__band__.v").alias("__v__"),
+        )
+        l, r = base.alias("l"), base.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.__b__") == F.col("r.__b__"))
+                & (F.col("l.__v__") == F.col("r.__v__"))
+                & (F.col("l.__id__") < F.col("r.__id__")),
+            )
+            .select(
+                F.col("l.__id__").alias("id_a"),
+                F.col("r.__id__").alias("id_b"),
+                F.bit_count(
+                    F.col("l.__h__").bitwiseXOR(F.col("r.__h__"))
+                )
+                .cast("bigint")
+                .alias(self.hamming_field),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return cand.filter(F.col(self.hamming_field) <= self.max_hamming)
+
+
 class NGramJaccardPairsMapper(SparkMapper):
     """Exact n-gram Jaccard similar pairs via a shingle inverted index:
     explode distinct shingles, self-join on shingle, count

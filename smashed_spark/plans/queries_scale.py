@@ -48,13 +48,7 @@ def _minhash_sql(k: int) -> str:
     )
 
 
-def _simhash_sql(bits: int) -> str:
-    terms = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
-        f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** b} ELSE 0 END)"
-        for b in range(bits)
-    )
-    return f"""
+_SIMHASH_BASE_SQL = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     base AS (
         SELECT doc_id,
@@ -62,8 +56,36 @@ def _simhash_sql(bits: int) -> str:
                    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
         FROM w
     )
-    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM base
+"""
+
+
+def _simhash_terms(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+
+
+def _simhash_sql(bits: int) -> str:
+    return (
+        _SIMHASH_BASE_SQL
+        + f"SELECT doc_id, CAST({_simhash_terms(bits)} AS BIGINT) AS simhash FROM base"
+    )
+
+
+def _simhash_pairs_sql(bits: int, max_hamming: int) -> str:
+    return (
+        _SIMHASH_BASE_SQL
+        + f"""
+    , sig AS (SELECT doc_id,
+              CAST({_simhash_terms(bits)} AS BIGINT) AS simhash FROM base)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+    )
 
 
 _COS_SQL = """
@@ -156,6 +178,24 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words", F.split("text", " ")
     )
     return SimHashMapper(bits=16).map(df).select("doc_id", "simhash")
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_sql(32, 3))
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (Manku et al.
+    2007 banding, 32-bit fingerprints): band equi-join + bit_count
+    verify.  Banding is EXACT
+    by pigeonhole, so the oracle's direct all-pairs join over the same
+    fingerprints produces the identical pair set."""
+    from ..functions.dedup import SimHashMapper, SimHashNearDupPairsMapper
+
+    df = load(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    pipe = SimHashMapper(bits=32) >> SimHashNearDupPairsMapper(
+        "doc_id", bits=32, max_hamming=3
+    )
+    return pipe.map(df)
 
 
 @query(

@@ -307,3 +307,44 @@ def test_ivf_topk_recall(spark, sf_dir):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_simhash_pairs_banding_is_exact(spark):
+    """Pigeonhole banding must produce exactly the all-pairs
+    Hamming-ball result, for every max_hamming (band count)."""
+    import itertools
+    import random
+
+    from smashed_spark.functions.dedup import SimHashNearDupPairsMapper
+
+    rng = random.Random(5)
+    rows = [(i, rng.getrandbits(16)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, simhash: bigint")
+    by_id = dict(rows)
+    for k in (0, 1, 3, 5):
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in SimHashNearDupPairsMapper(
+                "doc_id", bits=16, max_hamming=k
+            ).map(df).collect()
+        )
+        want = sorted(
+            (a, b, bin(by_id[a] ^ by_id[b]).count("1"))
+            for a, b in itertools.combinations(sorted(by_id), 2)
+            if bin(by_id[a] ^ by_id[b]).count("1") <= k
+        )
+        assert got == want, (k, len(got), len(want))
+
+
+def test_simhash_pairs_plan_is_equi_join(spark):
+    from smashed_spark.functions.dedup import SimHashNearDupPairsMapper
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 7)], "doc_id: bigint, simhash: bigint"
+    )
+    out = SimHashNearDupPairsMapper("doc_id", bits=16, max_hamming=3).map(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
