@@ -194,9 +194,21 @@ class SimHashMapper(SparkMapper):
         )
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            self.output_field, simhash(F.col(self.words_field), self.bits)
+        from .hashing import portable_hash32
+
+        # project the token hashes ONCE: Catalyst does not CSE the hash
+        # transform across the per-bit folds inside simhash()
+        hashed = df.withColumn(
+            "__tok_hashes__",
+            F.transform(F.col(self.words_field), portable_hash32),
         )
+        out = hashed.withColumn(
+            self.output_field,
+            simhash(
+                F.col("__tok_hashes__"), self.bits, hashes_precomputed=True
+            ),
+        )
+        return out.drop("__tok_hashes__")
 
 
 class SimHashNearDupPairsMapper(SparkMapper):
@@ -261,7 +273,7 @@ class SimHashNearDupPairsMapper(SparkMapper):
             F.col("__band__.v").alias("__v__"),
         )
         l, r = base.alias("l"), base.alias("r")
-        cand = (
+        return (
             l.join(
                 r,
                 (F.col("l.__b__") == F.col("r.__b__"))
@@ -277,9 +289,13 @@ class SimHashNearDupPairsMapper(SparkMapper):
                 .cast("bigint")
                 .alias(self.hamming_field),
             )
+            # verify BEFORE deduplicating: bit_count is a cheap
+            # map-side filter, and candidates outside the ball (the
+            # vast majority under band skew) never reach the
+            # dropDuplicates shuffle
+            .filter(F.col(self.hamming_field) <= self.max_hamming)
             .dropDuplicates(["id_a", "id_b"])
         )
-        return cand.filter(F.col(self.hamming_field) <= self.max_hamming)
 
 
 class NGramJaccardPairsMapper(SparkMapper):

@@ -99,14 +99,24 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def simhash(tokens: Column, bits: int = 16) -> Column:
+def simhash(
+    tokens: Column, bits: int = 16, hashes_precomputed: bool = False
+) -> Column:
     """SimHash over a token array (Charikar 2002): for each bit
     position, sum +1/-1 according to each token-hash's bit, then take
     the sign.  Returns a ``bigint``.
 
     JVM-side: O(bits × tokens) boolean arithmetic per row, no shuffle.
+
+    Performance: pass ``hashes_precomputed=True`` with a column of
+    already-hashed tokens (project it first) — Catalyst does not CSE
+    the hash ``transform`` across the ``bits`` aggregate folds, so
+    inline hashing would md5 every token ``bits`` times (measured 10x
+    slowdown at bits=32).
     """
-    hashes = F.transform(tokens, portable_hash32)
+    hashes = (
+        tokens if hashes_precomputed else F.transform(tokens, portable_hash32)
+    )
 
     def bit_step(b: int):
         return lambda acc, h: acc + F.when(
