@@ -174,9 +174,18 @@ class FingerprintMapper(SparkMapper):
     def apply(self, df: DataFrame) -> DataFrame:
         from .hashing import portable_hash32
 
-        norm = F.lower(
-            F.trim(F.regexp_replace(F.col(self.text_field), r"\s+", " "))
+        # project the normalized text ONCE: referencing the expression
+        # inside the per-gram transform lambda would re-run the
+        # regexp_replace chain for every k-gram (no CSE into lambdas)
+        normed = df.withColumn(
+            "__norm__",
+            F.lower(
+                F.trim(
+                    F.regexp_replace(F.col(self.text_field), r"\s+", " ")
+                )
+            ),
         )
+        norm = F.col("__norm__")
         out = {self.digest_field: F.md5(norm)}
         if self.sketch_field:
             n = F.length(norm) - F.lit(self.k - 1)
@@ -191,7 +200,7 @@ class FingerprintMapper(SparkMapper):
             out[self.sketch_field] = F.coalesce(
                 F.array_min(gram_hashes), F.lit(None).cast("bigint")
             )
-        return df.withColumns(out)
+        return normed.withColumns(out).drop("__norm__")
 
 
 class PiiRedactMapper(SparkMapper):
