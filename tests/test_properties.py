@@ -192,3 +192,29 @@ def test_hyperplane_buckets_match_expression_signatures(spark):
     )
     for r in out.collect():
         assert list(r.fast) == list(r.ref), r.id
+
+
+def test_basic_tokenize_regex_fast_path_matches_char_loop():
+    """The ASCII regex fast path must produce exactly the per-char
+    loop's output (tokens AND offsets) — force the loop by appending a
+    non-ASCII char, then compare on the shared prefix input."""
+    import random
+    import string
+
+    from smashed_spark.functions.wordpiece import basic_tokenize
+
+    rng = random.Random(13)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + "  \t"
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        fast = basic_tokenize(s)
+        # appending a non-ASCII char forces the slow path; the final
+        # token is the appended char itself (or merges with a trailing
+        # word), so compare after re-tokenizing the original via slow
+        # path semantics: strip the sentinel word's effect by using a
+        # separator
+        slow = basic_tokenize(s + " é")[:-1]
+        assert fast == slow, (s, fast, slow)
+        fast_nc = basic_tokenize(s, lowercase=False)
+        slow_nc = basic_tokenize(s + " é", lowercase=False)[:-1]
+        assert fast_nc == slow_nc, (s, fast_nc, slow_nc)
