@@ -38,6 +38,10 @@ HEADLINERS = {
         "over that same partitioning and the per-shingle pair-generation "
         "groupBy reuses it too — the cap adds zero extra shuffles of the "
         "inverted index.",
+    "dedup_simhash_pairs": "Exact Hamming-ball pairs by pigeonhole banding: "
+        "token hashes projected once (no per-bit md5 re-evaluation), band "
+        "equi-join, map-side bit_count verify BEFORE the dedup shuffle — "
+        "no cartesian product, O(docs x bands) join input.",
 }
 
 STATIC = """\
