@@ -5,7 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is timed over a full execution (collect of a count/limited
-result — forces the whole plan without driver-side result blowup).
+result — forces the whole plan without driver-side result blowup),
+`$SPARK_GRAFT_BENCH_REPS` times (default 2) with per-query session
+isolation, reporting the per-query minimum (single shots swing up to
+40% from host/VM noise).
 """
 
 from __future__ import annotations
