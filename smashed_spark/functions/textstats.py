@@ -214,11 +214,17 @@ class PiiRedactMapper(SparkMapper):
     (and the DuckDB oracle) agree on matches.
     """
 
-    #: (name, pattern, replacement) — applied in order
+    #: (name, pattern, replacement) — applied in order.  ipv4 runs
+    #: BEFORE phone: the phone separator class includes '.', so a
+    #: dot-separated IP whose third octet has 3 digits (192.168.100.7)
+    #: would otherwise be half-eaten by the phone pattern, leaving
+    #: '<PHONE>.7' residue.  Each pattern is also *counted* on the text
+    #: as it exists when that pattern is applied (see ``apply``), so
+    #: the n_pii_* counts always equal the number of replacements made.
     PATTERNS = (
         ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-        ("phone", r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}(?:[-. ]\d{3,4})?", "<PHONE>"),
         ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+        ("phone", r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}(?:[-. ]\d{3,4})?", "<PHONE>"),
     )
 
     def __init__(
@@ -235,15 +241,16 @@ class PiiRedactMapper(SparkMapper):
         )
 
     def apply(self, df: DataFrame) -> DataFrame:
-        col = F.col(self.text_field)
+        # count-then-replace per pattern, on the progressively redacted
+        # text: counts correspond 1:1 to replacements even when
+        # patterns could overlap (e.g. phone vs dotted IPs)
+        red = F.col(self.text_field)
         out = {}
-        if self.count_prefix:
-            for name, pat, _ in self.PATTERNS:
+        for name, pat, repl in self.PATTERNS:
+            if self.count_prefix:
                 out[f"{self.count_prefix}_{name}"] = F.regexp_count(
-                    col, F.lit(pat)
+                    red, F.lit(pat)
                 ).cast("bigint")
-        red = col
-        for _, pat, repl in self.PATTERNS:
             red = F.regexp_replace(red, pat, repl)
         out[self.output_field] = red
         return df.withColumns(out)

@@ -823,30 +823,35 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                'reach me at ' || source || '_' || doc_id ||
                '@example.com or +1-555-01' || (doc_id % 90) ||
-               ' host 10.0.' || (doc_id % 256) || '.7 ' || text AS raw
+               ' host 192.168.' || (100 + doc_id % 156) || '.7 ' || text AS raw
         FROM documents
+    ),
+    e AS (
+        SELECT doc_id, raw,
+               regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS r1
+        FROM t
+    ),
+    i AS (
+        SELECT doc_id, raw, r1,
+               regexp_replace(r1,
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS r2
+        FROM e
     )
     SELECT doc_id,
            CAST(len(regexp_extract_all(raw,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
                AS n_pii_email,
-           CAST(len(regexp_extract_all(raw,
+           CAST(len(regexp_extract_all(r2,
                '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}(?:[-. ]\\d{3,4})?')) AS BIGINT)
                AS n_pii_phone,
-           CAST(len(regexp_extract_all(
-               regexp_replace(regexp_replace(raw,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                   '<EMAIL>', 'g'),
-                   '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}(?:[-. ]\\d{3,4})?',
-                   '<PHONE>', 'g'),
+           CAST(len(regexp_extract_all(r1,
                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_pii_ipv4,
-           regexp_replace(regexp_replace(regexp_replace(raw,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g'),
+           regexp_replace(r2,
                '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}(?:[-. ]\\d{3,4})?',
-               '<PHONE>', 'g'),
-               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS redacted
-    FROM t
+               '<PHONE>', 'g') AS redacted
+    FROM i
     """,
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,10 +860,11 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical inputs): counts per category + the redacted text.  Pure
     regexp column expressions — scan-speed, RE2-compatible patterns.
 
-    NB: the ipv4 *count* in the oracle runs on the email/phone-redacted
-    text, mirroring that the mapper counts each pattern on the original
-    text but the phone pattern never overlaps an IP here — both engines
-    count the same matches.
+    The synthesized IP '192.168.XXX.7' (third octet always 3 digits)
+    is deliberately the shape the phone pattern half-matches, pinning
+    the redaction ORDER (email -> ipv4 -> phone) and the
+    count-then-replace sequencing: both engines count each pattern on
+    the text as it exists when that pattern is applied.
     """
     from ..functions.textstats import PiiRedactMapper
 
@@ -871,8 +877,8 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id"),
             F.lit("@example.com or +1-555-01"),
             F.col("doc_id") % 90,
-            F.lit(" host 10.0."),
-            F.col("doc_id") % 256,
+            F.lit(" host 192.168."),
+            F.lit(100) + F.col("doc_id") % 156,
             F.lit(".7 "),
             F.col("text"),
         ).alias("raw"),

@@ -33,6 +33,26 @@ def test_pii_redact_patterns(spark):
     assert out[5].text is None
 
 
+def test_pii_redact_ip_before_phone(spark):
+    # A dotted IP whose third octet has 3 digits ('192.168.100.7') is
+    # half-matched by the phone pattern ('192.168.100'); the ipv4
+    # replacement must run first or the output contains '<PHONE>.7'
+    # residue.  Counts are taken on the text as it exists when each
+    # pattern is applied, so they equal the replacements made.
+    df = spark.createDataFrame(
+        [
+            (1, "host 192.168.100.7 up"),
+            (2, "+1-555-0134 at 10.0.200.7"),
+        ],
+        "id: bigint, text: string",
+    )
+    out = {r.id: r for r in PiiRedactMapper("text").map(df).collect()}
+    assert out[1].text == "host <IP> up"
+    assert out[1].n_pii_ipv4 == 1 and out[1].n_pii_phone == 0
+    assert out[2].text == "<PHONE> at <IP>"
+    assert out[2].n_pii_phone == 1 and out[2].n_pii_ipv4 == 1
+
+
 def test_pii_redact_separate_output_field(spark):
     df = spark.createDataFrame([(1, "x@y.io")], "id: bigint, text: string")
     r = PiiRedactMapper("text", output_field="clean").map(df).first()
