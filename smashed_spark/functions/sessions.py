@@ -45,8 +45,13 @@ class SessionizeMapper(SparkMapper):
         prev_ts = F.lag(self.ts_field).over(w)
         # compare at microsecond precision: cast("long") truncates to
         # whole seconds, so a 1800.5 s gap would (wrongly) not break a
-        # 30-min session while a microsecond-exact oracle would
-        gap_us = F.unix_micros(F.col(self.ts_field)) - F.unix_micros(prev_ts)
+        # 30-min session while a microsecond-exact oracle would.
+        # unix_micros rejects TIMESTAMP_NTZ (how Spark reads parquet
+        # timestamps without a zone annotation); the cast is a no-op on
+        # plain TIMESTAMP and the zone offset cancels in the difference
+        gap_us = F.unix_micros(
+            F.col(self.ts_field).cast("timestamp")
+        ) - F.unix_micros(prev_ts.cast("timestamp"))
         brk = F.when(
             prev_ts.isNull() | (gap_us > self.gap_minutes * 60 * 1_000_000),
             1,
@@ -87,8 +92,8 @@ class SessionStatsMapper(SessionizeMapper):
             # fractional parts inconsistently)
             (
                 (
-                    F.max(F.unix_micros(self.ts_field))
-                    - F.min(F.unix_micros(self.ts_field))
+                    F.max(F.unix_micros(F.col(self.ts_field).cast("timestamp")))
+                    - F.min(F.unix_micros(F.col(self.ts_field).cast("timestamp")))
                 )
                 / F.lit(1_000_000)
             ).cast("bigint").alias("span_seconds"),

@@ -36,13 +36,17 @@ def plan_size_bytes(df: DataFrame) -> Optional[int]:
     """Catalyst's size estimate for a DataFrame (optimized-plan stats,
     e.g. parquet file bytes for a scan) — available at plan time, so
     strategy selection triggers **no Spark job**, unlike ``df.count()``
-    (a full scan at 100 TB).  Returns ``None`` when the estimate is the
-    unknown-size sentinel (RDD-backed / ``createDataFrame`` inputs);
-    file-backed sources always report a real size."""
+    (a full scan at 100 TB).  Returns ``None`` when the estimate is
+    unknown: either the exact Long.MaxValue sentinel (RDD-backed /
+    ``createDataFrame`` leaves) or anything within two orders of
+    magnitude of it — operators above an unknown leaf multiply the
+    sentinel by selectivity/column ratios, producing huge
+    derived-from-sentinel values that are still not real estimates.
+    File-backed sources always report a real (and sane) size."""
     size = int(
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
-    return None if size >= _UNKNOWN_SIZE else size
+    return None if size >= _UNKNOWN_SIZE // 100 else size
 
 
 class CosineTopK(SparkMapper):
@@ -448,6 +452,47 @@ class HyperplaneLSHTopK(SparkMapper):
             .filter(F.col("rank") <= self.k)
             .select("query_id", "neighbor_id", "sim", "rank")
         )
+
+
+def fit_ivf_centroids(
+    mat, n_centroids: int, seed: int, max_iter: int
+):
+    """Spherical k-means (Lloyd) on an in-memory float64 matrix whose
+    ROW ORDER is deterministic (callers hash-order the fit set), so the
+    seeded init — and therefore the centroids — are bit-reproducible.
+    Shared by :class:`IVFCosineTopK` and the DuckDB oracle builder,
+    which replays the identical arithmetic driver-side to embed the
+    centroids as SQL literals."""
+    import numpy as np
+
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    unit = mat / norms
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(unit))
+    centroids = unit[rng.choice(len(unit), size=k, replace=False)]
+    for _ in range(max_iter):
+        cell = np.argmax(unit @ centroids.T, axis=1)
+        for c in range(k):
+            members = unit[cell == c]
+            if len(members):
+                m = members.sum(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
+def ivf_probe_map(centroids, n_probe: int) -> dict:
+    """cell -> its ``n_probe`` most-similar cells (including itself),
+    from the tiny centroid×centroid similarity matrix."""
+    import numpy as np
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    cell_sims = cn @ cn.T
+    return {
+        int(c): [int(x) for x in np.argsort(-cell_sims[c])[:n_probe]]
+        for c in range(len(centroids))
+    }
 
 
 class IVFCosineTopK(SparkMapper):

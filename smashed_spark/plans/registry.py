@@ -67,11 +67,14 @@ def query(name: str, oracle: Optional[str] = None):
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a testdata table.
 
-    The driver parquet stores nano-precision timestamps (INT64
-    TIMESTAMP(NANOS)) which Spark only reads as raw longs under
-    ``spark.sql.legacy.parquet.nanosAsLong``; normalize those columns
-    back to proper micro-precision timestamps so query semantics match
-    DuckDB's TIMESTAMP view of the same file.
+    Timestamp columns are normalized to plain ``TIMESTAMP`` (LTZ)
+    whatever the driver wrote: nano-precision INT64 (readable only as
+    raw longs under ``spark.sql.legacy.parquet.nanosAsLong``) or
+    micro-precision without timezone annotation (which Spark reads as
+    ``TIMESTAMP_NTZ`` — rejected by ``withWatermark``/``unix_micros``).
+    The session zone is pinned to UTC, so the NTZ->LTZ cast preserves
+    the wall-clock value and query semantics match DuckDB's (zone-less)
+    TIMESTAMP view of the same file.
     """
     # the driver may hand us a session without these (both are
     # runtime-settable SQLConfs): nano-precision INT64 timestamps are
@@ -91,4 +94,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     for c in ts_cols:
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -78,6 +78,13 @@ def windowed_event_counts(
     """Watermarked event-time windowed counts — the standard late-data-
     tolerant streaming aggregation; also valid on a batch DataFrame
     (used for the oracle check)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    # watermarks require TIMESTAMP; parquet written with the session
+    # default TIMESTAMP_NTZ (or inferred as NTZ on read) is rejected by
+    # withWatermark, so normalize the event-time column first
+    if isinstance(events.schema["ts"].dataType, TimestampNTZType):
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), *group_cols)
