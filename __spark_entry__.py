@@ -29,6 +29,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from smashed_spark.plans import queries as _q  # noqa: F401  (registers)
-    from smashed_spark.plans.registry import ORACLES
+    from smashed_spark.plans.registry import oracles
 
-    return dict(ORACLES)
+    return oracles()

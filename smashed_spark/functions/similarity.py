@@ -496,10 +496,11 @@ def ivf_probe_map(centroids, n_probe: int) -> dict:
 
 
 class IVFCosineTopK(SparkMapper):
-    """Approximate cosine top-k via an IVF (inverted-file) index: an
-    MLlib KMeans coarse quantizer partitions the corpus into
-    ``n_centroids`` cells; each query scores only the ``n_probe``
-    nearest cells, then exact cosine reranks the candidates.
+    """Approximate cosine top-k via an IVF (inverted-file) index: a
+    spherical-kmeans coarse quantizer (seeded numpy Lloyd on a bounded
+    hash-ordered sample) partitions the corpus into ``n_centroids``
+    cells; each query scores only the ``n_probe`` nearest cells, then
+    exact cosine reranks the candidates.
 
     Scale: the corpus is scanned once for clustering and once for
     assignment; per-query cost drops from O(N) to O(N * n_probe /
@@ -517,6 +518,7 @@ class IVFCosineTopK(SparkMapper):
         exclude_self: bool = True,
         seed: int = 42,
         max_iter: int = 5,
+        fit_sample: int = 100_000,
     ) -> None:
         self.id_field = id_field
         self.vector_field = vector_field
@@ -527,7 +529,7 @@ class IVFCosineTopK(SparkMapper):
         self.exclude_self = exclude_self
         self.seed = seed
         self.max_iter = max_iter
-        self.fit_sample = 100_000
+        self.fit_sample = fit_sample
         super().__init__(input_fields=[id_field, vector_field])
 
     def _fit_centroids(self, base: DataFrame) -> "np.ndarray":  # noqa: F821
@@ -535,31 +537,36 @@ class IVFCosineTopK(SparkMapper):
         ``fit_sample`` vectors — a coarse quantizer needs a sample, not
         the corpus, at any scale).  Plain numpy Lloyd iterations: one
         tiny collect job instead of MLlib's per-iteration job storm
-        (KMeans.fit was ~2/3 of this operator's wall time)."""
+        (KMeans.fit was ~2/3 of this operator's wall time).
+
+        The fit set is the ``fit_sample`` rows with the smallest
+        ``md5(id)`` — a deterministic *pseudo-random* sample, not the
+        head of the data (a head sample on a corpus sorted by
+        topic/time would show the quantizer only the first split's
+        vectors).  Spark executes order-by+limit as
+        TakeOrderedAndProject (per-partition top-n, no global sort),
+        and the hash order makes the row order — hence the seeded init
+        and the centroids — bit-reproducible, which is what lets the
+        DuckDB oracle replay the fit and embed the centroids as
+        literals."""
         import numpy as np
 
-        sample = np.array(
-            [
-                r[0]
-                for r in base.select("__v__")
-                .limit(self.fit_sample)
-                .collect()
-            ],
-            dtype=np.float64,
+        rows = (
+            base.orderBy(
+                F.md5(F.col("__id__").cast("string")), F.col("__id__")
+            )
+            .limit(self.fit_sample)
+            .select("__v__")
+            .collect()
         )
-        norms = np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-        unit = sample / norms
-        rng = np.random.RandomState(self.seed)
-        k = min(self.n_centroids, len(unit))
-        centroids = unit[rng.choice(len(unit), size=k, replace=False)]
-        for _ in range(self.max_iter):
-            cell = np.argmax(unit @ centroids.T, axis=1)
-            for c in range(k):
-                members = unit[cell == c]
-                if len(members):
-                    m = members.sum(axis=0)
-                    centroids[c] = m / max(np.linalg.norm(m), 1e-12)
-        return centroids
+        if not rows:
+            raise ValueError(
+                "IVFCosineTopK: cannot fit centroids on an empty corpus"
+            )
+        mat = np.array([r[0] for r in rows], dtype=np.float64)
+        return fit_ivf_centroids(
+            mat, self.n_centroids, self.seed, self.max_iter
+        )
 
     def apply(self, df: DataFrame) -> DataFrame:
         import numpy as np
@@ -596,14 +603,7 @@ class IVFCosineTopK(SparkMapper):
 
         # 2. driver-side: for each query cell we need its n_probe
         #    nearest centroids (tiny matrix)
-        cn = centroids / np.maximum(
-            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-        )
-        cell_sims = cn @ cn.T
-        probes = {
-            int(c): [int(x) for x in np.argsort(-cell_sims[c])[: self.n_probe]]
-            for c in range(len(centroids))
-        }
+        probes = ivf_probe_map(centroids, self.n_probe)
         probe_map = F.map_from_arrays(
             F.array(*[F.lit(c) for c in probes]),
             F.array(

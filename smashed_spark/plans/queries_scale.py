@@ -746,18 +746,117 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")  # approximate by construction: rows-only + recall test
+def _ivf_topk_sql(
+    k: int,
+    n_centroids: int,
+    n_probe: int,
+    max_iter: int,
+    seed: int,
+    fit_sample: int = 100_000,
+) -> "Callable[[], str]":  # noqa: F821
+    """LAZY oracle builder for IVFCosineTopK.  The centroids are
+    data-dependent (fit on the gate corpus), so the oracle cannot be a
+    static string; instead this returns a zero-arg callable the
+    registry resolves at ``oracle_sql()`` time.  The callable replays
+    the mapper's fit EXACTLY — same hash-ordered fit set (smallest
+    ``md5(vec_id)`` first), same ``fit_ivf_centroids`` numpy Lloyd,
+    same ``ivf_probe_map`` — then embeds the bit-identical centroids
+    and probe lists as SQL literals.  Assignment (argmax dot product,
+    lowest cell on ties, matching numpy argmax), candidate generation,
+    and the exact-cosine rerank are then plain SQL."""
+
+    def build() -> str:
+        import os
+
+        import duckdb
+        import numpy as np
+
+        from ..functions.similarity import fit_ivf_centroids, ivf_probe_map
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+            f"FROM '{sf_dir}/embeddings.parquet' "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+            f"LIMIT {fit_sample}"
+        ).fetchall()
+        con.close()
+        mat = np.array([r[0] for r in rows], dtype=np.float64)
+        centroids = fit_ivf_centroids(mat, n_centroids, seed, max_iter)
+        probes = ivf_probe_map(centroids, n_probe)
+
+        cent_vals = ",\n        ".join(
+            f"({c}, [" + ", ".join(repr(x) for x in centroids[c])
+            + "]::DOUBLE[])"
+            for c in range(len(centroids))
+        )
+        probe_vals = ", ".join(
+            f"({c}, {p})" for c, ps in probes.items() for p in ps
+        )
+        return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cents AS (SELECT * FROM (VALUES
+        {cent_vals}) t(cell, c)),
+    asg AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.c) DESC, c.cell
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (SELECT * FROM (VALUES {probe_vals}) t(cell, pcell)),
+    q AS (
+        SELECT a.vec_id AS query_id, p.pcell
+        FROM asg a JOIN probes p ON p.cell = a.cell
+        WHERE a.vec_id < 20
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+        FROM q JOIN asg b ON b.cell = q.pcell
+        WHERE b.vec_id != q.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM cand JOIN e a ON a.vec_id = cand.query_id
+                  JOIN e b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+    return build
+
+
+@query("ann_ivf_topk", oracle=_ivf_topk_sql(5, 8, 3, 3, 42))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-kmeans cosine cells (fit on a bounded
-    driver-side sample) as the coarse quantizer, n_probe cells scored
-    per query, exact rerank (the second scale path beside hyperplane
-    LSH)."""
+    hash-ordered driver-side sample) as the coarse quantizer, n_probe
+    cells scored per query, exact rerank (the second scale path beside
+    hyperplane LSH).  Fully deterministic given the seed and the hash
+    order, so the DuckDB oracle replays the fit driver-side and embeds
+    the centroids as literals (same trick as ``ann_lsh_topk``'s
+    hyperplanes)."""
     from ..functions.similarity import IVFCosineTopK
 
-    return IVFCosineTopK(
-        k=5, n_centroids=8, n_probe=3, max_iter=3,
+    out = IVFCosineTopK(
+        k=5, n_centroids=8, n_probe=3, max_iter=3, seed=42,
         queries_filter="vec_id < 20",
     ).map(load(spark, sf_dir, "embeddings"))
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
 @query(

@@ -10,12 +10,15 @@ sides (the driver hash-compares values after sorting columns by name).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: Dict[str, str] = {}
+# value is either the oracle SQL itself or a zero-arg callable that
+# builds it lazily (for oracles that embed data-dependent literals,
+# e.g. IVF centroids fit on the gate corpus); resolve via oracles()
+ORACLES: Dict[str, Union[str, Callable[[], str]]] = {}
 
 from ..core.ship import ensure_shipped  # noqa: E402  (re-export)
 
@@ -48,7 +51,12 @@ def jsonify_arrays(df: DataFrame) -> DataFrame:
     return out
 
 
-def query(name: str, oracle: Optional[str] = None):
+def oracles() -> Dict[str, str]:
+    """ORACLES with lazy (callable) entries resolved to SQL strings."""
+    return {n: (o() if callable(o) else o) for n, o in ORACLES.items()}
+
+
+def query(name: str, oracle: Optional[Union[str, Callable[[], str]]] = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_shipped(spark)

@@ -4,12 +4,20 @@ same parquet tables; compare row count, column names, and sorted values.
 """
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 from smashed_spark.plans.registry import TABLES
+
+# lazy oracles (ann_ivf_topk) embed literals fit on the gate corpus;
+# point them at the same sf this test runs queries at (the driver
+# leaves the env unset, so its oracles resolve against sf0.01)
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = os.environ.get(
+    "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001"
+)
 
 
 def _duck(sf_dir: str):
