@@ -451,8 +451,13 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
     * larger — approximate: hyperplane-LSH bucket join (cost scales
       with bucket occupancy × tables, never O(n²)) + vectorized exact
       cosine rerank of bucket-mates.  Recall grows with ``num_tables``;
-      a pair is missed only if it collides in *no* table.  A warning is
-      emitted when auto-selection downgrades to approximate semantics.
+      a pair is missed only if it collides in *no* table:
+      P(found) = 1 - (1 - p^num_bits)^num_tables, p = 1 - θ/π per bit.
+      Near the default threshold (cos ≈ 0.35, p ≈ 0.6) short
+      signatures dominate: 3 bits × 16 tables measures recall 0.99 on
+      the testdata corpus where 3 × 10 measures 0.95 (see
+      test_near_dup_lsh_path_above_limit).  A warning is emitted when
+      auto-selection downgrades to approximate semantics.
     * ``exact=True`` — force the exact all-pairs expression join at any
       size.  This is O(n²) above the broadcast limit; it exists for
       verification, not production.

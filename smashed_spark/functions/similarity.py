@@ -371,8 +371,20 @@ class HyperplaneLSHTopK(SparkMapper):
     Each of ``num_tables`` independent tables assigns a
     ``num_bits``-bit bucket signature (sign of dot with each
     hyperplane).  Vectors join only within (table, bucket); exact
-    cosine then ranks candidates and keeps k per query.  Recall grows
-    with tables; cost per table is bucket-local.
+    cosine then ranks candidates and keeps k per query.
+
+    Parameter -> recall (Charikar 2002: two vectors at angle θ agree
+    on one sign bit with probability 1 - θ/π): a neighbor is found iff
+    it shares a bucket in ≥1 table, P = 1 - (1 - p^num_bits)^num_tables
+    with p the per-bit agreement.  So ``num_bits`` controls bucket
+    size/cost (≈ n / 2^num_bits occupancy on centered data) and recall
+    falls exponentially in it; ``num_tables`` buys recall back
+    linearly in cost.  For high-similarity targets (near-dup, p close
+    to 1) the defaults are ample; for mid-similarity top-k (p ≈ 0.6-
+    0.7, e.g. uniform-random corpora) prefer SHORT signatures and more
+    tables — 3 bits × 16 tables measures recall ≥ 0.9 on the
+    worst-case random fixture where 4 × 8 measures 0.57
+    (tests/test_dedup_similarity.py::test_lsh_topk_recall).
     """
 
     def __init__(
@@ -505,6 +517,18 @@ class IVFCosineTopK(SparkMapper):
     Scale: the corpus is scanned once for clustering and once for
     assignment; per-query cost drops from O(N) to O(N * n_probe /
     n_centroids) on average.  The centroid table is tiny and broadcast.
+
+    Parameter -> recall: IVF recall is the probability the true
+    neighbors' cells are among the ``n_probe`` probed — it depends on
+    how much *cluster structure* the corpus has.  On clustered
+    embeddings (the regime IVF exists for) neighbors share the query's
+    cell and ``n_probe`` of 1-2 already measures recall ≈ 1.0
+    (tests/test_dedup_similarity.py::test_ivf_topk_recall); on
+    uniform-random vectors cells carry no neighbor signal and recall
+    only approaches 1 as n_probe -> n_centroids, at which point use
+    :class:`CosineTopK` or :class:`HyperplaneLSHTopK` instead.  Grow
+    ``n_centroids`` ~ sqrt(N) so cells stay scan-able and the centroid
+    broadcast stays small.
     """
 
     def __init__(

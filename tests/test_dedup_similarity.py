@@ -122,8 +122,11 @@ def test_near_dup_lsh_path_above_limit(spark, sf_dir):
         (r.id_a, r.id_b)
         for r in EmbeddingNearDupPairsMapper(threshold=0.35).map(df).collect()
     }
+    # 3 bits / 16 tables: P(some table agrees on all 3 signs) is high
+    # even at the ~0.35 cosine this corpus' near-dups sit at — measured
+    # recall 0.992 here (deterministic: md5 hyperplanes, fixed data)
     m = EmbeddingNearDupPairsMapper(
-        threshold=0.35, num_bits=3, num_tables=10, dims=64
+        threshold=0.35, num_bits=3, num_tables=16, dims=64
     )
     m.BROADCAST_LIMIT_BYTES = 0  # force the large-corpus path
     with pytest.warns(UserWarning, match="approximate LSH"):
@@ -137,7 +140,7 @@ def test_near_dup_lsh_path_above_limit(spark, sf_dir):
     assert approx_set <= exact_set  # exact rerank: no false positives
     assert exact_set, "fixture should contain near-dup pairs"
     recall = len(approx_set & exact_set) / len(exact_set)
-    assert recall >= 0.5, f"LSH near-dup recall too low: {recall}"
+    assert recall >= 0.9, f"LSH near-dup recall too low: {recall}"
 
 
 def test_cosine_topk_guards_unbroadcastable_corpus(spark):
@@ -199,15 +202,20 @@ def test_ngram_jaccard_shingle_freq_cap(spark):
 
 
 def test_lsh_topk_recall(spark, sf_dir):
+    """Uniform-random embeddings are LSH's worst case (true top-k sims
+    sit near the bulk of the distribution), so high recall needs short
+    signatures and many tables: 3 bits x 16 tables measures 1.0 here
+    vs 0.57 for the old 4x8 (deterministic — md5 hyperplanes, fixed
+    fixture — so the floor is a regression pin, not a flake)."""
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = CosineTopK(k=3, queries_filter="vec_id < 10").map(df).collect()
     approx = HyperplaneLSHTopK(
-        k=3, num_bits=4, num_tables=8, queries_filter="vec_id < 10"
+        k=3, num_bits=3, num_tables=16, queries_filter="vec_id < 10"
     ).map(df).collect()
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
 
 
 def test_langid(spark):
@@ -295,18 +303,35 @@ def test_sessionize_subsecond_gap(spark):
     assert [r.session_idx for r in out] == [1, 1, 2]
 
 
-def test_ivf_topk_recall(spark, sf_dir):
+def test_ivf_topk_recall(spark):
+    """IVF recall on *clustered* embeddings — the regime IVF exists
+    for: true neighbors share a cluster, so the Lloyd quantizer's
+    cells capture them and probing 2 of 8 cells suffices (measured
+    recall 1.0; deterministic fixture+seed, so the 0.9 floor is a
+    regression pin).  Uniform-random embeddings are the worst case —
+    cells carry no neighbor signal and recall only approaches 1 as
+    n_probe -> n_centroids — which is why this fixture is synthetic
+    rather than the random testdata parquet."""
+    import numpy as np
+
     from smashed_spark.functions.similarity import IVFCosineTopK
 
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, 64, axis=0) + 0.15 * rng.normal(size=(512, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(512)],
+        "vec_id: bigint, embedding: array<float>",
+    )
     exact = CosineTopK(k=3, queries_filter="vec_id < 10").map(df).collect()
     approx = IVFCosineTopK(
-        k=3, n_centroids=8, n_probe=4, queries_filter="vec_id < 10"
+        k=3, n_centroids=8, n_probe=2, queries_filter="vec_id < 10"
     ).map(df).collect()
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
 
 
 def test_simhash_pairs_banding_is_exact(spark):
