@@ -96,6 +96,10 @@ def concatenate_datasets(dfs: Sequence[DataFrame]) -> DataFrame:
 
 INTERLEAVE_ORDER = "__interleave_order__"
 
+# plan-time size (per source) above which rank-interleaving warns: the
+# total order it implies cannot scale past metadata-size sources
+INTERLEAVE_SIZE_WARN_BYTES = 1 << 30
+
 
 def interleave_datasets(
     dfs: Sequence[DataFrame],
@@ -116,12 +120,33 @@ def interleave_datasets(
     each source pays one global ``row_number`` window (a single-task
     sort).  That is fine for the metadata-scale source lists this
     mapper exists for (reference loaders.py combines a handful of HF
-    datasets); to mix data-scale corpora, sample/union by fractions
-    instead of rank-interleaving.
+    datasets); a source above ``INTERLEAVE_SIZE_WARN_BYTES`` by
+    Catalyst's plan-time estimate triggers a warning pointing at
+    fraction-sampling + union instead.  The shortest-source cutoff is
+    derived lazily from windows over the union — no per-source
+    ``count()`` jobs, no driver action at all.
     """
+    import warnings
+
     from pyspark.sql.window import Window
 
-    n = None
+    from ..functions.similarity import plan_size_bytes
+
+    big = [
+        i
+        for i, d in enumerate(dfs)
+        if (plan_size_bytes(d) or 0) > INTERLEAVE_SIZE_WARN_BYTES
+    ]
+    if big:
+        warnings.warn(
+            f"interleave_datasets: source(s) {big} exceed "
+            f"{INTERLEAVE_SIZE_WARN_BYTES >> 20} MiB by plan-time "
+            "estimate; rank-interleaving totally orders each source "
+            "(single-task sort) and will not scale. Mix data-scale "
+            "corpora by fraction sampling + union instead.",
+            UserWarning,
+            stacklevel=2,
+        )
     ranked = []
     for src_idx, df in enumerate(dfs):
         w = Window.orderBy(*order_by)
@@ -131,13 +156,21 @@ def interleave_datasets(
                 "__src__", F.lit(src_idx)
             )
         )
-        c = df.count()
-        n = c if n is None else min(n, c)
-    out = concatenate_datasets(ranked).filter(F.col("__rn__") < n)
+    # shortest-source length without any count() action: per-source max
+    # rank, then a global min — two cheap windows over already-ranked
+    # (metadata-scale) data, evaluated in the same job as the output
+    unioned = concatenate_datasets(ranked)
+    src_len = F.max("__rn__").over(Window.partitionBy("__src__")) + 1
+    shortest = F.min("__len__").over(Window.partitionBy(F.lit(1)))
+    out = (
+        unioned.withColumn("__len__", src_len)
+        .withColumn("__n__", shortest)
+        .filter(F.col("__rn__") < F.col("__n__"))
+    )
     out = out.withColumn(
         INTERLEAVE_ORDER,
         F.col("__rn__") * len(dfs) + F.col("__src__"),
-    ).drop("__rn__", "__src__")
+    ).drop("__rn__", "__src__", "__len__", "__n__")
     if not keep_order_column:
         out = out.orderBy(INTERLEAVE_ORDER).drop(INTERLEAVE_ORDER)
     return out

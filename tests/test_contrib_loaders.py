@@ -117,6 +117,41 @@ def test_concatenate_and_interleave(spark):
     assert [r.v for r in rows] == ["a0", "b0", "a1", "b1"]
 
 
+def test_interleave_runs_no_driver_actions(spark, monkeypatch):
+    """Building the interleave plan must be fully lazy: the shortest-
+    source cutoff comes from windows over the union, never per-source
+    count() jobs (which would be N full scans at data scale)."""
+    from pyspark.sql import DataFrame
+
+    a = spark.createDataFrame([(0, "a0"), (1, "a1")], "i: bigint, v: string")
+    b = spark.createDataFrame([(0, "b0")], "i: bigint, v: string")
+
+    def boom(self):
+        raise AssertionError("interleave_datasets ran a count() action")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    inter = interleave_datasets(
+        [a, b], order_by=["i"], keep_order_column=True
+    )
+    monkeypatch.undo()
+    rows = inter.orderBy("__interleave_order__").collect()
+    assert [r.v for r in rows] == ["a0", "b0"]
+
+
+def test_interleave_warns_on_data_scale_source(spark, sf_dir, monkeypatch):
+    """A file-backed source above the plan-time size threshold draws
+    the will-not-scale warning (rank-interleave = single-task sort)."""
+    import pytest
+
+    from smashed_spark.sources import loaders
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    monkeypatch.setattr(loaders, "INTERLEAVE_SIZE_WARN_BYTES", 0)
+    with pytest.warns(UserWarning, match="will not scale"):
+        interleave_datasets([docs, docs], order_by=["doc_id"])
+
+
 def test_caching_roundtrip(spark, tmp_path):
     from smashed_spark import Pipeline
     from smashed_spark.operators.debug import MockMapper
