@@ -223,13 +223,25 @@ class SimHashNearDupPairsMapper(SparkMapper):
     (band index, band value) — a plain shuffled hash join, O(docs x
     bands) rows, no cartesian product — then one ``bit_count(xor)``
     verifies candidates.  All JVM-side bit algebra.
+
+    Band-occupancy math (why ``bits`` defaults to 64): with
+    ``max_hamming + 1`` bands each band carries ``bits /
+    (max_hamming + 1)`` bits, so a band takes ``2^(bits /
+    (max_hamming+1))`` distinct values and an N-doc corpus puts ~``N /
+    2^(bits/(max_hamming+1))`` docs in each bucket — the join emits
+    the *square* of that per bucket.  At ``bits=64, max_hamming=3``
+    that is 2^16 values/band (Manku et al.'s web-scale setting:
+    buckets stay tiny up to billions of docs); at ``bits=16`` it is
+    2^4 = 16 values/band, i.e. O(N/16)-sized buckets and quadratic
+    fan-out at corpus scale — only usable for small corpora or
+    oracle-parity runs.
     """
 
     def __init__(
         self,
         id_field: str,
         simhash_field: str = "simhash",
-        bits: int = 16,
+        bits: int = 64,
         max_hamming: int = 3,
         hamming_field: str = "hamming",
     ) -> None:

@@ -361,6 +361,42 @@ def test_simhash_pairs_banding_is_exact(spark):
         assert got == want, (k, len(got), len(want))
 
 
+def test_simhash_pairs_default_64_bits_exact(spark):
+    """The default is the web-scale 64-bit setting (16-bit bands at
+    max_hamming=3 — Manku et al.), and banding stays exact there even
+    with the sign bit set (fingerprints live in signed bigints)."""
+    import itertools
+    import random
+
+    from smashed_spark.functions.dedup import SimHashNearDupPairsMapper
+
+    m = SimHashNearDupPairsMapper("doc_id")
+    assert m.bits == 64 and m.max_hamming == 3
+
+    rng = random.Random(11)
+    base = rng.getrandbits(64)
+    raw = [base]
+    for _ in range(20):  # cluster within/around the Hamming ball
+        v = base
+        for b in rng.sample(range(64), rng.randint(1, 6)):
+            v ^= 1 << b
+        raw.append(v)
+    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in raw]
+    df = spark.createDataFrame(
+        list(enumerate(signed)), "doc_id: bigint, simhash: bigint"
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming) for r in m.map(df).collect()
+    )
+    by_id = dict(enumerate(raw))
+    want = sorted(
+        (a, b, bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1"))
+        for a, b in itertools.combinations(sorted(by_id), 2)
+        if bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    assert got == want and got, (len(got), len(want))
+
+
 def test_simhash_pairs_plan_is_equi_join(spark):
     from smashed_spark.functions.dedup import SimHashNearDupPairsMapper
 
