@@ -255,16 +255,30 @@ class FewShotJinjaMapper(JinjaMapper):
             gid = F.floor(rn / group_size)
         dfg = df.withColumn("__gid__", gid)
 
-        # fold each (tiny) group into ONE row JVM-side — order_cols
-        # lead the struct so sort_array realizes the required in-group
-        # ordering — then render thousands of groups per Arrow batch.
-        # (groupBy().applyInPandas here would pay one Python call +
-        # pandas construction per num_shots+1 rows: ~60% of the gate's
-        # runtime at sf0.1 was that per-group overhead.)
+        # fold each (tiny) group into ONE row JVM-side, ordered by an
+        # array_sort COMPARATOR over only the order columns — a plain
+        # sort_array(struct) would demand every payload column be
+        # orderable and fail analysis on map-typed fields — then render
+        # thousands of groups per Arrow batch.  (groupBy().
+        # applyInPandas here would pay one Python call + pandas
+        # construction per num_shots+1 rows: ~60% of the gate's runtime
+        # at sf0.1 was that per-group overhead.)
         rest = [c for c in df.columns if c not in order_cols]
+
+        def in_group_order(l, r):  # noqa: E741
+            cmp = F.lit(0)
+            for c in reversed(order_cols):
+                cmp = (
+                    F.when(l[c] < r[c], -1)
+                    .when(l[c] > r[c], 1)
+                    .otherwise(cmp)
+                )
+            return cmp
+
         grouped = dfg.groupBy("__gid__").agg(
-            F.sort_array(
-                F.collect_list(F.struct(*order_cols, *rest))
+            F.array_sort(
+                F.collect_list(F.struct(*order_cols, *rest)),
+                in_group_order,
             ).alias("__recs__")
         )
 

@@ -66,6 +66,30 @@ def test_fewshot_jinja(spark):
     ]
 
 
+def test_fewshot_tolerates_unorderable_payload_columns(spark):
+    """A map-typed (unorderable) column must not break the group fold:
+    ordering compares only the order_by columns (array_sort comparator),
+    never the payload — sort_array over the whole struct would fail
+    analysis here."""
+    df = spark.createDataFrame(
+        [(i, f"q{i}", f"a{i}", {"k": f"v{i}"}) for i in range(6)],
+        "i: bigint, q: string, a: string, meta: map<string,string>",
+    )
+    tmpl = (
+        "{% for s in __shots__ %}{{s.q}}>{{s.a}};{% endfor %}{{q}}|||{{a}}"
+    )
+    out = (
+        FewShotJinjaMapper(tmpl, num_shots=2, order_by=["i"])
+        .map(df)
+        .collect()
+    )
+    got = sorted((r.source, r.target) for r in out)
+    assert got == [
+        ("q0>a0;q1>a1;q2", "a2"),
+        ("q3>a3;q4>a4;q5", "a5"),
+    ]
+
+
 def test_fewshot_keep_last(spark):
     df = spark.createDataFrame(
         [(i, f"q{i}") for i in range(4)], "i: bigint, q: string"
