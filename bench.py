@@ -6,9 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed over a full execution (collect of a count/limited
 result — forces the whole plan without driver-side result blowup),
-`$SPARK_GRAFT_BENCH_REPS` times (default 2) with per-query session
-isolation, reporting the per-query minimum (single shots swing up to
-40% from host/VM noise).
+`$SPARK_GRAFT_BENCH_REPS` times (default 3, matching the driver's
+per-round setting) with per-query session isolation.  "queries" holds
+the per-query minimum — the noise-resistant estimator (single shots
+swing up to 40% from host/VM noise) — and "reps" holds every raw
+per-rep timing so regressions can be separated from noise
+round-over-round.
 """
 
 from __future__ import annotations
@@ -100,11 +103,13 @@ def main() -> None:
     # 40% run-to-run from neighbor/VM noise (observed 51-72 s totals on
     # identical code); the per-query minimum is the standard
     # noise-resistant estimator of the query's actual cost
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in sorted(queries):
         fn = queries[name]
         best = -1.0
+        raw[name] = []
         for _ in range(reps):
             isolate()
             t0 = time.perf_counter()
@@ -113,6 +118,7 @@ def main() -> None:
                 # force full execution without collecting a huge result
                 n = df.count()
                 dt = round(time.perf_counter() - t0, 4)
+                raw[name].append(dt)
                 best = dt if best < 0 else min(best, dt)
             except Exception as e:  # keep benching the rest
                 print(f"# {name}: FAILED {e}", file=sys.stderr)
@@ -130,6 +136,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": raw,
                 "sf": sf,
             }
         )
