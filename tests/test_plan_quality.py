@@ -138,6 +138,71 @@ def test_fewshot_single_exchange_single_python_stage(spark, sf_dir):
     assert "Sort (" not in plan, plan  # no global sort on the scale path
 
 
+def test_simhash_pairs_no_cartesian_bounded_exchanges(spark, sf_dir):
+    """The full simhash near-dup gate composition (signature -> banded
+    pairs) must stay a banded equi-join: no cartesian/nested-loop node,
+    and at most 3 exchanges (left band key + right band key + the final
+    pair dedup; a broadcast plan uses fewer).  The bit_count Hamming
+    verify must sit below the dedup exchange in the tree (map-side,
+    before the shuffle), not above it."""
+    from smashed_spark.functions.dedup import (
+        SimHashMapper,
+        SimHashNearDupPairsMapper,
+    )
+
+    df = load(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    pipe = SimHashMapper(bits=32) >> SimHashNearDupPairsMapper(
+        "doc_id", bits=32, max_hamming=3
+    )
+    plan = _explain(pipe.map(df))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange (") <= 3, plan
+    # tree prints root-first, so deeper (earlier-executed) nodes appear
+    # later in the text: the verify filter must print after the dedup
+    # exchange -> it executes before the shuffle
+    tree = plan.split("===== Subqueries")[0]
+    first_exchange = tree.index("Exchange (")
+    verify_filter = tree.index("bit_count")
+    assert verify_filter > first_exchange, plan
+
+
+def test_stream_sessionize_single_exchange(spark, sf_dir, tmp_path):
+    """Streaming sessionization: one hash exchange on the user key into
+    a single FlatMapGroupsInPandasWithState stage — O(users) state, no
+    extra shuffle, no per-event Python stage."""
+    from smashed_spark.streaming.stateful import streaming_sessionize
+
+    events = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .limit(200)
+    )
+    src = str(tmp_path / "events")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sessions = streaming_sessionize(
+        stream, gap_minutes=30, idle_timeout=False
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("plan_probe_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        plan = q._jsq.explainInternal(False)
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("plan_probe_sessions")
+    assert "FlatMapGroupsInPandasWithState" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_ngram_cap_adds_no_extra_exchange(spark, sf_dir):
     """grouplist path: the hub-shingle frequency cap is a count window
     over the same hashpartitioning(__s__) the pair-generation groupBy
