@@ -1,0 +1,178 @@
+"""Scale-probe: measure how the heaviest gate queries scale from sf0.1
+to a 10x blowup (~sf1), catching superlinear terms the sf0.1 bench
+can't see.
+
+The driver testdata stops at sf0.1, so the probe *derives* a 10x input
+from it deterministically: 10 re-keyed copies of each table, with
+EVERY word of document text tagged with the copy id so no shingle,
+minhash band, or simhash survives across copies and near-dup DENSITY
+stays constant — naive replication (or a single suffix token) leaves
+copies near-identical and the pair output grows ~100x, measuring a
+denser workload, not a bigger one.  Embeddings keep their values (ANN
+cost is corpus-linear per query; identical copies add no quadratic
+term) and events shift user_id per copy (10x sessions, same per-user
+series).
+
+Writes BENCH_SCALE.json: per-query seconds at 1x and 10x and the
+wall-ratio (ideal = 10 for linear work at fixed parallelism; well
+under 10 means fixed overheads still dominate at sf1).
+
+Usage: python tools/scale_probe.py [out_json]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COPIES = 10
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+QUERIES = [
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_pairs",
+    "stream_sessionize",
+    "ann_ivf_topk",
+]
+
+
+def build_scaled(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    events = spark.read.parquet(f"{BASE}/events.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+
+    def copies(df, id_col):
+        c = F.explode(F.array(*[F.lit(i) for i in range(COPIES)]))
+        return df.withColumn("__copy__", c).withColumn(
+            # ids may be 32-bit in the source parquet: widen before
+            # adding the per-copy offset
+            id_col,
+            F.col(id_col).cast("bigint")
+            + F.col("__copy__").cast("bigint") * F.lit(10**9),
+        )
+
+    copy_tag = F.concat(F.lit("zq"), F.col("__copy__").cast("string"))
+    (
+        copies(docs, "doc_id")
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, copy_tag),
+                ),
+                " ",
+            ),
+        )
+        .drop("__copy__")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+    (
+        copies(events, "user_id")
+        .drop("__copy__")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/events.parquet")
+    )
+    (
+        copies(emb, "vec_id")
+        .drop("__copy__")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+
+def main() -> None:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE.json"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("smashed_spark-scale-probe")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    # same warmups as bench.py: JVM, python workers, streaming engine
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+
+    scaled_dir = tempfile.mkdtemp(prefix="smashed_scale_")
+    print(f"# building {COPIES}x inputs under {scaled_dir}", file=sys.stderr)
+    build_scaled(spark, scaled_dir)
+
+    import gc
+    import glob
+
+    def isolate() -> None:
+        # bench.py's session scrub: leftover streams/caches/broadcasts
+        # from the previous (possibly 10x) run must not tax this timing
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
+        for d in glob.glob(tempfile.gettempdir() + "/smashed_stream_*"):
+            shutil.rmtree(d, ignore_errors=True)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    def run(name: str, sf_dir: str, reps: int = 2) -> tuple[float, int]:
+        best, rows = -1.0, 0
+        for _ in range(reps):
+            isolate()
+            t0 = time.perf_counter()
+            rows = queries[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best < 0 else min(best, dt)
+        return round(best, 3), rows
+
+    result = {"copies": COPIES, "base": BASE, "queries": {}}
+    for name in QUERIES:
+        t1, r1 = run(name, BASE)
+        t10, r10 = run(name, scaled_dir)
+        ratio = round(t10 / t1, 2) if t1 > 0 else None
+        result["queries"][name] = {
+            "sec_1x": t1,
+            "sec_10x": t10,
+            "wall_ratio": ratio,
+            "rows_1x": r1,
+            "rows_10x": r10,
+        }
+        print(
+            f"# {name}: 1x={t1}s 10x={t10}s ratio={ratio} "
+            f"rows {r1}->{r10}",
+            file=sys.stderr,
+        )
+
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    shutil.rmtree(scaled_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
