@@ -255,32 +255,49 @@ class FewShotJinjaMapper(JinjaMapper):
             gid = F.floor(rn / group_size)
         dfg = df.withColumn("__gid__", gid)
 
-        # fold each (tiny) group into ONE row JVM-side, ordered by an
-        # array_sort COMPARATOR over only the order columns — a plain
-        # sort_array(struct) would demand every payload column be
-        # orderable and fail analysis on map-typed fields — then render
+        # fold each (tiny) group into ONE row JVM-side — order_cols lead
+        # the struct so plain sort_array (codegen'd binary struct
+        # compare) realizes the in-group ordering — then render
         # thousands of groups per Arrow batch.  (groupBy().
         # applyInPandas here would pay one Python call + pandas
         # construction per num_shots+1 rows: ~60% of the gate's runtime
-        # at sf0.1 was that per-group overhead.)
+        # at sf0.1 was that per-group overhead.)  sort_array demands
+        # every struct field be orderable, so when the payload carries
+        # an unorderable (map-typed) column, fall back to an array_sort
+        # COMPARATOR over only the order columns — interpreted, but it
+        # never inspects the payload.
+        from pyspark.sql.types import ArrayType as _Arr
+        from pyspark.sql.types import MapType as _Map
+        from pyspark.sql.types import StructType as _Struct
+
+        def unorderable(dt) -> bool:
+            if isinstance(dt, _Map):
+                return True
+            if isinstance(dt, _Arr):
+                return unorderable(dt.elementType)
+            if isinstance(dt, _Struct):
+                return any(unorderable(f.dataType) for f in dt.fields)
+            return False
+
         rest = [c for c in df.columns if c not in order_cols]
+        orderable = not any(unorderable(df.schema[c].dataType) for c in rest)
+        records = F.collect_list(F.struct(*order_cols, *rest))
+        if orderable:
+            folded = F.sort_array(records)
+        else:
 
-        def in_group_order(l, r):  # noqa: E741
-            cmp = F.lit(0)
-            for c in reversed(order_cols):
-                cmp = (
-                    F.when(l[c] < r[c], -1)
-                    .when(l[c] > r[c], 1)
-                    .otherwise(cmp)
-                )
-            return cmp
+            def in_group_order(l, r):  # noqa: E741
+                cmp = F.lit(0)
+                for c in reversed(order_cols):
+                    cmp = (
+                        F.when(l[c] < r[c], -1)
+                        .when(l[c] > r[c], 1)
+                        .otherwise(cmp)
+                    )
+                return cmp
 
-        grouped = dfg.groupBy("__gid__").agg(
-            F.array_sort(
-                F.collect_list(F.struct(*order_cols, *rest)),
-                in_group_order,
-            ).alias("__recs__")
-        )
+            folded = F.array_sort(records, in_group_order)
+        grouped = dfg.groupBy("__gid__").agg(folded.alias("__recs__"))
 
         def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
             for pdf in batches:
