@@ -22,6 +22,7 @@ from .textstats import (
     LangIdMapper,
     PiiRedactMapper,
     QualityScoreMapper,
+    RepetitionStatsMapper,
     TokenCountMapper,
 )
 from .wordpiece import WordPieceTokenizer, tiny_bert_tokenizer
@@ -40,6 +41,7 @@ __all__ = [
     "NGramJaccardPairsMapper",
     "PiiRedactMapper",
     "QualityScoreMapper",
+    "RepetitionStatsMapper",
     "SimHashMapper",
     "SimHashNearDupPairsMapper",
     "TokenCountMapper",

@@ -203,6 +203,109 @@ class FingerprintMapper(SparkMapper):
         return normed.withColumns(out).drop("__norm__")
 
 
+class RepetitionStatsMapper(SparkMapper):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    app. A1.1): heavily self-repetitive documents are low-value LM
+    training data, and repetition fractions are the standard filter.
+
+    Emits per document (prefix ``rep_``):
+
+    * ``dup_word_frac`` — 1 - distinct/total words: pure array algebra
+      on the row, narrow, scan-speed.
+    * ``n_2grams`` / ``dup_2gram_frac`` / ``top_2gram_count`` — word
+      2-gram totals, the fraction of 2-gram occurrences whose gram
+      appears more than once, and the modal 2-gram count.  Per-row
+      top-frequency needs a frequency map, so this is computed as
+      explode -> hash-agg on (id, gram) -> per-id agg: linear,
+      map-side partial-agg friendly, and the doc id in the grouping
+      key means no hub skew at any corpus size; one equi-join on the
+      id re-attaches the stats.
+
+    ``id_field`` must be unique per document (it keys the join back).
+    """
+
+    def __init__(
+        self,
+        id_field: str = "doc_id",
+        text_field: str = "text",
+        prefix: str = "rep_",
+    ) -> None:
+        self.id_field = id_field
+        self.text_field = text_field
+        self.prefix = prefix
+        super().__init__(
+            input_fields=[id_field, text_field],
+            output_fields=[
+                prefix + c
+                for c in (
+                    "dup_word_frac",
+                    "n_2grams",
+                    "dup_2gram_frac",
+                    "top_2gram_count",
+                )
+            ],
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        p = self.prefix
+        words = F.split(F.col(self.text_field), " ")
+        nw = F.size(words)
+        ndw = F.size(F.array_distinct(words))
+        dup_word = F.when(
+            nw > 0, F.round((nw - ndw) / nw.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+        grams = F.when(
+            nw >= 2,
+            F.zip_with(
+                F.slice(words, F.lit(1), nw - 1),
+                F.slice(words, F.lit(2), nw - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        gram_rows = df.select(
+            F.col(self.id_field).alias("__id__"),
+            F.explode(grams).alias("__g__"),
+        )
+        per_doc = (
+            gram_rows.groupBy("__id__", "__g__")
+            .agg(F.count("*").alias("__c__"))
+            .groupBy("__id__")
+            .agg(
+                F.sum("__c__").alias(p + "n_2grams"),
+                F.sum(
+                    F.when(F.col("__c__") > 1, F.col("__c__")).otherwise(0)
+                ).alias("__dup__"),
+                F.max("__c__").alias(p + "top_2gram_count"),
+            )
+            .withColumn(
+                p + "dup_2gram_frac",
+                F.round(
+                    F.col("__dup__")
+                    / F.col(p + "n_2grams").cast("double"),
+                    6,
+                ),
+            )
+            .drop("__dup__")
+        )
+        out = df.withColumn(p + "dup_word_frac", dup_word).join(
+            per_doc.withColumnRenamed("__id__", self.id_field),
+            self.id_field,
+            "left",
+        )
+        # docs with < 2 words produce no gram rows: zero-fill
+        return out.withColumns(
+            {
+                p + "n_2grams": F.coalesce(p + "n_2grams", F.lit(0)),
+                p + "dup_2gram_frac": F.coalesce(
+                    p + "dup_2gram_frac", F.lit(0.0)
+                ),
+                p + "top_2gram_count": F.coalesce(
+                    p + "top_2gram_count", F.lit(0)
+                ),
+            }
+        )
+
+
 class PiiRedactMapper(SparkMapper):
     """Redact common PII patterns (emails, phone numbers, IPv4
     addresses) from a text column and count what was removed — the

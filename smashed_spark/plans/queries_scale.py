@@ -390,6 +390,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           + (length(t) - length(replace(t, ' et ', ''))) // 4
           + (length(t) - length(replace(t, ' les ', ''))) // 5 AS s_fr
         FROM p
+    ), rw AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), rg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(words)), i -> words[i] || ' ' || words[i+1]
+               )) AS gram
+        FROM rw WHERE len(words) >= 2
+    ), rc AS (
+        SELECT doc_id, gram, count(*) AS c FROM rg GROUP BY doc_id, gram
+    ), rep AS (
+        SELECT doc_id, sum(c) AS n2,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+               max(c) AS top
+        FROM rc GROUP BY doc_id
     )
     SELECT d.doc_id,
            len(list_filter(string_split_regex(d.text, '\\s+'), t -> t != ''))
@@ -411,24 +426,37 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND s.s_fr >= s.s_de THEN 'fr'
                 WHEN s.s_es >= s.s_en AND s.s_es >= s.s_de THEN 'es'
                 WHEN s.s_en >= s.s_de THEN 'en'
-                ELSE 'de' END AS lang_pred
+                ELSE 'de' END AS lang_pred,
+           CASE WHEN len(rw.words) > 0 THEN
+               round((len(rw.words) - len(list_distinct(rw.words)))::DOUBLE
+                     / len(rw.words), 6)
+               ELSE 0.0 END AS rep_dup_word_frac,
+           coalesce(rep.n2, 0)::BIGINT AS rep_n_2grams,
+           coalesce(round(rep.dup::DOUBLE / rep.n2, 6), 0.0)
+               AS rep_dup_2gram_frac,
+           coalesce(rep.top, 0)::BIGINT AS rep_top_2gram_count
     FROM documents d
     JOIN n ON d.doc_id = n.doc_id
     JOIN q ON d.doc_id = q.doc_id
     JOIN s ON d.doc_id = s.doc_id
+    JOIN rw ON d.doc_id = rw.doc_id
+    LEFT JOIN rep ON d.doc_id = rep.doc_id
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole text-analysis family in one scan-speed pipeline:
-    TokenCountMapper, FingerprintMapper, QualityScoreMapper, and
-    LangIdMapper chained — all pure column expressions, one narrow
-    pass over documents.  Spark's langid argmax is
+    """The whole text-analysis family: TokenCountMapper,
+    FingerprintMapper, QualityScoreMapper, and LangIdMapper chained —
+    all pure column expressions, one narrow pass over documents — plus
+    RepetitionStatsMapper (Gopher repetition signals), whose 2-gram
+    aggregation adds the family's only shuffle (keyed on (doc_id,
+    gram): partial-agg friendly, skew-free).  Spark's langid argmax is
     greatest(struct(score, lang)) — ties break toward the later
     language name, mirrored in the oracle's CASE ordering."""
     from ..functions.textstats import (
         FingerprintMapper,
         LangIdMapper,
         QualityScoreMapper,
+        RepetitionStatsMapper,
         TokenCountMapper,
     )
 
@@ -437,6 +465,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         >> FingerprintMapper()
         >> QualityScoreMapper()
         >> LangIdMapper()
+        >> RepetitionStatsMapper()
     )
     out = pipe.map(load(spark, sf_dir, "documents"))
     return out.select(
@@ -450,6 +479,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_mean_word_len",
         "q_non_alpha_ratio",
         "lang_pred",
+        "rep_dup_word_frac",
+        "rep_n_2grams",
+        "rep_dup_2gram_frac",
+        "rep_top_2gram_count",
     )
 
 

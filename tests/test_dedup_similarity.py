@@ -263,6 +263,39 @@ def test_fingerprint(spark):
     assert out[0].min_kgram_hash == out[1].min_kgram_hash
 
 
+def test_repetition_stats(spark):
+    from smashed_spark.functions.textstats import RepetitionStatsMapper
+
+    df = spark.createDataFrame(
+        [
+            # words: a b a b a -> 5 words, 2 distinct -> dup 0.6
+            # 2grams: "a b","b a","a b","b a" -> all 4 occurrences dup,
+            # top count 2
+            (0, "a b a b a"),
+            # all unique words/grams
+            (1, "x y z"),
+            # single word: no 2grams
+            (2, "solo"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    out = {
+        r.doc_id: r
+        for r in RepetitionStatsMapper().map(df).collect()
+    }
+    assert out[0].rep_dup_word_frac == 0.6
+    assert out[0].rep_n_2grams == 4
+    assert out[0].rep_dup_2gram_frac == 1.0
+    assert out[0].rep_top_2gram_count == 2
+    assert out[1].rep_dup_word_frac == 0.0
+    assert out[1].rep_n_2grams == 2
+    assert out[1].rep_dup_2gram_frac == 0.0
+    assert out[1].rep_top_2gram_count == 1
+    assert out[2].rep_n_2grams == 0
+    assert out[2].rep_dup_2gram_frac == 0.0
+    assert out[2].rep_top_2gram_count == 0
+
+
 def test_sessionize(spark):
     from datetime import datetime
 
