@@ -365,13 +365,24 @@ class DecontaminateMapper(SparkMapper):
     contaminated documents — the GPT-3-style eval-leakage scrub.
 
     Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
-    the benchmark's distinct shingles BROADCAST; the corpus side is one
-    narrow explode + broadcast-hash semi-join — the corpus itself never
-    shuffles.  Only the matched (doc, shingle) rows — bounded by
-    |benchmark shingles| x docs sharing them — reach the per-doc
-    overlap count, and in ``drop``/``flag_any`` mode even that
+    the benchmark's distinct shingles BROADCAST by default; the corpus
+    side is one narrow explode + broadcast-hash semi-join — the corpus
+    itself never shuffles.  Only the matched (doc, shingle) rows —
+    bounded by |benchmark shingles| x docs sharing them — reach the
+    per-doc overlap count, and in ``drop``/``flag_any`` mode even that
     aggregation is skipped in favor of a semi/anti join.
+
+    When the benchmark side itself is data-scale (a dedup-against-
+    another-corpus use, not an eval suite), broadcasting it would OOM
+    the executors: auto-selection reads Catalyst's plan-time size
+    estimate (no probe job) and switches to ``strategy="join"`` — a
+    plain shuffled equi-join on the shingle key, linear in both sides.
+    ``strategy=`` pins either path explicitly.
     """
+
+    #: benchmark-side plan-size cap for the broadcast path; above it
+    #: auto-selection shuffles instead (same tiering as CosineTopK)
+    BROADCAST_LIMIT_BYTES = 512 << 20
 
     def __init__(
         self,
@@ -383,9 +394,13 @@ class DecontaminateMapper(SparkMapper):
         mode: str = "flag",
         flag_field: str = "contaminated",
         overlap_field: str = "n_overlap",
+        strategy: Optional[str] = None,
     ) -> None:
         if mode not in ("flag", "drop"):
             raise ValueError(f"unknown mode {mode}")
+        if strategy not in (None, "broadcast", "join"):
+            raise ValueError(f"unknown strategy {strategy}")
+        self.strategy = strategy
         self.benchmark = benchmark
         self.id_field = id_field
         self.words_field = words_field
@@ -410,10 +425,28 @@ class DecontaminateMapper(SparkMapper):
             .distinct()
         )
 
+    def _resolve_strategy(self) -> str:
+        if self.strategy is not None:
+            return self.strategy
+        from .similarity import plan_size_bytes
+
+        size = plan_size_bytes(self.benchmark)
+        # unknown size = local/collected frames, i.e. an actual eval
+        # suite: broadcast (the historical behavior).  Known-large
+        # file-backed benchmarks shuffle instead of OOMing executors.
+        if size is not None and size > self.BROADCAST_LIMIT_BYTES:
+            return "join"
+        return "broadcast"
+
     def apply(self, df: DataFrame) -> DataFrame:
         from .hashing import word_shingles
 
-        bench = F.broadcast(self._bench_shingles())
+        shingles = self._bench_shingles()
+        bench = (
+            F.broadcast(shingles)
+            if self._resolve_strategy() == "broadcast"
+            else shingles
+        )
         sh = word_shingles(F.col(self.words_field), self.shingle_size)
         inv = df.select(
             F.col(self.id_field).alias("__id__"),

@@ -1,5 +1,6 @@
 """PII redaction + decontamination unit tests."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from smashed_spark.functions.textstats import (
@@ -98,6 +99,32 @@ def test_decontaminate_drop_is_anti_join(spark):
     )
     assert "LeftAnti" in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_decontaminate_join_strategy_matches_broadcast(spark, sf_dir):
+    """The shuffled-join path (huge-benchmark tier) must agree with the
+    broadcast path row-for-row, and auto-selection must pick it when
+    the benchmark's plan-time size exceeds the broadcast cap."""
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") == 1)
+    rows = lambda m: sorted(  # noqa: E731
+        (r.doc_id, r.contaminated, r.n_overlap)
+        for r in m.map(docs).collect()
+    )
+    assert rows(
+        DecontaminateMapper(bench, shingle_size=8, strategy="join")
+    ) == rows(DecontaminateMapper(bench, shingle_size=8))
+
+    big = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
+    auto = DecontaminateMapper(big, shingle_size=8)
+    auto.BROADCAST_LIMIT_BYTES = 0  # file-backed: estimate is known
+    assert auto._resolve_strategy() == "join"
+    assert DecontaminateMapper(bench)._resolve_strategy() == "broadcast"
+    with pytest.raises(ValueError, match="unknown strategy"):
+        DecontaminateMapper(bench, strategy="bloom")
 
 
 def test_decontaminate_min_overlap_threshold(spark):
