@@ -14,6 +14,7 @@ from .hashing import (
     simhash,
     word_shingles,
 )
+from .asof import AsofJoinMapper, RangeJoinMapper, asof_join
 from .similarity import CosineTopK, HyperplaneLSHTopK
 from .similarity import IVFCosineTopK
 from .textstats import (
@@ -28,6 +29,7 @@ from .textstats import (
 from .wordpiece import WordPieceTokenizer, tiny_bert_tokenizer
 
 __all__ = [
+    "AsofJoinMapper",
     "CosineTopK",
     "DecontaminateMapper",
     "EmbeddingNearDupPairsMapper",
@@ -43,9 +45,11 @@ __all__ = [
     "QualityScoreMapper",
     "RepetitionStatsMapper",
     "SimHashMapper",
+    "RangeJoinMapper",
     "SimHashNearDupPairsMapper",
     "TokenCountMapper",
     "WordPieceTokenizer",
+    "asof_join",
     "cosine_similarity",
     "minhash_signature",
     "portable_hash32",
