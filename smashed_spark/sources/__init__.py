@@ -16,6 +16,7 @@ from .loaders import (
     JsonlLoaderMapper,
     concatenate_datasets,
     interleave_datasets,
+    sample_mix,
 )
 
 __all__ = [
@@ -35,5 +36,6 @@ __all__ = [
     "remove_directory",
     "remove_file",
     "run_with_cache",
+    "sample_mix",
     "stream_file_for_read",
 ]

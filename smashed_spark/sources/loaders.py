@@ -143,7 +143,8 @@ def interleave_datasets(
             f"{INTERLEAVE_SIZE_WARN_BYTES >> 20} MiB by plan-time "
             "estimate; rank-interleaving totally orders each source "
             "(single-task sort) and will not scale. Mix data-scale "
-            "corpora by fraction sampling + union instead.",
+            "corpora with sample_mix (fraction sampling + union) "
+            "instead.",
             UserWarning,
             stacklevel=2,
         )
@@ -174,6 +175,46 @@ def interleave_datasets(
     if not keep_order_column:
         out = out.orderBy(INTERLEAVE_ORDER).drop(INTERLEAVE_ORDER)
     return out
+
+
+def sample_mix(
+    dfs: Sequence[DataFrame],
+    weights: Sequence[float],
+    seed: int = 13,
+    with_source: bool = False,
+    source_column: str = "__source__",
+) -> DataFrame:
+    """Data-scale corpus mixing: per-source Bernoulli sampling at the
+    given rates + union — the scalable alternative rank-interleaving
+    warns about.  ``weights[i]`` is the fraction of source ``i`` kept
+    (>1.0 oversamples by whole copies + a fractional remainder, the
+    usual epoch-mixing convention for high-quality corpora).
+
+    Fully narrow: ``sample`` filters at scan speed with a per-partition
+    deterministic RNG (seeded — reruns yield the same mix), the union
+    is metadata-only, and no ordering, window, or shuffle exists
+    anywhere in the plan.  ``with_source=True`` tags provenance.
+    """
+    if len(dfs) != len(weights):
+        raise ValueError("need one weight per source")
+    if not dfs:
+        raise ValueError("need at least one source")
+    parts = []
+    for i, (df, w) in enumerate(zip(dfs, weights)):
+        if w < 0:
+            raise ValueError(f"negative weight {w} for source {i}")
+        if with_source:
+            df = df.withColumn(source_column, F.lit(i))
+        whole, frac = int(w), w - int(w)
+        for r in range(whole):
+            parts.append(df)
+        if frac > 0:
+            # distinct seed per (source, repeat): fractional remainder
+            # draws a different subset than any whole copy
+            parts.append(df.sample(fraction=frac, seed=seed + 997 * i))
+    if not parts:
+        raise ValueError("all weights are zero")
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 class DatasetLoaderMapper(SparkMapper):

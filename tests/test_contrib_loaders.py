@@ -139,6 +139,44 @@ def test_interleave_runs_no_driver_actions(spark, monkeypatch):
     assert [r.v for r in rows] == ["a0", "b0"]
 
 
+def test_sample_mix(spark, sf_dir):
+    """Deterministic weighted corpus mixing: oversample = whole copies
+    + fractional remainder; seeded so reruns agree; plan stays narrow
+    (no sort/window/exchange — the property interleave can't have)."""
+    from smashed_spark.sources.loaders import sample_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    mixed = sample_mix([docs, docs], [2.0, 0.5], seed=7, with_source=True)
+    counts = {
+        r["__source__"]: r["count"]
+        for r in mixed.groupBy("__source__").count().collect()
+    }
+    assert counts[0] == 2 * n  # weight 2.0 = two whole copies
+    assert 0.3 * n < counts[1] < 0.7 * n  # Bernoulli at 0.5
+    again = sample_mix([docs, docs], [2.0, 0.5], seed=7, with_source=True)
+    assert (
+        again.groupBy("__source__").count().collect()
+        == mixed.groupBy("__source__").count().collect()
+        or sorted(r.doc_id for r in again.collect())
+        == sorted(r.doc_id for r in mixed.collect())
+    )
+    plan = mixed._sc._jvm.PythonSQLUtils.explainString(
+        mixed._jdf.queryExecution(), "formatted"
+    )
+    for node in ("Sort", "Window", "Exchange"):
+        assert f"{node} (" not in plan, (node, plan)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="one weight per source"):
+        sample_mix([docs], [1.0, 2.0])
+    with pytest.raises(ValueError, match="negative weight"):
+        sample_mix([docs], [-0.5])
+    with pytest.raises(ValueError, match="all weights are zero"):
+        sample_mix([docs], [0.0])
+
+
 def test_interleave_warns_on_data_scale_source(spark, sf_dir, monkeypatch):
     """A file-backed source above the plan-time size threshold draws
     the will-not-scale warning (rank-interleave = single-task sort)."""
