@@ -92,6 +92,50 @@ def test_asof_join_matches_duckdb_on_events(spark, sf_dir):
     assert got == want and got
 
 
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """Randomized multi-key parity with pandas merge_asof (backward,
+    allow_exact_matches=True) — an independent second oracle beside
+    DuckDB's ASOF JOIN."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(17)
+    lpd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 120),
+            "t": rng.choice(10_000, 120, replace=False).astype("int64"),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 80),
+            "t": rng.choice(10_000, 80, replace=False).astype("int64"),
+            "rv": rng.randint(0, 1000, 80).astype("int64"),
+        }
+    )
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+    got = sorted(
+        (r.k, r.t, r.t_asof, r.rv_asof)
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    )
+    merged = pd.merge_asof(
+        lpd.sort_values("t"),
+        rpd.sort_values("t").rename(columns={"t": "t_asof"}),
+        left_on="t",
+        right_on="t_asof",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    to_int = lambda v: None if pd.isna(v) else int(v)  # noqa: E731
+    want = sorted(
+        (int(r.k), int(r.t), to_int(r.t_asof), to_int(r.rv))
+        for r in merged.itertuples()
+    )
+    assert got == want and got
+
+
 def test_asof_join_plan_has_no_join_node(spark):
     left = spark.createDataFrame(
         [(1, 10, "x")], "k: bigint, t: bigint, lv: string"
