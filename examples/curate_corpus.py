@@ -1,6 +1,7 @@
-"""End-to-end training-data curation: quality filter -> language ID ->
-PII redaction -> exact dedup -> near-dedup (MinHash LSH) -> train/test
-decontamination -> token accounting.  The whole chain is lazy: one
+"""End-to-end training-data curation: quality + repetition filter ->
+language ID -> PII redaction -> exact dedup -> near-dedup (MinHash
+LSH) -> train/test decontamination -> weighted remix -> token
+accounting.  The whole chain is lazy: one
 logical plan, and every narrow step fuses; the only shuffles are the
 two dedup aggregations and the LSH bucket join.
 
@@ -25,8 +26,10 @@ from smashed_spark.functions.textstats import (
     LangIdMapper,
     PiiRedactMapper,
     QualityScoreMapper,
+    RepetitionStatsMapper,
     TokenCountMapper,
 )
+from smashed_spark.sources.loaders import sample_mix
 
 
 def main() -> None:
@@ -45,8 +48,11 @@ def main() -> None:
         >> LangIdMapper("text")
         >> PiiRedactMapper("text")
         >> TokenCountMapper("text")
+        >> RepetitionStatsMapper()  # Gopher repetition signals
     )
-    scored = pipe.map(docs).filter(F.col("q_score") >= 0.3)
+    scored = pipe.map(docs).filter(
+        (F.col("q_score") >= 0.3) & (F.col("rep_dup_2gram_frac") < 0.9)
+    )
 
     # 4. exact dedup (one shuffle on the content digest)
     deduped = ExactDedupMapper().map(scored)
@@ -66,8 +72,14 @@ def main() -> None:
         benchmark, shingle_size=8, mode="drop"
     ).map(survivors)
 
-    # 7. account
-    stats = clean.agg(
+    # 7. weighted remix: oversample the high-quality slice 2x, keep
+    #    half of the rest (seeded Bernoulli + union: fully narrow)
+    hi = clean.filter(F.col("q_score") >= 0.6)
+    rest = clean.filter(F.col("q_score") < 0.6)
+    mixed = sample_mix([hi, rest], [2.0, 0.5], seed=41)
+
+    # 8. account
+    stats = mixed.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_ws_tokens").alias("tokens"),
         F.sum("n_pii_email").alias("emails_redacted"),
