@@ -26,7 +26,10 @@ from ..core.mapper import SparkMapper
 from ..core.pipeline import Pipeline
 
 # mapper classes whose semantics need bounded input (order-sensitive
-# grouping, global ranks, self-joins)
+# grouping, global ranks, self-joins, per-key aggregation joined back,
+# or an unbounded-stream-side anti join).  RangeJoinMapper is absent
+# deliberately: its inner path is a stream-static equi-join, which
+# Structured Streaming supports.
 _UNSTREAMABLE = {
     "EnumerateFieldMapper",
     "FixedBatchSizeMapper",
@@ -36,7 +39,14 @@ _UNSTREAMABLE = {
     "EmbeddingNearDupPairsMapper",
     "CosineTopK",
     "HyperplaneLSHTopK",
+    "IVFCosineTopK",
     "ExactDedupMapper",
+    "SimHashNearDupPairsMapper",
+    "RepetitionStatsMapper",
+    "AsofJoinMapper",
+    "DecontaminateMapper",
+    "SessionizeMapper",
+    "SessionStatsMapper",
 }
 
 

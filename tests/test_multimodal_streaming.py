@@ -65,6 +65,24 @@ def test_assert_streamable():
         assert_streamable(
             Pipeline([EnumerateFieldMapper("x", order_by=["x"])])
         )
+    # every multi-pass operator family must be rejected up front — a
+    # missing denylist entry surfaces as a confusing analysis error
+    # deep inside Structured Streaming instead
+    from smashed_spark.streaming.runner import _UNSTREAMABLE
+
+    for name in (
+        "RepetitionStatsMapper",
+        "IVFCosineTopK",
+        "SimHashNearDupPairsMapper",
+        "AsofJoinMapper",
+        "DecontaminateMapper",
+        "SessionizeMapper",
+        "SessionStatsMapper",
+    ):
+        assert name in _UNSTREAMABLE, name
+    # RangeJoinMapper's inner path is a supported stream-static
+    # equi-join: deliberately NOT denylisted
+    assert "RangeJoinMapper" not in _UNSTREAMABLE
 
 
 def test_streaming_pipeline_matches_batch(spark, sf_dir, tmp_path):
