@@ -56,7 +56,18 @@ def asof_join(
     the preceding frame -> keep left rows.  One exchange on ``by``,
     one in-partition sort, no join node at all.  Right rows sort
     BEFORE left rows at an equal timestamp, so ties match (<=, not <).
+
+    ``by`` must be non-empty: a keyless as-of is a single global merge
+    (one partition, no parallelism) — pre-bucket the time axis and use
+    a synthetic key if that is genuinely wanted.  ``on`` must be
+    orderable (numeric/timestamp).
     """
+    if not by:
+        raise ValueError(
+            "asof_join requires a non-empty `by`: a keyless as-of is a "
+            "single-partition global merge; bucket the time axis into a "
+            "synthetic key if that is intended"
+        )
     if right_fields is None:
         right_fields = [
             c for c in right.columns if c not in (*by, on)

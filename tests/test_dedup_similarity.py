@@ -394,6 +394,51 @@ def test_simhash_pairs_banding_is_exact(spark):
         assert got == want, (k, len(got), len(want))
 
 
+def test_ivf_fit_replay_is_bit_identical(spark, sf_dir):
+    """The ann_ivf_topk oracle embeds centroids replayed driver-side
+    from the parquet via DuckDB; the mapper fits them through Spark
+    collect.  Both paths must produce BIT-IDENTICAL float64 centroids
+    (same hash-ordered fit set, same seeded numpy Lloyd) — any
+    divergence here would surface as an opaque gate hash-mismatch."""
+    import duckdb
+    import numpy as np
+
+    from smashed_spark.functions.similarity import (
+        IVFCosineTopK,
+        fit_ivf_centroids,
+    )
+
+    m = IVFCosineTopK(n_centroids=8, n_probe=3, max_iter=3, seed=42)
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = df.select(
+        F.col("vec_id").alias("__id__"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v__"),
+    )
+    spark_cents = m._fit_centroids(base)
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        f"FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100000"
+    ).fetchall()
+    con.close()
+    replayed = fit_ivf_centroids(
+        np.array([r[0] for r in rows], dtype=np.float64), 8, 42, 3
+    )
+    assert np.array_equal(spark_cents, replayed)
+
+
+def test_ivf_empty_corpus_raises(spark):
+    from smashed_spark.functions.similarity import IVFCosineTopK
+
+    df = spark.createDataFrame(
+        [], "vec_id: bigint, embedding: array<float>"
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        IVFCosineTopK().map(df)
+
+
 def test_simhash_pairs_default_64_bits_exact(spark):
     """The default is the web-scale 64-bit setting (16-bit bands at
     max_hamming=3 — Manku et al.), and banding stays exact there even
