@@ -76,29 +76,33 @@ def asof_join(
     if missing:
         raise ValueError(f"right side lacks join columns {missing}")
 
-    payload = [F.col(c).alias(f"__r_{c}__") for c in right_fields]
+    # the whole right row is carried as ONE nullable struct: carrying
+    # each payload column independently (last(col, ignorenulls) per
+    # column) would let a genuinely-NULL payload value in the matched
+    # row fall through to a STALE value from an older right row,
+    # producing rows mixing columns of different right rows
+    r_struct = F.struct(
+        F.col(on).alias("__t__"),
+        *[F.col(c).alias(c) for c in right_fields],
+    )
     r = right.select(
         *by,
         F.col(on).alias("__t__"),
         F.lit(0).alias("__side__"),  # right sorts first on ts ties
-        F.col(on).alias("__rt__"),
-        *payload,
+        r_struct.alias("__r__"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}__")
             for c in left.columns
         ],
     )
-    l_cols = [F.col(c).alias(f"__l_{c}__") for c in left.columns]
     l = left.select(
         *by,
         F.col(on).alias("__t__"),
         F.lit(1).alias("__side__"),
-        F.lit(None).cast(r.schema["__rt__"].dataType).alias("__rt__"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__")
-            for c in right_fields
-        ],
-        *l_cols,
+        F.lit(None).cast(
+            r.schema["__r__"].dataType
+        ).alias("__r__"),
+        *[F.col(c).alias(f"__l_{c}__") for c in left.columns],
     )
     w = (
         Window.partitionBy(*by)
@@ -107,26 +111,21 @@ def asof_join(
     )
     carried = r.unionByName(l).select(
         "*",
-        F.last("__rt__", ignorenulls=True).over(w).alias("__m_t__"),
-        *[
-            F.last(f"__r_{c}__", ignorenulls=True)
-            .over(w)
-            .alias(f"__m_{c}__")
-            for c in right_fields
-        ],
+        F.last("__r__", ignorenulls=True).over(w).alias("__m__"),
     )
     out = carried.filter(F.col("__side__") == 1)
     within = F.lit(True)
     if tolerance is not None:
-        within = F.col("__m_t__") >= (F.col("__t__") - tolerance)
+        within = F.col("__m__.__t__") >= (F.col("__t__") - tolerance)
+    matched = F.when(within, F.col("__m__"))
     result = out.select(
         *[
             F.col(f"__l_{c}__").alias(c)
             for c in left.columns
         ],
-        F.when(within, F.col("__m_t__")).alias(f"{on}{suffix}"),
+        matched["__t__"].alias(f"{on}{suffix}"),
         *[
-            F.when(within, F.col(f"__m_{c}__")).alias(f"{c}{suffix}")
+            matched[c].alias(f"{c}{suffix}")
             for c in right_fields
         ],
     )

@@ -37,11 +37,19 @@ class SmartPath:
 
     @classmethod
     def parse(cls, path: str) -> "SmartPath":
-        p = urlparse(str(path))
+        import re
+
+        s = str(path)
+        # only URL-parse strings that actually carry a scheme: local
+        # filenames may legally contain '#'/'?', which urlparse would
+        # truncate into fragment/query
+        if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", s):
+            return cls("file", "", s)
+        p = urlparse(s)
         if p.scheme in ("s3", "s3a", "s3n"):
             return cls("s3", p.netloc, p.path.lstrip("/"))
-        if p.scheme in ("", "file"):
-            return cls("file", "", p.path or str(path))
+        if p.scheme == "file":
+            return cls("file", "", p.path)
         raise ValueError(f"unsupported scheme {p.scheme!r} in {path!r}")
 
     @property
@@ -147,8 +155,21 @@ def recursively_list_files(
     sp = SmartPath.parse(path)
     if sp.is_s3:
         client = client or _client()
+        # an exact object key lists as itself (mirror of the local
+        # isfile branch)
+        if sp.key:
+            try:
+                client.head_object(Bucket=sp.bucket, Key=sp.key)
+                yield str(sp)
+                return
+            except Exception:
+                pass
+        # directory semantics: anchor the prefix with '/' so sibling
+        # keys sharing the name prefix ('data' vs 'data2/...') are NOT
+        # swept in — remove_directory deletes whatever this yields
+        prefix = sp.key.rstrip("/") + "/" if sp.key else ""
         paginator = client.get_paginator("list_objects_v2")
-        for page in paginator.paginate(Bucket=sp.bucket, Prefix=sp.key):
+        for page in paginator.paginate(Bucket=sp.bucket, Prefix=prefix):
             for obj in page.get("Contents", []):
                 name = obj["Key"].rsplit("/", 1)[-1]
                 if ignore_hidden and name.startswith("."):

@@ -159,14 +159,32 @@ def interleave_datasets(
         )
     # shortest-source length without any count() action: per-source max
     # rank, then a global min — two cheap windows over already-ranked
-    # (metadata-scale) data, evaluated in the same job as the output
-    unioned = concatenate_datasets(ranked)
+    # (metadata-scale) data, evaluated in the same job as the output.
+    # One SENTINEL row per source (rank -1, null payload) guarantees
+    # every source is represented in the windows: an EMPTY source would
+    # otherwise contribute no rows at all and the min would silently
+    # skip its length of 0 (shortest-source semantics say the result
+    # must then be empty).
+    spark = dfs[0].sparkSession
+    schema = ranked[0].schema
+    sentinels = spark.range(len(dfs)).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if f.name not in ("__rn__", "__src__")
+        ],
+        F.lit(-1).alias("__rn__"),
+        F.col("id").cast("integer").alias("__src__"),
+    )
+    unioned = concatenate_datasets(ranked).unionByName(sentinels)
     src_len = F.max("__rn__").over(Window.partitionBy("__src__")) + 1
     shortest = F.min("__len__").over(Window.partitionBy(F.lit(1)))
     out = (
         unioned.withColumn("__len__", src_len)
         .withColumn("__n__", shortest)
-        .filter(F.col("__rn__") < F.col("__n__"))
+        .filter(
+            (F.col("__rn__") >= 0) & (F.col("__rn__") < F.col("__n__"))
+        )
     )
     out = out.withColumn(
         INTERLEAVE_ORDER,

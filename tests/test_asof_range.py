@@ -39,6 +39,24 @@ def test_asof_join_basic(spark):
     assert out["l3"] == (None, None)  # right row is later
 
 
+def test_asof_join_null_payload_is_not_replaced_by_stale_row(spark):
+    """A genuinely-NULL payload value in the matched right row must
+    come through as NULL — not be papered over with a stale value from
+    an older right row (the per-column last(ignorenulls) trap): the
+    whole matched row is carried as one struct."""
+    left = spark.createDataFrame(
+        [(1, 20, "l")], "k: bigint, t: bigint, lv: string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "old", "o2"), (1, 10, None, "n2")],
+        "k: bigint, t: bigint, rv: string, rw: string",
+    )
+    out = asof_join(left, right, on="t", by=["k"]).collect()[0]
+    assert out.t_asof == 10
+    assert out.rv_asof is None  # matched row's value, not 'old'
+    assert out.rw_asof == "n2"  # same matched row for every column
+
+
 def test_asof_join_tolerance(spark):
     left = spark.createDataFrame(
         [(1, 100, "a"), (1, 200, "b")], "k: bigint, t: bigint, lv: string"

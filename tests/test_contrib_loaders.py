@@ -139,6 +139,17 @@ def test_interleave_runs_no_driver_actions(spark, monkeypatch):
     assert [r.v for r in rows] == ["a0", "b0"]
 
 
+def test_interleave_empty_source_empties_result(spark):
+    """shortest-source semantics (HF all_exhausted=False): one empty
+    source means the interleave is exhausted immediately — the lazy
+    window cutoff must see the empty source (sentinel rows), not skip
+    it."""
+    a = spark.createDataFrame([(0, "a0"), (1, "a1")], "i: bigint, v: string")
+    empty = spark.createDataFrame([], "i: bigint, v: string")
+    out = interleave_datasets([a, empty], order_by=["i"])
+    assert out.count() == 0
+
+
 def test_sample_mix(spark, sf_dir):
     """Deterministic weighted corpus mixing: oversample = whole copies
     + fractional remainder; seeded so reruns agree; plan stays narrow

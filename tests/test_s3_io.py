@@ -117,6 +117,30 @@ def test_local_paths_need_no_boto(tmp_path, monkeypatch):
     assert not exists(str(p))
 
 
+def test_list_and_remove_do_not_sweep_sibling_prefixes(s3):
+    """'data' must never match 'data2/...': the listing behind
+    remove_directory/copy_directory anchors the prefix with '/'."""
+    _put(s3, key="data/a.txt", body="x")
+    _put(s3, key="data2/b.txt", body="y")
+    listed = list(recursively_list_files(f"s3://{BUCKET}/data", client=s3))
+    assert listed == [f"s3://{BUCKET}/data/a.txt"]
+    remove_directory(f"s3://{BUCKET}/data", client=s3)
+    assert exists(f"s3://{BUCKET}/data2/b.txt", client=s3)  # untouched
+
+
+def test_local_filenames_with_url_metacharacters(tmp_path):
+    """'#' and '?' are legal in local filenames and must not be
+    urlparse-truncated into fragment/query."""
+    p = tmp_path / "report#1?v=2.txt"
+    with open_file_for_write(str(p)) as f:
+        f.write("data")
+    assert exists(str(p))
+    with open_file_for_read(str(p)) as f:
+        assert f.read() == "data"
+    sp = SmartPath.parse(str(p))
+    assert sp.local == str(p)
+
+
 def test_smartpath_parse():
     sp = SmartPath.parse("s3://bucket/a/b.txt")
     assert sp.is_s3 and sp.bucket == "bucket" and sp.key == "a/b.txt"
