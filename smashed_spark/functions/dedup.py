@@ -111,7 +111,7 @@ class MinHashMapper(SparkMapper):
         sh = word_shingles(F.col(self.words_field), self.shingle_size)
         # materialize the base hashes once so the k permutations reuse
         # them instead of re-hashing every shingle k times
-        df = df.withColumn("__shingle_hashes__", F.transform(sh, portable_hash32))
+        df = df.withColumn("__shingle_hashes__", F.transform(sh, lambda t: portable_hash32(t)))
         out = df.withColumn(
             self.signature_field,
             minhash_signature(
@@ -178,14 +178,27 @@ class MinHashLSHPairsMapper(SparkMapper):
 
 class SimHashMapper(SparkMapper):
     """Attach a SimHash fingerprint (Charikar 2002) over a words array.
-    Near-dups have small Hamming distance between fingerprints."""
+    Near-dups have small Hamming distance between fingerprints.
+
+    Defaults to 64-bit fingerprints so the default composition with
+    :class:`SimHashNearDupPairsMapper` (which also defaults to 64 —
+    the Manku et al. web-scale setting) is coherent: a 16-bit
+    fingerprint banded as 64 would leave three of four bands constant
+    and degenerate the banded join into all-pairs.  ``bits`` <= 32
+    draws sign bits from one md5 word; wider fingerprints compose two
+    independent 32-bit simhashes (md5 words 0 and 1) as ``hi * 2^32 +
+    lo`` in signed two's-complement — the low 32 bits equal the plain
+    ``bits=32`` fingerprint by construction.
+    """
 
     def __init__(
         self,
         words_field: str = "words",
         output_field: str = "simhash",
-        bits: int = 16,
+        bits: int = 64,
     ) -> None:
+        if not 0 < bits <= 64:
+            raise ValueError("bits must be in 1..64")
         self.words_field = words_field
         self.output_field = output_field
         self.bits = bits
@@ -196,19 +209,39 @@ class SimHashMapper(SparkMapper):
     def apply(self, df: DataFrame) -> DataFrame:
         from .hashing import portable_hash32
 
-        # project the token hashes ONCE: Catalyst does not CSE the hash
-        # transform across the per-bit folds inside simhash()
+        # project the token hashes ONCE per md5 word: Catalyst does not
+        # CSE the hash transform across the per-bit folds in simhash()
+        words = F.col(self.words_field)
         hashed = df.withColumn(
-            "__tok_hashes__",
-            F.transform(F.col(self.words_field), portable_hash32),
+            "__tok_h0__",
+            F.transform(words, lambda t: portable_hash32(t, 0)),
         )
+        if self.bits <= 32:
+            out = hashed.withColumn(
+                self.output_field,
+                simhash(
+                    F.col("__tok_h0__"), self.bits, hashes_precomputed=True
+                ),
+            )
+            return out.drop("__tok_h0__")
+        hashed = hashed.withColumn(
+            "__tok_h1__",
+            F.transform(words, lambda t: portable_hash32(t, 1)),
+        )
+        lo = simhash(F.col("__tok_h0__"), 32, hashes_precomputed=True)
+        hi = simhash(
+            F.col("__tok_h1__"), self.bits - 32, hashes_precomputed=True
+        )
+        if self.bits == 64:
+            # top bit set -> negative bigint (two's complement): keep
+            # the product inside signed-64 range
+            hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(
+                hi
+            )
         out = hashed.withColumn(
-            self.output_field,
-            simhash(
-                F.col("__tok_hashes__"), self.bits, hashes_precomputed=True
-            ),
+            self.output_field, hi * F.lit(1 << 32) + lo
         )
-        return out.drop("__tok_hashes__")
+        return out.drop("__tok_h0__", "__tok_h1__")
 
 
 class SimHashNearDupPairsMapper(SparkMapper):

@@ -29,9 +29,17 @@ def hash_coeffs(k: int) -> List[tuple]:
     return [(1 + 2 * i, 97 + 31 * i) for i in range(k)]
 
 
-def portable_hash32(col: Column) -> Column:
-    """32-bit integer from the md5 hex prefix (portable to DuckDB)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+def portable_hash32(col: Column, word: int = 0) -> Column:
+    """32-bit integer from an 8-hex-char window of the md5 digest
+    (portable to DuckDB).  ``word`` selects the window: 0 = chars 1-8
+    (the historical prefix hash), 1 = chars 9-16, ... up to 3 — four
+    independent 32-bit hashes from one digest, used to build >32-bit
+    simhash fingerprints without a second md5 pass."""
+    if not 0 <= word <= 3:
+        raise ValueError("md5 yields 4 32-bit words; word must be 0..3")
+    return F.conv(
+        F.substring(F.md5(col), 1 + 8 * word, 8), 16, 10
+    ).cast("bigint")
 
 
 def word_shingles(words: Column, n: int) -> Column:
@@ -64,7 +72,7 @@ def minhash_signature(
     across the k ``transform`` lambdas, so k=16 would md5 every shingle
     16 times).
     """
-    base = shingles if hashes_precomputed else F.transform(shingles, portable_hash32)
+    base = shingles if hashes_precomputed else F.transform(shingles, lambda t: portable_hash32(t))
 
     def affine(a: int, b: int):
         # NB: no default-arg capture — pyspark counts default args as
@@ -100,7 +108,10 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
 
 
 def simhash(
-    tokens: Column, bits: int = 16, hashes_precomputed: bool = False
+    tokens: Column,
+    bits: int = 16,
+    hashes_precomputed: bool = False,
+    hash_word: int = 0,
 ) -> Column:
     """SimHash over a token array (Charikar 2002): for each bit
     position, sum +1/-1 according to each token-hash's bit, then take
@@ -113,9 +124,22 @@ def simhash(
     the hash ``transform`` across the ``bits`` aggregate folds, so
     inline hashing would md5 every token ``bits`` times (measured 10x
     slowdown at bits=32).
+
+    A single md5 word carries 32 hash bits, so ``bits`` caps at 32
+    here; :class:`~smashed_spark.functions.dedup.SimHashMapper`
+    composes wider fingerprints (up to 64) from independent md5 words
+    (``hash_word`` selects which word the inline path hashes with).
     """
+    if bits > 32:
+        raise ValueError(
+            "simhash() draws bits from one 32-bit token hash; compose "
+            "wider fingerprints from independent hash words (see "
+            "SimHashMapper)"
+        )
     hashes = (
-        tokens if hashes_precomputed else F.transform(tokens, portable_hash32)
+        tokens
+        if hashes_precomputed
+        else F.transform(tokens, lambda t: portable_hash32(t, hash_word))
     )
 
     def bit_step(b: int):

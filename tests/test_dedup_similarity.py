@@ -439,6 +439,49 @@ def test_ivf_empty_corpus_raises(spark):
         IVFCosineTopK().map(df)
 
 
+def test_simhash_64_bit_fingerprints(spark):
+    """64-bit simhash: low word equals the plain 32-bit fingerprint
+    (md5 word 0), the upper word is an independent simhash (md5 word
+    1) actually carrying signal, and the DEFAULT SimHashMapper >>
+    SimHashNearDupPairsMapper composition (both 64) yields exactly the
+    brute-force Hamming-ball pairs — the defaults cannot silently band
+    a narrow fingerprint as 64 bits (degenerate constant bands)."""
+    import itertools
+
+    from smashed_spark.functions.dedup import (
+        SimHashMapper,
+        SimHashNearDupPairsMapper,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} common tokens here") for i in range(40)],
+        "doc_id: bigint, text: string",
+    ).withColumn("words", F.split("text", " "))
+
+    h64 = {r.doc_id: r.simhash for r in SimHashMapper().map(docs).collect()}
+    h32 = {
+        r.doc_id: r.simhash
+        for r in SimHashMapper(bits=32).map(docs).collect()
+    }
+    assert all((h64[d] & 0xFFFFFFFF) == h32[d] for d in h32)
+    uppers = {(h64[d] >> 32) & 0xFFFFFFFF for d in h64}
+    assert len(uppers) > 1  # upper word varies: real signal, not zeros
+
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in (SimHashMapper() >> SimHashNearDupPairsMapper("doc_id"))
+        .map(docs)
+        .collect()
+    )
+    unsigned = {d: v & ((1 << 64) - 1) for d, v in h64.items()}
+    want = sorted(
+        (a, b, bin(unsigned[a] ^ unsigned[b]).count("1"))
+        for a, b in itertools.combinations(sorted(unsigned), 2)
+        if bin(unsigned[a] ^ unsigned[b]).count("1") <= 3
+    )
+    assert got == want
+
+
 def test_simhash_pairs_default_64_bits_exact(spark):
     """The default is the web-scale 64-bit setting (16-bit bands at
     max_hamming=3 — Manku et al.), and banding stays exact there even
