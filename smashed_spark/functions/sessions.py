@@ -46,12 +46,13 @@ class SessionizeMapper(SparkMapper):
         # compare at microsecond precision: cast("long") truncates to
         # whole seconds, so a 1800.5 s gap would (wrongly) not break a
         # 30-min session while a microsecond-exact oracle would.
-        # unix_micros rejects TIMESTAMP_NTZ (how Spark reads parquet
-        # timestamps without a zone annotation); the cast is a no-op on
-        # plain TIMESTAMP and the zone offset cancels in the difference
-        gap_us = F.unix_micros(
-            F.col(self.ts_field).cast("timestamp")
-        ) - F.unix_micros(prev_ts.cast("timestamp"))
+        # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike
+        # with NO zone resolution — an NTZ->LTZ cast would give the two
+        # ends of a DST-straddling gap different offsets and skew the
+        # gap by an hour under a non-UTC session timezone
+        gap_us = F.timestamp_diff(
+            "MICROSECOND", prev_ts, F.col(self.ts_field)
+        )
         brk = F.when(
             prev_ts.isNull() | (gap_us > self.gap_minutes * 60 * 1_000_000),
             1,
@@ -89,11 +90,13 @@ class SessionStatsMapper(SessionizeMapper):
             F.count(F.lit(1)).alias("n_events"),
             # integer microseconds then floor-divide: exact in any
             # engine (casting each timestamp to seconds first truncates
-            # fractional parts inconsistently)
+            # fractional parts inconsistently); timestamp_diff is
+            # zone-independent on NTZ inputs (see apply above)
             (
-                (
-                    F.max(F.unix_micros(F.col(self.ts_field).cast("timestamp")))
-                    - F.min(F.unix_micros(F.col(self.ts_field).cast("timestamp")))
+                F.timestamp_diff(
+                    "MICROSECOND",
+                    F.min(self.ts_field),
+                    F.max(self.ts_field),
                 )
                 / F.lit(1_000_000)
             ).cast("bigint").alias("span_seconds"),

@@ -336,6 +336,32 @@ def test_sessionize_subsecond_gap(spark):
     assert [r.session_idx for r in out] == [1, 1, 2]
 
 
+def test_sessionize_ntz_is_timezone_independent(spark):
+    """Gap arithmetic on TIMESTAMP_NTZ must not resolve zone offsets:
+    under a DST session timezone, an NTZ->LTZ cast gives the two ends
+    of a spring-forward-straddling gap different offsets and shrinks
+    an 85-minute real gap to an apparent 25 minutes (no session
+    break).  timestamp_diff compares wall-clock values directly."""
+    from datetime import datetime
+
+    from smashed_spark.functions.sessions import SessionizeMapper
+
+    rows = [
+        (0, 1, datetime(2026, 3, 8, 1, 45)),   # PST (-8) side of DST
+        (1, 1, datetime(2026, 3, 8, 3, 10)),   # PDT (-7) side: 85 min later
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: bigint, user_id: bigint, ts: timestamp_ntz"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        out = SessionizeMapper().map(df).orderBy("event_id").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert [r.session_idx for r in out] == [1, 2]
+
+
 def test_ivf_topk_recall(spark):
     """IVF recall on *clustered* embeddings — the regime IVF exists
     for: true neighbors share a cluster, so the Lloyd quantizer's
