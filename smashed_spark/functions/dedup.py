@@ -545,7 +545,10 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
         size = plan_size_bytes(df)
         if size is not None:
             return size <= self.BROADCAST_LIMIT_BYTES
-        return df.count() <= self.BROADCAST_LIMIT_ROWS
+        # bounded probe: limit pushes into the scan, reading at most
+        # LIMIT+1 rows regardless of frame size (vs a full-scan count)
+        cap = self.BROADCAST_LIMIT_ROWS
+        return df.limit(cap + 1).count() <= cap
 
     def apply(self, df: DataFrame) -> DataFrame:
         strategy = self.strategy

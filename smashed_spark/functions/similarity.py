@@ -97,7 +97,11 @@ class CosineTopK(SparkMapper):
         size = plan_size_bytes(df)
         if size is not None:
             return size <= self.BROADCAST_LIMIT_BYTES
-        return df.count() <= self.BROADCAST_LIMIT_ROWS
+        # unknown estimate: BOUNDED row probe — limit pushes into the
+        # scan, so at most LIMIT+1 rows are read however large the
+        # frame is (a bare count() here would be a full scan)
+        cap = self.BROADCAST_LIMIT_ROWS
+        return df.limit(cap + 1).count() <= cap
 
     def apply(self, df: DataFrame) -> DataFrame:
         strategy = self.strategy

@@ -383,6 +383,11 @@ class DecontaminateMapper(SparkMapper):
     #: benchmark-side plan-size cap for the broadcast path; above it
     #: auto-selection shuffles instead (same tiering as CosineTopK)
     BROADCAST_LIMIT_BYTES = 512 << 20
+    #: row cap for the bounded probe when the plan-time estimate is
+    #: unknown (local frames, or join-derived estimates Catalyst can
+    #: only bound as child-size products): real eval suites sit far
+    #: below this
+    BROADCAST_LIMIT_ROWS = 1_000_000
 
     def __init__(
         self,
@@ -431,12 +436,19 @@ class DecontaminateMapper(SparkMapper):
         from .similarity import plan_size_bytes
 
         size = plan_size_bytes(self.benchmark)
-        # unknown size = local/collected frames, i.e. an actual eval
-        # suite: broadcast (the historical behavior).  Known-large
-        # file-backed benchmarks shuffle instead of OOMing executors.
-        if size is not None and size > self.BROADCAST_LIMIT_BYTES:
-            return "join"
-        return "broadcast"
+        if size is not None:
+            return (
+                "join" if size > self.BROADCAST_LIMIT_BYTES else "broadcast"
+            )
+        # unknown estimate (local frames, or derived-from-sentinel /
+        # product-of-children values the band rejects): a BOUNDED row
+        # probe — limit pushes down, so at most cap+1 rows are read —
+        # decides, instead of assuming eval-suite scale and
+        # broadcasting something that might OOM the executors
+        cap = self.BROADCAST_LIMIT_ROWS
+        if self.benchmark.limit(cap + 1).count() <= cap:
+            return "broadcast"
+        return "join"
 
     def apply(self, df: DataFrame) -> DataFrame:
         from .hashing import word_shingles
