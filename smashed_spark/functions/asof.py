@@ -216,39 +216,27 @@ class RangeJoinMapper(SparkMapper):
         points = df.withColumn(
             "__bucket__", F.floor(F.col(self.point_field) / w)
         )
-        cond = [points["__bucket__"] == ivals["__bucket__"]] + [
-            points[c] == ivals[c] for c in self.by
-        ]
-        exact = (
-            ivals[self.start_field] <= points[self.point_field]
-        ) & (points[self.point_field] < ivals[self.end_field])
-        joined = points.join(ivals, cond, "inner").filter(exact)
+        # the exact containment predicate goes INTO the join condition
+        # (still a hash equi-join on the bucket key, with the range
+        # check as the join's residual filter): one candidate join
+        # serves both modes — left-outer then yields exactly one
+        # null-extended row for points no interval contains, instead
+        # of re-running the whole exploded join as an anti-join
+        cond = (
+            (points["__bucket__"] == ivals["__bucket__"])
+            & (ivals[self.start_field] <= points[self.point_field])
+            & (points[self.point_field] < ivals[self.end_field])
+        )
+        for c in self.by:
+            cond = cond & (points[c] == ivals[c])
+        how = "inner" if self.how == "inner" else "left_outer"
+        joined = points.join(ivals, cond, how)
         keep = [points[c] for c in df.columns] + [
             ivals[c]
             for c in self.intervals.columns
             if c not in (*self.by,)
         ]
-        matched = joined.select(*keep)
-        if self.how == "inner":
-            return matched
-        # left join: re-attach unmatched points with null interval cols
-        ival_cols = [
-            c for c in self.intervals.columns if c not in (*self.by,)
-        ]
-        unmatched = points.join(
-            ivals,
-            cond + [exact],
-            "left_anti",
-        ).select(
-            *[F.col(c) for c in df.columns],
-            *[
-                F.lit(None)
-                .cast(self.intervals.schema[c].dataType)
-                .alias(c)
-                for c in ival_cols
-            ],
-        )
-        return matched.unionByName(unmatched)
+        return joined.select(*keep)
 
 
 __all__ = ["asof_join", "AsofJoinMapper", "RangeJoinMapper"]
