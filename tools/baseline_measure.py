@@ -61,6 +61,7 @@ def build_rows():
                     "attention_mask": [[1] * half, [1] * (len(ids) - half or 1)],
                     "packed_a": ids[:8],
                     "packed_b": [x * 2 for x in ids[:8]],
+                    "locs": sorted({ids[0] % 8, ids[1] % 8, ids[2] % 8}),
                     "n": len(words),
                     "text": t,
                 }
@@ -83,7 +84,10 @@ def ref_chains():
     from smashed.mappers import (
         AttentionMaskSequencePaddingMapper,
         FilterMapper,
+        IndicesToMaskMapper,
+        MaskToIndicesMapper,
         SequencesConcatenateMapper,
+        SingleSequenceStriderMapper,
         TokensSequencesPaddingMapper,
         UnpackingMapper,
     )
@@ -104,17 +108,38 @@ def ref_chains():
             ignored_behavior="repeat",
         ),
         "filter_rows": FilterMapper("n", ">=", 40),
+        "masks_roundtrip": (
+            IndicesToMaskMapper(
+                mask_field_name="mask",
+                reference_field_name="packed_a",
+                locations_field_name="locs",
+            )
+            >> MaskToIndicesMapper(
+                mask_field_name="mask",
+                locations_field_name="locs2",
+            )
+        ),
+        "strider_windows": SingleSequenceStriderMapper(
+            field_to_stride="packed_a", max_length=4, stride=2
+        ),
     }
 
 
 def spark_chains():
     from smashed_spark.operators.filters import FilterMapper
+    from smashed_spark.operators.masks import (
+        IndicesToMaskMapper,
+        MaskToIndicesMapper,
+    )
     from smashed_spark.operators.multiseq import (
         AttentionMaskSequencePaddingMapper,
         SequencesConcatenateMapper,
         TokensSequencesPaddingMapper,
     )
-    from smashed_spark.operators.shape import UnpackingMapper
+    from smashed_spark.operators.shape import (
+        SingleSequenceStriderMapper,
+        UnpackingMapper,
+    )
 
     tok = FakeBertTokenizer()
     return {
@@ -132,6 +157,20 @@ def spark_chains():
             ignored_behavior="repeat",
         ),
         "filter_rows": FilterMapper("n", ">=", 40),
+        "masks_roundtrip": (
+            IndicesToMaskMapper(
+                mask_field_name="mask",
+                reference_field_name="packed_a",
+                locations_field_name="locs",
+            )
+            >> MaskToIndicesMapper(
+                mask_field_name="mask",
+                locations_field_name="locs2",
+            )
+        ),
+        "strider_windows": SingleSequenceStriderMapper(
+            field_to_stride="packed_a", max_length=4, stride=2
+        ),
     }
 
 
@@ -139,6 +178,8 @@ WORKLOAD_COLS = {
     "multiseq_pad_concat": ["row_id", "input_ids", "attention_mask"],
     "unpack_explode": ["row_id", "packed_a", "packed_b"],
     "filter_rows": ["row_id", "n"],
+    "masks_roundtrip": ["row_id", "mask", "locs2"],
+    "strider_windows": ["row_id", "packed_a"],
 }
 
 
