@@ -209,14 +209,14 @@ class SimHashMapper(SparkMapper):
     def apply(self, df: DataFrame) -> DataFrame:
         from .hashing import portable_hash32
 
-        # project the token hashes ONCE per md5 word: Catalyst does not
-        # CSE the hash transform across the per-bit folds in simhash()
         words = F.col(self.words_field)
-        hashed = df.withColumn(
-            "__tok_h0__",
-            F.transform(words, lambda t: portable_hash32(t, 0)),
-        )
         if self.bits <= 32:
+            # project the token hashes ONCE: Catalyst does not CSE the
+            # hash transform across the per-bit folds in simhash()
+            hashed = df.withColumn(
+                "__tok_h0__",
+                F.transform(words, lambda t: portable_hash32(t, 0)),
+            )
             out = hashed.withColumn(
                 self.output_field,
                 simhash(
@@ -224,9 +224,24 @@ class SimHashMapper(SparkMapper):
                 ),
             )
             return out.drop("__tok_h0__")
+        # wide fingerprints: md5 each token ONCE (the digest carries
+        # 128 bits) and slice both 32-bit words out of the projected
+        # digest — two portable_hash32 transforms would pay the md5
+        # pass twice per token
+
+        def word(digests, w: int):
+            return F.transform(
+                digests,
+                lambda d: F.conv(
+                    F.substring(d, 1 + 8 * w, 8), 16, 10
+                ).cast("bigint"),
+            )
+
+        hashed = df.withColumn("__tok_md5__", F.transform(words, F.md5))
         hashed = hashed.withColumn(
-            "__tok_h1__",
-            F.transform(words, lambda t: portable_hash32(t, 1)),
+            "__tok_h0__", word(F.col("__tok_md5__"), 0)
+        ).withColumn(
+            "__tok_h1__", word(F.col("__tok_md5__"), 1)
         )
         lo = simhash(F.col("__tok_h0__"), 32, hashes_precomputed=True)
         hi = simhash(
@@ -241,7 +256,7 @@ class SimHashMapper(SparkMapper):
         out = hashed.withColumn(
             self.output_field, hi * F.lit(1 << 32) + lo
         )
-        return out.drop("__tok_h0__", "__tok_h1__")
+        return out.drop("__tok_md5__", "__tok_h0__", "__tok_h1__")
 
 
 class SimHashNearDupPairsMapper(SparkMapper):
@@ -489,7 +504,9 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
     """Pairs of embeddings with cosine similarity above a threshold.
 
     Strategy by corpus size (Catalyst's plan-time size estimate —
-    choosing a path triggers **no Spark job**):
+    choosing a path triggers **no Spark job** when the estimate is
+    known, which covers every file-backed source; an unknown estimate
+    falls back to one bounded ``limit``-probe job):
 
     * within ``BROADCAST_LIMIT_BYTES`` — exact: broadcast the corpus
       matrix, one BLAS matmul per partition (no join at all).

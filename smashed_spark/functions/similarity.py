@@ -55,7 +55,9 @@ class CosineTopK(SparkMapper):
     ``queries_filter`` limits the query side (e.g. ``vec_id < 100``);
     the corpus side stays full.  The corpus side is broadcast when it
     fits (``BROADCAST_LIMIT_BYTES`` by Catalyst's plan-time size
-    estimate — no probe job is run to decide).  Beyond that, exact kNN
+    estimate — no probe job when the estimate is known, which covers
+    every file-backed source; an unknown estimate falls back to ONE
+    bounded ``limit``-probe job).  Beyond that, exact kNN
     is inherently O(Q×N): the cross-join path is a scale-killer at
     corpus sizes too big to broadcast, so it must be explicitly opted
     into with ``force_exact=True`` — otherwise this raises and points

@@ -375,9 +375,12 @@ class DecontaminateMapper(SparkMapper):
     When the benchmark side itself is data-scale (a dedup-against-
     another-corpus use, not an eval suite), broadcasting it would OOM
     the executors: auto-selection reads Catalyst's plan-time size
-    estimate (no probe job) and switches to ``strategy="join"`` — a
-    plain shuffled equi-join on the shingle key, linear in both sides.
-    ``strategy=`` pins either path explicitly.
+    estimate (no job when the estimate is known — file-backed sources
+    always report one) and switches to ``strategy="join"`` — a plain
+    shuffled equi-join on the shingle key, linear in both sides.  An
+    UNKNOWN estimate (local frames; sentinel-derived values) triggers
+    one bounded ``limit(cap+1).count()`` probe job per ``apply``.
+    ``strategy=`` pins either path explicitly and skips any probe.
     """
 
     #: benchmark-side plan-size cap for the broadcast path; above it
@@ -385,9 +388,13 @@ class DecontaminateMapper(SparkMapper):
     BROADCAST_LIMIT_BYTES = 512 << 20
     #: row cap for the bounded probe when the plan-time estimate is
     #: unknown (local frames, or join-derived estimates Catalyst can
-    #: only bound as child-size products): real eval suites sit far
-    #: below this
-    BROADCAST_LIMIT_ROWS = 1_000_000
+    #: only bound as child-size products).  What actually broadcasts is
+    #: the EXPLODED distinct shingle set — roughly ``words_per_doc``
+    #: shingles per benchmark doc (x ~40 bytes each), so 100k docs of
+    #: ~50 words is already ~200 MB of broadcast state; the cap bounds
+    #: that fan-out, not just the row count.  Real eval suites sit far
+    #: below it.
+    BROADCAST_LIMIT_ROWS = 100_000
 
     def __init__(
         self,

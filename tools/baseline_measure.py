@@ -184,8 +184,10 @@ WORKLOAD_COLS = {
 
 
 def canon(recs, cols):
+    # a missing column is a bug in the workload spec or the mapper,
+    # not a field to silently skip — KeyError must surface
     return sorted(
-        tuple(json.dumps(r[c]) for c in cols if c in r) for r in recs
+        tuple(json.dumps(r[c]) for c in cols) for r in recs
     )
 
 
@@ -211,39 +213,55 @@ def main() -> None:
     refs, sparks = ref_chains(), spark_chains()
     result = {}
     for name in refs:
-        # correctness cross-check on a sample before timing
-        sample = rows[:500]
-        ref_out = refs[name].map([dict(r) for r in sample])
-        spark_out = [
-            r.asDict(recursive=True)
-            for r in sparks[name]
-            .map(spark.createDataFrame(sample))
-            .collect()
-        ]
         cols = WORKLOAD_COLS[name]
-        if canon(ref_out, cols) != canon(spark_out, cols):
+
+        # FULL-output cross-check before timing: run both engines over
+        # every row and compare the workload's columns value-for-value
+        # (a sample check would miss divergence in the tail)
+        ref_full = refs[name].map([dict(r) for r in rows])
+        spark_full = [
+            r.asDict(recursive=True)
+            for r in sparks[name].map(sdf_base).select(*[
+                c for c in cols
+            ]).collect()
+        ]
+        if canon(ref_full, cols) != canon(spark_full, cols):
             print(f"# {name}: OUTPUT MISMATCH — not timing", file=sys.stderr)
             result[name] = {"error": "output_mismatch"}
             continue
+        n_ref, n_spark = len(ref_full), len(spark_full)
 
-        t0 = time.perf_counter()
-        ref_res = refs[name].map([dict(r) for r in rows])
-        ref_sec = time.perf_counter() - t0
-        n_ref = len(ref_res)
+        # timing — SYMMETRIC discipline: both engines get best-of-2 on
+        # pre-built inputs.  Reference input dicts are copied OUTSIDE
+        # the timed region (its mappers mutate rows in place).  Spark
+        # is forced through the noop sink: a count() would let Catalyst
+        # PRUNE the per-row expressions of row-count-preserving chains
+        # and time nothing; noop executes the full plan and discards
+        # the rows executor-side (no driver collect to bias the other
+        # way).
+        ref_best = None
+        for _ in range(2):
+            fresh = [dict(r) for r in rows]
+            t0 = time.perf_counter()
+            refs[name].map(fresh)
+            dt = time.perf_counter() - t0
+            ref_best = dt if ref_best is None else min(ref_best, dt)
 
-        best = None
+        spark_best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            n_spark = sparks[name].map(sdf_base).count()
+            sparks[name].map(sdf_base).write.format("noop").mode(
+                "overwrite"
+            ).save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            spark_best = dt if spark_best is None else min(spark_best, dt)
         result[name] = {
             "rows_in": len(rows),
             "rows_out_ref": n_ref,
             "rows_out_spark": n_spark,
-            "ref_sec": round(ref_sec, 3),
-            "spark_sec": round(best, 3),
-            "speedup": round(ref_sec / best, 2),
+            "ref_sec": round(ref_best, 3),
+            "spark_sec": round(spark_best, 3),
+            "speedup": round(ref_best / spark_best, 2),
         }
         print(f"# {name}: {result[name]}", file=sys.stderr)
 
