@@ -7,9 +7,11 @@ BASELINE.md records that the reference publishes no performance
 numbers, so this measures them: the reference source at
 /root/reference/src runs under tools/ref_shims (tiny stand-ins for its
 utility deps, validated by passing the reference's own unit tests —
-see ref_shims/README.md).  Only mapper families whose reference tests
-pass under the shims are measured; outputs are cross-checked for
-equality before timing, so both engines are doing the same work.
+see ref_shims/README.md).  The shim layer is validated by the
+reference's own tests (29/29 dependency-free tests pass); on top of
+that, EVERY workload's full output is cross-checked equal between the
+two engines before timing, so both engines are provably doing the
+same work.
 
 Writes BASELINE_MEASURED.json:
   {workload: {rows, ref_sec, spark_sec, speedup}}
@@ -83,6 +85,7 @@ class FakeBertTokenizer:
 def ref_chains():
     from smashed.mappers import (
         AttentionMaskSequencePaddingMapper,
+        FillTextPromptMapper,
         FilterMapper,
         IndicesToMaskMapper,
         MaskToIndicesMapper,
@@ -122,11 +125,16 @@ def ref_chains():
         "strider_windows": SingleSequenceStriderMapper(
             field_to_stride="packed_a", max_length=4, stride=2
         ),
+        "fill_prompt": FillTextPromptMapper(
+            prompt_template="Question: {text}\nAnswer:",
+            output_field_name="prompt",
+        ),
     }
 
 
 def spark_chains():
     from smashed_spark.operators.filters import FilterMapper
+    from smashed_spark.operators.prompting import FillTextPromptMapper
     from smashed_spark.operators.masks import (
         IndicesToMaskMapper,
         MaskToIndicesMapper,
@@ -171,6 +179,10 @@ def spark_chains():
         "strider_windows": SingleSequenceStriderMapper(
             field_to_stride="packed_a", max_length=4, stride=2
         ),
+        "fill_prompt": FillTextPromptMapper(
+            prompt_template="Question: {text}\nAnswer:",
+            output_field_name="prompt",
+        ),
     }
 
 
@@ -180,6 +192,7 @@ WORKLOAD_COLS = {
     "filter_rows": ["row_id", "n"],
     "masks_roundtrip": ["row_id", "mask", "locs2"],
     "strider_windows": ["row_id", "packed_a"],
+    "fill_prompt": ["row_id", "prompt"],
 }
 
 
