@@ -177,10 +177,15 @@ class RangeJoinMapper(SparkMapper):
 
     ``bucket_width`` trades fan-out for bucket occupancy: explode
     factor is ``ceil(span / bucket_width) + 1`` per interval, so pick
-    a width near the typical interval span.  All candidate generation
-    is a shuffled hash equi-join — never CartesianProduct /
-    BroadcastNestedLoopJoin (plan-asserted in tests) — which is what
-    makes it survive 100x: cost follows matches, not |L| x |R|.
+    a width near the typical interval span.  An interval spanning more
+    than ``max_buckets_per_interval`` buckets fails fast with a clear
+    error instead of silently exploding (an open-ended 1e9-wide
+    interval at width 10 would otherwise materialize 10^8 rows and OOM
+    the executors) — widen ``bucket_width`` or clamp the interval.
+    All candidate generation is a shuffled hash equi-join — never
+    CartesianProduct / BroadcastNestedLoopJoin (plan-asserted in
+    tests) — which is what makes it survive 100x: cost follows
+    matches, not |L| x |R|.
     """
 
     def __init__(
@@ -192,11 +197,13 @@ class RangeJoinMapper(SparkMapper):
         by: Sequence[str] = (),
         bucket_width: float = 1.0,
         how: str = "inner",
+        max_buckets_per_interval: int = 10_000,
     ) -> None:
         if how not in ("inner", "left"):
             raise ValueError(f"unknown how {how}")
         if bucket_width <= 0:
             raise ValueError("bucket_width must be positive")
+        self.max_buckets_per_interval = max_buckets_per_interval
         self.intervals = intervals
         self.point_field = point_field
         self.start_field = start_field
@@ -210,8 +217,29 @@ class RangeJoinMapper(SparkMapper):
         w = F.lit(self.bucket_width)
         start_b = F.floor(F.col(self.start_field) / w)
         end_b = F.floor(F.col(self.end_field) / w)
+        cap = self.max_buckets_per_interval
+        guard = F.assert_true(
+            end_b - start_b < F.lit(cap),
+            F.concat(
+                F.lit(
+                    "RangeJoinMapper: interval spans more than "
+                    f"{cap} buckets at bucket_width="
+                    f"{self.bucket_width} (start="
+                ),
+                F.col(self.start_field).cast("string"),
+                F.lit(", end="),
+                F.col(self.end_field).cast("string"),
+                F.lit(
+                    "); widen bucket_width or clamp the interval "
+                    "(max_buckets_per_interval raises this cap)"
+                ),
+            ),
+        )
         ivals = self.intervals.withColumn(
-            "__bucket__", F.explode(F.sequence(start_b, end_b))
+            "__bucket__",
+            F.explode(
+                F.when(guard.isNull(), F.sequence(start_b, end_b))
+            ),
         )
         points = df.withColumn(
             "__bucket__", F.floor(F.col(self.point_field) / w)

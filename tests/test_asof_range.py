@@ -237,6 +237,26 @@ def test_range_join_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_range_join_guards_unbounded_fanout(spark):
+    """An interval spanning more buckets than the cap must fail fast
+    with a pointed error, not silently explode 10^8 bucket rows."""
+    points = spark.createDataFrame([(0, 5.0)], "pid: bigint, x: double")
+    huge = spark.createDataFrame(
+        [("open", 0.0, 1e9)], "name: string, start: double, end: double"
+    )
+    m = RangeJoinMapper(huge, point_field="x", bucket_width=1.0)
+    with pytest.raises(Exception, match="spans more than"):
+        m.map(points).collect()
+    # raising the cap opts into the fan-out explicitly
+    ok = RangeJoinMapper(
+        huge,
+        point_field="x",
+        bucket_width=1e8,
+        max_buckets_per_interval=100,
+    )
+    assert ok.map(points).count() == 1
+
+
 def test_range_join_validation(spark):
     ivals = object()
     with pytest.raises(ValueError, match="unknown how"):
