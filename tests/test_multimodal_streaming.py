@@ -85,6 +85,104 @@ def test_assert_streamable():
     assert "RangeJoinMapper" not in _UNSTREAMABLE
 
 
+def test_windowed_counts_drop_too_late_events(spark, tmp_path):
+    """True late-data semantics under a real multi-micro-batch replay:
+    an event older than the advanced watermark must be DROPPED from
+    the append-mode windowed counts, not aggregated retroactively.
+
+    Batch 1 (events at 10:10, 10:20, and 13:30) advances the watermark
+    to 11:30 (2h behind max event time); batch 2 (14:00) keeps it
+    moving — empirically (Spark 4.1) a batch's watermark becomes
+    effective for input filtering one batch LATER, so the straggler
+    rides in batch 3: the 10:25 event's window [10:00, 11:00) ended
+    before the in-effect watermark and Structured Streaming discards
+    it (stateOperators.numRowsDroppedByWatermark = 1); the window
+    finalizes with the two on-time events only."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from smashed_spark.streaming.runner import windowed_event_counts
+
+    def write_batch(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "ts: timestamp, event_type: string, value: double"
+        ).coalesce(1)
+        path = str(tmp_path / name)
+        df.write.parquet(path)
+        for root, _d, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        return path
+
+    d = datetime
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = write_batch(
+        "b1",
+        [
+            (d(2024, 1, 1, 10, 10), "a", 1.0),
+            (d(2024, 1, 1, 10, 20), "a", 1.0),
+            (d(2024, 1, 1, 13, 30), "a", 1.0),  # watermark -> 11:30
+        ],
+        1_000_000,
+    )
+    b2 = write_batch(
+        "b2",
+        [(d(2024, 1, 1, 14, 0), "a", 1.0)],  # watermark keeps moving
+        2_000_000,
+    )
+    b3 = write_batch(
+        "b3",
+        [
+            (d(2024, 1, 1, 10, 25), "a", 1.0),  # TOO LATE: dropped
+            (d(2024, 1, 1, 16, 0), "a", 1.0),  # watermark -> 14:00
+        ],
+        3_000_000,
+    )
+    for i, p in enumerate((b1, b2, b3)):
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(p, f), os.path.join(src, f"b{i}_{f}")
+                )
+                os.utime(
+                    os.path.join(src, f"b{i}_{f}"),
+                    ((i + 1) * 1_000_000,) * 2,
+                )
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    assert dropped == 1, f"expected exactly the straggler dropped: {dropped}"
+    rows = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.sql("SELECT * FROM late_probe").collect()
+    }
+    spark.catalog.dropTempView("late_probe")
+    # the 10:00 window finalized with ONLY the two on-time events —
+    # the 10:25 straggler (behind the 11:30 watermark) was dropped
+    assert rows.get(10) == 2, rows
+
+
 def test_streaming_pipeline_matches_batch(spark, sf_dir, tmp_path):
     from smashed_spark import Pipeline
     from smashed_spark.operators.filters import FilterMapper
