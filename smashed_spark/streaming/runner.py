@@ -87,7 +87,15 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Watermarked event-time windowed counts — the standard late-data-
     tolerant streaming aggregation; also valid on a batch DataFrame
-    (used for the oracle check)."""
+    (used for the oracle check).
+
+    Late-data note (pinned by
+    tests/test_multimodal_streaming.py::test_windowed_counts_drop_too_late_events):
+    a batch's max event time moves the watermark, but the new value
+    only FILTERS input one batch later — a straggler arriving in the
+    very next micro-batch after the advance may still be aggregated.
+    Size ``watermark`` for the real out-of-orderness plus one trigger
+    interval."""
     from pyspark.sql.types import TimestampNTZType
 
     # watermarks require TIMESTAMP; parquet written with the session
