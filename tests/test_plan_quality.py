@@ -203,6 +203,19 @@ def test_stream_sessionize_single_exchange(spark, sf_dir, tmp_path):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_text_stats_exchange_budget(spark, sf_dir):
+    """text_stats family: the narrow analysis mappers add ZERO
+    exchanges; the repetition block is bounded at 3 (gram-key agg,
+    doc-key agg, join-back), each with a map-side partial phase
+    (4 HashAggregate nodes = 2 aggs x partial+final)."""
+    from smashed_spark.plans.queries_scale import q_text_stats
+
+    plan = _explain(q_text_stats(spark, sf_dir))
+    assert plan.count("Exchange (") <= 3, plan
+    assert plan.count("HashAggregate (") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_ngram_cap_adds_no_extra_exchange(spark, sf_dir):
     """grouplist path: the hub-shingle frequency cap is a count window
     over the same hashpartitioning(__s__) the pair-generation groupBy
