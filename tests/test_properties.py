@@ -130,9 +130,14 @@ def test_ngram_jaccard_methods_agree_on_random_corpora(spark):
                     "doc_id", method="grouplist", **kw
                 )
         b = NGramJaccardPairsMapper("doc_id", method="join", **kw)
+        c = NGramJaccardPairsMapper("doc_id", method="prefix", **kw)
         ra = sorted(map(tuple, a.map(df).collect()))
         rb = sorted(map(tuple, b.map(df).collect()))
+        rc = sorted(map(tuple, c.map(df).collect()))
         assert ra == rb, (cap, ra[:5], rb[:5])
+        # PPJoin prefix filtering is exact: identical output incl.
+        # under a binding cap (prefix lengths computed on capped sets)
+        assert rb == rc, (cap, rb[:5], rc[:5])
         if cap == 8:
             assert ra, "cap test corpus produced no pairs at all"
 
