@@ -9,9 +9,11 @@ result — forces the whole plan without driver-side result blowup),
 `$SPARK_GRAFT_BENCH_REPS` times (default 3, matching the driver's
 per-round setting) with per-query session isolation.  "queries" holds
 the per-query minimum — the noise-resistant estimator (single shots
-swing up to 40% from host/VM noise) — and "reps" holds every raw
-per-rep timing so regressions can be separated from noise
-round-over-round.
+swing up to 40% from host/VM noise).  Raw per-rep timings (for
+separating regressions from noise round-over-round) are written to the
+sidecar `$SPARK_GRAFT_BENCH_REPS_PATH` (default BENCH_REPS.json) and
+echoed to stderr; they are deliberately kept OFF the stdout JSON line so
+it stays within the driver's tail-capture buffer.
 """
 
 from __future__ import annotations
@@ -77,6 +79,12 @@ def main() -> None:
     _sh.rmtree(_wdir, ignore_errors=True)
 
     queries = entry_mod.queries()
+    # Dev aid: SPARK_GRAFT_BENCH_ONLY="a,b,c" restricts the run to the
+    # named queries (the driver never sets it, so per-round runs are full).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        queries = {k: v for k, v in queries.items() if k in keep}
     import gc
     import glob
     import shutil
@@ -129,6 +137,19 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 4)
+    # Per-rep raw timings go to a sidecar file (and stderr), NOT the
+    # stdout JSON: round 4 put "reps" on the stdout line, which grew past
+    # the driver's tail-capture buffer, truncated the head of the line,
+    # and cost the round its entire bench signal (BENCH_r04 parsed:null).
+    # The machine-readable contract is the compact object below as the
+    # FINAL stdout line.
+    reps_path = os.environ.get("SPARK_GRAFT_BENCH_REPS_PATH", "BENCH_REPS.json")
+    try:
+        with open(reps_path, "w") as f:
+            json.dump({"reps": raw, "sf": sf, "reps_per_query": reps}, f, indent=1)
+    except OSError as e:
+        print(f"# reps sidecar write failed: {e}", file=sys.stderr)
+    print(f"# reps: {json.dumps(raw)}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -136,7 +157,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "reps": raw,
                 "sf": sf,
             }
         )

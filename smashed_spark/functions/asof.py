@@ -85,6 +85,14 @@ def asof_join(
         F.col(on).alias("__t__"),
         *[F.col(c).alias(c) for c in right_fields],
     )
+    # null join keys never match (DuckDB ASOF / pandas merge_asof both
+    # ignore them): a null-`on` right row would otherwise sort FIRST
+    # (nulls-first asc) carrying a non-null __r__ struct, and every left
+    # row with no real earlier match would surface its payload.  Left
+    # rows with null `on` need no filter: with null right rows gone they
+    # sort ahead of all right rows and see only null __r__, so they come
+    # out unmatched — exactly the oracle behavior.
+    right = right.filter(F.col(on).isNotNull())
     r = right.select(
         *by,
         F.col(on).alias("__t__"),

@@ -55,13 +55,18 @@ def _with_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_project",
     oracle="""
     SELECT event_id AS id, user_id, event_type, ROUND(value, 6) AS val
-    FROM events WHERE value >= 50.0
+    FROM events WHERE value >= 50.0 AND contains(event_type, 'i')
     """,
 )
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FilterMapper >> ChangeFieldsMapper >> RenameFieldsMapper."""
+    """FilterMapper (numeric >= AND 'in'/contains semantics) >>
+    ChangeFieldsMapper >> RenameFieldsMapper.  Family gate: also
+    certifies the former ``filter_in_contains`` gate's substring
+    operator (folded in round 5 to stay under the driver's 50-query
+    cap)."""
     pipe = (
         FilterMapper("value", ">=", 50.0)
+        >> FilterMapper("event_type", "in", "i")
         >> ChangeFieldsMapper(keep_fields=["event_id", "user_id", "event_type", "value"])
         >> RenameFieldsMapper({"event_id": "id", "value": "val"})
     )
@@ -70,38 +75,9 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "filter_in_contains",
-    oracle="""
-    SELECT doc_id, lang FROM documents WHERE contains(text, 'spark')
-    """,
-)
-def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FilterMapper 'in' semantics: field contains value."""
-    pipe = FilterMapper("text", "in", "spark") >> ChangeFieldsMapper(
-        keep_fields=["doc_id", "lang"]
-    )
-    return pipe.map(load(spark, sf_dir, "documents"))
-
-
-@query(
-    "make_field_const",
-    oracle="""
-    SELECT doc_id, 1 AS flag, source FROM documents WHERE n_chars > 200
-    """,
-)
-def q_make_field(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pipe = (
-        FilterMapper("n_chars", ">", 200)
-        >> MakeFieldMapper("flag", 1)
-        >> ChangeFieldsMapper(keep_fields=["doc_id", "flag", "source"])
-    )
-    return pipe.map(load(spark, sf_dir, "documents"))
-
-
-@query(
     "enumerate_field",
     oracle="""
-    SELECT d.doc_id, d.lang, e.lang_id
+    SELECT d.doc_id, d.lang, e.lang_id, 1 AS flag
     FROM documents d
     JOIN (
         SELECT lang, ROW_NUMBER() OVER (ORDER BY MIN(doc_id)) - 1 AS lang_id
@@ -111,12 +87,17 @@ def q_make_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-encode lang in first-seen doc_id order
-    (reference EnumerateFieldMapper, fields.py:134-196)."""
+    (reference EnumerateFieldMapper, fields.py:134-196).  Family gate:
+    also certifies MakeFieldMapper's constant field (the former
+    ``make_field_const`` gate, folded in round 5)."""
     pipe = (
         EnumerateFieldMapper(
             "lang", destination_field="lang_id", order_by=["doc_id"]
         )
-        >> ChangeFieldsMapper(keep_fields=["doc_id", "lang", "lang_id"])
+        >> MakeFieldMapper("flag", 1)
+        >> ChangeFieldsMapper(
+            keep_fields=["doc_id", "lang", "lang_id", "flag"]
+        )
     )
     out = pipe.map(load(spark, sf_dir, "documents"))
     return out.withColumn("lang_id", F.col("lang_id").cast("bigint"))
@@ -131,21 +112,27 @@ def q_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cast_binarize",
     oracle="""
     SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars_f,
-           CAST(n_chars > 500 AS BIGINT) AS is_long
+           CAST(n_chars > 500 AS BIGINT) AS is_long,
+           to_json(list_transform(range(0, 16),
+                                  i -> CAST(i = n_chars % 16 AS BIGINT)))
+               AS onehot
     FROM documents
     """,
 )
 def q_cast_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pipe = (
-        MakeFieldMapper("is_long", 0)
-        >> ChangeFieldsMapper(keep_fields=["doc_id", "n_chars"])
-    )
+    """CastMapper + BinarizerMapper + OneHotMapper.  Family gate: the
+    one-hot column certifies the former ``one_hot`` gate (folded in
+    round 5 to stay under the driver's 50-query cap)."""
     df = load(spark, sf_dir, "documents")
     df = df.withColumn("is_long", F.col("n_chars"))
     df = BinarizerMapper("is_long", 500).map(df)
+    df = df.withColumn("onehot", (F.col("n_chars") % 16).cast("bigint"))
+    df = OneHotMapper(16, "onehot").map(df)
     df = CastMapper({"n_chars": float}).map(df)
     df = RenameFieldsMapper({"n_chars": "n_chars_f"}).map(df)
-    return ChangeFieldsMapper(keep_fields=["doc_id", "n_chars_f", "is_long"]).map(df)
+    return ChangeFieldsMapper(
+        keep_fields=["doc_id", "n_chars_f", "is_long", "onehot"]
+    ).map(df)
 
 
 @query(
@@ -170,22 +157,6 @@ def q_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.withColumn("event_code", F.col("event_type"))
     df = LookupMapper("event_code", table).map(df)
     return ChangeFieldsMapper(keep_fields=["event_id", "event_code"]).map(df)
-
-
-@query(
-    "one_hot",
-    oracle="""
-    SELECT vec_id,
-           to_json(list_transform(range(0, 16), i -> CAST(i = label AS BIGINT)))
-               AS onehot
-    FROM embeddings
-    """,
-)
-def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load(spark, sf_dir, "embeddings")
-    df = df.withColumn("onehot", F.col("label").cast("bigint"))
-    df = OneHotMapper(16, "onehot").map(df)
-    return ChangeFieldsMapper(keep_fields=["vec_id", "onehot"]).map(df)
 
 
 # ---------------------------------------------------------------------------

@@ -355,3 +355,143 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_salts=8,
     )
     return out.withColumn("revenue", F.round("revenue", 2))
+
+
+# ---------------------------------------------------------------------------
+# round-5 gates: as-of join, range join, weighted corpus mixing
+# (functions/asof.py, sources/loaders.py:sample_mix) — registered inside
+# the 50-query cap freed by folding filter_in_contains/one_hot/
+# make_field_const into their family gates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+    ), r AS (
+        SELECT user_id, epoch_us(ts) AS t, round(max(value), 6) AS rv
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, epoch_us(ts)
+    )
+    SELECT l.event_id, l.user_id, l.t, r.t AS t_asof, r.rv AS rv_asof
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.t >= r.t
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every event picks up the value of the
+    latest purchase at-or-before it by the same user (functions/
+    asof.py:asof_join — union + keyed window, ONE exchange, no join
+    node).  The right side is deduped to unique (user_id, t) keys so
+    ties are deterministic on both engines; DuckDB's native ASOF LEFT
+    JOIN is the oracle."""
+    from ..functions.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("t"))
+        .agg(F.round(F.max("value"), 6).alias("rv"))
+    )
+    return asof_join(left, right, on="t", by=["user_id"])
+
+
+@query(
+    "range_join",
+    oracle="""
+    WITH iv AS (
+        SELECT CAST(i AS BIGINT) AS interval_id,
+               i * 12.5 AS istart, i * 12.5 + 25.0 AS iend
+        FROM (SELECT unnest(range(0, 40)) AS i)
+    )
+    SELECT e.event_id, round(e.value, 6) AS x,
+           iv.interval_id, round(iv.istart, 6) AS istart,
+           round(iv.iend, 6) AS iend
+    FROM events e JOIN iv
+      ON iv.istart <= e.value AND e.value < iv.iend
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment (RangeJoinMapper): events join the
+    overlapping value bands [i*12.5, i*12.5+25) — every point falls in
+    <=2 bands.  Bucketed equi-join with the exact predicate as the
+    join residual (never a theta/cartesian plan — asserted in
+    tests/test_asof_range.py); the oracle is the straightforward
+    DuckDB theta join, tractable at oracle scale."""
+    from ..functions.asof import RangeJoinMapper
+
+    ivals = (
+        spark.range(40)
+        .select(
+            F.col("id").alias("interval_id"),
+            (F.col("id") * 12.5).alias("istart"),
+            (F.col("id") * 12.5 + 25.0).alias("iend"),
+        )
+    )
+    points = load(spark, sf_dir, "events").select(
+        "event_id", F.col("value").alias("x")
+    )
+    out = RangeJoinMapper(
+        ivals,
+        point_field="x",
+        start_field="istart",
+        end_field="iend",
+        bucket_width=25.0,
+    ).map(points)
+    return out.select(
+        "event_id",
+        F.round("x", 6).alias("x"),
+        "interval_id",
+        F.round("istart", 6).alias("istart"),
+        F.round("iend", 6).alias("iend"),
+    )
+
+
+@query(
+    "sample_mix",
+    oracle="""
+    WITH en AS (SELECT doc_id, lang, n_chars FROM documents
+                WHERE lang = 'en'),
+    rest AS (SELECT doc_id, lang, n_chars FROM documents
+             WHERE lang <> 'en')
+    SELECT doc_id, lang, n_chars, 0 AS src FROM en
+    UNION ALL
+    SELECT doc_id, lang, n_chars, 0 AS src FROM en
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13:0'), 1, 8))
+          ::BIGINT < 2147483648
+    UNION ALL
+    SELECT doc_id, lang, n_chars, 1 AS src FROM rest
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13:1'), 1, 8))
+          ::BIGINT < 1073741824
+    """,
+)
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (sources/loaders.py:sample_mix,
+    method='hash'): English docs oversampled at 1.5 epochs (one whole
+    copy + a 0.5 hash-sampled remainder), the rest kept at 0.25 — the
+    Bernoulli+union scale path for training-mix construction.  The
+    hash method keys sampling on md5(doc_id:seed:source), so the
+    subset is partitioning-independent and the oracle replays it
+    exactly in SQL."""
+    from ..sources.loaders import sample_mix
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    en = docs.filter(F.col("lang") == "en")
+    rest = docs.filter(F.col("lang") != "en")
+    out = sample_mix(
+        [en, rest],
+        weights=[1.5, 0.25],
+        seed=13,
+        with_source=True,
+        source_column="src",
+        method="hash",
+        key_field="doc_id",
+    )
+    return out.withColumn("src", F.col("src").cast("int"))

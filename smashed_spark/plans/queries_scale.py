@@ -779,6 +779,11 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Last sf_dir the ann_ivf_topk GATE query fit on (normpath), recorded so
+# the lazy oracle can refuse to replay the fit on a different corpus.
+_IVF_GATE_SF_DIR: dict = {"dir": None}
+
+
 def _ivf_topk_sql(
     k: int,
     n_centroids: int,
@@ -809,6 +814,20 @@ def _ivf_topk_sql(
         sf_dir = os.environ.get(
             "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
         )
+        # the centroids are fit on THIS dir while the gate query fits on
+        # whatever sf_dir the driver passed to queries()["ann_ivf_topk"];
+        # if the two disagree the parity failure downstream is opaque
+        # (different corpora -> different centroids -> different cells).
+        # The gate query records its sf_dir; fail fast on a mismatch.
+        if _IVF_GATE_SF_DIR["dir"] not in (None, os.path.normpath(sf_dir)):
+            raise RuntimeError(
+                "ann_ivf_topk oracle/gate sf_dir mismatch: the Spark "
+                f"gate query fit on {_IVF_GATE_SF_DIR['dir']} but the "
+                f"oracle would replay the fit on {sf_dir} (from "
+                "SPARK_GRAFT_ORACLE_SF_DIR, default /root/testdata/"
+                "sf0.01). Set SPARK_GRAFT_ORACLE_SF_DIR to the gate's "
+                "sf dir — centroid parity is per-corpus by construction."
+            )
         con = duckdb.connect()
         rows = con.execute(
             "SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
@@ -840,7 +859,16 @@ def _ivf_topk_sql(
             SELECT e.vec_id, e.v, c.cell,
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY list_dot_product(e.v, c.c) DESC, c.cell
+                       -- normalize v EXACTLY like the Spark UDF
+                       -- (elementwise divide by max(||v||, 1e-12), THEN
+                       -- dot) — unnormalized ranking is mathematically
+                       -- equivalent but FP-different, and a near-tie
+                       -- between two cells could assign differently and
+                       -- flip candidate sets
+                       ORDER BY list_dot_product(
+                           list_transform(e.v, x -> x / greatest(
+                               sqrt(list_dot_product(e.v, e.v)), 1e-12)),
+                           c.c) DESC, c.cell
                    ) AS rn
             FROM e CROSS JOIN cents c
         ) WHERE rn = 1
@@ -883,8 +911,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so the DuckDB oracle replays the fit driver-side and embeds
     the centroids as literals (same trick as ``ann_lsh_topk``'s
     hyperplanes)."""
+    import os
+
     from ..functions.similarity import IVFCosineTopK
 
+    _IVF_GATE_SF_DIR["dir"] = os.path.normpath(sf_dir)
     out = IVFCosineTopK(
         k=5, n_centroids=8, n_probe=3, max_iter=3, seed=42,
         queries_filter="vec_id < 20",

@@ -113,7 +113,13 @@ def stream_file_for_read(path: str, mode: str = "r", client=None):
 @contextmanager
 def open_file_for_write(path: str, mode: str = "w", client=None):
     """Write a file; s3 targets buffer locally and PUT on successful
-    close (reference operations.py:251-323)."""
+    close (reference operations.py:251-323).
+
+    S3 only supports whole-object truncate-writes (``w``/``wb``):
+    append (``a``), exclusive-create (``x``) and update (``+``) modes
+    raise instead of silently clobbering the object with truncate-PUT
+    semantics that diverge from the local branch of this same helper.
+    """
     sp = SmartPath.parse(path)
     if not sp.is_s3:
         parent = os.path.dirname(sp.local)
@@ -122,12 +128,165 @@ def open_file_for_write(path: str, mode: str = "w", client=None):
         with open(sp.local, mode) as f:
             yield f
         return
+    unsupported = set(mode) & {"a", "x", "+", "r"}
+    if unsupported:
+        raise ValueError(
+            f"open_file_for_write: mode {mode!r} is not supported for "
+            "s3 paths (objects are immutable; a PUT would truncate-"
+            "overwrite, silently diverging from local "
+            f"{sorted(unsupported)} semantics) — use 'w'/'wb', or "
+            "read-modify-write explicitly"
+        )
     buf: io.IOBase = io.BytesIO() if "b" in mode else io.StringIO()
     yield buf
     data = buf.getvalue()
     if isinstance(data, str):
         data = data.encode("utf-8")
     (client or _client()).put_object(Bucket=sp.bucket, Key=sp.key, Body=data)
+
+
+class _ZlibDecompressReader(io.RawIOBase):
+    """Streaming zlib/gzip decompressor over an underlying byte stream
+    (reference: src/smashed/utils/io_utils/io_wrappers.py
+    BytesZLibDecompressorIO — ours is a stdlib ``zlib.decompressobj``
+    incremental reader, constant memory at any object size).
+
+    ``gzip=True`` expects a gzip header (wbits = MAX_WBITS | 16, and
+    transparently restarts across concatenated gzip members, which is
+    how both ``gzip`` CLI concatenation and Hadoop-written ``.gz``
+    part-files behave); ``gzip=False`` expects a raw zlib stream.
+    """
+
+    def __init__(self, stream, gzip: bool = True,
+                 chunk_size: int = io.DEFAULT_BUFFER_SIZE) -> None:
+        import zlib
+
+        self._zlib = zlib
+        self._stream = stream
+        self._chunk = chunk_size
+        self._gzip = gzip
+        self._wbits = (zlib.MAX_WBITS | 16) if gzip else zlib.MAX_WBITS
+        self._z = zlib.decompressobj(self._wbits)
+        self._eof = False
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        if self._eof:
+            return 0
+        while True:
+            if self._z.unconsumed_tail:
+                # previous decompress hit max_length: drain it first
+                out = self._z.decompress(
+                    self._z.unconsumed_tail, len(b)
+                )
+            elif self._z.eof and self._gzip:
+                # member finished: restart the decompressor on the
+                # leftover bytes (concatenated gzip members)
+                tail = self._z.unused_data
+                self._z = self._zlib.decompressobj(self._wbits)
+                if tail:
+                    out = self._z.decompress(tail, len(b))
+                else:
+                    raw = self._stream.read(self._chunk)
+                    if not raw:  # member ended exactly at stream end
+                        self._eof = True
+                        return 0
+                    out = self._z.decompress(raw, len(b))
+            else:
+                raw = self._stream.read(self._chunk)
+                if not raw:
+                    out = b"" if self._z.eof else self._z.flush()
+                    self._eof = True
+                    b[: len(out)] = out
+                    return len(out)
+                out = self._z.decompress(raw, len(b))
+            if out:
+                b[: len(out)] = out
+                return len(out)
+
+
+@contextmanager
+def decompress_stream(
+    stream,
+    mode: str = "rt",
+    encoding: str = "utf-8",
+    errors: str = "strict",
+    chunk_size: int = io.DEFAULT_BUFFER_SIZE,
+    gzip: bool = True,
+):
+    """Wrap an open byte stream with streaming gzip/zlib decompression
+    (reference compression.py:10-40 ``decompress_stream``): ``rb``/``r``
+    yield a buffered byte reader, ``rt`` a utf-8 text reader.  Compose
+    with :func:`open_file_for_read`/:func:`stream_file_for_read` for
+    ``.jsonl.gz`` driver-side artifacts.  Data-scale ``.gz`` stays with
+    ``spark.read`` — Hadoop decodes it natively on executors."""
+    if mode not in ("r", "rb", "rt"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    raw = io.BufferedReader(
+        _ZlibDecompressReader(stream, gzip=gzip, chunk_size=chunk_size),
+        buffer_size=chunk_size,
+    )
+    out = (
+        io.TextIOWrapper(raw, encoding=encoding, errors=errors)
+        if mode == "rt"
+        else raw
+    )
+    try:
+        yield out
+    finally:
+        out.close()
+
+
+@contextmanager
+def compress_stream(
+    stream,
+    mode: str = "wt",
+    encoding: str = "utf-8",
+    errors: str = "strict",
+    gzip: bool = True,
+):
+    """Wrap an open byte stream with gzip compression on write
+    (reference compression.py:43-65 ``compress_stream``; like the
+    reference, only gzip is supported — raw zlib writing has no
+    consumer in the pipeline glue).  ``mtime=0`` pins the gzip header
+    so equal content compresses to equal bytes (reproducible
+    manifests)."""
+    import gzip as gz
+
+    if not gzip:
+        raise ValueError("only gzip compression is supported")
+    if mode not in ("w", "wb", "wt"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    raw = gz.GzipFile(fileobj=stream, mode="wb", mtime=0)
+    out = (
+        io.TextIOWrapper(raw, encoding=encoding, errors=errors)
+        if mode == "wt"
+        else raw
+    )
+    try:
+        yield out
+    finally:
+        out.close()
+
+
+@contextmanager
+def open_compressed(path: str, mode: str = "rt", client=None, **kw):
+    """One-call gzip file access over local or s3 paths: read modes
+    stream-decompress, write modes buffer-compress-PUT (s3) or write
+    locally.  The ``.gz`` convenience the reference reaches via
+    ``open_file_for_read(...) + decompress_stream(...)`` composition."""
+    if mode in ("r", "rb", "rt"):
+        with stream_file_for_read(path, "rb", client=client) as f:
+            with decompress_stream(f, mode=mode, **kw) as d:
+                yield d
+    elif mode in ("w", "wb", "wt"):
+        with open_file_for_write(path, "wb", client=client) as f:
+            with compress_stream(f, mode=mode, **kw) as c:
+                yield c
+    else:
+        raise ValueError(f"unsupported mode {mode!r}")
 
 
 def exists(path: str, client=None) -> bool:
@@ -235,6 +394,9 @@ __all__ = [
     "open_file_for_read",
     "open_file_for_write",
     "stream_file_for_read",
+    "decompress_stream",
+    "compress_stream",
+    "open_compressed",
     "exists",
     "recursively_list_files",
     "remove_file",

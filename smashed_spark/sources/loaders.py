@@ -201,6 +201,8 @@ def sample_mix(
     seed: int = 13,
     with_source: bool = False,
     source_column: str = "__source__",
+    method: str = "rng",
+    key_field: Optional[str] = None,
 ) -> DataFrame:
     """Data-scale corpus mixing: per-source Bernoulli sampling at the
     given rates + union — the scalable alternative rank-interleaving
@@ -208,15 +210,33 @@ def sample_mix(
     (>1.0 oversamples by whole copies + a fractional remainder, the
     usual epoch-mixing convention for high-quality corpora).
 
-    Fully narrow: ``sample`` filters at scan speed with a per-partition
-    deterministic RNG (seeded — reruns yield the same mix), the union
-    is metadata-only, and no ordering, window, or shuffle exists
-    anywhere in the plan.  ``with_source=True`` tags provenance.
+    Fully narrow: the sample filters at scan speed, the union is
+    metadata-only, and no ordering, window, or shuffle exists anywhere
+    in the plan.  ``with_source=True`` tags provenance.
+
+    Two sampling methods, both seeded:
+
+    * ``"rng"`` (default) — Spark's native ``df.sample``: cheapest
+      (one RNG draw per row), but the draw sequence is *per
+      partition*, so the selected subset changes if the input's
+      partitioning/split layout changes (a recompute after an
+      executor loss, a different file count, AQE coalescing).
+    * ``"hash"`` — content-deterministic: keep rows where
+      ``md5(key ":" seed ":" source)`` maps below the rate.  The
+      subset depends only on row KEYS — stable across partitioning,
+      retries, engines (and therefore SQL-oracle-checkable), at the
+      cost of one md5 per row.  Requires ``key_field`` (a stable
+      unique id column present in every source); rows with equal keys
+      sample identically.
     """
     if len(dfs) != len(weights):
         raise ValueError("need one weight per source")
     if not dfs:
         raise ValueError("need at least one source")
+    if method not in ("rng", "hash"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "hash" and not key_field:
+        raise ValueError("method='hash' requires key_field")
     parts = []
     for i, (df, w) in enumerate(zip(dfs, weights)):
         if w < 0:
@@ -227,9 +247,32 @@ def sample_mix(
         for r in range(whole):
             parts.append(df)
         if frac > 0:
-            # distinct seed per (source, repeat): fractional remainder
-            # draws a different subset than any whole copy
-            parts.append(df.sample(fraction=frac, seed=seed + 997 * i))
+            if method == "hash":
+                # uniform in [0, 2^32) from the first 8 md5 hex chars
+                # of "key:seed:source" — engine-portable (any SQL
+                # dialect with md5 replays the exact subset)
+                u = F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col(key_field).cast("string"),
+                                F.lit(f"{seed}:{i}"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                parts.append(df.filter(u < int(frac * 2**32)))
+            else:
+                # distinct seed per (source, repeat): fractional
+                # remainder draws a different subset than any whole copy
+                parts.append(
+                    df.sample(fraction=frac, seed=seed + 997 * i)
+                )
     if not parts:
         raise ValueError("all weights are zero")
     return reduce(lambda a, b: a.unionByName(b), parts)

@@ -263,3 +263,26 @@ def test_range_join_validation(spark):
         RangeJoinMapper(ivals, point_field="x", how="outer")
     with pytest.raises(ValueError, match="bucket_width"):
         RangeJoinMapper(ivals, point_field="x", bucket_width=0)
+
+
+def test_asof_join_ignores_null_timestamps(spark):
+    """ADVICE r4: null join keys never match — a null-`on` right row
+    sorts nulls-first carrying a non-null payload struct, and every
+    left row with no real earlier match would surface it (t_asof NULL
+    but rv_asof set).  DuckDB ASOF / pandas merge_asof both ignore
+    null keys; left rows with null `on` likewise come out unmatched."""
+    left = spark.createDataFrame(
+        [(1, 10, "l0"), (1, None, "lnull")],
+        "k: bigint, t: bigint, lv: string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "rnull"), (1, 50, "late")],
+        "k: bigint, t: bigint, rv: string",
+    )
+    out = {
+        r.lv: (r.t_asof, r.rv_asof)
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    }
+    # no earlier non-null right row exists for either left row
+    assert out["l0"] == (None, None)
+    assert out["lnull"] == (None, None)

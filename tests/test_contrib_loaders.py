@@ -237,3 +237,49 @@ def test_converters_stub():
         from smashed_spark.operators.converters import Python2TorchMapper
 
         Python2TorchMapper()
+
+
+def test_sample_mix_hash_method_is_partitioning_independent(spark, sf_dir):
+    """method='hash' keys sampling on md5(key:seed:source): the subset
+    must be identical whatever the input partitioning (the rng method
+    explicitly does NOT promise this — its draw sequence is per
+    partition), and must match the engine-portable md5 formula so SQL
+    oracles can replay it."""
+    from smashed_spark.sources.loaders import sample_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    kw = dict(
+        weights=[0.5], seed=13, method="hash", key_field="doc_id"
+    )
+    a = sorted(r.doc_id for r in sample_mix([docs], **kw).collect())
+    b = sorted(
+        r.doc_id
+        for r in sample_mix([docs.repartition(17)], **kw).collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+    # replay the formula independently (what a SQL oracle does)
+    import hashlib
+
+    want = sorted(
+        r.doc_id
+        for r in docs.collect()
+        if int(
+            hashlib.md5(f"{r.doc_id}:13:0".encode()).hexdigest()[:8], 16
+        )
+        < 2**31
+    )
+    assert a == want
+
+
+def test_sample_mix_hash_requires_key(spark):
+    import pytest as _pytest
+
+    from smashed_spark.sources.loaders import sample_mix
+
+    df = spark.range(5)
+    with _pytest.raises(ValueError, match="key_field"):
+        sample_mix([df], [0.5], method="hash")
+    with _pytest.raises(ValueError, match="unknown method"):
+        sample_mix([df], [0.5], method="bogus")

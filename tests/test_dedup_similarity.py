@@ -187,8 +187,10 @@ def test_ngram_jaccard_shingle_freq_cap(spark):
     uncapped = NGramJaccardPairsMapper(
         "doc_id", threshold=0.01, max_shingle_freq=None
     )
-    assert uncapped.method == "join"
+    assert uncapped.method == "auto"  # r5 default: skew-probed
     assert uncapped.map(df).count() == 45
+    # auto never resolves to grouplist (unsafe uncapped)
+    assert uncapped.resolved_method in ("join", "prefix")
     # ...but explicitly requesting grouplist uncapped would
     # collect_list unboundedly, so it must fall back to join
     with pytest.warns(UserWarning, match="falling back to method='join'"):
@@ -556,3 +558,64 @@ def test_simhash_pairs_plan_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_jaccard_prefix_fp_boundary_pair(spark):
+    """ADVICE r4: ceil(t * nc) on doubles can double-round UP when the
+    exact product is an integer — fl(0.56) * 25 = 14.000000000000002,
+    ceil = 15 — shortening the prefix by one and silently dropping a
+    pair whose Jaccard is exactly t.  x has 25 distinct shingles (11
+    unique + 14 shared), y the 14 shared ones: Jaccard = 14/25 = 0.56
+    exactly, and the buggy 11-long prefix of x is exactly its 11
+    unique shingles, so the pair is only found via the epsilon-backed
+    ceil."""
+    x_words = [f"w{i}" for i in range(25)]
+    y_words = [f"w{i}" for i in range(14)]
+    df = spark.createDataFrame(
+        [(0, x_words), (1, y_words)],
+        "doc_id: bigint, words: array<string>",
+    )
+    out = (
+        NGramJaccardPairsMapper(
+            "doc_id", shingle_size=1, threshold=0.56, method="prefix"
+        )
+        .map(df)
+        .collect()
+    )
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert out[0].jaccard == pytest.approx(0.56, abs=1e-9)
+
+
+def test_ngram_jaccard_auto_method_routing(spark):
+    """method='auto' (the default) probes the shingle fan-out skew
+    ratio: a Zipfian corpus (hub shingles + rare tail — every real
+    text corpus) must route to PPJoin 'prefix'; a uniform tiny-vocab
+    corpus (every shingle equally hot, nothing for prefixes to
+    exploit) must route to 'join'.  Output is method-independent
+    (property-tested elsewhere); this pins the PLAN choice."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    zipf_rows = []
+    for i in range(300):
+        words = [f"w{min(int(w), 5000)}" for w in rng.zipf(1.3, 40)]
+        zipf_rows.append((i, words))
+    zipf = spark.createDataFrame(
+        zipf_rows, "doc_id: bigint, words: array<string>"
+    )
+    m = NGramJaccardPairsMapper("doc_id", threshold=0.9)
+    assert m.method == "auto"
+    assert m._choose_method(zipf) == "prefix"
+
+    vocab = [f"v{i}" for i in range(50)]
+    uni_rows = [
+        (i, [vocab[j] for j in rng.randint(0, 50, 40)])
+        for i in range(300)
+    ]
+    uni = spark.createDataFrame(
+        uni_rows, "doc_id: bigint, words: array<string>"
+    )
+    assert m._choose_method(uni) == "join"
+    # end-to-end: apply() resolves and records the choice
+    m.map(uni)
+    assert m.resolved_method == "join"

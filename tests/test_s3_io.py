@@ -167,3 +167,100 @@ def test_loader_passes_scheme_uri_to_hadoop_unmangled(spark):
     )
     with pytest.raises(Py4JJavaError, match="mockfs"):
         CsvLoaderMapper("p").map(paths_df).collect()
+
+
+def test_write_s3_rejects_append_and_exclusive_modes(s3):
+    """ADVICE r4: mode='a' silently truncate-overwrote and mode='x'
+    silently clobbered on s3 — both must raise instead of diverging
+    from the local branch's semantics."""
+    _put(s3, body="precious")
+    for mode in ("a", "x", "ab", "w+"):
+        with pytest.raises(ValueError, match="not supported for\\s+s3"):
+            with open_file_for_write(PREFIX, mode, client=s3):
+                pass
+    # the object is untouched
+    got = s3.get_object(Bucket=BUCKET, Key=KEY)["Body"].read().decode()
+    assert got == "precious"
+
+
+def test_compression_roundtrip_local(tmp_path):
+    """gzip round-trip through compress_stream/decompress_stream and
+    the open_compressed convenience, text and binary modes."""
+    import gzip as gz
+
+    from smashed_spark.sources.io_utils import (
+        compress_stream,
+        decompress_stream,
+        open_compressed,
+    )
+
+    p = tmp_path / "m.jsonl.gz"
+    with open_compressed(str(p), "wt") as f:
+        f.write(CONTENT)
+    # stdlib can read what we wrote (it is a real gzip member)
+    with gz.open(p, "rt") as f:
+        assert f.read() == CONTENT
+    with open_compressed(str(p), "rt") as f:
+        assert f.read() == CONTENT
+    with open_compressed(str(p), "rb") as f:
+        assert f.read() == CONTENT.encode()
+    # wrapping an already-open byte stream directly
+    with open(p, "rb") as raw:
+        with decompress_stream(raw, "rt") as f:
+            assert [ln.strip() for ln in f] == CONTENT.split("\n")
+    # deterministic output (mtime pinned)
+    buf1, buf2 = __import__("io").BytesIO(), __import__("io").BytesIO()
+    for b in (buf1, buf2):
+        with compress_stream(b, "wt") as f:
+            f.write(CONTENT)
+    assert buf1.getvalue() == buf2.getvalue()
+
+
+def test_compression_concatenated_members_and_zlib(tmp_path):
+    """Concatenated gzip members (cat a.gz b.gz — the layout Hadoop
+    writers and the gzip CLI both produce) decode fully, and
+    gzip=False reads raw zlib streams."""
+    import gzip as gz
+    import io
+    import zlib
+
+    from smashed_spark.sources.io_utils import decompress_stream
+
+    two = gz.compress(b"hello ") + gz.compress(b"world")
+    with decompress_stream(io.BytesIO(two), "rb") as f:
+        assert f.read() == b"hello world"
+    raw = zlib.compress(CONTENT.encode())
+    with decompress_stream(io.BytesIO(raw), "rt", gzip=False) as f:
+        assert f.read() == CONTENT
+
+
+def test_compression_roundtrip_s3(s3):
+    """open_compressed over s3:// — write buffers+PUTs one gzip
+    object, read streams it back through the decompressor."""
+    from smashed_spark.sources.io_utils import open_compressed
+
+    path = f"s3://{BUCKET}/artifacts/m.jsonl.gz"
+    with open_compressed(path, "wt", client=s3) as f:
+        f.write(CONTENT)
+    import gzip as gz
+
+    obj = s3.get_object(Bucket=BUCKET, Key="artifacts/m.jsonl.gz")
+    assert gz.decompress(obj["Body"].read()).decode() == CONTENT
+    with open_compressed(path, "rt", client=s3) as f:
+        assert f.read() == CONTENT
+
+
+def test_jsonl_gz_loader_path(spark, tmp_path):
+    """Data-scale .jsonl.gz goes through the Spark loader natively
+    (Hadoop decodes gzip on executors — no driver-side helper in the
+    path); the driver-side open_compressed writes a file Spark can
+    read, closing the loop."""
+    from smashed_spark.sources.io_utils import open_compressed
+    from smashed_spark.sources.loaders import JsonlLoaderMapper
+
+    p = tmp_path / "docs.jsonl.gz"
+    with open_compressed(str(p), "wt") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    paths_df = spark.createDataFrame([(str(p),)], "p: string")
+    out = JsonlLoaderMapper("p").map(paths_df).orderBy("a").collect()
+    assert [(r.a, r.b) for r in out] == [(1, "x"), (2, "y")]
