@@ -58,18 +58,38 @@ def streaming_sessionize(
     user_field: str = "user_id",
     ts_field: str = "ts",
     value_field: str = "value",
-    idle_timeout: bool = True,
+    idle_timeout: "bool | str" = True,
+    watermark_delay: str = "1 minute",
 ) -> DataFrame:
     """Emit one row per closed session from a streaming events frame.
 
-    ``idle_timeout=True`` (the unbounded-stream default) registers a
-    processing-time state timeout so idle users eventually flush their
-    open session.  ``idle_timeout=False`` disables timeouts entirely —
-    only gap-closed sessions are emitted — which lets a *bounded*
-    replay run under ``trigger(availableNow=True)`` and terminate on
-    its own (with ProcessingTimeTimeout the engine keeps scheduling
-    batches forever to evaluate future timeouts).
+    ``idle_timeout`` selects how idle users' open sessions flush:
+
+    * ``"event"`` — the recommended mode: an **event-time** state
+      timeout at ``last_event + gap``.  Deterministic (driven by the
+      watermark, i.e. by the DATA — a replay of the same events closes
+      the same sessions at the same points), requires
+      ``watermark_delay`` for the input watermark, and terminates
+      cleanly under ``trigger(availableNow=True)`` because the engine
+      only needs the trailing no-data batch to evaluate watermark
+      timeouts — no forever-rescheduling, no polling.
+    * ``True`` / ``"processing"`` — a processing-time timeout
+      (wall-clock after the last batch that touched the user).
+      Nondeterministic by nature; kept for parity with engines whose
+      sessionization flushes on wall-clock idleness.  A bounded replay
+      cannot settle on its own in this mode (every micro-batch
+      re-evaluates future wall-clock timeouts).
+    * ``False`` — no timeouts: only gap-closed sessions are emitted;
+      bounded replays terminate under ``availableNow`` (the
+      sentinel-closed gate pattern).
     """
+    if idle_timeout is True:
+        idle_timeout = "processing"
+    if idle_timeout not in (False, "processing", "event"):
+        raise ValueError(
+            f"idle_timeout must be False, 'processing' or 'event', "
+            f"got {idle_timeout!r}"
+        )
     gap_us = gap_minutes * 60 * 1_000_000
 
     def update(
@@ -107,8 +127,18 @@ def streaming_sessionize(
                 total += value
             if last_us is not None:
                 state.update((last_us, start_us, n, total))
-                if idle_timeout:
+                if idle_timeout == "processing":
                     state.setTimeoutDuration(gap_minutes * 60 * 1000)
+                elif idle_timeout == "event":
+                    # flush when the WATERMARK passes last_event + gap:
+                    # event-time idleness, not wall-clock.  Spark
+                    # rejects a timeout at/behind the current
+                    # watermark, so clamp just past it (the session is
+                    # then already gap-expired and flushes at the next
+                    # timeout evaluation).
+                    timeout_ms = (last_us + gap_us) // 1000
+                    wm_ms = state.getCurrentWatermarkMs()
+                    state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         if not rows:  # nothing closed this batch: yield no frame
             return
         out = pd.DataFrame(
@@ -130,16 +160,20 @@ def streaming_sessionize(
     from ..core.ship import ensure_shipped
 
     ensure_shipped(events.sparkSession)
+    if idle_timeout == "event":
+        # EventTimeTimeout requires an event-time watermark on the input
+        events = events.withWatermark(ts_field, watermark_delay)
+    timeout_conf = {
+        "event": GroupStateTimeout.EventTimeTimeout,
+        "processing": GroupStateTimeout.ProcessingTimeTimeout,
+        False: GroupStateTimeout.NoTimeout,
+    }[idle_timeout]
     return events.groupBy(user_field).applyInPandasWithState(
         update,
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if idle_timeout
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=timeout_conf,
     )
 
 
@@ -192,86 +226,53 @@ def run_sessionize_bounded(
             shutil.rmtree(checkpoint_dir, ignore_errors=True)
 
 
-def run_sessionize_to_memory(
+def run_sessionize_event_time(
     stream: DataFrame,
     query_name: str,
     gap_minutes: int = 30,
-    poll_seconds: float = 1.0,
-    stable_polls: int = 3,
-    max_seconds: float = 120.0,
-    checkpoint_dir: str | None = None,
+    watermark_delay: str = "1 minute",
+    timeout_seconds: float = 120.0,
 ) -> None:
-    """Run streaming sessionization into a memory sink and stop once the
-    output stabilizes.
+    """Sessionize a *bounded* replay with **event-time** idle timeouts
+    into a memory sink and return when the stream is exhausted.
 
-    With ``ProcessingTimeTimeout`` state registered, neither
-    ``availableNow`` termination nor ``processAllAvailable`` settles
-    (the engine keeps scheduling batches to evaluate future timeouts),
-    so completion is detected by polling the sink row count.
-
-    An explicit checkpoint location is used (and removed only after the
-    query has fully stopped): the default ``temporary-*`` checkpoint is
-    deleted during ``stop()`` while state-store commits may still be
-    in flight, which spews FileNotFoundException noise.
-
-    With ``ProcessingTimeTimeout`` state the trigger is almost never
-    idle (every micro-batch re-evaluates timeouts), so stopping will
-    interrupt an in-flight batch; for this bounded replay that is
-    intentional and harmless (memory sink, checkpoint discarded), and
-    the expected task-abort log noise is silenced for just the
-    teardown window, then the previous log level is restored.
+    ``idle_timeout="event"`` + ``trigger(availableNow=True)``: data
+    batches emit gap-closed sessions; the trailing no-data micro-batch
+    (required — do NOT disable ``noDataMicroBatches``) advances the
+    watermark to ``max(ts) - watermark_delay`` and fires the
+    event-time timeouts, flushing every open session whose
+    ``last_event + gap`` the watermark passed.  Then the query
+    terminates on its own.  This retires the poll-based runner the
+    ProcessingTimeTimeout mode needed (that mode never settles under
+    ``availableNow`` — the engine reschedules forever to evaluate
+    future wall-clock timeouts); event-time timeouts are evaluated
+    against the watermark, which is frozen once the data ends, so
+    termination is well-defined and the flush set is a pure function
+    of the data.
     """
     import shutil
     import tempfile
-    import time
 
-    own_checkpoint = checkpoint_dir is None
-    if own_checkpoint:
-        checkpoint_dir = tempfile.mkdtemp(prefix="smashed_stream_ckpt_")
-    sessions = streaming_sessionize(stream, gap_minutes=gap_minutes)
+    checkpoint_dir = tempfile.mkdtemp(prefix="smashed_stream_ckpt_")
+    sessions = streaming_sessionize(
+        stream,
+        gap_minutes=gap_minutes,
+        idle_timeout="event",
+        watermark_delay=watermark_delay,
+    )
     q = (
         sessions.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime="1 second")
+        .trigger(availableNow=True)
         .start()
     )
-    spark = stream.sparkSession
     try:
-        last, stable, waited = -1, 0, 0.0
-        while waited < max_seconds:
-            time.sleep(poll_seconds)
-            waited += poll_seconds
-            n = (
-                spark.sql(f"SELECT count(*) AS n FROM {query_name}")
-                .collect()[0]
-                .n
-            )
-            if n == last and n > 0:
-                stable += 1
-                if stable >= stable_polls:
-                    break
-            else:
-                stable = 0
-            last = n
+        q.awaitTermination(timeout_seconds)
     finally:
-        sc = spark.sparkContext
-        jvm = sc._jvm
-        prev_level = (
-            jvm.org.apache.logging.log4j.LogManager.getRootLogger()
-            .getLevel()
-            .toString()
-        )
-        sc.setLogLevel("OFF")
-        try:
+        if q.isActive:  # timed out: don't yank the checkpoint mid-commit
             q.stop()
             q.awaitTermination(30)
-            time.sleep(0.3)  # let async task-abort logging drain
-        finally:
-            sc.setLogLevel(prev_level)
-            # if the query is somehow still committing after the stop
-            # timeout, leave the checkpoint on disk — deleting it
-            # mid-commit reintroduces the FileNotFound noise
-            if own_checkpoint and not q.isActive:
-                shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        if not q.isActive:
+            shutil.rmtree(checkpoint_dir, ignore_errors=True)

@@ -232,22 +232,42 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     assert got == batch.count()
 
 
-def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+def test_streaming_sessionize_event_time_timeouts(spark, sf_dir, tmp_path):
+    """EventTimeTimeout flush: a bounded replay under availableNow
+    terminates on its own (no polling — the poll-based runner the
+    ProcessingTimeTimeout mode needed is gone), and the flushed set is
+    a pure function of the data: gap-closed sessions PLUS every open
+    session whose last_event + gap the final watermark
+    (max(ts) - delay) passed."""
+    from pyspark.sql import functions as F
+
     from smashed_spark.functions.sessions import SessionStatsMapper
     from smashed_spark.plans.registry import load
+    from smashed_spark.streaming.stateful import run_sessionize_event_time
 
     batch = load(spark, sf_dir, "events")
     src = str(tmp_path / "ev_state")
     batch.write.parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(src)
-    from smashed_spark.streaming.stateful import run_sessionize_to_memory
-
-    run_sessionize_to_memory(stream, "sess_state", gap_minutes=30)
+    run_sessionize_event_time(
+        stream, "sess_state", gap_minutes=30, watermark_delay="1 minute"
+    )
     closed = spark.sql("SELECT count(*) AS n FROM sess_state").collect()[0].n
     total = SessionStatsMapper().map(batch).count()
     open_sessions = batch.select("user_id").distinct().count()
-    # every session except each user's last (still open in state) closes
-    assert closed == total - open_sessions
+    # watermark after the (single) data batch: max(ts) - 1 minute;
+    # an open session times out iff last_event + gap < watermark
+    max_us = batch.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm_us = max_us - 60 * 1_000_000
+    gap_us = 30 * 60 * 1_000_000
+    flushed_open = (
+        batch.groupBy("user_id")
+        .agg(F.max(F.unix_micros("ts")).alias("last_us"))
+        .filter(F.col("last_us") + gap_us < wm_us)
+        .count()
+    )
+    assert closed == (total - open_sessions) + flushed_open
+    assert flushed_open > 0  # the timeout path actually fired
 
 
 def test_bounded_sessionize_matches_batch(spark, sf_dir, tmp_path):
