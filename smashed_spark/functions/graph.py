@@ -1,0 +1,175 @@
+"""Connected components over a pair/edge DataFrame — the clustering
+step that turns near-duplicate PAIRS (MinHash-LSH, SimHash, n-gram
+Jaccard, embedding cosine — everything in :mod:`.dedup` emits pairs)
+into duplicate CLUSTERS with one canonical keeper per cluster, i.e. the
+last stage of a fuzzy-dedup pipeline at corpus scale.  No reference
+counterpart (the reference engine has no graph/clustering operators);
+the algorithm is the standard Spark formulation of iterated min-label
+propagation with pointer jumping (cf. Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — the alternating-star
+family; GraphFrames/GraphX implement the same shape).
+
+Scale posture:
+
+* Every iteration is two shuffled equi-joins + a hash aggregate — no
+  cartesian terms, cost O(|E| + |V|) per round at any cluster shape.
+* Neighbor-min propagation alone needs O(diameter) rounds; the pointer
+  jumping step (label := label of one's label) halves remaining path
+  lengths, giving O(log |V|) rounds on ANY topology — a 1e9-node path
+  graph converges in ~30 rounds, and real near-dup clusters (tiny
+  diameter) in 2-3.
+* ``localCheckpoint`` truncates the logical plan every round:
+  iterative DataFrame algorithms otherwise stack O(rounds) joins into
+  one plan and die in the optimizer long before the executors hurt.
+* Convergence detection is one scalar action per round (an aggregate
+  of ``changed`` flags) — driver-bounded, no collect of node data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.mapper import SparkMapper
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Label every node reachable through ``edges`` with the MINIMUM
+    node id of its component (the usual canonical-keeper convention:
+    ``component == node`` marks the kept representative).
+
+    Returns ``(node, component)`` for every node that appears in
+    ``edges``; isolated nodes never enter the edge list, so callers
+    dedup by left-joining this onto the corpus and coalescing missing
+    labels to the node id (see :class:`DedupClustersMapper`).
+
+    ``max_iterations`` bounds the doubling rounds; 30 covers any graph
+    below 2^30 nodes on a path topology, and the loop exits as soon as
+    a round changes nothing.  Raises if the cap is hit without
+    convergence (returning half-merged components would silently
+    under-dedup).
+    """
+    sess = edges.sparkSession
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("u"),
+            F.col(dst).cast("bigint").alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+    )
+    # undirected: keep one canonical direction + its mirror
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    bidir = bidir.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
+
+    labels = (
+        bidir.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # 1) neighbor-min: the smallest label among me and my neighbors
+        nbr = (
+            bidir.join(
+                labels.withColumnRenamed("node", "v"), "v"
+            )  # (u, v, component-of-v)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        prop = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+        )
+        # 2) pointer jumping: component := component of my component —
+        #    halves remaining pointer-chain lengths each round, which
+        #    is what turns O(diameter) propagation into O(log n)
+        as_parent = prop.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("grand"),
+        )
+        jumped = (
+            prop.join(as_parent, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("grand", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("component", "old")
+            .join(jumped, "node")
+            .filter(F.col("old") != F.col("component"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iterations} "
+        "doubling rounds — raise max_iterations (30 covers ~2^30-node "
+        "path graphs; needing more suggests the edge list is still "
+        "growing mid-job or ids are unstable)"
+    )
+
+
+class DedupClustersMapper(SparkMapper):
+    """Fuzzy-dedup end stage: near-dup PAIRS -> duplicate CLUSTERS ->
+    per-document ``(cluster_id, is_kept)``.
+
+    Construct with an edge DataFrame (any of the pair mappers' outputs:
+    ``id_a``/``id_b`` columns) and map over the corpus: every document
+    gets the minimum doc id of its duplicate cluster as ``cluster_id``
+    (its own id when it has no near-dups) and ``is_kept = 1`` exactly
+    for the cluster representative — downstream keeps ``is_kept = 1``
+    rows for a deduped corpus, or groups by ``cluster_id`` to inspect
+    duplicate groups.
+    """
+
+    def __init__(
+        self,
+        pairs: DataFrame,
+        id_field: str = "doc_id",
+        src: str = "id_a",
+        dst: str = "id_b",
+        max_iterations: int = 30,
+    ) -> None:
+        self.pairs = pairs
+        self.id_field = id_field
+        self.src = src
+        self.dst = dst
+        self.max_iterations = max_iterations
+        super().__init__(input_fields=[id_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        comp = connected_components(
+            self.pairs,
+            src=self.src,
+            dst=self.dst,
+            max_iterations=self.max_iterations,
+        ).withColumnRenamed("node", self.id_field)
+        out = df.join(comp, self.id_field, "left").withColumn(
+            "cluster_id",
+            F.coalesce("component", F.col(self.id_field).cast("bigint")),
+        )
+        return out.drop("component").withColumn(
+            "is_kept",
+            (F.col("cluster_id") == F.col(self.id_field)).cast("int"),
+        )
+
+
+__all__ = ["connected_components", "DedupClustersMapper"]

@@ -178,20 +178,6 @@ def q_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).map(df)
 
 
-@query(
-    "flatten_nested",
-    oracle="""
-    SELECT doc_id, to_json(flatten([[lang], [source]])) AS pair FROM documents
-    """,
-)
-def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load(spark, sf_dir, "documents").withColumn(
-        "pair", F.array(F.array("lang"), F.array("source"))
-    )
-    out = FlattenMapper("pair").map(df)
-    return out.select("doc_id", "pair")
-
-
 # ---------------------------------------------------------------------------
 # masks family (reference masks.py)
 # ---------------------------------------------------------------------------

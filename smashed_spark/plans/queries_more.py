@@ -118,13 +118,19 @@ def q_strider_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "glom_path",
     oracle="""
-    SELECT doc_id, lang AS glang, source AS gsrc FROM documents
+    SELECT doc_id, lang AS glang, source AS gsrc,
+           to_json(flatten([[lang], [source]])) AS pair
+    FROM documents
     """,
 )
 def q_glom_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GlomMapper native tier: tuple path and dotted path over nested
-    structs compile to plain column accesses."""
+    structs compile to plain column accesses.  Family gate: the
+    ``pair`` column certifies FlattenMapper (the former
+    ``flatten_nested`` gate, folded in round 5 to free a slot under
+    the driver's 50-query cap)."""
     from ..operators.glom import GlomMapper
+    from ..operators.shape import FlattenMapper
 
     df = load(spark, sf_dir, "documents").withColumn(
         "meta",
@@ -132,11 +138,12 @@ def q_glom_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("l"),
             F.struct(F.col("source").alias("s")).alias("inner"),
         ),
-    )
+    ).withColumn("pair", F.array(F.array("lang"), F.array("source")))
     out = GlomMapper(
         {"glang": ("meta", "l"), "gsrc": "meta.inner.s"}
     ).map(df)
-    return out.select("doc_id", "glang", "gsrc")
+    out = FlattenMapper("pair").map(out)
+    return out.select("doc_id", "glang", "gsrc", "pair")
 
 
 # ---------------------------------------------------------------------------

@@ -134,6 +134,15 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_pairs_sql(k: int, bands: int, rows: int) -> str:
+    return _lsh_pairs_cte(k, bands, rows) + """
+    SELECT id_a, id_b FROM pairs
+    """
+
+
+def _lsh_pairs_cte(k: int, bands: int, rows: int) -> str:
+    """Shared CTE chain ending in ``pairs(id_a, id_b)`` — the LSH pair
+    query itself, reused verbatim by the dedup_clusters oracle so both
+    gates certify the SAME candidate graph."""
     slots = ",\n        ".join(
         f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P})"
         for a, b in hash_coeffs(k)
@@ -146,10 +155,44 @@ def _lsh_pairs_sql(k: int, bands: int, rows: int) -> str:
                md5(array_to_string(
                    minhash[b * {rows} + 1 : b * {rows} + {rows}], ',')) AS bkey
         FROM sig, UNNEST(range(0, {bands})) AS t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+            AND a.doc_id < b.doc_id
+    )"""
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
-        AND a.doc_id < b.doc_id
+
+
+def _dedup_clusters_sql(k: int, bands: int, rows: int) -> str:
+    """LSH pairs -> connected components -> per-doc (cluster, keeper).
+    The closure is a recursive CTE (fine at oracle scale: tens of
+    pairs); the Spark side runs the O(log n) pointer-jumped iteration
+    that survives corpus scale."""
+    cte = _lsh_pairs_cte(k, bands, rows).replace(
+        "WITH", "WITH RECURSIVE", 1
+    )
+    return (
+        cte
+        + """,
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+        SELECT u AS doc_id, least(u, min(v)) AS comp
+        FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           coalesce(l.comp, d.doc_id) AS cluster_id,
+           CAST(coalesce(l.comp, d.doc_id) = d.doc_id AS INT) AS is_kept
+    FROM documents d LEFT JOIN labels l USING (doc_id)
     """
     )
 
@@ -167,6 +210,25 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", bands=4, rows_per_band=4
     )
     return pipe.map(df)
+
+
+@query("dedup_clusters", oracle=_dedup_clusters_sql(16, 4, 4))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup (round 5): the same MinHash-LSH pair
+    graph as ``dedup_lsh_pairs``, clustered with pointer-jumped
+    connected components (functions/graph.py), every document labeled
+    with its cluster's canonical keeper.  The DuckDB oracle replays
+    the pair graph and closes it with a recursive CTE."""
+    from ..functions.dedup import MinHashLSHPairsMapper, MinHashMapper
+    from ..functions.graph import DedupClustersMapper
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        MinHashMapper(num_hashes=16)
+        >> MinHashLSHPairsMapper("doc_id", bands=4, rows_per_band=4)
+    ).map(docs.withColumn("words", F.split("text", " ")))
+    out = DedupClustersMapper(pairs).map(docs.select("doc_id"))
+    return out.select("doc_id", "cluster_id", "is_kept")
 
 
 @query("dedup_simhash", oracle=_simhash_sql(16))
@@ -767,7 +829,11 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        run_sessionize_bounded(stream, name, gap_minutes=30)
+        # failsafe timeout only (availableNow terminates on its own):
+        # sized for the 100x scale probe, not just the sf0.1 gate
+        run_sessionize_bounded(
+            stream, name, gap_minutes=30, timeout_seconds=900.0
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).select(

@@ -1,0 +1,121 @@
+"""Connected components / dedup clustering: hand graphs, a long-path
+worst case (exercises the pointer-jumping log-round bound), and a
+randomized corpus checked against a driver-side union-find oracle.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from smashed_spark.functions.graph import (
+    DedupClustersMapper,
+    connected_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a: bigint, id_b: bigint")
+    return {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+
+
+def test_cc_two_components_and_self_loops(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (7, 8), (3, 3), (2, 1)])
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_cc_long_path_converges_in_log_rounds(spark):
+    """A 200-node path is the propagation worst case: plain
+    neighbor-min needs ~200 rounds, the pointer-jumped loop must stay
+    within its 30-round cap (doubling reach per round)."""
+    edges = [(i, i + 1) for i in range(200)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0} and len(got) == 201
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    rng = random.Random(11)
+    nodes = list(range(400))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # path-compress fully: root may itself point down a chain
+    want = {n: find(n) for n in parent}
+    got = _cc(spark, edges)
+    assert got == want
+
+
+def test_cc_raises_without_convergence_budget(spark):
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a: bigint, id_b: bigint"
+    )
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(df, max_iterations=2)
+
+
+def test_dedup_clusters_mapper_end_to_end(spark):
+    """Pairs -> clusters -> keeper flags over a corpus that includes
+    pairless (singleton) docs."""
+    corpus = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(8)], "doc_id: bigint, text: string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7)], "id_a: bigint, id_b: bigint"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.is_kept)
+        for r in DedupClustersMapper(pairs).map(corpus).collect()
+    }
+    assert out[0] == (0, 1) and out[3] == (0, 0) and out[5] == (0, 0)
+    assert out[6] == (6, 1) and out[7] == (6, 0)
+    for singleton in (1, 2, 4):
+        assert out[singleton] == (singleton, 1)
+
+
+def test_cc_plan_per_round_is_equi_join_only(spark):
+    """No cartesian/broadcast-nested-loop term may appear anywhere in
+    an iteration's plan — the per-round cost contract is O(|E|+|V|)."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a: bigint, id_b: bigint"
+    )
+    # one round's worth of plan: build the propagation frame unchecked
+    e = df.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        bidir.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    nbr = (
+        bidir.join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.min("component").alias("nbr_min"))
+    )
+    plan = nbr._sc._jvm.PythonSQLUtils.explainString(
+        nbr._jdf.queryExecution(), "formatted"
+    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan, plan

@@ -17,6 +17,12 @@ Writes BENCH_SCALE.json: per-query seconds at 1x and 10x and the
 wall-ratio (ideal = 10 for linear work at fixed parallelism; well
 under 10 means fixed overheads still dominate at sf1).
 
+A second DEEP phase (round 5) pushes the two steepest 10x curves —
+stream_sessionize and ann_ivf_topk — another decade to 100x (~sf10:
+10M events / 200k vectors), building only the tables those queries
+read.  Same constant-density discipline; id re-keying stays in int64
+(copy * 1e9 tops out at 1e11).
+
 Usage: python tools/scale_probe.py [out_json]
 """
 
@@ -30,6 +36,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 COPIES = 10
+DEEP_COPIES = 100
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = [
     "dedup_simhash_pairs",
@@ -38,6 +45,10 @@ QUERIES = [
     "stream_sessionize",
     "ann_ivf_topk",
 ]
+# the two steepest 10x curves get the extra decade; they read only
+# events / embeddings, so the deep build skips the (expensive)
+# word-tagged documents blowup entirely
+DEEP_QUERIES = ["stream_sessionize", "ann_ivf_topk"]
 
 
 def build_scaled(spark, out_dir: str) -> None:
@@ -89,6 +100,34 @@ def build_scaled(spark, out_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{out_dir}/embeddings.parquet")
     )
+
+
+def build_scaled_deep(spark, out_dir: str, copies: int) -> None:
+    """events + embeddings only, at ``copies`` x — the two deep-probe
+    queries touch nothing else."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{BASE}/events.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+
+    def copies_of(df, id_col):
+        c = F.explode(F.array(*[F.lit(i) for i in range(copies)]))
+        return (
+            df.withColumn("__copy__", c)
+            .withColumn(
+                id_col,
+                F.col(id_col).cast("bigint")
+                + F.col("__copy__").cast("bigint") * F.lit(10**9),
+            )
+            .drop("__copy__")
+        )
+
+    copies_of(events, "user_id").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/events.parquet")
+    copies_of(emb, "vec_id").repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
 
 
 def main() -> None:
@@ -167,10 +206,38 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    shutil.rmtree(scaled_dir, ignore_errors=True)
+
+    # deep phase: one more decade for the steepest curves
+    deep_dir = tempfile.mkdtemp(prefix="smashed_scale100_")
+    print(
+        f"# building {DEEP_COPIES}x deep inputs under {deep_dir}",
+        file=sys.stderr,
+    )
+    build_scaled_deep(spark, deep_dir, DEEP_COPIES)
+    for name in DEEP_QUERIES:
+        t100, r100 = run(name, deep_dir, reps=1)
+        q = result["queries"][name]
+        q["sec_100x"] = t100
+        q["rows_100x"] = r100
+        q["wall_ratio_100x"] = (
+            round(t100 / q["sec_1x"], 2) if q["sec_1x"] > 0 else None
+        )
+        # decade-over-decade exponent: ratio of the second decade's
+        # blowup to the first — ~x means cost grew x-fold per 10x data
+        q["second_decade_ratio"] = (
+            round(t100 / q["sec_10x"], 2) if q["sec_10x"] > 0 else None
+        )
+        print(
+            f"# {name}: 100x={t100}s ratio_vs_1x={q['wall_ratio_100x']} "
+            f"second_decade={q['second_decade_ratio']} rows={r100}",
+            file=sys.stderr,
+        )
+    shutil.rmtree(deep_dir, ignore_errors=True)
+
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
-    shutil.rmtree(scaled_dir, ignore_errors=True)
     spark.stop()
 
 
