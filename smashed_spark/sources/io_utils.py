@@ -57,12 +57,76 @@ class SmartPath:
         return self.scheme == "s3"
 
     @property
+    def is_local(self) -> bool:
+        return not self.is_s3
+
+    @property
     def local(self) -> str:
         assert not self.is_s3
         return self.key
 
     def __str__(self) -> str:
         return f"s3://{self.bucket}/{self.key}" if self.is_s3 else self.key
+
+    # -- path algebra (reference MultiPath, multipath.py:22-148: join
+    # via `/`, prefix-subtract, parent/name, pathlib interop) ---------
+
+    def __truediv__(self, other: "str | SmartPath") -> "SmartPath":
+        """Append a RELATIVE segment: ``SmartPath.parse("s3://b/a") /
+        "c/d.txt"``.  Joining a fully-qualified path is a bug, not a
+        join — refused like the reference does."""
+        o = other if isinstance(other, SmartPath) else SmartPath.parse(
+            str(other)
+        )
+        if o.is_s3:
+            raise ValueError(f"cannot join fully-qualified path {o}")
+        seg = o.key.lstrip("/")
+        base = (self.key.rstrip("/") + "/" + seg) if self.key else seg
+        return SmartPath(self.scheme, self.bucket, base)
+
+    @classmethod
+    def join(cls, first: "str | SmartPath", *rest) -> "SmartPath":
+        out = first if isinstance(first, cls) else cls.parse(str(first))
+        for part in rest:
+            out = out / part
+        return out
+
+    @property
+    def parent(self) -> "SmartPath":
+        head = self.key.rstrip("/").rsplit("/", 1)[0] if "/" in (
+            self.key.rstrip("/")
+        ) else ""
+        return SmartPath(self.scheme, self.bucket, head)
+
+    @property
+    def name(self) -> str:
+        return self.key.rstrip("/").rsplit("/", 1)[-1]
+
+    def relative_to(self, prefix: "str | SmartPath") -> str:
+        """The key remainder under ``prefix`` (same scheme+bucket
+        required) — the operation the reference spells ``path - prefix``."""
+        p = prefix if isinstance(prefix, SmartPath) else SmartPath.parse(
+            str(prefix)
+        )
+        if (p.scheme, p.bucket) != (self.scheme, self.bucket):
+            raise ValueError(f"{self} is not under {p}")
+        pre = p.key.rstrip("/")
+        if pre and not self.key.startswith(pre):
+            raise ValueError(f"{self} is not under {p}")
+        return self.key[len(pre):].lstrip("/") if pre else self.key
+
+    def __sub__(self, other: "str | SmartPath") -> str:
+        return self.relative_to(other)
+
+    @property
+    def as_path(self):
+        """pathlib.Path for local paths (refused for s3, where no
+        filesystem object exists)."""
+        if self.is_s3:
+            raise ValueError(f"not a local path: {self}")
+        from pathlib import Path
+
+        return Path(self.local)
 
 
 def _client(**boto3_kwargs):

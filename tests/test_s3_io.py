@@ -264,3 +264,28 @@ def test_jsonl_gz_loader_path(spark, tmp_path):
     paths_df = spark.createDataFrame([(str(p),)], "p: string")
     out = JsonlLoaderMapper("p").map(paths_df).orderBy("a").collect()
     assert [(r.a, r.b) for r in out] == [(1, "x"), (2, "y")]
+
+
+def test_smartpath_algebra():
+    """Path algebra parity with the reference MultiPath
+    (multipath.py:22-148): `/` join, join(), parent/name, prefix
+    subtraction, pathlib interop."""
+    base = SmartPath.parse("s3://bucket/data")
+    p = base / "2024" / "part-0.parquet"
+    assert str(p) == "s3://bucket/data/2024/part-0.parquet"
+    assert p.name == "part-0.parquet"
+    assert str(p.parent) == "s3://bucket/data/2024"
+    assert p.relative_to(base) == "2024/part-0.parquet"
+    assert p - base == "2024/part-0.parquet"
+    assert SmartPath.join("s3://b/x", "y", "z.txt").key == "x/y/z.txt"
+    with pytest.raises(ValueError, match="fully-qualified"):
+        base / "s3://other/abs"
+    with pytest.raises(ValueError, match="not under"):
+        p.relative_to("s3://other/data")
+    lp = SmartPath.parse("/tmp/a") / "b.txt"
+    assert str(lp) == "/tmp/a/b.txt"
+    assert lp.as_path.name == "b.txt"
+    with pytest.raises(ValueError, match="not a local path"):
+        _ = p.as_path
+    # leading-slash segments and trailing slashes normalize
+    assert str(SmartPath.parse("s3://b/a/") / "/c") == "s3://b/a/c"

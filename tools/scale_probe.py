@@ -228,6 +228,17 @@ def main() -> None:
         q["second_decade_ratio"] = (
             round(t100 / q["sec_10x"], 2) if q["sec_10x"] > 0 else None
         )
+        sd = q["second_decade_ratio"]
+        q["verdict"] = (
+            f"second decade {sd}x per 10x data: "
+            + (
+                "sublinear (fixed overheads still amortizing)"
+                if sd is not None and sd < 8
+                else "near-linear — no quadratic term surfacing"
+                if sd is not None and sd <= 13
+                else "SUPERLINEAR — investigate before the next decade"
+            )
+        )
         print(
             f"# {name}: 100x={t100}s ratio_vs_1x={q['wall_ratio_100x']} "
             f"second_decade={q['second_decade_ratio']} rows={r100}",
