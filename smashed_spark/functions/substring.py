@@ -1,0 +1,211 @@
+"""Exact duplicated-substring detection across a document corpus.
+
+The reference has no cross-document operators at all (its mappers are
+row-local; see src/smashed/mappers/*), so this module is part of the
+beyond-reference curation engine, alongside functions/dedup.py.  The
+semantics follow the ExactSubstr deduplication of Lee et al. 2021
+("Deduplicating Training Data Makes Language Models Better"): find
+every substring of at least ``width`` tokens that occurs more than
+once in the corpus, then merge the hits into maximal per-document
+spans so callers can cut them out.
+
+Spark-first design (vs. the paper's single-node suffix array)
+-------------------------------------------------------------
+A suffix array over 100 TB of text cannot be built on one node; the
+distributed equivalent is *fixed-width window hashing*: slide a
+``width``-word window with stride ``stride`` over each document and
+hash each window.  Two facts make this exact, not approximate:
+
+* every duplicated substring of >= ``width`` words contains at least
+  one complete window occurring elsewhere (stride 1), so recall is
+  total at window granularity;
+* merging overlapping duplicated windows per document reconstructs
+  the maximal duplicated spans, exactly what ExactSubstr removes.
+
+Cost model at scale: the window explode multiplies rows by roughly
+``words/stride`` — the dominant term — and the duplicate count needs
+ONE wide shuffle keyed by the window hash (the MapReduce shape of the
+paper's "group by substring" formulation).  The span merge is a second,
+per-document shuffle over only the *duplicated* windows (usually a
+tiny fraction of the corpus).  Hub windows (boilerplate repeated
+millions of times) make a skewed hash partition; the per-key work is a
+plain count, so AQE-spillable — and ``stride > 1`` trades window-level
+recall (a duplicated substring is only guaranteed to be caught once it
+spans ``width + stride - 1`` words) for a 1/stride cost cut.
+
+Hashing: ``xxhash64`` by default (8-byte shuffle keys, JVM-side,
+fastest); ``md5`` optionally for engine-portable parity with the
+DuckDB oracle gates (functions/hashing.py documents the convention).
+Collisions: a 64-bit hash over ~2^40 windows (100 TB) has a ~2^-34
+per-pair false-dup probability — acceptable for curation; callers who
+need certainty can re-verify flagged spans textually downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..core.mapper import SparkMapper
+
+
+class DuplicatedWindowsMapper(SparkMapper):
+    """Flag every ``width``-word window (stride ``stride``) whose hash
+    occurs at least ``min_count`` times in the whole corpus.
+
+    Output rows: one per *duplicated* window —
+    ``(…id_field, pos, win_hash, n_occ)`` where ``pos`` is the 0-based
+    word offset of the window start and ``n_occ`` its global
+    occurrence count.  Non-duplicated windows are dropped.
+
+    Plan shape: narrow window explode, then ONE exchange keyed by the
+    window hash (a count-over-partition window — the same
+    single-exchange idiom as the hub cap in dedup.py).
+    """
+
+    def __init__(
+        self,
+        id_field: str = "doc_id",
+        words_field: str = "words",
+        width: int = 8,
+        stride: int = 1,
+        min_count: int = 2,
+        hash_fn: str = "xxhash64",
+        pos_field: str = "pos",
+        hash_field: str = "win_hash",
+        count_field: str = "n_occ",
+    ) -> None:
+        if width < 1:
+            raise ValueError("width must be >= 1")
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        if min_count < 2:
+            raise ValueError("min_count must be >= 2 (1 matches everything)")
+        if hash_fn not in ("xxhash64", "md5"):
+            raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+        self.id_field = id_field
+        self.words_field = words_field
+        self.width = width
+        self.stride = stride
+        self.min_count = min_count
+        self.hash_fn = hash_fn
+        self.pos_field = pos_field
+        self.hash_field = hash_field
+        self.count_field = count_field
+        super().__init__(
+            input_fields=[id_field, words_field],
+            output_fields=[pos_field, hash_field, count_field],
+        )
+
+    def _windows(self, df: DataFrame) -> DataFrame:
+        """(id, pos, win_hash) for every window — narrow explode."""
+        words = F.col(self.words_field)
+        # number of windows: floor((n - width) / stride) + 1 when
+        # n >= width, else 0; start positions are 0, stride, 2*stride…
+        n_win = F.floor(
+            (F.size(words) - F.lit(self.width)) / F.lit(self.stride)
+        ) + 1
+        starts = F.when(
+            F.size(words) >= self.width,
+            F.transform(
+                F.sequence(F.lit(0), n_win.cast("int") - 1),
+                lambda i: i * self.stride,
+            ),
+        ).otherwise(F.array().cast("array<integer>"))
+        win_text = lambda p: F.array_join(  # noqa: E731
+            F.slice(words, p + 1, self.width), " "
+        )
+        hasher = F.xxhash64 if self.hash_fn == "xxhash64" else F.md5
+        # hash BEFORE the explode: exploding (pos, hash) pairs keeps the
+        # exploded rows 12 bytes wide instead of carrying the words
+        # array through the explode (or joining back to re-slice)
+        pairs = F.transform(
+            starts,
+            lambda p: F.struct(
+                p.alias("p"), hasher(win_text(p)).alias("h")
+            ),
+        )
+        out = (
+            df.select(self.id_field, F.explode(pairs).alias("__w__"))
+            .select(
+                self.id_field,
+                F.col("__w__.p").alias(self.pos_field),
+                F.col("__w__.h").alias(self.hash_field),
+            )
+        )
+        return out
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        wins = self._windows(df)
+        # global occurrence count: one exchange on the hash; no
+        # collect_list (a hub window would blow a list buffer, a plain
+        # count spills fine)
+        occ = Window.partitionBy(self.hash_field)
+        out = wins.withColumn(
+            self.count_field, F.count(F.lit(1)).over(occ)
+        )
+        return out.where(F.col(self.count_field) >= self.min_count)
+
+
+class DuplicatedSpansMapper(DuplicatedWindowsMapper):
+    """Merge overlapping duplicated windows per document into maximal
+    duplicated spans — the removable units of Lee et al.'s ExactSubstr.
+
+    Output rows: ``(…id_field, span_start, span_end, n_windows)`` with
+    ``span_start`` inclusive / ``span_end`` exclusive 0-based word
+    offsets and ``n_windows`` the number of duplicated windows merged
+    into the span.  Classic island detection: per document, a window
+    starting at ``pos`` covers ``[pos, pos + width)``; a new island
+    starts when ``pos`` exceeds the running maximum end.
+
+    Plan shape: the parent's one wide exchange, then one narrow
+    per-document exchange over duplicated windows only.
+    """
+
+    def __init__(
+        self,
+        *args,
+        span_start_field: str = "span_start",
+        span_end_field: str = "span_end",
+        span_windows_field: str = "n_windows",
+        **kwargs,
+    ) -> None:
+        super().__init__(*args, **kwargs)
+        self.span_start_field = span_start_field
+        self.span_end_field = span_end_field
+        self.span_windows_field = span_windows_field
+        self.output_fields = (
+            span_start_field,
+            span_end_field,
+            span_windows_field,
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        wins = super().apply(df)
+        byid = Window.partitionBy(self.id_field).orderBy(self.pos_field)
+        run = byid.rowsBetween(Window.unboundedPreceding, -1)
+        end = F.col(self.pos_field) + F.lit(self.width)
+        # island break: this window starts past every previous end
+        prev_max_end = F.max(end).over(run)
+        brk = F.when(
+            prev_max_end.isNull()
+            | (F.col(self.pos_field) > prev_max_end),
+            1,
+        ).otherwise(0)
+        island = F.sum(brk).over(
+            byid.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        spans = (
+            wins.withColumn("__island__", island)
+            .groupBy(self.id_field, "__island__")
+            .agg(
+                F.min(self.pos_field).alias(self.span_start_field),
+                (F.max(self.pos_field) + F.lit(self.width)).alias(
+                    self.span_end_field
+                ),
+                F.count(F.lit(1)).alias(self.span_windows_field),
+            )
+            .drop("__island__")
+        )
+        return spans

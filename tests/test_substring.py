@@ -1,0 +1,211 @@
+"""Exact substring dedup (functions/substring.py): hand-built corpora
+with known duplicated spans, a brute-force window oracle on random
+corpora, stride semantics, and span-merge island edge cases."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from smashed_spark.functions.substring import (
+    DuplicatedSpansMapper,
+    DuplicatedWindowsMapper,
+)
+
+
+def _docs(spark, texts):
+    rows = [(i, t.split(" ")) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id: bigint, words: array<string>")
+
+
+def _win_rows(spark, texts, **kw):
+    out = DuplicatedWindowsMapper(**kw).map(_docs(spark, texts))
+    return {
+        (r.doc_id, r.pos, r.n_occ)
+        for r in out.select("doc_id", "pos", "n_occ").collect()
+    }
+
+
+def brute_windows(texts, width, stride=1, min_count=2):
+    """Driver-side oracle: hash-free exact window counting."""
+    from collections import Counter
+
+    occ = Counter()
+    wins = []
+    for d, t in enumerate(texts):
+        w = t.split(" ")
+        for p in range(0, len(w) - width + 1, stride):
+            key = " ".join(w[p : p + width])
+            occ[key] += 1
+            wins.append((d, p, key))
+    return {
+        (d, p, occ[k]) for d, p, k in wins if occ[k] >= min_count
+    }
+
+
+def test_shared_phrase_is_flagged_in_both_docs(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "colorless green ideas the quick brown fox jumps over the wall",
+        "completely unrelated words with no overlap at all here",
+    ]
+    got = _win_rows(spark, texts, width=5)
+    assert got == brute_windows(texts, 5)
+    # the shared 8-word phrase "the quick brown fox jumps over the"
+    # yields duplicated 5-windows at offsets 0..3 in doc0, 3..6 in doc1
+    assert {(0, 0, 2), (0, 1, 2), (1, 3, 2), (1, 4, 2)} <= got
+    assert not any(d == 2 for d, _, _ in got)
+
+
+def test_intra_document_repetition_counts(spark):
+    texts = ["a b c d a b c d a b c d"]  # "a b c d" 3x
+    got = _win_rows(spark, texts, width=4)
+    assert got == brute_windows(texts, 4)
+    # window at 0, 4, 8 is identical ("a b c d") -> n_occ >= 3
+    assert (0, 0, 3) in got and (0, 4, 3) in got and (0, 8, 3) in got
+
+
+def test_short_docs_produce_no_windows(spark):
+    texts = ["a b", "a b", "x"]
+    assert _win_rows(spark, texts, width=3) == set()
+
+
+def test_stride_skips_offsets(spark):
+    texts = [
+        "z1 common phrase here z2 z3 z4 z5",
+        "z6 z7 common phrase here z8 z9 z0",
+    ]
+    # stride 2: doc0 windows at 0,2,4; doc1 at 0,2,4.  The shared
+    # 3-window "common phrase here" sits at pos 1 in doc0 (not
+    # sampled) and pos 2 in doc1 (sampled) -> no duplicate is seen:
+    # stride trades recall for cost exactly as documented.
+    assert _win_rows(spark, texts, width=3, stride=2) == set()
+    # stride 1 catches it
+    got = _win_rows(spark, texts, width=3, stride=1)
+    assert {(0, 1, 2), (1, 2, 2)} <= got
+
+
+def test_windows_match_bruteforce_on_random_corpus(spark):
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 40)))
+        for _ in range(60)
+    ]
+    for width, stride in [(3, 1), (5, 2)]:
+        got = _win_rows(spark, texts, width=width, stride=stride)
+        assert got == brute_windows(texts, width, stride)
+
+
+def test_md5_and_xxhash_agree(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(10)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(20)) for _ in range(40)
+    ]
+    a = _win_rows(spark, texts, width=4, hash_fn="xxhash64")
+    b = _win_rows(spark, texts, width=4, hash_fn="md5")
+    assert a == b
+
+
+def _spans(spark, texts, **kw):
+    out = DuplicatedSpansMapper(**kw).map(_docs(spark, texts))
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in out.collect()
+    }
+
+
+def brute_spans(texts, width, stride=1, min_count=2):
+    wins = brute_windows(texts, width, stride, min_count)
+    by_doc = {}
+    for d, p, _ in wins:
+        by_doc.setdefault(d, []).append(p)
+    spans = set()
+    for d, ps in by_doc.items():
+        ps.sort()
+        start, end, n = ps[0], ps[0] + width, 1
+        for p in ps[1:]:
+            if p > end:
+                spans.add((d, start, end, n))
+                start, end, n = p, p + width, 1
+            else:
+                end, n = max(end, p + width), n + 1
+        spans.add((d, start, end, n))
+    return spans
+
+
+def test_overlapping_windows_merge_to_one_span(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "intro words then the quick brown fox jumps over the lazy dog",
+    ]
+    got = _spans(spark, texts, width=5)
+    assert got == brute_spans(texts, 5)
+    # doc0: the whole 10-word shared prefix "the quick … lazy dog"
+    # merges into one span [0, 9); doc1 span starts at word 3
+    assert (0, 0, 9, 5) in got
+    assert (1, 3, 12, 5) in got
+
+
+def test_disjoint_repeats_stay_separate_spans(spark):
+    texts = ["p q r s xx1 yy zz2 ww p q r s", "p q r s k1 k2 k3 k4"]
+    got = _spans(spark, texts, width=4)
+    assert got == brute_spans(texts, 4)
+    # doc0 has two islands: [0,4) and [8,12)
+    assert (0, 0, 4, 1) in got and (0, 8, 12, 1) in got
+
+
+def test_adjacent_touching_windows_merge(spark):
+    """pos == prev end exactly: [0,4) and [4,8) touch -> one span
+    (end-exclusive semantics: contiguous coverage, no gap)."""
+    texts = ["a b c d e f g h", "a b c d q w e r", "x y z e f g h u"]
+    got = _spans(spark, texts, width=4)
+    assert got == brute_spans(texts, 4)
+
+
+def test_spans_match_bruteforce_on_random_corpus(spark):
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+        for _ in range(50)
+    ]
+    assert _spans(spark, texts, width=3) == brute_spans(texts, 3)
+
+
+def test_param_validation():
+    with pytest.raises(ValueError):
+        DuplicatedWindowsMapper(width=0)
+    with pytest.raises(ValueError):
+        DuplicatedWindowsMapper(stride=0)
+    with pytest.raises(ValueError):
+        DuplicatedWindowsMapper(min_count=1)
+    with pytest.raises(ValueError):
+        DuplicatedWindowsMapper(hash_fn="sha1")
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_windows_plan_is_one_exchange_no_join(spark):
+    """Plan shape: the duplicate count is ONE exchange (hash key);
+    no join, no cartesian, no Python in the plan."""
+    df = _docs(spark, ["a b c d e f", "a b c d x y"])
+    plan = _explain(DuplicatedWindowsMapper(width=4).map(df))
+    assert "Join" not in plan and "Cartesian" not in plan, plan
+    assert plan.count("Exchange (") == 1, plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan, plan
+
+
+def test_spans_plan_adds_one_narrow_exchange(spark):
+    """Span merge adds exactly one more exchange (per-doc), reusing
+    the duplicated-window stream — two total, still no join."""
+    df = _docs(spark, ["a b c d e f", "a b c d x y"])
+    plan = _explain(DuplicatedSpansMapper(width=4).map(df))
+    assert "Join" not in plan and "Cartesian" not in plan, plan
+    assert plan.count("Exchange (") == 2, plan
