@@ -42,6 +42,17 @@ def portable_hash32(col: Column, word: int = 0) -> Column:
     ).cast("bigint")
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer from the first 15 hex chars of the md5 digest —
+    ``conv(substr(md5(s),1,15),16,10)`` in Spark,
+    ``('0x' || substr(md5(s),1,15))::BIGINT`` in DuckDB.  Used where a
+    32-bit hash would collide (KMV distinct sketches: the estimator
+    divides by the k-th smallest hash, so hash-space resolution bounds
+    the countable cardinality); 60 bits stay positive in a signed
+    int64 on both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def word_shingles(words: Column, n: int) -> Column:
     """Distinct word n-grams (joined with a space) from a words array.
 

@@ -1,0 +1,116 @@
+"""KMV distinct sketches: exactness when unsaturated, error bounds
+when saturated, merge algebra, DuckDB hash parity, and the estimator's
+integer arithmetic."""
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from smashed_spark.functions.sketches import (
+    KMVSketch,
+    distinct_estimate,
+    kmv_sketch,
+)
+
+
+def _vals(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "v: string")
+
+
+def test_unsaturated_is_exact(spark):
+    df = _vals(spark, [f"x{i % 7}" for i in range(100)])
+    sk = kmv_sketch(df, "v", k=64)
+    assert not sk.saturated
+    assert sk.estimate() == 7
+
+
+def test_saturated_estimate_within_error_bound(spark):
+    n = 5000
+    df = _vals(spark, [f"val-{i}" for i in range(n)])
+    for k in (64, 256):
+        sk = kmv_sketch(df, "v", k=k)
+        assert sk.saturated and len(sk.hashes) == k
+        rel_err = abs(sk.estimate() - n) / n
+        # RSE ~ 1/sqrt(k-2); allow 4 sigma
+        assert rel_err < 4 / math.sqrt(k - 2), (k, sk.estimate())
+
+
+def test_duplicates_do_not_inflate(spark):
+    base = [f"v{i}" for i in range(1000)]
+    df = _vals(spark, base * 5)  # every value 5x
+    sk = kmv_sketch(df, "v", k=128)
+    sk2 = kmv_sketch(_vals(spark, base), "v", k=128)
+    assert sk.hashes == sk2.hashes  # multiplicity-invariant by design
+
+
+def test_pathological_duplication_of_smallest_hashes(spark):
+    """>2k copies of few distinct values forces the exact-distinct
+    fallback branch; the sketch must stay correct (unsaturated ->
+    exact)."""
+    df = _vals(spark, [f"d{i % 5}" for i in range(3000)])
+    sk = kmv_sketch(df, "v", k=16)
+    assert sk.estimate() == 5
+
+
+def test_nulls_are_ignored(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "v: string"
+    )
+    assert kmv_sketch(df, "v", k=8).estimate() == 2
+
+
+def test_merge_equals_sketch_of_union(spark):
+    a = [f"a{i}" for i in range(2000)]
+    b = [f"b{i}" for i in range(1500)] + a[:500]
+    ska = kmv_sketch(_vals(spark, a), "v", k=64)
+    skb = kmv_sketch(_vals(spark, b), "v", k=64)
+    sku = kmv_sketch(_vals(spark, a + b), "v", k=64)
+    merged = ska.merge(skb)
+    assert merged.hashes == sku.hashes  # lossless merge at fixed k
+    with pytest.raises(ValueError):
+        ska.merge(KMVSketch(32, []))
+
+
+def test_hash_parity_with_duckdb(spark):
+    vals = [f"doc-{i}" for i in range(50)]
+    sk = kmv_sketch(_vals(spark, vals), "v", k=50)
+    con = duckdb.connect()
+    got = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT ('0x' || substr(md5(v), 1, 15))::BIGINT AS h "
+            "FROM (SELECT unnest(?) AS v) ORDER BY h",
+            [vals],
+        ).fetchall()
+    ]
+    assert sk.hashes == got
+
+
+def test_estimator_integer_arithmetic():
+    sk = KMVSketch(4, [10, 20, 30, 1 << 58])
+    # ((4-1) * 2^60) // 2^58 == 12
+    assert sk.estimate() == 12
+
+
+def test_distinct_estimate_gate_surface(spark, sf_dir):
+    from smashed_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    out = distinct_estimate(ev, ["user_id", "event_type"], k=64)
+    rows = {r.column: r for r in out.collect()}
+    exact_users = ev.select("user_id").distinct().count()
+    exact_types = ev.select("event_type").distinct().count()
+    # event_type is tiny -> unsaturated -> exact
+    assert rows["event_type"].est_distinct == exact_types
+    assert rows["event_type"].n_hashes == exact_types
+    # user_id: within 4/sqrt(k-2)
+    err = abs(rows["user_id"].est_distinct - exact_users) / exact_users
+    assert err < 4 / math.sqrt(62), rows["user_id"]
+
+
+def test_k_validation(spark):
+    with pytest.raises(ValueError):
+        kmv_sketch(_vals(spark, ["a"]), "v", k=2)
