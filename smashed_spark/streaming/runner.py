@@ -117,3 +117,75 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    id_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication on a key subset —
+    ``dropDuplicatesWithinWatermark``: state holds one entry per key
+    seen within the watermark horizon, so memory is O(keys/horizon),
+    not O(stream).  The at-least-once ingestion edge (replayed
+    Kafka/file batches, retried producers) is exactly where a training
+    -data feed duplicates documents, and a bounded-horizon dedup is
+    the standard fix.
+
+    Semantics: a duplicate arriving within the watermark delay of the
+    first occurrence is dropped; after state expiry the key counts as
+    new again.  For a bounded replay whose duplicates all sit inside
+    one horizon (the gate setup), the result equals batch
+    ``dropDuplicates(id_cols)`` — hence SQL-oracle-able.
+
+    On a batch DataFrame this falls back to plain
+    ``dropDuplicates(id_cols)`` — the exact bounded-data semantics
+    (Spark refuses to execute DeduplicateWithinWatermark in batch
+    mode), and what the gate oracle computes.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if not events.isStreaming:
+        return events.dropDuplicates(list(id_cols))
+    if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
+def run_stream_bounded(
+    out: DataFrame,
+    query_name: str,
+    timeout_seconds: float = 300.0,
+    output_mode: str = "append",
+) -> None:
+    """Drain a bounded streaming DataFrame into a memory sink
+    (``spark.table(query_name)``) — ``availableNow`` trigger, clean
+    self-termination, checkpoint removed afterwards.  The generic
+    version of ``stateful.run_sessionize_bounded``'s sink handling,
+    for operators that don't need the no-data-micro-batch tweak
+    (dedup state expiry is driven by the watermark advancing with
+    data; the trailing no-data batch is how the LAST watermark value
+    evicts state, so it stays enabled here)."""
+    import shutil
+    import tempfile
+
+    checkpoint_dir = tempfile.mkdtemp(prefix="smashed_stream_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_seconds)
+    finally:
+        if q.isActive:  # timed out: don't yank the checkpoint mid-commit
+            q.stop()
+            q.awaitTermination(30)
+        if not q.isActive:
+            shutil.rmtree(checkpoint_dir, ignore_errors=True)
