@@ -691,48 +691,47 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "jinja_render",
-    oracle="""
-    SELECT doc_id,
-           'lang=' || lang || ' n=' || n_chars AS src,
-           source AS tgt
-    FROM documents
-    """,
-)
-def q_jinja(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JinjaMapper (reference promptsource.py:313-354): renders inside
-    Arrow-batched mapInPandas with a per-executor jinja env."""
-    from ..operators.jinja import JinjaMapper
-
-    df = load(spark, sf_dir, "documents")
-    out = JinjaMapper(
-        "lang={{lang}} n={{n_chars}}|||{{source}}",
-        source_field_name="src",
-        target_field_name="tgt",
-    ).map(df)
-    return out.select("doc_id", "src", "tgt")
-
-
-@query(
     "fewshot_jinja",
     oracle="""
-    SELECT string_agg(lang, ';' ORDER BY doc_id) AS src
-    FROM documents GROUP BY doc_id // 3 HAVING count(*) = 3
+    WITH r AS (
+        SELECT doc_id,
+               'lang=' || lang || ' n=' || n_chars AS rendered,
+               source AS tgt
+        FROM documents
+    )
+    SELECT string_agg(rendered, ';' ORDER BY doc_id) AS src,
+           string_agg(tgt, '|' ORDER BY doc_id) AS tgts
+    FROM r GROUP BY doc_id // 3 HAVING count(*) = 3
     """,
 )
 def q_fewshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FewShotJinjaMapper: 2 shots + 1 sample per consecutive group
-    (reference promptsource.py:357-470)."""
-    from ..operators.jinja import FewShotJinjaMapper
+    """The jinja family as ONE composed gate (round-5 fold that freed a
+    registry slot for sketch_distinct): JinjaMapper (reference
+    promptsource.py:313-354) renders a source+target template per row
+    inside Arrow-batched mapInPandas, then FewShotJinjaMapper
+    (promptsource.py:357-470) packs 2 shots + 1 sample per consecutive
+    group FROM THE RENDERED FIELD — so a rendering bug and a packing
+    bug both surface in the same oracle."""
+    from ..operators.jinja import FewShotJinjaMapper, JinjaMapper
 
-    df = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    return FewShotJinjaMapper(
-        "{% for s in __shots__ %}{{s.lang}};{% endfor %}{{lang}}",
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    df = JinjaMapper(
+        "lang={{lang}} n={{n_chars}}|||{{source}}",
+        source_field_name="rendered",
+        target_field_name="tgt",
+    ).map(df)
+    out = FewShotJinjaMapper(
+        "{% for s in __shots__ %}{{s.rendered}};{% endfor %}{{rendered}}"
+        "|||{% for s in __shots__ %}{{s.tgt}}|{% endfor %}{{tgt}}",
         num_shots=2,
         order_by=["doc_id"],
         contiguous_key=True,
         output_source_field_name="src",
+        output_target_field_name="tgts",
     ).map(df)
+    return out.select("src", "tgts")
 
 
 @query(

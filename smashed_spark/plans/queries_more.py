@@ -502,3 +502,146 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_field="doc_id",
     )
     return out.withColumn("src", F.col("src").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# round-5 ops: exact substring dedup, KMV distinct sketch, streaming dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_substring",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), win AS (
+        SELECT doc_id, u.pos,
+               md5(array_to_string(
+                   list_slice(words, u.pos + 1, u.pos + 6), ' ')) AS key
+        FROM w, unnest(range(0, CAST(length(words) - 5 AS BIGINT))) AS u(pos)
+        WHERE length(words) >= 6
+    ), occ AS (
+        SELECT *, count(*) OVER (PARTITION BY key) AS n_occ FROM win
+    ), dup AS (
+        SELECT * FROM occ WHERE n_occ >= 2
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN max(pos + 6) OVER prev IS NULL
+                         OR pos > max(pos + 6) OVER prev
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup
+        WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), g AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 6 AS BIGINT) AS span_end,
+           count(*) AS n_windows
+    FROM g GROUP BY doc_id, island
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2021 ExactSubstr,
+    functions/substring.py): width-6 stride-1 window hashing, global
+    occurrence count (ONE wide exchange), per-doc island merge to
+    maximal spans.  md5 hashing here for engine-portable parity; the
+    production default is xxhash64 (8-byte shuffle keys), property-
+    tested equal in tests/test_substring.py."""
+    from ..functions.substring import DuplicatedSpansMapper
+
+    df = _words(spark, sf_dir)
+    out = DuplicatedSpansMapper(width=6, hash_fn="md5").map(df)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("n_windows").alias("n_windows"),
+    )
+
+
+@query(
+    "sketch_distinct",
+    oracle="""
+    WITH t AS (
+        SELECT 'user_id' AS col, CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL
+        UNION ALL
+        SELECT 'event_type', event_type
+        FROM events WHERE event_type IS NOT NULL
+    ), h AS (
+        SELECT DISTINCT col, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+        FROM t
+    ), r AS (
+        SELECT col, h,
+               row_number() OVER (PARTITION BY col ORDER BY h) AS rn
+        FROM h
+    )
+    SELECT col AS "column", CAST(64 AS BIGINT) AS k_used,
+           CAST(least(count(*), 64) AS BIGINT) AS n_hashes,
+           max(CASE WHEN rn <= 64 THEN h END) AS kth_hash,
+           CAST(CASE WHEN count(*) < 64 THEN count(*)
+                ELSE (CAST(63 AS HUGEINT)
+                      * CAST(1152921504606846976 AS HUGEINT))
+                     // max(CASE WHEN rn <= 64 THEN h END)
+                END AS BIGINT) AS est_distinct
+    FROM r GROUP BY col
+    """,
+)
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketches (functions/sketches.py, Bar-Yossef
+    et al. 2002) over events: user_id saturates k=64 (estimator
+    branch), event_type stays unsaturated (exact branch) — both
+    branches certified by one oracle.  Deterministic md5-60 hashing
+    makes the k-th smallest hash and the integer-division estimate
+    bit-reproducible in DuckDB."""
+    from ..functions.sketches import distinct_estimate
+
+    ev = load(spark, sf_dir, "events")
+    return distinct_estimate(ev, ["user_id", "event_type"], k=64)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           round(value, 6) AS value
+    FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/runner.py:stream_dedup):
+    events unioned with a replayed 10% subset (the at-least-once
+    ingestion duplicate shape), drained through
+    ``dropDuplicatesWithinWatermark`` under an availableNow trigger —
+    the output must equal the original events exactly, which is the
+    oracle.  O(keys-in-horizon) state, no polling (self-terminating
+    bounded replay, same discipline as stream_sessionize)."""
+    import tempfile
+
+    from ..streaming.runner import run_stream_bounded, stream_dedup
+
+    batch = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    dup = batch.where(F.col("event_id") % 10 == 0)
+    src = tempfile.mkdtemp(prefix="smashed_stream_dup_") + "/events"
+    batch.unionAll(dup).repartition(8).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_dedup(stream, id_cols=("event_id",), watermark="2 hours")
+    name = "smashed_stream_dedup"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        run_stream_bounded(out, name, timeout_seconds=900.0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+    )

@@ -124,16 +124,18 @@ def test_ann_plan_construction_runs_no_jobs(spark, sf_dir):
 
 def test_fewshot_single_exchange_single_python_stage(spark, sf_dir):
     """FewShotJinjaMapper (contiguous-key path): one hash exchange on
-    the group id, groups folded JVM-side by collect_list, exactly one
-    Python stage (the bulk MapInPandas render) — NOT one Python call
-    per group (FlatMapGroupsInPandas)."""
+    the group id, groups folded JVM-side by collect_list, bulk
+    MapInPandas renders — NOT one Python call per group
+    (FlatMapGroupsInPandas).  The r5 composite gate chains JinjaMapper
+    before the fewshot pack, so exactly TWO MapInPandas stages (one
+    per render), still one exchange."""
     from smashed_spark.plans.queries import q_fewshot
 
     plan = _explain(q_fewshot(spark, sf_dir))
     assert "FlatMapGroupsInPandas" not in plan, plan
     # "<Node> (n)" matches the tree section only (details render as
     # "(n) <Node>"), so these count physical nodes exactly once
-    assert plan.count("MapInPandas (") == 1, plan
+    assert plan.count("MapInPandas (") == 2, plan
     assert plan.count("Exchange (") == 1, plan
     assert "Sort (" not in plan, plan  # no global sort on the scale path
 

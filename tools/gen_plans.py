@@ -15,8 +15,7 @@ def explain(df):
 HEADLINERS = {
     "flagship_preprocess": "Every mapper fuses into one narrow codegen'd pass; "
         "the n_chars filter is pushed into the parquet scan.",
-    "join_revenue_by_nation": "Dimension tables broadcast (no fact shuffle for "
-        "the join); only the final small rollup exchanges.",
+
     "agg_pricing_summary": "Map-side partial HashAggregate before the single "
         "exchange on the 2-value grouping key.",
     "dedup_lsh_pairs": "Narrow signature compute, explode to band buckets, one "
@@ -27,12 +26,23 @@ HEADLINERS = {
         "while at scale the lineitem-orders equi-join shuffles once on the "
         "shared orderkey. The rank<=10 filter collapses into "
         "TakeOrderedAndProject - no global sort.",
-    "fewshot_jinja": "Each (num_shots+1)-row group folds into ONE row via a "
-        "JVM-side collect_list hash-agg (map-side partial, one exchange on "
-        "the contiguous group id — no global sort), then a single "
-        "MapInPandas stage renders thousands of groups per Arrow batch. "
-        "Python appears exactly once, after the data is already "
-        "group-per-row small.",
+    "fewshot_jinja": "r5 composite: JinjaMapper renders src+tgt per row "
+        "(first MapInPandas), then each (num_shots+1)-row group folds into "
+        "ONE row via a JVM-side collect_list hash-agg (map-side partial, one "
+        "exchange on the contiguous group id — no global sort) and a second "
+        "MapInPandas renders thousands of fewshot groups per Arrow batch. "
+        "Two bulk Python stages, one exchange.",
+    "dedup_substring": "Lee et al. ExactSubstr, distributed: (pos, hash) "
+        "pairs explode 12-bytes-wide (hash computed BEFORE the explode), one "
+        "wide exchange on the window hash for the global occurrence count "
+        "(count-over-partition — no collect_list hubs), then one narrow "
+        "per-doc exchange merges overlapping windows into maximal spans. "
+        "No join anywhere.",
+    "sketch_distinct": "KMV per column: narrow md5-60 projection, then the "
+        "engine's TakeOrderedAndProject computes the global k smallest with "
+        "per-partition partial top-k and a k-rows-per-partition driver "
+        "merge — the sketch-merge executed by Spark itself, no full sort, "
+        "no exchange.",
     "dedup_ngram_jaccard": "Shingles hash to 8-byte keys before the ONE "
         "exchange on the shingle; the hub-frequency cap is a count window "
         "over that same partitioning and the per-shingle pair-generation "
@@ -87,17 +97,200 @@ O(docs x tables), no CartesianProduct anywhere (plan-asserted by
 test_near_dup_lsh_path_above_limit); exact cosine reranks candidates
 in one einsum per Arrow batch.  The O(n^2) expression join survives
 only behind exact=True.
+
+## stream_dedup (streaming/runner.py, round 5)
+
+`dropDuplicatesWithinWatermark` on the replayed-duplicates stream:
+ONE exchange on the dedup key feeding `StreamingDeduplicateWithinWatermark`
+(state: one entry per key inside the watermark horizon — O(keys/horizon),
+not O(stream)); `trigger(availableNow=True)` drains the bounded replay
+and self-terminates, same no-polling discipline as stream_sessionize.
+
+```
+StreamingDeduplicateWithinWatermark [event_id] (state: first-seen ts per key)
++- Exchange hashpartitioning(event_id)
+   +- EventTimeWatermark ts, 2 hours
+      +- StreamingRelation parquet
+```
 """
+
+MANUAL_NOTES = """\
+## Scale probe: sf0.1 -> 10x (~sf1), tools/scale_probe.py, BENCH_SCALE.json
+
+The five heaviest gates re-timed on a deterministic 10x blowup of
+their inputs (re-keyed copies; every document word tagged with the
+copy id so shingles/minhashes/simhashes never collide across copies —
+constant near-dup density, not a denser problem).  Wall ratios at
+local[32], best-of-2 (ideal linear = 10; well under 10 = fixed
+per-query overheads still dominate at this size):
+
+- `dedup_ngram_jaccard` **1.54x** (rows exactly 10x): the inverted
+  index + streaming self-join is scan-bound; no superlinear term.
+- `dedup_lsh_pairs` **1.74x** (rows ~10x): banded signature join
+  scales with candidate volume, as designed.
+- `dedup_simhash_pairs` **1.45x** — but output grew 29x, not 10x:
+  at 600k docs the gate's `bits=32` (8-bit bands at max_hamming=3)
+  admits random cross-copy band collisions, exactly the
+  band-occupancy ceiling documented on the class (and why the class
+  default is now `bits=64`: 16-bit bands push that ceiling to
+  billions of docs).  Wall stays sublinear because the `bit_count`
+  verify rejects the random candidates map-side, before the dedup
+  shuffle.
+- `stream_sessionize` **4.24x** (10x users, rows exactly 10x): the
+  closest to linear, as expected — per-user state and the stateful
+  Python stage are the dominant per-row costs and they scale with
+  users; no superlinear term.
+- `ann_ivf_topk` **2.50x** (fixed 100-row output): corpus-linear
+  assignment + probe-cell rerank; the bounded fit sample keeps the
+  quantizer cost constant.
+
+No query shows a superlinear wall-clock term at 10x; the dedup family
+amortizes fixed costs (scan setup, Python pool) and the stateful
+streaming path scales ~linearly in users, which is its data dimension.
+
+## asof_join (functions/asof.py)
+
+Temporal backward as-of enrichment with NO join node: both sides
+project into a common shape (right payload as ONE nullable struct, so
+a NULL payload field in the matched row is never papered over by a
+stale older row), union, and a single keyed window carries the last
+right struct forward.  One exchange on the by-key, one in-partition
+sort, cost O((|L|+|R|) log batch) per key — the theta-join
+formulation this replaces is O(|L|x|R|) per key.
+
+```
+Project [k, t, lv, __m__.__t__ AS t_asof, __m__.rv AS rv_asof]
++- Window [last(__r__, true) over (partition k order __t__, __side__)]
+   +- Exchange hashpartitioning(k)
+      +- Union
+         :- Project [k, t AS __t__, 0 AS __side__, struct(t, rv) AS __r__, ...]
+         +- Project [k, t AS __t__, 1 AS __side__, null AS __r__, ...]
+```
+
+RangeJoinMapper (same module) turns interval containment into a
+bucketed hash equi-join — intervals explode into covered buckets,
+the exact predicate rides as the join's residual filter, and
+`how="left"` is the same single join as left_outer (no second
+candidate pass).  Plan-asserted: no CartesianProduct /
+BroadcastNestedLoopJoin (tests/test_asof_range.py).
+
+## text_stats with repetition signals (round 4)
+
+RepetitionStatsMapper adds the family's only shuffle: explode word
+2-grams -> hash-agg on (doc_id, gram) -> per-doc agg -> equi-join
+back on doc_id.  Both aggregations are map-side-partial friendly and
+the doc id rides in every grouping key, so there is no hub skew at
+any corpus size; measured +0.15 s on the sf0.1 gate.  64-bit SimHash
+(the new default) measures 3.3 s on sf0.1 docs vs 1.9 s at 32 bits —
+linear in `bits` as the O(bits x tokens) fold predicts (each token is
+md5'd ONCE; both 32-bit words slice out of the projected digest, and
+the interpreted per-bit aggregate folds, not hashing, dominate), all
+scan-parallel.
+
+## dedup_ngram_jaccard method="prefix" (PPJoin prefix filtering, round 4)
+
+Third exact method beside `join`/`grouplist`: index only each doc's
+rarest `|x| - ceil(t|x|) + 1` shingles under a global
+(frequency, hash) order — any pair with Jaccard >= t provably shares a
+prefix shingle (Chaudhuri et al. 2006 / Xiao et al. 2008) — then
+verify survivors with `array_intersect` over the full capped sets.
+Measured on a 20k-doc Zipfian corpus (realistic text): **9.7 s vs
+23.6 s for `join` (2.4x)**, and the join path needed a 20 GB driver to
+survive the same corpus's sum(freq^2) candidate fan-out at all.  On
+the bundled uniform tiny-vocab testdata every shingle is frequent, no
+prefix is rare, and plain `join` stays faster (3.0 s vs 5.5 s at
+sf0.1) — hence `join` remains the default and the gate method; output
+equality of all three methods is property-tested
+(tests/test_properties.py::test_ngram_jaccard_methods_agree_on_random_corpora).
+
+## Round-5 bench forensics: embedding_near_dup "regression" and the r4 cost buys
+
+**embedding_near_dup (r4 flagged 1.73x vs r3, ~1.3x residual after
+noise): NOT a code regression.**  Same-host A/B — round-3 code
+(c9027f2, via a throwaway worktree) vs current code, identical session
+configs, 5 reps each, both orderings — measures best-of-5 {1.55, 1.02} s
+for r3 code and {1.09, 1.25} s for current code: each side "wins" one
+ordering, spreads overlap completely, and the row count (4137) is
+identical.  The r3-recorded 0.59 s was a faster host window (the same
+session's trivial controls — lookup_map, glom_path — now run 1.7-2.4x
+their r3 numbers on identical bytes).  No plan change, nothing to claw
+back; the r4 limit-probe change is not even on this gate's code path
+(file-backed source -> plan-time size estimate -> broadcast tier, no
+probe job).
+
+**Deliberate r4 cost buys, stated for the record:**
+
+- `dedup_simhash` ~2.4x vs r3: true 64-bit simhash (two composed
+  32-bit md5-word simhashes, then a single-md5 variant in eaba901) —
+  bought correctness: 64-bit signatures keep default banding
+  non-degenerate (2^16 values/band); the r3 16-bit gate simhash
+  saturated bands on large corpora.
+- `text_stats` ~2.0x vs r3: Gopher repetition stats (dup-word /
+  dup-2-gram fractions) folded into the same gate — bought new
+  surface; the added column algebra is the measured delta, the
+  exchange budget is unchanged (test_plan_quality.py pins it).
+
+## Round-5 auto method selection for dedup_ngram_jaccard
+
+`method="auto"` (now the default) resolves join-vs-prefix from a
+bounded 2000-doc sample probe measuring the fan-out skew ratio
+`D*sum(f^2)/P^2` (1.0 = perfectly uniform shingle frequencies).
+Empirics: Zipfian corpora measure 30 (2k-doc sample) to 220 (full
+20k), uniform tiny-vocab 1.01-1.08, the bundled fixture 1.29 (sf0.01)
+and 1.12 (sf0.1) — the ratio separates the regimes by >20x at both
+full and sampled scale.  The hapax ratio, the obvious first idea, does
+NOT discriminate: uniform random trigram shingles are ~0.9 hapax too
+(trigram space >> corpus).  A sample understates the full-corpus
+ratio, which errs toward `join` — the safe direction (a missed prefix
+opportunity costs only speed).  Probe cost: one `limit`-bounded
+aggregate job, independent of corpus size.
+
+## Round-5 deep scale probe: the second decade (100x, ~sf10)
+
+The two steepest round-4 10x curves got one more constant-density
+decade (tools/scale_probe.py deep phase: 10M events / 200k vectors,
+events+embeddings only — the probed queries read nothing else):
+
+| query | 1x | 10x | 100x | 2nd-decade ratio | verdict |
+|---|---|---|---|---|---|
+| stream_sessionize | 2.71 s | 9.73 s | 112.5 s | 11.6x | near-linear |
+| ann_ivf_topk | 1.70 s | 4.03 s | 43.2 s | 10.7x | near-linear |
+
+The scary-looking first-decade ratios (4.24x r4 / 3.59x now for
+streaming, 2.5x/2.37x for IVF) were fixed-cost amortization, not a
+brewing quadratic: once those costs are paid, the SECOND decade costs
+~10-11.6x per 10x data — linear within noise.  Residual 1.16x
+superlinearity on stream_sessionize is dominated by the bench
+harness's memory sink (9.5M session rows collected into the driver),
+not the stateful operator; a parquet sink removes it in production.
+ann_ivf's fit stays bounded at 100k vectors (the sample cap engaged at
+100x for the first time: 200k corpus > cap), confirming the
+fit-sample design does its job — assignment and probe-join are the
+linear terms.  Output rows scale exactly 100x (9,546,500 sessions /
+100 top-k rows), pinning constant density.
+"""
+
 out = ["# PLANS — physical plans of the headline queries",
        "",
        "Generated from the live Catalyst plans at sf0.001 (plan shape is",
        "scale-invariant; AQE adjusts partitioning at runtime).  `*` marks",
        "whole-stage-codegen'd operators.  Regenerate with",
        "`python tools/gen_plans.py`.", ""]
+from smashed_spark.plans.queries_scale import q_revenue_nation
+HEADLINERS_EXTRA = {
+    "join_revenue_by_nation (unregistered r5; plan pinned in test_plan_quality)":
+        (q_revenue_nation, "Dimension tables broadcast (no fact shuffle for "
+         "the join); only the final small rollup exchanges."),
+}
 for name, note in HEADLINERS.items():
     plan = explain(Q[name](spark, "/root/testdata/sf0.001"))
     tree = plan.split("\n\n")[0]  # tree section only
     out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
+for name, (fn, note) in HEADLINERS_EXTRA.items():
+    plan = explain(fn(spark, "/root/testdata/sf0.001"))
+    tree = plan.split("\n\n")[0]
+    out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
 out.append(STATIC)
+out.append(MANUAL_NOTES)
 open("/root/repo/PLANS.md","w").write("\n".join(out))
 print("written", len("\n".join(out)), "chars")
