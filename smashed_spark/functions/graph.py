@@ -87,6 +87,7 @@ def connected_components(
             labels.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("__old__"),
                 F.least(
                     "component", F.coalesce("nbr_min", "component")
                 ).alias("component"),
@@ -103,21 +104,27 @@ def connected_components(
             prop.join(as_parent, "component", "left")
             .select(
                 "node",
+                "__old__",
                 F.least(
                     "component", F.coalesce("grand", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence aggregate below is the
+            # materializing action, so each round costs ONE job, not an
+            # eager-checkpoint job plus a separate changed-count job.
+            # The full-scan aggregate (not limit(1)) is deliberate: it
+            # computes every partition, so the checkpoint is complete
+            # before the next round reads it.
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            labels.withColumnRenamed("component", "old")
-            .join(jumped, "node")
-            .filter(F.col("old") != F.col("component"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        # convergence check fused into the materialization: the old
+        # label rides along the round's pipeline (carried from `prop`),
+        # replacing the former labels-join + count second job
+        changed = jumped.agg(
+            F.max((F.col("component") != F.col("__old__")).cast("int"))
+        ).collect()[0][0]
+        labels = jumped.drop("__old__")
+        if not changed:
             return labels
     raise RuntimeError(
         f"connected_components: no convergence in {max_iterations} "
