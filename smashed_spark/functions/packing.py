@@ -1,0 +1,204 @@
+"""Fixed-block sequence packing — the pretraining data-prep step that
+concatenates every document's token stream (in a stable corpus order,
+with an optional per-document separator) and slices the result into
+fixed-size training blocks, documents crossing block boundaries.
+
+The reference stops at per-document batching/striding
+(src/smashed/mappers/batchers.py, shape.py — SingleSequenceStrider
+packs *within* a document); cross-document packing is the missing
+last step every LLM pretraining pipeline runs (GPT-style "chunk the
+concatenated corpus into context-length blocks"), so it belongs to
+the beyond-reference curation engine.
+
+Scale design
+------------
+The only global computation is an exclusive prefix sum of token
+counts in corpus order — done shuffle-free with the same two-phase
+trick as ``core.order.with_row_index``: range-partitioned sort, ONE
+tiny per-partition aggregate collected to the driver (one row per
+partition), broadcast offsets back, and a *partition-local* running
+window for the within-partition part.  No single-task window, no
+O(corpus) driver state.
+
+Block assembly is then embarrassingly parallel: each document knows
+its global token span ``[start, start+n)``, explodes into at most
+``ceil(n/B)+1`` (block, fragment) rows — a bounded fan-out, narrow —
+and one shuffle on ``block_id`` reassembles blocks, each fragment
+list tiny (≤ B tokens total per block).
+
+Determinism: given a total ``order_by`` key, output blocks are
+bit-stable across runs and cluster sizes — which is what makes the
+DuckDB gate oracle possible, and what reproducible-training users
+need.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..core.mapper import SparkMapper
+
+
+def with_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    col_name: str = "__prefix__",
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_by`` order,
+    computed scalably: global range-partitioned sort, per-partition
+    totals collected to the driver (one row per partition — KB-sized),
+    cumulative offsets broadcast back, partition-local running-sum
+    window for the intra-partition part.
+    """
+    df = df.orderBy(*order_by)
+    spark = df.sparkSession
+    in_cols = df.columns
+    # pin the partitioning so phase 1 (per-partition totals) and
+    # phase 2 (per-row assembly) can never see different partition
+    # boundaries (same discipline as core/order.with_row_index)
+    tagged = df.withColumn(
+        "__pid__", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    sizes = (
+        tagged.groupBy("__pid__")
+        .agg(F.sum(value_col).alias("__psum__"))
+        .collect()
+    )
+    acc = 0
+    offset_rows = []
+    for r in sorted(sizes, key=lambda r: r["__pid__"]):
+        offset_rows.append((r["__pid__"], acc))
+        acc += r["__psum__"] or 0
+    offsets = spark.createDataFrame(
+        offset_rows, "__pid__: int, __off__: bigint"
+    )
+    run = Window.partitionBy("__pid__").orderBy(
+        *[F.col(c) for c in order_by]
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    out = tagged.join(F.broadcast(offsets), "__pid__").withColumn(
+        col_name,
+        (
+            F.col("__off__")
+            + F.coalesce(F.sum(value_col).over(run), F.lit(0))
+        ).cast("bigint"),
+    )
+    return out.select(*in_cols, col_name)
+
+
+class PackSequencesMapper(SparkMapper):
+    """Concatenate every row's ``tokens_field`` array in ``order_by``
+    order (appending ``separator`` after each document when given) and
+    emit fixed ``block_size`` blocks:
+    ``(block_id, n_tokens, n_docs, tokens)``.
+
+    The trailing partial block is emitted too (callers who want only
+    full blocks filter ``n_tokens == block_size``); empty documents
+    contribute nothing unless a separator is set.
+    """
+
+    def __init__(
+        self,
+        tokens_field: str = "input_ids",
+        order_by: Sequence[str] = ("doc_id",),
+        block_size: int = 1024,
+        separator: Optional[object] = None,
+        block_field: str = "block_id",
+        out_field: str = "tokens",
+    ) -> None:
+        if block_size < 1:
+            raise ValueError("block_size must be >= 1")
+        if not order_by:
+            raise ValueError(
+                "order_by is required: packing is order-sensitive"
+            )
+        self.tokens_field = tokens_field
+        self.order_by = list(order_by)
+        self.block_size = block_size
+        self.separator = separator
+        self.block_field = block_field
+        self.out_field = out_field
+        super().__init__(
+            input_fields=[tokens_field, *order_by],
+            output_fields=[block_field, "n_tokens", "n_docs", out_field],
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        B = self.block_size
+        toks: Column = F.col(self.tokens_field)
+        if self.separator is not None:
+            toks = F.concat(
+                toks, F.array(F.lit(self.separator))
+            )
+        work = df.select(*self.order_by, toks.alias("__t__")).withColumn(
+            "__n__", F.size("__t__").cast("bigint")
+        )
+        work = work.filter(F.col("__n__") > 0)
+        # prefix-sum on a SLIM (key, count) projection — ~16 bytes/row —
+        # then join the start offsets back by key: the wide token
+        # payload crosses an exchange only twice (this join + the block
+        # agg), instead of riding the range sort AND the prefix-sum
+        # window shuffle too
+        counts = with_prefix_sum(
+            work.select(*self.order_by, "__n__"),
+            "__n__",
+            self.order_by,
+            "__start__",
+        ).select(*self.order_by, "__start__")
+        work = work.join(counts, self.order_by)
+
+        # fragment explode: document [start, start+n) overlaps blocks
+        # start div B .. (start+n-1) div B — ceil(n/B)+1 rows at most
+        first_b = F.expr(f"__start__ div {B}")
+        last_b = F.expr(f"(__start__ + __n__ - 1) div {B}")
+        frags = (
+            work.withColumn(
+                "__b__", F.explode(F.sequence(first_b, last_b))
+            )
+            .withColumn(
+                "__s__",  # global start of this fragment
+                F.greatest(F.col("__start__"), F.col("__b__") * B),
+            )
+            .withColumn(
+                "__e__",  # global end (exclusive)
+                F.least(
+                    F.col("__start__") + F.col("__n__"),
+                    (F.col("__b__") + 1) * B,
+                ),
+            )
+            .select(
+                F.col("__b__"),
+                F.col("__s__"),
+                F.slice(
+                    "__t__",
+                    (F.col("__s__") - F.col("__start__") + 1).cast("int"),
+                    (F.col("__e__") - F.col("__s__")).cast("int"),
+                ).alias("__frag__"),
+            )
+        )
+        # ONE shuffle on block_id; fragments are struct-sorted by their
+        # global start offset (codegen'd binary compare), then flattened
+        out = (
+            frags.groupBy(F.col("__b__").alias(self.block_field))
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__s__", "__frag__"))
+                        ),
+                        lambda s: s["__frag__"],
+                    )
+                ).alias(self.out_field),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .withColumn(
+                "n_tokens", F.size(self.out_field).cast("bigint")
+            )
+        )
+        return out.select(
+            self.block_field, "n_tokens", "n_docs", self.out_field
+        )
