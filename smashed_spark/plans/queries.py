@@ -115,36 +115,35 @@ def q_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_chars > 500 AS BIGINT) AS is_long,
            to_json(list_transform(range(0, 16),
                                   i -> CAST(i = n_chars % 16 AS BIGINT)))
-               AS onehot
+               AS onehot,
+           CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 3
+                WHEN 'es' THEN 4 ELSE NULL END AS lang_code
     FROM documents
     """,
 )
 def q_cast_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CastMapper + BinarizerMapper + OneHotMapper.  Family gate: the
-    one-hot column certifies the former ``one_hot`` gate (folded in
-    round 5 to stay under the driver's 50-query cap)."""
+    """CastMapper + BinarizerMapper + OneHotMapper + LookupMapper.
+    Family gate: the one-hot column certifies the former ``one_hot``
+    gate, the lang_code column the former ``lookup_map`` gate (both
+    folded in round 5 to stay under the driver's 50-query cap)."""
     df = load(spark, sf_dir, "documents")
     df = df.withColumn("is_long", F.col("n_chars"))
     df = BinarizerMapper("is_long", 500).map(df)
     df = df.withColumn("onehot", (F.col("n_chars") % 16).cast("bigint"))
     df = OneHotMapper(16, "onehot").map(df)
+    df = df.withColumn("lang_code", F.col("lang"))
+    df = LookupMapper("lang_code", {"en": 1, "de": 2, "fr": 3, "es": 4}).map(
+        df
+    )
     df = CastMapper({"n_chars": float}).map(df)
     df = RenameFieldsMapper({"n_chars": "n_chars_f"}).map(df)
     return ChangeFieldsMapper(
-        keep_fields=["doc_id", "n_chars_f", "is_long", "onehot"]
+        keep_fields=["doc_id", "n_chars_f", "is_long", "onehot", "lang_code"]
     ).map(df)
 
 
-@query(
-    "lookup_map",
-    oracle="""
-    SELECT event_id, CASE event_type
-        WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
-        WHEN 'signup' THEN 4 WHEN 'error' THEN 5
-        ELSE NULL END AS event_code
-    FROM events
-    """,
-)
+# gate slot freed round 5 for pack_sequences: LookupMapper coverage
+# moved into the cast_binarize family gate (lang_code column)
 def q_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = {
         "click": 1,

@@ -645,3 +645,44 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.round("value", 6).alias("value"),
     )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_append(string_split(text, ' '), '<eod>') AS t
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, u.i, t[u.i + 1] AS tok
+        FROM w, unnest(range(0, CAST(length(t) AS BIGINT))) AS u(i)
+    ), pos AS (
+        SELECT tok, doc_id,
+               row_number() OVER (ORDER BY doc_id, i) - 1 AS p
+        FROM tok
+    )
+    SELECT p // 128 AS block_id,
+           count(*) AS n_tokens,
+           count(DISTINCT doc_id) AS n_docs,
+           to_json(list(tok ORDER BY p)) AS tokens
+    FROM pos GROUP BY p // 128
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-block sequence packing (functions/packing.py): the corpus
+    token stream in doc_id order, one ``<eod>`` separator per document,
+    sliced into 128-token training blocks that cross document
+    boundaries.  The prefix sum runs on a slim (key, count) projection
+    (two ~16-byte/row shuffles); the wide token arrays cross exactly
+    two exchanges (offset join + block agg).  Deterministic given the
+    order key — which is what makes this oracle possible."""
+    from ..functions.packing import PackSequencesMapper
+
+    df = _words(spark, sf_dir)
+    return PackSequencesMapper(
+        tokens_field="words",
+        order_by=["doc_id"],
+        block_size=128,
+        separator="<eod>",
+    ).map(df)

@@ -38,6 +38,10 @@ HEADLINERS = {
         "(count-over-partition — no collect_list hubs), then one narrow "
         "per-doc exchange merges overlapping windows into maximal spans. "
         "No join anywhere.",
+    "pack_sequences": "Slim (doc_id, count) projection rides the prefix "
+        "sum's range sort and pid-window shuffles; the wide token arrays "
+        "cross exactly two exchanges (start-offset join + block agg). "
+        "Fragment explode is narrow and bounded (ceil(n/B)+1 rows/doc).",
     "sketch_distinct": "KMV per column: narrow md5-60 projection, then the "
         "engine's TakeOrderedAndProject computes the global k smallest with "
         "per-partition partial top-k and a k-rows-per-partition driver "
@@ -244,6 +248,25 @@ NOT discriminate: uniform random trigram shingles are ~0.9 hapax too
 ratio, which errs toward `join` — the safe direction (a missed prefix
 opportunity costs only speed).  Probe cost: one `limit`-bounded
 aggregate job, independent of corpus size.
+
+## Round-5 scale probe, extended run (new ops + sink A/B)
+
+Round-5 additions to the probe set (BENCH_SCALE.json): dedup_substring
+10x wall ratio 1.82 (window explode is narrow; the wide hash exchange
+dominates and scales with input), dedup_clusters 1.33 (3 CC rounds
+regardless of scale — rounds grow with log of max cluster diameter,
+not corpus size), stream_dedup 2.21 at true constant duplicate
+density (the probe's copy-blowup now offsets event_id as well as
+user_id — an earlier probe build collided event ids across copies and
+silently measured a 90%-duplicate corpus).
+
+stream_sessionize's "superlinear" second decade (14.8x) was pinned by
+an interleaved same-session sink A/B at 100x: memory sink 71.4-115.3s
+vs parquet sink 49.3-54.9s best-of-2 for the identical stateful
+query.  Parquet (the production sink) gives a 6.7x second decade —
+sublinear; the memory sink's 9.5M-row driver collect is the
+superlinear term, a bench-harness artifact the correctness gate needs
+(it must return rows to the driver) but production does not.
 
 ## Round-5 deep scale probe: the second decade (100x, ~sf10)
 

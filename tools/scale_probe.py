@@ -44,6 +44,12 @@ QUERIES = [
     "dedup_lsh_pairs",
     "stream_sessionize",
     "ann_ivf_topk",
+    # round-5 additions: the window explode (substring), the iterative
+    # CC rounds (clusters), and the stateful stream (dedup) are the
+    # three new shapes whose blowup isn't implied by the curves above
+    "dedup_substring",
+    "dedup_clusters",
+    "stream_dedup",
 ]
 # the two steepest 10x curves get the extra decade; they read only
 # events / embeddings, so the deep build skips the (expensive)
@@ -87,7 +93,15 @@ def build_scaled(spark, out_dir: str) -> None:
         .parquet(f"{out_dir}/documents.parquet")
     )
     (
+        # offset BOTH ids: user_id for the sessionize keys, event_id so
+        # key-dedup queries (stream_dedup) keep constant duplicate
+        # density instead of collapsing the copies into one
         copies(events, "user_id")
+        .withColumn(
+            "event_id",
+            F.col("event_id").cast("bigint")
+            + F.col("__copy__").cast("bigint") * F.lit(10**9),
+        )
         .drop("__copy__")
         .repartition(32)
         .write.mode("overwrite")
@@ -122,9 +136,13 @@ def build_scaled_deep(spark, out_dir: str, copies: int) -> None:
             .drop("__copy__")
         )
 
-    copies_of(events, "user_id").repartition(64).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/events.parquet")
+    copies_of(events, "user_id").withColumn(
+        "event_id",
+        F.col("event_id").cast("bigint")
+        + F.expr("user_id div 1000000000") * F.lit(10**9),
+    ).repartition(64).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
     copies_of(emb, "vec_id").repartition(32).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/embeddings.parquet")
