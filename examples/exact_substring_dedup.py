@@ -44,24 +44,24 @@ def main() -> None:
     doc_spans = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
+    no_spans = F.array().cast(
+        "array<struct<span_start:bigint,span_end:bigint>>"
+    )
     cleaned = (
         docs.join(doc_spans, "doc_id", "left")
+        .withColumn("spans", F.coalesce(F.col("spans"), no_spans))
         .withColumn(
             "kept_words",
-            F.when(F.col("spans").isNull(), F.col("words")).otherwise(
-                F.filter(
-                    F.transform(
-                        F.col("words"),
-                        lambda w, i: F.struct(
-                            w.alias("w"), i.alias("i")
-                        ),
-                    ),
-                    lambda s: ~F.exists(
-                        F.col("spans"),
-                        lambda sp: (s["i"] >= sp["span_start"])
-                        & (s["i"] < sp["span_end"]),
-                    ),
-                ).cast("array<struct<w:string,i:int>>")
+            F.filter(
+                F.transform(
+                    F.col("words"),
+                    lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+                ),
+                lambda s: ~F.exists(
+                    F.col("spans"),
+                    lambda sp: (s["i"] >= sp["span_start"])
+                    & (s["i"] < sp["span_end"]),
+                ),
             ),
         )
         .withColumn(
