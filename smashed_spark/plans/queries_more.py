@@ -465,16 +465,26 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH en AS (SELECT doc_id, lang, n_chars FROM documents
                 WHERE lang = 'en'),
     rest AS (SELECT doc_id, lang, n_chars FROM documents
-             WHERE lang <> 'en')
-    SELECT doc_id, lang, n_chars, 0 AS src FROM en
-    UNION ALL
-    SELECT doc_id, lang, n_chars, 0 AS src FROM en
-    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13:0'), 1, 8))
-          ::BIGINT < 2147483648
-    UNION ALL
-    SELECT doc_id, lang, n_chars, 1 AS src FROM rest
-    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13:1'), 1, 8))
-          ::BIGINT < 1073741824
+             WHERE lang <> 'en'),
+    mixed AS (
+        SELECT doc_id, lang, n_chars, 0 AS src FROM en
+        UNION ALL
+        SELECT doc_id, lang, n_chars, 0 AS src FROM en
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13:0'), 1, 8))
+              ::BIGINT < 2147483648
+        UNION ALL
+        SELECT doc_id, lang, n_chars, 1 AS src FROM rest
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13:1'), 1, 8))
+              ::BIGINT < 1073741824
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY src, lang
+            ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                                     1, 15))::BIGINT, doc_id
+        ) AS qr
+        FROM mixed
+    )
+    SELECT doc_id, lang, n_chars, src FROM ranked WHERE qr <= 25
     """,
 )
 def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,6 +502,8 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     en = docs.filter(F.col("lang") == "en")
     rest = docs.filter(F.col("lang") != "en")
+    from ..sources.loaders import quota_sample
+
     out = sample_mix(
         [en, rest],
         weights=[1.5, 0.25],
@@ -500,6 +512,12 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_column="src",
         method="hash",
         key_field="doc_id",
+    )
+    # r5: per-(source, lang) quota capping on top of the mix — at most
+    # 25 docs per bucket, hash-ranked (quota_sample), same
+    # deterministic-subset discipline so the oracle replays it
+    out = quota_sample(
+        out, ["src", "lang"], 25, key_field="doc_id", seed=7
     )
     return out.withColumn("src", F.col("src").cast("int"))
 

@@ -328,3 +328,55 @@ class DatasetLoaderMapper(SparkMapper):
         if self.combine_strategy == "concatenate":
             return concatenate_datasets(dfs)
         return interleave_datasets(dfs, self.order_by)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_by: Sequence[str],
+    max_per_group: int,
+    key_field: str,
+    seed: int = 13,
+) -> DataFrame:
+    """Per-group quota capping: keep at most ``max_per_group`` rows of
+    every ``group_by`` group — the "at most N documents per domain /
+    source / license bucket" corpus-composition step.
+
+    Deterministic and partitioning-independent: rows rank within their
+    group by ``(md5(key ":" seed), key)`` — a seeded shuffle order that
+    depends only on row keys, so the kept subset survives retries,
+    repartitioning, and engine changes (and is SQL-oracle-checkable,
+    same convention as ``sample_mix(method='hash')``).
+
+    Scale: ONE exchange on ``group_by``.  The ``row_number() <= N``
+    filter compiles to a WindowGroupLimit (Spark >= 3.5): each map
+    task pre-prunes its partition to the local top-N per group before
+    the shuffle-side sort, so a giant group costs partial top-Ns, not
+    a full single-task group sort.
+    """
+    if max_per_group < 1:
+        raise ValueError("max_per_group must be >= 1")
+    if not group_by:
+        raise ValueError("group_by is required")
+    from pyspark.sql.window import Window
+
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(key_field).cast("string"), F.lit(str(seed))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(*group_by).orderBy(
+        u.asc(), F.col(key_field).asc()
+    )
+    return (
+        df.withColumn("__qrank__", F.row_number().over(w))
+        .filter(F.col("__qrank__") <= max_per_group)
+        .drop("__qrank__")
+    )

@@ -283,3 +283,70 @@ def test_sample_mix_hash_requires_key(spark):
         sample_mix([df], [0.5], method="hash")
     with _pytest.raises(ValueError, match="unknown method"):
         sample_mix([df], [0.5], method="bogus")
+
+
+class TestQuotaSample:
+    def _docs(self, spark, n=200, groups=4):
+        return spark.createDataFrame(
+            [(i, f"g{i % groups}") for i in range(n)],
+            "id: bigint, grp: string",
+        )
+
+    def test_caps_each_group(self, spark):
+        from smashed_spark.sources.loaders import quota_sample
+
+        out = quota_sample(self._docs(spark), ["grp"], 10, "id")
+        sizes = {
+            r.grp: r.n
+            for r in out.groupBy("grp").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        assert sizes == {f"g{i}": 10 for i in range(4)}
+
+    def test_small_groups_kept_whole(self, spark):
+        from smashed_spark.sources.loaders import quota_sample
+
+        df = self._docs(spark, n=12, groups=4)  # 3 per group
+        out = quota_sample(df, ["grp"], 10, "id")
+        assert out.count() == 12
+
+    def test_deterministic_across_partitioning(self, spark):
+        from smashed_spark.sources.loaders import quota_sample
+
+        df = self._docs(spark)
+        a = {r.id for r in quota_sample(df, ["grp"], 7, "id").collect()}
+        b = {
+            r.id
+            for r in quota_sample(
+                df.repartition(13), ["grp"], 7, "id"
+            ).collect()
+        }
+        assert a == b and len(a) == 28
+
+    def test_seed_changes_subset(self, spark):
+        from smashed_spark.sources.loaders import quota_sample
+
+        df = self._docs(spark)
+        a = {r.id for r in quota_sample(df, ["grp"], 7, "id", seed=1).collect()}
+        b = {r.id for r in quota_sample(df, ["grp"], 7, "id", seed=2).collect()}
+        assert a != b
+
+    def test_window_group_limit_in_plan(self, spark):
+        from smashed_spark.sources.loaders import quota_sample
+
+        out = quota_sample(self._docs(spark), ["grp"], 5, "id")
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "WindowGroupLimit" in plan, plan
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from smashed_spark.sources.loaders import quota_sample
+
+        with _pt.raises(ValueError):
+            quota_sample(self._docs(spark), ["grp"], 0, "id")
+        with _pt.raises(ValueError):
+            quota_sample(self._docs(spark), [], 5, "id")
