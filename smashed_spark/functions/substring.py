@@ -209,3 +209,113 @@ class DuplicatedSpansMapper(DuplicatedWindowsMapper):
             .drop("__island__")
         )
         return spans
+
+
+class DedupParagraphsMapper(SparkMapper):
+    """Corpus-wide exact paragraph dedup (the RefinedWeb / Falcon
+    curation step): split every document on ``sep``, drop every
+    repeated occurrence of a paragraph — the FIRST occurrence in
+    ``(id, position)`` order survives, deterministically — and
+    reassemble the surviving paragraphs in document order.
+
+    Output: the input row set with ``text_field`` rewritten and a
+    ``removed_field`` count of dropped paragraphs (documents whose
+    every paragraph was dropped keep an empty string — callers filter
+    on content length downstream, matching reference-style filter
+    composition).
+
+    Plan shape: paragraph explode (narrow), ONE wide exchange on the
+    paragraph hash where ``row_number() == 1`` keeps the first
+    occurrence (WindowGroupLimit prunes each map partition to its
+    local first before the shuffle sort), then ONE per-document
+    exchange to reassemble.  Short paragraphs below ``min_chars`` are
+    exempt from dedup (headers, separators — the RefinedWeb
+    convention) and always kept.
+    """
+
+    def __init__(
+        self,
+        id_field: str = "doc_id",
+        text_field: str = "text",
+        sep: str = "\n",
+        min_chars: int = 0,
+        removed_field: str = "n_removed",
+    ) -> None:
+        self.id_field = id_field
+        self.text_field = text_field
+        self.sep = sep
+        self.min_chars = min_chars
+        self.removed_field = removed_field
+        super().__init__(
+            input_fields=[id_field, text_field],
+            output_fields=[removed_field],
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        paras = df.select(
+            self.id_field,
+            F.posexplode(
+                F.split(F.col(self.text_field), F.lit(self.sep), -1)
+            ).alias("__i__", "__p__"),
+        )
+        exempt = F.length("__p__") < self.min_chars
+        # exempt (short) paragraphs never enter the hash shuffle — this
+        # is also the skew guard: empty/boilerplate one-liners are the
+        # hub keys of a real corpus, and with min_chars > 0 they stay
+        # out of the wide exchange entirely
+        shortp = paras.where(exempt)
+        w = Window.partitionBy(F.xxhash64("__p__")).orderBy(
+            self.id_field, "__i__"
+        )
+        # a pure rank filter, so Spark compiles it to WindowGroupLimit:
+        # each map task pre-prunes to its local first occurrence per
+        # hash before the shuffle-side sort
+        firsts = (
+            paras.where(~exempt)
+            .withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+        kept = shortp.unionAll(firsts)
+        out = kept.groupBy(self.id_field).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__i__", "__p__"))
+                    ),
+                    lambda s: s["__p__"],
+                ),
+                self.sep,
+            ).alias("__text__"),
+            F.count(F.lit(1)).alias("__n_kept__"),
+        )
+        other_cols = [
+            c
+            for c in df.columns
+            if c not in (self.id_field, self.text_field)
+        ]
+        n_paras = F.size(
+            F.split(F.col(self.text_field), F.lit(self.sep), -1)
+        ).cast("bigint")
+        carried = df.select(
+            self.id_field, *other_cols, n_paras.alias("__n_paras__")
+        )
+        return (
+            # left join: a document whose every paragraph was removed
+            # still comes back (empty text, all paragraphs counted)
+            carried.join(out, self.id_field, "left")
+            .withColumn(
+                self.text_field, F.coalesce(F.col("__text__"), F.lit(""))
+            )
+            .withColumn(
+                self.removed_field,
+                F.col("__n_paras__")
+                - F.coalesce(F.col("__n_kept__"), F.lit(0)),
+            )
+            .select(
+                self.id_field,
+                self.text_field,
+                *other_cols,
+                self.removed_field,
+            )
+        )

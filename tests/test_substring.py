@@ -209,3 +209,101 @@ def test_spans_plan_adds_one_narrow_exchange(spark):
     plan = _explain(DuplicatedSpansMapper(width=4).map(df))
     assert "Join" not in plan and "Cartesian" not in plan, plan
     assert plan.count("Exchange (") == 2, plan
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup
+# ---------------------------------------------------------------------------
+
+
+def brute_para_dedup(rows, sep="\n", min_chars=0):
+    seen = set()
+    out = {}
+    for doc_id, text in rows:  # rows already in (id) order
+        kept, removed = [], 0
+        for p in text.split(sep):
+            if len(p) < min_chars:
+                kept.append(p)
+                continue
+            if p in seen:
+                removed += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        out[doc_id] = (sep.join(kept), removed)
+    return out
+
+
+def _para(spark, rows, **kw):
+    from smashed_spark.functions.substring import DedupParagraphsMapper
+
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = DedupParagraphsMapper(**kw).map(df)
+    return {r.doc_id: (r.text, r.n_removed) for r in got.collect()}
+
+
+def test_para_dedup_cross_and_intra_document(spark):
+    rows = [
+        (0, "alpha\nbeta\nalpha"),
+        (1, "beta\ngamma"),
+        (2, "delta"),
+    ]
+    got = _para(spark, rows)
+    assert got == brute_para_dedup(rows)
+    assert got[0] == ("alpha\nbeta", 1)
+    assert got[1] == ("gamma", 1)
+    assert got[2] == ("delta", 0)
+
+
+def test_para_dedup_first_occurrence_by_doc_order(spark):
+    rows = [(5, "x"), (3, "x"), (9, "x")]
+    got = _para(spark, rows)
+    # doc 3 is the smallest (id, pos) -> it keeps the paragraph
+    assert got[3] == ("x", 0)
+    assert got[5] == ("", 1) and got[9] == ("", 1)
+
+
+def test_para_dedup_min_chars_exemption(spark):
+    rows = [(0, "##\nlong paragraph one"), (1, "##\nlong paragraph one")]
+    got = _para(spark, rows, min_chars=5)
+    assert got == brute_para_dedup(rows, min_chars=5)
+    assert got[1] == ("##", 1)  # short '##' exempt, long para deduped
+
+
+def test_para_dedup_random_matches_bruteforce(spark):
+    rng = random.Random(21)
+    paras = [f"para number {i}" for i in range(30)]
+    rows = [
+        (
+            d,
+            "\n".join(
+                rng.choice(paras)
+                for _ in range(rng.randint(1, 8))
+            ),
+        )
+        for d in range(60)
+    ]
+    assert _para(spark, rows) == brute_para_dedup(rows)
+
+
+def test_para_dedup_carries_other_columns(spark):
+    from smashed_spark.functions.substring import DedupParagraphsMapper
+
+    df = spark.createDataFrame(
+        [(0, "a\nb", "en"), (1, "a\nc", "de")],
+        "doc_id: bigint, text: string, lang: string",
+    )
+    got = {r.doc_id: r for r in DedupParagraphsMapper().map(df).collect()}
+    assert got[1].lang == "de" and got[1].text == "c"
+
+
+def test_para_dedup_plan_two_exchanges_windowgrouplimit(spark):
+    from smashed_spark.functions.substring import DedupParagraphsMapper
+
+    df = spark.createDataFrame(
+        [(0, "a\nb"), (1, "a\nc")], "doc_id: bigint, text: string"
+    )
+    plan = _explain(DedupParagraphsMapper().map(df))
+    assert "WindowGroupLimit" in plan, plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan, plan
