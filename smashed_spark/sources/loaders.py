@@ -380,3 +380,60 @@ def quota_sample(
         .filter(F.col("__qrank__") <= max_per_group)
         .drop("__qrank__")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: "dict[str, float]",
+    key_field: str,
+    seed: int = 13,
+    split_column: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: tag every row with a
+    split name by where ``md5(key ":" seed)`` lands in ``[0, 1)``
+    partitioned according to ``fractions`` (must sum to 1.0 within
+    1e-9).
+
+    The assignment is a pure function of the row key — stable across
+    partitioning, retries, appends (a new row never moves an old row's
+    split), and engines (SQL-replayable, same convention as
+    ``sample_mix(method='hash')``).  Fully narrow: one md5 + range
+    comparison per row, no shuffle; downstream ``.where(split ==
+    'train')`` prunes at scan speed after a partitioned write on the
+    split column.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    if any(v < 0 for v in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(key_field).cast("string"), F.lit(str(seed))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    space = float(1 << 60)
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = u < int(acc * space)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_column, expr)

@@ -350,3 +350,71 @@ class TestQuotaSample:
             quota_sample(self._docs(spark), ["grp"], 0, "id")
         with _pt.raises(ValueError):
             quota_sample(self._docs(spark), [], 5, "id")
+
+
+class TestHashSplit:
+    def _df(self, spark, n=5000):
+        return spark.createDataFrame(
+            [(i,) for i in range(n)], "id: bigint"
+        )
+
+    def test_fractions_approximately_respected(self, spark):
+        from smashed_spark.sources.loaders import hash_split
+
+        out = hash_split(
+            self._df(spark), {"train": 0.8, "val": 0.1, "test": 0.1}, "id"
+        )
+        sizes = {r.split: r.n for r in out.groupBy("split").count()
+                 .withColumnRenamed("count", "n").collect()}
+        assert abs(sizes["train"] / 5000 - 0.8) < 0.03
+        assert abs(sizes["val"] / 5000 - 0.1) < 0.02
+        assert abs(sizes["test"] / 5000 - 0.1) < 0.02
+        assert sum(sizes.values()) == 5000  # total partition, no loss
+
+    def test_stable_under_append(self, spark):
+        """Adding rows must never move an existing row's split."""
+        from smashed_spark.sources.loaders import hash_split
+
+        fr = {"train": 0.9, "test": 0.1}
+        a = {r.id: r.split for r in hash_split(
+            self._df(spark, 1000), fr, "id").collect()}
+        b = {r.id: r.split for r in hash_split(
+            self._df(spark, 5000), fr, "id").collect()}
+        assert all(b[i] == s for i, s in a.items())
+
+    def test_duckdb_replay(self, spark):
+        import duckdb
+
+        from smashed_spark.sources.loaders import hash_split
+
+        got = {r.id: r.split for r in hash_split(
+            self._df(spark, 500), {"train": 0.8, "test": 0.2}, "id",
+            seed=7).collect()}
+        con = duckdb.connect()
+        oracle = dict(con.execute(
+            "SELECT i, CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) "
+            "|| ':7'), 1, 15))::BIGINT < CAST(0.8 * 1152921504606846976 "
+            "AS BIGINT) THEN 'train' ELSE 'test' END "
+            "FROM range(500) t(i)").fetchall())
+        assert got == oracle
+
+    def test_narrow_plan(self, spark):
+        from smashed_spark.sources.loaders import hash_split
+
+        out = hash_split(self._df(spark), {"a": 0.5, "b": 0.5}, "id")
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from smashed_spark.sources.loaders import hash_split
+
+        with _pt.raises(ValueError):
+            hash_split(self._df(spark), {}, "id")
+        with _pt.raises(ValueError):
+            hash_split(self._df(spark), {"a": 0.5, "b": 0.6}, "id")
+        with _pt.raises(ValueError):
+            hash_split(self._df(spark), {"a": 1.5, "b": -0.5}, "id")
