@@ -249,6 +249,25 @@ ratio, which errs toward `join` — the safe direction (a missed prefix
 opportunity costs only speed).  Probe cost: one `limit`-bounded
 aggregate job, independent of corpus size.
 
+## Round-5 bench budget (deliberate cost buys and claw-backs)
+
+Gate-set delta vs round 4, so BENCH_r05's total is attributable line
+by line: REMOVED jinja_render (~0.36 s), sessionize_events (~0.15 s),
+join_revenue_by_nation (~0.39 s), lookup_map (~0.15 s) — their
+operators fold into fewshot_jinja / session_stats / test_plan_quality
+/ cast_binarize respectively.  ADDED dedup_substring (~1.1 s),
+sketch_distinct (~1.1 s, two bounded TakeOrdered jobs — fixed
+overhead, not data cost), stream_dedup (~1.7 s, streaming engine
+fixed cost), pack_sequences (~1.0 s), dedup_clusters quota stage in
+sample_mix (neutral).  CLAWED BACK: dedup_clusters 6.7 -> ~3.3 s (CC
+now one job per round: convergence check fused into the lazy
+checkpoint's materializing aggregate, one join less per round).
+fewshot_jinja buys a second MapInPandas stage (the composite now
+renders through JinjaMapper first) for one more operator under the
+same gate.  Net: ~36 s total at sf0.1 for 50 gates vs ~37.7 s for the
+round-4 set measured in the same session — flat wall, +5 operators
+certified.
+
 ## Round-5 scale probe, extended run (new ops + sink A/B)
 
 Round-5 additions to the probe set (BENCH_SCALE.json): dedup_substring
