@@ -50,6 +50,7 @@ QUERIES = [
     "dedup_substring",
     "dedup_clusters",
     "stream_dedup",
+    "pack_sequences",
 ]
 # the two steepest 10x curves get the extra decade; they read only
 # events / embeddings, so the deep build skips the (expensive)
@@ -149,7 +150,12 @@ def build_scaled_deep(spark, out_dir: str, copies: int) -> None:
 
 
 def main() -> None:
+    # usage: scale_probe.py [out.json] [query ...]
+    #   extra args restrict the probed set (deep phase skipped when
+    #   none of its queries are selected) and MERGE results into an
+    #   existing out.json instead of replacing it
     out_json = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE.json"
+    only = set(sys.argv[2:])
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
@@ -207,7 +213,13 @@ def main() -> None:
         return round(best, 3), rows
 
     result = {"copies": COPIES, "base": BASE, "queries": {}}
-    for name in QUERIES:
+    if only:
+        try:
+            with open(out_json) as f:
+                result = json.load(f)
+        except OSError:
+            pass
+    for name in [q for q in QUERIES if not only or q in only]:
         t1, r1 = run(name, BASE)
         t10, r10 = run(name, scaled_dir)
         ratio = round(t10 / t1, 2) if t1 > 0 else None
@@ -227,13 +239,20 @@ def main() -> None:
     shutil.rmtree(scaled_dir, ignore_errors=True)
 
     # deep phase: one more decade for the steepest curves
+    deep_sel = [q for q in DEEP_QUERIES if not only or q in only]
+    if not deep_sel:
+        with open(out_json, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
+        spark.stop()
+        return
     deep_dir = tempfile.mkdtemp(prefix="smashed_scale100_")
     print(
         f"# building {DEEP_COPIES}x deep inputs under {deep_dir}",
         file=sys.stderr,
     )
     build_scaled_deep(spark, deep_dir, DEEP_COPIES)
-    for name in DEEP_QUERIES:
+    for name in deep_sel:
         t100, r100 = run(name, deep_dir, reps=1)
         q = result["queries"][name]
         q["sec_100x"] = t100
