@@ -29,7 +29,7 @@ from smashed_spark.functions.textstats import (
     RepetitionStatsMapper,
     TokenCountMapper,
 )
-from smashed_spark.sources.loaders import sample_mix
+from smashed_spark.sources.loaders import hash_split, quota_sample, sample_mix
 
 
 def main() -> None:
@@ -78,8 +78,16 @@ def main() -> None:
     rest = clean.filter(F.col("q_score") < 0.6)
     mixed = sample_mix([hi, rest], [2.0, 0.5], seed=41)
 
-    # 8. account
-    stats = mixed.agg(
+    # 8. composition controls: at most 200 docs per (lang, source)
+    #    bucket, then an append-stable train/val/test split — both
+    #    keyed on doc_id hashes, so re-running never reshuffles rows
+    mixed = quota_sample(mixed, ["lang", "source"], 200, "doc_id")
+    mixed = hash_split(
+        mixed, {"train": 0.98, "val": 0.01, "test": 0.01}, "doc_id"
+    )
+
+    # 9. account
+    stats = mixed.groupBy("split").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_ws_tokens").alias("tokens"),
         F.sum("n_pii_email").alias("emails_redacted"),
