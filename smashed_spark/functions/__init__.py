@@ -57,3 +57,12 @@ __all__ = [
     "tiny_bert_tokenizer",
     "word_shingles",
 ]
+from .graph import DedupClustersMapper, connected_components
+from .packing import PackSequencesMapper, with_prefix_sum
+from .sessions import SessionizeMapper, SessionStatsMapper
+from .sketches import KMVSketch, distinct_estimate, kmv_sketch
+from .substring import (
+    DedupParagraphsMapper,
+    DuplicatedSpansMapper,
+    DuplicatedWindowsMapper,
+)
