@@ -223,3 +223,81 @@ def test_basic_tokenize_regex_fast_path_matches_char_loop():
         fast_nc = basic_tokenize(s, lowercase=False)
         slow_nc = basic_tokenize(s + " é", lowercase=False)[:-1]
         assert fast_nc == slow_nc, (s, fast_nc, slow_nc)
+
+
+def test_packing_stream_reconstruction_property(spark):
+    """For random corpora and block sizes: (1) concatenating the
+    blocks in block_id order reproduces the document token stream in
+    key order (+ separators), (2) every block except the last holds
+    exactly block_size tokens, (3) token totals conserve."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from smashed_spark.functions.packing import PackSequencesMapper
+
+    rng = random.Random(31)
+    for case in range(4):
+        bs = rng.choice([1, 5, 16, 64])
+        sep = rng.choice([None, -1])
+        tl = [
+            [rng.randrange(100) for _ in range(rng.randrange(0, 30))]
+            for _ in range(rng.randrange(1, 60))
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tl)],
+            "doc_id: bigint, input_ids: array<bigint>",
+        ).repartition(5)
+        out = (
+            PackSequencesMapper(block_size=bs, separator=sep)
+            .map(df)
+            .orderBy("block_id")
+            .collect()
+        )
+        stream = []
+        for t in tl:
+            stream.extend(list(t) + ([sep] if sep is not None else []))
+        got = [tok for r in out for tok in r.tokens]
+        assert got == stream, (case, bs, sep)
+        for r in out[:-1]:
+            assert r.n_tokens == bs, (case, r)
+        assert [r.block_id for r in out] == list(range(len(out)))
+
+
+def test_quota_and_split_partition_properties(spark):
+    """quota_sample output is a subset with every group capped; the
+    kept subset is invariant to input partitioning.  hash_split is a
+    partition of the input: every row assigned exactly one split."""
+    import random
+
+    from smashed_spark.sources.loaders import hash_split, quota_sample
+
+    rng = random.Random(17)
+    rows = [
+        (i, f"g{rng.randrange(7)}") for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "id: bigint, grp: string")
+    for cap in (1, 3, 40):
+        kept = quota_sample(df, ["grp"], cap, "id").collect()
+        by_grp = {}
+        for r in kept:
+            by_grp.setdefault(r.grp, set()).add(r.id)
+        all_groups = {g for _, g in rows}
+        src = {g: {i for i, gg in rows if gg == g} for g in all_groups}
+        for g, ids in by_grp.items():
+            assert ids <= src[g]
+            assert len(ids) == min(cap, len(src[g]))
+        kept2 = {
+            r.id
+            for r in quota_sample(
+                df.repartition(11), ["grp"], cap, "id"
+            ).collect()
+        }
+        assert kept2 == {r.id for r in kept}
+
+    out = hash_split(
+        df, {"a": 0.3, "b": 0.3, "c": 0.4}, "id", seed=5
+    ).collect()
+    assert len(out) == len(rows)
+    assert {r.id for r in out} == {i for i, _ in rows}
+    assert {r.split for r in out} <= {"a", "b", "c"}
