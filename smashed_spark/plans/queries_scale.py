@@ -1047,20 +1047,48 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(r1,
                    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS r2
         FROM e
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_pii_email,
+               CAST(len(regexp_extract_all(r2,
+                   '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}(?:[-. ]\\d{3,4})?')) AS BIGINT)
+                   AS n_pii_phone,
+               CAST(len(regexp_extract_all(r1,
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_pii_ipv4,
+               regexp_replace(r2,
+                   '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}(?:[-. ]\\d{3,4})?',
+                   '<PHONE>', 'g') AS redacted
+        FROM i
+    ),
+    -- corpus-wide word-unit exact dedup of the redacted text
+    -- (DedupParagraphsMapper, sep=' '): first (doc, pos) occurrence
+    -- survives, text reassembled in position order
+    px AS (
+        SELECT f.doc_id, u.i,
+               string_split(f.redacted, ' ')[u.i + 1] AS p
+        FROM f, unnest(range(0,
+            CAST(len(string_split(f.redacted, ' ')) AS BIGINT))) AS u(i)
+    ),
+    firsts AS (
+        SELECT doc_id, i, p,
+               row_number() OVER (PARTITION BY p ORDER BY doc_id, i) AS rn
+        FROM px
+    ),
+    kept AS (
+        SELECT doc_id,
+               array_to_string(list(p ORDER BY i), ' ') AS deduped,
+               count(*) AS n_kept
+        FROM firsts WHERE rn = 1 GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(raw,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
-               AS n_pii_email,
-           CAST(len(regexp_extract_all(r2,
-               '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}(?:[-. ]\\d{3,4})?')) AS BIGINT)
-               AS n_pii_phone,
-           CAST(len(regexp_extract_all(r1,
-               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_pii_ipv4,
-           regexp_replace(r2,
-               '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}(?:[-. ]\\d{3,4})?',
-               '<PHONE>', 'g') AS redacted
-    FROM i
+    SELECT f.doc_id, f.n_pii_email, f.n_pii_phone, f.n_pii_ipv4,
+           f.redacted,
+           coalesce(k.deduped, '') AS deduped,
+           CAST(len(string_split(f.redacted, ' '))
+                - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+    FROM f LEFT JOIN kept k ON f.doc_id = k.doc_id
     """,
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,8 +1121,22 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("raw"),
     )
     out = PiiRedactMapper("raw", output_field="redacted").map(docs)
-    return out.select(
+    # r5: the gate is now the full scrub pipeline — corpus-wide
+    # word-unit exact dedup (DedupParagraphsMapper with sep=' ') of
+    # the redacted text certifies the paragraph-dedup machinery
+    # (explode, WindowGroupLimit first-occurrence, doc-order
+    # reassembly, all-units-removed left-join edge) under the driver
+    from ..functions.substring import DedupParagraphsMapper
+
+    out = out.select(
         "doc_id", "n_pii_email", "n_pii_phone", "n_pii_ipv4", "redacted"
+    ).withColumn("deduped", F.col("redacted"))
+    out = DedupParagraphsMapper(
+        text_field="deduped", sep=" "
+    ).map(out)
+    return out.select(
+        "doc_id", "n_pii_email", "n_pii_phone", "n_pii_ipv4",
+        "redacted", "deduped", "n_removed"
     )
 
 
