@@ -484,7 +484,12 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS qr
         FROM mixed
     )
-    SELECT doc_id, lang, n_chars, src FROM ranked WHERE qr <= 25
+    SELECT doc_id, lang, n_chars, src,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'),
+                                     1, 15))::BIGINT
+                     < CAST(0.9 * 1152921504606846976 AS BIGINT)
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM ranked WHERE qr <= 25
     """,
 )
 def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +523,13 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic-subset discipline so the oracle replays it
     out = quota_sample(
         out, ["src", "lang"], 25, key_field="doc_id", seed=7
+    )
+    # r5: append-stable train/heldout assignment (hash_split) closes
+    # the composition pipeline — mix, cap, split, all keyed on doc_id
+    from ..sources.loaders import hash_split
+
+    out = hash_split(
+        out, {"train": 0.9, "heldout": 0.1}, "doc_id", seed=11
     )
     return out.withColumn("src", F.col("src").cast("int"))
 
