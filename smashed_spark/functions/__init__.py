@@ -58,7 +58,11 @@ __all__ = [
     "word_shingles",
 ]
 from .graph import DedupClustersMapper, connected_components
-from .packing import PackSequencesMapper, with_prefix_sum
+from .packing import (
+    BinPackSequencesMapper,
+    PackSequencesMapper,
+    with_prefix_sum,
+)
 from .sessions import SessionizeMapper, SessionStatsMapper
 from .sketches import KMVSketch, distinct_estimate, kmv_sketch
 from .substring import (

@@ -202,3 +202,136 @@ class PackSequencesMapper(SparkMapper):
         return out.select(
             self.block_field, "n_tokens", "n_docs", self.out_field
         )
+
+
+class BinPackSequencesMapper(SparkMapper):
+    """Pack WHOLE documents into capacity-``block_size`` bins without
+    splitting any document — the SFT/instruction-tuning variant of
+    packing (examples must stay intact; contrast
+    :class:`PackSequencesMapper`, which slices the pretraining stream).
+
+    Algorithm: documents are hash-assigned to ``num_groups``
+    independent groups (``xxhash64(key) % num_groups``), and each
+    group runs first-fit-decreasing — docs sorted by (len desc, key),
+    each placed into the first bin with room.  FFD is the classic
+    11/9·OPT + 1 bin-packing heuristic; running it per group instead
+    of globally is the distribution trade: packing quality degrades
+    only by the per-group tail (one under-full bin per group), while
+    the work parallelizes over groups.  Output is DETERMINISTIC
+    regardless of input partitioning: group assignment and in-group
+    order depend only on row keys.
+
+    Documents longer than ``block_size`` get a singleton bin flagged
+    ``oversize = true`` (callers filter or truncate upstream); nothing
+    is silently dropped.
+
+    Output: ``(pack_id, n_tokens, n_docs, oversize, doc_ids, tokens)``
+    with ``pack_id = gid * 2^40 + local_bin_index`` (globally unique,
+    stable).
+
+    Plan: one exchange on the group id, one Arrow-batched
+    applyInPandas stage (the sequential first-fit state is why this is
+    the Python tier — it has no column-algebra form).
+    """
+
+    def __init__(
+        self,
+        tokens_field: str = "input_ids",
+        key_field: str = "doc_id",
+        block_size: int = 1024,
+        num_groups: int = 256,
+        pack_field: str = "pack_id",
+    ) -> None:
+        if block_size < 1:
+            raise ValueError("block_size must be >= 1")
+        if num_groups < 1:
+            raise ValueError("num_groups must be >= 1")
+        self.tokens_field = tokens_field
+        self.key_field = key_field
+        self.block_size = block_size
+        self.num_groups = num_groups
+        self.pack_field = pack_field
+        super().__init__(
+            input_fields=[tokens_field, key_field],
+            output_fields=[
+                pack_field,
+                "n_tokens",
+                "n_docs",
+                "oversize",
+                "doc_ids",
+                "tokens",
+            ],
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import (
+            ArrayType,
+            BooleanType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        elem_type = df.schema[self.tokens_field].dataType.elementType
+        key_type = df.schema[self.key_field].dataType
+        B = self.block_size
+        G = self.num_groups
+        tok_field = self.tokens_field
+        key_field = self.key_field
+        pack_field = self.pack_field
+
+        schema = StructType(
+            [
+                StructField(pack_field, LongType()),
+                StructField("n_tokens", LongType()),
+                StructField("n_docs", LongType()),
+                StructField("oversize", BooleanType()),
+                StructField("doc_ids", ArrayType(key_type)),
+                StructField("tokens", ArrayType(elem_type)),
+            ]
+        )
+
+        def pack_group(pdf):
+            import pandas as pd
+
+            gid = int(pdf["__gid__"].iloc[0])
+            docs = sorted(
+                zip(pdf[key_field], pdf[tok_field]),
+                key=lambda kv: (-len(kv[1]), kv[0]),
+            )
+            bins = []  # (ids, toks, total)
+            for k, t in docs:
+                t = list(t)
+                n = len(t)
+                if n > B:
+                    bins.append(([k], t, n, True))
+                    continue
+                for b in bins:
+                    if not b[3] and b[2] + n <= B:
+                        b[0].append(k)
+                        b[1].extend(t)
+                        b[2] += n
+                        break
+                else:
+                    bins.append([[k], t, n, False])
+            return pd.DataFrame(
+                {
+                    pack_field: [
+                        gid * (1 << 40) + i for i in range(len(bins))
+                    ],
+                    "n_tokens": [b[2] for b in bins],
+                    "n_docs": [len(b[0]) for b in bins],
+                    "oversize": [bool(b[3]) for b in bins],
+                    "doc_ids": [b[0] for b in bins],
+                    "tokens": [b[1] for b in bins],
+                }
+            )
+
+        work = df.select(
+            key_field,
+            tok_field,
+            F.pmod(F.xxhash64(F.col(key_field)), F.lit(G))
+            .cast("bigint")
+            .alias("__gid__"),
+        ).where(F.size(tok_field) > 0)
+        return work.groupBy("__gid__").applyInPandas(pack_group, schema)

@@ -136,3 +136,93 @@ def test_plan_wide_payload_crosses_two_exchanges(spark):
             if "__t__" in detail:
                 wide_exchanges += 1
     assert wide_exchanges <= 2, plan
+
+
+# ---------------------------------------------------------------------------
+# bin packing (whole documents, SFT-style)
+# ---------------------------------------------------------------------------
+
+
+def _binpack(spark, token_lists, **kw):
+    from smashed_spark.functions.packing import BinPackSequencesMapper
+
+    df = _docs(spark, token_lists)
+    return BinPackSequencesMapper(**kw).map(df).collect()
+
+
+def test_binpack_no_doc_split_and_capacity(spark):
+    rng = random.Random(23)
+    tl = [
+        [rng.randrange(100) for _ in range(rng.randrange(1, 20))]
+        for _ in range(120)
+    ]
+    bins = _binpack(spark, tl, block_size=32, num_groups=8)
+    seen_docs = []
+    for b in bins:
+        assert not b.oversize
+        assert b.n_tokens <= 32
+        assert b.n_tokens == len(b.tokens) == sum(
+            len(tl[d]) for d in b.doc_ids
+        )
+        assert b.n_docs == len(b.doc_ids)
+        # tokens are the docs' streams concatenated in doc_ids order
+        expect = [t for d in b.doc_ids for t in tl[d]]
+        assert list(b.tokens) == expect
+        seen_docs.extend(b.doc_ids)
+    assert sorted(seen_docs) == list(range(120))  # nothing dropped
+
+
+def test_binpack_oversize_isolated(spark):
+    tl = [[1] * 50, [2, 3], [4] * 50, [5]]
+    bins = _binpack(spark, tl, block_size=8, num_groups=2)
+    over = [b for b in bins if b.oversize]
+    norm = [b for b in bins if not b.oversize]
+    assert {b.doc_ids[0] for b in over} == {0, 2}
+    assert all(b.n_docs == 1 for b in over)
+    assert sorted(d for b in norm for d in b.doc_ids) == [1, 3]
+
+
+def test_binpack_deterministic_across_partitioning(spark):
+    rng = random.Random(29)
+    tl = [
+        [rng.randrange(9) for _ in range(rng.randrange(1, 15))]
+        for _ in range(100)
+    ]
+    from smashed_spark.functions.packing import BinPackSequencesMapper
+
+    a = BinPackSequencesMapper(block_size=16, num_groups=4).map(
+        _docs(spark, tl)
+    )
+    b = BinPackSequencesMapper(block_size=16, num_groups=4).map(
+        _docs(spark, tl).repartition(17)
+    )
+    ka = {(r.pack_id, tuple(r.doc_ids)) for r in a.collect()}
+    kb = {(r.pack_id, tuple(r.doc_ids)) for r in b.collect()}
+    assert ka == kb
+
+
+def test_binpack_ffd_utilization(spark):
+    """FFD within each group: every bin except at most one per group
+    must be more than half full (classic FFD property)."""
+    rng = random.Random(41)
+    tl = [
+        [0] * rng.randrange(1, 16) for _ in range(300)
+    ]
+    bins = _binpack(spark, tl, block_size=32, num_groups=4)
+    by_group = {}
+    for b in bins:
+        by_group.setdefault(b.pack_id >> 40, []).append(b)
+    for g, bs in by_group.items():
+        under = [b for b in bs if b.n_tokens <= 16]
+        assert len(under) <= 1, (g, [b.n_tokens for b in bs])
+
+
+def test_binpack_validation(spark):
+    from smashed_spark.functions.packing import BinPackSequencesMapper
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        BinPackSequencesMapper(block_size=0)
+    with _pt.raises(ValueError):
+        BinPackSequencesMapper(num_groups=0)
