@@ -264,9 +264,11 @@ now one job per round: convergence check fused into the lazy
 checkpoint's materializing aggregate, one join less per round).
 fewshot_jinja buys a second MapInPandas stage (the composite now
 renders through JinjaMapper first) for one more operator under the
-same gate.  Net: ~36 s total at sf0.1 for 50 gates vs ~37.7 s for the
-round-4 set measured in the same session — flat wall, +5 operators
-certified.
+same gate.  Net: 33.0 s total at sf0.1 for 50 gates (end-of-round run) vs 37.7 s
+for the round-4 set measured in the same session — 12% faster wall,
++8 operators certified (substring spans, KMV sketch, streaming dedup,
+sequence packing, quota sampling, hash split, paragraph dedup via the
+pii composite, bin packing unit-only).
 
 ## Round-5 scale probe, extended run (new ops + sink A/B)
 
