@@ -11,6 +11,7 @@ from .hashing import (
     cosine_similarity,
     minhash_signature,
     portable_hash32,
+    portable_hash60,
     simhash,
     word_shingles,
 )
@@ -28,8 +29,36 @@ from .textstats import (
 )
 from .wordpiece import WordPieceTokenizer, tiny_bert_tokenizer
 
+from .graph import DedupClustersMapper, connected_components
+from .packing import (
+    BinPackSequencesMapper,
+    PackSequencesMapper,
+    with_prefix_sum,
+)
+from .sessions import SessionizeMapper, SessionStatsMapper
+from .sketches import KMVSketch, distinct_estimate, kmv_sketch
+from .substring import (
+    DedupParagraphsMapper,
+    DuplicatedSpansMapper,
+    DuplicatedWindowsMapper,
+)
+
 __all__ = [
     "AsofJoinMapper",
+    "BinPackSequencesMapper",
+    "DedupClustersMapper",
+    "DedupParagraphsMapper",
+    "DuplicatedSpansMapper",
+    "DuplicatedWindowsMapper",
+    "KMVSketch",
+    "PackSequencesMapper",
+    "SessionStatsMapper",
+    "SessionizeMapper",
+    "connected_components",
+    "distinct_estimate",
+    "kmv_sketch",
+    "portable_hash60",
+    "with_prefix_sum",
     "CosineTopK",
     "DecontaminateMapper",
     "EmbeddingNearDupPairsMapper",
@@ -57,16 +86,4 @@ __all__ = [
     "tiny_bert_tokenizer",
     "word_shingles",
 ]
-from .graph import DedupClustersMapper, connected_components
-from .packing import (
-    BinPackSequencesMapper,
-    PackSequencesMapper,
-    with_prefix_sum,
-)
-from .sessions import SessionizeMapper, SessionStatsMapper
-from .sketches import KMVSketch, distinct_estimate, kmv_sketch
-from .substring import (
-    DedupParagraphsMapper,
-    DuplicatedSpansMapper,
-    DuplicatedWindowsMapper,
-)
+

@@ -641,7 +641,17 @@ class NGramJaccardPairsMapper(SparkMapper):
     def apply(self, df: DataFrame) -> DataFrame:
         method = self.method
         if method == "auto":
-            method = self._choose_method(df)
+            # DOCUMENTED laziness exception (core/mapper.py defers all
+            # execution to the terminal action): resolving "auto" runs
+            # ONE bounded probe job at plan time — there is no way to
+            # pick a physical strategy from data without touching data
+            # (same plan-time tiering as EmbeddingNearDupPairsMapper's
+            # size estimate).  Memoized per mapper instance so repeated
+            # apply()/explain() calls don't re-probe; pass an explicit
+            # method for strictly lazy planning.
+            if getattr(self, "_auto_choice", None) is None:
+                self._auto_choice = self._choose_method(df)
+            method = self._auto_choice
         # inspectable after apply (plan-choice observability, mirrors
         # EmbeddingNearDupPairsMapper.strategy)
         self.resolved_method = method

@@ -54,6 +54,28 @@ def connected_components(
     convergence (returning half-merged components would silently
     under-dedup).
     """
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    # min-label propagation needs a totally ordered integer id; a
+    # silent cast('bigint') would null out string ids (doc_id =
+    # 'doc-0017'), drop every edge, and report a clean — empty —
+    # clustering.  Refuse loudly instead; callers with non-integer
+    # ids enumerate first (operators/fields.py EnumerateFieldMapper).
+    int_types = (ByteType, ShortType, IntegerType, LongType)
+    for c in (src, dst):
+        dt = edges.schema[c].dataType
+        if not isinstance(dt, int_types):
+            raise TypeError(
+                f"connected_components: edge column {c!r} has type "
+                f"{dt.simpleString()}, need an integer id — map ids "
+                "through EnumerateFieldMapper (or a stable int key) "
+                "first; a silent cast would drop non-numeric edges"
+            )
     sess = edges.sparkSession
     e = (
         edges.select(
@@ -95,7 +117,17 @@ def connected_components(
         )
         # 2) pointer jumping: component := component of my component —
         #    halves remaining pointer-chain lengths each round, which
-        #    is what turns O(diameter) propagation into O(log n)
+        #    is what turns O(diameter) propagation into O(log n).
+        #    `prop` appears in both branches of the self-join below, so
+        #    its 2-join subtree can evaluate twice within the round's
+        #    single job — a deliberate trade: checkpointing prop first
+        #    costs a second action per round, which measured SLOWER
+        #    (2 jobs x fixed overhead > the duplicated bounded subtree;
+        #    ReuseExchange also collapses the duplicate when both
+        #    branches shuffle on `component`).  Old rounds' checkpoint
+        #    blocks are released by the ContextCleaner once this loop
+        #    drops the previous `labels` reference (lineage is
+        #    truncated each round, so nothing chains them together).
         as_parent = prop.select(
             F.col("node").alias("component"),
             F.col("component").alias("grand"),

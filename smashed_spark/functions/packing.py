@@ -222,8 +222,11 @@ class BinPackSequencesMapper(SparkMapper):
     order depend only on row keys.
 
     Documents longer than ``block_size`` get a singleton bin flagged
-    ``oversize = true`` (callers filter or truncate upstream); nothing
-    is silently dropped.
+    ``oversize = true`` (callers filter or truncate upstream).  Every
+    document with at least one token lands in exactly one bin;
+    documents with EMPTY or null token arrays are excluded up front
+    (they have nothing to pack) — count them with
+    ``df.where(F.size(col) <= 0)`` if the audit needs them.
 
     Output: ``(pack_id, n_tokens, n_docs, oversize, doc_ids, tokens)``
     with ``pack_id = gid * 2^40 + local_bin_index`` (globally unique,

@@ -251,11 +251,22 @@ class DedupParagraphsMapper(SparkMapper):
             output_fields=[removed_field],
         )
 
+    @property
+    def _sep_pattern(self) -> str:
+        """``F.split`` takes a Java regex; the separator is a LITERAL
+        (reassembly uses it verbatim), so escape every non-alphanumeric
+        char — sep='.' must split on dots, not on every character."""
+        import re
+
+        return re.escape(self.sep)
+
     def apply(self, df: DataFrame) -> DataFrame:
         paras = df.select(
             self.id_field,
             F.posexplode(
-                F.split(F.col(self.text_field), F.lit(self.sep), -1)
+                F.split(
+                    F.col(self.text_field), F.lit(self._sep_pattern), -1
+                )
             ).alias("__i__", "__p__"),
         )
         exempt = F.length("__p__") < self.min_chars
@@ -295,7 +306,7 @@ class DedupParagraphsMapper(SparkMapper):
             if c not in (self.id_field, self.text_field)
         ]
         n_paras = F.size(
-            F.split(F.col(self.text_field), F.lit(self.sep), -1)
+            F.split(F.col(self.text_field), F.lit(self._sep_pattern), -1)
         ).cast("bigint")
         carried = df.select(
             self.id_field, *other_cols, n_paras.alias("__n_paras__")

@@ -142,22 +142,6 @@ def q_cast_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).map(df)
 
 
-# gate slot freed round 5 for pack_sequences: LookupMapper coverage
-# moved into the cast_binarize family gate (lang_code column)
-def q_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table = {
-        "click": 1,
-        "view": 2,
-        "purchase": 3,
-        "signup": 4,
-        "error": 5,
-    }
-    df = load(spark, sf_dir, "events")
-    df = df.withColumn("event_code", F.col("event_type"))
-    df = LookupMapper("event_code", table).map(df)
-    return ChangeFieldsMapper(keep_fields=["event_id", "event_code"]).map(df)
-
-
 # ---------------------------------------------------------------------------
 # shape family — explode / stride / flatten (reference shape.py)
 # ---------------------------------------------------------------------------

@@ -703,15 +703,7 @@ def q_contrib_squad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate slot freed round 5 for dedup_substring: the session_stats oracle
 # recomputes the identical gap-sessionization SQL before rolling up, so
 # a SessionizeMapper bug still breaks a driver gate; event-level
-# assignment parity stays covered by the stream_sessionize gate (same
-# session boundaries, event-time path)
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): per-user windows,
-    fully parallel across users."""
-    from ..functions.sessions import SessionizeMapper
-
-    out = SessionizeMapper().map(load(spark, sf_dir, "events"))
-    return out.select("event_id", "user_id", "session_idx")
+# assignment parity stays covered by the stream_sessionize gate.
 
 
 @query(

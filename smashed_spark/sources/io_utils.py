@@ -111,7 +111,11 @@ class SmartPath:
         if (p.scheme, p.bucket) != (self.scheme, self.bucket):
             raise ValueError(f"{self} is not under {p}")
         pre = p.key.rstrip("/")
-        if pre and not self.key.startswith(pre):
+        # component-boundary containment: a raw startswith would call
+        # 'database/x' a child of 'data' ('train' vs 'training', …)
+        if pre and not (
+            self.key == pre or self.key.startswith(pre + "/")
+        ):
             raise ValueError(f"{self} is not under {p}")
         return self.key[len(pre):].lstrip("/") if pre else self.key
 

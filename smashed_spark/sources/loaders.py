@@ -359,19 +359,11 @@ def quota_sample(
         raise ValueError("group_by is required")
     from pyspark.sql.window import Window
 
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", F.col(key_field).cast("string"), F.lit(str(seed))
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from ..functions.hashing import portable_hash60
+
+    u = portable_hash60(
+        F.concat_ws(":", F.col(key_field).cast("string"), F.lit(str(seed)))
+    )
     w = Window.partitionBy(*group_by).orderBy(
         u.asc(), F.col(key_field).asc()
     )
@@ -409,19 +401,11 @@ def hash_split(
         raise ValueError(f"fractions must sum to 1.0, got {total}")
     if any(v < 0 for v in fractions.values()):
         raise ValueError("fractions must be non-negative")
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", F.col(key_field).cast("string"), F.lit(str(seed))
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from ..functions.hashing import portable_hash60
+
+    u = portable_hash60(
+        F.concat_ws(":", F.col(key_field).cast("string"), F.lit(str(seed)))
+    )
     space = float(1 << 60)
     expr = None
     acc = 0.0

@@ -119,3 +119,13 @@ def test_cc_plan_per_round_is_equi_join_only(spark):
     )
     for bad in ("CartesianProduct", "BroadcastNestedLoop"):
         assert bad not in plan, plan
+
+
+def test_cc_refuses_non_integer_ids(spark):
+    """String ids must raise, not silently cast to null and report an
+    empty clustering."""
+    df = spark.createDataFrame(
+        [("doc-1", "doc-2")], "id_a: string, id_b: string"
+    )
+    with pytest.raises(TypeError, match="integer id"):
+        connected_components(df)

@@ -289,3 +289,18 @@ def test_smartpath_algebra():
         _ = p.as_path
     # leading-slash segments and trailing slashes normalize
     assert str(SmartPath.parse("s3://b/a/") / "/c") == "s3://b/a/c"
+
+
+def test_relative_to_component_boundary():
+    """'data' is not a prefix-parent of 'database/…' — containment is
+    per path component."""
+    import pytest as _pt
+
+    from smashed_spark.sources.io_utils import SmartPath
+
+    sp = SmartPath.parse("s3://b/database/file.txt")
+    with _pt.raises(ValueError):
+        sp.relative_to("s3://b/data")
+    assert sp.relative_to("s3://b/database") == "file.txt"
+    with _pt.raises(ValueError):
+        SmartPath.parse("/tmp/abc/f").relative_to("/tmp/ab")

@@ -307,3 +307,12 @@ def test_para_dedup_plan_two_exchanges_windowgrouplimit(spark):
     assert "WindowGroupLimit" in plan, plan
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_node not in plan, plan
+
+
+def test_para_dedup_regex_metachar_separator(spark):
+    """sep is a literal, not a regex: '.' must split on dots only."""
+    rows = [(0, "alpha.beta.alpha"), (1, "beta.gamma")]
+    got = _para(spark, rows, sep=".")
+    assert got == brute_para_dedup(rows, sep=".")
+    assert got[0] == ("alpha.beta", 1)
+    assert got[1] == ("gamma", 1)
