@@ -646,12 +646,19 @@ class NGramJaccardPairsMapper(SparkMapper):
             # ONE bounded probe job at plan time — there is no way to
             # pick a physical strategy from data without touching data
             # (same plan-time tiering as EmbeddingNearDupPairsMapper's
-            # size estimate).  Memoized per mapper instance so repeated
-            # apply()/explain() calls don't re-probe; pass an explicit
+            # size estimate).  Memoized per INPUT PLAN (semanticHash —
+            # driver-only, no job) so repeated apply()/explain() calls
+            # on the same DataFrame don't re-probe, while reusing one
+            # mapper instance across different corpora re-probes and
+            # picks the right strategy for each; pass an explicit
             # method for strictly lazy planning.
-            if getattr(self, "_auto_choice", None) is None:
-                self._auto_choice = self._choose_method(df)
-            method = self._auto_choice
+            memo = getattr(self, "_auto_choice", None)
+            if memo is None:
+                memo = self._auto_choice = {}
+            plan_key = df.semanticHash()
+            if plan_key not in memo:
+                memo[plan_key] = self._choose_method(df)
+            method = memo[plan_key]
         # inspectable after apply (plan-choice observability, mirrors
         # EmbeddingNearDupPairsMapper.strategy)
         self.resolved_method = method

@@ -48,12 +48,22 @@ def with_prefix_sum(
     value_col: str,
     order_by: Sequence[str],
     col_name: str = "__prefix__",
+    require_unique: bool = True,
 ) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` in ``order_by`` order,
     computed scalably: global range-partitioned sort, per-partition
     totals collected to the driver (one row per partition — KB-sized),
     cumulative offsets broadcast back, partition-local running-sum
     window for the intra-partition part.
+
+    ``order_by`` must be a TOTAL key: with ties the within-partition
+    row order (and therefore each tied row's prefix value) is
+    arbitrary, and callers that join the result back by key fan out.
+    With ``require_unique`` (default) duplicate keys raise
+    ``ValueError`` — checked for free inside the already-run
+    per-partition aggregate (range partitioning maps equal keys to the
+    same partition, so a per-partition count vs count-distinct
+    comparison sees every duplicate).
     """
     df = df.orderBy(*order_by)
     spark = df.sparkSession
@@ -64,11 +74,25 @@ def with_prefix_sum(
     tagged = df.withColumn(
         "__pid__", F.spark_partition_id()
     ).localCheckpoint(eager=True)
-    sizes = (
-        tagged.groupBy("__pid__")
-        .agg(F.sum(value_col).alias("__psum__"))
-        .collect()
-    )
+    aggs = [F.sum(value_col).alias("__psum__")]
+    if require_unique:
+        aggs += [
+            F.count(F.lit(1)).alias("__cnt__"),
+            F.count_distinct(
+                *[F.col(c) for c in order_by]
+            ).alias("__dcnt__"),
+        ]
+    sizes = tagged.groupBy("__pid__").agg(*aggs).collect()
+    if require_unique:
+        n_dup = sum(r["__cnt__"] - r["__dcnt__"] for r in sizes)
+        if n_dup:
+            raise ValueError(
+                f"with_prefix_sum: order_by {list(order_by)} is not a "
+                f"total key ({n_dup} duplicate row(s)); prefix offsets "
+                "would be ambiguous and key joins would fan out. "
+                "Add a tiebreaker column or pass require_unique=False "
+                "if ties are acceptable."
+            )
     acc = 0
     offset_rows = []
     for r in sorted(sizes, key=lambda r: r["__pid__"]):

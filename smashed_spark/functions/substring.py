@@ -275,7 +275,15 @@ class DedupParagraphsMapper(SparkMapper):
         # hub keys of a real corpus, and with min_chars > 0 they stay
         # out of the wide exchange entirely
         shortp = paras.where(exempt)
-        w = Window.partitionBy(F.xxhash64("__p__")).orderBy(
+        # partition by the hash AND the paragraph text: the hash drives
+        # shuffle distribution (8-byte key prefix), the text column only
+        # disambiguates within a bucket — so a 64-bit collision between
+        # two DISTINCT paragraphs (expected by the birthday bound at
+        # ~10^11 paragraphs / 100 TB) cannot merge them.  This keeps the
+        # operator's contract EXACT, unlike the window hashing in
+        # DuplicatedWindowsMapper whose docstring states and accepts a
+        # collision tolerance.
+        w = Window.partitionBy(F.xxhash64("__p__"), "__p__").orderBy(
             self.id_field, "__i__"
         )
         # a pure rank filter, so Spark compiles it to WindowGroupLimit:

@@ -234,6 +234,14 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import write_csv, write_jsonl
 
     base = tempfile.mkdtemp(prefix="smashed_io_")
+    # the returned DataFrame reads these files LAZILY (the driver
+    # collects after this function returns), so the dir can't be
+    # removed here — clean it at interpreter exit so repeated gate
+    # runs don't accumulate tmp data
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     # repartition before writing: the parquet scan yields 1-2 input
     # splits at test SF, which would serialize the (gzip) encode work
     # through as few tasks
@@ -658,7 +666,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "value"
     )
     dup = batch.where(F.col("event_id") % 10 == 0)
-    src = tempfile.mkdtemp(prefix="smashed_stream_dup_") + "/events"
+    src_root = tempfile.mkdtemp(prefix="smashed_stream_dup_")
+    src = src_root + "/events"
     batch.unionAll(dup).repartition(8).write.parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(src)
     out = stream_dedup(stream, id_cols=("event_id",), watermark="2 hours")
@@ -669,6 +678,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_bounded(out, name, timeout_seconds=900.0)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the memory sink owns the rows once the bounded drain returns;
+        # the parquet replay dir is dead weight — remove it so repeated
+        # gate runs don't accumulate tmp data
+        import shutil
+
+        shutil.rmtree(src_root, ignore_errors=True)
     return spark.table(name).select(
         "event_id",
         "user_id",

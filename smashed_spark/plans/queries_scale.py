@@ -786,7 +786,8 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("value"),
         )
     )
-    src = tempfile.mkdtemp(prefix="smashed_stream_") + "/events"
+    src_root = tempfile.mkdtemp(prefix="smashed_stream_")
+    src = src_root + "/events"
     # availableNow with no read limits (maxFilesPerTrigger unset)
     # snapshots every file into ONE micro-batch, and the stateful fn
     # sorts each user's rows within a batch — so the write can be
@@ -808,6 +809,10 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # memory sink owns the rows after the drain; drop the replay dir
+        import shutil
+
+        shutil.rmtree(src_root, ignore_errors=True)
     return spark.table(name).select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),

@@ -187,5 +187,15 @@ def run_stream_bounded(
         if q.isActive:  # timed out: don't yank the checkpoint mid-commit
             q.stop()
             q.awaitTermination(30)
-        if not q.isActive:
+        if q.isActive:
+            # stop() was issued but the query hasn't wound down in 30 s;
+            # removing the checkpoint under a live query risks a commit
+            # error, so defer the cleanup to interpreter exit instead of
+            # leaking the temp dir across repeated gate runs
+            import atexit
+
+            atexit.register(
+                shutil.rmtree, checkpoint_dir, ignore_errors=True
+            )
+        else:
             shutil.rmtree(checkpoint_dir, ignore_errors=True)

@@ -619,3 +619,12 @@ def test_ngram_jaccard_auto_method_routing(spark):
     # end-to-end: apply() resolves and records the choice
     m.map(uni)
     assert m.resolved_method == "join"
+    # the memo is keyed on the input plan, not the instance: reusing
+    # the SAME mapper on the Zipfian corpus re-probes and flips the
+    # strategy (a stale instance-level memo would keep 'join')
+    m.map(zipf)
+    assert m.resolved_method == "prefix"
+    # and returning to the uniform corpus hits the memo (no re-probe
+    # needed for the flip back to be correct)
+    m.map(uni)
+    assert m.resolved_method == "join"

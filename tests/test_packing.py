@@ -111,6 +111,26 @@ def test_param_validation():
         PackSequencesMapper(order_by=[])
 
 
+def test_duplicate_order_keys_raise(spark):
+    """A non-total order_by key silently corrupted output before the
+    guard (ambiguous offsets + join fan-out duplicating fragments);
+    now it must raise loudly, in both the helper and the mapper."""
+    df = spark.createDataFrame(
+        [(1, 5), (1, 7), (2, 3)], "k: bigint, v: bigint"
+    )
+    with pytest.raises(ValueError, match="not a total key"):
+        with_prefix_sum(df, "v", ["k"], "ps")
+    # explicit opt-out still works (prefix values of ties arbitrary)
+    out = with_prefix_sum(df, "v", ["k"], "ps", require_unique=False)
+    assert out.count() == 3
+    dup_docs = spark.createDataFrame(
+        [(0, [1, 2]), (0, [3]), (1, [4])],
+        "doc_id: bigint, input_ids: array<bigint>",
+    )
+    with pytest.raises(ValueError, match="not a total key"):
+        PackSequencesMapper(block_size=4).map(dup_docs).collect()
+
+
 def _explain(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"

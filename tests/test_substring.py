@@ -286,6 +286,30 @@ def test_para_dedup_random_matches_bruteforce(spark):
     assert _para(spark, rows) == brute_para_dedup(rows)
 
 
+def test_para_dedup_exact_under_forced_hash_collision(spark, monkeypatch):
+    """The first-occurrence window partitions by (hash, paragraph), so
+    two DISTINCT paragraphs whose 64-bit hashes collide must NOT merge.
+    Force the worst case: every paragraph hashes to the same constant —
+    the result must still be exact."""
+    import smashed_spark.functions.substring as sub
+
+    monkeypatch.setattr(
+        sub.F, "xxhash64", lambda *cols: F.lit(0).cast("bigint")
+    )
+    rng = random.Random(33)
+    paras = [f"collide me {i}" for i in range(20)]
+    rows = [
+        (
+            d,
+            "\n".join(
+                rng.choice(paras) for _ in range(rng.randint(1, 6))
+            ),
+        )
+        for d in range(40)
+    ]
+    assert _para(spark, rows) == brute_para_dedup(rows)
+
+
 def test_para_dedup_carries_other_columns(spark):
     from smashed_spark.functions.substring import DedupParagraphsMapper
 
