@@ -256,6 +256,12 @@ class BinPackSequencesMapper(SparkMapper):
     with ``pack_id = gid * 2^40 + local_bin_index`` (globally unique,
     stable).
 
+    ``hash_fn`` picks the group hash: ``"xxhash64"`` (default —
+    JVM-native, fastest) or ``"md5"`` (the engine-portable convention
+    of functions/hashing.py: first 8 hex chars of ``md5(cast(key as
+    string))`` as an integer — replayable bit-identically in DuckDB
+    and in driver-side Python, which is what the gate oracle does).
+
     Plan: one exchange on the group id, one Arrow-batched
     applyInPandas stage (the sequential first-fit state is why this is
     the Python tier — it has no column-algebra form).
@@ -268,16 +274,20 @@ class BinPackSequencesMapper(SparkMapper):
         block_size: int = 1024,
         num_groups: int = 256,
         pack_field: str = "pack_id",
+        hash_fn: str = "xxhash64",
     ) -> None:
         if block_size < 1:
             raise ValueError("block_size must be >= 1")
         if num_groups < 1:
             raise ValueError("num_groups must be >= 1")
+        if hash_fn not in ("xxhash64", "md5"):
+            raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
         self.tokens_field = tokens_field
         self.key_field = key_field
         self.block_size = block_size
         self.num_groups = num_groups
         self.pack_field = pack_field
+        self.hash_fn = hash_fn
         super().__init__(
             input_fields=[tokens_field, key_field],
             output_fields=[
@@ -354,11 +364,15 @@ class BinPackSequencesMapper(SparkMapper):
                 }
             )
 
+        if self.hash_fn == "xxhash64":
+            group_hash = F.xxhash64(F.col(key_field))
+        else:
+            from .hashing import portable_hash32
+
+            group_hash = portable_hash32(F.col(key_field).cast("string"))
         work = df.select(
             key_field,
             tok_field,
-            F.pmod(F.xxhash64(F.col(key_field)), F.lit(G))
-            .cast("bigint")
-            .alias("__gid__"),
+            F.pmod(group_hash, F.lit(G)).cast("bigint").alias("__gid__"),
         ).where(F.size(tok_field) > 0)
         return work.groupBy("__gid__").applyInPandas(pack_group, schema)

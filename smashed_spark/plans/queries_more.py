@@ -731,3 +731,134 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_size=128,
         separator="<eod>",
     ).map(df)
+
+
+# Last sf_dir the pack_bins GATE query packed (normpath), so the lazy
+# oracle can refuse to replay the packing on a different corpus (same
+# discipline as queries_scale._IVF_GATE_SF_DIR).
+_PACK_BINS_GATE_SF_DIR: dict = {"dir": None}
+
+
+def _pack_bins_sql(block_size: int, num_groups: int):
+    """LAZY oracle builder for BinPackSequencesMapper (r6 — closes the
+    last unit-only packer from the round-5 missing list).  The packing
+    DECISIONS (which doc goes in which bin, in what order) come from a
+    sequential first-fit-decreasing loop with no SQL form, but they are
+    fully deterministic given (key, token-count) — so the oracle
+    replays the mapper's algorithm driver-side in plain Python
+    (hashlib md5 group assignment == the mapper's ``hash_fn="md5"``
+    portable hash, same (-len, key) sort, same first-fit scan), embeds
+    only the slim (doc_id, pack_id, ord, oversize) assignment as SQL
+    literals, and lets DuckDB reassemble bin contents from the
+    documents table — the replayed-decision analog of the IVF
+    replayed-centroid oracle (queries_scale._ivf_topk_sql)."""
+
+    def build() -> str:
+        import hashlib
+        import os
+
+        import duckdb
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        if _PACK_BINS_GATE_SF_DIR["dir"] not in (
+            None,
+            os.path.normpath(sf_dir),
+        ):
+            raise RuntimeError(
+                "pack_bins oracle/gate sf_dir mismatch: the Spark gate "
+                f"packed {_PACK_BINS_GATE_SF_DIR['dir']} but the oracle "
+                f"would replay the packing on {sf_dir} (from "
+                "SPARK_GRAFT_ORACLE_SF_DIR, default /root/testdata/"
+                "sf0.01). Set SPARK_GRAFT_ORACLE_SF_DIR to the gate's "
+                "sf dir — the bin assignment is per-corpus by "
+                "construction."
+            )
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT doc_id, len(string_split(text, ' ')) "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        con.close()
+        # replay: portable md5 group hash, then FFD per group —
+        # byte-for-byte the mapper's pack_group (functions/packing.py)
+        groups: dict = {}
+        for doc_id, n in rows:
+            if n <= 0:
+                continue
+            gid = (
+                int(
+                    hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16
+                )
+                % num_groups
+            )
+            groups.setdefault(gid, []).append((doc_id, n))
+        asg = []  # (doc_id, pack_id, ord_in_bin, oversize)
+        for gid, docs in groups.items():
+            docs.sort(key=lambda kv: (-kv[1], kv[0]))
+            bins = []  # [tokens_so_far, oversize, next_ord]
+            for k, n in docs:
+                if n > block_size:
+                    asg.append((k, gid * (1 << 40) + len(bins), 0, True))
+                    bins.append([n, True, 1])
+                    continue
+                for i, b in enumerate(bins):
+                    if not b[1] and b[0] + n <= block_size:
+                        asg.append((k, gid * (1 << 40) + i, b[2], False))
+                        b[0] += n
+                        b[2] += 1
+                        break
+                else:
+                    asg.append(
+                        (k, gid * (1 << 40) + len(bins), 0, False)
+                    )
+                    bins.append([n, False, 1])
+        vals = ",\n        ".join(
+            f"({k}, {p}, {o}, {str(ov).upper()})" for k, p, o, ov in asg
+        )
+        return f"""
+    WITH asg(doc_id, pack_id, ord, oversize) AS (VALUES
+        {vals}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT a.pack_id,
+           CAST(sum(len(w.toks)) AS BIGINT) AS n_tokens,
+           count(*) AS n_docs,
+           CAST(bool_or(a.oversize) AS INT) AS oversize,
+           to_json(list(a.doc_id ORDER BY a.ord)) AS doc_ids,
+           to_json(flatten(list(w.toks ORDER BY a.ord))) AS tokens
+    FROM asg a JOIN w USING (doc_id)
+    GROUP BY a.pack_id
+    """
+
+    return build
+
+
+@query("pack_bins", oracle=_pack_bins_sql(256, 8))
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document bin packing (functions/packing.py
+    BinPackSequencesMapper): SFT-style first-fit-decreasing within
+    deterministic hash groups — no document split, oversize docs
+    isolated in flagged singleton bins.  ``hash_fn="md5"`` selects the
+    engine-portable group hash so the driver-side Python replay in the
+    oracle assigns bit-identical groups."""
+    import os
+
+    from ..functions.packing import BinPackSequencesMapper
+
+    _PACK_BINS_GATE_SF_DIR["dir"] = os.path.normpath(sf_dir)
+    out = BinPackSequencesMapper(
+        tokens_field="words",
+        key_field="doc_id",
+        block_size=256,
+        num_groups=8,
+        hash_fn="md5",
+    ).map(_words(spark, sf_dir))
+    return out.select(
+        "pack_id",
+        "n_tokens",
+        "n_docs",
+        F.col("oversize").cast("int").alias("oversize"),
+        "doc_ids",
+        "tokens",
+    )

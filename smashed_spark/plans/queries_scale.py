@@ -37,17 +37,6 @@ base AS (
 """
 
 
-def _minhash_sql(k: int) -> str:
-    slots = ",\n        ".join(
-        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P})"
-        for a, b in hash_coeffs(k)
-    )
-    return (
-        _SHINGLES_SQL
-        + f"SELECT doc_id, to_json([{slots}]) AS minhash FROM base"
-    )
-
-
 _SIMHASH_BASE_SQL = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     base AS (
@@ -120,22 +109,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ExactDedupMapper().map(load(spark, sf_dir, "documents"))
 
 
-@query("dedup_minhash_sig", oracle=_minhash_sql(8))
-def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8, 3-word shingles): engine-portable
-    md5-prefix hashes + affine permutations — narrow, JVM-side."""
-    from ..functions.dedup import MinHashMapper
-
-    df = load(spark, sf_dir, "documents").withColumn(
-        "words", F.split("text", " ")
-    )
-    out = MinHashMapper(num_hashes=8).map(df)
-    return out.select("doc_id", "minhash")
-
-
 def _lsh_pairs_sql(k: int, bands: int, rows: int) -> str:
+    """Pairs plus both endpoints' full signatures — the r6 fold of the
+    former standalone ``dedup_minhash_sig`` gate into this one (cap
+    space for ``pack_bins``): the signature arrays are certified
+    value-for-value on every pair endpoint, and every document's
+    signature still feeds the band keys that decide the pair set."""
     return _lsh_pairs_cte(k, bands, rows) + """
-    SELECT id_a, id_b FROM pairs
+    SELECT p.id_a, p.id_b,
+           to_json(sa.minhash) AS minhash_a,
+           to_json(sb.minhash) AS minhash_b
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
     """
 
 
@@ -200,16 +186,39 @@ def _dedup_clusters_sql(k: int, bands: int, rows: int) -> str:
 @query("dedup_lsh_pairs", oracle=_lsh_pairs_sql(16, 4, 4))
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (16 hashes, 4 bands x 4 rows):
-    explode band buckets, bucket-equi-join — O(docs x bands)."""
+    explode band buckets, bucket-equi-join — O(docs x bands).
+
+    r6: also emits both endpoints' full minhash signatures (the former
+    standalone ``dedup_minhash_sig`` gate folded in — MinHashMapper's
+    output is certified value-for-value here, freeing a slot under the
+    50-query cap for ``pack_bins``)."""
     from ..functions.dedup import MinHashLSHPairsMapper, MinHashMapper
 
     df = load(spark, sf_dir, "documents").withColumn(
         "words", F.split("text", " ")
     )
-    pipe = MinHashMapper(num_hashes=16) >> MinHashLSHPairsMapper(
+    sig = MinHashMapper(num_hashes=16).map(df)
+    pairs = MinHashLSHPairsMapper(
         "doc_id", bands=4, rows_per_band=4
+    ).map(sig)
+    slim = sig.select("doc_id", "minhash")
+    return (
+        pairs.join(
+            slim.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("minhash").alias("minhash_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            slim.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("minhash").alias("minhash_b"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "minhash_a", "minhash_b")
     )
-    return pipe.map(df)
 
 
 @query("dedup_clusters", oracle=_dedup_clusters_sql(16, 4, 4))

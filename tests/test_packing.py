@@ -246,3 +246,32 @@ def test_binpack_validation(spark):
         BinPackSequencesMapper(block_size=0)
     with _pt.raises(ValueError):
         BinPackSequencesMapper(num_groups=0)
+    with _pt.raises(ValueError):
+        BinPackSequencesMapper(hash_fn="sha1")
+
+
+def test_binpack_md5_groups_replayable_in_python(spark):
+    """hash_fn='md5' (the pack_bins gate path) assigns groups with the
+    engine-portable md5-prefix hash — a driver-side hashlib replay must
+    predict every document's group, which is what makes the gate's
+    Python FFD replay oracle valid."""
+    import hashlib
+
+    rng = random.Random(47)
+    tl = [
+        [rng.randrange(9) for _ in range(rng.randrange(1, 12))]
+        for _ in range(80)
+    ]
+    bins = _binpack(
+        spark, tl, block_size=16, num_groups=8, hash_fn="md5"
+    )
+    for b in bins:
+        gid = b.pack_id >> 40
+        for d in b.doc_ids:
+            expect = (
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 8
+            )
+            assert gid == expect, (d, gid, expect)
+    # same packing invariants as the xxhash path
+    assert sorted(d for b in bins for d in b.doc_ids) == list(range(80))
+    assert all(b.oversize or b.n_tokens <= 16 for b in bins)
