@@ -1,5 +1,11 @@
-"""Corpus near-dedup at scale: MinHash signatures -> LSH candidate
-pairs -> exact Jaccard verification on the candidates only.
+"""Corpus fuzzy-dedup at scale, as ONE call: near-dup pairs (MinHash
+LSH candidates + exact shingle-Jaccard verification) -> connected
+components -> the corpus tagged with ``cluster_id`` / ``is_kept``.
+
+``fuzzy_dedup`` (smashed_spark/functions/dedup.py) packages the whole
+chain; swap ``method=`` for "ngram" (exact), "simhash" (Hamming
+ball), or "embedding" (cosine) without touching the rest of the
+pipeline.
 
 Run: python examples/corpus_dedup.py [sf_dir]
 """
@@ -12,11 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from smashed_spark.functions.dedup import (
-    MinHashLSHPairsMapper,
-    MinHashMapper,
-    NGramJaccardPairsMapper,
-)
+from smashed_spark.functions.dedup import fuzzy_dedup
 
 
 def main() -> None:
@@ -26,25 +28,26 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .getOrCreate()
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-        "words", F.split("text", " ")
-    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    # 1. narrow signature computation (no shuffle)
-    signed = MinHashMapper(num_hashes=16).map(docs)
-    # 2. LSH banding: candidates cost O(docs x bands), never O(docs^2)
-    candidates = MinHashLSHPairsMapper(
-        "doc_id", bands=4, rows_per_band=4
-    ).map(signed)
-    print(f"LSH candidate pairs: {candidates.count()}")
+    # pairs -> clusters -> keeper flags, one call; words are derived
+    # from `text` by whitespace split when no `words` column exists
+    tagged = fuzzy_dedup(
+        docs, method="minhash", threshold=0.5, bands=8, rows_per_band=2
+    ).cache()
 
-    # 3. verify candidates with exact Jaccard (broadcast the candidate
-    #    set; it is tiny relative to the corpus)
-    exact = NGramJaccardPairsMapper("doc_id", threshold=0.5).map(docs)
-    verified = candidates.join(
-        exact, ["id_a", "id_b"], "inner"
+    n_docs = tagged.count()
+    n_kept = tagged.filter("is_kept = 1").count()
+    print(f"docs: {n_docs}  kept after fuzzy dedup: {n_kept}")
+
+    # the duplicate clusters, largest first
+    (
+        tagged.filter("is_kept = 0")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_dropped"))
+        .orderBy(F.desc("n_dropped"))
+        .show(10)
     )
-    verified.orderBy(F.desc("jaccard")).show(10)
     spark.stop()
 
 

@@ -901,3 +901,148 @@ class EmbeddingNearDupPairsMapper(SparkMapper):
             )
             .filter(F.col("sim") >= self.threshold)
         )
+
+
+def _verify_candidates_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_field: str,
+    words_field: str,
+    shingle_size: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate ``(id_a, id_b)``
+    pairs: join each endpoint to its distinct shingle set (narrow
+    per-row compute) and evaluate ``|A∩B| / |A∪B|`` JVM-side with
+    array algebra.  Cost scales with the CANDIDATE count — the near-dup
+    density LSH surfaced — not the corpus; the join duplicates shingle
+    sets per pair, which is the standard verify shape (candidates are
+    bounded by banding, so the fan-out is the answer size itself)."""
+    sets = df.select(
+        F.col(id_field).alias("__vid__"),
+        F.array_distinct(
+            word_shingles(F.col(words_field), shingle_size)
+        ).alias("__sh__"),
+    )
+    a = sets.select(
+        F.col("__vid__").alias("id_a"), F.col("__sh__").alias("__sa__")
+    )
+    b = sets.select(
+        F.col("__vid__").alias("id_b"), F.col("__sh__").alias("__sb__")
+    )
+    inter = F.size(F.array_intersect("__sa__", "__sb__"))
+    union = F.size("__sa__") + F.size("__sb__") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    id_field: str = "doc_id",
+    method: str = "minhash",
+    *,
+    words_field: str = "words",
+    text_field: str = "text",
+    vector_field: str = "embedding",
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    verify: bool = True,
+    simhash_bits: int = 64,
+    max_hamming: int = 3,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """One-call end-to-end fuzzy deduplication: near-dup PAIRS (by the
+    chosen ``method``) -> connected components -> the corpus tagged
+    with ``cluster_id`` (min doc id of its duplicate cluster) and
+    ``is_kept`` (1 exactly for the cluster representative).  Filter
+    ``is_kept = 1`` for the deduped corpus; group by ``cluster_id`` to
+    inspect duplicate groups.
+
+    Methods (all built from this module's pair mappers +
+    :class:`~smashed_spark.functions.graph.DedupClustersMapper`):
+
+    * ``"minhash"`` — the 100 TB default: narrow MinHash signatures,
+      LSH band-bucket candidate join (O(docs × bands)), then — when
+      ``verify`` (default) — exact shingle-Jaccard on the candidates
+      only, filtered at ``threshold``.  ``verify=False`` clusters the
+      raw LSH candidates (recall-oriented, banding-approximate).
+    * ``"ngram"`` — exact n-gram Jaccard pairs at ``threshold``
+      (``method="auto"`` routing inside the pair mapper); exact but a
+      heavier join — prefer on modest corpora.
+    * ``"simhash"`` — Hamming ball ``<= max_hamming`` on
+      ``simhash_bits``-bit fingerprints (exact by pigeonhole banding).
+      ``threshold`` is unused.
+    * ``"embedding"`` — cosine ``>= threshold`` on ``vector_field``
+      (broadcast-BLAS / LSH tier auto-selected by the pair mapper).
+
+    Text methods read ``words_field``; when it is absent the words are
+    derived by whitespace-splitting ``text_field`` (the convention the
+    gate corpus uses).  Plan shape: pair generation is the only wide
+    stage (banding equi-joins — never a cartesian); clustering is
+    O(log n) pointer-jumping rounds on the PAIRS (tiny vs the corpus);
+    the final tag is one left join of the cluster map onto the corpus.
+    """
+    from .graph import DedupClustersMapper
+
+    if method not in ("minhash", "ngram", "simhash", "embedding"):
+        raise ValueError(f"unknown fuzzy_dedup method {method!r}")
+
+    work = df
+    if method in ("minhash", "ngram", "simhash") and (
+        words_field not in df.columns
+    ):
+        if text_field not in df.columns:
+            raise ValueError(
+                f"fuzzy_dedup({method!r}) needs a {words_field!r} array "
+                f"column or a {text_field!r} string column to split"
+            )
+        work = df.withColumn(words_field, F.split(F.col(text_field), " "))
+
+    if method == "minhash":
+        signed = MinHashMapper(
+            words_field=words_field,
+            num_hashes=num_hashes,
+            shingle_size=shingle_size,
+        ).map(work)
+        pairs = MinHashLSHPairsMapper(
+            id_field, bands=bands, rows_per_band=rows_per_band
+        ).map(signed)
+        if verify:
+            pairs = _verify_candidates_jaccard(
+                pairs, work, id_field, words_field, shingle_size, threshold
+            )
+    elif method == "ngram":
+        pairs = NGramJaccardPairsMapper(
+            id_field,
+            words_field=words_field,
+            shingle_size=shingle_size,
+            threshold=threshold,
+        ).map(work)
+    elif method == "simhash":
+        signed = SimHashMapper(
+            words_field=words_field, bits=simhash_bits
+        ).map(work)
+        pairs = SimHashNearDupPairsMapper(
+            id_field, bits=simhash_bits, max_hamming=max_hamming
+        ).map(signed)
+    else:  # embedding
+        pairs = EmbeddingNearDupPairsMapper(
+            id_field=id_field,
+            vector_field=vector_field,
+            threshold=threshold,
+        ).map(work)
+
+    return DedupClustersMapper(
+        pairs.select("id_a", "id_b"),
+        id_field=id_field,
+        max_iterations=max_iterations,
+    ).map(df)

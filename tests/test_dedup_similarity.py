@@ -628,3 +628,110 @@ def test_ngram_jaccard_auto_method_routing(spark):
     # needed for the flip back to be correct)
     m.map(uni)
     assert m.resolved_method == "join"
+
+
+# ---------------------------------------------------------------- #
+# fuzzy_dedup: the one-call pairs -> clusters -> is_kept recipe     #
+# ---------------------------------------------------------------- #
+
+
+def _fuzzy_corpus(spark):
+    """Docs 0/1 identical, 2 near-identical (one word swapped),
+    3..5 pairwise-distinct random-ish text."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, "completely different words about spark plans and shuffles"),
+        (4, "yet another unrelated document concerning parquet readers"),
+        (5, "a third standalone text mentioning arrow batches only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: bigint, text: string")
+
+
+def _keeper_map(df):
+    return {
+        r.doc_id: (r.cluster_id, r.is_kept) for r in df.collect()
+    }
+
+
+def test_fuzzy_dedup_minhash_end_to_end(spark):
+    from smashed_spark.functions.dedup import fuzzy_dedup
+
+    out = fuzzy_dedup(
+        _fuzzy_corpus(spark),
+        method="minhash",
+        threshold=0.5,
+        bands=8,
+        rows_per_band=2,
+    )
+    got = _keeper_map(out)
+    # 0/1/2 form one cluster with 0 as the kept representative
+    assert got[0] == (0, 1)
+    assert got[1] == (0, 0) and got[2] == (0, 0)
+    for singleton in (3, 4, 5):
+        assert got[singleton] == (singleton, 1)
+    # schema contract: input columns preserved + the two tags
+    assert set(out.columns) == {"doc_id", "text", "cluster_id", "is_kept"}
+
+
+def test_fuzzy_dedup_methods_agree_on_clear_corpus(spark):
+    """On a corpus with an unambiguous duplicate cluster, the exact
+    ngram path and the verified minhash path produce the same
+    clustering; simhash (hamming<=3 on near-identical docs) agrees."""
+    from smashed_spark.functions.dedup import fuzzy_dedup
+
+    corpus = _fuzzy_corpus(spark)
+    ng = _keeper_map(fuzzy_dedup(corpus, method="ngram", threshold=0.5))
+    mh = _keeper_map(
+        fuzzy_dedup(
+            corpus, method="minhash", threshold=0.5,
+            bands=8, rows_per_band=2,
+        )
+    )
+    sh = _keeper_map(fuzzy_dedup(corpus, method="simhash"))
+    assert ng == mh == sh
+
+
+def test_fuzzy_dedup_unverified_minhash_keeps_lsh_candidates(spark):
+    """verify=False clusters raw LSH candidates: never fewer cluster
+    members than the verified run (banding only ADDS false
+    positives)."""
+    from smashed_spark.functions.dedup import fuzzy_dedup
+
+    corpus = _fuzzy_corpus(spark)
+    kw = dict(method="minhash", threshold=0.5, bands=8, rows_per_band=2)
+    verified = _keeper_map(fuzzy_dedup(corpus, verify=True, **kw))
+    raw = _keeper_map(fuzzy_dedup(corpus, verify=False, **kw))
+    dup_v = {k for k, (_, kept) in verified.items() if kept == 0}
+    dup_r = {k for k, (_, kept) in raw.items() if kept == 0}
+    assert dup_v <= dup_r
+
+
+def test_fuzzy_dedup_embedding_method(spark):
+    from smashed_spark.functions.dedup import fuzzy_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, embedding: array<float>")
+    got = _keeper_map(
+        fuzzy_dedup(df, method="embedding", threshold=0.9)
+    )
+    assert got[0] == (0, 1) and got[1] == (0, 0)
+    assert got[2] == (2, 1) and got[3] == (3, 1)
+
+
+def test_fuzzy_dedup_rejects_unknown_method_and_missing_columns(spark):
+    from smashed_spark.functions.dedup import fuzzy_dedup
+
+    corpus = _fuzzy_corpus(spark)
+    with pytest.raises(ValueError, match="unknown fuzzy_dedup method"):
+        fuzzy_dedup(corpus, method="nope")
+    no_text = corpus.drop("text")
+    with pytest.raises(ValueError, match="needs a 'words'"):
+        fuzzy_dedup(no_text, method="ngram")
