@@ -114,6 +114,77 @@ def kmv_sketch(
     return KMVSketch(k, uniq[:k])
 
 
+def kmv_sketch_multi(
+    df: DataFrame, columns: List[str], k: int = 256
+) -> dict:
+    """KMV sketches for N columns in ONE pass over the corpus — the
+    100 TB shape for a multi-column cardinality audit (the per-column
+    :func:`kmv_sketch` loop scans the input once per column).
+
+    Plan: a narrow per-row array of ``(cidx, hash)`` structs (nulls
+    compacted out) is exploded, then a per-column top-``2k`` is taken
+    with ``row_number() <= 2k`` over ``Window.partitionBy(cidx)``.
+    Spark's **WindowGroupLimit** optimization (plan-asserted in
+    tests/test_sketches.py) inserts a partial per-group limit BELOW
+    the exchange, so every map task forwards at most ``2k`` rows per
+    column — the shuffle carries ``<= tasks × N × 2k`` rows no matter
+    the corpus size, and the N groups (one per column) never funnel
+    full column data through one reducer.  The driver then receives
+    ``<= N × 2k`` candidate rows; per-column duplicate top-up falls
+    back to the exact-distinct path only for pathological columns
+    (same contract as :func:`kmv_sketch`).
+
+    Returns ``{column: KMVSketch}``; bit-identical to the per-column
+    :func:`kmv_sketch` results (same hash convention, same candidate
+    rule) — property-tested.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 3:
+        raise ValueError("k must be >= 3 (estimator divides by k-2 terms)")
+    if not columns:
+        return {}
+    structs = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.struct(
+                F.lit(i).alias("cidx"),
+                portable_hash60(F.col(c).cast("string")).alias("h"),
+            ),
+        )
+        for i, c in enumerate(columns)
+    ]
+    pairs = df.select(
+        F.explode(F.array_compact(F.array(*structs))).alias("p")
+    ).select(F.col("p.cidx").alias("cidx"), F.col("p.h").alias("h"))
+    w = Window.partitionBy("cidx").orderBy("h")
+    cand = pairs.withColumn("__rn__", F.row_number().over(w)).where(
+        F.col("__rn__") <= 2 * k
+    )
+    by_col: dict = {i: [] for i in range(len(columns))}
+    for r in cand.collect():
+        by_col[r.cidx].append(r.h)
+    out = {}
+    for i, c in enumerate(columns):
+        hs = by_col[i]
+        uniq = sorted(set(hs))
+        if len(uniq) < k and len(hs) == 2 * k:
+            # >half of this column's 2k smallest rows were duplicates:
+            # exact-distinct fallback for the bottom of the hash space
+            # (extra jobs only in this pathological branch)
+            uniq = [
+                r[0]
+                for r in df.where(F.col(c).isNotNull())
+                .select(portable_hash60(F.col(c).cast("string")).alias("h"))
+                .distinct()
+                .orderBy("h")
+                .limit(k)
+                .collect()
+            ]
+        out[c] = KMVSketch(k, uniq[:k])
+    return out
+
+
 def distinct_estimate(
     df: DataFrame, columns: List[str], k: int = 256
 ) -> DataFrame:
@@ -121,14 +192,16 @@ def distinct_estimate(
     ``(column, k_used, n_hashes, kth_hash, est_distinct)`` — the gate
     surface.  ``n_hashes < k`` marks the exact (unsaturated) branch.
 
-    Driver-composed from one job per column; the result is O(len
-    (columns)) rows, created via ``createDataFrame`` (driver-side by
-    construction, like the loaders' bounded path lists).
+    One Spark job for ALL columns (:func:`kmv_sketch_multi`); the
+    result is O(len(columns)) rows, created via ``createDataFrame``
+    (driver-side by construction, like the loaders' bounded path
+    lists).
     """
     spark = df.sparkSession
+    sketches = kmv_sketch_multi(df, columns, k=k)
     out = []
     for c in columns:
-        sk = kmv_sketch(df, c, k=k)
+        sk = sketches[c]
         kth = sk.hashes[-1] if sk.hashes else None
         out.append((c, sk.k, len(sk.hashes), kth, sk.estimate()))
     return spark.createDataFrame(

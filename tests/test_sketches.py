@@ -114,3 +114,62 @@ def test_distinct_estimate_gate_surface(spark, sf_dir):
 def test_k_validation(spark):
     with pytest.raises(ValueError):
         kmv_sketch(_vals(spark, ["a"]), "v", k=2)
+
+
+def test_multi_column_matches_per_column_bitwise(spark):
+    """kmv_sketch_multi is the single-pass path behind
+    distinct_estimate: same hash convention + same candidate rule as
+    kmv_sketch, so the sketches must be bit-identical per column —
+    including a pathological column that trips the duplicate
+    fallback."""
+    from smashed_spark.functions.sketches import kmv_sketch_multi
+
+    rows = [
+        (f"u{i % 700}", f"t{i % 3}", f"w{i}") for i in range(2100)
+    ]
+    df = spark.createDataFrame(rows, "a: string, b: string, c: string")
+    multi = kmv_sketch_multi(df, ["a", "b", "c"], k=64)
+    for col in ("a", "b", "c"):
+        single = kmv_sketch(df, col, k=64)
+        assert multi[col].hashes == single.hashes, col
+        assert multi[col].estimate() == single.estimate()
+
+
+def test_multi_column_single_pass_plan(spark):
+    """The scale contract: ONE scan feeding a WindowGroupLimit-pushed
+    per-column top-k — the partial limit must sit below the exchange
+    (map-side), and the plan must contain exactly one exchange (the
+    cidx repartition for the final per-group limit)."""
+    from pyspark.sql.window import Window
+
+    from smashed_spark.functions.hashing import portable_hash60
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"t{i % 5}") for i in range(100)], "a: string, b: string"
+    )
+    k = 16
+    structs = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.struct(
+                F.lit(i).alias("cidx"),
+                portable_hash60(F.col(c).cast("string")).alias("h"),
+            ),
+        )
+        for i, c in enumerate(["a", "b"])
+    ]
+    pairs = df.select(
+        F.explode(F.array_compact(F.array(*structs))).alias("p")
+    ).select(F.col("p.cidx").alias("cidx"), F.col("p.h").alias("h"))
+    w = Window.partitionBy("cidx").orderBy("h")
+    cand = pairs.withColumn("__rn__", F.row_number().over(w)).where(
+        F.col("__rn__") <= 2 * k
+    )
+    plan = cand._sc._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted"
+    )
+    # partial (map-side) + final group limit around exactly one
+    # exchange: two WindowGroupLimit nodes, one below the shuffle
+    # ("Node (n)" counts tree occurrences only; details print "(n) Node")
+    assert plan.count("WindowGroupLimit (") == 2, plan
+    assert plan.count("Exchange (") == 1, plan
