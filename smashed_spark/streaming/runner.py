@@ -155,32 +155,59 @@ def stream_dedup(
     )
 
 
-def run_stream_bounded(
+def drain_bounded(
     out: DataFrame,
     query_name: str,
     timeout_seconds: float = 300.0,
     output_mode: str = "append",
 ) -> None:
-    """Drain a bounded streaming DataFrame into a memory sink
-    (``spark.table(query_name)``) — ``availableNow`` trigger, clean
-    self-termination, checkpoint removed afterwards.  The generic
-    version of ``stateful.run_sessionize_bounded``'s sink handling,
-    for operators that don't need the no-data-micro-batch tweak
-    (dedup state expiry is driven by the watermark advancing with
-    data; the trailing no-data batch is how the LAST watermark value
-    evicts state, so it stays enabled here)."""
+    """Drain a bounded streaming DataFrame so that
+    ``spark.table(query_name)`` holds the result — ``availableNow``
+    trigger, clean self-termination, checkpoint removed afterwards.
+
+    The sink is selected by ``SMASHED_STREAM_SINK``:
+
+    * ``memory`` (default) — the gate path: rows land in the driver's
+      memory-sink table, which is what the driver's value comparison
+      reads.
+    * ``parquet`` — the PRODUCTION path: rows go executor -> files,
+      never through a driver collect; after termination the written
+      files are registered as a temp view under ``query_name`` so the
+      caller's ``spark.table`` works identically.  The scale probe
+      sets this so 10x/100x headlines time the operator plus a real
+      distributed sink, not the memory sink's driver-side collect
+      (round 5's 100x stream_sessionize forensics measured the
+      memory sink adding a superlinear 14.8x-per-decade term where
+      the parquet sink shows 6.7x — see BENCH_SCALE.json
+      ``sink_ab_100x``).
+    """
+    import atexit
+    import os
     import shutil
     import tempfile
 
+    spark = out.sparkSession
+    sink = os.environ.get("SMASHED_STREAM_SINK", "memory")
+    if sink not in ("memory", "parquet"):
+        raise ValueError(f"SMASHED_STREAM_SINK must be memory|parquet, got {sink!r}")
+    if sink == "parquet" and output_mode != "append":
+        raise ValueError(
+            "the parquet streaming sink supports append mode only; "
+            f"got output_mode={output_mode!r}"
+        )
     checkpoint_dir = tempfile.mkdtemp(prefix="smashed_stream_ckpt_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
+    writer = (
+        out.writeStream.queryName(query_name)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
+    data_dir = None
+    if sink == "parquet":
+        data_dir = tempfile.mkdtemp(prefix=f"smashed_sink_{query_name}_")
+        q = writer.format("parquet").option("path", data_dir).start()
+    else:
+        q = writer.format("memory").start()
     try:
         q.awaitTermination(timeout_seconds)
     finally:
@@ -192,10 +219,38 @@ def run_stream_bounded(
             # removing the checkpoint under a live query risks a commit
             # error, so defer the cleanup to interpreter exit instead of
             # leaking the temp dir across repeated gate runs
-            import atexit
-
             atexit.register(
                 shutil.rmtree, checkpoint_dir, ignore_errors=True
             )
         else:
             shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        if data_dir is not None:
+            # explicit schema: a zero-row drain leaves no parquet files
+            # to infer from.  The view (and its backing files) must
+            # outlive this call — the caller returns a lazy frame over
+            # it — so the data dir is cleaned at interpreter exit.
+            spark.read.schema(out.schema).parquet(
+                data_dir
+            ).createOrReplaceTempView(query_name)
+            atexit.register(shutil.rmtree, data_dir, ignore_errors=True)
+
+
+def run_stream_bounded(
+    out: DataFrame,
+    query_name: str,
+    timeout_seconds: float = 300.0,
+    output_mode: str = "append",
+) -> None:
+    """Drain a bounded streaming DataFrame into the configured sink
+    (see :func:`drain_bounded`) — the generic version of
+    ``stateful.run_sessionize_bounded``'s sink handling, for operators
+    that don't need the no-data-micro-batch tweak (dedup state expiry
+    is driven by the watermark advancing with data; the trailing
+    no-data batch is how the LAST watermark value evicts state, so it
+    stays enabled here)."""
+    drain_bounded(
+        out,
+        query_name,
+        timeout_seconds=timeout_seconds,
+        output_mode=output_mode,
+    )

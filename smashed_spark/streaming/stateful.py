@@ -183,8 +183,10 @@ def run_sessionize_bounded(
     gap_minutes: int = 30,
     timeout_seconds: float = 120.0,
 ) -> None:
-    """Sessionize a *bounded* replay into a memory sink and return when
-    the stream is exhausted.
+    """Sessionize a *bounded* replay into the configured bounded sink
+    (memory by default; ``SMASHED_STREAM_SINK=parquet`` for the
+    production file-sink path — see ``runner.drain_bounded``) and
+    return when the stream is exhausted.
 
     Uses ``idle_timeout=False`` + ``trigger(availableNow=True)``: the
     query processes everything available and terminates by itself — no
@@ -194,10 +196,8 @@ def run_sessionize_bounded(
     session closed should append a per-user sentinel event past the
     gap before replaying (see the ``stream_sessionize`` gate query).
     """
-    import shutil
-    import tempfile
+    from .runner import drain_bounded
 
-    checkpoint_dir = tempfile.mkdtemp(prefix="smashed_stream_ckpt_")
     spark = stream.sparkSession
     # a bounded replay with NoTimeout state never needs the trailing
     # no-data micro-batch (it exists to advance watermarks/timeouts)
@@ -207,23 +207,12 @@ def run_sessionize_bounded(
     sessions = streaming_sessionize(
         stream, gap_minutes=gap_minutes, idle_timeout=False
     )
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.awaitTermination(timeout_seconds)
+        drain_bounded(
+            sessions, query_name, timeout_seconds=timeout_seconds
+        )
     finally:
         spark.conf.set(nd_key, nd_prev)
-        if q.isActive:  # timed out: don't yank the checkpoint mid-commit
-            q.stop()
-            q.awaitTermination(30)
-        if not q.isActive:
-            shutil.rmtree(checkpoint_dir, ignore_errors=True)
 
 
 def run_sessionize_event_time(
@@ -234,7 +223,8 @@ def run_sessionize_event_time(
     timeout_seconds: float = 120.0,
 ) -> None:
     """Sessionize a *bounded* replay with **event-time** idle timeouts
-    into a memory sink and return when the stream is exhausted.
+    into the configured bounded sink (see ``runner.drain_bounded``)
+    and return when the stream is exhausted.
 
     ``idle_timeout="event"`` + ``trigger(availableNow=True)``: data
     batches emit gap-closed sessions; the trailing no-data micro-batch
@@ -250,29 +240,12 @@ def run_sessionize_event_time(
     termination is well-defined and the flush set is a pure function
     of the data.
     """
-    import shutil
-    import tempfile
+    from .runner import drain_bounded
 
-    checkpoint_dir = tempfile.mkdtemp(prefix="smashed_stream_ckpt_")
     sessions = streaming_sessionize(
         stream,
         gap_minutes=gap_minutes,
         idle_timeout="event",
         watermark_delay=watermark_delay,
     )
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_seconds)
-    finally:
-        if q.isActive:  # timed out: don't yank the checkpoint mid-commit
-            q.stop()
-            q.awaitTermination(30)
-        if not q.isActive:
-            shutil.rmtree(checkpoint_dir, ignore_errors=True)
+    drain_bounded(sessions, query_name, timeout_seconds=timeout_seconds)

@@ -371,3 +371,56 @@ def test_stream_dedup_batch_equivalence(spark, sf_dir):
     doubled = batch.unionAll(batch)
     out = stream_dedup(doubled, id_cols=("event_id",))
     assert out.count() == batch.count()
+
+
+def test_parquet_sink_matches_memory_sink(spark, sf_dir, tmp_path, monkeypatch):
+    """SMASHED_STREAM_SINK=parquet (the production / scale-probe path)
+    must produce exactly the rows the memory sink produces — the drain
+    goes executor->files and spark.table(name) reads the registered
+    view instead of the driver-collected sink table."""
+    from pyspark.sql import functions as F
+
+    from smashed_spark.plans.registry import load
+    from smashed_spark.streaming.runner import run_stream_bounded, stream_dedup
+
+    batch = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    dup = batch.where(F.col("event_id") % 7 == 0)
+    src = str(tmp_path / "dup_events_sink_ab")
+    batch.unionAll(dup).repartition(4).write.parquet(src)
+
+    def drained(name):
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = stream_dedup(stream, id_cols=("event_id",), watermark="2 hours")
+        run_stream_bounded(out, name)
+        return spark.table(name)
+
+    monkeypatch.delenv("SMASHED_STREAM_SINK", raising=False)
+    mem = drained("t_sink_ab_mem")
+    monkeypatch.setenv("SMASHED_STREAM_SINK", "parquet")
+    pq = drained("t_sink_ab_pq")
+
+    assert pq.count() == mem.count() == batch.count()
+    mem_rows = sorted(map(tuple, mem.collect()))
+    pq_rows = sorted(map(tuple, pq.collect()))
+    assert pq_rows == mem_rows
+    # schema contract survives the file round-trip
+    assert pq.schema == mem.schema
+
+
+def test_parquet_sink_rejects_non_append_modes(spark, monkeypatch):
+    import pytest as _pytest
+
+    from smashed_spark.streaming.runner import drain_bounded
+
+    monkeypatch.setenv("SMASHED_STREAM_SINK", "parquet")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    )
+    agg = stream.groupBy().count()
+    with _pytest.raises(ValueError, match="append mode only"):
+        drain_bounded(agg, "t_bad_mode", output_mode="complete")
+    monkeypatch.setenv("SMASHED_STREAM_SINK", "tachyon")
+    with _pytest.raises(ValueError, match="memory|parquet"):
+        drain_bounded(stream, "t_bad_sink")

@@ -246,3 +246,41 @@ def test_ngram_cap_adds_no_extra_exchange(spark, sf_dir):
     )
     assert "CartesianProduct" not in join, join
     assert "BroadcastNestedLoopJoin" not in join, join
+
+
+def test_curation_chain_single_exchange(spark, sf_dir):
+    """The corpus-composition chain — sample_mix(method='hash') ->
+    quota_sample -> hash_split — composes NARROWLY: mixing is a scan-
+    speed hash filter + metadata union, split assignment is a pure
+    per-row hash, and the only exchange in the whole pipeline is the
+    quota window's group shuffle, whose row_number()<=N compiles to a
+    WindowGroupLimit (partial per-group top-N below the exchange).
+    All three share the portable md5 key convention, so the composed
+    output is partitioning-independent end to end."""
+    from smashed_spark.sources.loaders import (
+        hash_split,
+        quota_sample,
+        sample_mix,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    mixed = sample_mix(
+        [a, b], [0.8, 0.3], method="hash", key_field="doc_id"
+    )
+    capped = quota_sample(
+        mixed, ["lang"], max_per_group=50, key_field="doc_id"
+    )
+    tagged = hash_split(
+        capped,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_field="doc_id",
+    )
+    plan = _explain(tagged)
+    # ONE exchange (the quota group shuffle), with the partial + final
+    # WindowGroupLimit pair around it; no Python stage anywhere
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("WindowGroupLimit (") == 2, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan

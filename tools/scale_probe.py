@@ -52,10 +52,16 @@ QUERIES = [
     "stream_dedup",
     "pack_sequences",
 ]
-# the two steepest 10x curves get the extra decade; they read only
-# events / embeddings, so the deep build skips the (expensive)
-# word-tagged documents blowup entirely
-DEEP_QUERIES = ["stream_sessionize", "ann_ivf_topk"]
+# the steepest 10x curves get the extra decade. stream_sessionize /
+# ann_ivf_topk read only events / embeddings; dedup_ngram_jaccard
+# (steepest BATCH curve at 10x: 2.75) needs the word-tagged documents
+# blowup at 100x, built separately (documents only).
+DEEP_QUERIES = ["stream_sessionize", "ann_ivf_topk", "dedup_ngram_jaccard"]
+# streaming probes drain through the PRODUCTION parquet sink (round 5
+# forensics: the memory sink's driver-side collect adds a superlinear
+# term at 100x — 14.8x/decade vs 6.7x with parquet; sink_ab_100x keeps
+# the A/B).  Batch queries are unaffected by the env var.
+STREAMING_QUERIES = {"stream_sessionize", "stream_dedup"}
 
 
 def build_scaled(spark, out_dir: str) -> None:
@@ -117,36 +123,83 @@ def build_scaled(spark, out_dir: str) -> None:
     )
 
 
-def build_scaled_deep(spark, out_dir: str, copies: int) -> None:
-    """events + embeddings only, at ``copies`` x — the two deep-probe
-    queries touch nothing else."""
+def build_scaled_deep(
+    spark, out_dir: str, copies: int, tables=("events", "embeddings")
+) -> None:
+    """Only the tables the selected deep-probe queries read, at
+    ``copies`` x — sessionize needs events, IVF needs embeddings, the
+    ngram probe needs word-tagged documents (same constant-density
+    tagging discipline as the 10x build)."""
     from pyspark.sql import functions as F
-
-    events = spark.read.parquet(f"{BASE}/events.parquet")
-    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
 
     def copies_of(df, id_col):
         c = F.explode(F.array(*[F.lit(i) for i in range(copies)]))
-        return (
-            df.withColumn("__copy__", c)
-            .withColumn(
-                id_col,
-                F.col(id_col).cast("bigint")
-                + F.col("__copy__").cast("bigint") * F.lit(10**9),
-            )
-            .drop("__copy__")
+        return df.withColumn("__copy__", c).withColumn(
+            id_col,
+            F.col(id_col).cast("bigint")
+            + F.col("__copy__").cast("bigint") * F.lit(10**9),
         )
 
-    copies_of(events, "user_id").withColumn(
-        "event_id",
-        F.col("event_id").cast("bigint")
-        + F.expr("user_id div 1000000000") * F.lit(10**9),
-    ).repartition(64).write.mode("overwrite").parquet(
-        f"{out_dir}/events.parquet"
+    if "events" in tables:
+        events = spark.read.parquet(f"{BASE}/events.parquet")
+        copies_of(events, "user_id").withColumn(
+            "event_id",
+            F.col("event_id").cast("bigint")
+            + F.expr("user_id div 1000000000") * F.lit(10**9),
+        ).drop("__copy__").repartition(64).write.mode("overwrite").parquet(
+            f"{out_dir}/events.parquet"
+        )
+    if "embeddings" in tables:
+        emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+        copies_of(emb, "vec_id").drop("__copy__").repartition(32).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/embeddings.parquet")
+    if "documents" in tables:
+        docs = spark.read.parquet(f"{BASE}/documents.parquet")
+        copy_tag = F.concat(F.lit("zq"), F.col("__copy__").cast("string"))
+        (
+            copies_of(docs, "doc_id")
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, copy_tag),
+                    ),
+                    " ",
+                ),
+            )
+            .drop("__copy__")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/documents.parquet")
+        )
+
+
+# tables each deep query reads (drives the selective 100x build)
+DEEP_TABLES = {
+    "stream_sessionize": "events",
+    "ann_ivf_topk": "embeddings",
+    "dedup_ngram_jaccard": "documents",
+}
+
+
+def _ngram_choice(spark, sf_dir: str) -> str:
+    """What the gate mapper's method='auto' router picks on this
+    corpus (gate parameters) — recorded per scale so BENCH_SCALE shows
+    the prefix/join routing flipping as the blown-up corpus gets more
+    Zipfian."""
+    from pyspark.sql import functions as F
+
+    from smashed_spark.functions.dedup import NGramJaccardPairsMapper
+
+    m = NGramJaccardPairsMapper(
+        "doc_id", threshold=0.2, max_shingle_freq=1024
     )
-    copies_of(emb, "vec_id").repartition(32).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/embeddings.parquet")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "words", F.split("text", " ")
+    )
+    return m._choose_method(df)
 
 
 def main() -> None:
@@ -204,12 +257,17 @@ def main() -> None:
 
     def run(name: str, sf_dir: str, reps: int = 2) -> tuple[float, int]:
         best, rows = -1.0, 0
-        for _ in range(reps):
-            isolate()
-            t0 = time.perf_counter()
-            rows = queries[name](spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best < 0 else min(best, dt)
+        if name in STREAMING_QUERIES:
+            os.environ["SMASHED_STREAM_SINK"] = "parquet"
+        try:
+            for _ in range(reps):
+                isolate()
+                t0 = time.perf_counter()
+                rows = queries[name](spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+        finally:
+            os.environ.pop("SMASHED_STREAM_SINK", None)
         return round(best, 3), rows
 
     result = {"copies": COPIES, "base": BASE, "queries": {}}
@@ -230,6 +288,13 @@ def main() -> None:
             "rows_1x": r1,
             "rows_10x": r10,
         }
+        if name in STREAMING_QUERIES:
+            result["queries"][name]["sink"] = "parquet"
+        if name == "dedup_ngram_jaccard":
+            result["queries"][name]["method_1x"] = _ngram_choice(spark, BASE)
+            result["queries"][name]["method_10x"] = _ngram_choice(
+                spark, scaled_dir
+            )
         print(
             f"# {name}: 1x={t1}s 10x={t10}s ratio={ratio} "
             f"rows {r1}->{r10}",
@@ -251,10 +316,17 @@ def main() -> None:
         f"# building {DEEP_COPIES}x deep inputs under {deep_dir}",
         file=sys.stderr,
     )
-    build_scaled_deep(spark, deep_dir, DEEP_COPIES)
+    build_scaled_deep(
+        spark,
+        deep_dir,
+        DEEP_COPIES,
+        tables={DEEP_TABLES[q] for q in deep_sel},
+    )
     for name in deep_sel:
         t100, r100 = run(name, deep_dir, reps=1)
         q = result["queries"][name]
+        if name == "dedup_ngram_jaccard":
+            q["method_100x"] = _ngram_choice(spark, deep_dir)
         q["sec_100x"] = t100
         q["rows_100x"] = r100
         q["wall_ratio_100x"] = (
