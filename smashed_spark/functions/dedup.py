@@ -958,6 +958,7 @@ def fuzzy_dedup(
     verify: bool = True,
     simhash_bits: int = 64,
     max_hamming: int = 3,
+    n_centroids: int = 16,
     max_iterations: int = 30,
 ) -> DataFrame:
     """One-call end-to-end fuzzy deduplication: near-dup PAIRS (by the
@@ -983,6 +984,10 @@ def fuzzy_dedup(
       ``threshold`` is unused.
     * ``"embedding"`` — cosine ``>= threshold`` on ``vector_field``
       (broadcast-BLAS / LSH tier auto-selected by the pair mapper).
+    * ``"semantic"`` — SemDeDup: cosine ``>= threshold`` evaluated
+      within spherical-kmeans cells only
+      (:class:`SemanticNearDupPairsMapper` — the O(N²/k) cluster-
+      scoped scale path for embedding dedup).
 
     Text methods read ``words_field``; when it is absent the words are
     derived by whitespace-splitting ``text_field`` (the convention the
@@ -993,7 +998,9 @@ def fuzzy_dedup(
     """
     from .graph import DedupClustersMapper
 
-    if method not in ("minhash", "ngram", "simhash", "embedding"):
+    if method not in (
+        "minhash", "ngram", "simhash", "embedding", "semantic"
+    ):
         raise ValueError(f"unknown fuzzy_dedup method {method!r}")
 
     work = df
@@ -1034,13 +1041,166 @@ def fuzzy_dedup(
         pairs = SimHashNearDupPairsMapper(
             id_field, bits=simhash_bits, max_hamming=max_hamming
         ).map(signed)
-    else:  # embedding
+    elif method == "embedding":
         pairs = EmbeddingNearDupPairsMapper(
             id_field=id_field,
             vector_field=vector_field,
             threshold=threshold,
         ).map(work)
+    else:  # semantic (SemDeDup): cluster-scoped cosine pairs
+        pairs = SemanticNearDupPairsMapper(
+            id_field=id_field,
+            vector_field=vector_field,
+            threshold=threshold,
+            n_centroids=n_centroids,
+        ).map(work)
 
+    return DedupClustersMapper(
+        pairs.select("id_a", "id_b"),
+        id_field=id_field,
+        max_iterations=max_iterations,
+    ).map(df)
+
+
+class SemanticNearDupPairsMapper(SparkMapper):
+    """Semantic near-duplicate pairs à la SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): a spherical-kmeans coarse quantizer partitions
+    the embedding corpus into cells, and pairwise cosine similarity is
+    evaluated ONLY within each cell — the quadratic term shrinks from
+    O(N²) to O(Σ cell²) ≈ O(N²/k), and with ``n_centroids`` grown
+    ~N/cell_budget the per-cell work is constant at any corpus size.
+
+    Semantics: emits ``(id_a, id_b, sim)`` for same-cell pairs with
+    cosine >= ``threshold`` (``id_a < id_b``, sim rounded to 6dp).
+    This is SemDeDup's approximation by construction: cross-cell
+    near-dups are not compared (the paper's premise is that semantic
+    duplicates share a cluster).  For threshold-exact pairs use
+    :class:`EmbeddingNearDupPairsMapper`.
+
+    Plan shape: bounded hash-ordered driver-side fit sample (same
+    bit-reproducible convention as ``IVFCosineTopK`` — which is what
+    lets the gate's DuckDB oracle replay the fit and embed centroids
+    as SQL literals), one Arrow-batched cell assignment, ONE exchange
+    on the cell key, then a chunked float64 matmul per cell.
+    ``max_cell_size`` fails fast instead of letting a degenerate
+    quantizer (all vectors in one cell) run quadratic — the fix is
+    more centroids, not a bigger limit.
+    """
+
+    def __init__(
+        self,
+        id_field: str = "vec_id",
+        vector_field: str = "embedding",
+        threshold: float = 0.8,
+        n_centroids: int = 16,
+        seed: int = 42,
+        max_iter: int = 5,
+        fit_sample: int = 100_000,
+        max_cell_size: int = 200_000,
+        chunk: int = 1024,
+    ) -> None:
+        self.id_field = id_field
+        self.vector_field = vector_field
+        self.threshold = threshold
+        self.n_centroids = n_centroids
+        self.seed = seed
+        self.max_iter = max_iter
+        self.fit_sample = fit_sample
+        self.max_cell_size = max_cell_size
+        self.chunk = chunk
+        super().__init__(input_fields=[id_field, vector_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        from .similarity import assign_cells, fit_centroids_sampled
+
+        base = df.select(
+            F.col(self.id_field).alias("__id__"),
+            F.transform(
+                F.col(self.vector_field), lambda x: x.cast("double")
+            ).alias("__v__"),
+        )
+        centroids = fit_centroids_sampled(
+            base, self.n_centroids, self.seed, self.max_iter,
+            self.fit_sample,
+        )
+        assigned = assign_cells(base, centroids)
+
+        thr = self.threshold
+        cap = self.max_cell_size
+        chunk = self.chunk
+
+        def cell_pairs(pdf):
+            import pandas as _pd
+
+            n = len(pdf)
+            if n < 2:
+                return _pd.DataFrame(
+                    {"id_a": [], "id_b": [], "sim": []}
+                ).astype({"id_a": "int64", "id_b": "int64", "sim": "float64"})
+            if n > cap:
+                raise ValueError(
+                    f"SemanticNearDupPairsMapper: cell holds {n} vectors "
+                    f"(> max_cell_size={cap}); increase n_centroids so "
+                    "cells stay scan-able instead of quadratic"
+                )
+            # deterministic within-cell order (ids), unit-normalize once
+            order = pdf["__id__"].to_numpy().argsort(kind="stable")
+            ids = pdf["__id__"].to_numpy()[order]
+            mat = np.array(list(pdf["__v__"].iloc[order]), dtype=np.float64)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            out_a, out_b, out_s = [], [], []
+            # chunked upper-triangle matmul: memory O(chunk * n)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                sims = mat[s:e] @ mat.T
+                for i in range(s, e):
+                    row = sims[i - s, i + 1:]
+                    hits = np.nonzero(row >= thr)[0]
+                    for j in hits:
+                        out_a.append(ids[i])
+                        out_b.append(ids[i + 1 + j])
+                        out_s.append(round(float(row[j]), 6))
+            return _pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "sim": out_s}
+            ).astype({"id_a": "int64", "id_b": "int64", "sim": "float64"})
+
+        from ..core.ship import ensure_shipped
+
+        ensure_shipped(df.sparkSession)
+        return assigned.groupBy("__cell__").applyInPandas(
+            cell_pairs, schema="id_a bigint, id_b bigint, sim double"
+        )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_field: str = "vec_id",
+    vector_field: str = "embedding",
+    threshold: float = 0.8,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iterations: int = 30,
+    **mapper_kwargs,
+) -> DataFrame:
+    """One-call SemDeDup: cluster-scoped cosine pairs
+    (:class:`SemanticNearDupPairsMapper`) -> connected components ->
+    the corpus tagged with ``cluster_id`` / ``is_kept`` (same contract
+    as :func:`fuzzy_dedup`; filter ``is_kept = 1`` to keep one
+    representative per semantic-duplicate group)."""
+    from .graph import DedupClustersMapper
+
+    pairs = SemanticNearDupPairsMapper(
+        id_field=id_field,
+        vector_field=vector_field,
+        threshold=threshold,
+        n_centroids=n_centroids,
+        seed=seed,
+        **mapper_kwargs,
+    ).map(df)
     return DedupClustersMapper(
         pairs.select("id_a", "id_b"),
         id_field=id_field,

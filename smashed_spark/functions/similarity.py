@@ -498,6 +498,68 @@ def fit_ivf_centroids(
     return centroids
 
 
+def fit_centroids_sampled(
+    base: DataFrame,
+    n_centroids: int,
+    seed: int,
+    max_iter: int,
+    fit_sample: int,
+):
+    """Spherical k-means on a BOUNDED driver-side sample of ``base``
+    (columns ``__id__``, ``__v__``) — at most ``fit_sample`` vectors; a
+    coarse quantizer needs a sample, not the corpus, at any scale.
+
+    The fit set is the ``fit_sample`` rows with the smallest
+    ``md5(id)`` — a deterministic *pseudo-random* sample, not the head
+    of the data (a head sample on a corpus sorted by topic/time would
+    show the quantizer only the first split's vectors).  Spark
+    executes order-by+limit as TakeOrderedAndProject (per-partition
+    top-n, no global sort), and the hash order makes the row order —
+    hence the seeded init and the centroids — bit-reproducible, which
+    is what lets DuckDB oracles replay the fit and embed the centroids
+    as SQL literals.  Shared by :class:`IVFCosineTopK` and
+    ``SemanticNearDupPairsMapper``.
+    """
+    import numpy as np
+
+    rows = (
+        base.orderBy(F.md5(F.col("__id__").cast("string")), F.col("__id__"))
+        .limit(fit_sample)
+        .select("__v__")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot fit centroids on an empty corpus")
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    return fit_ivf_centroids(mat, n_centroids, seed, max_iter)
+
+
+def assign_cells(base: DataFrame, centroids) -> DataFrame:
+    """Attach ``__cell__`` — the argmax-cosine centroid index — to a
+    ``(__id__, __v__)`` frame: one argmax-matmul per Arrow batch
+    against the broadcast (closure) centroids; ties take the lowest
+    cell (numpy argmax), which oracles replay with a deterministic
+    ROW_NUMBER tie-break."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    from ..core.ship import ensure_shipped
+
+    ensure_shipped(base.sparkSession)
+    cent_t = centroids.T.copy()
+
+    @pandas_udf(IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.array(list(v), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cent_t, axis=1).astype("int32"))
+
+    return base.withColumn("__cell__", assign("__v__"))
+
+
 def ivf_probe_map(centroids, n_probe: int) -> dict:
     """cell -> its ``n_probe`` most-similar cells (including itself),
     from the tiny centroid×centroid similarity matrix."""
@@ -581,22 +643,16 @@ class IVFCosineTopK(SparkMapper):
         literals."""
         import numpy as np
 
-        rows = (
-            base.orderBy(
-                F.md5(F.col("__id__").cast("string")), F.col("__id__")
+        try:
+            return fit_centroids_sampled(
+                base,
+                self.n_centroids,
+                self.seed,
+                self.max_iter,
+                self.fit_sample,
             )
-            .limit(self.fit_sample)
-            .select("__v__")
-            .collect()
-        )
-        if not rows:
-            raise ValueError(
-                "IVFCosineTopK: cannot fit centroids on an empty corpus"
-            )
-        mat = np.array([r[0] for r in rows], dtype=np.float64)
-        return fit_ivf_centroids(
-            mat, self.n_centroids, self.seed, self.max_iter
-        )
+        except ValueError as e:
+            raise ValueError(f"IVFCosineTopK: {e}") from None
 
     def apply(self, df: DataFrame) -> DataFrame:
         import numpy as np
@@ -617,19 +673,7 @@ class IVFCosineTopK(SparkMapper):
             ).alias("__v__"),
         )
         centroids = self._fit_centroids(base)
-        cent_t = centroids.T.copy()
-
-        @pandas_udf(IntegerType())
-        def assign(v: pd.Series) -> pd.Series:
-            if len(v) == 0:
-                return pd.Series([], dtype="int32")
-            mat = np.array(list(v), dtype=np.float64)
-            mat /= np.maximum(
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
-            )
-            return pd.Series(np.argmax(mat @ cent_t, axis=1).astype("int32"))
-
-        assigned = base.withColumn("__cell__", assign("__v__"))
+        assigned = assign_cells(base, centroids)
 
         # 2. driver-side: for each query cell we need its n_probe
         #    nearest centroids (tiny matrix)

@@ -56,21 +56,19 @@ def _simhash_terms(bits: int) -> str:
     )
 
 
-def _simhash_sql(bits: int) -> str:
-    return (
-        _SIMHASH_BASE_SQL
-        + f"SELECT doc_id, CAST({_simhash_terms(bits)} AS BIGINT) AS simhash FROM base"
-    )
-
-
 def _simhash_pairs_sql(bits: int, max_hamming: int) -> str:
+    # emits both endpoints' full fingerprints alongside the Hamming
+    # distance so SimHashMapper stays value-certified after the r6
+    # fold of the standalone dedup_simhash gate into this one (same
+    # cap-freeing pattern as round 5's minhash-signature fold)
     return (
         _SIMHASH_BASE_SQL
         + f"""
     , sig AS (SELECT doc_id,
               CAST({_simhash_terms(bits)} AS BIGINT) AS simhash FROM base)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+           a.simhash AS simhash_a, b.simhash AS simhash_b
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
@@ -240,33 +238,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cluster_id", "is_kept")
 
 
-@query("dedup_simhash", oracle=_simhash_sql(16))
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (16 bits) over document words."""
-    from ..functions.dedup import SimHashMapper
-
-    df = load(spark, sf_dir, "documents").withColumn(
-        "words", F.split("text", " ")
-    )
-    return SimHashMapper(bits=16).map(df).select("doc_id", "simhash")
-
-
+# r6: the standalone dedup_simhash gate (SimHashMapper fingerprints,
+# formerly certified at 16 bits via _simhash_sql) folded into
+# dedup_simhash_pairs, which now emits both endpoints' full 32-bit
+# fingerprints — freeing a registry slot for semantic_dedup under the
+# 50-query cap while keeping SimHashMapper value-certified.
 @query("dedup_simhash_pairs", oracle=_simhash_pairs_sql(32, 3))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3 (Manku et al.
     2007 banding, 32-bit fingerprints): band equi-join + bit_count
     verify.  Banding is EXACT
     by pigeonhole, so the oracle's direct all-pairs join over the same
-    fingerprints produces the identical pair set."""
+    fingerprints produces the identical pair set.  Both endpoints'
+    fingerprints ride along (folded dedup_simhash gate)."""
     from ..functions.dedup import SimHashMapper, SimHashNearDupPairsMapper
 
     df = load(spark, sf_dir, "documents").withColumn(
         "words", F.split("text", " ")
     )
-    pipe = SimHashMapper(bits=32) >> SimHashNearDupPairsMapper(
+    sig = SimHashMapper(bits=32).map(df).select("doc_id", "simhash")
+    pairs = SimHashNearDupPairsMapper(
         "doc_id", bits=32, max_hamming=3
+    ).map(sig)
+    return (
+        pairs.join(
+            sig.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("simhash").alias("simhash_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("simhash").alias("simhash_b"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "hamming", "simhash_a", "simhash_b")
     )
-    return pipe.map(df)
 
 
 @query(
@@ -973,6 +983,112 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_filter="vec_id < 20",
     ).map(load(spark, sf_dir, "embeddings"))
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# Last sf_dir the semantic_dedup GATE query fit on — same centroid-
+# parity fail-fast as ann_ivf_topk (the oracle replays the fit on its
+# own sf dir; a mismatch must fail loudly, not hash-mismatch opaquely).
+_SEM_GATE_SF_DIR: dict = {"dir": None}
+
+
+def _semantic_pairs_sql(
+    threshold: float,
+    n_centroids: int,
+    max_iter: int,
+    seed: int,
+    fit_sample: int = 100_000,
+) -> "Callable[[], str]":  # noqa: F821
+    """LAZY oracle for SemanticNearDupPairsMapper (SemDeDup): replay
+    the spherical-kmeans fit driver-side exactly like the mapper
+    (hash-ordered fit set, same numpy Lloyd), embed the bit-identical
+    centroids as SQL literals, assign cells with the same
+    normalize-then-dot argmax (lowest cell on ties), then a plain
+    within-cell self-join computing normalized cosine >= threshold —
+    the quadratic form the mapper's cell-scoped matmul avoids at
+    scale, exact at oracle scale."""
+
+    def build() -> str:
+        import os
+
+        import duckdb
+        import numpy as np
+
+        from ..functions.similarity import fit_ivf_centroids
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        if _SEM_GATE_SF_DIR["dir"] not in (None, os.path.normpath(sf_dir)):
+            raise RuntimeError(
+                "semantic_dedup oracle/gate sf_dir mismatch: the Spark "
+                f"gate query fit on {_SEM_GATE_SF_DIR['dir']} but the "
+                f"oracle would replay the fit on {sf_dir} (from "
+                "SPARK_GRAFT_ORACLE_SF_DIR). Centroid parity is "
+                "per-corpus by construction."
+            )
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+            f"FROM '{sf_dir}/embeddings.parquet' "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+            f"LIMIT {fit_sample}"
+        ).fetchall()
+        con.close()
+        mat = np.array([r[0] for r in rows], dtype=np.float64)
+        centroids = fit_ivf_centroids(mat, n_centroids, seed, max_iter)
+        cent_vals = ",\n        ".join(
+            f"({c}, [" + ", ".join(repr(x) for x in centroids[c])
+            + "]::DOUBLE[])"
+            for c in range(len(centroids))
+        )
+        return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    un AS (SELECT vec_id,
+                  list_transform(v, x -> x / greatest(
+                      sqrt(list_dot_product(v, v)), 1e-12)) AS u
+           FROM e),
+    cents AS (SELECT * FROM (VALUES
+        {cent_vals}) t(cell, c)),
+    asg AS (
+        SELECT vec_id, u, cell FROM (
+            SELECT un.vec_id, un.u, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY un.vec_id
+                       ORDER BY list_dot_product(un.u, c.c) DESC, c.cell
+                   ) AS rn
+            FROM un CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.u, b.u), 6) AS sim
+    FROM asg a JOIN asg b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.u, b.u) >= {threshold}
+    """
+
+    return build
+
+
+@query("semantic_dedup", oracle=_semantic_pairs_sql(0.35, 8, 3, 42))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
+    spherical-kmeans cells from a bounded hash-ordered fit sample,
+    Arrow-batched cell assignment, ONE exchange on the cell key, then
+    a chunked unit-vector matmul per cell — the O(N²/k) cluster-scoped
+    form of embedding_near_dup.  Deterministic given seed + hash
+    order, so the oracle replays the fit and the cell assignment
+    exactly (same pattern as ann_ivf_topk)."""
+    import os
+
+    from ..functions.dedup import SemanticNearDupPairsMapper
+
+    _SEM_GATE_SF_DIR["dir"] = os.path.normpath(sf_dir)
+    return SemanticNearDupPairsMapper(
+        threshold=0.35, n_centroids=8, max_iter=3, seed=42
+    ).map(load(spark, sf_dir, "embeddings"))
 
 
 @query(

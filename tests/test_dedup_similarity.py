@@ -735,3 +735,126 @@ def test_fuzzy_dedup_rejects_unknown_method_and_missing_columns(spark):
     no_text = corpus.drop("text")
     with pytest.raises(ValueError, match="needs a 'words'"):
         fuzzy_dedup(no_text, method="ngram")
+
+
+# ---------------------------------------------------------------- #
+# SemanticNearDupPairsMapper (SemDeDup): cluster-scoped cosine      #
+# ---------------------------------------------------------------- #
+
+
+def _clustered_vectors(n_per=20, dims=8, seed=7):
+    """Three tight clusters far apart + per-vector jitter: semantic
+    duplicates share a cluster by construction (the SemDeDup regime)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    anchors = np.eye(3, dims) * 10.0
+    rows = []
+    vid = 0
+    for a in anchors:
+        for _ in range(n_per):
+            v = a + rng.normal(0, 0.15, dims)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_semantic_pairs_match_bruteforce_within_cells(spark):
+    """Pairs == brute-force cosine>=thr restricted to same kmeans cell
+    (the mapper's exact contract), and on a well-clustered corpus the
+    cell restriction loses nothing vs the global exact pair set."""
+    import numpy as np
+
+    from smashed_spark.functions.dedup import (
+        EmbeddingNearDupPairsMapper,
+        SemanticNearDupPairsMapper,
+    )
+    from smashed_spark.functions.similarity import (
+        fit_ivf_centroids,
+    )
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    thr = 0.9
+    m = SemanticNearDupPairsMapper(
+        threshold=thr, n_centroids=3, seed=42, max_iter=5
+    )
+    got = {
+        (r.id_a, r.id_b): r.sim for r in m.map(df).collect()
+    }
+
+    # driver-side replay: same fit sample (hash order), same Lloyd,
+    # same argmax assignment, brute-force within-cell cosine
+    import hashlib
+
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    mat = np.array([r[1] for r in order], dtype=np.float64)
+    cents = fit_ivf_centroids(mat, 3, 42, 5)
+    ids = np.array([r[0] for r in rows])
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    cells = np.argmax(unit @ cents.T, axis=1)
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = int(ids[i]), int(ids[j])
+            if a > b:
+                a, b = b, a
+            if cells[i] == cells[j]:
+                s = float(unit[i] @ unit[j])
+                if s >= thr:
+                    want[(a, b)] = round(s, 6)
+    assert got == want
+    # clustered corpus: cell restriction == global exact pair set
+    exact = {
+        (r.id_a, r.id_b)
+        for r in EmbeddingNearDupPairsMapper(
+            threshold=thr, strategy="broadcast"
+        ).map(df).collect()
+    }
+    assert set(got) == exact
+
+
+def test_semantic_cell_cap_fails_fast(spark):
+    from smashed_spark.functions.dedup import SemanticNearDupPairsMapper
+
+    rows = _clustered_vectors(n_per=30)
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    m = SemanticNearDupPairsMapper(
+        threshold=0.9, n_centroids=1, max_cell_size=10
+    )
+    with pytest.raises(Exception, match="max_cell_size"):
+        m.map(df).count()
+
+
+def test_semantic_dedup_tags_corpus(spark):
+    from smashed_spark.functions.dedup import semantic_dedup
+
+    # n_per=20: enough fit points that the 3-centroid quantizer lands
+    # one centroid per anchor (a 15-point fit can split a tight cluster
+    # across two cells — the SemDeDup approximation surfacing, not a
+    # bug; the pairs-level contract is pinned by the bruteforce test)
+    rows = _clustered_vectors(n_per=20)
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    out = semantic_dedup(df, threshold=0.9, n_centroids=3)
+    got = {r.vec_id: (r.cluster_id, r.is_kept) for r in out.collect()}
+    assert len(got) == 60
+    # every tight cluster keeps exactly one representative
+    kept = [v for v, (_, k) in got.items() if k == 1]
+    assert len(kept) == 3
+    # representatives are the min ids of their clusters
+    for v, (cid, k) in got.items():
+        assert (cid == v) == (k == 1)
+
+
+def test_fuzzy_dedup_semantic_method(spark):
+    from smashed_spark.functions.dedup import fuzzy_dedup
+
+    rows = _clustered_vectors(n_per=20)
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    out = fuzzy_dedup(
+        df, id_field="vec_id", method="semantic", threshold=0.9,
+        n_centroids=3,
+    )
+    kept = out.filter("is_kept = 1").count()
+    assert kept == 3
