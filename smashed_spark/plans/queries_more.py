@@ -492,12 +492,27 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS qr
         FROM mixed
     )
-    SELECT doc_id, lang, n_chars, src,
-           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'),
-                                     1, 15))::BIGINT
-                     < CAST(0.9 * 1152921504606846976 AS BIGINT)
-                THEN 'train' ELSE 'heldout' END AS split
-    FROM ranked WHERE qr <= 25
+    , capped AS (
+        SELECT doc_id, lang, n_chars, src,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                             || ':11'), 1, 15))::BIGINT
+                         < CAST(0.9 * 1152921504606846976 AS BIGINT)
+                    THEN 'train' ELSE 'heldout' END AS split
+        FROM ranked WHERE qr <= 25
+    ), sharded AS (
+        SELECT *,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'),
+                                    1, 15))::BIGINT % 4 AS INT) AS shard
+        FROM capped
+    )
+    SELECT doc_id, lang, n_chars, src, split, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || ':5:order'), 1, 15))::BIGINT,
+                        doc_id
+           ) AS BIGINT) AS shard_rank
+    FROM sharded
     """,
 )
 def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,6 +554,13 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hash_split(
         out, {"train": 0.9, "heldout": 0.1}, "doc_id", seed=11
     )
+    # r6: deterministic training-shard export closes the chain — same
+    # portable-hash convention, so shard AND within-shard order replay
+    # in SQL (sinks.shard_for_training; write_training_shards
+    # materializes it as shard=N/ directories in rank order)
+    from ..sources.sinks import shard_for_training
+
+    out = shard_for_training(out, "doc_id", n_shards=4, seed=5)
     return out.withColumn("src", F.col("src").cast("int"))
 
 

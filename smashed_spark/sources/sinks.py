@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -78,3 +79,77 @@ def write_csv(
     if compression:
         writer = writer.option("compression", compression)
     writer.csv(path)
+
+
+def shard_for_training(
+    df: DataFrame,
+    key_field: str,
+    n_shards: int,
+    seed: int = 13,
+    shard_column: str = "shard",
+    rank_column: str = "shard_rank",
+) -> DataFrame:
+    """Deterministic training-shard assignment + within-shard shuffle
+    order — the export step of a curation pipeline: training loaders
+    consume fixed-count shard files in a reproducible pseudo-random
+    order, so both the shard a document lands in and its position
+    inside the shard must be pure functions of the data.
+
+    * ``shard = portable_hash60(key ":" seed) mod n_shards`` — narrow,
+      append-stable (a new document never moves an old one), and the
+      same md5 convention as ``sample_mix(method='hash')`` /
+      ``hash_split``, so the whole mix→cap→split→shard chain is
+      engine-replayable.
+    * ``rank_column = row_number()`` within the shard, ordered by an
+      independent order hash (``key ":" seed ":order"``) then the key —
+      a seeded shuffle of the shard's rows (hash order ≈ random order,
+      the standard trick for training-order randomization without a
+      global sort).
+
+    Scale: ONE exchange on the shard key; each shard sorts
+    independently (corpus/n_shards rows per task — grow ``n_shards``
+    with the corpus so a shard stays one task's worth, which is also
+    what makes each shard one well-sized output file).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import portable_hash60
+
+    key = F.col(key_field).cast("string")
+    shard = F.pmod(
+        portable_hash60(F.concat_ws(":", key, F.lit(str(seed)))),
+        F.lit(n_shards),
+    ).cast("int")
+    order = portable_hash60(
+        F.concat_ws(":", key, F.lit(f"{seed}:order"))
+    )
+    out = df.withColumn(shard_column, shard)
+    w = Window.partitionBy(shard_column).orderBy(
+        order.asc(), F.col(key_field).asc()
+    )
+    return out.withColumn(rank_column, F.row_number().over(w))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_field: str,
+    n_shards: int,
+    seed: int = 13,
+    mode: str = "error",
+) -> None:
+    """Materialize :func:`shard_for_training`: one directory per shard
+    (``shard=N/``), rows stored in shard-rank order so a sequential
+    reader replays the deterministic shuffle.  ``repartition`` on the
+    shard value co-locates each shard in one task before the
+    partitioned write."""
+    sharded = shard_for_training(df, key_field, n_shards, seed=seed)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_rank")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

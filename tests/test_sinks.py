@@ -22,3 +22,73 @@ def test_jsonl_csv_roundtrip(spark, sf_dir, tmp_path):
     write_csv(df, cp)
     assert spark.read.json(jp).count() == df.count()
     assert spark.read.csv(cp, header=True).count() == df.count()
+
+
+def test_shard_for_training_deterministic_and_partition_invariant(spark):
+    """Shard + rank are pure functions of keys: identical across
+    repartitionings, shards are balanced-ish, ranks are 1..len(shard),
+    and the order hash differs from the shard hash (the within-shard
+    order is a shuffle, not key order)."""
+    from smashed_spark.sources.sinks import shard_for_training
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], "doc_id: bigint, text: string"
+    )
+    a = {
+        (r.doc_id): (r.shard, r.shard_rank)
+        for r in shard_for_training(df, "doc_id", 4, seed=5).collect()
+    }
+    b = {
+        (r.doc_id): (r.shard, r.shard_rank)
+        for r in shard_for_training(
+            df.repartition(7), "doc_id", 4, seed=5
+        ).collect()
+    }
+    assert a == b
+    shards = {}
+    for doc, (s, r) in a.items():
+        shards.setdefault(s, []).append(r)
+    assert set(shards) == {0, 1, 2, 3}
+    for s, ranks in shards.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # within-shard rank order must not equal key order (it's a seeded
+    # shuffle): find one shard where ascending rank != ascending key
+    scrambled = any(
+        [d for d, (s, _) in sorted(a.items()) if s == sh]
+        != [
+            d
+            for d, _ in sorted(
+                ((d, r) for d, (s, r) in a.items() if s == sh),
+                key=lambda t: t[1],
+            )
+        ]
+        for sh in shards
+    )
+    assert scrambled
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """Shard directories materialize with rank-ordered rows inside."""
+    from smashed_spark.sources.sinks import (
+        shard_for_training,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "doc_id: bigint, text: string"
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", 4, seed=5, mode="overwrite")
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert set(back.select("shard").distinct().toPandas()["shard"]) == {
+        0, 1, 2, 3,
+    }
+    want = {
+        (r.doc_id, r.shard, r.shard_rank)
+        for r in shard_for_training(df, "doc_id", 4, seed=5).collect()
+    }
+    got = {
+        (r.doc_id, r.shard, r.shard_rank) for r in back.collect()
+    }
+    assert got == want
