@@ -1206,3 +1206,65 @@ def semantic_dedup(
         id_field=id_field,
         max_iterations=max_iterations,
     ).map(df)
+
+
+def normalize_for_dedup(col: Column) -> Column:
+    """Canonical text key for normalization-tolerant exact dedup — the
+    CCNet/RefinedWeb convention: lowercase, strip punctuation and
+    digits, collapse whitespace runs, trim.  Two documents differing
+    only in case/punctuation/spacing dedup together when this feeds
+    :class:`ExactDedupMapper`'s digest (``ExactDedupMapper`` on a
+    derived ``withColumn("norm_text", normalize_for_dedup(...))``).
+
+    Narrow JVM-side expression (lower + two regexp_replace + trim) —
+    scan-speed, and portable to any SQL engine for oracle replay.
+    """
+    x = F.lower(col)
+    # punctuation/digits become SPACES (not ""), so "foo-bar" and
+    # "foo bar" canonicalize identically instead of fusing to "foobar"
+    x = F.regexp_replace(x, r"[^\p{L}\p{M}\s]", " ")
+    x = F.regexp_replace(x, r"\s+", " ")
+    return F.trim(x)
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_digests: DataFrame,
+    text_field: str = "text",
+    order_by: str = "doc_id",
+    digest_field: str = "digest",
+) -> DataFrame:
+    """Append-only ingestion dedup: drop rows of ``new_df`` whose text
+    digest already exists in ``seen_digests`` (one ``digest`` column —
+    the running index a daily pipeline maintains), then dedup the
+    batch internally.  Returns the surviving rows; union their digests
+    (``with_digests(new_rows)``) into the index for the next batch.
+
+    Scale: a LEFT ANTI join on the digest — broadcast when the index
+    fits (Catalyst auto-selects), shuffled hash join otherwise; never
+    a rescan of the historical corpus, which is the point: the index
+    is ~32 bytes/doc while the corpus is ~100 KB/doc.
+    """
+    digest = F.md5(F.col(text_field))
+    keyed = new_df.withColumn(digest_field, digest)
+    fresh = keyed.join(
+        seen_digests.select(digest_field).distinct(),
+        digest_field,
+        "left_anti",
+    )
+    # batch-internal dedup: first row (by order_by) per digest within
+    # the new batch — row_number()==1 compiles to a WindowGroupLimit
+    # (partial per-group limit below the exchange)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(digest_field).orderBy(F.col(order_by).asc())
+    return (
+        fresh.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def with_digests(df: DataFrame, text_field: str = "text", digest_field: str = "digest") -> DataFrame:
+    """The digest projection to append to a running dedup index."""
+    return df.select(F.md5(F.col(text_field)).alias(digest_field))

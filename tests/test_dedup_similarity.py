@@ -858,3 +858,57 @@ def test_fuzzy_dedup_semantic_method(spark):
     )
     kept = out.filter("is_kept = 1").count()
     assert kept == 3
+
+
+# ---------------------------------------------------------------- #
+# normalize_for_dedup + incremental (append-only) dedup             #
+# ---------------------------------------------------------------- #
+
+
+def test_normalize_for_dedup_canonicalizes(spark):
+    from smashed_spark.functions.dedup import (
+        ExactDedupMapper,
+        normalize_for_dedup,
+    )
+
+    rows = [
+        (0, "Hello,   World!"),
+        (1, "hello world"),
+        (2, "HELLO-WORLD?"),
+        (3, "entirely different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string").withColumn(
+        "norm_text", normalize_for_dedup(F.col("text"))
+    )
+    vals = {r.doc_id: r.norm_text for r in df.collect()}
+    assert vals[0] == vals[1] == vals[2] == "hello world"
+    kept = (
+        ExactDedupMapper(text_field="norm_text").map(df).collect()
+    )
+    assert {r.doc_id for r in kept} == {0, 3}
+    assert {r.doc_id: r.dup_count for r in kept}[0] == 3
+
+
+def test_dedup_incremental_against_running_index(spark):
+    from smashed_spark.functions.dedup import (
+        dedup_incremental,
+        with_digests,
+    )
+
+    day1 = spark.createDataFrame(
+        [(0, "aaa"), (1, "bbb"), (2, "aaa")], "doc_id: bigint, text: string"
+    )
+    index = with_digests(day1.limit(0))  # empty index
+    kept1 = dedup_incremental(day1, index)
+    assert {r.doc_id for r in kept1.collect()} == {0, 1}  # in-batch dedup
+    index = index.unionByName(with_digests(kept1))
+
+    day2 = spark.createDataFrame(
+        [(3, "bbb"), (4, "ccc"), (5, "ccc"), (6, "aaa")],
+        "doc_id: bigint, text: string",
+    )
+    kept2 = dedup_incremental(day2, index)
+    # bbb and aaa already seen; ccc new, in-batch deduped to first
+    assert {r.doc_id for r in kept2.collect()} == {4}
+    # surviving rows keep the digest column for index maintenance
+    assert "digest" in kept2.columns
