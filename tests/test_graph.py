@@ -71,7 +71,9 @@ def test_cc_raises_without_convergence_budget(spark):
         [(i, i + 1) for i in range(64)], "id_a: bigint, id_b: bigint"
     )
     with pytest.raises(RuntimeError, match="no convergence"):
-        connected_components(df, max_iterations=2)
+        # small_graph_edges=0 pins the distributed path (the driver
+        # union-find tier has no iteration cap to hit)
+        connected_components(df, max_iterations=2, small_graph_edges=0)
 
 
 def test_dedup_clusters_mapper_end_to_end(spark):
@@ -129,3 +131,28 @@ def test_cc_refuses_non_integer_ids(spark):
     )
     with pytest.raises(TypeError, match="integer id"):
         connected_components(df)
+
+
+def test_small_graph_tier_matches_distributed(spark):
+    """The driver union-find tier and the distributed pointer-jumping
+    rounds must produce identical labels — including on an empty edge
+    list and on the long-path worst case."""
+    import random
+
+    rng = random.Random(3)
+    edges = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(500)
+    ] + [(i, i + 1) for i in range(100, 180)]
+    df = spark.createDataFrame(edges, "id_a: bigint, id_b: bigint")
+    fast = {
+        r.node: r.component
+        for r in connected_components(df).collect()  # driver tier
+    }
+    dist = {
+        r.node: r.component
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+
+    empty = spark.createDataFrame([], "id_a: bigint, id_b: bigint")
+    assert connected_components(empty).count() == 0
