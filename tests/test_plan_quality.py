@@ -284,3 +284,21 @@ def test_curation_chain_single_exchange(spark, sf_dir):
     assert plan.count("WindowGroupLimit (") == 2, plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan, plan
+
+
+def test_semantic_pairs_single_exchange_no_cartesian(spark, sf_dir):
+    """SemDeDup pairs: ONE exchange (the cell-key shuffle into the
+    per-cell Arrow stage) beyond the scan — never a cartesian/nested-
+    loop term, and exactly one Python stage (the chunked matmul)."""
+    from smashed_spark.functions.dedup import SemanticNearDupPairsMapper
+
+    df = load(spark, sf_dir, "embeddings")
+    out = SemanticNearDupPairsMapper(
+        threshold=0.35, n_centroids=4, max_iter=2
+    ).map(df)
+    plan = _explain(out)
+    for bad in ("CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan, plan
+    assert plan.count("FlatMapGroupsInPandas (") == 1, plan
+    # scan -> assign (ArrowEval) -> exchange on cell -> grouped matmul
+    assert plan.count("Exchange (") == 1, plan

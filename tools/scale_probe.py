@@ -55,8 +55,17 @@ QUERIES = [
 # the steepest 10x curves get the extra decade. stream_sessionize /
 # ann_ivf_topk read only events / embeddings; dedup_ngram_jaccard
 # (steepest BATCH curve at 10x: 2.75) needs the word-tagged documents
-# blowup at 100x, built separately (documents only).
-DEEP_QUERIES = ["stream_sessionize", "ann_ivf_topk", "dedup_ngram_jaccard"]
+# blowup at 100x, built separately.  r6 adds the window-explode shape
+# (dedup_substring: 50M windows at 100x) and the LSH->CC composition
+# (dedup_clusters) — the two remaining distinct plan shapes whose
+# second decade the earlier probes don't imply.
+DEEP_QUERIES = [
+    "stream_sessionize",
+    "ann_ivf_topk",
+    "dedup_ngram_jaccard",
+    "dedup_substring",
+    "dedup_clusters",
+]
 # streaming probes drain through the PRODUCTION parquet sink (round 5
 # forensics: the memory sink's driver-side collect adds a superlinear
 # term at 100x — 14.8x/decade vs 6.7x with parquet; sink_ab_100x keeps
@@ -181,6 +190,8 @@ DEEP_TABLES = {
     "stream_sessionize": "events",
     "ann_ivf_topk": "embeddings",
     "dedup_ngram_jaccard": "documents",
+    "dedup_substring": "documents",
+    "dedup_clusters": "documents",
 }
 
 
