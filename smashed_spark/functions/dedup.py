@@ -1084,7 +1084,13 @@ class SemanticNearDupPairsMapper(SparkMapper):
     on the cell key, then a chunked float64 matmul per cell.
     ``max_cell_size`` fails fast instead of letting a degenerate
     quantizer (all vectors in one cell) run quadratic — the fix is
-    more centroids, not a bigger limit.
+    more centroids, not a bigger limit.  Worker memory is bounded by
+    the cell matrix plus one matmul slab: ``max_cell_size × dims × 8``
+    bytes for the unit matrix (50k × 768d ≈ 300 MB) and ``chunk ×
+    max_cell_size × 8`` for the similarity block (256 × 50k ≈ 100 MB)
+    — sized for a default executor; shrink ``chunk`` first if memory
+    is tight, ``max_cell_size`` bounds compute (50k² ≈ 2.5e9
+    multiply-adds per full cell).
     """
 
     def __init__(
@@ -1096,8 +1102,8 @@ class SemanticNearDupPairsMapper(SparkMapper):
         seed: int = 42,
         max_iter: int = 5,
         fit_sample: int = 100_000,
-        max_cell_size: int = 200_000,
-        chunk: int = 1024,
+        max_cell_size: int = 50_000,
+        chunk: int = 256,
     ) -> None:
         self.id_field = id_field
         self.vector_field = vector_field

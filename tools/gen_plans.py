@@ -148,9 +148,14 @@ best-of-2 (ideal linear = 10):
 - `ann_ivf_topk` **1.30x at 10x, second decade 3.88x** (fixed
   100-row output): corpus-linear assignment + probe-cell rerank;
   the bounded fit sample keeps quantizer cost constant.
-- `dedup_substring` **1.54x**, `dedup_clusters` **1.20x**,
-  `stream_dedup` **1.68x** (parquet sink), `pack_sequences`
-  **1.32x** — all comfortably sublinear.
+- `dedup_substring` **1.81x at 10x, second decade 4.17x** (50M
+  windows at 100x): the one-wide-exchange window-hash shape holds.
+- `dedup_clusters` **1.39x at 10x, second decade 3.01x** (500k docs
+  at 100x): LSH pair generation dominates; the r6 small-graph
+  driver union-find tier solves the 13k-pair component step in one
+  job.
+- `stream_dedup` **1.68x** (parquet sink), `pack_sequences`
+  **1.32x** — comfortably sublinear.
 
 No query shows a superlinear wall-clock term at any probed decade.
 
