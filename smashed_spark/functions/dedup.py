@@ -138,16 +138,29 @@ class MinHashLSHPairsMapper(SparkMapper):
         signature_field: str = "minhash",
         bands: int = 4,
         rows_per_band: int = 4,
+        carry_signatures: bool = False,
     ) -> None:
         self.id_field = id_field
         self.signature_field = signature_field
         self.bands = bands
         self.rows_per_band = rows_per_band
+        # carry the full signatures through the band shuffle and emit
+        # them as ``minhash_a``/``minhash_b``: ``bands`` x ~64 B extra
+        # per doc in the bucket exchange, cheaper than the two post-
+        # joins (a recompute + an id shuffle of the signature table)
+        # that attaching them afterwards costs
+        self.carry_signatures = carry_signatures
         super().__init__(input_fields=[id_field, signature_field])
 
     def apply(self, df: DataFrame) -> DataFrame:
+        sig_cols = (
+            [F.col(self.signature_field).alias("__sig__")]
+            if self.carry_signatures
+            else []
+        )
         buckets = df.select(
             F.col(self.id_field).alias("__id__"),
+            *sig_cols,
             F.explode(
                 band_keys(
                     F.col(self.signature_field), self.bands, self.rows_per_band
@@ -155,11 +168,20 @@ class MinHashLSHPairsMapper(SparkMapper):
             ).alias("__bk__"),
         ).select(
             "__id__",
+            *(["__sig__"] if self.carry_signatures else []),
             F.col("__bk__").getField("band").alias("__band__"),
             F.col("__bk__").getField("key").alias("__key__"),
         )
         left = buckets.alias("l")
         right = buckets.alias("r")
+        carried = (
+            [
+                F.col("l.__sig__").alias("minhash_a"),
+                F.col("r.__sig__").alias("minhash_b"),
+            ]
+            if self.carry_signatures
+            else []
+        )
         pairs = (
             left.join(
                 right,
@@ -170,8 +192,9 @@ class MinHashLSHPairsMapper(SparkMapper):
             .select(
                 F.col("l.__id__").alias("id_a"),
                 F.col("r.__id__").alias("id_b"),
+                *carried,
             )
-            .distinct()
+            .dropDuplicates(["id_a", "id_b"])
         )
         return pairs
 
@@ -292,6 +315,7 @@ class SimHashNearDupPairsMapper(SparkMapper):
         bits: int = 64,
         max_hamming: int = 3,
         hamming_field: str = "hamming",
+        emit_fingerprints: bool = False,
     ) -> None:
         if max_hamming < 0 or max_hamming >= bits:
             raise ValueError("need 0 <= max_hamming < bits")
@@ -300,6 +324,15 @@ class SimHashNearDupPairsMapper(SparkMapper):
         self.bits = bits
         self.max_hamming = max_hamming
         self.hamming_field = hamming_field
+        # both endpoints' fingerprints already ride the banded shuffle
+        # (the Hamming verify needs them), so ``simhash_a``/
+        # ``simhash_b`` can be emitted without a post-join.  Measured
+        # caveat: when band width admits a large pre-verify candidate
+        # stream (narrow fingerprints / huge corpora), carrying the
+        # extra columns through it can lose to re-attaching via two
+        # broadcast joins on the (much smaller) verified pair set —
+        # prefer False + post-join in that regime
+        self.emit_fingerprints = emit_fingerprints
         super().__init__(input_fields=[id_field, simhash_field])
 
     def _band_widths(self) -> List[int]:
@@ -333,6 +366,14 @@ class SimHashNearDupPairsMapper(SparkMapper):
             F.col("__band__.v").alias("__v__"),
         )
         l, r = base.alias("l"), base.alias("r")
+        carried = (
+            [
+                F.col("l.__h__").alias("simhash_a"),
+                F.col("r.__h__").alias("simhash_b"),
+            ]
+            if self.emit_fingerprints
+            else []
+        )
         return (
             l.join(
                 r,
@@ -348,6 +389,7 @@ class SimHashNearDupPairsMapper(SparkMapper):
                 )
                 .cast("bigint")
                 .alias(self.hamming_field),
+                *carried,
             )
             # verify BEFORE deduplicating: bit_count is a cheap
             # map-side filter, and candidates outside the ball (the

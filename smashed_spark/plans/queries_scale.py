@@ -196,27 +196,11 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words", F.split("text", " ")
     )
     sig = MinHashMapper(num_hashes=16).map(df)
-    pairs = MinHashLSHPairsMapper(
-        "doc_id", bands=4, rows_per_band=4
-    ).map(sig)
-    slim = sig.select("doc_id", "minhash")
-    return (
-        pairs.join(
-            slim.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("minhash").alias("minhash_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            slim.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("minhash").alias("minhash_b"),
-            ),
-            "id_b",
-        )
-        .select("id_a", "id_b", "minhash_a", "minhash_b")
-    )
+    # carry_signatures emits minhash_a/minhash_b straight from the
+    # banded shuffle (r6) — no post-joins
+    return MinHashLSHPairsMapper(
+        "doc_id", bands=4, rows_per_band=4, carry_signatures=True
+    ).map(sig).select("id_a", "id_b", "minhash_a", "minhash_b")
 
 
 @query("dedup_clusters", oracle=_dedup_clusters_sql(16, 4, 4))
@@ -257,6 +241,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words", F.split("text", " ")
     )
     sig = SimHashMapper(bits=32).map(df).select("doc_id", "simhash")
+    # post-join attachment, NOT emit_fingerprints: at this gate's 32
+    # bits the banded join emits a large pre-verify candidate stream,
+    # and a same-session A/B measured carrying the fingerprints
+    # through it ~15% slower than re-attaching them to the 725
+    # verified pairs with two broadcast joins (the opposite of the
+    # minhash gate, whose candidate stream is small)
     pairs = SimHashNearDupPairsMapper(
         "doc_id", bits=32, max_hamming=3
     ).map(sig)
