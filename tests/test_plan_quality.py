@@ -302,3 +302,39 @@ def test_semantic_pairs_single_exchange_no_cartesian(spark, sf_dir):
     assert plan.count("FlatMapGroupsInPandas (") == 1, plan
     # scan -> assign (ArrowEval) -> exchange on cell -> grouped matmul
     assert plan.count("Exchange (") == 1, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """write_bucketed_table's contract at 100 TB: two tables bucketed
+    on the join key with equal bucket counts sort-merge-join with NO
+    exchange on either side — the shuffle was paid once at write time.
+    (Broadcast disabled so the small test tables take the SMJ path.)"""
+    from smashed_spark.sources.sinks import write_bucketed_table
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    stats = docs.select("doc_id", (F.col("n_chars") * 2).alias("x"))
+    ta, tb = "t_bkt_docs", "t_bkt_stats"
+    spark.sql(f"DROP TABLE IF EXISTS {ta}")
+    spark.sql(f"DROP TABLE IF EXISTS {tb}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_table(
+            docs, ta, ["doc_id"], 4, sort_by=["doc_id"], mode="overwrite"
+        )
+        write_bucketed_table(
+            stats, tb, ["doc_id"], 4, sort_by=["doc_id"], mode="overwrite"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), "doc_id")
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # bucket pruning metadata visible on the scans
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

@@ -159,6 +159,19 @@ best-of-2 (ideal linear = 10):
 
 No query shows a superlinear wall-clock term at any probed decade.
 
+## Round-6 bench host-noise forensics
+
+Mid-round full-bench runs on this host measured a UNIFORM ~1.3x
+slowdown vs the round-5 recordings — geomean 1.29 over the 48
+comparable queries with a tight spread, including queries whose code
+has not changed since round 1 (`filter_project` 1.39x,
+`enumerate_field` 1.37x, `prompt_family` 1.35x: pure scan+filter
+plans with no conceivable regression path).  Interpret round-over-
+round absolute seconds through that lens; the honest comparators are
+(a) per-query ratios against the same-run trivial-query baseline and
+(b) the same-session interleaved A/Bs used for every r6 plan decision
+(sink switch, signature carry-through).
+
 ## asof_join (functions/asof.py)
 
 Temporal backward as-of enrichment with NO join node: both sides
