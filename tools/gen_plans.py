@@ -42,11 +42,25 @@ HEADLINERS = {
         "sum's range sort and pid-window shuffles; the wide token arrays "
         "cross exactly two exchanges (start-offset join + block agg). "
         "Fragment explode is narrow and bounded (ceil(n/B)+1 rows/doc).",
-    "sketch_distinct": "KMV per column: narrow md5-60 projection, then the "
-        "engine's TakeOrderedAndProject computes the global k smallest with "
-        "per-partition partial top-k and a k-rows-per-partition driver "
-        "merge — the sketch-merge executed by Spark itself, no full sort, "
-        "no exchange.",
+    "sketch_distinct": "KMV, single-pass for ALL columns (r6): one "
+        "exploded (cidx, hash) stream, per-column top-2k via "
+        "row_number over the cidx window — WindowGroupLimit pushes a "
+        "partial per-group limit below the ONE exchange, so each map "
+        "task forwards at most 2k rows per column however large the "
+        "corpus; a 50-column audit costs one scan, not 50.",
+    "semantic_dedup": "SemDeDup (r6): bounded hash-ordered centroid fit "
+        "(one TakeOrdered job), Arrow-batched cell assignment, ONE "
+        "exchange on the cell key into a chunked unit-matmul per cell — "
+        "O(N^2/k) cluster-scoped cosine, max_cell_size fail-fast guards "
+        "a degenerate quantizer. Plan-asserted: one exchange, one Arrow "
+        "group stage, no cartesian.",
+    "sample_mix": "The full curation chain (r6): hash-gate mixing and "
+        "split/shard assignment are narrow md5 expressions; the quota "
+        "stage's row_number<=N compiles to WindowGroupLimit and the "
+        "shard rank sorts per shard — the chain's only exchanges are "
+        "the quota group shuffle and the shard-key shuffle, every "
+        "decision a pure function of doc_id (partition-invariant, "
+        "SQL-replayable end to end).",
     "dedup_ngram_jaccard": "Shingles hash to 8-byte keys before the ONE "
         "exchange on the shingle; the hub-frequency cap is a count window "
         "over that same partitioning and the per-shingle pair-generation "
@@ -101,6 +115,18 @@ O(docs x tables), no CartesianProduct anywhere (plan-asserted by
 test_near_dup_lsh_path_above_limit); exact cosine reranks candidates
 in one einsum per Arrow batch.  The O(n^2) expression join survives
 only behind exact=True.
+
+## dedup_clusters small-graph tier (functions/graph.py, round 6)
+
+`connected_components` now probes the deduplicated bidirectional edge
+list (a bounded `limit(n+1).count()` on the blocks its eager
+checkpoint just materialized): at or under `small_graph_edges`
+(default 1M rows ~16 MB) the components are solved by ONE driver-side
+union-find instead of iterated join rounds — near-dup edge sets are
+usually orders of magnitude smaller than the corpus, so even the 100x
+probe (500k docs -> 13k pairs) takes this tier.  Labels are identical
+to the distributed path by construction (min-id per component;
+property-tested), which stays the default above the threshold.
 
 ## stream_dedup (streaming/runner.py, round 5)
 
@@ -289,6 +315,22 @@ for the round-4 set measured in the same session — 12% faster wall,
 +8 operators certified (substring spans, KMV sketch, streaming dedup,
 sequence packing, quota sampling, hash split, paragraph dedup via the
 pii composite, bin packing unit-only).
+
+## Round-6 bench budget (gate-set delta vs round 5)
+
+REMOVED dedup_simhash (folded into dedup_simhash_pairs, which now
+emits both endpoints' 32-bit fingerprints — SimHashMapper stays
+value-certified) and, from the prior r6 session, dedup_minhash_sig
+(folded into dedup_lsh_pairs the same way, r6: carried through the
+band shuffle, measured at parity with the post-join form).  ADDED
+semantic_dedup (~0.65 s: centroid fit job + one cell-shuffled Arrow
+stage) and pack_bins (~0.5 s, FFD replay oracle).  CHANGED: the
+sample_mix chain grew the training-shard stage (one extra shard-key
+exchange, ~+0.1 s); sketch_distinct moved to the single-pass
+multi-column plan (one scan for N columns — at the 2-column gate the
+window sort roughly offsets the saved second scan; the win is the
+N-column audit, not the gate).  Absolute seconds this round carry the
+~1.3x host factor documented above.
 
 ## Round-5 scale probe, extended run (new ops + sink A/B)
 
