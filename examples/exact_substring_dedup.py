@@ -39,39 +39,16 @@ def main() -> None:
     ).first()["w"]
     print(f"duplicated spans: {n_spans} covering {covered or 0} words")
 
-    # 2. cut the spans out: keep each doc's words outside every span
-    #    (array algebra — filter word positions against the span list)
-    doc_spans = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    # 2. apply the removal (RemoveDuplicatedSpansMapper): cut every
+    #    NON-FIRST occurrence, keeping one copy corpus-wide — the same
+    #    window hashing, plus a first-occurrence rank riding the one
+    #    wide exchange
+    from smashed_spark.functions.substring import (
+        RemoveDuplicatedSpansMapper,
     )
-    no_spans = F.array().cast(
-        "array<struct<span_start:bigint,span_end:bigint>>"
-    )
-    cleaned = (
-        docs.join(doc_spans, "doc_id", "left")
-        .withColumn("spans", F.coalesce(F.col("spans"), no_spans))
-        .withColumn(
-            "kept_words",
-            F.filter(
-                F.transform(
-                    F.col("words"),
-                    lambda w, i: F.struct(w.alias("w"), i.alias("i")),
-                ),
-                lambda s: ~F.exists(
-                    F.col("spans"),
-                    lambda sp: (s["i"] >= sp["span_start"])
-                    & (s["i"] < sp["span_end"]),
-                ),
-            ),
-        )
-        .withColumn(
-            "clean_text",
-            F.array_join(
-                F.transform(F.col("kept_words"), lambda s: s["w"]), " "
-            ),
-        )
-    )
-    kept = cleaned.agg(F.sum(F.size("kept_words"))).first()[0]
+
+    cleaned = RemoveDuplicatedSpansMapper(width=8).map(docs).cache()
+    kept = cleaned.agg(F.sum(F.size("clean_words"))).first()[0]
     total = docs.agg(F.sum(F.size("words"))).first()[0]
     print(f"kept {kept}/{total} words after span removal")
 

@@ -183,32 +183,152 @@ class DuplicatedSpansMapper(DuplicatedWindowsMapper):
 
     def apply(self, df: DataFrame) -> DataFrame:
         wins = super().apply(df)
-        byid = Window.partitionBy(self.id_field).orderBy(self.pos_field)
-        run = byid.rowsBetween(Window.unboundedPreceding, -1)
-        end = F.col(self.pos_field) + F.lit(self.width)
-        # island break: this window starts past every previous end
-        prev_max_end = F.max(end).over(run)
-        brk = F.when(
-            prev_max_end.isNull()
-            | (F.col(self.pos_field) > prev_max_end),
-            1,
-        ).otherwise(0)
-        island = F.sum(brk).over(
-            byid.rowsBetween(Window.unboundedPreceding, 0)
+        return merge_windows_to_spans(
+            wins,
+            self.id_field,
+            self.pos_field,
+            self.width,
+            self.span_start_field,
+            self.span_end_field,
+            self.span_windows_field,
         )
-        spans = (
-            wins.withColumn("__island__", island)
-            .groupBy(self.id_field, "__island__")
-            .agg(
-                F.min(self.pos_field).alias(self.span_start_field),
-                (F.max(self.pos_field) + F.lit(self.width)).alias(
-                    self.span_end_field
-                ),
-                F.count(F.lit(1)).alias(self.span_windows_field),
+
+
+def merge_windows_to_spans(
+    wins: DataFrame,
+    id_field: str,
+    pos_field: str,
+    width: int,
+    start_field: str = "span_start",
+    end_field: str = "span_end",
+    windows_field: str = "n_windows",
+) -> DataFrame:
+    """Classic per-document island merge: a window starting at ``pos``
+    covers ``[pos, pos + width)``; a new island starts when ``pos``
+    exceeds the running maximum end.  One narrow per-document exchange
+    over the (already filtered) duplicated windows."""
+    byid = Window.partitionBy(id_field).orderBy(pos_field)
+    run = byid.rowsBetween(Window.unboundedPreceding, -1)
+    end = F.col(pos_field) + F.lit(width)
+    prev_max_end = F.max(end).over(run)
+    brk = F.when(
+        prev_max_end.isNull() | (F.col(pos_field) > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(brk).over(
+        byid.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        wins.withColumn("__island__", island)
+        .groupBy(id_field, "__island__")
+        .agg(
+            F.min(pos_field).alias(start_field),
+            (F.max(pos_field) + F.lit(width)).alias(end_field),
+            F.count(F.lit(1)).alias(windows_field),
+        )
+        .drop("__island__")
+    )
+
+
+class RemoveDuplicatedSpansMapper(DuplicatedWindowsMapper):
+    """Apply ExactSubstr (Lee et al. 2021) — the removal step: cut
+    every NON-FIRST occurrence of a duplicated window from the text,
+    keeping exactly one copy corpus-wide (the minimum ``(doc, pos)``
+    occurrence), or per document with ``scope="document"`` (the
+    self-repetition trimmer: a window repeated WITHIN a document keeps
+    its first in-document occurrence — Gopher-style repetition
+    removal as an edit, not just a signal).
+
+    Output: the input columns plus ``clean_words_field`` /
+    ``clean_text_field`` (the words surviving the cuts, re-joined) and
+    ``removed_field`` (words removed).  Overlapping kept/removed
+    windows resolve in favor of removal — exact span cuts, the paper's
+    behavior; content at a cut boundary may lose a kept window's
+    overlap.
+
+    Plan shape: the parent's narrow window explode, ONE wide exchange
+    on the window hash carrying both the occurrence count and the
+    first-occurrence rank (two window functions over the SAME
+    partitioning — no extra shuffle), an island merge per doc, then
+    one broadcast-or-shuffled join of the KB-per-doc span lists back
+    onto the corpus and a narrow index-filter rebuild of the words.
+    """
+
+    def __init__(
+        self,
+        *args,
+        scope: str = "corpus",
+        clean_words_field: str = "clean_words",
+        clean_text_field: str = "clean_text",
+        removed_field: str = "n_removed_words",
+        **kwargs,
+    ) -> None:
+        if scope not in ("corpus", "document"):
+            raise ValueError("scope must be 'corpus' or 'document'")
+        super().__init__(*args, **kwargs)
+        self.scope = scope
+        self.clean_words_field = clean_words_field
+        self.clean_text_field = clean_text_field
+        self.removed_field = removed_field
+        self.output_fields = (
+            clean_words_field,
+            clean_text_field,
+            removed_field,
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        wins = self._windows(df)
+        if self.scope == "corpus":
+            key = [self.hash_field]
+        else:  # document scope: repetition WITHIN a doc
+            key = [self.id_field, self.hash_field]
+        occ = Window.partitionBy(*key)
+        first = Window.partitionBy(*key).orderBy(
+            F.col(self.id_field).asc(), F.col(self.pos_field).asc()
+        )
+        flagged = wins.withColumn(
+            self.count_field, F.count(F.lit(1)).over(occ)
+        ).withColumn("__rank__", F.row_number().over(first))
+        removable = flagged.where(
+            (F.col(self.count_field) >= self.min_count)
+            & (F.col("__rank__") >= 2)
+        )
+        spans = merge_windows_to_spans(
+            removable, self.id_field, self.pos_field, self.width
+        )
+        per_doc = spans.groupBy(self.id_field).agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("__spans__")
+        )
+        out = df.join(per_doc, self.id_field, "left")
+        words = F.col(self.words_field)
+        spans_col = F.coalesce(
+            F.col("__spans__"),
+            F.array().cast("array<struct<s:bigint,e:bigint>>"),
+        )
+        kept = F.filter(
+            words,
+            lambda w, i: ~F.exists(
+                spans_col, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+            ),
+        )
+        return (
+            out.withColumn(self.clean_words_field, kept)
+            .withColumn(
+                self.clean_text_field,
+                F.array_join(F.col(self.clean_words_field), " "),
             )
-            .drop("__island__")
+            .withColumn(
+                self.removed_field,
+                (F.size(words) - F.size(F.col(self.clean_words_field))).cast(
+                    "bigint"
+                ),
+            )
+            .drop("__spans__")
         )
-        return spans
 
 
 class DedupParagraphsMapper(SparkMapper):

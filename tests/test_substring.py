@@ -340,3 +340,94 @@ def test_para_dedup_regex_metachar_separator(spark):
     assert got == brute_para_dedup(rows, sep=".")
     assert got[0] == ("alpha.beta", 1)
     assert got[1] == ("gamma", 1)
+
+
+# ---------------------------------------------------------------- #
+# RemoveDuplicatedSpansMapper: the ExactSubstr removal step          #
+# ---------------------------------------------------------------- #
+
+
+def _remove_oracle(corpus, width, min_count, scope):
+    """Driver-side replay: rank window occurrences per (scope-)key by
+    (doc, pos); rank>=2 occurrences of keys with count>=min_count are
+    removable; merge islands per doc; cut word ranges."""
+    wins = []  # (key, doc, pos)
+    for doc_id, words in corpus:
+        for p in range(len(words) - width + 1):
+            key = " ".join(words[p : p + width])
+            if scope == "document":
+                key = (doc_id, key)
+            wins.append((key, doc_id, p))
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for key, d, p in wins:
+        by_key[key].append((d, p))
+    removable = defaultdict(list)
+    for key, occs in by_key.items():
+        if len(occs) >= min_count:
+            for d, p in sorted(occs)[1:]:
+                removable[d].append(p)
+    out = {}
+    for doc_id, words in corpus:
+        cut = set()
+        for p in removable.get(doc_id, ()):
+            cut.update(range(p, p + width))
+        kept = [w for i, w in enumerate(words) if i not in cut]
+        out[doc_id] = (kept, len(words) - len(kept))
+    return out
+
+
+@pytest.mark.parametrize("scope", ["corpus", "document"])
+def test_remove_duplicated_spans_matches_bruteforce(spark, scope):
+    from smashed_spark.functions.substring import (
+        RemoveDuplicatedSpansMapper,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    # exactly width words and internally distinct: one window per
+    # occurrence, so the kept first occurrence survives intact (runs
+    # LONGER than width self-overlap and the kept window can lose its
+    # tail to a neighboring cut — documented, oracle replays it)
+    boiler = ["dup1", "dup2", "dup3", "dup4"]
+    corpus = []
+    for d in range(12):
+        words = [vocab[rng.randrange(30)] for _ in range(40)]
+        if d % 3 == 0:
+            words[5:5] = boiler  # cross-doc duplicate
+        if d == 7:
+            words += boiler + ["mid"] + boiler  # in-doc repetition
+        corpus.append((d, words))
+    df = spark.createDataFrame(
+        corpus, "doc_id: bigint, words: array<string>"
+    )
+    got = {
+        r.doc_id: (list(r.clean_words), r.n_removed_words)
+        for r in RemoveDuplicatedSpansMapper(
+            width=4, min_count=2, scope=scope
+        ).map(df).collect()
+    }
+    want = _remove_oracle(corpus, 4, 2, scope)
+    assert got == want
+    # at least one copy of the planted run survives somewhere
+    survivors = sum(
+        " ".join(w).count("dup1 dup2 dup3 dup4") for w, _ in got.values()
+    )
+    assert survivors >= 1
+
+
+def test_remove_spans_document_scope_keeps_cross_doc_copies(spark):
+    """scope='document' must NOT touch text duplicated only across
+    documents — it trims self-repetition only."""
+    from smashed_spark.functions.substring import (
+        RemoveDuplicatedSpansMapper,
+    )
+
+    shared = [f"s{i}" for i in range(8)]
+    rows = [(0, shared), (1, shared)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, words: array<string>")
+    out = RemoveDuplicatedSpansMapper(
+        width=4, min_count=2, scope="document"
+    ).map(df)
+    assert {r.n_removed_words for r in out.collect()} == {0}
