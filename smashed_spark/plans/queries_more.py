@@ -581,7 +581,10 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w, unnest(range(0, CAST(length(words) - 5 AS BIGINT))) AS u(pos)
         WHERE length(words) >= 6
     ), occ AS (
-        SELECT *, count(*) OVER (PARTITION BY key) AS n_occ FROM win
+        SELECT *, count(*) OVER (PARTITION BY key) AS n_occ,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY doc_id, pos) AS rn
+        FROM win
     ), dup AS (
         SELECT * FROM occ WHERE n_occ >= 2
     ), isl AS (
@@ -597,29 +600,103 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                               ROWS UNBOUNDED PRECEDING) AS island
         FROM isl
+    ), spans AS (
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 6 AS BIGINT) AS span_end
+        FROM g GROUP BY doc_id, island
+    ), spanagg AS (
+        SELECT doc_id,
+               string_agg(span_start || ':' || span_end, ','
+                          ORDER BY span_start) AS spans_str
+        FROM spans GROUP BY doc_id
+    ), rem AS (
+        SELECT * FROM occ WHERE n_occ >= 2 AND rn >= 2
+    ), isl2 AS (
+        SELECT doc_id, pos,
+               CASE WHEN max(pos + 6) OVER prev IS NULL
+                         OR pos > max(pos + 6) OVER prev
+                    THEN 1 ELSE 0 END AS brk
+        FROM rem
+        WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), g2 AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl2
+    ), spans2 AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 6 AS e
+        FROM g2 GROUP BY doc_id, island
+    ), cutpos AS (
+        SELECT DISTINCT s.doc_id, u.i
+        FROM spans2 s, unnest(range(s.s, s.e)) AS u(i)
+    ), pos AS (
+        SELECT doc_id, words, unnest(range(len(words))) AS i FROM w
+    ), keptw AS (
+        SELECT p.doc_id, p.i, p.words[p.i + 1] AS wd
+        FROM pos p LEFT JOIN cutpos c
+          ON c.doc_id = p.doc_id AND c.i = p.i
+        WHERE c.i IS NULL
+    ), clean AS (
+        SELECT doc_id,
+               coalesce(string_agg(wd, ' ' ORDER BY i), '') AS clean_text,
+               count(*) AS n_kept
+        FROM keptw GROUP BY doc_id
     )
-    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) + 6 AS BIGINT) AS span_end,
-           count(*) AS n_windows
-    FROM g GROUP BY doc_id, island
+    SELECT w.doc_id,
+           coalesce(sa.spans_str, '') AS spans_str,
+           CAST(len(w.words) - coalesce(c.n_kept, 0) AS BIGINT)
+               AS n_removed_words,
+           coalesce(c.clean_text, '') AS clean_text
+    FROM w LEFT JOIN spanagg sa ON sa.doc_id = w.doc_id
+           LEFT JOIN clean c ON c.doc_id = w.doc_id
     """,
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicated-substring spans (Lee et al. 2021 ExactSubstr,
-    functions/substring.py): width-6 stride-1 window hashing, global
-    occurrence count (ONE wide exchange), per-doc island merge to
-    maximal spans.  md5 hashing here for engine-portable parity; the
-    production default is xxhash64 (8-byte shuffle keys), property-
-    tested equal in tests/test_substring.py."""
-    from ..functions.substring import DuplicatedSpansMapper
+    """Exact duplicated-substring spans AND their removal (Lee et al.
+    2021 ExactSubstr, functions/substring.py) — r6 composite: width-6
+    stride-1 window hashing, global occurrence count + first-occurrence
+    rank on ONE wide exchange, per-doc island merge to maximal spans
+    (emitted as a sorted ``s:e`` list per doc), then the keep-first
+    cut producing ``clean_text`` / ``n_removed_words`` per document.
+    md5 hashing here for engine-portable parity; the production
+    default is xxhash64 (8-byte shuffle keys), property-tested equal
+    in tests/test_substring.py."""
+    from ..functions.substring import (
+        DuplicatedSpansMapper,
+        RemoveDuplicatedSpansMapper,
+    )
 
     df = _words(spark, sf_dir)
-    out = DuplicatedSpansMapper(width=6, hash_fn="md5").map(df)
-    return out.select(
+    spans = DuplicatedSpansMapper(width=6, hash_fn="md5").map(df)
+    spans_per_doc = spans.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("span_start").cast("bigint").alias("s"),
+                            F.col("span_end").cast("bigint").alias("e"),
+                        )
+                    )
+                ),
+                lambda x: F.concat_ws(
+                    ":", x["s"].cast("string"), x["e"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("spans_str")
+    )
+    removed = (
+        RemoveDuplicatedSpansMapper(width=6, hash_fn="md5")
+        .map(df)
+        .select("doc_id", "clean_text", "n_removed_words")
+    )
+    return removed.join(spans_per_doc, "doc_id", "left").select(
         "doc_id",
-        F.col("span_start").cast("bigint").alias("span_start"),
-        F.col("span_end").cast("bigint").alias("span_end"),
-        F.col("n_windows").alias("n_windows"),
+        F.coalesce("spans_str", F.lit("")).alias("spans_str"),
+        "n_removed_words",
+        "clean_text",
     )
 
 
