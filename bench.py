@@ -4,8 +4,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed over a full execution (collect of a count/limited
-result — forces the whole plan without driver-side result blowup),
+Each query is timed over a FULL execution: a noop-sink write (r6),
+which evaluates every output column of every row JVM-side without
+driver-side result blowup.  (Earlier rounds timed `count()`, which
+lets Catalyst prune final projections — and can eliminate entire
+join-on-unique-key pipelines — so those rounds' absolute numbers
+undercount expression cost; see PLANS.md round-6 notes.)  Timed
 `$SPARK_GRAFT_BENCH_REPS` times (default 3, matching the driver's
 per-round setting) with per-query session isolation.  "queries" holds
 the per-query minimum — the noise-resistant estimator (single shots
@@ -118,16 +122,26 @@ def main() -> None:
         fn = queries[name]
         best = -1.0
         raw[name] = []
+        n = None
         for _ in range(reps):
             isolate()
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
-                # force full execution without collecting a huge result
-                n = df.count()
+                # r6: noop sink, not count() — count lets Catalyst
+                # prune every column expression above the last
+                # join/agg (and can ELIMINATE left joins against
+                # unique-keyed aggregates outright, zeroing a whole
+                # pipeline's measured cost); the noop sink evaluates
+                # every output column of every row JVM-side and
+                # writes nothing, so the timing covers the plan the
+                # driver's value-comparison actually executes
+                df.write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 4)
                 raw[name].append(dt)
                 best = dt if best < 0 else min(best, dt)
+                if n is None:
+                    n = df.count()  # untimed, reporting only
             except Exception as e:  # keep benching the rest
                 print(f"# {name}: FAILED {e}", file=sys.stderr)
                 break

@@ -533,7 +533,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pipe = (
         TokenCountMapper()
-        >> FingerprintMapper()
+        >> FingerprintMapper(hash_fn="md5")  # md5: oracle parity
         >> QualityScoreMapper()
         >> LangIdMapper()
         >> RepetitionStatsMapper()

@@ -185,6 +185,24 @@ best-of-2 (ideal linear = 10):
 
 No query shows a superlinear wall-clock term at any probed decade.
 
+## Round-6 measurement fix: noop-sink timing (count() undercounted)
+
+bench.py and the scale probe now force full plans through Spark's
+noop sink instead of `count()`.  Root cause, found when the r6
+substring composite benched at 0.6 s for 500k docs: under a count,
+Catalyst prunes every column expression above the last join/agg and
+can ELIMINATE left joins against unique-keyed aggregates outright —
+the composite's whole pipeline optimized away, and narrow-expression
+gates were silently under-measured all along (text_stats: 0.68 s
+counted vs 5.9 s fully evaluated at sf0.1 — the langid/quality/
+fingerprint expressions never ran under the old action).  Absolute
+seconds therefore take a one-time upward step in BENCH_r06 vs earlier
+rounds ON TOP of the host factor below; the r6 numbers are the first
+that time what the driver's value comparison actually executes.
+Chasing the newly visible cost: FingerprintMapper's per-char-position
+gram hash gained a xxhash64 default (~40% faster than the md5 chain;
+md5 retained for oracle parity and pinned in the gate).
+
 ## Round-6 bench host-noise forensics
 
 Mid-round full-bench runs on this host measured a UNIFORM ~1.3x

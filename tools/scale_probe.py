@@ -270,13 +270,20 @@ def main() -> None:
         best, rows = -1.0, 0
         if name in STREAMING_QUERIES:
             os.environ["SMASHED_STREAM_SINK"] = "parquet"
+        rows = None
         try:
             for _ in range(reps):
                 isolate()
                 t0 = time.perf_counter()
-                rows = queries[name](spark, sf_dir).count()
+                df = queries[name](spark, sf_dir)
+                # r6: noop sink, matching bench.py — count() lets
+                # Catalyst prune final projections / eliminate
+                # unique-key joins, undercounting the plan's cost
+                df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best < 0 else min(best, dt)
+                if rows is None:
+                    rows = df.count()  # untimed, density reporting
         finally:
             os.environ.pop("SMASHED_STREAM_SINK", None)
         return round(best, 3), rows
