@@ -389,7 +389,11 @@ def hash_split(
     The assignment is a pure function of the row key — stable across
     partitioning, retries, appends (a new row never moves an old row's
     split), and engines (SQL-replayable, same convention as
-    ``sample_mix(method='hash')``).  Fully narrow: one md5 + range
+    ``sample_mix(method='hash')``).  To prevent near-duplicate leakage
+    across splits, key on the GROUP that duplicates share rather than
+    the document id (``key_field="source"`` / a domain column / a
+    dedup ``cluster_id`` from :func:`~...functions.dedup.fuzzy_dedup`)
+    — every member of the group then lands in the same split.  Fully narrow: one md5 + range
     comparison per row, no shuffle; downstream ``.where(split ==
     'train')`` prunes at scan speed after a partitioned write on the
     split column.

@@ -32,12 +32,14 @@ HEADLINERS = {
         "exchange on the contiguous group id — no global sort) and a second "
         "MapInPandas renders thousands of fewshot groups per Arrow batch. "
         "Two bulk Python stages, one exchange.",
-    "dedup_substring": "Lee et al. ExactSubstr, distributed: (pos, hash) "
-        "pairs explode 12-bytes-wide (hash computed BEFORE the explode), one "
-        "wide exchange on the window hash for the global occurrence count "
-        "(count-over-partition — no collect_list hubs), then one narrow "
-        "per-doc exchange merges overlapping windows into maximal spans. "
-        "No join anywhere.",
+    "dedup_substring": "Lee et al. ExactSubstr end-to-end (r6 composite: "
+        "spans AND keep-first removal): (pos, hash) pairs explode "
+        "12-bytes-wide (hash computed BEFORE the explode); ONE wide "
+        "exchange on the window hash carries BOTH the occurrence count "
+        "and the first-occurrence rank (two window functions, same "
+        "partitioning); per-doc island merges produce the span list and "
+        "the removable spans; the cut is a narrow index-filter rebuild "
+        "of the words after a join of KB-sized per-doc span lists.",
     "pack_sequences": "Slim (doc_id, count) projection rides the prefix "
         "sum's range sort and pid-window shuffles; the wide token arrays "
         "cross exactly two exchanges (start-offset join + block agg). "
@@ -150,38 +152,33 @@ MANUAL_NOTES = """\
 Nine gates re-timed on a deterministic 10x blowup of their inputs
 (re-keyed copies; every document word tagged with the copy id so
 shingles/minhashes/simhashes never collide across copies — constant
-near-dup density, not a denser problem), and the three steepest
-curves pushed a SECOND decade to 100x.  Streaming probes drain
-through the PRODUCTION parquet sink (r6): the memory sink's driver
-collect added a superlinear 14.8x/decade term at 100x that measured
-the harness, not the operator (the A/B is preserved in
-BENCH_SCALE.json `sink_ab_100x`).  Wall ratios at local[32],
-best-of-2 (ideal linear = 10):
+near-dup density, not a denser problem), and the five steepest /
+structurally distinct curves pushed a SECOND decade to 100x.  All
+probes use the r6 noop-sink action (full-plan evaluation — see the
+measurement-fix note below) and streaming probes drain through the
+PRODUCTION parquet sink (the round-5 memory-sink A/B is preserved in
+`sink_ab_100x`).  Wall ratios at local[32], best-of-2 (ideal linear
+= 10):
 
-- `dedup_ngram_jaccard` **1.81x at 10x, second decade 7.22x**
-  (rows exactly 10x per decade): the inverted-index join stays
-  sublinear through 500k docs.  The `auto` router chose `join` at
-  every scale — correct, because constant-density tagging preserves
-  the corpus's uniform shingle-frequency shape (fan-out skew ~1);
-  Zipfian corpora flip it to `prefix` (pinned in tests).
-- `dedup_lsh_pairs` **0.87x** — fixed overheads still dominate.
-- `dedup_simhash_pairs` **1.04x**: banded join + map-side
-  `bit_count` verify; candidate volume grows with corpus, wall
-  barely moves at this size.
-- `stream_sessionize` **3.09x at 10x, second decade 8.29x**
-  (parquet sink, rows exactly 10x per decade): near-linear in
-  users, which is its data dimension — no superlinear term.
-- `ann_ivf_topk` **1.30x at 10x, second decade 3.88x** (fixed
-  100-row output): corpus-linear assignment + probe-cell rerank;
-  the bounded fit sample keeps quantizer cost constant.
-- `dedup_substring` **1.81x at 10x, second decade 4.17x** (50M
-  windows at 100x): the one-wide-exchange window-hash shape holds.
-- `dedup_clusters` **1.39x at 10x, second decade 3.01x** (500k docs
-  at 100x): LSH pair generation dominates; the r6 small-graph
+- `dedup_ngram_jaccard` **2.15x at 10x, second decade 10.85x**
+  (rows exactly 10x per decade): linear through 500k docs.  The
+  `auto` router chose `join` at every scale — correct, because
+  constant-density tagging preserves the corpus's uniform
+  shingle-frequency shape (fan-out skew ~1); Zipfian corpora flip
+  it to `prefix` (pinned in tests).
+- `dedup_substring` **1.88x at 10x, second decade 8.9x** (the r6
+  spans+removal composite, 50M windows at 100x): near-linear.
+- `stream_sessionize` **2.92x at 10x, second decade 7.09x**
+  (parquet sink): sublinear in users, its data dimension.
+- `ann_ivf_topk` **3.41x at 10x, second decade 2.98x** (fixed
+  100-row output): bounded fit + probe-cell rerank amortizing.
+- `dedup_clusters` **0.98x at 10x, second decade 3.97x** (500k
+  docs at 100x): LSH pair generation dominates; the r6 small-graph
   driver union-find tier solves the 13k-pair component step in one
   job.
-- `stream_dedup` **1.68x** (parquet sink), `pack_sequences`
-  **1.32x** — comfortably sublinear.
+- `dedup_simhash_pairs` **1.59x**, `dedup_lsh_pairs` **0.96x**,
+  `stream_dedup` **1.51x** (parquet sink), `pack_sequences`
+  **2.41x** — all at-or-under linear.
 
 No query shows a superlinear wall-clock term at any probed decade.
 
