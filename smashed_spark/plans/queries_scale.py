@@ -241,32 +241,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words", F.split("text", " ")
     )
     sig = SimHashMapper(bits=32).map(df).select("doc_id", "simhash")
-    # post-join attachment, NOT emit_fingerprints: at this gate's 32
-    # bits the banded join emits a large pre-verify candidate stream,
-    # and a same-session A/B measured carrying the fingerprints
-    # through it ~15% slower than re-attaching them to the 725
-    # verified pairs with two broadcast joins (the opposite of the
-    # minhash gate, whose candidate stream is small)
-    pairs = SimHashNearDupPairsMapper(
-        "doc_id", bits=32, max_hamming=3
+    # emit_fingerprints rides the banded shuffle the Hamming verify
+    # already pays for; a noop-action same-session A/B (r6) measures
+    # it at parity with broadcast post-joins, so take the simpler plan
+    return SimHashNearDupPairsMapper(
+        "doc_id", bits=32, max_hamming=3, emit_fingerprints=True
     ).map(sig)
-    return (
-        pairs.join(
-            sig.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("simhash").alias("simhash_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            sig.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("simhash").alias("simhash_b"),
-            ),
-            "id_b",
-        )
-        .select("id_a", "id_b", "hamming", "simhash_a", "simhash_b")
-    )
 
 
 @query(
