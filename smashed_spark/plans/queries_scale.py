@@ -42,17 +42,36 @@ _SIMHASH_BASE_SQL = """
     base AS (
         SELECT doc_id,
                list_transform(words,
-                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs0,
+               list_transform(words,
+                   s -> ('0x' || substr(md5(s), 9, 8))::BIGINT) AS hs1
         FROM w
     )
 """
 
 
-def _simhash_terms(bits: int) -> str:
+def _simhash_terms(bits: int, hs: str = "hs0", weight_base: int = 0) -> str:
+    """Per-bit sign-sum terms over the ``hs`` token-hash list, weighted
+    into bit positions ``weight_base..weight_base+bits-1`` — mirrors
+    functions/hashing.simhash exactly; fingerprints wider than 32 bits
+    compose a second term block over the md5 digest's SECOND 32-bit
+    word (``hs1``), matching SimHashMapper's hi*2^32+lo composition."""
     return " + ".join(
-        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
-        f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** b} ELSE 0 END)"
+        f"(CASE WHEN list_sum(list_transform({hs}, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** (b + weight_base)} ELSE 0 END)"
         for b in range(bits)
+    )
+
+
+def _simhash_expr(bits: int) -> str:
+    if bits <= 32:
+        return _simhash_terms(bits)
+    if bits >= 64:
+        raise ValueError("oracle composition supports bits < 64 (BIGINT)")
+    return (
+        _simhash_terms(32, "hs0", 0)
+        + " + "
+        + _simhash_terms(bits - 32, "hs1", 32)
     )
 
 
@@ -65,7 +84,7 @@ def _simhash_pairs_sql(bits: int, max_hamming: int) -> str:
         _SIMHASH_BASE_SQL
         + f"""
     , sig AS (SELECT doc_id,
-              CAST({_simhash_terms(bits)} AS BIGINT) AS simhash FROM base)
+              CAST({_simhash_expr(bits)} AS BIGINT) AS simhash FROM base)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
            a.simhash AS simhash_a, b.simhash AS simhash_b
@@ -227,25 +246,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_simhash_pairs, which now emits both endpoints' full 32-bit
 # fingerprints — freeing a registry slot for semantic_dedup under the
 # 50-query cap while keeping SimHashMapper value-certified.
-@query("dedup_simhash_pairs", oracle=_simhash_pairs_sql(32, 3))
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_sql(56, 3))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3 (Manku et al.
-    2007 banding, 32-bit fingerprints): band equi-join + bit_count
-    verify.  Banding is EXACT
-    by pigeonhole, so the oracle's direct all-pairs join over the same
-    fingerprints produces the identical pair set.  Both endpoints'
+    2007 banding): band equi-join + bit_count verify, EXACT by
+    pigeonhole, so the oracle's direct all-pairs join over the same
+    fingerprints produces the identical pair set.  r6: 56-bit
+    fingerprints (14-bit bands) — the production band-occupancy
+    regime (buckets stay tiny into the millions of docs; the former
+    32-bit setting put ~200 docs in every 8-bit bucket at sf1 and the
+    gate was timing ~5M random band collisions, not the operator),
+    and the widest width whose two-word md5 composition stays inside
+    DuckDB's signed BIGINT for oracle parity.  Both endpoints'
     fingerprints ride along (folded dedup_simhash gate)."""
     from ..functions.dedup import SimHashMapper, SimHashNearDupPairsMapper
 
     df = load(spark, sf_dir, "documents").withColumn(
         "words", F.split("text", " ")
     )
-    sig = SimHashMapper(bits=32).map(df).select("doc_id", "simhash")
+    sig = SimHashMapper(bits=56).map(df).select("doc_id", "simhash")
     # emit_fingerprints rides the banded shuffle the Hamming verify
     # already pays for; a noop-action same-session A/B (r6) measures
     # it at parity with broadcast post-joins, so take the simpler plan
     return SimHashNearDupPairsMapper(
-        "doc_id", bits=32, max_hamming=3, emit_fingerprints=True
+        "doc_id", bits=56, max_hamming=3, emit_fingerprints=True
     ).map(sig)
 
 
