@@ -1,9 +1,11 @@
 """End-to-end training-data curation: quality + repetition filter ->
-language ID -> PII redaction -> exact dedup -> near-dedup (MinHash
-LSH) -> train/test decontamination -> weighted remix -> token
-accounting.  The whole chain is lazy: one
-logical plan, and every narrow step fuses; the only shuffles are the
-two dedup aggregations and the LSH bucket join.
+language ID -> PII redaction -> exact dedup -> fuzzy dedup (one-call
+LSH -> verify -> cluster -> keep representatives) -> train/test
+decontamination -> weighted remix -> quota/split composition ->
+deterministic training-shard export -> token accounting.  The whole
+chain is lazy: one logical plan, and every narrow step fuses; the
+only shuffles are the dedup aggregations, the LSH bucket join, the
+clustering rounds, and the per-shard rank.
 
 Run: python examples/curate_corpus.py [sf_dir]
 """
@@ -16,11 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from smashed_spark.functions.dedup import (
-    ExactDedupMapper,
-    MinHashLSHPairsMapper,
-    MinHashMapper,
-)
+from smashed_spark.functions.dedup import ExactDedupMapper, fuzzy_dedup
 from smashed_spark.functions.textstats import (
     DecontaminateMapper,
     LangIdMapper,
@@ -30,6 +28,7 @@ from smashed_spark.functions.textstats import (
     TokenCountMapper,
 )
 from smashed_spark.sources.loaders import hash_split, quota_sample, sample_mix
+from smashed_spark.sources.sinks import shard_for_training
 
 
 def main() -> None:
@@ -57,14 +56,17 @@ def main() -> None:
     # 4. exact dedup (one shuffle on the content digest)
     deduped = ExactDedupMapper().map(scored)
 
-    # 5. near-dedup: LSH candidates; drop the higher doc_id of each pair
-    with_words = deduped.withColumn("words", F.split("text", " "))
-    pairs = (
-        MinHashMapper(num_hashes=16)
-        >> MinHashLSHPairsMapper("doc_id", bands=4, rows_per_band=4)
-    ).map(with_words)
-    near_dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    survivors = with_words.join(near_dupes, "doc_id", "left_anti")
+    # 5. near-dedup, one call: LSH candidates -> exact-Jaccard verify
+    #    -> connected components -> keep each cluster's representative
+    #    (dropping the higher id of every raw PAIR over-deletes chains:
+    #    a-b + b-c would drop both b and c)
+    tagged = fuzzy_dedup(
+        deduped, threshold=0.5, bands=8, rows_per_band=2
+    )
+    survivors = tagged.filter("is_kept = 1").drop(
+        "cluster_id", "is_kept"
+    ).withColumn("words", F.split("text", " "))
+    with_words = survivors
 
     # 6. decontaminate against a benchmark slice (broadcast semi-join)
     benchmark = with_words.filter(F.col("doc_id") % 97 == 0)
@@ -86,7 +88,15 @@ def main() -> None:
         mixed, {"train": 0.98, "val": 0.01, "test": 0.01}, "doc_id"
     )
 
-    # 9. account
+    # 9. deterministic shard export for the training split: hash
+    #    shard + seeded within-shard order, reproducible end to end
+    train = shard_for_training(
+        mixed.filter("split = 'train'"), "doc_id", n_shards=8
+    )
+    n_shards = train.select("shard").distinct().count()
+    print(f"train split exported as {n_shards} rank-ordered shards")
+
+    # 10. account
     stats = mixed.groupBy("split").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_ws_tokens").alias("tokens"),

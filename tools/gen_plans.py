@@ -176,7 +176,12 @@ PRODUCTION parquet sink (the round-5 memory-sink A/B is preserved in
   docs at 100x): LSH pair generation dominates; the r6 small-graph
   driver union-find tier solves the 13k-pair component step in one
   job.
-- `dedup_simhash_pairs` **1.59x**, `dedup_lsh_pairs` **0.96x**,
+- `dedup_simhash_pairs` **0.81x** (re-probed after the r6 56-bit
+  move; rows grow ~27x rather than 10x because per-copy word tagging
+  REDRAWS every token hash — pairs near the hamming-3 boundary cross
+  it either way under a new draw, a threshold-variance effect, not a
+  band-occupancy blowup like the former 32-bit setting's).
+- `dedup_lsh_pairs` **0.96x**,
   `stream_dedup` **1.51x** (parquet sink), `pack_sequences`
   **2.41x** — all at-or-under linear.
 
