@@ -176,6 +176,15 @@ PRODUCTION parquet sink (the round-5 memory-sink A/B is preserved in
   docs at 100x): LSH pair generation dominates; the r6 small-graph
   driver union-find tier solves the 13k-pair component step in one
   job.
+- `text_stats` **1.40x** (first probed r6, once the noop action made
+  the family's expressions measurable): narrow scan-bound family plus
+  the one repetition-agg shuffle — linear by construction, measured.
+- `semantic_dedup` (scaled-k probe) **2.57x** with n_centroids grown
+  8 -> 80 so cell size stays constant — output grows ~127x on the
+  identical-copy corpus (every vector gains 9 exact twins) while wall
+  grows 2.57x: the cluster-scoped matmul is corpus-bound, not
+  output-bound.  Probing the gate's FIXED k=8 at 10x would time the
+  documented-away quadratic instead of the operator's scale design.
 - `dedup_simhash_pairs` **0.81x** (re-probed after the r6 56-bit
   move; rows grow ~27x rather than 10x because per-copy word tagging
   REDRAWS every token hash — pairs near the hamming-3 boundary cross

@@ -51,6 +51,9 @@ QUERIES = [
     "dedup_clusters",
     "stream_dedup",
     "pack_sequences",
+    # r6: the text-analysis family became honestly measurable under
+    # the noop action (its expressions were count-pruned before)
+    "text_stats",
 ]
 # the steepest 10x curves get the extra decade. stream_sessionize /
 # ann_ivf_topk read only events / embeddings; dedup_ngram_jaccard
@@ -315,6 +318,52 @@ def main() -> None:
             )
         print(
             f"# {name}: 1x={t1}s 10x={t10}s ratio={ratio} "
+            f"rows {r1}->{r10}",
+            file=sys.stderr,
+        )
+
+    # r6: SemDeDup probed with its scale knob applied — n_centroids
+    # grows with the corpus so cell size (and the per-cell quadratic)
+    # stays CONSTANT.  Probing the gate's fixed k=8 at 10x would time
+    # the documented-away quadratic (cells 10x bigger -> 100x the
+    # matmul), not the operator's scale design.
+    if not only or "semantic_dedup_scaledk" in only:
+        from smashed_spark.functions.dedup import SemanticNearDupPairsMapper
+
+        def run_sem(sf_dir: str, k: int, reps: int = 2):
+            best, out = -1.0, None
+            for _ in range(reps):
+                isolate()
+                t0 = time.perf_counter()
+                df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                out = SemanticNearDupPairsMapper(
+                    threshold=0.35, n_centroids=k, max_iter=3, seed=42
+                ).map(df)
+                out.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            return round(best, 3), out.count()
+
+        t1, r1 = run_sem(BASE, 8)
+        t10, r10 = run_sem(scaled_dir, 80)
+        result["queries"]["semantic_dedup_scaledk"] = {
+            "sec_1x": t1,
+            "sec_10x": t10,
+            "wall_ratio": round(t10 / t1, 2) if t1 > 0 else None,
+            "rows_1x": r1,
+            "rows_10x": r10,
+            "note": (
+                "n_centroids scaled 8 -> 80 with the corpus (SemDeDup's "
+                "scale knob: constant cell size keeps the per-cell "
+                "quadratic fixed). The 10x embeddings are 10 IDENTICAL "
+                "copies (values kept, ids shifted): besides 10x "
+                "within-copy pairs, every vector gains 9 exact twins "
+                "across copies, so the OUTPUT grows ~n_copies^2/2-fold "
+                "while the cluster-scoped matmul stays corpus-bound"
+            ),
+        }
+        print(
+            f"# semantic_dedup_scaledk: 1x={t1}s 10x={t10}s "
             f"rows {r1}->{r10}",
             file=sys.stderr,
         )
