@@ -912,3 +912,26 @@ def test_dedup_incremental_against_running_index(spark):
     assert {r.doc_id for r in kept2.collect()} == {4}
     # surviving rows keep the digest column for index maintenance
     assert "digest" in kept2.columns
+
+
+def test_normalize_for_dedup_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x) — the canonical key is
+    a fixpoint, so re-running a pipeline over already-normalized text
+    can never re-split dedup groups."""
+    from smashed_spark.functions.dedup import normalize_for_dedup
+
+    rows = [
+        (0, "Mixed   CASE, with 123 digits & symbols!"),
+        (1, "tabs\tand\nnewlines   everywhere"),
+        (2, "ünïcödé Wörds—stay (léttèrs are \\p{L})"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    once = df.select(
+        "doc_id", normalize_for_dedup(F.col("text")).alias("n1")
+    )
+    twice = once.select(
+        "doc_id", "n1", normalize_for_dedup(F.col("n1")).alias("n2")
+    )
+    for r in twice.collect():
+        assert r.n1 == r.n2, r
