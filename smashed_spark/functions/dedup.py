@@ -219,20 +219,39 @@ class SimHashMapper(SparkMapper):
         words_field: str = "words",
         output_field: str = "simhash",
         bits: int = 64,
+        hash_fn: str = "md5",
     ) -> None:
         if not 0 < bits <= 64:
             raise ValueError("bits must be in 1..64")
+        if hash_fn not in ("md5", "xxhash64"):
+            raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
         self.words_field = words_field
         self.output_field = output_field
         self.bits = bits
+        # md5 (default) is the engine-portable convention the DuckDB
+        # oracles replay; xxhash64 is the production fast path — one
+        # 64-bit token hash feeds all bit positions directly (no
+        # hex->int conversion, no two-word composition), at scan
+        # speed.  Fingerprints differ between the two (different hash
+        # family), near-dup SEMANTICS don't.
+        self.hash_fn = hash_fn
         super().__init__(
             input_fields=[words_field], output_fields=[output_field]
         )
 
     def apply(self, df: DataFrame) -> DataFrame:
-        from .hashing import portable_hash32
+        from .hashing import portable_hash32, simhash_from_hashes
 
         words = F.col(self.words_field)
+        if self.hash_fn == "xxhash64":
+            hashed = df.withColumn(
+                "__tok_h64__", F.transform(words, lambda t: F.xxhash64(t))
+            )
+            out = hashed.withColumn(
+                self.output_field,
+                simhash_from_hashes(F.col("__tok_h64__"), self.bits),
+            )
+            return out.drop("__tok_h64__")
         if self.bits <= 32:
             # project the token hashes ONCE: Catalyst does not CSE the
             # hash transform across the per-bit folds in simhash()

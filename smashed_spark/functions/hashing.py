@@ -153,16 +153,30 @@ def simhash(
         else F.transform(tokens, lambda t: portable_hash32(t, hash_word))
     )
 
-    # ONE traversal of the token array accumulating all per-bit sign
-    # sums in a bits-wide array (zip_with add against the bit masks),
-    # then one fold packs signs into the fingerprint.  Bit-identical
-    # to the former per-bit aggregate folds (sum > 0 -> bit set) and
-    # ~1.6x faster at bits=56 / sf0.1: the higher-order fold is
-    # interpreted per element, so ONE pass with a wide accumulator
-    # beats `bits` passes with scalar accumulators.
-    masks = F.array(
-        *[F.lit(1 << b).cast("bigint") for b in range(bits)]
-    )
+    return simhash_from_hashes(hashes, bits)
+
+
+def simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """SimHash fingerprint from a column of PRECOMPUTED integer token
+    hashes (any width up to 64 bits — md5 words, xxhash64, ...).
+
+    ONE traversal of the token array accumulating all per-bit sign
+    sums in a bits-wide array (zip_with add against the bit masks),
+    then one fold packs signs into the fingerprint.  Bit-identical to
+    the per-bit aggregate-fold formulation (sum > 0 -> bit set) and
+    ~1.6x faster at bits=56 / sf0.1: the higher-order fold is
+    interpreted per element, so ONE pass with a wide accumulator beats
+    ``bits`` passes with scalar accumulators.  Bit 63's mask is the
+    sign bit — added as the negative two's-complement value so a
+    64-bit fingerprint stays inside a signed bigint (same convention
+    as SimHashMapper's wide composition).
+    """
+    if not 0 < bits <= 64:
+        raise ValueError("bits must be in 1..64")
+    mask_vals = [
+        (1 << b) if b < 63 else -(1 << 63) for b in range(bits)
+    ]
+    masks = F.array(*[F.lit(m).cast("bigint") for m in mask_vals])
     acc0 = F.array_repeat(F.lit(0).cast("bigint"), bits)
     sums = F.aggregate(
         hashes,

@@ -935,3 +935,51 @@ def test_normalize_for_dedup_idempotent(spark):
     )
     for r in twice.collect():
         assert r.n1 == r.n2, r
+
+
+def test_simhash_xxhash64_production_path(spark):
+    """The xxhash64 fast path: near-identical docs stay within a small
+    Hamming ball, distinct docs far apart, fingerprints partition-
+    invariant, and the banded pairs mapper composes unchanged."""
+    from smashed_spark.functions.dedup import (
+        SimHashMapper,
+        SimHashNearDupPairsMapper,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = [
+        (0, base),
+        (1, base[:-1] + ["changed"]),       # near-dup of 0
+        (2, [f"other{i}" for i in range(20)]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, words: array<string>")
+    m = SimHashMapper(bits=64, hash_fn="xxhash64")
+    sig = {r.doc_id: r.simhash for r in m.map(df).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(sig[0], sig[1]) <= 10
+    assert ham(sig[0], sig[2]) > 16
+    # partition invariance (pure per-row expression)
+    sig2 = {
+        r.doc_id: r.simhash
+        for r in m.map(df.repartition(5)).collect()
+    }
+    assert sig == sig2
+    # composes with the pairs mapper: 0-1 found, 2 isolated
+    pairs = SimHashNearDupPairsMapper(
+        "doc_id", bits=64, max_hamming=10
+    ).map(m.map(df))
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 1)}
+
+
+def test_simhash_from_hashes_bit63_sign_convention(spark):
+    """bits=64 fingerprints stay inside signed bigint: the top bit
+    contributes the NEGATIVE two's-complement mask, matching the
+    md5-composed wide path's convention."""
+    from smashed_spark.functions.hashing import simhash_from_hashes
+
+    # every token hash has bit 63 set -> sum > 0 -> bit 63 in output
+    df = spark.createDataFrame([([-1, -2],)], "h: array<bigint>")
+    out = df.select(simhash_from_hashes(F.col("h"), 64).alias("s"))
+    v = out.collect()[0].s
+    assert v < 0  # sign bit set, value representable
