@@ -96,22 +96,39 @@ class MinHashMapper(SparkMapper):
         signature_field: str = "minhash",
         num_hashes: int = 16,
         shingle_size: int = 3,
+        hash_fn: str = "md5",
     ) -> None:
+        if hash_fn not in ("md5", "xxhash64"):
+            raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
         self.words_field = words_field
         self.signature_field = signature_field
         self.num_hashes = num_hashes
         self.shingle_size = shingle_size
+        # md5 (default): the engine-portable convention DuckDB oracles
+        # replay.  xxhash64: the production fast path — the shingle
+        # hash is reduced mod the Mersenne prime BEFORE the affine
+        # permutations so a*h stays inside a signed bigint (md5's
+        # 32-bit hashes never overflow; a raw 63-bit xxhash would).
+        # Signatures differ between the two (different hash family),
+        # LSH semantics don't.
+        self.hash_fn = hash_fn
         super().__init__(
             input_fields=[words_field], output_fields=[signature_field]
         )
 
     def apply(self, df: DataFrame) -> DataFrame:
-        from .hashing import portable_hash32
+        from .hashing import MERSENNE_P, portable_hash32
 
         sh = word_shingles(F.col(self.words_field), self.shingle_size)
+        if self.hash_fn == "xxhash64":
+            base_hash = lambda t: F.pmod(  # noqa: E731
+                F.xxhash64(t), F.lit(MERSENNE_P)
+            )
+        else:
+            base_hash = portable_hash32
         # materialize the base hashes once so the k permutations reuse
         # them instead of re-hashing every shingle k times
-        df = df.withColumn("__shingle_hashes__", F.transform(sh, lambda t: portable_hash32(t)))
+        df = df.withColumn("__shingle_hashes__", F.transform(sh, lambda t: base_hash(t)))
         out = df.withColumn(
             self.signature_field,
             minhash_signature(

@@ -983,3 +983,36 @@ def test_simhash_from_hashes_bit63_sign_convention(spark):
     out = df.select(simhash_from_hashes(F.col("h"), 64).alias("s"))
     v = out.collect()[0].s
     assert v < 0  # sign bit set, value representable
+
+
+def test_minhash_xxhash64_production_path(spark):
+    """xxhash64-based signatures: multiplicity-invariant, partition-
+    invariant, compose with LSH banding, and identical word sets give
+    identical signatures (the Jaccard-estimator contract holds for any
+    uniform hash family)."""
+    from smashed_spark.functions.dedup import (
+        MinHashLSHPairsMapper,
+        MinHashMapper,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lam mu").split()
+    rows = [
+        (0, base),
+        (1, list(base)),                      # identical content
+        (2, [f"zz{i}" for i in range(12)]),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, words: array<string>")
+    m = MinHashMapper(num_hashes=16, hash_fn="xxhash64")
+    sig = {r.doc_id: list(r.minhash) for r in m.map(df).collect()}
+    assert sig[0] == sig[1] != sig[2]
+    assert all(0 <= h < 2_147_483_647 for h in sig[0])
+    sig2 = {
+        r.doc_id: list(r.minhash)
+        for r in m.map(df.repartition(3)).collect()
+    }
+    assert sig == sig2
+    pairs = MinHashLSHPairsMapper("doc_id", bands=4, rows_per_band=4).map(
+        m.map(df)
+    )
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 1)}
