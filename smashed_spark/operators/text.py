@@ -30,6 +30,17 @@ from ..core.mapper import SparkMapper
 _WS = r"\s+"
 _PLUS = r"\w+|[^\w\s]+"
 _TRAIL = r"(?:\w+|[^\w\s]+)\s*"
+# blingfire-like Unicode word segmentation: letter runs (with marks,
+# digits and inner apostrophes), digit runs, and each remaining
+# non-space symbol as its own token.  An APPROXIMATION of the
+# reference's blingfire backend (the lib is absent here and its exact
+# model is not replicable), for users who need Unicode-aware
+# splitting beyond \w (which is ASCII-ish for this purpose).
+_UNICODE = (
+    r"[\p{L}\p{M}][\p{L}\p{M}\p{Nd}'’]*"
+    r"|\p{Nd}+"
+    r"|[^\p{L}\p{M}\p{Nd}\s]"
+)
 
 
 class TextToWordsMapper(SparkMapper):
@@ -43,9 +54,10 @@ class TextToWordsMapper(SparkMapper):
         if splitter == "blingfire":
             raise ImportError(
                 "blingfire is not available in this environment; "
-                "use splitter='ws'|'plus'|'trail'"
+                "use splitter='unicode' (a blingfire-like Unicode "
+                "segmentation) or 'ws'|'plus'|'trail'"
             )
-        if splitter not in ("ws", "plus", "trail"):
+        if splitter not in ("ws", "plus", "trail", "unicode"):
             raise ValueError(f"Unknown splitter: {splitter}")
         self.fields = [fields] if isinstance(fields, str) else list(fields)
         self.splitter = splitter
@@ -55,7 +67,11 @@ class TextToWordsMapper(SparkMapper):
         if self.splitter == "ws":
             # WhitespaceSplit: tokens are maximal non-ws runs; drop empties
             return F.filter(F.split(col, _WS), lambda t: t != "")
-        pattern = _PLUS if self.splitter == "plus" else _TRAIL
+        pattern = {
+            "plus": _PLUS,
+            "trail": _TRAIL,
+            "unicode": _UNICODE,
+        }[self.splitter]
         return F.regexp_extract_all(col, F.lit(pattern), 0)
 
     def apply(self, df: DataFrame) -> DataFrame:

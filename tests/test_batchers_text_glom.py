@@ -186,3 +186,22 @@ def test_trail_roundtrip_reference_golden(spark):
     )
     out = pipe.map(df).collect()[0]
     assert out.text == text
+
+
+def test_text_to_words_unicode_splitter(spark):
+    """The blingfire-approximating backend: Unicode letter runs keep
+    diacritics and inner apostrophes, digits split from letters,
+    punctuation tokens stand alone."""
+    from smashed_spark.operators.text import TextToWordsMapper
+
+    df = spark.createDataFrame(
+        [("Crème brûlée, s'il-vous-plaît: 42 fois!",),
+         ("naïve café—déjà vu…",)],
+        "text: string",
+    )
+    out = [r.text for r in TextToWordsMapper("text", splitter="unicode").map(df).collect()]
+    assert out[0] == [
+        "Crème", "brûlée", ",", "s'il", "-", "vous", "-", "plaît",
+        ":", "42", "fois", "!",
+    ]
+    assert out[1] == ["naïve", "café", "—", "déjà", "vu", "…"]

@@ -210,6 +210,10 @@ fingerprint expressions never ran under the old action).  Absolute
 seconds therefore take a one-time upward step in BENCH_r06 vs earlier
 rounds ON TOP of the host factor below; the r6 numbers are the first
 that time what the driver's value comparison actually executes.
+(The round-4 reference-baseline harness ALREADY forced plans through
+the noop sink for exactly this reason — BASELINE.md notes it — so the
+0.2x-geomean-vs-reference comparison was always sound; this fix
+brings bench.py/scale_probe in line with that methodology.)
 Chasing the newly visible cost: FingerprintMapper's per-char-position
 gram hash gained a xxhash64 default (~40% faster than the md5 chain;
 md5 retained for oracle parity and pinned in the gate).
