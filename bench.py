@@ -122,7 +122,6 @@ def main() -> None:
         fn = queries[name]
         best = -1.0
         raw[name] = []
-        n = None
         for _ in range(reps):
             isolate()
             t0 = time.perf_counter()
@@ -140,14 +139,16 @@ def main() -> None:
                 dt = round(time.perf_counter() - t0, 4)
                 raw[name].append(dt)
                 best = dt if best < 0 else min(best, dt)
-                if n is None:
-                    n = df.count()  # untimed, reporting only
             except Exception as e:  # keep benching the rest
                 print(f"# {name}: FAILED {e}", file=sys.stderr)
                 break
         timings[name] = best
         if best >= 0:
-            print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+            # no row-count reporting pass: an untimed count() would
+            # re-execute every query once more (~1/3 extra wall on the
+            # driver's per-round run); the correctness gate, not the
+            # bench, owns row counts
+            print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 4)
