@@ -36,8 +36,9 @@ class GopherQualityFilterMapper(SparkMapper):
 
     * 50 <= word count <= 100_000
     * 3 <= mean word length <= 10
-    * <= 30% of lines start with a bullet, <= 30% end with an ellipsis
-      (single-line docs: a bullet/ellipsis line fails outright)
+    * <= 90% of lines start with a bullet, <= 30% end with an ellipsis
+      (the paper's asymmetric pair; single-line docs fail outright on
+      a bullet/ellipsis line)
     * >= 80% of words contain at least one alphabetic character
     * symbol ratio: '#' or '...' occurrences / words <= 0.1
 
@@ -56,7 +57,7 @@ class GopherQualityFilterMapper(SparkMapper):
         max_words: int = 100_000,
         min_mean_word_len: float = 3.0,
         max_mean_word_len: float = 10.0,
-        max_bullet_line_frac: float = 0.3,
+        max_bullet_line_frac: float = 0.9,
         max_ellipsis_line_frac: float = 0.3,
         min_alpha_word_frac: float = 0.8,
         max_symbol_ratio: float = 0.1,
@@ -178,14 +179,15 @@ class C4CleanMapper(SparkMapper):
 
     * keep only lines that end in terminal punctuation
       (``.!?"``' — the C4 rule) AND have at least ``min_line_words``
-      words; the surviving lines re-join with newlines into
-      ``clean_field``;
+      words (the paper's 5); the surviving lines re-join with
+      newlines into ``clean_field``;
     * drop the whole document when the (lowercased) text contains any
       ``taboo_markers`` substring (default: the C4 boilerplate set —
       'lorem ipsum', 'terms of use', 'privacy policy', 'cookie
       policy', 'uses cookies') or a curly brace (code);
-    * drop documents whose cleaned text has fewer than
-      ``min_doc_words`` words.
+    * drop documents with fewer than ``min_doc_lines`` surviving
+      lines (the paper drops pages under 3 sentences; surviving
+      terminal-punctuated lines are the sentence proxy here).
 
     Emits ``clean_field`` + ``keep_field`` (``drop=True`` filters and
     replaces ``text_field`` with the cleaned text instead).  Document
@@ -206,8 +208,8 @@ class C4CleanMapper(SparkMapper):
         text_field: str = "text",
         clean_field: str = "c4_text",
         keep_field: str = "c4_keep",
-        min_line_words: int = 3,
-        min_doc_words: int = 5,
+        min_line_words: int = 5,
+        min_doc_lines: int = 3,
         taboo_markers: Optional[Sequence[str]] = None,
         drop: bool = False,
     ) -> None:
@@ -215,7 +217,7 @@ class C4CleanMapper(SparkMapper):
         self.clean_field = clean_field
         self.keep_field = keep_field
         self.min_line_words = min_line_words
-        self.min_doc_words = min_doc_words
+        self.min_doc_lines = min_doc_lines
         self.taboo_markers = tuple(
             taboo_markers if taboo_markers is not None else self.TABOO
         )
@@ -241,16 +243,14 @@ class C4CleanMapper(SparkMapper):
         for m in self.taboo_markers:
             taboo = taboo | lower.contains(m)
         taboo = taboo | text.contains("{") | text.contains("}")
-        n_clean_words = F.size(
-            F.filter(
-                F.split(F.col(self.clean_field), r"\s+"),
-                lambda w: F.length(w) > 0,
-            )
-        )
+        n_clean_lines = F.when(
+            F.length(F.col(self.clean_field)) > 0,
+            F.size(F.split(F.col(self.clean_field), "\n")),
+        ).otherwise(F.lit(0))
         out = df.withColumn(self.clean_field, cleaned).withColumn(
             self.keep_field,
             (
-                ~taboo & (n_clean_words >= self.min_doc_words)
+                ~taboo & (n_clean_lines >= self.min_doc_lines)
             ).cast("int"),
         )
         if self.drop:

@@ -995,9 +995,8 @@ def _verify_candidates_jaccard(
     bounded by banding, so the fan-out is the answer size itself)."""
     sets = df.select(
         F.col(id_field).alias("__vid__"),
-        F.array_distinct(
-            word_shingles(F.col(words_field), shingle_size)
-        ).alias("__sh__"),
+        # word_shingles already deduplicates (documented contract)
+        word_shingles(F.col(words_field), shingle_size).alias("__sh__"),
     )
     a = sets.select(
         F.col("__vid__").alias("id_a"), F.col("__sh__").alias("__sa__")
@@ -1234,12 +1233,15 @@ class SemanticNearDupPairsMapper(SparkMapper):
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
             )
             out_a, out_b, out_s = [], [], []
-            # chunked upper-triangle matmul: memory O(chunk * n)
+            # chunked upper-triangle matmul, right operand sliced to
+            # columns >= chunk start (only j > i is ever read): halves
+            # the FLOPs of the dominant quadratic stage, same values
             for s in range(0, n, chunk):
                 e = min(s + chunk, n)
-                sims = mat[s:e] @ mat.T
+                sims = mat[s:e] @ mat[s:].T
                 for i in range(s, e):
-                    row = sims[i - s, i + 1:]
+                    li = i - s
+                    row = sims[li, li + 1:]
                     hits = np.nonzero(row >= thr)[0]
                     for j in hits:
                         out_a.append(ids[i])
@@ -1347,5 +1349,10 @@ def dedup_incremental(
 
 
 def with_digests(df: DataFrame, text_field: str = "text", digest_field: str = "digest") -> DataFrame:
-    """The digest projection to append to a running dedup index."""
+    """The digest projection to append to a running dedup index —
+    reuses an existing ``digest_field`` column (dedup_incremental's
+    output carries one) instead of re-hashing ~100 KB of text per
+    surviving document."""
+    if digest_field in df.columns:
+        return df.select(digest_field)
     return df.select(F.md5(F.col(text_field)).alias(digest_field))

@@ -76,15 +76,33 @@ def with_prefix_sum(
     ).localCheckpoint(eager=True)
     aggs = [F.sum(value_col).alias("__psum__")]
     if require_unique:
+        # count_distinct skips NULLs, so count NULL-keyed rows apart:
+        # a NULL order key is its own totality violation (it cannot be
+        # deterministically ordered), not a "duplicate"
+        any_null = None
+        for c in order_by:
+            cond = F.col(c).isNull()
+            any_null = cond if any_null is None else (any_null | cond)
         aggs += [
             F.count(F.lit(1)).alias("__cnt__"),
             F.count_distinct(
                 *[F.col(c) for c in order_by]
             ).alias("__dcnt__"),
+            F.sum(any_null.cast("bigint")).alias("__nnull__"),
         ]
     sizes = tagged.groupBy("__pid__").agg(*aggs).collect()
     if require_unique:
-        n_dup = sum(r["__cnt__"] - r["__dcnt__"] for r in sizes)
+        n_null = sum(r["__nnull__"] or 0 for r in sizes)
+        if n_null:
+            raise ValueError(
+                f"with_prefix_sum: order_by {list(order_by)} has "
+                f"{n_null} NULL-keyed row(s); a NULL key cannot be "
+                "totally ordered. Filter or fill the key column, or "
+                "pass require_unique=False if ties are acceptable."
+            )
+        n_dup = sum(
+            r["__cnt__"] - r["__dcnt__"] for r in sizes
+        )
         if n_dup:
             raise ValueError(
                 f"with_prefix_sum: order_by {list(order_by)} is not a "

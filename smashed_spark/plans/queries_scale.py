@@ -243,9 +243,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # r6: the standalone dedup_simhash gate (SimHashMapper fingerprints,
 # formerly certified at 16 bits via _simhash_sql) folded into
-# dedup_simhash_pairs, which now emits both endpoints' full 32-bit
-# fingerprints — freeing a registry slot for semantic_dedup under the
-# 50-query cap while keeping SimHashMapper value-certified.
+# dedup_simhash_pairs, which emits both endpoints' full fingerprints
+# (56-bit since the band-occupancy move below) — freeing a registry
+# slot for semantic_dedup under the 50-query cap while keeping
+# SimHashMapper value-certified, wide two-word composition included.
 @query("dedup_simhash_pairs", oracle=_simhash_pairs_sql(56, 3))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3 (Manku et al.

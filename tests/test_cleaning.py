@@ -99,17 +99,23 @@ def _c4_oracle(text, m):
     taboo = any(mk in lower for mk in m.taboo_markers) or (
         "{" in text or "}" in text
     )
-    n = len([w for w in re.split(r"\s+", clean) if w])
-    return clean, int((not taboo) and n >= m.min_doc_words)
+    return clean, int((not taboo) and len(lines) >= m.min_doc_lines)
 
 
 C4_DOCS = [
-    "This is a good sentence.\nAnother proper line here!\nno punct line",
+    "This is a good first sentence right here.\n"
+    "Another proper line follows here too!\n"
+    "And a third full sentence closes it out.\n"
+    "no punct line",
     "Too short.",
-    "This mentions lorem ipsum somewhere in the text, sadly.\nMore good text follows here.",
+    "This mentions lorem ipsum somewhere in the text, sadly.\n"
+    "More good text follows here now.\n"
+    "And even more text follows after that.",
     "function() { return 1; } is code.\nBut this line is fine here.",
-    'He said "stop right there!"\nShort.\nA third line that ends well.',
-    "ends with ellipsis but long enough to pass...\nand a normal closing sentence here.",
+    'He said "stop right there my friend!"\nShort.\n'
+    "A third line that ends quite well.",
+    "ends with an ellipsis but long enough to pass...\n"
+    "and a normal closing sentence right here.",
 ]
 
 
@@ -124,8 +130,10 @@ def test_c4_cleaning_matches_python_replay(spark):
     }
     for i, t in enumerate(C4_DOCS):
         assert got[i] == _c4_oracle(t, m), (i, t[:40])
-    # taboo and brace docs rejected, clean doc kept
+    # taboo and brace docs rejected, 3-sentence doc kept, 2-line
+    # survivor rejected by the min_doc_lines (sentence-count) rule
     assert got[0][1] == 1 and got[2][1] == 0 and got[3][1] == 0
+    assert got[4][1] == 0 and got[5][1] == 0
     dropped = C4CleanMapper(drop=True).map(df)
     assert dropped.count() == sum(1 for _, k in got.values() if k)
     # drop mode replaces text with the cleaned lines

@@ -275,3 +275,16 @@ def test_binpack_md5_groups_replayable_in_python(spark):
     # same packing invariants as the xxhash path
     assert sorted(d for b in bins for d in b.doc_ids) == list(range(80))
     assert all(b.oversize or b.n_tokens <= 16 for b in bins)
+
+
+def test_prefix_sum_null_key_raises_clearly(spark):
+    """A NULL order key is its own totality violation — it must raise
+    the NULL-specific message, not a bogus 'duplicate row' count
+    (count_distinct skips NULLs, which used to miscount)."""
+    from smashed_spark.functions.packing import with_prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, 4), (None, 2), (3, 1)], "doc_id: bigint, n: bigint"
+    )
+    with pytest.raises(ValueError, match="NULL-keyed"):
+        with_prefix_sum(df, "n", ["doc_id"])
