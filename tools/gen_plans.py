@@ -225,11 +225,17 @@ slowdown vs the round-5 recordings — geomean 1.29 over the 48
 comparable queries with a tight spread, including queries whose code
 has not changed since round 1 (`filter_project` 1.39x,
 `enumerate_field` 1.37x, `prompt_family` 1.35x: pure scan+filter
-plans with no conceivable regression path).  Interpret round-over-
-round absolute seconds through that lens; the honest comparators are
-(a) per-query ratios against the same-run trivial-query baseline and
-(b) the same-session interleaved A/Bs used for every r6 plan decision
-(sink switch, signature carry-through).
+plans with no conceivable regression path).  A second same-day data
+point: two identical-code full noop-action runs 2.5 h apart measured
+54.0 s then 74.9 s (geomean 1.33x, with JVM-heavy queries at 2-2.9x
+while trivial scan canaries stayed FLAT and per-rep timings were
+still descending at rep 3 — cold page cache plus sustained-load CPU
+behavior, echoing round 2's documented 51-to-72 s swings on
+byte-identical code).  Interpret round-over-round absolute seconds
+through that lens; the honest comparators are (a) per-query ratios
+against the same-run trivial-query baseline and (b) the same-session
+interleaved A/Bs used for every r6 plan decision (sink switch,
+signature carry-through).
 
 ## asof_join (functions/asof.py)
 
