@@ -425,3 +425,51 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_column, expr)
+
+
+def select_under_token_budget(
+    df: DataFrame,
+    token_budget: int,
+    tokens_field: str,
+    score_field: str,
+    key_field: str,
+    keep_field: str = "in_budget",
+    drop: bool = False,
+) -> DataFrame:
+    """Greedy fixed-budget corpus selection: take documents in
+    descending ``score_field`` order until their cumulative
+    ``tokens_field`` reaches ``token_budget`` — the "fit the best N
+    billion tokens" step after scoring/dedup (the standard greedy
+    knapsack relaxation: optimal when any single document is small
+    against the budget).
+
+    A document is selected iff the EXCLUSIVE prefix sum of tokens
+    before it (in ``(score desc, key)`` order — the key breaks score
+    ties deterministically, so the subset is a pure function of the
+    data) is strictly under the budget; the boundary document
+    therefore lands partially over budget, matching the greedy
+    convention.  Tagged as ``keep_field`` 1/0, or filtered with
+    ``drop=True``.
+
+    Scale: :func:`~smashed_spark.functions.packing.with_prefix_sum`
+    does the ordering work — a range-partitioned sort and a KB-sized
+    driver merge of per-partition totals; two exchanges total, no
+    global single-task sort, no collect of document data.
+    """
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    from ..functions.packing import with_prefix_sum
+
+    # with_prefix_sum requires a total key: (neg score, key) is total
+    # when key is unique, which dedup upstream guarantees
+    work = df.withColumn("__negscore__", -F.col(score_field))
+    summed = with_prefix_sum(
+        work, tokens_field, ["__negscore__", key_field]
+    )
+    out = summed.withColumn(
+        keep_field,
+        (F.col("__prefix__") < F.lit(token_budget)).cast("int"),
+    ).drop("__negscore__", "__prefix__")
+    if drop:
+        out = out.filter(F.col(keep_field) == 1).drop(keep_field)
+    return out

@@ -418,3 +418,46 @@ class TestHashSplit:
             hash_split(self._df(spark), {"a": 0.5, "b": 0.6}, "id")
         with _pt.raises(ValueError):
             hash_split(self._df(spark), {"a": 1.5, "b": -0.5}, "id")
+
+
+def test_select_under_token_budget_matches_greedy_replay(spark):
+    """Budget selection == the driver-side greedy replay: documents in
+    (score desc, key) order accumulate tokens; a doc is kept iff the
+    running total BEFORE it is under the budget (boundary doc included,
+    greedy convention).  Partition-invariant."""
+    import random
+
+    from smashed_spark.sources.loaders import select_under_token_budget
+
+    rng = random.Random(9)
+    rows = [
+        (i, rng.randrange(50, 500), round(rng.random(), 6))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, n_tok: bigint, q: double")
+    budget = 20_000
+    got = {
+        r.doc_id: r.in_budget
+        for r in select_under_token_budget(
+            df, budget, "n_tok", "q", "doc_id"
+        ).collect()
+    }
+    acc, want = 0, {}
+    for doc_id, n, q in sorted(rows, key=lambda r: (-r[2], r[0])):
+        want[doc_id] = int(acc < budget)
+        if acc < budget:
+            acc += n
+    assert got == want
+    assert 0 < sum(got.values()) < len(rows)  # budget actually binds
+    got2 = {
+        r.doc_id: r.in_budget
+        for r in select_under_token_budget(
+            df.repartition(7), budget, "n_tok", "q", "doc_id"
+        ).collect()
+    }
+    assert got2 == got
+    kept = select_under_token_budget(
+        df, budget, "n_tok", "q", "doc_id", drop=True
+    )
+    assert kept.count() == sum(got.values())
+    assert "in_budget" not in kept.columns
