@@ -1032,7 +1032,7 @@ def fuzzy_dedup(
     verify: bool = True,
     simhash_bits: int = 64,
     max_hamming: int = 3,
-    n_centroids: int = 16,
+    n_centroids: "int | str" = "auto",
     max_iterations: int = 30,
 ) -> DataFrame:
     """One-call end-to-end fuzzy deduplication: near-dup PAIRS (by the
@@ -1172,17 +1172,27 @@ class SemanticNearDupPairsMapper(SparkMapper):
         id_field: str = "vec_id",
         vector_field: str = "embedding",
         threshold: float = 0.8,
-        n_centroids: int = 16,
+        n_centroids: "int | str" = "auto",
         seed: int = 42,
         max_iter: int = 5,
         fit_sample: int = 100_000,
+        target_cell_size: int = 5_000,
         max_cell_size: int = 50_000,
         chunk: int = 256,
     ) -> None:
+        if n_centroids != "auto" and (
+            not isinstance(n_centroids, int) or n_centroids < 1
+        ):
+            raise ValueError("n_centroids must be a positive int or 'auto'")
         self.id_field = id_field
         self.vector_field = vector_field
         self.threshold = threshold
+        # "auto" (default) grows k with the corpus so the average cell
+        # stays ~target_cell_size — SemDeDup's scale knob applied for
+        # you: the per-cell quadratic is then CONSTANT at any corpus
+        # size (one cheap count job; parquet counts are metadata-only)
         self.n_centroids = n_centroids
+        self.target_cell_size = target_cell_size
         self.seed = seed
         self.max_iter = max_iter
         self.fit_sample = fit_sample
@@ -1191,6 +1201,8 @@ class SemanticNearDupPairsMapper(SparkMapper):
         super().__init__(input_fields=[id_field, vector_field])
 
     def apply(self, df: DataFrame) -> DataFrame:
+        import math
+
         import numpy as np
 
         from .similarity import assign_cells, fit_centroids_sampled
@@ -1201,9 +1213,18 @@ class SemanticNearDupPairsMapper(SparkMapper):
                 F.col(self.vector_field), lambda x: x.cast("double")
             ).alias("__v__"),
         )
+        k = self.n_centroids
+        if k == "auto":
+            n = df.count()
+            if n == 0:
+                # empty corpus: empty pair set, not a fit error — a
+                # pipeline stage must compose over empty inputs
+                return df.sparkSession.createDataFrame(
+                    [], "id_a bigint, id_b bigint, sim double"
+                )
+            k = max(1, math.ceil(n / self.target_cell_size))
         centroids = fit_centroids_sampled(
-            base, self.n_centroids, self.seed, self.max_iter,
-            self.fit_sample,
+            base, k, self.seed, self.max_iter, self.fit_sample
         )
         assigned = assign_cells(base, centroids)
 
@@ -1264,7 +1285,7 @@ def semantic_dedup(
     id_field: str = "vec_id",
     vector_field: str = "embedding",
     threshold: float = 0.8,
-    n_centroids: int = 16,
+    n_centroids: "int | str" = "auto",
     seed: int = 42,
     max_iterations: int = 30,
     **mapper_kwargs,

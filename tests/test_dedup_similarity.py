@@ -1016,3 +1016,32 @@ def test_minhash_xxhash64_production_path(spark):
         m.map(df)
     )
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 1)}
+
+
+def test_semantic_auto_centroids_and_empty_corpus(spark):
+    """n_centroids='auto' (default) sizes k from the corpus so cells
+    stay ~target_cell_size; an empty corpus yields an empty pair set
+    (pipeline-composable), not a fit error."""
+    from smashed_spark.functions.dedup import SemanticNearDupPairsMapper
+
+    rows = _clustered_vectors(n_per=20)  # 60 vectors
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    m = SemanticNearDupPairsMapper(threshold=0.9, target_cell_size=20)
+    # 60 vectors / 20 target -> k=3, which resolves the three anchors:
+    # same pair set as the explicit k=3 run
+    auto_pairs = {(r.id_a, r.id_b) for r in m.map(df).collect()}
+    explicit = {
+        (r.id_a, r.id_b)
+        for r in SemanticNearDupPairsMapper(
+            threshold=0.9, n_centroids=3
+        ).map(df).collect()
+    }
+    assert auto_pairs == explicit and auto_pairs
+
+    empty = spark.createDataFrame([], "vec_id: bigint, embedding: array<double>")
+    out = m.map(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "sim"]
+
+    with pytest.raises(ValueError, match="positive int or 'auto'"):
+        SemanticNearDupPairsMapper(n_centroids=0)
