@@ -20,6 +20,13 @@ Scale design
 * **SimHash**: near-dup via Hamming distance on a compact integer —
   narrow compute, then bucket-join on rotated prefixes.
 * **Embedding cosine**: see functions/similarity.py.
+* **Semantic (SemDeDup)**: spherical-kmeans cells (auto-sized so the
+  per-cell quadratic stays constant), cosine evaluated within cells
+  only — O(N²/k).
+* **One-call recipes**: :func:`fuzzy_dedup` / :func:`semantic_dedup`
+  run pairs -> connected components -> per-doc (cluster_id, is_kept)
+  tags; :func:`dedup_incremental` anti-joins a new batch against a
+  running digest index (append-only ingestion).
 """
 
 from __future__ import annotations
