@@ -1045,3 +1045,41 @@ def test_semantic_auto_centroids_and_empty_corpus(spark):
 
     with pytest.raises(ValueError, match="positive int or 'auto'"):
         SemanticNearDupPairsMapper(n_centroids=0)
+
+
+def test_fuzzy_dedup_equals_manual_stage_composition(spark, sf_dir):
+    """On the real testdata corpus, the one-call recipe reproduces the
+    hand-composed chain exactly (same mappers, same parameters): the
+    recipe adds packaging, never semantics."""
+    from smashed_spark.functions.dedup import (
+        MinHashLSHPairsMapper,
+        MinHashMapper,
+        _verify_candidates_jaccard,
+        fuzzy_dedup,
+    )
+    from smashed_spark.functions.graph import DedupClustersMapper
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one_call = {
+        r.doc_id: (r.cluster_id, r.is_kept)
+        for r in fuzzy_dedup(
+            docs, method="minhash", threshold=0.5,
+            bands=8, rows_per_band=2,
+        ).collect()
+    }
+    work = docs.withColumn("words", F.split("text", " "))
+    signed = MinHashMapper(num_hashes=16, shingle_size=3).map(work)
+    pairs = MinHashLSHPairsMapper(
+        "doc_id", bands=8, rows_per_band=2
+    ).map(signed)
+    verified = _verify_candidates_jaccard(
+        pairs, work, "doc_id", "words", 3, 0.5
+    )
+    manual = {
+        r.doc_id: (r.cluster_id, r.is_kept)
+        for r in DedupClustersMapper(
+            verified.select("id_a", "id_b")
+        ).map(docs).collect()
+    }
+    assert one_call == manual
+    assert sum(k for _, k in one_call.values()) < len(one_call)  # dups exist
