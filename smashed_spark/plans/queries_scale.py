@@ -481,6 +481,45 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
                max(c) AS top
         FROM rc GROUP BY doc_id
+    ), gw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           w -> w != '') AS ws,
+               string_split(text, chr(10)) AS lns,
+               text AS tx
+        FROM documents
+    ), gr AS (
+        SELECT doc_id,
+          len(ws) AS nw,
+          CASE WHEN len(ws) > 0 THEN
+            list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+            ELSE 0.0 END AS mean_len,
+          len(list_filter(lns, l -> regexp_matches(trim(l), '^[*\-•]')))
+            ::DOUBLE / len(lns) AS bullet_frac,
+          len(list_filter(lns, l -> regexp_matches(trim(l),
+                                                   '(\.\.\.|…)$')))
+            ::DOUBLE / len(lns) AS ell_frac,
+          CASE WHEN len(ws) > 0 THEN
+            len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+              ::DOUBLE / len(ws) ELSE 0.0 END AS alpha_frac,
+          CASE WHEN len(ws) > 0 THEN
+            ((length(tx) - length(replace(tx, '#', '')))
+             + (length(tx) - length(replace(tx, '...', ''))) / 3)
+              ::DOUBLE / len(ws)
+            ELSE 0.0 END AS sym_ratio
+        FROM gw
+    ), gv AS (
+        SELECT doc_id,
+          CASE WHEN nw < 50 THEN 'too_few_words'
+               WHEN nw > 100000 THEN 'too_many_words'
+               WHEN mean_len < 3.0 THEN 'mean_word_len_low'
+               WHEN mean_len > 10.0 THEN 'mean_word_len_high'
+               WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+               WHEN ell_frac > 0.3 THEN 'ellipsis_lines'
+               WHEN alpha_frac < 0.8 THEN 'non_alpha_words'
+               WHEN sym_ratio > 0.1 THEN 'symbol_ratio'
+               ELSE '' END AS gopher_reason
+        FROM gr
     )
     SELECT d.doc_id,
            len(list_filter(string_split_regex(d.text, '\\s+'), t -> t != ''))
@@ -510,13 +549,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(rep.n2, 0)::BIGINT AS rep_n_2grams,
            coalesce(round(rep.dup::DOUBLE / rep.n2, 6), 0.0)
                AS rep_dup_2gram_frac,
-           coalesce(rep.top, 0)::BIGINT AS rep_top_2gram_count
+           coalesce(rep.top, 0)::BIGINT AS rep_top_2gram_count,
+           gv.gopher_reason,
+           CAST(gv.gopher_reason = '' AS INT) AS gopher_keep
     FROM documents d
     JOIN n ON d.doc_id = n.doc_id
     JOIN q ON d.doc_id = q.doc_id
     JOIN s ON d.doc_id = s.doc_id
     JOIN rw ON d.doc_id = rw.doc_id
     LEFT JOIN rep ON d.doc_id = rep.doc_id
+    JOIN gv ON d.doc_id = gv.doc_id
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,6 +570,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram): partial-agg friendly, skew-free).  Spark's langid argmax is
     greatest(struct(score, lang)) — ties break toward the later
     language name, mirrored in the oracle's CASE ordering."""
+    from ..functions.cleaning import GopherQualityFilterMapper
     from ..functions.textstats import (
         FingerprintMapper,
         LangIdMapper,
@@ -542,6 +585,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         >> QualityScoreMapper()
         >> LangIdMapper()
         >> RepetitionStatsMapper()
+        # r6 fold: the canned Gopher quality verdict joins the family
+        # composite (C4CleanMapper stays unit-only: this corpus has no
+        # terminal-punctuated lines, so a driver gate would certify
+        # constant columns — the crafted-fixture replay oracle in
+        # test_cleaning is the stronger check there)
+        >> GopherQualityFilterMapper()
     )
     out = pipe.map(load(spark, sf_dir, "documents"))
     return out.select(
@@ -559,6 +608,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_n_2grams",
         "rep_dup_2gram_frac",
         "rep_top_2gram_count",
+        "gopher_reason",
+        "gopher_keep",
     )
 
 
