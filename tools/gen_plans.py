@@ -176,9 +176,10 @@ PRODUCTION parquet sink (the round-5 memory-sink A/B is preserved in
   docs at 100x): LSH pair generation dominates; the r6 small-graph
   driver union-find tier solves the 13k-pair component step in one
   job.
-- `text_stats` **1.40x** (first probed r6, once the noop action made
-  the family's expressions measurable): narrow scan-bound family plus
-  the one repetition-agg shuffle — linear by construction, measured.
+- `text_stats` **0.95x** (re-probed after the r6 Gopher-verdict fold;
+  first measured 1.40x once the noop action made the family's
+  expressions visible): narrow scan-bound family plus the one
+  repetition-agg shuffle — fixed overheads dominate through 50k docs.
 - `semantic_dedup` (scaled-k probe) **2.57x** with n_centroids grown
   8 -> 80 so cell size stays constant — output grows ~127x on the
   identical-copy corpus (every vector gains 9 exact twins) while wall
