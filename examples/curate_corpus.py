@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from smashed_spark.functions.cleaning import GopherQualityFilterMapper
 from smashed_spark.functions.dedup import ExactDedupMapper, fuzzy_dedup
 from smashed_spark.functions.textstats import (
     DecontaminateMapper,
@@ -48,10 +49,16 @@ def main() -> None:
         >> PiiRedactMapper("text")
         >> TokenCountMapper("text")
         >> RepetitionStatsMapper()  # Gopher repetition signals
+        # the canned Gopher document rules (published thresholds,
+        # min_words lowered for this short-doc synthetic corpus);
+        # rejections stay auditable via gopher_reason
+        >> GopherQualityFilterMapper(min_words=30)
     )
     scored = pipe.map(docs).filter(
-        (F.col("q_score") >= 0.3) & (F.col("rep_dup_2gram_frac") < 0.9)
-    )
+        (F.col("gopher_keep") == 1)
+        & (F.col("q_score") >= 0.3)
+        & (F.col("rep_dup_2gram_frac") < 0.9)
+    ).drop("gopher_keep", "gopher_reason")
 
     # 4. exact dedup (one shuffle on the content digest)
     deduped = ExactDedupMapper().map(scored)
