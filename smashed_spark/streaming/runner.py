@@ -47,6 +47,16 @@ _UNSTREAMABLE = {
     "DecontaminateMapper",
     "SessionizeMapper",
     "SessionStatsMapper",
+    # r6 multi-pass additions: corpus-global occurrence counts /
+    # clustering / packing state — none can run on unbounded input
+    "DuplicatedWindowsMapper",
+    "DuplicatedSpansMapper",
+    "RemoveDuplicatedSpansMapper",
+    "DedupParagraphsMapper",
+    "DedupClustersMapper",
+    "SemanticNearDupPairsMapper",
+    "PackSequencesMapper",
+    "BinPackSequencesMapper",
 }
 
 

@@ -424,3 +424,43 @@ def test_parquet_sink_rejects_non_append_modes(spark, monkeypatch):
     monkeypatch.setenv("SMASHED_STREAM_SINK", "tachyon")
     with _pytest.raises(ValueError, match="memory|parquet"):
         drain_bounded(stream, "t_bad_sink")
+
+
+def test_streamability_classification_of_r6_mappers(spark):
+    """Row-local r6 mappers pass the stream gate; corpus-global ones
+    (window occurrence counts, clustering, packing) are rejected up
+    front instead of failing mid-stream."""
+    from smashed_spark.core.pipeline import Pipeline
+    from smashed_spark.functions.cleaning import (
+        C4CleanMapper,
+        GopherQualityFilterMapper,
+    )
+    from smashed_spark.functions.dedup import (
+        SemanticNearDupPairsMapper,
+        SimHashMapper,
+    )
+    from smashed_spark.functions.substring import (
+        DedupParagraphsMapper,
+        RemoveDuplicatedSpansMapper,
+    )
+    from smashed_spark.streaming.runner import (
+        assert_streamable,
+        streamable,
+    )
+
+    for ok in (
+        GopherQualityFilterMapper(),
+        C4CleanMapper(),
+        SimHashMapper(hash_fn="xxhash64"),
+    ):
+        assert streamable(ok), type(ok).__name__
+    for bad in (
+        SemanticNearDupPairsMapper(),
+        RemoveDuplicatedSpansMapper(),
+        DedupParagraphsMapper(),
+    ):
+        assert not streamable(bad), type(bad).__name__
+    with pytest.raises(ValueError, match="not applicable"):
+        assert_streamable(
+            Pipeline([GopherQualityFilterMapper(), DedupParagraphsMapper()])
+        )
