@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 from smashed_spark.core.pipeline import Pipeline
+from smashed_spark.functions.cleaning import GopherQualityFilterMapper
 from smashed_spark.functions.textstats import (
     LangIdMapper,
     QualityScoreMapper,
@@ -45,6 +46,9 @@ def main() -> None:
             LangIdMapper(),
             QualityScoreMapper(),
             TokenCountMapper(),
+            # the canned Gopher verdict is row-local, so it streams
+            # unchanged (assert_streamable accepts it)
+            GopherQualityFilterMapper(min_words=30, drop=True),
             FilterMapper("q_score", ">=", 0.5),
         ]
     )
