@@ -461,3 +461,28 @@ def test_select_under_token_budget_matches_greedy_replay(spark):
     )
     assert kept.count() == sum(got.values())
     assert "in_budget" not in kept.columns
+
+
+def test_select_under_token_budget_edges(spark):
+    from smashed_spark.sources.loaders import select_under_token_budget
+
+    df = spark.createDataFrame(
+        [(0, 10, 0.9), (1, 20, 0.5)], "doc_id: bigint, n_tok: bigint, q: double"
+    )
+    # zero budget keeps nothing; budget >= total keeps everything
+    assert (
+        select_under_token_budget(df, 0, "n_tok", "q", "doc_id", drop=True)
+        .count() == 0
+    )
+    assert (
+        select_under_token_budget(df, 31, "n_tok", "q", "doc_id", drop=True)
+        .count() == 2
+    )
+    # boundary doc included (greedy convention): budget 5 < first doc's
+    # 10 tokens still admits the first doc (exclusive prefix 0 < 5)
+    kept = select_under_token_budget(
+        df, 5, "n_tok", "q", "doc_id", drop=True
+    ).collect()
+    assert [r.doc_id for r in kept] == [0]
+    with pytest.raises(ValueError, match="token_budget"):
+        select_under_token_budget(df, -1, "n_tok", "q", "doc_id")
