@@ -92,3 +92,24 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
         (r.doc_id, r.shard, r.shard_rank) for r in back.collect()
     }
     assert got == want
+
+
+def test_shard_for_training_edges(spark):
+    """n_shards=1 degenerates to a single ranked shard; duplicate keys
+    land in the same shard with consecutive ranks (identical rows are
+    interchangeable); n_shards<1 rejected."""
+    import pytest as _pytest
+
+    from smashed_spark.sources.sinks import shard_for_training
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "doc_id: bigint, text: string"
+    )
+    one = shard_for_training(df, "doc_id", 1, seed=5).collect()
+    assert {r.shard for r in one} == {0}
+    assert sorted(r.shard_rank for r in one) == [1, 2, 3]
+    dup_rows = [r for r in one if r.doc_id == 1]
+    assert len({r.shard for r in dup_rows}) == 1
+    assert abs(dup_rows[0].shard_rank - dup_rows[1].shard_rank) == 1
+    with _pytest.raises(ValueError, match="n_shards"):
+        shard_for_training(df, "doc_id", 0)
