@@ -236,6 +236,15 @@ class SimHashMapper(SparkMapper):
     independent 32-bit simhashes (md5 words 0 and 1) as ``hi * 2^32 +
     lo`` in signed two's-complement — the low 32 bits equal the plain
     ``bits=32`` fingerprint by construction.
+
+    ``bits`` in 65..128 is the EXTREME-SCALE tier (>~10^9 docs, where
+    64-bit band buckets start to fill — see
+    ``SimHashNearDupPairsMapper``'s occupancy math): the output
+    column becomes ``array<bigint>`` of two words, little-endian —
+    word 0 is bit-identical to the plain ``bits=64`` fingerprint
+    (md5 words 0..1, or ``xxhash64(t)``), word 1 carries bits 64+
+    from independent hash material (md5 words 2..3, or
+    ``xxhash64(t, 1)``).
     """
 
     def __init__(
@@ -245,8 +254,8 @@ class SimHashMapper(SparkMapper):
         bits: int = 64,
         hash_fn: str = "md5",
     ) -> None:
-        if not 0 < bits <= 64:
-            raise ValueError("bits must be in 1..64")
+        if not 0 < bits <= 128:
+            raise ValueError("bits must be in 1..128")
         if hash_fn not in ("md5", "xxhash64"):
             raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
         self.words_field = words_field
@@ -271,11 +280,29 @@ class SimHashMapper(SparkMapper):
             hashed = df.withColumn(
                 "__tok_h64__", F.transform(words, lambda t: F.xxhash64(t))
             )
+            if self.bits <= 64:
+                out = hashed.withColumn(
+                    self.output_field,
+                    simhash_from_hashes(F.col("__tok_h64__"), self.bits),
+                )
+                return out.drop("__tok_h64__")
+            # wide tier: word 1's sign bits come from an independent
+            # seeded hash (xxhash64 of (token, 1)), so the two words
+            # carry 128 independent bits
+            hashed = hashed.withColumn(
+                "__tok_h64b__",
+                F.transform(words, lambda t: F.xxhash64(t, F.lit(1))),
+            )
             out = hashed.withColumn(
                 self.output_field,
-                simhash_from_hashes(F.col("__tok_h64__"), self.bits),
+                F.array(
+                    simhash_from_hashes(F.col("__tok_h64__"), 64),
+                    simhash_from_hashes(
+                        F.col("__tok_h64b__"), self.bits - 64
+                    ),
+                ),
             )
-            return out.drop("__tok_h64__")
+            return out.drop("__tok_h64__", "__tok_h64b__")
         if self.bits <= 32:
             # project the token hashes ONCE: Catalyst does not CSE the
             # hash transform across the per-bit folds in simhash()
@@ -291,9 +318,9 @@ class SimHashMapper(SparkMapper):
             )
             return out.drop("__tok_h0__")
         # wide fingerprints: md5 each token ONCE (the digest carries
-        # 128 bits) and slice both 32-bit words out of the projected
-        # digest — two portable_hash32 transforms would pay the md5
-        # pass twice per token
+        # 128 bits = four 32-bit words) and slice the needed words out
+        # of the projected digest — separate portable_hash32 transforms
+        # would pay the md5 pass once per word
 
         def word(digests, w: int):
             return F.transform(
@@ -303,26 +330,48 @@ class SimHashMapper(SparkMapper):
                 ).cast("bigint"),
             )
 
+        n_words = 2 if self.bits <= 64 else 4
         hashed = df.withColumn("__tok_md5__", F.transform(words, F.md5))
-        hashed = hashed.withColumn(
-            "__tok_h0__", word(F.col("__tok_md5__"), 0)
-        ).withColumn(
-            "__tok_h1__", word(F.col("__tok_md5__"), 1)
-        )
-        lo = simhash(F.col("__tok_h0__"), 32, hashes_precomputed=True)
-        hi = simhash(
-            F.col("__tok_h1__"), self.bits - 32, hashes_precomputed=True
-        )
-        if self.bits == 64:
-            # top bit set -> negative bigint (two's complement): keep
-            # the product inside signed-64 range
-            hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(
-                hi
+        tmp = ["__tok_md5__"]
+        for w in range(min(n_words, (self.bits + 31) // 32)):
+            hashed = hashed.withColumn(
+                f"__tok_h{w}__", word(F.col("__tok_md5__"), w)
             )
-        out = hashed.withColumn(
-            self.output_field, hi * F.lit(1 << 32) + lo
-        )
-        return out.drop("__tok_md5__", "__tok_h0__", "__tok_h1__")
+            tmp.append(f"__tok_h{w}__")
+
+        def fp_from(base_word: int, nbits: int) -> Column:
+            """Up-to-64-bit fingerprint from md5 words base_word (low
+            32 sign bits) and base_word+1 (high nbits-32)."""
+            if nbits <= 32:
+                return simhash(
+                    F.col(f"__tok_h{base_word}__"),
+                    nbits,
+                    hashes_precomputed=True,
+                )
+            lo = simhash(
+                F.col(f"__tok_h{base_word}__"), 32, hashes_precomputed=True
+            )
+            hi = simhash(
+                F.col(f"__tok_h{base_word + 1}__"),
+                nbits - 32,
+                hashes_precomputed=True,
+            )
+            if nbits == 64:
+                # top bit set -> negative bigint (two's complement):
+                # keep the product inside signed-64 range
+                hi = F.when(
+                    hi >= F.lit(1 << 31), hi - F.lit(1 << 32)
+                ).otherwise(hi)
+            return hi * F.lit(1 << 32) + lo
+
+        if self.bits <= 64:
+            out = hashed.withColumn(self.output_field, fp_from(0, self.bits))
+        else:
+            out = hashed.withColumn(
+                self.output_field,
+                F.array(fp_from(0, 64), fp_from(2, self.bits - 64)),
+            )
+        return out.drop(*tmp)
 
 
 class SimHashNearDupPairsMapper(SparkMapper):
@@ -345,11 +394,32 @@ class SimHashNearDupPairsMapper(SparkMapper):
     2^(bits/(max_hamming+1))`` docs in each bucket — the join emits
     the *square* of that per bucket.  At ``bits=64, max_hamming=3``
     that is 2^16 values/band (Manku et al.'s web-scale setting:
-    buckets stay tiny up to billions of docs); at ``bits=16`` it is
-    2^4 = 16 values/band, i.e. O(N/16)-sized buckets and quadratic
-    fan-out at corpus scale — only usable for small corpora or
-    oracle-parity runs.
+    buckets stay tiny up to hundreds of millions of docs); at
+    ``bits=16`` it is 2^4 = 16 values/band, i.e. O(N/16)-sized
+    buckets and quadratic fan-out at corpus scale — only usable for
+    small corpora or oracle-parity runs.  Past ~10^9–10^10 docs even
+    16-bit bands fill (~N/2^16 docs/bucket): that is the WIDE tier —
+    ``bits=128`` (fingerprint column as ``array<bigint>`` of two
+    words, as :class:`SimHashMapper` emits for ``bits > 64``) gives
+    32-bit bands at ``max_hamming=3``, i.e. 2^32 values/band, tiny
+    buckets out past 10^11 docs.
+
+    The math is ENFORCED, not just documented: unless
+    ``max_band_occupancy=None``, a plan-time probe (one bounded
+    aggregate over the slim banded index — map-side combine makes its
+    shuffle min(N x bands, bands x 2^width) rows; memoized per input
+    plan like NGramJaccardPairsMapper's auto-probe) measures the
+    hottest band bucket and raises before the join can go quadratic,
+    naming the fix.  Skipped for streaming inputs (no plan-time
+    actions on streams; micro-batches are bounded by the trigger
+    interval anyway).
     """
+
+    #: default fail-fast threshold for the hottest band bucket: 20k
+    #: docs in one bucket -> ~2x10^8 candidate pairs from that bucket
+    #: alone (minutes of skewed join work); legitimate near-dup
+    #: clusters stay orders of magnitude below this
+    DEFAULT_MAX_BAND_OCCUPANCY = 20_000
 
     def __init__(
         self,
@@ -359,9 +429,14 @@ class SimHashNearDupPairsMapper(SparkMapper):
         max_hamming: int = 3,
         hamming_field: str = "hamming",
         emit_fingerprints: bool = False,
+        max_band_occupancy: Optional[int] = DEFAULT_MAX_BAND_OCCUPANCY,
     ) -> None:
+        if not 0 < bits <= 128:
+            raise ValueError("bits must be in 1..128")
         if max_hamming < 0 or max_hamming >= bits:
             raise ValueError("need 0 <= max_hamming < bits")
+        if max_band_occupancy is not None and max_band_occupancy < 1:
+            raise ValueError("max_band_occupancy must be >= 1 or None")
         self.id_field = id_field
         self.simhash_field = simhash_field
         self.bits = bits
@@ -373,6 +448,7 @@ class SimHashNearDupPairsMapper(SparkMapper):
         # full-evaluation A/B vs broadcast post-joins measures parity
         # at sf0.1, so this is a schema convenience, not a perf knob
         self.emit_fingerprints = emit_fingerprints
+        self.max_band_occupancy = max_band_occupancy
         super().__init__(input_fields=[id_field, simhash_field])
 
     def _band_widths(self) -> List[int]:
@@ -380,24 +456,81 @@ class SimHashNearDupPairsMapper(SparkMapper):
         base, rem = divmod(self.bits, n_bands)
         return [base + (1 if i < rem else 0) for i in range(n_bands)]
 
+    def _band_value(self, words: List[Column], offset: int, width: int) -> Column:
+        """Bits [offset, offset+width) of the little-endian multi-word
+        fingerprint, as a non-negative bigint (width <= 63 always: the
+        band count is >= 2 words only when bits > 64 has >= 2 bands)."""
+        w, bit = divmod(offset, 64)
+        if bit + width <= 64:
+            part = F.shiftrightunsigned(words[w], bit)
+            if bit + width < 64:
+                part = part.bitwiseAND(F.lit((1 << width) - 1))
+            return part
+        # band straddles a word boundary: low (64 - bit) bits from
+        # word w, the remaining bits from the bottom of word w + 1
+        lo_width = 64 - bit
+        lo = F.shiftrightunsigned(words[w], bit)
+        hi = words[w + 1].bitwiseAND(
+            F.lit((1 << (width - lo_width)) - 1)
+        )
+        return F.shiftleft(hi, lo_width).bitwiseOR(lo)
+
+    def _check_band_occupancy(self, base: DataFrame) -> None:
+        """Fail fast when any band bucket is hot enough to make the
+        banded self-join's OUTPUT quadratic (the same degenerate-input
+        guard as SemanticNearDupPairsMapper.max_cell_size).  One
+        bounded aggregate: groupBy (band, value) with map-side partial
+        counts, then a 1-row max — O(buckets) shuffle rows, never
+        O(N^2) anything."""
+        cap = self.max_band_occupancy
+        hot = (
+            base.groupBy("__b__", "__v__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .agg(F.max("__n__").alias("__max__"))
+            .collect()[0]["__max__"]
+        ) or 0
+        if hot > cap:
+            widths = self._band_widths()
+            raise ValueError(
+                f"SimHashNearDupPairsMapper: hottest band bucket holds "
+                f"{hot} docs (cap {cap}); the banded self-join would "
+                f"emit ~{hot}^2/2 candidate pairs from that bucket "
+                f"alone. Band width is {min(widths)} bits "
+                f"(bits={self.bits}, max_hamming={self.max_hamming} -> "
+                f"{len(widths)} bands). Fix: widen the fingerprint "
+                "(bits=128 via SimHashMapper(bits=128) gives 32-bit "
+                "bands at max_hamming=3), lower max_hamming (fewer, "
+                "wider bands), pre-dedup exact duplicates (identical "
+                "docs share every band), or raise/disable "
+                "max_band_occupancy if the skewed join cost is "
+                "acceptable."
+            )
+
     def apply(self, df: DataFrame) -> DataFrame:
-        sim = F.col(self.simhash_field).cast("bigint")
+        multiword = self.bits > 64
+        if multiword:
+            col = F.col(self.simhash_field)
+            words = [
+                F.element_at(col, 1).cast("bigint"),
+                F.element_at(col, 2).cast("bigint"),
+            ]
+            h_expr = F.array(*words)
+        else:
+            words = [F.col(self.simhash_field).cast("bigint")]
+            h_expr = words[0]
         bands = []
         offset = 0
         for i, width in enumerate(self._band_widths()):
-            mask = (1 << width) - 1
             bands.append(
                 F.struct(
                     F.lit(i).alias("b"),
-                    F.shiftrightunsigned(sim, offset)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("v"),
+                    self._band_value(words, offset, width).alias("v"),
                 )
             )
             offset += width
         base = df.select(
             F.col(self.id_field).alias("__id__"),
-            sim.alias("__h__"),
+            h_expr.alias("__h__"),
             F.explode(F.array(*bands)).alias("__band__"),
         ).select(
             "__id__",
@@ -405,6 +538,35 @@ class SimHashNearDupPairsMapper(SparkMapper):
             F.col("__band__.b").alias("__b__"),
             F.col("__band__.v").alias("__v__"),
         )
+        if self.max_band_occupancy is not None and not df.isStreaming:
+            # DOCUMENTED laziness exception (same contract as
+            # NGramJaccardPairsMapper's auto-probe): a scale guard has
+            # to look at data.  Memoized per input plan so repeated
+            # apply()/explain() calls don't re-probe.
+            memo = getattr(self, "_occupancy_ok", None)
+            if memo is None:
+                memo = self._occupancy_ok = set()
+            plan_key = (df.semanticHash(), self.max_band_occupancy)
+            if plan_key not in memo:
+                self._check_band_occupancy(base)
+                memo.add(plan_key)
+        if multiword:
+            hamming = (
+                F.bit_count(
+                    F.element_at(F.col("l.__h__"), 1).bitwiseXOR(
+                        F.element_at(F.col("r.__h__"), 1)
+                    )
+                )
+                + F.bit_count(
+                    F.element_at(F.col("l.__h__"), 2).bitwiseXOR(
+                        F.element_at(F.col("r.__h__"), 2)
+                    )
+                )
+            )
+        else:
+            hamming = F.bit_count(
+                F.col("l.__h__").bitwiseXOR(F.col("r.__h__"))
+            )
         l, r = base.alias("l"), base.alias("r")
         carried = (
             [
@@ -424,11 +586,7 @@ class SimHashNearDupPairsMapper(SparkMapper):
             .select(
                 F.col("l.__id__").alias("id_a"),
                 F.col("r.__id__").alias("id_b"),
-                F.bit_count(
-                    F.col("l.__h__").bitwiseXOR(F.col("r.__h__"))
-                )
-                .cast("bigint")
-                .alias(self.hamming_field),
+                hamming.cast("bigint").alias(self.hamming_field),
                 *carried,
             )
             # verify BEFORE deduplicating: bit_count is a cheap

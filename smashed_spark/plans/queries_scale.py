@@ -483,7 +483,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rc GROUP BY doc_id
     ), gw AS (
         SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'),
+               list_filter(string_split_regex(text, '\\s+'),
                            w -> w != '') AS ws,
                string_split(text, chr(10)) AS lns,
                text AS tx
@@ -494,10 +494,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           CASE WHEN len(ws) > 0 THEN
             list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
             ELSE 0.0 END AS mean_len,
-          len(list_filter(lns, l -> regexp_matches(trim(l), '^[*\-•]')))
+          len(list_filter(lns, l -> regexp_matches(trim(l), '^[*\\-•]')))
             ::DOUBLE / len(lns) AS bullet_frac,
           len(list_filter(lns, l -> regexp_matches(trim(l),
-                                                   '(\.\.\.|…)$')))
+                                                   '(\\.\\.\\.|…)$')))
             ::DOUBLE / len(lns) AS ell_frac,
           CASE WHEN len(ws) > 0 THEN
             len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))

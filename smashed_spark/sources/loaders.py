@@ -451,25 +451,37 @@ def select_under_token_budget(
     convention.  Tagged as ``keep_field`` 1/0, or filtered with
     ``drop=True``.
 
-    Scale: :func:`~smashed_spark.functions.packing.with_prefix_sum`
-    does the ordering work — a range-partitioned sort and a KB-sized
-    driver merge of per-partition totals; two exchanges total, no
-    global single-task sort, no collect of document data.
+    Scale: the prefix sum runs on a SLIM ``(key, score, tokens)``
+    projection — ~24 bytes/row — and only the resulting 0/1 keep flag
+    is joined back onto the full-width corpus by ``key_field`` (the
+    same discipline as ``PackSequencesMapper``).  The document payload
+    never rides the range sort or the prefix-sum checkpoint: at 100 TB
+    the sorted/materialized working set is GB-sized regardless of how
+    wide the corpus rows are.  :func:`~smashed_spark.functions.packing.
+    with_prefix_sum` itself is a range-partitioned sort plus a KB-sized
+    driver merge of per-partition totals; no global single-task sort,
+    no collect of document data.
     """
     if token_budget < 0:
         raise ValueError("token_budget must be >= 0")
     from ..functions.packing import with_prefix_sum
 
     # with_prefix_sum requires a total key: (neg score, key) is total
-    # when key is unique, which dedup upstream guarantees
-    work = df.withColumn("__negscore__", -F.col(score_field))
-    summed = with_prefix_sum(
-        work, tokens_field, ["__negscore__", key_field]
+    # when key is unique, which dedup upstream guarantees (and the
+    # join-back below relies on — duplicate keys would fan out)
+    slim = df.select(key_field, score_field, tokens_field).withColumn(
+        "__negscore__", -F.col(score_field)
     )
-    out = summed.withColumn(
-        keep_field,
-        (F.col("__prefix__") < F.lit(token_budget)).cast("int"),
-    ).drop("__negscore__", "__prefix__")
+    summed = with_prefix_sum(
+        slim, tokens_field, ["__negscore__", key_field]
+    )
+    flags = summed.select(
+        key_field,
+        (F.col("__prefix__") < F.lit(token_budget))
+        .cast("int")
+        .alias(keep_field),
+    )
+    out = df.join(flags, key_field).select(*df.columns, keep_field)
     if drop:
         out = out.filter(F.col(keep_field) == 1).drop(keep_field)
     return out

@@ -463,6 +463,39 @@ def test_select_under_token_budget_matches_greedy_replay(spark):
     assert "in_budget" not in kept.columns
 
 
+def test_select_under_token_budget_slim_projection(spark, monkeypatch):
+    """The prefix sum (range sort + eager checkpoint) must see ONLY the
+    (key, score, tokens) projection — the document payload joins back
+    by key and never rides the sort or gets re-materialized.  Guards
+    the 100 TB contract: the sorted working set is ~24 bytes/row no
+    matter how wide the corpus rows are."""
+    from smashed_spark.functions import packing
+    from smashed_spark.sources import loaders
+    from smashed_spark.sources.loaders import select_under_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 10 + i, float(i), "x" * 100, [i, i]) for i in range(20)],
+        "doc_id: bigint, n_tok: bigint, q: double, text: string, "
+        "emb: array<bigint>",
+    )
+    seen = {}
+    real = packing.with_prefix_sum
+
+    def spy(frame, value_col, order_by, *a, **kw):
+        seen["cols"] = frame.columns
+        return real(frame, value_col, order_by, *a, **kw)
+
+    monkeypatch.setattr(loaders, "with_prefix_sum", spy, raising=False)
+    monkeypatch.setattr(packing, "with_prefix_sum", spy)
+    out = select_under_token_budget(df, 100, "n_tok", "q", "doc_id")
+    rows = out.collect()
+    # the wide payload (text, emb) must NOT reach the prefix sum
+    assert set(seen["cols"]) == {"doc_id", "n_tok", "q", "__negscore__"}
+    # schema preserved: original column order, flag appended
+    assert out.columns == [*df.columns, "in_budget"]
+    assert len(rows) == 20 and all(r.text == "x" * 100 for r in rows)
+
+
 def test_select_under_token_budget_edges(spark):
     from smashed_spark.sources.loaders import select_under_token_budget
 

@@ -560,6 +560,140 @@ def test_simhash_pairs_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_simhash_band_occupancy_guard(spark):
+    """The occupancy fail-fast: a forced hot band bucket (identical
+    fingerprints share every band) must raise at plan time naming the
+    fix; a generous or disabled cap lets the (accepted-quadratic) join
+    run; the probe is memoized per input plan."""
+    from smashed_spark.functions.dedup import SimHashNearDupPairsMapper
+
+    df = spark.createDataFrame(
+        [(i, 12345) for i in range(30)], "doc_id: bigint, simhash: bigint"
+    )
+    with pytest.raises(ValueError, match="band bucket"):
+        SimHashNearDupPairsMapper(
+            "doc_id", bits=16, max_hamming=3, max_band_occupancy=10
+        ).map(df)
+    for cap in (None, 50):
+        out = SimHashNearDupPairsMapper(
+            "doc_id", bits=16, max_hamming=3, max_band_occupancy=cap
+        ).map(df)
+        assert out.count() == 30 * 29 // 2
+
+    m = SimHashNearDupPairsMapper(
+        "doc_id", bits=16, max_hamming=3, max_band_occupancy=50
+    )
+    calls = []
+    real = m._check_band_occupancy
+    m._check_band_occupancy = lambda base: (calls.append(1), real(base))
+    m.map(df)
+    m.map(df)  # same plan: memo hit, no second probe job
+    assert len(calls) == 1
+    with pytest.raises(ValueError, match="max_band_occupancy"):
+        SimHashNearDupPairsMapper("doc_id", max_band_occupancy=0)
+
+
+def _u128_to_words(v):
+    """128-bit int -> little-endian [lo, hi] signed bigint words (the
+    SimHashMapper bits>64 wire format)."""
+    def signed(w):
+        return w - (1 << 64) if w >= (1 << 63) else w
+
+    return [signed(v & ((1 << 64) - 1)), signed(v >> 64)]
+
+
+def test_simhash_pairs_128_bit_banding_is_exact(spark):
+    """Wide (two-word) banding must equal the brute-force 128-bit
+    Hamming ball for several band counts — including max_hamming=2,
+    whose middle band (bits 43..85) straddles the word boundary."""
+    import itertools
+    import random
+
+    from smashed_spark.functions.dedup import SimHashNearDupPairsMapper
+
+    rng = random.Random(7)
+    raw = [rng.getrandbits(128) for _ in range(60)]
+    base = rng.getrandbits(128)
+    for _ in range(15):  # a cluster inside/near the Hamming ball
+        v = base
+        for b in rng.sample(range(128), rng.randint(1, 5)):
+            v ^= 1 << b
+        raw.append(v)
+    df = spark.createDataFrame(
+        [(i, _u128_to_words(v)) for i, v in enumerate(raw)],
+        "doc_id: bigint, simhash: array<bigint>",
+    )
+    for k in (2, 3, 5):
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in SimHashNearDupPairsMapper(
+                "doc_id", bits=128, max_hamming=k
+            ).map(df).collect()
+        )
+        want = sorted(
+            (a, b, bin(raw[a] ^ raw[b]).count("1"))
+            for a, b in itertools.combinations(range(len(raw)), 2)
+            if bin(raw[a] ^ raw[b]).count("1") <= k
+        )
+        assert got == want, (k, len(got), len(want))
+        assert got  # the cluster guarantees real pairs
+
+
+def test_simhash_mapper_128_bit_wide_tier(spark):
+    """bits=128 emits array<bigint> [lo, hi]: word 0 bit-identical to
+    the plain bits=64 fingerprint (both hash families), word 1 carrying
+    independent signal; the end-to-end 128-bit composition equals the
+    brute-force Hamming ball over the composed 128-bit values."""
+    import itertools
+
+    from smashed_spark.functions.dedup import (
+        SimHashMapper,
+        SimHashNearDupPairsMapper,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} common tokens here") for i in range(40)],
+        "doc_id: bigint, text: string",
+    ).withColumn("words", F.split("text", " "))
+
+    for fn in ("md5", "xxhash64"):
+        wide = {
+            r.doc_id: r.simhash
+            for r in SimHashMapper(bits=128, hash_fn=fn).map(docs).collect()
+        }
+        h64 = {
+            r.doc_id: r.simhash
+            for r in SimHashMapper(bits=64, hash_fn=fn).map(docs).collect()
+        }
+        assert all(len(w) == 2 for w in wide.values())
+        assert all(wide[d][0] == h64[d] for d in h64), fn
+        assert len({w[1] for w in wide.values()}) > 1, fn
+
+    pairs = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in (
+            SimHashMapper(bits=128)
+            >> SimHashNearDupPairsMapper("doc_id", bits=128, max_hamming=6)
+        )
+        .map(docs)
+        .collect()
+    )
+    wide = {
+        r.doc_id: r.simhash
+        for r in SimHashMapper(bits=128).map(docs).collect()
+    }
+    u = {
+        d: (w[0] & ((1 << 64) - 1)) | ((w[1] & ((1 << 64) - 1)) << 64)
+        for d, w in wide.items()
+    }
+    want = sorted(
+        (a, b, bin(u[a] ^ u[b]).count("1"))
+        for a, b in itertools.combinations(sorted(u), 2)
+        if bin(u[a] ^ u[b]).count("1") <= 6
+    )
+    assert pairs == want
+
+
 def test_ngram_jaccard_prefix_fp_boundary_pair(spark):
     """ADVICE r4: ceil(t * nc) on doubles can double-round UP when the
     exact product is an integer — fl(0.56) * 25 = 14.000000000000002,
