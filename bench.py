@@ -173,6 +173,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # machine-readable methodology marker: rounds <= 5
+                # timed `count()` (Catalyst could prune narrow
+                # pipelines out of the measurement — see PLANS.md r6
+                # notes), rounds >= 6 time a full-plan noop-sink
+                # write.  Tooling comparing rounds across this
+                # boundary must not read the step as a regression.
+                "action": "noop",
+                "methodology_note": (
+                    "PLANS.md 'Round-6 measurement fix: noop-sink "
+                    "timing' + 'Round-6 bench host-noise forensics'"
+                ),
             }
         )
     )

@@ -470,18 +470,18 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_mix",
     oracle="""
-    WITH en AS (SELECT doc_id, lang, n_chars FROM documents
+    WITH en AS (SELECT doc_id, lang, n_chars, text FROM documents
                 WHERE lang = 'en'),
-    rest AS (SELECT doc_id, lang, n_chars FROM documents
+    rest AS (SELECT doc_id, lang, n_chars, text FROM documents
              WHERE lang <> 'en'),
     mixed AS (
-        SELECT doc_id, lang, n_chars, 0 AS src FROM en
+        SELECT doc_id, lang, n_chars, text, 0 AS src FROM en
         UNION ALL
-        SELECT doc_id, lang, n_chars, 0 AS src FROM en
+        SELECT doc_id, lang, n_chars, text, 0 AS src FROM en
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13:0'), 1, 8))
               ::BIGINT < 2147483648
         UNION ALL
-        SELECT doc_id, lang, n_chars, 1 AS src FROM rest
+        SELECT doc_id, lang, n_chars, text, 1 AS src FROM rest
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13:1'), 1, 8))
               ::BIGINT < 1073741824
     ), ranked AS (
@@ -493,19 +493,45 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mixed
     )
     , capped AS (
-        SELECT doc_id, lang, n_chars, src,
+        SELECT doc_id, lang, n_chars, text, src,
                CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
                                              || ':11'), 1, 15))::BIGINT
                          < CAST(0.9 * 1152921504606846976 AS BIGINT)
                     THEN 'train' ELSE 'heldout' END AS split
         FROM ranked WHERE qr <= 25
+    ),
+    -- r7: incremental ingestion dedup — anti-join vs the running
+    -- digest index ("yesterday's batch" = docs with doc_id % 10 = 0),
+    -- then batch-internal first-wins by doc_id per digest
+    seen AS (SELECT DISTINCT md5(text) AS digest FROM documents
+             WHERE doc_id % 10 = 0),
+    keyed AS (SELECT *, md5(text) AS digest FROM capped),
+    fresh AS (SELECT k.* FROM keyed k LEFT JOIN seen s USING (digest)
+              WHERE s.digest IS NULL),
+    survivors AS (
+        SELECT doc_id, lang, n_chars, src, split, digest FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY digest ORDER BY doc_id) AS drn
+            FROM fresh
+        ) WHERE drn = 1
+    ),
+    -- r7: greedy token-budget selection — a doc is in budget iff the
+    -- EXCLUSIVE prefix sum of n_chars before it (score = n_chars
+    -- desc, doc_id tiebreak) is under 15000 (boundary doc included)
+    budgeted AS (
+        SELECT doc_id, lang, n_chars, src, split, digest,
+               CAST(coalesce(sum(n_chars) OVER (
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) < 15000 AS INT) AS in_budget
+        FROM survivors
     ), sharded AS (
         SELECT *,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'),
                                     1, 15))::BIGINT % 4 AS INT) AS shard
-        FROM capped
+        FROM budgeted
     )
-    SELECT doc_id, lang, n_chars, src, split, shard,
+    SELECT doc_id, lang, n_chars, src, split, digest, in_budget, shard,
            CAST(row_number() OVER (
                PARTITION BY shard
                ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
@@ -516,17 +542,22 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted corpus mixing (sources/loaders.py:sample_mix,
-    method='hash'): English docs oversampled at 1.5 epochs (one whole
-    copy + a 0.5 hash-sampled remainder), the rest kept at 0.25 — the
-    Bernoulli+union scale path for training-mix construction.  The
-    hash method keys sampling on md5(doc_id:seed:source), so the
-    subset is partitioning-independent and the oracle replays it
-    exactly in SQL."""
+    """The end-to-end curation chain (r7): weighted corpus mixing
+    (sources/loaders.py:sample_mix, method='hash') -> per-(source,
+    lang) quota capping -> append-stable train/heldout split ->
+    incremental ingestion dedup (functions/dedup.py:dedup_incremental
+    — LEFT ANTI vs a digest index + batch-internal first-wins) ->
+    greedy token-budget selection (sources/loaders.py:
+    select_under_token_budget) -> deterministic training-shard export.
+    English docs oversampled at 1.5 epochs (one whole copy + a 0.5
+    hash-sampled remainder), the rest kept at 0.25.  Every stage keys
+    on md5 of the doc key/text, so the whole chain is
+    partitioning-independent and the oracle replays it exactly in
+    SQL."""
     from ..sources.loaders import sample_mix
 
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars"
+        "doc_id", "lang", "n_chars", "text"
     )
     en = docs.filter(F.col("lang") == "en")
     rest = docs.filter(F.col("lang") != "en")
@@ -554,12 +585,37 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hash_split(
         out, {"train": 0.9, "heldout": 0.1}, "doc_id", seed=11
     )
+    # r7: incremental ingestion dedup against a running digest index
+    # ("yesterday's batch" = every doc_id % 10 == 0 document) — the
+    # LEFT ANTI + WindowGroupLimit first-wins stage a daily pipeline
+    # runs; also collapses the 1.5-epoch duplicate copies
+    from ..functions.dedup import dedup_incremental, with_digests
+
+    seen = with_digests(
+        load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 == 0
+        )
+    )
+    out = dedup_incremental(out, seen, text_field="text")
+    # r7: greedy token-budget selection — fit the largest docs under a
+    # 15000-char budget (score = n_chars, doc_id tiebreak); the slim
+    # (key, score, tokens) prefix sum + flag join-back
+    from ..sources.loaders import select_under_token_budget
+
+    out = select_under_token_budget(
+        out, 15000, tokens_field="n_chars", score_field="n_chars",
+        key_field="doc_id",
+    )
     # r6: deterministic training-shard export closes the chain — same
     # portable-hash convention, so shard AND within-shard order replay
     # in SQL (sinks.shard_for_training; write_training_shards
-    # materializes it as shard=N/ directories in rank order)
+    # materializes it as shard=N/ directories in rank order).  The
+    # wide text column is dropped first: shard/rank are pure functions
+    # of the remaining row, and the payload shouldn't ride the shard
+    # exchange in the gate plan either.
     from ..sources.sinks import shard_for_training
 
+    out = out.drop("text")
     out = shard_for_training(out, "doc_id", n_shards=4, seed=5)
     return out.withColumn("src", F.col("src").cast("int"))
 

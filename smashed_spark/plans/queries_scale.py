@@ -1203,6 +1203,53 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                ' host 192.168.' || (100 + doc_id % 156) || '.7 ' || text AS raw
         FROM documents
     ),
+    -- r7: C4 line/document cleaning on a synthesized line-structured
+    -- input (the corpus itself has no newlines or terminal
+    -- punctuation, so the rules are exercised on deterministic lines
+    -- built from doc_id + text: kept lines, short lines, punctless
+    -- lines, taboo markers, braces, and a below-min_doc_lines branch)
+    c4i AS (
+        SELECT doc_id,
+               concat_ws(chr(10),
+                 'The first introductory line ends here.',
+                 CASE WHEN doc_id % 5 = 0 THEN 'Too few here.'
+                      ELSE substr(text, 1, 80) ||
+                           ' plus a proper ending.' END,
+                 substr(text, 1, CAST(doc_id % 40 AS INT)),
+                 'Short line.',
+                 CASE WHEN doc_id % 7 = 0
+                      THEN 'this site uses cookies all day'
+                      ELSE 'Another perfectly ordinary closing sentence here.'
+                      END,
+                 CASE WHEN doc_id % 11 = 0 THEN 'code { weird } block'
+                      WHEN doc_id % 5 = 0 THEN 'Tiny.'
+                      ELSE 'Final line with enough words here.' END
+               ) AS c4_in
+        FROM documents
+    ),
+    c4c AS (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split(c4_in, chr(10)),
+                 l -> regexp_matches(trim(l), '[.!?"'']$') AND
+                      len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                      w -> w <> '')) >= 5),
+                 chr(10)) AS c4_text,
+               (contains(lower(c4_in), 'lorem ipsum')
+                OR contains(lower(c4_in), 'terms of use')
+                OR contains(lower(c4_in), 'privacy policy')
+                OR contains(lower(c4_in), 'cookie policy')
+                OR contains(lower(c4_in), 'uses cookies')
+                OR contains(c4_in, '{') OR contains(c4_in, '}')) AS taboo
+        FROM c4i
+    ),
+    c4 AS (
+        SELECT doc_id, c4_text,
+               CAST((NOT taboo) AND
+                    (CASE WHEN length(c4_text) > 0
+                          THEN len(string_split(c4_text, chr(10)))
+                          ELSE 0 END) >= 3 AS INT) AS c4_keep
+        FROM c4c
+    ),
     e AS (
         SELECT doc_id, raw,
                regexp_replace(raw,
@@ -1255,8 +1302,10 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
            f.redacted,
            coalesce(k.deduped, '') AS deduped,
            CAST(len(string_split(f.redacted, ' '))
-                - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+                - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+           c4.c4_text, c4.c4_keep
     FROM f LEFT JOIN kept k ON f.doc_id = k.doc_id
+    JOIN c4 ON f.doc_id = c4.doc_id
     """,
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,9 +1319,42 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the redaction ORDER (email -> ipv4 -> phone) and the
     count-then-replace sequencing: both engines count each pattern on
     the text as it exists when that pattern is applied.
+
+    r7: the composite also certifies C4CleanMapper
+    (functions/cleaning.py — line-level terminal-punctuation +
+    min-word filtering, taboo/brace document drops, min_doc_lines) on
+    a synthesized line-structured input: the gate corpus itself has no
+    newlines or terminal punctuation, so deterministic lines are built
+    from doc_id + text exercising every rule branch.
     """
+    from ..functions.cleaning import C4CleanMapper
     from ..functions.textstats import PiiRedactMapper
 
+    c4_in = F.concat_ws(
+        "\n",
+        F.lit("The first introductory line ends here."),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("Too few here.")
+        ).otherwise(
+            F.concat(
+                F.substring("text", 1, 80),
+                F.lit(" plus a proper ending."),
+            )
+        ),
+        F.expr("substring(text, 1, CAST(doc_id % 40 AS INT))"),
+        F.lit("Short line."),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("this site uses cookies all day"),
+        ).otherwise(
+            F.lit("Another perfectly ordinary closing sentence here.")
+        ),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("code { weird } block")
+        )
+        .when(F.col("doc_id") % 5 == 0, F.lit("Tiny."))
+        .otherwise(F.lit("Final line with enough words here.")),
+    )
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
@@ -1287,6 +1369,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".7 "),
             F.col("text"),
         ).alias("raw"),
+        c4_in.alias("c4_in"),
     )
     out = PiiRedactMapper("raw", output_field="redacted").map(docs)
     # r5: the gate is now the full scrub pipeline — corpus-wide
@@ -1297,14 +1380,17 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.substring import DedupParagraphsMapper
 
     out = out.select(
-        "doc_id", "n_pii_email", "n_pii_phone", "n_pii_ipv4", "redacted"
+        "doc_id", "n_pii_email", "n_pii_phone", "n_pii_ipv4",
+        "redacted", "c4_in",
     ).withColumn("deduped", F.col("redacted"))
     out = DedupParagraphsMapper(
         text_field="deduped", sep=" "
     ).map(out)
+    # r7: C4 cleaning stage (narrow — rides the same scan)
+    out = C4CleanMapper(text_field="c4_in").map(out)
     return out.select(
         "doc_id", "n_pii_email", "n_pii_phone", "n_pii_ipv4",
-        "redacted", "deduped", "n_removed"
+        "redacted", "deduped", "n_removed", "c4_text", "c4_keep"
     )
 
 

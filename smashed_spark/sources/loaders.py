@@ -469,9 +469,11 @@ def select_under_token_budget(
     # with_prefix_sum requires a total key: (neg score, key) is total
     # when key is unique, which dedup upstream guarantees (and the
     # join-back below relies on — duplicate keys would fan out)
-    slim = df.select(key_field, score_field, tokens_field).withColumn(
-        "__negscore__", -F.col(score_field)
-    )
+    # dict.fromkeys dedupes while preserving order: score_field may BE
+    # tokens_field (budget by the scoring quantity itself)
+    slim = df.select(
+        *dict.fromkeys([key_field, score_field, tokens_field])
+    ).withColumn("__negscore__", -F.col(score_field))
     summed = with_prefix_sum(
         slim, tokens_field, ["__negscore__", key_field]
     )

@@ -104,7 +104,13 @@ def shard_for_training(
       independent order hash (``key ":" seed ":order"``) then the key —
       a seeded shuffle of the shard's rows (hash order ≈ random order,
       the standard trick for training-order randomization without a
-      global sort).
+      global sort) — then an ``xxhash64`` over ALL columns as the final
+      tiebreak: both hashes are pure functions of the key, so two
+      different rows sharing a key would otherwise rank in
+      partition-arrival order.  With the content tiebreak the rank is a
+      pure function of the data even for duplicate-key rows; only fully
+      identical rows (interchangeable by definition, plus the
+      astronomically-unlikely 64-bit content collision) still tie.
 
     Scale: ONE exchange on the shard key; each shard sorts
     independently (corpus/n_shards rows per task — grow ``n_shards``
@@ -126,8 +132,18 @@ def shard_for_training(
         F.concat_ws(":", key, F.lit(f"{seed}:order"))
     )
     out = df.withColumn(shard_column, shard)
+    # hash every hashable column (xxhash64 rejects MapType; a row
+    # differing ONLY in a map column still ties — document-corpus
+    # schemas key their payload in atomic/array/struct columns)
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
+    content = F.xxhash64(*[F.col(c) for c in hashable])
     w = Window.partitionBy(shard_column).orderBy(
-        order.asc(), F.col(key_field).asc()
+        order.asc(), F.col(key_field).asc(), content.asc()
     )
     return out.withColumn(rank_column, F.row_number().over(w))
 

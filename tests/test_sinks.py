@@ -113,3 +113,27 @@ def test_shard_for_training_edges(spark):
     assert abs(dup_rows[0].shard_rank - dup_rows[1].shard_rank) == 1
     with _pytest.raises(ValueError, match="n_shards"):
         shard_for_training(df, "doc_id", 0)
+
+
+def test_shard_for_training_duplicate_keys_different_payloads(spark):
+    """Duplicate keys with DIFFERENT payloads: shard/order hashes are
+    pure functions of the key, so without the content tiebreak their
+    relative rank would be partition-arrival order.  The xxhash64
+    content tiebreak makes each (key, payload) row's rank a pure
+    function of the data — identical across repartitionings."""
+    from smashed_spark.sources.sinks import shard_for_training
+
+    rows = [(i % 10, f"payload-{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    ranks = {}
+    for n_parts in (1, 3, 17):
+        got = {
+            (r.doc_id, r.text): (r.shard, r.shard_rank)
+            for r in shard_for_training(
+                df.repartition(n_parts), "doc_id", 4, seed=5
+            ).collect()
+        }
+        ranks[n_parts] = got
+    assert ranks[1] == ranks[3] == ranks[17]
+    # every row got a distinct (shard, rank) slot
+    assert len(set(ranks[1].values())) == 60
