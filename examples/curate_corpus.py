@@ -1,8 +1,9 @@
 """End-to-end training-data curation: quality + repetition filter ->
 language ID -> PII redaction -> exact dedup -> fuzzy dedup (one-call
 LSH -> verify -> cluster -> keep representatives) -> train/test
-decontamination -> weighted remix -> quota/split composition ->
-deterministic training-shard export -> token accounting.  The whole
+decontamination -> token-budget selection (r7) -> weighted remix ->
+quota/split composition -> deterministic training-shard export ->
+token accounting.  The whole
 chain is lazy: one logical plan, and every narrow step fuses; the
 only shuffles are the dedup aggregations, the LSH bucket join, the
 clustering rounds, and the per-shard rank.
@@ -28,7 +29,12 @@ from smashed_spark.functions.textstats import (
     RepetitionStatsMapper,
     TokenCountMapper,
 )
-from smashed_spark.sources.loaders import hash_split, quota_sample, sample_mix
+from smashed_spark.sources.loaders import (
+    hash_split,
+    quota_sample,
+    sample_mix,
+    select_under_token_budget,
+)
 from smashed_spark.sources.sinks import shard_for_training
 
 
@@ -80,6 +86,22 @@ def main() -> None:
     clean = DecontaminateMapper(
         benchmark, shingle_size=8, mode="drop"
     ).map(survivors)
+
+    # 6.5 token-budget selection (r7): keep the highest-quality docs
+    #     whose cumulative token count fits the training budget —
+    #     greedy by q_score, doc_id tiebreak; the prefix sum runs on a
+    #     slim (key, score, tokens) projection and only the keep flag
+    #     joins back.  BEFORE the remix: epoch oversampling duplicates
+    #     keys, and budget-fitting decides the corpus, epochs multiply
+    #     it.
+    clean = select_under_token_budget(
+        clean,
+        200_000,
+        tokens_field="n_ws_tokens",
+        score_field="q_score",
+        key_field="doc_id",
+        drop=True,
+    )
 
     # 7. weighted remix: oversample the high-quality slice 2x, keep
     #    half of the rest (seeded Bernoulli + union: fully narrow)

@@ -20,6 +20,7 @@ from .similarity import CosineTopK, HyperplaneLSHTopK
 from .similarity import IVFCosineTopK
 from .textstats import (
     DecontaminateMapper,
+    SemanticDecontaminateMapper,
     FingerprintMapper,
     LangIdMapper,
     PiiRedactMapper,
@@ -61,6 +62,7 @@ __all__ = [
     "with_prefix_sum",
     "CosineTopK",
     "DecontaminateMapper",
+    "SemanticDecontaminateMapper",
     "EmbeddingNearDupPairsMapper",
     "ExactDedupMapper",
     "FingerprintMapper",

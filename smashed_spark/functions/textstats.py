@@ -514,3 +514,147 @@ class DecontaminateMapper(SparkMapper):
             self.flag_field,
             (F.col(self.overlap_field) >= self.min_overlap),
         )
+
+
+class SemanticDecontaminateMapper(SparkMapper):
+    """Embedding-space train/test decontamination: flag (or drop)
+    corpus rows whose embedding has cosine similarity >= ``threshold``
+    to ANY benchmark embedding — the paraphrase-tolerant complement to
+    the n-gram :class:`DecontaminateMapper` (a reworded eval item that
+    shares no 8-gram with its source still lands next to it in
+    embedding space).
+
+    Scale shape (100 TB contract): a benchmark suite is tiny next to
+    the corpus, so the benchmark matrix (float64 values + norms)
+    broadcasts once and the corpus streams through ONE Arrow-batched
+    ``mapInPandas`` stage computing a per-batch BLAS matmul
+    max-similarity — no join, no shuffle, corpus-linear; per-executor
+    memory is |benchmark| x dims x 8 bytes.  A benchmark larger than
+    ``max_benchmark_rows`` raises with guidance: decontaminating
+    against another DATA-SCALE corpus is cross-corpus near-dedup — use
+    ``EmbeddingNearDupPairsMapper`` / ``fuzzy_dedup`` machinery
+    instead of broadcasting it.
+
+    Emits ``sim_field`` (max cosine vs the benchmark, rounded to 6dp
+    to match the engine-portable oracle convention of
+    ``EmbeddingNearDupPairsMapper``; ``-1.0`` when the benchmark is
+    empty — below any cosine) and ``flag_field`` 0/1.  ``mode='drop'``
+    filters flagged rows and emits neither.
+
+    Beyond the reference surface (allenai/smashed has no embedding
+    operators); the recipe generalizes the GPT-3-style eval-leakage
+    scrub (DecontaminateMapper's docstring) to embedding space.
+    """
+
+    #: hard cap on benchmark rows for the broadcast-matrix path —
+    #: 100k x 1k dims x 8 B is ~800 MB of executor state, the
+    #: defensible ceiling for "a benchmark suite"
+    MAX_BENCHMARK_ROWS = 100_000
+
+    def __init__(
+        self,
+        benchmark: DataFrame,
+        id_field: str = "vec_id",
+        vector_field: str = "embedding",
+        threshold: float = 0.8,
+        mode: str = "flag",
+        sim_field: str = "max_benchmark_sim",
+        flag_field: str = "semantic_contaminated",
+        max_benchmark_rows: Optional[int] = None,
+    ) -> None:
+        if mode not in ("flag", "drop"):
+            raise ValueError(f"unknown mode {mode}")
+        self.benchmark = benchmark
+        self.id_field = id_field
+        self.vector_field = vector_field
+        self.threshold = float(threshold)
+        self.mode = mode
+        self.sim_field = sim_field
+        self.flag_field = flag_field
+        self.max_benchmark_rows = (
+            self.MAX_BENCHMARK_ROWS
+            if max_benchmark_rows is None
+            else int(max_benchmark_rows)
+        )
+        super().__init__(
+            input_fields=[id_field, vector_field],
+            output_fields=() if mode == "drop" else (sim_field, flag_field),
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        cap = self.max_benchmark_rows
+        # bounded probe: limit pushes into the scan, so at most cap+1
+        # benchmark rows are ever read to decide
+        if self.benchmark.limit(cap + 1).count() > cap:
+            raise ValueError(
+                f"SemanticDecontaminateMapper: benchmark exceeds "
+                f"max_benchmark_rows={cap}; a data-scale 'benchmark' "
+                "is cross-corpus near-dedup — use "
+                "EmbeddingNearDupPairsMapper / fuzzy_dedup instead of "
+                "broadcasting it, or raise max_benchmark_rows if the "
+                "executor memory budget allows."
+            )
+        rows = self.benchmark.select(self.vector_field).collect()
+        mat = np.array([r[0] for r in rows], dtype=np.float64)
+        if len(rows):
+            norms = np.sqrt((mat * mat).sum(axis=1))
+        else:
+            norms = np.zeros(0)
+        spark = df.sparkSession
+        b = spark.sparkContext.broadcast((mat, norms))
+        threshold = self.threshold
+        vector_field = self.vector_field
+        sim_field, flag_field = self.sim_field, self.flag_field
+
+        schema = StructType(
+            list(df.schema.fields)
+            + [
+                StructField(sim_field, DoubleType()),
+                StructField(flag_field, IntegerType()),
+            ]
+        )
+
+        def run(batches):
+            c_mat, c_norms = b.value
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0 or len(c_norms) == 0:
+                    # empty batch, or empty benchmark: nothing can be
+                    # contaminated; -1.0 sits below any cosine
+                    yield pdf.assign(
+                        **{
+                            sim_field: np.full(n, -1.0),
+                            flag_field: np.zeros(n, dtype=np.int32),
+                        }
+                    )
+                    continue
+                q_mat = np.array(
+                    list(pdf[vector_field]), dtype=np.float64
+                )
+                q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+                sims = (q_mat @ c_mat.T) / np.outer(q_norms, c_norms)
+                mx = np.round(sims.max(axis=1), 6)
+                yield pdf.assign(
+                    **{
+                        sim_field: mx,
+                        flag_field: (mx >= threshold).astype(np.int32),
+                    }
+                )
+
+        from ..core.ship import ensure_shipped
+
+        ensure_shipped(spark)
+        out = df.mapInPandas(run, schema=schema)
+        if self.mode == "drop":
+            out = out.filter(F.col(flag_field) == 0).drop(
+                sim_field, flag_field
+            )
+        return out

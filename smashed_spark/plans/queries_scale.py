@@ -1411,18 +1411,44 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE doc_id % 40 = 0),
     inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     cnt AS (SELECT i.doc_id, count(*) AS n_overlap
-            FROM inv i JOIN bench b ON i.s = b.s GROUP BY 1)
+            FROM inv i JOIN bench b ON i.s = b.s GROUP BY 1),
+    -- r7: embedding-space decontamination against the SAME % 40
+    -- benchmark slice (vec_id aligns with doc_id in the testdata):
+    -- max cosine vs any benchmark vector, flagged at 0.35
+    cem AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+    bem AS (SELECT * FROM cem WHERE vec_id % 40 = 0),
+    sem AS (
+        SELECT c.vec_id,
+               round(max(list_dot_product(c.v, b.v) /
+                     (sqrt(list_dot_product(c.v, c.v)) *
+                      sqrt(list_dot_product(b.v, b.v)))), 6)
+                   AS max_benchmark_sim
+        FROM cem c CROSS JOIN bem b GROUP BY c.vec_id
+    )
     SELECT s.doc_id,
            coalesce(c.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
-           coalesce(c.n_overlap, 0) >= 1 AS contaminated
+           coalesce(c.n_overlap, 0) >= 1 AS contaminated,
+           m.max_benchmark_sim,
+           CAST(m.max_benchmark_sim >= 0.35 AS INT)
+               AS semantic_contaminated
     FROM sh s LEFT JOIN cnt c ON s.doc_id = c.doc_id
+    LEFT JOIN sem m ON s.doc_id = m.vec_id
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test decontamination: 8-gram overlap of every document
-    against a benchmark slice (doc_id % 40 == 0) of the same corpus —
-    benchmark shingles broadcast, corpus side stays unshuffled."""
-    from ..functions.textstats import DecontaminateMapper
+    """Train/test decontamination, both modalities: 8-gram overlap of
+    every document against a benchmark slice (doc_id % 40 == 0) —
+    benchmark shingles broadcast, corpus side stays unshuffled — plus
+    (r7) embedding-space decontamination
+    (SemanticDecontaminateMapper: benchmark matrix broadcast, ONE
+    Arrow-batched matmul stage, no shuffle) against the matching
+    vec_id % 40 slice, left-joined back by doc_id = vec_id."""
+    from ..functions.textstats import (
+        DecontaminateMapper,
+        SemanticDecontaminateMapper,
+    )
 
     docs = load(spark, sf_dir, "documents").withColumn(
         "words", F.split("text", " ")
@@ -1431,4 +1457,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = DecontaminateMapper(
         bench, shingle_size=8, min_overlap=1, mode="flag"
     ).map(docs)
-    return out.select("doc_id", "n_overlap", "contaminated")
+    emb = load(spark, sf_dir, "embeddings")
+    sem = SemanticDecontaminateMapper(
+        emb.filter(F.col("vec_id") % 40 == 0), threshold=0.35
+    ).map(emb)
+    return out.select("doc_id", "n_overlap", "contaminated").join(
+        sem.select(
+            "vec_id", "max_benchmark_sim", "semantic_contaminated"
+        ),
+        out["doc_id"] == sem["vec_id"],
+        "left",
+    ).drop("vec_id")

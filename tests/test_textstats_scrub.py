@@ -135,3 +135,98 @@ def test_decontaminate_min_overlap_threshold(spark):
     ).map(docs)
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [2, 3, 4]  # only doc 1 (3 overlaps) >= 2
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<double>"
+    )
+
+
+def test_semantic_decontaminate_flags_match_numpy(spark):
+    """Flag mode: max cosine vs the benchmark matches a numpy replay
+    (round 6dp), input columns pass through, flags split correctly."""
+    import numpy as np
+
+    from smashed_spark.functions.textstats import (
+        SemanticDecontaminateMapper,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    corpus = _emb(spark, rows).withColumn("tag", F.lit("t"))
+    bench = _emb(spark, rows[:5])
+    out = {
+        r.vec_id: (r.max_benchmark_sim, r.semantic_contaminated, r.tag)
+        for r in SemanticDecontaminateMapper(bench, threshold=0.5)
+        .map(corpus)
+        .collect()
+    }
+    b = vecs[:5]
+    bn = np.sqrt((b * b).sum(axis=1))
+    for i in range(40):
+        q = vecs[i]
+        sims = (q @ b.T) / (np.sqrt(q @ q) * bn)
+        want = round(float(sims.max()), 6)
+        got_sim, got_flag, tag = out[i]
+        assert abs(got_sim - want) < 1e-9, i
+        assert got_flag == int(want >= 0.5)
+        assert tag == "t"
+    # benchmark members match themselves at 1.0
+    assert all(out[i][1] == 1 for i in range(5))
+    flags = {out[i][1] for i in range(40)}
+    assert flags == {0, 1}
+
+
+def test_semantic_decontaminate_drop_and_partitioning(spark):
+    import numpy as np
+
+    from smashed_spark.functions.textstats import (
+        SemanticDecontaminateMapper,
+    )
+
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(30, 6))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    corpus = _emb(spark, rows)
+    bench = _emb(spark, rows[:3])
+    m = SemanticDecontaminateMapper(bench, threshold=0.6, mode="drop")
+    kept1 = sorted(r.vec_id for r in m.map(corpus).collect())
+    kept2 = sorted(
+        r.vec_id for r in m.map(corpus.repartition(7)).collect()
+    )
+    assert kept1 == kept2
+    assert 0 not in kept1  # self-match dropped
+    out_cols = m.map(corpus).columns
+    assert out_cols == ["vec_id", "embedding"]  # drop emits no flags
+
+
+def test_semantic_decontaminate_empty_benchmark(spark):
+    from smashed_spark.functions.textstats import (
+        SemanticDecontaminateMapper,
+    )
+
+    corpus = _emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    bench = _emb(spark, [])
+    out = SemanticDecontaminateMapper(bench, threshold=0.1).map(corpus)
+    got = {(r.vec_id, r.max_benchmark_sim, r.semantic_contaminated)
+           for r in out.collect()}
+    assert got == {(1, -1.0, 0), (2, -1.0, 0)}
+
+
+def test_semantic_decontaminate_benchmark_cap(spark):
+    from smashed_spark.functions.textstats import (
+        SemanticDecontaminateMapper,
+    )
+
+    corpus = _emb(spark, [(1, [1.0, 0.0])])
+    bench = _emb(spark, [(i, [1.0, 0.0]) for i in range(20)])
+    with pytest.raises(ValueError, match="max_benchmark_rows"):
+        SemanticDecontaminateMapper(
+            bench, max_benchmark_rows=10
+        ).map(corpus)
+    # exactly-at-cap passes
+    SemanticDecontaminateMapper(bench, max_benchmark_rows=20).map(corpus)
+    with pytest.raises(ValueError, match="unknown mode"):
+        SemanticDecontaminateMapper(bench, mode="quarantine")

@@ -68,6 +68,11 @@ DEEP_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_substring",
     "dedup_clusters",
+    # r7: the banded simhash join's 10x point was fixed-cost-dominated
+    # (0.81x) — the second decade pins whether band occupancy holds
+    # (the new occupancy guard runs inside the timed region, as it
+    # would in production)
+    "dedup_simhash_pairs",
 ]
 # streaming probes drain through the PRODUCTION parquet sink (round 5
 # forensics: the memory sink's driver-side collect adds a superlinear
@@ -195,6 +200,7 @@ DEEP_TABLES = {
     "dedup_ngram_jaccard": "documents",
     "dedup_substring": "documents",
     "dedup_clusters": "documents",
+    "dedup_simhash_pairs": "documents",
 }
 
 
@@ -327,23 +333,25 @@ def main() -> None:
     # stays CONSTANT.  Probing the gate's fixed k=8 at 10x would time
     # the documented-away quadratic (cells 10x bigger -> 100x the
     # matmul), not the operator's scale design.
-    if not only or "semantic_dedup_scaledk" in only:
+    sem_selected = not only or "semantic_dedup_scaledk" in only
+
+    def run_sem(sf_dir: str, k: int, reps: int = 2):
         from smashed_spark.functions.dedup import SemanticNearDupPairsMapper
 
-        def run_sem(sf_dir: str, k: int, reps: int = 2):
-            best, out = -1.0, None
-            for _ in range(reps):
-                isolate()
-                t0 = time.perf_counter()
-                df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-                out = SemanticNearDupPairsMapper(
-                    threshold=0.35, n_centroids=k, max_iter=3, seed=42
-                ).map(df)
-                out.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            return round(best, 3), out.count()
+        best, out = -1.0, None
+        for _ in range(reps):
+            isolate()
+            t0 = time.perf_counter()
+            df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            out = SemanticNearDupPairsMapper(
+                threshold=0.35, n_centroids=k, max_iter=3, seed=42
+            ).map(df)
+            out.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best < 0 else min(best, dt)
+        return round(best, 3), out.count()
 
+    if sem_selected:
         t1, r1 = run_sem(BASE, 8)
         t10, r10 = run_sem(scaled_dir, 80)
         result["queries"]["semantic_dedup_scaledk"] = {
@@ -372,7 +380,7 @@ def main() -> None:
 
     # deep phase: one more decade for the steepest curves
     deep_sel = [q for q in DEEP_QUERIES if not only or q in only]
-    if not deep_sel:
+    if not deep_sel and not sem_selected:
         with open(out_json, "w") as f:
             json.dump(result, f, indent=1)
         print(json.dumps(result))
@@ -383,12 +391,13 @@ def main() -> None:
         f"# building {DEEP_COPIES}x deep inputs under {deep_dir}",
         file=sys.stderr,
     )
-    build_scaled_deep(
-        spark,
-        deep_dir,
-        DEEP_COPIES,
-        tables={DEEP_TABLES[q] for q in deep_sel},
-    )
+    deep_tables = {DEEP_TABLES[q] for q in deep_sel}
+    if sem_selected:
+        # r7: SemDeDup gets its second decade too — k scales another
+        # 10x (80 -> 800) with the corpus, pinning whether the
+        # auto-sized-quantizer design (constant cell size) holds
+        deep_tables.add("embeddings")
+    build_scaled_deep(spark, deep_dir, DEEP_COPIES, tables=deep_tables)
     for name in deep_sel:
         t100, r100 = run(name, deep_dir, reps=1)
         q = result["queries"][name]
@@ -418,6 +427,35 @@ def main() -> None:
         print(
             f"# {name}: 100x={t100}s ratio_vs_1x={q['wall_ratio_100x']} "
             f"second_decade={q['second_decade_ratio']} rows={r100}",
+            file=sys.stderr,
+        )
+    if sem_selected:
+        t100, r100 = run_sem(deep_dir, 800, reps=1)
+        q = result["queries"]["semantic_dedup_scaledk"]
+        q["sec_100x"] = t100
+        q["rows_100x"] = r100
+        q["k_100x"] = 800
+        q["wall_ratio_100x"] = (
+            round(t100 / q["sec_1x"], 2) if q["sec_1x"] > 0 else None
+        )
+        q["second_decade_ratio"] = (
+            round(t100 / q["sec_10x"], 2) if q["sec_10x"] > 0 else None
+        )
+        sd = q["second_decade_ratio"]
+        q["verdict"] = (
+            f"second decade {sd}x per 10x data (k 80->800, constant "
+            "cell size): "
+            + (
+                "sublinear (fixed overheads still amortizing)"
+                if sd is not None and sd < 8
+                else "near-linear — no quadratic term surfacing"
+                if sd is not None and sd <= 13
+                else "SUPERLINEAR — investigate before the next decade"
+            )
+        )
+        print(
+            f"# semantic_dedup_scaledk: 100x={t100}s "
+            f"second_decade={sd} rows={r100}",
             file=sys.stderr,
         )
     shutil.rmtree(deep_dir, ignore_errors=True)
