@@ -17,7 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import MERSENNE_P, hash_coeffs
 from .registry import load, query
+
+# MinHash oracle slots generated from the SAME coefficient list the
+# Spark operator uses (functions/hashing.py) — byte-identical
+# signatures in both engines (the queries_scale.py convention)
+_MINHASH_SLOTS = ",\n               ".join(
+    f"coalesce(list_min(list_transform(hs, "
+    f"h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P})"
+    for a, b in hash_coeffs(16)
+)
 
 
 def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,7 +479,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_mix",
-    oracle="""
+    oracle=f"""
     WITH en AS (SELECT doc_id, lang, n_chars, text FROM documents
                 WHERE lang = 'en'),
     rest AS (SELECT doc_id, lang, n_chars, text FROM documents
@@ -509,11 +519,72 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh AS (SELECT k.* FROM keyed k LEFT JOIN seen s USING (digest)
               WHERE s.digest IS NULL),
     survivors AS (
-        SELECT doc_id, lang, n_chars, src, split, digest FROM (
+        SELECT doc_id, lang, n_chars, text, src, split, digest FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY digest ORDER BY doc_id) AS drn
             FROM fresh
         ) WHERE drn = 1
+    ),
+    -- r7: incremental FUZZY dedup — MinHash band keys (coefficients
+    -- shared with the Spark operator) vs the % 10 history's band
+    -- index, then greedy first-wins banding within the batch
+    seensh AS (
+        SELECT list_distinct(list_transform(
+            range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+            i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3],
+                                 ' '))) AS shingles
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    seenhs AS (
+        SELECT list_transform(shingles,
+            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+        FROM seensh
+    ),
+    seensig AS (SELECT [{_MINHASH_SLOTS}] AS minhash FROM seenhs),
+    seenbands AS (
+        SELECT DISTINCT b, md5(array_to_string(
+            minhash[b * 4 + 1 : b * 4 + 4], ',')) AS bkey
+        FROM seensig, UNNEST(range(0, 4)) AS t(b)
+    ),
+    survsh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+            i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3],
+                                 ' '))) AS shingles
+        FROM survivors
+    ),
+    survhs AS (
+        SELECT doc_id, list_transform(shingles,
+            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+        FROM survsh
+    ),
+    survsig AS (SELECT doc_id, [{_MINHASH_SLOTS}] AS minhash FROM survhs),
+    survbands AS (
+        SELECT doc_id, b, md5(array_to_string(
+            minhash[b * 4 + 1 : b * 4 + 4], ',')) AS bkey
+        FROM survsig, UNNEST(range(0, 4)) AS t(b)
+    ),
+    hist_hit AS (
+        SELECT DISTINCT s.doc_id FROM survbands s
+        JOIN seenbands k ON s.b = k.b AND s.bkey = k.bkey
+    ),
+    freshf AS (
+        SELECT doc_id FROM survivors
+        WHERE doc_id NOT IN (SELECT doc_id FROM hist_hit)
+    ),
+    fbands AS (
+        SELECT f.doc_id, s.b, s.bkey
+        FROM survbands s JOIN freshf f USING (doc_id)
+    ),
+    bmins AS (SELECT b, bkey, min(doc_id) AS m FROM fbands GROUP BY 1, 2),
+    fdrops AS (
+        SELECT DISTINCT f.doc_id FROM fbands f
+        JOIN bmins m ON f.b = m.b AND f.bkey = m.bkey AND f.doc_id > m.m
+    ),
+    fuzzy AS (
+        SELECT doc_id, lang, n_chars, src, split, digest FROM survivors
+        WHERE doc_id IN (SELECT doc_id FROM freshf)
+          AND doc_id NOT IN (SELECT doc_id FROM fdrops)
     ),
     -- r7: greedy token-budget selection — a doc is in budget iff the
     -- EXCLUSIVE prefix sum of n_chars before it (score = n_chars
@@ -524,7 +595,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY n_chars DESC, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) < 15000 AS INT) AS in_budget
-        FROM survivors
+        FROM fuzzy
     ), sharded AS (
         SELECT *,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'),
@@ -597,6 +668,24 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = dedup_incremental(out, seen, text_field="text")
+    # r7: incremental FUZZY dedup against the same batch's MinHash
+    # band index — the near-dup analog (band-collision drop vs the
+    # 36-byte/doc index + greedy first-wins batch dedup), composed
+    # right after the exact digests so reposts AND near-reposts of
+    # history both go
+    from ..functions.dedup import (
+        dedup_incremental_fuzzy,
+        with_minhash_bands,
+    )
+
+    seen_fuzzy = with_minhash_bands(
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("words", F.split("text", " "))
+    )
+    out = dedup_incremental_fuzzy(
+        out.withColumn("words", F.split("text", " ")), seen_fuzzy
+    ).drop("words", "minhash")
     # r7: greedy token-budget selection — fit the largest docs under a
     # 15000-char budget (score = n_chars, doc_id tiebreak); the slim
     # (key, score, tokens) prefix sum + flag join-back

@@ -1048,6 +1048,102 @@ def test_dedup_incremental_against_running_index(spark):
     assert "digest" in kept2.columns
 
 
+def test_dedup_incremental_fuzzy_against_band_index(spark):
+    """Fuzzy ingestion dedup: near-dups of indexed history drop on
+    band collision, the batch greedily first-wins-dedups internally,
+    survivors keep the signature column, and the survivors' bands
+    extend the index without re-shingling."""
+    from smashed_spark.functions.dedup import (
+        dedup_incremental_fuzzy,
+        with_minhash_bands,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight").split()
+    near = base[:-1] + ["tomorrow"]          # near-dup of base
+    other = [f"tok{i}" for i in range(25)]   # unrelated
+    near_other = other[:-1] + ["changed"]    # near-dup of other
+
+    day1 = spark.createDataFrame(
+        [(0, " ".join(base))], "doc_id: bigint, text: string"
+    ).withColumn("words", F.split("text", " "))
+    index = with_minhash_bands(day1)
+    assert index.columns == ["band", "key"]
+    n_index = index.count()
+    assert 0 < n_index <= 4  # <= bands rows per doc
+
+    day2 = spark.createDataFrame(
+        [
+            (10, " ".join(near)),        # hits history -> dropped
+            (11, " ".join(other)),       # fresh, earliest -> kept
+            (12, " ".join(near_other)),  # batch collision with 11 -> dropped
+            (13, "completely different words entirely unique here"),
+        ],
+        "doc_id: bigint, text: string",
+    ).withColumn("words", F.split("text", " "))
+    kept = dedup_incremental_fuzzy(day2, index)
+    assert {r.doc_id for r in kept.collect()} == {11, 13}
+    assert "minhash" in kept.columns
+    # partition invariance: pure function of the data
+    kept_re = dedup_incremental_fuzzy(day2.repartition(7), index)
+    assert {r.doc_id for r in kept_re.collect()} == {11, 13}
+    # index extension reuses the carried signatures (no words needed)
+    ext = with_minhash_bands(kept.drop("words", "text"))
+    index2 = index.unionByName(ext).distinct()
+    # day-3 replay of an already-kept doc now drops against the
+    # extended index
+    day3 = spark.createDataFrame(
+        [(20, " ".join(other))], "doc_id: bigint, text: string"
+    ).withColumn("words", F.split("text", " "))
+    assert dedup_incremental_fuzzy(day3, index2).count() == 0
+    # ... but drops nothing against the ORIGINAL day-1 index
+    assert dedup_incremental_fuzzy(day3, index).count() == 1
+
+
+def test_dedup_incremental_fuzzy_greedy_chain_contract(spark):
+    """Documented greedy banding contract: in a chain a->b->c where c
+    collides only with b (already dropped by a), c is STILL dropped —
+    the bucket's min is the dropped doc.  Conservative over-drop,
+    deterministic."""
+    from smashed_spark.functions.dedup import dedup_incremental_fuzzy
+
+    a = [f"w{i}" for i in range(30)]
+    b = a[:-2] + ["x1", "x2"]      # near a
+    c = b[:-4] + ["x1", "x2", "y1", "y2"]  # near b, farther from a
+    df = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, " ".join(c))],
+        "doc_id: bigint, text: string",
+    ).withColumn("words", F.split("text", " "))
+    empty_index = spark.createDataFrame([], "band: int, key: string")
+    kept = {
+        r.doc_id
+        for r in dedup_incremental_fuzzy(df, empty_index).collect()
+    }
+    # 1 always survives; whether 2/3 collide depends on signatures,
+    # but the contract is: anything colliding with a bucket whose min
+    # is 1 (or a dropped doc) goes.  Verify against a driver replay.
+    from smashed_spark.functions.dedup import MinHashMapper
+    from smashed_spark.functions.hashing import band_keys
+
+    sig = MinHashMapper().map(df)
+    bands_rows = sig.select(
+        "doc_id",
+        F.explode(band_keys(F.col("minhash"), 4, 4)).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key").collect()
+    mins = {}
+    for r in bands_rows:
+        k = (r.band, r.key)
+        mins[k] = min(mins.get(k, r.doc_id), r.doc_id)
+    want = set()
+    by_doc = {}
+    for r in bands_rows:
+        by_doc.setdefault(r.doc_id, []).append((r.band, r.key))
+    for d, ks in by_doc.items():
+        if all(mins[k] == d for k in ks):
+            want.add(d)
+    assert kept == want and 1 in kept
+
+
 def test_normalize_for_dedup_idempotent(spark):
     """normalize(normalize(x)) == normalize(x) — the canonical key is
     a fixpoint, so re-running a pipeline over already-normalized text

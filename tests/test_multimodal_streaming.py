@@ -464,3 +464,51 @@ def test_streamability_classification_of_r6_mappers(spark):
         assert_streamable(
             Pipeline([GopherQualityFilterMapper(), DedupParagraphsMapper()])
         )
+
+
+def test_semantic_decontaminate_streams(spark, tmp_path):
+    """SemanticDecontaminateMapper is stream-safe by construction: the
+    plan-time probe/collect run on the STATIC benchmark frame, and the
+    corpus side is a stateless mapInPandas — a streaming replay must
+    produce exactly the batch result."""
+    import numpy as np
+    from smashed_spark.functions.textstats import (
+        SemanticDecontaminateMapper,
+    )
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(50, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    batch = spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<double>"
+    )
+    bench = spark.createDataFrame(
+        rows[:4], "vec_id: bigint, embedding: array<double>"
+    )
+    m = SemanticDecontaminateMapper(bench, threshold=0.5)
+    want = {
+        (r.vec_id, r.max_benchmark_sim, r.semantic_contaminated)
+        for r in m.map(batch).collect()
+    }
+
+    src = str(tmp_path / "emb_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    from smashed_spark.streaming.runner import assert_streamable
+    from smashed_spark.core.pipeline import Pipeline
+
+    assert_streamable(Pipeline([m]))
+    q = (
+        m.map(stream)
+        .writeStream.format("memory")
+        .queryName("sem_decon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.vec_id, r.max_benchmark_sim, r.semantic_contaminated)
+        for r in spark.sql("SELECT * FROM sem_decon").collect()
+    }
+    assert got == want and len(got) == 50

@@ -61,12 +61,14 @@ HEADLINERS = {
         "stage's row_number<=N compiles to WindowGroupLimit; the r7 "
         "incremental-dedup stage is a LEFT ANTI join against a 32-byte "
         "digest index (broadcast at gate scale) plus a first-wins "
-        "WindowGroupLimit; the r7 token-budget stage prefix-sums a "
-        "slim (key, score, tokens) projection and joins the keep flag "
-        "back by key — the wide text column is dropped before the "
-        "shard exchange.  Every decision a pure function of "
-        "doc_id/text (partition-invariant, SQL-replayable end to "
-        "end).",
+        "WindowGroupLimit; the r7 incremental FUZZY stage drops on "
+        "MinHash band-key collision vs a 36-byte/doc band index and "
+        "greedily first-wins-bands the batch (one band-key exchange); "
+        "the r7 token-budget stage prefix-sums a slim (key, score, "
+        "tokens) projection and joins the keep flag back by key — the "
+        "wide text column is dropped before the shard exchange.  "
+        "Every decision a pure function of doc_id/text "
+        "(partition-invariant, SQL-replayable end to end).",
     "dedup_ngram_jaccard": "Shingles hash to 8-byte keys before the ONE "
         "exchange on the shingle; the hub-frequency cap is a count window "
         "over that same partitioning and the per-shingle pair-generation "
@@ -500,13 +502,22 @@ HEADLINERS_EXTRA = {
         (q_revenue_nation, "Dimension tables broadcast (no fact shuffle for "
          "the join); only the final small rollup exchanges."),
 }
+def clip(tree: str, width: int = 200) -> str:
+    # r7: the sample_mix chain inlines 16 minhash permutation lambdas
+    # into one Project — a single 20 KB plan line.  The tree SHAPE is
+    # the document; clip expression dumps past `width` chars/line.
+    return "\n".join(
+        ln if len(ln) <= width else ln[: width - 12] + " …[clipped]"
+        for ln in tree.split("\n")
+    )
+
 for name, note in HEADLINERS.items():
     plan = explain(Q[name](spark, "/root/testdata/sf0.001"))
-    tree = plan.split("\n\n")[0]  # tree section only
+    tree = clip(plan.split("\n\n")[0])  # tree section only
     out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
 for name, (fn, note) in HEADLINERS_EXTRA.items():
     plan = explain(fn(spark, "/root/testdata/sf0.001"))
-    tree = plan.split("\n\n")[0]
+    tree = clip(plan.split("\n\n")[0])
     out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
 out.append(STATIC)
 out.append(MANUAL_NOTES)
