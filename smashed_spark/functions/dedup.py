@@ -1626,11 +1626,17 @@ def dedup_incremental_fuzzy(
       span removal.  Deterministic: a pure function of the data, no
       partition-order dependence.
 
-    Scale: the signature/band compute is narrow; the history check is
-    one equi-join against the compact index (broadcast when it fits —
-    Catalyst auto-selects) + an id anti-join; the batch-internal stage
-    is one exchange on the band key (min-order window) + one id
-    aggregation.  Nothing touches the historical corpus.
+    Scale: the signature/band compute is narrow, and the whole
+    decision runs as ONE LINEAR pipeline over the slim ``(id, band,
+    key)`` projection — an indicator LEFT join against the compact
+    index (broadcast when it fits — Catalyst auto-selects), a per-doc
+    hit window, a per-bucket min window, one id aggregation — so the
+    (possibly expensive) upstream plan is evaluated exactly twice:
+    once feeding the slim decision pipeline and once in the final
+    survivors join.  (A semi/anti-join formulation reads better but
+    fans the un-cached upstream DAG into four branches — four full
+    recomputations of the input chain; measured 6x slower on the
+    sample_mix gate chain.)  Nothing touches the historical corpus.
 
     Survivors keep their ``signature_field`` column so
     ``with_minhash_bands(survivors)`` extends the index without
@@ -1658,34 +1664,37 @@ def dedup_incremental_fuzzy(
         F.col("__bk__.band").alias("band"),
         F.col("__bk__.key").alias("key"),
     )
-    index = seen_bands.select("band", "key").distinct()
-    hit_ids = (
-        doc_bands.join(index, ["band", "key"], "left_semi")
-        .select("__id__")
+    index = (
+        seen_bands.select("band", "key")
         .distinct()
-    )
-    fresh = keyed.join(
-        hit_ids.withColumnRenamed("__id__", order_by),
-        order_by,
-        "left_anti",
-    )
-    fresh_bands = doc_bands.join(
-        hit_ids, "__id__", "left_anti"
+        .withColumn("__hit__", F.lit(1))
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("band", "key")
+    marked = doc_bands.join(index, ["band", "key"], "left").withColumn(
+        "__hit__", F.coalesce(F.col("__hit__"), F.lit(0))
+    )
+    # per-doc history verdict first, THEN per-bucket first-wins min
+    # over the docs history didn't already claim
+    flagged = marked.withColumn(
+        "__dochit__", F.max("__hit__").over(Window.partitionBy("__id__"))
+    ).withColumn(
+        "__min__",
+        F.min(
+            F.when(F.col("__dochit__") == 0, F.col("__id__"))
+        ).over(Window.partitionBy("band", "key")),
+    )
     keep_ids = (
-        fresh_bands.withColumn("__min__", F.min("__id__").over(w))
-        .groupBy("__id__")
+        flagged.groupBy("__id__")
         .agg(
+            F.max("__dochit__").alias("__h__"),
             F.max(
                 (F.col("__id__") > F.col("__min__")).cast("int")
-            ).alias("__later__")
+            ).alias("__later__"),
         )
-        .filter(F.col("__later__") == 0)
+        .filter((F.col("__h__") == 0) & (F.col("__later__") == 0))
         .select("__id__")
     )
-    return fresh.join(
+    return keyed.join(
         keep_ids.withColumnRenamed("__id__", order_by), order_by
     ).select(*keyed.columns)

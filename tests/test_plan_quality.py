@@ -338,3 +338,61 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_semantic_decontaminate_no_shuffle(spark, sf_dir):
+    """The 100 TB contract of SemanticDecontaminateMapper: the corpus
+    side is scan -> Arrow mapInPandas, ZERO exchanges — the benchmark
+    travels as a broadcast variable, never as a join side."""
+    from smashed_spark.functions.textstats import (
+        SemanticDecontaminateMapper,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = SemanticDecontaminateMapper(
+        emb.filter(F.col("vec_id") % 40 == 0), threshold=0.35
+    ).map(emb)
+    plan = _explain(out)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_sample_mix_curation_chain_plan(spark, sf_dir):
+    """The full r7 curation-chain gate plan: no cartesian/nested-loop
+    node anywhere, and both incremental-dedup index joins run as
+    BROADCAST joins at gate scale (the digest LeftAnti join and the
+    band-index indicator LeftOuter join of the fuzzy stage's linear
+    decision pipeline) — the corpus side never shuffles for them."""
+    import __spark_entry__ as E
+
+    out = E.queries()["sample_mix"](spark, sf_dir)
+    plan = _explain(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    tree = plan.split("===== Subqueries")[0]
+    assert "BroadcastHashJoin" in tree, plan
+    assert "LeftAnti" in tree, plan
+    assert "LeftOuter" in tree, plan
+
+
+def test_fuzzy_dedup_simhash_128_bit_composes(spark):
+    """fuzzy_dedup(method='simhash', simhash_bits=128): the wide
+    two-word fingerprint tier threads through the one-call recipe —
+    exact dups cluster, the unrelated doc survives alone."""
+    from smashed_spark.functions.dedup import fuzzy_dedup
+
+    words_a = [f"w{i}" for i in range(30)]
+    rows = [
+        (1, " ".join(words_a)),
+        (2, " ".join(words_a)),            # identical -> same cluster
+        (3, " ".join(f"z{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = {
+        r.doc_id: (r.cluster_id, r.is_kept)
+        for r in fuzzy_dedup(
+            df, method="simhash", simhash_bits=128, max_hamming=3
+        ).collect()
+    }
+    assert out[1] == (1, 1) and out[2] == (1, 0)
+    assert out[3] == (3, 1)

@@ -426,13 +426,23 @@ deliberately to certify round-6's unit-only operators, measured in a
 same-host A/B against BENCH_r06 (geomean over the 50 common queries
 **0.95x** — the round is net cheaper despite the buys):
 
-- `sample_mix` 0.35 -> 1.14 s (**3.2x — deliberate**): the chain
-  gained the incremental-ingestion dedup stage (md5 digest compute
-  over the text column + a broadcast anti-join + a first-wins
-  WindowGroupLimit) and the token-budget stage (slim-projection
-  range sort + checkpoint + flag join-back) — two more operators
-  driver-certified under one gate, and the gate now reads the text
-  column it previously never scanned.
+- `sample_mix` 0.35 -> 4.06 s (**deliberate**): the chain gained
+  THREE stages — incremental exact dedup (md5 digests + broadcast
+  anti-join + first-wins WindowGroupLimit, -> 1.09 s cumulative),
+  incremental FUZZY dedup (MinHash signatures + the band-index
+  decision pipeline, -> 3.19 s), and token-budget selection (slim
+  prefix sum + flag join-back, -> ~4.1 s) — certifying six operators
+  under one gate.  The stage profile (best-of-2, bench config): mix
+  0.53 / +split 0.77 / +exact 1.09 / +fuzzy 3.19 / full 4.1-4.5.
+  The fuzzy stage's cost is dominated by the DOCUMENTED 2x upstream
+  evaluation (slim decision pipeline + full-width survivors join);
+  its first implementation fanned the un-cached upstream DAG into
+  four semi/anti-join branches — four full recomputations, 7.6 s on
+  the probe — and was rewritten as one linear indicator-join +
+  two-window pipeline (dedup.py docstring records the lesson).  The
+  10x probe ratio for the whole chain is 1.96x (sublinear; output
+  row count is quota-capped, so the chain's wall is dominated by the
+  corpus-side scans and index builds, which scale linearly).
 - `dedup_simhash_pairs` 7.39 -> 9.04 s (**1.22x — deliberate**): the
   r7 band-occupancy fail-fast probe (one bounded aggregate over the
   banded index) runs at plan time inside the measured region, exactly
@@ -442,6 +452,12 @@ same-host A/B against BENCH_r06 (geomean over the 50 common queries
   with the guard on.
 - `pii_redact` 1.48 -> 1.57 s (**1.06x**): the C4CleanMapper stage —
   narrow line algebra riding the same scan.
+
+- `decontaminate` 0.90 -> 1.07 s (**1.19x — deliberate**): the r7
+  embedding-space stage (SemanticDecontaminateMapper — benchmark
+  matrix broadcast + one Arrow matmul stage, zero exchanges on the
+  corpus side, plan-pinned in test_plan_quality) joined the n-gram
+  stage under the same gate.  10x probe ratio 1.32x — corpus-linear.
 
 Everything else moved <=1.12x (host noise band); the ANN family ran
 0.78-0.80x.

@@ -54,6 +54,14 @@ QUERIES = [
     # r6: the text-analysis family became honestly measurable under
     # the noop action (its expressions were count-pruned before)
     "text_stats",
+    # r7: dual-modality decontamination — the broadcast shingle
+    # semi-join plus the broadcast-matrix mapInPandas stage (both
+    # corpus-linear by design; the probe pins it)
+    "decontaminate",
+    # r7: the full curation chain (mix -> quota -> split -> exact +
+    # fuzzy incremental dedup -> token budget -> shard) — the probe
+    # watches the chain's many small exchanges for a compounding term
+    "sample_mix",
 ]
 # the steepest 10x curves get the extra decade. stream_sessionize /
 # ann_ivf_topk read only events / embeddings; dedup_ngram_jaccard
