@@ -66,6 +66,31 @@ def main() -> None:
         & (F.col("rep_dup_2gram_frac") < 0.9)
     ).drop("gopher_keep", "gopher_reason")
 
+    # 3.5 model-based quality scoring (r7): bootstrap a hashed-BoW
+    #     linear classifier from the heuristic scores (weak labels:
+    #     top slice = positive, bottom slice = negative — the
+    #     DCLM-style pattern), then score EVERY doc at scan speed and
+    #     keep the model's keeps.  The fit collects a bounded sample;
+    #     scoring is a narrow aggregate fold, no shuffle.
+    from smashed_spark.functions.classifier import (
+        LinearQualityClassifierMapper,
+        fit_quality_classifier,
+    )
+
+    with_words = scored.withColumn("words", F.split("text", " "))
+    w, b = fit_quality_classifier(
+        with_words.filter(F.col("q_score") >= 0.7),
+        with_words.filter(F.col("q_score") < 0.5),
+        dims=1024,
+        epochs=80,
+    )
+    scored = (
+        LinearQualityClassifierMapper(w, bias=b, threshold=0.4)
+        .map(with_words)
+        .filter(F.col("model_q_keep") == 1)
+        .drop("words", "model_q_keep")
+    )
+
     # 4. exact dedup (one shuffle on the content digest)
     deduped = ExactDedupMapper().map(scored)
 

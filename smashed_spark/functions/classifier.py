@@ -1,0 +1,192 @@
+"""Model-based quality filtering: a fasttext-style linear classifier
+over hashed bag-of-words features, scored at SCAN SPEED as pure column
+expressions, plus a bounded driver-side fit.
+
+The modern curation stacks (DCLM, FineWeb-Edu) put a cheap learned
+quality model between the heuristic filters and dedup: this module is
+that step re-expressed Spark-first.  Scoring is
+``sigmoid(bias + mean_w weights[h(w) mod dims])`` — one narrow
+``aggregate`` fold per row, no shuffle, no UDF, whole-stage-codegen
+friendly; the weight table rides the plan as a folded array literal
+(``dims`` ≤ 64k ⇒ ≤ 512 KB of plan, the practical ceiling for
+word-level quality models).  The fit collects a BOUNDED labeled sample
+(``sample_cap`` per class — limit pushdown, never a full scan) and
+runs deterministic full-batch logistic gradient descent in numpy: the
+same bounded-driver-fit pattern as IVFCosineTopK's quantizer.
+
+Hashing follows the repo convention: ``md5`` (portable — the DuckDB
+oracle replays scores bit-for-bit) or ``xxhash64`` (production fast
+path; fit-side featurization runs THROUGH Spark, so either family
+works without a Python xxhash dependency).
+
+Beyond the reference surface (allenai/smashed has no model-based
+filtering).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.mapper import SparkMapper
+
+#: plan-literal ceiling for the weight array (512 KB of doubles)
+MAX_NARROW_DIMS = 65536
+
+
+def _feature_index(word: Column, dims: int, hash_fn: str) -> Column:
+    from .hashing import portable_hash32
+
+    w = F.lower(word)
+    h = F.xxhash64(w) if hash_fn == "xxhash64" else portable_hash32(w)
+    return F.pmod(h, F.lit(dims)).cast("int")
+
+
+class LinearQualityClassifierMapper(SparkMapper):
+    """Score every row with a hashed-BoW linear model:
+    ``score_field = sigmoid(bias + sum_w weights[h(lower(w)) mod dims]
+    / max(n_words, 1))`` over ``words_field``.  Narrow column algebra
+    — the classifier runs at scan speed on 100 TB with zero exchanges.
+
+    With ``threshold`` set, also emits ``keep_field`` 0/1 (compose
+    FilterMapper or ``.filter`` downstream to drop; this mapper only
+    tags, matching GopherQualityFilterMapper's contract).
+    """
+
+    def __init__(
+        self,
+        weights: Sequence[float],
+        bias: float = 0.0,
+        words_field: str = "words",
+        score_field: str = "model_q_score",
+        threshold: Optional[float] = None,
+        keep_field: str = "model_q_keep",
+        hash_fn: str = "md5",
+    ) -> None:
+        if not weights:
+            raise ValueError("weights must be non-empty")
+        if len(weights) > MAX_NARROW_DIMS:
+            raise ValueError(
+                f"dims={len(weights)} exceeds MAX_NARROW_DIMS="
+                f"{MAX_NARROW_DIMS} (the weight array is a plan "
+                "literal); hash into fewer buckets — word-level "
+                "quality models rarely benefit past 2^14"
+            )
+        if hash_fn not in ("md5", "xxhash64"):
+            raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
+        self.weights = [float(x) for x in weights]
+        self.bias = float(bias)
+        self.words_field = words_field
+        self.score_field = score_field
+        self.threshold = threshold
+        self.keep_field = keep_field
+        self.hash_fn = hash_fn
+        out = [score_field] + ([keep_field] if threshold is not None else [])
+        super().__init__(
+            input_fields=[words_field], output_fields=out
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        dims = len(self.weights)
+        # CreateArray over foldable literals constant-folds into ONE
+        # ArrayType literal: element_at against it is a codegen-time
+        # lookup, not a per-row array build
+        warr = F.array(*[F.lit(x) for x in self.weights])
+        words = F.col(self.words_field)
+        total = F.aggregate(
+            words,
+            F.lit(0.0),
+            lambda acc, w: acc
+            + F.element_at(
+                warr, _feature_index(w, dims, self.hash_fn) + F.lit(1)
+            ),
+        )
+        n = F.greatest(F.size(words), F.lit(1))
+        z = F.lit(self.bias) + total / n
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        out = df.withColumn(self.score_field, score)
+        if self.threshold is not None:
+            out = out.withColumn(
+                self.keep_field,
+                (F.col(self.score_field) >= F.lit(self.threshold)).cast(
+                    "int"
+                ),
+            )
+        return out
+
+
+def fit_quality_classifier(
+    positives: DataFrame,
+    negatives: DataFrame,
+    words_field: str = "words",
+    dims: int = 4096,
+    seed: int = 17,
+    epochs: int = 200,
+    lr: float = 1.0,
+    l2: float = 1e-4,
+    sample_cap: int = 20_000,
+    hash_fn: str = "md5",
+) -> Tuple[List[float], float]:
+    """Fit (weights, bias) for :class:`LinearQualityClassifierMapper`
+    from a labeled sample: ``positives`` (high-quality exemplars, e.g.
+    a curated reference corpus) vs ``negatives`` (raw/rejected docs).
+
+    Bounded by construction: at most ``sample_cap`` docs per class are
+    collected (``limit`` pushes into the scan — never a full pass) and
+    featurized THROUGH Spark with the same hash family the scorer
+    uses, so the fit is hash-consistent for md5 AND xxhash64 without a
+    Python-side hash implementation.  Driver side: dense mean-of-
+    feature matrices (``2 x sample_cap x dims`` float32 — 640 MB at
+    the caps, the documented ceiling) + deterministic full-batch
+    logistic gradient descent (seeded init, fixed epoch count — the
+    same data always yields the same model).
+    """
+    if dims < 1 or dims > MAX_NARROW_DIMS:
+        raise ValueError(f"need 1 <= dims <= {MAX_NARROW_DIMS}")
+    import numpy as np
+
+    def featurize(df: DataFrame) -> "np.ndarray":
+        rows = (
+            df.select(
+                F.transform(
+                    F.col(words_field),
+                    lambda w: _feature_index(w, dims, hash_fn),
+                ).alias("__idx__")
+            )
+            .limit(sample_cap)
+            .collect()
+        )
+        X = np.zeros((len(rows), dims), dtype=np.float32)
+        for i, r in enumerate(rows):
+            idx = r["__idx__"] or []
+            if not idx:
+                continue
+            np.add.at(X[i], np.asarray(idx, dtype=np.int64), 1.0)
+            X[i] /= len(idx)
+        return X
+
+    Xp, Xn = featurize(positives), featurize(negatives)
+    if len(Xp) == 0 or len(Xn) == 0:
+        raise ValueError(
+            "fit_quality_classifier: both classes need at least one "
+            "non-empty document"
+        )
+    # X stays float32 (memory bound); the matmuls promote to float64
+    # against the float64 weight vector
+    X = np.concatenate([Xp, Xn])
+    y = np.concatenate(
+        [np.ones(len(Xp)), np.zeros(len(Xn))]
+    )
+    rng = np.random.default_rng(seed)
+    w = rng.normal(0.0, 0.01, size=dims)
+    b = 0.0
+    n = len(X)
+    for _ in range(epochs):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / n + l2 * w)
+        b -= lr * float(g.mean())
+    return [float(v) for v in w], float(b)

@@ -431,6 +431,40 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis
 # ---------------------------------------------------------------------------
 
+# r7: deterministic md5-derived weights for the model-based quality
+# scorer fold — the SAME list feeds the Spark mapper and the SQL
+# literal below, so both engines score bit-for-bit
+_MODELQ_DIMS = 256
+_MODELQ_BIAS = 0.1
+
+
+def _modelq_weights() -> list:
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"w{i}".encode()).hexdigest()[:8], 16) % 2001
+         - 1000) / 1000.0
+        for i in range(_MODELQ_DIMS)
+    ]
+
+
+_MODELQ_CTE = (
+    """, mqw AS (SELECT ["""
+    + ", ".join(repr(w) for w in _modelq_weights())
+    + f"""] AS wl),
+    mq AS (
+        SELECT doc_id,
+               1 / (1 + exp(-({_MODELQ_BIAS} +
+                   list_sum(list_transform(string_split(text, ' '),
+                       w -> wl[('0x' || substr(md5(lower(w)), 1, 8))
+                               ::BIGINT % {_MODELQ_DIMS} + 1]))
+                   / greatest(len(string_split(text, ' ')), 1))))
+                   AS model_q_score
+        FROM documents, mqw
+    )
+"""
+)
+
 
 @query(
     "text_stats",
@@ -520,7 +554,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN sym_ratio > 0.1 THEN 'symbol_ratio'
                ELSE '' END AS gopher_reason
         FROM gr
-    )
+    )"""
+    + _MODELQ_CTE
+    + """
     SELECT d.doc_id,
            len(list_filter(string_split_regex(d.text, '\\s+'), t -> t != ''))
                ::BIGINT AS n_ws_tokens,
@@ -551,7 +587,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS rep_dup_2gram_frac,
            coalesce(rep.top, 0)::BIGINT AS rep_top_2gram_count,
            gv.gopher_reason,
-           CAST(gv.gopher_reason = '' AS INT) AS gopher_keep
+           CAST(gv.gopher_reason = '' AS INT) AS gopher_keep,
+           mq.model_q_score
     FROM documents d
     JOIN n ON d.doc_id = n.doc_id
     JOIN q ON d.doc_id = q.doc_id
@@ -559,6 +596,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN rw ON d.doc_id = rw.doc_id
     LEFT JOIN rep ON d.doc_id = rep.doc_id
     JOIN gv ON d.doc_id = gv.doc_id
+    JOIN mq ON d.doc_id = mq.doc_id
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,6 +631,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         >> GopherQualityFilterMapper()
     )
     out = pipe.map(load(spark, sf_dir, "documents"))
+    # r7 fold: the model-based quality scorer (hashed-BoW linear
+    # classifier, narrow aggregate fold) joins the family — weights
+    # deterministically md5-derived so the oracle replays bit-for-bit
+    from ..functions.classifier import LinearQualityClassifierMapper
+
+    out = LinearQualityClassifierMapper(
+        _modelq_weights(), bias=_MODELQ_BIAS
+    ).map(out.withColumn("words", F.split("text", " ")))
     return out.select(
         "doc_id",
         "n_ws_tokens",
@@ -610,6 +656,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_top_2gram_count",
         "gopher_reason",
         "gopher_keep",
+        "model_q_score",
     )
 
 

@@ -1,0 +1,115 @@
+"""Model-based quality filtering: hashed-BoW linear scorer + bounded
+driver fit (functions/classifier.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smashed_spark.functions.classifier import (
+    LinearQualityClassifierMapper,
+    fit_quality_classifier,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id: bigint, text: string"
+    ).withColumn("words", F.split("text", " "))
+
+
+def test_scoring_matches_python_replay(spark):
+    """Spark score == driver replay with the same md5 feature hashing
+    (portable convention), and scores are partition-invariant."""
+    import hashlib
+    import math
+
+    dims = 64
+    weights = [((i * 37) % 21 - 10) / 10.0 for i in range(dims)]
+    bias = 0.25
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "epsilon zeta"),
+        (2, "alpha alpha alpha"),
+        (3, ""),
+    ]
+    df = _docs(spark, rows)
+    m = LinearQualityClassifierMapper(weights, bias=bias)
+    got = {r.doc_id: r.model_q_score for r in m.map(df).collect()}
+
+    def idx(w):
+        return int(hashlib.md5(w.lower().encode()).hexdigest()[:8], 16) % dims
+
+    for doc_id, text in rows:
+        ws = text.split(" ")  # split('', ' ') -> [''] in Spark too
+        s = sum(weights[idx(w)] for w in ws)
+        z = bias + s / max(len(ws), 1)
+        want = 1.0 / (1.0 + math.exp(-z))
+        assert abs(got[doc_id] - want) < 1e-12, doc_id
+
+    re = {
+        r.doc_id: r.model_q_score
+        for r in m.map(df.repartition(5)).collect()
+    }
+    assert re == got
+
+
+def test_threshold_tags_and_plan_is_narrow(spark):
+    df = _docs(spark, [(0, "good stuff"), (1, "bad junk")])
+    m = LinearQualityClassifierMapper(
+        [0.0] * 32, bias=0.0, threshold=0.5
+    )
+    out = m.map(df)
+    # sigmoid(0) = 0.5 exactly -> everything tagged keep at thr 0.5
+    assert [r.model_q_keep for r in out.collect()] == [1, 1]
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan  # scan-speed contract
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="non-empty"):
+        LinearQualityClassifierMapper([])
+    with pytest.raises(ValueError, match="MAX_NARROW_DIMS"):
+        LinearQualityClassifierMapper([0.0] * 70000)
+    with pytest.raises(ValueError, match="hash_fn"):
+        LinearQualityClassifierMapper([0.0], hash_fn="sha1")
+
+
+def test_fit_separates_classes_and_is_deterministic(spark):
+    """A fit on two disjoint-vocabulary classes must rank every
+    positive above every negative, for BOTH hash families, and yield
+    identical weights across runs (seeded, fixed epochs)."""
+    import random
+
+    rng = random.Random(5)
+    good_vocab = [f"good{i}" for i in range(40)]
+    bad_vocab = [f"bad{i}" for i in range(40)]
+    pos = _docs(
+        spark,
+        [(i, " ".join(rng.choices(good_vocab, k=12))) for i in range(60)],
+    )
+    neg = _docs(
+        spark,
+        [(i, " ".join(rng.choices(bad_vocab, k=12))) for i in range(60)],
+    )
+    for fn in ("md5", "xxhash64"):
+        w, b = fit_quality_classifier(
+            pos, neg, dims=256, epochs=120, hash_fn=fn
+        )
+        w2, b2 = fit_quality_classifier(
+            pos, neg, dims=256, epochs=120, hash_fn=fn
+        )
+        assert w == w2 and b == b2  # deterministic
+        m = LinearQualityClassifierMapper(w, bias=b, hash_fn=fn)
+        ps = [r.model_q_score for r in m.map(pos).collect()]
+        ns = [r.model_q_score for r in m.map(neg).collect()]
+        assert min(ps) > max(ns), (fn, min(ps), max(ns))
+
+
+def test_fit_validation(spark):
+    empty = _docs(spark, []).limit(0)
+    docs = _docs(spark, [(0, "a b")])
+    with pytest.raises(ValueError, match="at least one"):
+        fit_quality_classifier(empty, docs, dims=16)
+    with pytest.raises(ValueError, match="dims"):
+        fit_quality_classifier(docs, docs, dims=0)

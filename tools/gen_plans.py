@@ -458,6 +458,10 @@ same-host A/B against BENCH_r06 (geomean over the 50 common queries
   matrix broadcast + one Arrow matmul stage, zero exchanges on the
   corpus side, plan-pinned in test_plan_quality) joined the n-gram
   stage under the same gate.  10x probe ratio 1.32x — corpus-linear.
+- `text_stats` 5.5 -> 5.65 s (**1.03x**): the r7 model-based quality
+  scorer fold (LinearQualityClassifierMapper — hashed-BoW linear
+  model as a narrow aggregate fold, md5-derived weights replayed
+  bit-for-bit by the oracle) rides the family's existing scan.
 
 Everything else moved <=1.12x (host noise band); the ANN family ran
 0.78-0.80x.
