@@ -304,3 +304,82 @@ def test_quota_and_split_partition_properties(spark):
     assert len(out) == len(rows)
     assert {r.id for r in out} == {i for i, _ in rows}
     assert {r.split for r in out} <= {"a", "b", "c"}
+
+
+def test_incremental_fuzzy_dedup_invariants(spark):
+    """Random corpora, random index slices: (a) the result is a SUBSET
+    of the batch with original columns; (b) no survivor shares ANY
+    band key with the index; (c) no two survivors share a band key;
+    (d) the survivor set is the greedy driver replay exactly; (e)
+    re-running the survivors against index+their own bands drops all
+    of them (idempotent ingestion)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from smashed_spark.functions.dedup import (
+        MinHashMapper,
+        dedup_incremental_fuzzy,
+        with_minhash_bands,
+    )
+    from smashed_spark.functions.hashing import band_keys
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(60)]
+    bases = [
+        [rng.choice(vocab) for _ in range(rng.randint(10, 30))]
+        for _ in range(8)
+    ]
+    rows = []
+    for i in range(80):
+        w = list(rng.choice(bases))
+        for _ in range(rng.randint(0, 3)):
+            w[rng.randrange(len(w))] = rng.choice(vocab)
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(
+        rows, "doc_id: bigint, text: string"
+    ).withColumn("words", F.split("text", " "))
+    history = docs.filter(F.col("doc_id") % 4 == 0)
+    batch = docs.filter(F.col("doc_id") % 4 != 0)
+    index = with_minhash_bands(history)
+
+    kept = dedup_incremental_fuzzy(batch, index)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert kept_ids <= batch_ids  # (a)
+
+    # driver replay of the documented greedy contract (d)
+    def bands_of(df):
+        out = {}
+        sig = MinHashMapper().map(df)
+        for r in sig.select(
+            "doc_id",
+            F.explode(band_keys(F.col("minhash"), 4, 4)).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key").collect():
+            out.setdefault(r.doc_id, set()).add((r.band, r.key))
+        return out
+
+    hist_bands = set().union(*bands_of(history).values())
+    bb = bands_of(batch)
+    fresh = {d for d, ks in bb.items() if not (ks & hist_bands)}
+    mins = {}
+    for d in fresh:
+        for k in bb[d]:
+            mins[k] = min(mins.get(k, d), d)
+    want = {d for d in fresh if all(mins[k] == d for k in bb[d])}
+    assert kept_ids == want
+
+    # (b) + (c)
+    for d in kept_ids:
+        assert not (bb[d] & hist_bands), d
+    for a in kept_ids:
+        for b in kept_ids:
+            if a < b:
+                assert not (bb[a] & bb[b]), (a, b)
+
+    # (e) idempotent: extend the index with the survivors' bands and
+    # replay the survivors — everything drops
+    index2 = index.unionByName(
+        with_minhash_bands(kept.drop("words", "text"))
+    ).distinct()
+    assert dedup_incremental_fuzzy(kept.drop("minhash"), index2).count() == 0
