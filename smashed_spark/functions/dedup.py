@@ -405,13 +405,17 @@ class SimHashNearDupPairsMapper(SparkMapper):
     buckets out past 10^11 docs.
 
     The math is ENFORCED, not just documented: unless
-    ``max_band_occupancy=None``, a plan-time probe (one bounded
-    aggregate over the slim banded index — map-side combine makes its
-    shuffle min(N x bands, bands x 2^width) rows; memoized per input
-    plan like NGramJaccardPairsMapper's auto-probe) measures the
-    hottest band bucket and raises before the join can go quadratic,
-    naming the fix.  Skipped for streaming inputs (no plan-time
-    actions on streams; micro-batches are bounded by the trigger
+    ``max_band_occupancy=None``, an IN-PLAN guard — a running count
+    over each (band, value) bucket wired into the band-key expression
+    itself via ``raise_error`` — fails the job in the banding stage,
+    BEFORE any quadratic join output exists, the moment a bucket
+    exceeds the cap.  The guard's window partitions on exactly the
+    join keys, so it rides the exchange + sort the sort-merge join
+    already needs: zero extra Spark jobs, zero extra scans, and
+    ``apply()`` stays fully lazy (rounds 7's eager plan-time probe —
+    one extra full pass over the banded index per fresh plan — is
+    gone).  Skipped for streaming inputs (non-time windows are
+    unsupported on streams; micro-batches are bounded by the trigger
     interval anyway).
     """
 
@@ -435,6 +439,15 @@ class SimHashNearDupPairsMapper(SparkMapper):
             raise ValueError("bits must be in 1..128")
         if max_hamming < 0 or max_hamming >= bits:
             raise ValueError("need 0 <= max_hamming < bits")
+        if bits > 64 and max_hamming < 1:
+            # a single band would be the whole >64-bit fingerprint,
+            # which a bigint band value cannot carry
+            raise ValueError(
+                "bits > 64 requires max_hamming >= 1 (bands must fit "
+                "a 64-bit word); for hamming-0 identity on a wide "
+                "fingerprint use exact dedup on the fingerprint words "
+                "instead"
+            )
         if max_band_occupancy is not None and max_band_occupancy < 1:
             raise ValueError("max_band_occupancy must be >= 1 or None")
         self.id_field = id_field
@@ -458,8 +471,10 @@ class SimHashNearDupPairsMapper(SparkMapper):
 
     def _band_value(self, words: List[Column], offset: int, width: int) -> Column:
         """Bits [offset, offset+width) of the little-endian multi-word
-        fingerprint, as a non-negative bigint (width <= 63 always: the
-        band count is >= 2 words only when bits > 64 has >= 2 bands)."""
+        fingerprint as a bigint.  __init__ guarantees width <= 64
+        (bits > 64 forces >= 2 bands): the encoding is injective mod
+        2^64 and used only for equality, so a width-64 band landing in
+        the sign bit (a negative value) is fine."""
         w, bit = divmod(offset, 64)
         if bit + width <= 64:
             part = F.shiftrightunsigned(words[w], bit)
@@ -475,36 +490,46 @@ class SimHashNearDupPairsMapper(SparkMapper):
         )
         return F.shiftleft(hi, lo_width).bitwiseOR(lo)
 
-    def _check_band_occupancy(self, base: DataFrame) -> None:
+    def _guard_band_occupancy(self, base: DataFrame) -> DataFrame:
         """Fail fast when any band bucket is hot enough to make the
         banded self-join's OUTPUT quadratic (the same degenerate-input
-        guard as SemanticNearDupPairsMapper.max_cell_size).  One
-        bounded aggregate: groupBy (band, value) with map-side partial
-        counts, then a 1-row max — O(buckets) shuffle rows, never
-        O(N^2) anything."""
+        guard as SemanticNearDupPairsMapper.max_cell_size) — wired
+        INTO the plan, not probed eagerly: a running count over each
+        (band, value) bucket replaces the band value with
+        ``raise_error`` the moment a bucket exceeds the cap, so the
+        job dies in the banding stage before the join emits a single
+        quadratic pair.  The window partitions on exactly the join
+        keys, so its exchange + sort ARE the join's own exchange +
+        sort — zero additional scans or jobs, and apply() stays lazy.
+        """
+        from pyspark.sql.window import Window
+
         cap = self.max_band_occupancy
-        hot = (
-            base.groupBy("__b__", "__v__")
-            .agg(F.count(F.lit(1)).alias("__n__"))
-            .agg(F.max("__n__").alias("__max__"))
-            .collect()[0]["__max__"]
-        ) or 0
-        if hot > cap:
-            widths = self._band_widths()
-            raise ValueError(
-                f"SimHashNearDupPairsMapper: hottest band bucket holds "
-                f"{hot} docs (cap {cap}); the banded self-join would "
-                f"emit ~{hot}^2/2 candidate pairs from that bucket "
-                f"alone. Band width is {min(widths)} bits "
-                f"(bits={self.bits}, max_hamming={self.max_hamming} -> "
-                f"{len(widths)} bands). Fix: widen the fingerprint "
-                "(bits=128 via SimHashMapper(bits=128) gives 32-bit "
-                "bands at max_hamming=3), lower max_hamming (fewer, "
-                "wider bands), pre-dedup exact duplicates (identical "
-                "docs share every band), or raise/disable "
+        widths = self._band_widths()
+        occ = F.count(F.lit(1)).over(Window.partitionBy("__b__", "__v__"))
+        msg = F.concat(
+            F.lit("SimHashNearDupPairsMapper: a band bucket holds "),
+            occ.cast("string"),
+            F.lit(
+                f" docs (cap {cap}); the banded self-join would emit "
+                f"~n^2/2 candidate pairs from that bucket alone. Band "
+                f"width is {min(widths)} bits (bits={self.bits}, "
+                f"max_hamming={self.max_hamming} -> {len(widths)} "
+                "bands). Fix: widen the fingerprint (bits=128 via "
+                "SimHashMapper(bits=128) gives 32-bit bands at "
+                "max_hamming=3), lower max_hamming (fewer, wider "
+                "bands), pre-dedup exact duplicates (identical docs "
+                "share every band), or raise/disable "
                 "max_band_occupancy if the skewed join cost is "
                 "acceptable."
-            )
+            ),
+        )
+        return base.withColumn(
+            "__v__",
+            F.when(occ <= F.lit(cap), F.col("__v__")).otherwise(
+                F.raise_error(msg)
+            ),
+        )
 
     def apply(self, df: DataFrame) -> DataFrame:
         multiword = self.bits > 64
@@ -539,17 +564,7 @@ class SimHashNearDupPairsMapper(SparkMapper):
             F.col("__band__.v").alias("__v__"),
         )
         if self.max_band_occupancy is not None and not df.isStreaming:
-            # DOCUMENTED laziness exception (same contract as
-            # NGramJaccardPairsMapper's auto-probe): a scale guard has
-            # to look at data.  Memoized per input plan so repeated
-            # apply()/explain() calls don't re-probe.
-            memo = getattr(self, "_occupancy_ok", None)
-            if memo is None:
-                memo = self._occupancy_ok = set()
-            plan_key = (df.semanticHash(), self.max_band_occupancy)
-            if plan_key not in memo:
-                self._check_band_occupancy(base)
-                memo.add(plan_key)
+            base = self._guard_band_occupancy(base)
         if multiword:
             hamming = (
                 F.bit_count(
@@ -1234,6 +1249,17 @@ def fuzzy_dedup(
     stage (banding equi-joins — never a cartesian); clustering is
     O(log n) pointer-jumping rounds on the PAIRS (tiny vs the corpus);
     the final tag is one left join of the cluster map onto the corpus.
+
+    Behavior note (since round 7): ``method="simhash"`` fails fast —
+    loudly, at action time, in-plan with zero extra jobs — when any
+    band bucket exceeds
+    :attr:`SimHashNearDupPairsMapper.DEFAULT_MAX_BAND_OCCUPANCY`
+    (20k docs; e.g. >20k byte-identical docs before exact dedup, as in
+    raw web batches).  Corpora like that previously ran an
+    accepted-quadratic join; run exact dedup first (identical docs
+    share every band) or construct the pair mapper directly with a
+    higher/disabled ``max_band_occupancy`` to restore the old
+    behavior.
     """
     from .graph import DedupClustersMapper
 

@@ -562,35 +562,48 @@ def test_simhash_pairs_plan_is_equi_join(spark):
 
 def test_simhash_band_occupancy_guard(spark):
     """The occupancy fail-fast: a forced hot band bucket (identical
-    fingerprints share every band) must raise at plan time naming the
-    fix; a generous or disabled cap lets the (accepted-quadratic) join
-    run; the probe is memoized per input plan."""
+    fingerprints share every band) must fail the job in the banding
+    stage naming the fix; a generous or disabled cap lets the
+    (accepted-quadratic) join run.  The guard is IN-PLAN (a window
+    count over the join keys feeding raise_error), so apply() itself
+    stays lazy — pinned by a poison input that only detonates on
+    action."""
     from smashed_spark.functions.dedup import SimHashNearDupPairsMapper
 
     df = spark.createDataFrame(
         [(i, 12345) for i in range(30)], "doc_id: bigint, simhash: bigint"
     )
-    with pytest.raises(ValueError, match="band bucket"):
-        SimHashNearDupPairsMapper(
-            "doc_id", bits=16, max_hamming=3, max_band_occupancy=10
-        ).map(df)
+    hot = SimHashNearDupPairsMapper(
+        "doc_id", bits=16, max_hamming=3, max_band_occupancy=10
+    ).map(df)  # plan builds fine; the raise happens at action time
+    with pytest.raises(Exception, match="band bucket"):
+        hot.count()
     for cap in (None, 50):
         out = SimHashNearDupPairsMapper(
             "doc_id", bits=16, max_hamming=3, max_band_occupancy=cap
         ).map(df)
         assert out.count() == 30 * 29 // 2
 
-    m = SimHashNearDupPairsMapper(
-        "doc_id", bits=16, max_hamming=3, max_band_occupancy=50
+    # laziness contract: an input whose evaluation raises must survive
+    # apply() (plan building runs zero jobs) and only fail on action
+    poison = df.withColumn(
+        "simhash",
+        F.when(
+            F.col("doc_id") >= 0, F.raise_error(F.lit("poison input"))
+        )
+        .otherwise(F.lit(1))
+        .cast("bigint"),
     )
-    calls = []
-    real = m._check_band_occupancy
-    m._check_band_occupancy = lambda base: (calls.append(1), real(base))
-    m.map(df)
-    m.map(df)  # same plan: memo hit, no second probe job
-    assert len(calls) == 1
+    lazy = SimHashNearDupPairsMapper(
+        "doc_id", bits=16, max_hamming=3, max_band_occupancy=10
+    ).map(poison)
+    with pytest.raises(Exception, match="poison input"):
+        lazy.count()
     with pytest.raises(ValueError, match="max_band_occupancy"):
         SimHashNearDupPairsMapper("doc_id", max_band_occupancy=0)
+    # ADVICE r7: a >64-bit fingerprint cannot fit one band in a bigint
+    with pytest.raises(ValueError, match="max_hamming >= 1"):
+        SimHashNearDupPairsMapper("doc_id", bits=128, max_hamming=0)
 
 
 def _u128_to_words(v):
@@ -614,6 +627,7 @@ def test_simhash_pairs_128_bit_banding_is_exact(spark):
     rng = random.Random(7)
     raw = [rng.getrandbits(128) for _ in range(60)]
     base = rng.getrandbits(128)
+    raw.append(base)  # k=1 pairs: base vs its single-flip variants
     for _ in range(15):  # a cluster inside/near the Hamming ball
         v = base
         for b in rng.sample(range(128), rng.randint(1, 5)):
@@ -623,7 +637,9 @@ def test_simhash_pairs_128_bit_banding_is_exact(spark):
         [(i, _u128_to_words(v)) for i, v in enumerate(raw)],
         "doc_id: bigint, simhash: array<bigint>",
     )
-    for k in (2, 3, 5):
+    # k=1 exercises the width-64 whole-word bands ([64, 64]), the
+    # widest legal banding for a two-word fingerprint
+    for k in (1, 2, 3, 5):
         got = sorted(
             (r.id_a, r.id_b, r.hamming)
             for r in SimHashNearDupPairsMapper(

@@ -77,10 +77,12 @@ HEADLINERS = {
     "dedup_simhash_pairs": "Exact Hamming-ball pairs by pigeonhole banding: "
         "token hashes projected once (no per-bit md5 re-evaluation), band "
         "equi-join, map-side bit_count verify BEFORE the dedup shuffle — "
-        "no cartesian product, O(docs x bands) join input.  r7: a "
-        "plan-time band-occupancy probe (one bounded aggregate, "
-        "memoized per input plan) fails fast before a hot bucket can "
-        "make the join output quadratic; a 128-bit two-word fingerprint "
+        "no cartesian product, O(docs x bands) join input.  r8: the "
+        "band-occupancy fail-fast is IN-PLAN (a count window over the "
+        "join keys feeding raise_error, riding the join's own "
+        "exchange + sort) — zero extra jobs, apply() fully lazy, the "
+        "job dies in the banding stage before a hot bucket can make "
+        "the join output quadratic; a 128-bit two-word fingerprint "
         "tier (32-bit bands) covers corpora past ~1e9 docs.",
 }
 
