@@ -62,10 +62,12 @@ def main() -> None:
 
     # ---- day 2: reposts (same text, new ids), near-reposts (one word
     # swapped), and genuinely fresh odd-id docs ----------------------
-    reposts = day1.limit(20).select(
+    # deterministic disjoint carve-outs by doc_id predicate (an
+    # unordered limit/subtract can pick different rows per evaluation)
+    reposts = day1.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    near = day1.limit(40).subtract(day1.limit(20)).select(
+    near = day1.filter(F.col("doc_id") % 10 == 2).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.concat(F.lit("prefix_token "), F.col("text")).alias("text"),
     )

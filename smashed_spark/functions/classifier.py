@@ -134,10 +134,15 @@ def fit_quality_classifier(
     a curated reference corpus) vs ``negatives`` (raw/rejected docs).
 
     Bounded by construction: at most ``sample_cap`` docs per class are
-    collected (``limit`` pushes into the scan — never a full pass) and
-    featurized THROUGH Spark with the same hash family the scorer
-    uses, so the fit is hash-consistent for md5 AND xxhash64 without a
-    Python-side hash implementation.  Driver side: dense mean-of-
+    collected, chosen by HASH ORDER (``orderBy(md5(words))`` + limit —
+    compiles to TakeOrderedAndProject, a per-partition top-k plus a
+    driver merge, never a full sort materialization), so the sample —
+    and therefore the model — is a pure function of the data,
+    independent of partition layout, and source-unbiased (a bare
+    ``limit`` would take first-partition rows).  Docs are featurized
+    THROUGH Spark with the same hash family the scorer uses, so the
+    fit is hash-consistent for md5 AND xxhash64 without a Python-side
+    hash implementation.  Driver side: dense mean-of-
     feature matrices (``2 x sample_cap x dims`` float32 — 640 MB at
     the caps, the documented ceiling) + deterministic full-batch
     logistic gradient descent (seeded init, fixed epoch count — the
@@ -153,9 +158,14 @@ def fit_quality_classifier(
                 F.transform(
                     F.col(words_field),
                     lambda w: _feature_index(w, dims, hash_fn),
-                ).alias("__idx__")
+                ).alias("__idx__"),
+                F.md5(
+                    F.concat_ws("\x1f", F.col(words_field))
+                ).alias("__ord__"),
             )
+            .orderBy("__ord__")
             .limit(sample_cap)
+            .drop("__ord__")
             .collect()
         )
         X = np.zeros((len(rows), dims), dtype=np.float32)

@@ -1539,6 +1539,13 @@ def dedup_incremental(
     fits (Catalyst auto-selects), shuffled hash join otherwise; never
     a rescan of the historical corpus, which is the point: the index
     is ~32 bytes/doc while the corpus is ~100 KB/doc.
+
+    Determinism: ``order_by`` NULLs raise in-plan (a NULL key cannot
+    be totally ordered); ``order_by`` ties — identical text by
+    construction, since tied rows share a digest (epoch-oversampled
+    mixes feed exactly that) — are pinned by an xxhash64 content
+    tiebreak over all (non-map) columns, so first-wins is a pure
+    function of the data either way.
     """
     digest = F.md5(F.col(text_field))
     keyed = new_df.withColumn(digest_field, digest)
@@ -1549,10 +1556,39 @@ def dedup_incremental(
     )
     # batch-internal dedup: first row (by order_by) per digest within
     # the new batch — row_number()==1 compiles to a WindowGroupLimit
-    # (partial per-group limit below the exchange)
+    # (partial per-group limit below the exchange).  Totality of the
+    # order (r7 wrong #4): a NULL order key raises IN-PLAN (the guard
+    # is the sort key itself, so it evaluates for every row at zero
+    # extra cost); ties on order_by are ALLOWED here — tied rows share
+    # a digest, i.e. identical text (epoch-oversampled corpora feed
+    # exactly that shape on purpose), so the winner is pinned by the
+    # xxhash64-over-all-columns content tiebreak (the
+    # sinks.shard_for_training convention) and the output stays a pure
+    # function of the data.  Contrast dedup_incremental_fuzzy, where a
+    # duplicate key merges DISTINCT docs into one decision and
+    # therefore raises.
+    from pyspark.sql.types import MapType
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(digest_field).orderBy(F.col(order_by).asc())
+    guarded_order = F.when(
+        F.col(order_by).isNull(),
+        F.raise_error(
+            F.lit(
+                f"dedup_incremental: order_by {order_by!r} has a "
+                "NULL value; a NULL key cannot be totally ordered "
+                "and first-wins would be nondeterministic. Filter "
+                "or fill the key column."
+            )
+        ),
+    ).otherwise(F.col(order_by))
+    hashable = [
+        f.name for f in fresh.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
+    content = F.xxhash64(*[F.col(c) for c in hashable])
+    w = Window.partitionBy(digest_field).orderBy(
+        guarded_order.asc(), content.asc()
+    )
     return (
         fresh.withColumn("__rn__", F.row_number().over(w))
         .where(F.col("__rn__") == 1)
@@ -1624,6 +1660,7 @@ def dedup_incremental_fuzzy(
     bands: int = 4,
     rows_per_band: int = 4,
     hash_fn: str = "md5",
+    verify_threshold: Optional[float] = None,
 ) -> DataFrame:
     """Append-only ingestion NEAR-dedup: drop rows of ``new_df`` whose
     MinHash band keys collide with the running ``seen_bands`` index
@@ -1650,7 +1687,22 @@ def dedup_incremental_fuzzy(
       is still dropped (its bucket's min is the dropped doc): the
       conservative over-drop direction, same convention as keep-first
       span removal.  Deterministic: a pure function of the data, no
-      partition-order dependence.
+      partition-order dependence.  ``order_by`` must be a unique
+      non-NULL key (duplicates would merge two docs into one decision
+      and fan the survivors join out) — enforced IN-PLAN at zero extra
+      cost: each doc explodes into exactly ``bands`` band rows, so the
+      per-id group size not equaling ``bands`` is a loud
+      ``raise_error``.
+    * **Opt-in in-batch verification** (``verify_threshold``): history
+      drops cannot verify (the index stores 36-byte band keys, not
+      documents), but batch-internal collisions have BOTH documents in
+      hand — with ``verify_threshold`` set, a batch-internal band
+      collision only drops the later doc if exact shingle-Jaccard
+      against the colliding bucket's earliest doc reaches the
+      threshold, cutting LSH false-positive real-doc loss.  Cost
+      scales with the CANDIDATE count (the verify join touches only
+      colliding pairs), not the batch.  Requires ``words_field`` on
+      ``new_df``.
 
     Scale: the signature/band compute is narrow, and the whole
     decision runs as ONE LINEAR pipeline over the slim ``(id, band,
@@ -1680,8 +1732,19 @@ def dedup_incremental_fuzzy(
         keyed = new_df
     from .hashing import band_keys
 
+    null_guard = F.when(
+        F.col(order_by).isNull(),
+        F.raise_error(
+            F.lit(
+                f"dedup_incremental_fuzzy: order_by {order_by!r} has "
+                "a NULL value; a NULL key cannot be totally ordered "
+                "and first-wins would be nondeterministic. Filter or "
+                "fill the key column."
+            )
+        ),
+    ).otherwise(F.col(order_by))
     doc_bands = keyed.select(
-        F.col(order_by).alias("__id__"),
+        null_guard.alias("__id__"),
         F.explode(
             band_keys(F.col(signature_field), bands, rows_per_band)
         ).alias("__bk__"),
@@ -1710,17 +1773,85 @@ def dedup_incremental_fuzzy(
             F.when(F.col("__dochit__") == 0, F.col("__id__"))
         ).over(Window.partitionBy("band", "key")),
     )
-    keep_ids = (
-        flagged.groupBy("__id__")
-        .agg(
-            F.max("__dochit__").alias("__h__"),
-            F.max(
-                (F.col("__id__") > F.col("__min__")).cast("int")
-            ).alias("__later__"),
-        )
-        .filter((F.col("__h__") == 0) & (F.col("__later__") == 0))
-        .select("__id__")
+    agg = flagged.groupBy("__id__").agg(
+        F.max("__dochit__").alias("__h__"),
+        F.max(
+            (F.col("__id__") > F.col("__min__")).cast("int")
+        ).alias("__later__"),
+        F.count(F.lit(1)).alias("__nb__"),
     )
+
+    def _guarded(cond: Column) -> Column:
+        # each doc explodes into exactly `bands` band rows, so a group
+        # holding a multiple of that means duplicate order_by values:
+        # two docs merged into one decision, and a survivors join that
+        # would fan out.  The guard roots the filter expression, so it
+        # evaluates for every group — zero extra cost, loud raise.
+        return F.when(
+            F.col("__nb__") == F.lit(bands), cond
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"dedup_incremental_fuzzy: order_by "
+                        f"{order_by!r} is not unique (value "
+                    ),
+                    F.col("__id__").cast("string"),
+                    F.lit(" appears "),
+                    (F.col("__nb__") / F.lit(bands)).cast("int").cast(
+                        "string"
+                    ),
+                    F.lit(
+                        " times); duplicate keys merge distinct docs "
+                        "into one dedup decision and fan the "
+                        "survivors join out. Dedup or re-key upstream."
+                    ),
+                )
+            ).cast("boolean")
+        )
+
+    if verify_threshold is None:
+        keep_ids = agg.filter(
+            _guarded((F.col("__h__") == 0) & (F.col("__later__") == 0))
+        ).select("__id__")
+    else:
+        if words_field not in keyed.columns:
+            raise ValueError(
+                "dedup_incremental_fuzzy: verify_threshold needs "
+                f"words_field {words_field!r} on new_df to compute "
+                "exact shingle-Jaccard"
+            )
+        # candidate pairs: (bucket's earliest history-free doc, later
+        # doc) per colliding band bucket — exactly the collisions the
+        # greedy pass would drop on.  Verify with real Jaccard; only
+        # confirmed pairs drop.
+        hit_free = agg.filter(_guarded(F.col("__h__") == 0)).select(
+            "__id__"
+        )
+        cand = (
+            flagged.filter(
+                (F.col("__dochit__") == 0)
+                & F.col("__min__").isNotNull()
+                & (F.col("__id__") > F.col("__min__"))
+            )
+            .select(
+                F.col("__min__").alias("id_a"),
+                F.col("__id__").alias("id_b"),
+            )
+            .distinct()
+        )
+        confirmed = _verify_candidates_jaccard(
+            cand,
+            keyed,
+            order_by,
+            words_field,
+            shingle_size,
+            verify_threshold,
+        )
+        dropped = confirmed.select(
+            F.col("id_b").alias("__id__")
+        ).distinct()
+        keep_ids = hit_free.join(dropped, "__id__", "left_anti")
     return keyed.join(
         keep_ids.withColumnRenamed("__id__", order_by), order_by
     ).select(*keyed.columns)

@@ -172,8 +172,17 @@ class CosineTopK(SparkMapper):
                 q_ids = pdf[id_field].to_numpy(dtype=np.int64)
                 q_mat = np.array(list(pdf[vector_field]), dtype=np.float64)
                 q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+                # zero-norm semantics: an all-zero vector has cosine
+                # 0.0 to everything (inf denominator: 0/inf = 0), not
+                # NaN — NaN would poison the ranking sort and leak
+                # into the sim column
                 sims = np.round(
-                    (q_mat @ c_mat.T) / np.outer(q_norms, c_norms), 6
+                    (q_mat @ c_mat.T)
+                    / np.outer(
+                        np.where(q_norms == 0.0, np.inf, q_norms),
+                        np.where(c_norms == 0.0, np.inf, c_norms),
+                    ),
+                    6,
                 )
                 for qi in range(len(q_ids)):
                     s = sims[qi]
@@ -226,7 +235,14 @@ class CosineTopK(SparkMapper):
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        sim = dot / (F.col("__qn__") * F.col("__cn__"))
+        # zero-norm semantics (parity with the broadcast tier): an
+        # all-zero vector has cosine 0.0 to everything.  Without the
+        # guard 0.0/0.0 is NaN, and Spark sorts NaN ABOVE every double
+        # — zero-norm neighbors would rank first
+        sim = F.when(
+            (F.col("__qn__") != 0) & (F.col("__cn__") != 0),
+            dot / (F.col("__qn__") * F.col("__cn__")),
+        ).otherwise(F.lit(0.0))
         scored = joined.select(
             F.col("__qid__").alias("query_id"),
             F.col("__cid__").alias("neighbor_id"),

@@ -640,7 +640,15 @@ class SemanticDecontaminateMapper(SparkMapper):
                     list(pdf[vector_field]), dtype=np.float64
                 )
                 q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
-                sims = (q_mat @ c_mat.T) / np.outer(q_norms, c_norms)
+                # zero-norm semantics: an all-zero embedding has
+                # cosine 0.0 to everything (inf denominator: 0/inf =
+                # 0) — without this, NaN sims compare False against
+                # the threshold and the row silently UNFLAGS with
+                # max_benchmark_sim = NaN instead of 0.0
+                sims = (q_mat @ c_mat.T) / np.outer(
+                    np.where(q_norms == 0.0, np.inf, q_norms),
+                    np.where(c_norms == 0.0, np.inf, c_norms),
+                )
                 mx = np.round(sims.max(axis=1), 6)
                 yield pdf.assign(
                     **{

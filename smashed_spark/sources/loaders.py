@@ -467,8 +467,9 @@ def select_under_token_budget(
     from ..functions.packing import with_prefix_sum
 
     # with_prefix_sum requires a total key: (neg score, key) is total
-    # when key is unique, which dedup upstream guarantees (and the
-    # join-back below relies on — duplicate keys would fan out)
+    # when key is unique, which dedup upstream guarantees — and which
+    # the in-plan guard on the flags below ENFORCES (duplicate keys
+    # would fan the join-back out)
     # dict.fromkeys dedupes while preserving order: score_field may BE
     # tokens_field (budget by the scoring quantity itself)
     slim = df.select(
@@ -482,6 +483,36 @@ def select_under_token_budget(
         (F.col("__prefix__") < F.lit(token_budget))
         .cast("int")
         .alias(keep_field),
+    )
+    # duplicate keys would fan the join-back out and silently multiply
+    # corpus rows — and with_prefix_sum's totality check is on
+    # (negscore, key), which duplicate keys with DISTINCT scores pass.
+    # A count window over the key (riding the same hash partitioning
+    # the join-back needs — no extra exchange on the slim flags side)
+    # raises loudly instead; NULL keys already fail with_prefix_sum's
+    # NULL-key check.
+    from pyspark.sql.window import Window
+
+    kcount = F.count(F.lit(1)).over(Window.partitionBy(key_field))
+    flags = flags.withColumn(
+        keep_field,
+        F.when(kcount == 1, F.col(keep_field)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"select_under_token_budget: key_field "
+                        f"{key_field!r} is not unique (value "
+                    ),
+                    F.col(key_field).cast("string"),
+                    F.lit(" appears "),
+                    kcount.cast("string"),
+                    F.lit(
+                        " times); the keep-flag join-back would fan "
+                        "out rows. Dedup upstream or pass a unique key."
+                    ),
+                )
+            )
+        ),
     )
     out = df.join(flags, key_field).select(*df.columns, keep_field)
     if drop:

@@ -104,6 +104,17 @@ def test_fit_separates_classes_and_is_deterministic(spark):
         ps = [r.model_q_score for r in m.map(pos).collect()]
         ns = [r.model_q_score for r in m.map(neg).collect()]
         assert min(ps) > max(ns), (fn, min(ps), max(ns))
+    # partition-layout invariance (ADVICE r7): the hash-ordered
+    # sample makes the model a pure function of the data even when
+    # sample_cap binds and the layout changes
+    wa, ba = fit_quality_classifier(
+        pos, neg, dims=128, epochs=50, sample_cap=30
+    )
+    wb, bb = fit_quality_classifier(
+        pos.repartition(13), neg.coalesce(1), dims=128, epochs=50,
+        sample_cap=30,
+    )
+    assert wa == wb and ba == bb
 
 
 def test_fit_validation(spark):

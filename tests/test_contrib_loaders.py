@@ -519,3 +519,26 @@ def test_select_under_token_budget_edges(spark):
     assert [r.doc_id for r in kept] == [0]
     with pytest.raises(ValueError, match="token_budget"):
         select_under_token_budget(df, -1, "n_tok", "q", "doc_id")
+
+
+def test_select_under_token_budget_duplicate_keys_raise(spark):
+    """Duplicate keys with DISTINCT scores pass with_prefix_sum's
+    (negscore, key) totality check but would fan the keep-flag
+    join-back out, silently multiplying corpus rows — the in-plan
+    guard must raise loudly instead (ADVICE r7)."""
+    from smashed_spark.sources.loaders import select_under_token_budget
+
+    df = spark.createDataFrame(
+        [(0, 10, 0.9), (0, 20, 0.5), (1, 5, 0.7)],
+        "doc_id: bigint, n_tok: bigint, q: double",
+    )
+    out = select_under_token_budget(df, 100, "n_tok", "q", "doc_id")
+    with pytest.raises(Exception, match="not unique"):
+        out.collect()
+    # NULL keys fail with_prefix_sum's NULL-key totality check
+    dfn = spark.createDataFrame(
+        [(None, 10, 0.9), (1, 5, 0.7)],
+        "doc_id: bigint, n_tok: bigint, q: double",
+    )
+    with pytest.raises(Exception, match="NULL"):
+        select_under_token_budget(dfn, 100, "n_tok", "q", "doc_id")

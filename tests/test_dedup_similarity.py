@@ -104,6 +104,40 @@ def test_cosine_topk(spark):
     assert out[0].sim > 0.99
 
 
+def test_cosine_topk_zero_norm_vectors(spark):
+    """r7 wrong #3: defined zero-norm semantics — an all-zero vector
+    has cosine 0.0 to everything (never NaN), on BOTH the broadcast
+    tier and the exact-join tier; zero-norm neighbors rank last, not
+    first (Spark sorts NaN above every double)."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # zero-norm corpus vector
+            (3, [0.5, 0.5]),
+        ],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    for strategy in ("broadcast", "exact_join"):
+        out = (
+            CosineTopK(k=3, queries_filter="vec_id = 0", strategy=strategy)
+            .map(df)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r.neighbor_id for r in out] == [1, 3, 2], strategy
+        sims = [r.sim for r in out]
+        assert all(s == s for s in sims), (strategy, sims)  # no NaN
+        assert sims[-1] == 0.0, strategy
+        # zero-norm QUERY: every sim is exactly 0.0
+        qz = (
+            CosineTopK(k=3, queries_filter="vec_id = 2", strategy=strategy)
+            .map(df)
+            .collect()
+        )
+        assert [r.sim for r in qz] == [0.0, 0.0, 0.0], strategy
+
+
 def test_embedding_near_dup(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.99, 0.14]), (2, [0.0, 1.0])],
@@ -1158,6 +1192,159 @@ def test_dedup_incremental_fuzzy_greedy_chain_contract(spark):
         if all(mins[k] == d for k in ks):
             want.add(d)
     assert kept == want and 1 in kept
+
+
+def test_dedup_incremental_order_key_fail_fast(spark):
+    """r7 wrong #4: a duplicate or NULL order_by silently degraded the
+    window semantics (exact) or fanned the survivors join out (fuzzy).
+    Fuzzy now raises loudly in-plan (duplicate keys merge DISTINCT
+    docs into one decision); exact pins ties — which by construction
+    share a digest, i.e. identical text, the epoch-oversample shape —
+    with the content-hash tiebreak so the result is a pure function of
+    the data.  NULL keys raise on both paths."""
+    from smashed_spark.functions.dedup import (
+        dedup_incremental,
+        dedup_incremental_fuzzy,
+    )
+
+    empty_digests = spark.createDataFrame([], "digest: string")
+    empty_bands = spark.createDataFrame([], "band: int, key: string")
+
+    dup = spark.createDataFrame(
+        [(1, "aaa bbb ccc"), (1, "aaa bbb ccc"), (2, "xxx yyy zzz")],
+        "doc_id: bigint, text: string",
+    )
+    # exact path: tied full-duplicate rows collapse deterministically
+    got = dedup_incremental(dup, empty_digests)
+    assert sorted(r.doc_id for r in got.collect()) == [1, 2]
+    # ties with DIFFERING payload columns pick the content-hash winner
+    # invariantly of partition layout
+    dup_meta = spark.createDataFrame(
+        [(1, "aaa bbb ccc", "s1"), (1, "aaa bbb ccc", "s2"),
+         (2, "xxx yyy zzz", "s3")],
+        "doc_id: bigint, text: string, src: string",
+    )
+    pick1 = sorted(
+        (r.doc_id, r.src)
+        for r in dedup_incremental(dup_meta, empty_digests).collect()
+    )
+    pick2 = sorted(
+        (r.doc_id, r.src)
+        for r in dedup_incremental(
+            dup_meta.repartition(7), empty_digests
+        ).collect()
+    )
+    assert pick1 == pick2 and len(pick1) == 2
+    with pytest.raises(Exception, match="not unique"):
+        dedup_incremental_fuzzy(
+            dup.withColumn("words", F.split("text", " ")), empty_bands
+        ).collect()
+
+    withnull = spark.createDataFrame(
+        [(None, "aaa bbb ccc"), (2, "xxx yyy zzz")],
+        "doc_id: bigint, text: string",
+    )
+    with pytest.raises(Exception, match="NULL"):
+        dedup_incremental(withnull, empty_digests).collect()
+    with pytest.raises(Exception, match="NULL"):
+        dedup_incremental_fuzzy(
+            withnull.withColumn("words", F.split("text", " ")),
+            empty_bands,
+        ).collect()
+
+    # duplicate order keys under DIFFERENT digests also raise on the
+    # fuzzy path (the decision merge is per-id, digest-independent)
+    dup2 = spark.createDataFrame(
+        [(1, "aaa bbb ccc"), (1, "ddd eee fff")],
+        "doc_id: bigint, text: string",
+    )
+    with pytest.raises(Exception, match="not unique"):
+        dedup_incremental_fuzzy(
+            dup2.withColumn("words", F.split("text", " ")), empty_bands
+        ).collect()
+
+
+def test_dedup_incremental_fuzzy_verify_threshold(spark):
+    """Opt-in in-batch verification: batch-internal band collisions
+    only drop when exact shingle-Jaccard confirms them, so LSH
+    false positives survive; history drops stay band-verdict.
+    Properties: verified survivors are a superset of unverified ones,
+    a threshold above every true similarity rescues everything
+    batch-internal, and on clique-shaped corpora the survivors equal
+    fuzzy_dedup(method='minhash')'s representatives."""
+    from smashed_spark.functions.dedup import (
+        dedup_incremental_fuzzy,
+        fuzzy_dedup,
+        with_minhash_bands,
+    )
+
+    empty_bands = spark.createDataFrame([], "band: int, key: string")
+    rng = __import__("random").Random(11)
+    rows = []
+    # 3 near-dup cliques of 3 docs (one word swapped) + 12 distinct
+    for c in range(3):
+        base = [f"c{c}w{i}" for i in range(30)]
+        for j in range(3):
+            words = list(base)
+            if j:
+                words[-j] = f"c{c}swap{j}"
+            rows.append((c * 10 + j, " ".join(words)))
+    for d in range(12):
+        rows.append((100 + d, " ".join(f"d{d}x{i}" for i in range(25))))
+    df = spark.createDataFrame(
+        rows, "doc_id: bigint, text: string"
+    ).withColumn("words", F.split("text", " "))
+
+    kept_plain = {
+        r.doc_id
+        for r in dedup_incremental_fuzzy(df, empty_bands).collect()
+    }
+    kept_verified = {
+        r.doc_id
+        for r in dedup_incremental_fuzzy(
+            df, empty_bands, verify_threshold=0.5
+        ).collect()
+    }
+    # verification only RESCUES docs, never drops more
+    assert kept_verified >= kept_plain
+    # an unreachable threshold rescues every batch-internal collision
+    kept_all = {
+        r.doc_id
+        for r in dedup_incremental_fuzzy(
+            df, empty_bands, verify_threshold=1.01
+        ).collect()
+    }
+    assert kept_all == {r[0] for r in rows}
+    # clique corpus: verified greedy first-wins == fuzzy_dedup's
+    # cluster representatives at the same threshold/banding
+    want = {
+        r.doc_id
+        for r in fuzzy_dedup(
+            df, method="minhash", threshold=0.5
+        ).filter(F.col("is_kept") == 1).collect()
+    }
+    assert kept_verified == want
+    # history drops stay band-verdict: index day-1, replay a near-dup
+    day1 = df.filter(F.col("doc_id") < 100)
+    index = with_minhash_bands(day1)
+    replay = df.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text", "words"
+    )
+    assert (
+        dedup_incremental_fuzzy(
+            replay, index, verify_threshold=1.01
+        ).count()
+        == 0
+    )
+    # verify_threshold without words raises
+    with pytest.raises(ValueError, match="words_field"):
+        dedup_incremental_fuzzy(
+            df.drop("words").withColumn(
+                "minhash", F.array(*[F.lit(i) for i in range(16)])
+            ),
+            empty_bands,
+            verify_threshold=0.5,
+        )
 
 
 def test_normalize_for_dedup_idempotent(spark):

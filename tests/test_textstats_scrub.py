@@ -202,6 +202,39 @@ def test_semantic_decontaminate_drop_and_partitioning(spark):
     assert out_cols == ["vec_id", "embedding"]  # drop emits no flags
 
 
+def test_semantic_decontaminate_zero_norm_vectors(spark):
+    """r7 wrong #3: a zero embedding must score max_benchmark_sim 0.0
+    and pass decontamination EXPLICITLY (cosine to everything is 0),
+    not slip through with NaN; a zero-norm BENCHMARK row likewise
+    contaminates nothing."""
+    from smashed_spark.functions.textstats import (
+        SemanticDecontaminateMapper,
+    )
+
+    corpus = _emb(
+        spark,
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+    )
+    bench = _emb(spark, [(10, [1.0, 0.0])])
+    out = {
+        r.vec_id: (r.max_benchmark_sim, r.semantic_contaminated)
+        for r in SemanticDecontaminateMapper(bench, threshold=0.5)
+        .map(corpus)
+        .collect()
+    }
+    assert out[0] == (0.0, 0)  # zero corpus vector: defined 0.0, not NaN
+    assert out[1] == (1.0, 1)
+    assert out[2] == (0.0, 0)
+    bench_zero = _emb(spark, [(10, [0.0, 0.0])])
+    out2 = {
+        r.vec_id: (r.max_benchmark_sim, r.semantic_contaminated)
+        for r in SemanticDecontaminateMapper(bench_zero, threshold=0.5)
+        .map(corpus)
+        .collect()
+    }
+    assert all(v == (0.0, 0) for v in out2.values()), out2
+
+
 def test_semantic_decontaminate_empty_benchmark(spark):
     from smashed_spark.functions.textstats import (
         SemanticDecontaminateMapper,
