@@ -1,3 +1,4 @@
+from .ingest import ingest_dedup_batch, streaming_ingest_dedup
 from .runner import (
     apply_pipeline_stream,
     assert_streamable,
@@ -8,6 +9,8 @@ from .runner import (
 __all__ = [
     "apply_pipeline_stream",
     "assert_streamable",
+    "ingest_dedup_batch",
     "streamable",
+    "streaming_ingest_dedup",
     "windowed_event_counts",
 ]

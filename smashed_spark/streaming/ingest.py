@@ -1,0 +1,172 @@
+"""Streaming ingestion dedup: the daily-batch pattern of
+``examples/ingest_daily.py`` (exact digest index + MinHash band-key
+index, never rescanning history) wired into Structured Streaming via
+``foreachBatch``.
+
+The reference has no streaming surface (SURVEY.md §2.9); this is the
+additive Spark-native composition of
+:func:`~smashed_spark.functions.dedup.dedup_incremental` and
+:func:`~smashed_spark.functions.dedup.dedup_incremental_fuzzy` for an
+unbounded document feed.
+
+State model — everything persistent is PARQUET under ``state_dir``:
+
+* ``digests/batch=N/``  — 32 B/doc md5 digests of every survivor
+* ``bands/batch=N/``    — ~``bands`` x 36 B/doc MinHash band keys
+* survivors land in ``out_dir/batch=N/``
+
+Each micro-batch N (1) reads the full compact index (a few GB at
+100 TB of history — the whole point), (2) scrubs the batch against it
+with the batch operators, (3) OVERWRITES its own ``batch=N``
+subdirectories.  Overwrite-by-batch-id makes the sink idempotent under
+foreachBatch's at-least-once replay: a retried batch rewrites the same
+paths instead of appending duplicates, which is the standard
+exactly-once recipe for foreachBatch file sinks.  Index reads apply
+``.distinct()`` so replayed index rows can never change a dedup
+verdict even mid-retry.
+
+Determinism within a micro-batch comes from the batch operators
+themselves (first-wins by ``order_by``, content-hash tiebreaks, loud
+NULL/duplicate-key guards).  Across micro-batches, earlier batches win
+— the same append-only contract as the daily pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DIGEST_SCHEMA = "digest string"
+_BAND_SCHEMA = "band int, key string"
+
+
+def _read_state(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """The running index as a DataFrame — empty (typed) before the
+    first batch commits."""
+    try:
+        return spark.read.schema(schema).parquet(path).distinct()
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def ingest_dedup_batch(
+    batch: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    batch_id: int,
+    text_field: str = "text",
+    words_field: str = "words",
+    order_by: str = "doc_id",
+    fuzzy: bool = True,
+    verify_threshold: Optional[float] = None,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> None:
+    """Scrub ONE batch against the running indexes and commit
+    survivors + index extensions under ``batch=<batch_id>`` —
+    idempotent (overwrite) per batch id.  This is the foreachBatch
+    body, also callable directly for a batch backfill."""
+    from ..functions.dedup import (
+        dedup_incremental,
+        dedup_incremental_fuzzy,
+        with_digests,
+        with_minhash_bands,
+    )
+
+    spark = batch.sparkSession
+    digest_index = _read_state(
+        spark, os.path.join(state_dir, "digests"), _DIGEST_SCHEMA
+    )
+    kept = dedup_incremental(
+        batch, digest_index, text_field=text_field, order_by=order_by
+    )
+    if fuzzy:
+        band_index = _read_state(
+            spark, os.path.join(state_dir, "bands"), _BAND_SCHEMA
+        )
+        if words_field not in kept.columns:
+            kept = kept.withColumn(
+                words_field, F.split(F.col(text_field), " ")
+            )
+        kept = dedup_incremental_fuzzy(
+            kept,
+            band_index,
+            words_field=words_field,
+            order_by=order_by,
+            num_hashes=num_hashes,
+            shingle_size=shingle_size,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            verify_threshold=verify_threshold,
+        )
+    # one materialization feeds survivors AND both index extensions:
+    # without it the (possibly expensive) dedup plan would evaluate
+    # three times.  Per-batch data is bounded by the trigger, so a
+    # localCheckpoint is micro-batch-sized, not history-sized.
+    kept = kept.localCheckpoint(eager=True)
+    tag = f"batch={batch_id}"
+    kept.drop(words_field).write.mode("overwrite").parquet(
+        os.path.join(out_dir, tag)
+    )
+    with_digests(kept, text_field=text_field).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "digests", tag))
+    if fuzzy:
+        with_minhash_bands(
+            kept,
+            words_field=words_field,
+            num_hashes=num_hashes,
+            shingle_size=shingle_size,
+            bands=bands,
+            rows_per_band=rows_per_band,
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "bands", tag)
+        )
+
+
+def streaming_ingest_dedup(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "ingest_dedup",
+    available_now: bool = True,
+    **batch_kwargs,
+):
+    """Run the ingestion-dedup composition over an unbounded document
+    stream: ``foreachBatch(ingest_dedup_batch)`` with the compact
+    parquet indexes as cross-batch state.  Returns the started
+    ``StreamingQuery``.
+
+    ``available_now=True`` drains the currently-available input and
+    self-terminates (backfill / test mode); ``False`` runs
+    continuously with the default trigger.  ``batch_kwargs`` forward
+    to :func:`ingest_dedup_batch` (fuzzy banding parameters,
+    ``verify_threshold``, field names).
+    """
+    if not stream.isStreaming:
+        raise ValueError(
+            "streaming_ingest_dedup needs a streaming DataFrame; for "
+            "batch data call ingest_dedup_batch directly"
+        )
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        ingest_dedup_batch(
+            batch, state_dir, out_dir, batch_id, **batch_kwargs
+        )
+
+    writer = (
+        stream.writeStream.queryName(query_name)
+        .foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -512,3 +512,105 @@ def test_semantic_decontaminate_streams(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sem_decon").collect()
     }
     assert got == want and len(got) == 50
+
+
+def test_streaming_ingest_dedup_matches_sequential_batches(
+    spark, tmp_path
+):
+    """The foreachBatch ingestion-dedup composition over two
+    micro-batches must equal running the batch operators sequentially
+    with index union (the examples/ingest_daily.py pattern): same
+    survivors, and the parquet indexes hold exactly the survivors'
+    digests/bands."""
+    import os
+
+    from smashed_spark.functions.dedup import (
+        dedup_incremental,
+        dedup_incremental_fuzzy,
+        with_digests,
+        with_minhash_bands,
+    )
+    from smashed_spark.streaming.ingest import streaming_ingest_dedup
+
+    base = [f"w{i}" for i in range(30)]
+    day1_rows = [
+        (0, " ".join(base)),
+        (1, " ".join(f"u{i}" for i in range(25))),
+        (2, " ".join(base)),  # in-batch exact dup of 0
+    ]
+    day2_rows = [
+        (10, " ".join(base)),                      # exact repost of 0
+        (11, " ".join(base[:-1] + ["changed"])),   # near-repost of 0
+        (12, " ".join(f"v{i}" for i in range(25))),  # fresh
+        (13, " ".join(f"v{i}" for i in range(25))),  # in-batch dup of 12
+    ]
+    schema = "doc_id: bigint, text: string"
+
+    # --- files arrive one per micro-batch (maxFilesPerTrigger=1) ----
+    src = str(tmp_path / "src")
+    spark.createDataFrame(day1_rows, schema).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    spark.createDataFrame(day2_rows, schema).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = streaming_ingest_dedup(
+        stream,
+        state_dir,
+        out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="ingest_test",
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    # two micro-batches actually ran (one file each)
+    batches = sorted(os.listdir(out_dir))
+    assert len([b for b in batches if b.startswith("batch=")]) == 2
+
+    got = {
+        r.doc_id
+        for r in spark.read.schema(
+            "doc_id bigint, text string, digest string, "
+            "minhash array<bigint>"
+        ).parquet(out_dir + "/batch=*").collect()
+    }
+
+    # --- sequential-batch replay (the daily pattern) ----------------
+    d1 = spark.createDataFrame(day1_rows, schema)
+    d2 = spark.createDataFrame(day2_rows, schema)
+    digests = spark.createDataFrame([], "digest: string")
+    bandix = spark.createDataFrame([], "band: int, key: string")
+    want = set()
+    for day in (d1, d2):
+        kept = dedup_incremental(day, digests)
+        kept = dedup_incremental_fuzzy(
+            kept.withColumn("words", F.split("text", " ")), bandix
+        )
+        want |= {r.doc_id for r in kept.collect()}
+        digests = digests.unionByName(with_digests(kept)).distinct()
+        bandix = bandix.unionByName(
+            with_minhash_bands(kept.drop("words"))
+        ).distinct()
+    assert got == want
+    assert 0 in got or 2 in got  # one of the in-batch dups survived
+    assert 10 not in got and 11 not in got  # history drops
+    assert len({12, 13} & got) == 1  # batch-2 internal dedup
+
+    # the persisted indexes equal the sequential ones
+    idx = {
+        r.digest
+        for r in spark.read.parquet(state_dir + "/digests").collect()
+    }
+    assert idx == {r.digest for r in digests.collect()}
+    bix = {
+        (r.band, r.key)
+        for r in spark.read.parquet(state_dir + "/bands").collect()
+    }
+    assert bix == {(r.band, r.key) for r in bandix.collect()}
