@@ -10,6 +10,11 @@ Day 1 seeds the indexes; day 2 (half reposts, half near-reposts,
 some fresh) demonstrates both drop paths plus batch-internal
 first-wins dedup.
 
+The same composition runs over an unbounded feed via
+smashed_spark.streaming.ingest.streaming_ingest_dedup — a foreachBatch
+loop that persists these indexes as parquet with idempotent
+overwrite-by-batch-id commits.
+
 Run: python examples/ingest_daily.py [sf_dir]
 """
 
