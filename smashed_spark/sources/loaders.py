@@ -464,12 +464,35 @@ def select_under_token_budget(
     """
     if token_budget < 0:
         raise ValueError("token_budget must be >= 0")
+    flags = _budget_flags(
+        df, token_budget, tokens_field, score_field, key_field,
+        keep_field,
+    )
+    flags = _guard_unique_key(
+        flags, key_field, keep_field, "select_under_token_budget"
+    )
+    out = df.join(flags, key_field).select(*df.columns, keep_field)
+    if drop:
+        out = out.filter(F.col(keep_field) == 1).drop(keep_field)
+    return out
+
+
+def _budget_flags(
+    df: DataFrame,
+    token_budget: int,
+    tokens_field: str,
+    score_field: str,
+    key_field: str,
+    keep_field: str,
+) -> DataFrame:
+    """The greedy-budget keep flags on the SLIM ``(key, score,
+    tokens)`` projection — shared by the global and the per-source
+    selectors.  with_prefix_sum requires a total key: (neg score, key)
+    is total when key is unique, which dedup upstream guarantees — and
+    which _guard_unique_key ENFORCES on the returned flags before any
+    join-back."""
     from ..functions.packing import with_prefix_sum
 
-    # with_prefix_sum requires a total key: (neg score, key) is total
-    # when key is unique, which dedup upstream guarantees — and which
-    # the in-plan guard on the flags below ENFORCES (duplicate keys
-    # would fan the join-back out)
     # dict.fromkeys dedupes while preserving order: score_field may BE
     # tokens_field (budget by the scoring quantity itself)
     slim = df.select(
@@ -478,29 +501,34 @@ def select_under_token_budget(
     summed = with_prefix_sum(
         slim, tokens_field, ["__negscore__", key_field]
     )
-    flags = summed.select(
+    return summed.select(
         key_field,
         (F.col("__prefix__") < F.lit(token_budget))
         .cast("int")
         .alias(keep_field),
     )
-    # duplicate keys would fan the join-back out and silently multiply
-    # corpus rows — and with_prefix_sum's totality check is on
-    # (negscore, key), which duplicate keys with DISTINCT scores pass.
-    # A count window over the key (riding the same hash partitioning
-    # the join-back needs — no extra exchange on the slim flags side)
-    # raises loudly instead; NULL keys already fail with_prefix_sum's
-    # NULL-key check.
+
+
+def _guard_unique_key(
+    flags: DataFrame, key_field: str, keep_field: str, fn_name: str
+) -> DataFrame:
+    """Duplicate keys would fan the keep-flag join-back out and
+    silently multiply corpus rows — and with_prefix_sum's totality
+    check is on (negscore, key), which duplicate keys with DISTINCT
+    scores pass.  A count window over the key (riding the same hash
+    partitioning the join-back needs — no extra exchange on the slim
+    flags side) raises loudly instead; NULL keys already fail
+    with_prefix_sum's NULL-key check."""
     from pyspark.sql.window import Window
 
     kcount = F.count(F.lit(1)).over(Window.partitionBy(key_field))
-    flags = flags.withColumn(
+    return flags.withColumn(
         keep_field,
         F.when(kcount == 1, F.col(keep_field)).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(
-                        f"select_under_token_budget: key_field "
+                        f"{fn_name}: key_field "
                         f"{key_field!r} is not unique (value "
                     ),
                     F.col(key_field).cast("string"),
@@ -514,7 +542,115 @@ def select_under_token_budget(
             )
         ),
     )
-    out = df.join(flags, key_field).select(*df.columns, keep_field)
+
+
+def select_under_token_budgets(
+    df: DataFrame,
+    budgets: "dict[str, int]",
+    source_field: str,
+    tokens_field: str,
+    score_field: str,
+    key_field: str,
+    keep_field: str = "in_budget",
+    drop: bool = False,
+) -> DataFrame:
+    """Per-source greedy token budgets — the "data recipe" step: fit
+    the best ``budgets[source]`` tokens of EACH source independently
+    (e.g. 60 B web, 30 B code, 10 B books), rather than one global
+    budget that lets a high-scoring source crowd the others out.
+    Within each source the selection is exactly
+    :func:`select_under_token_budget`'s greedy convention (descending
+    score, key tiebreak, exclusive-prefix-under-budget with the
+    boundary doc admitted).  Rows whose source has no budget entry get
+    ``keep_field`` 0.
+
+    Scale: one slim ``(key, score, tokens)`` prefix sum PER SOURCE —
+    each independently range-partitioned across the cluster (a single
+    window partitioned by source would sort each source's entirety in
+    ONE task; recipes have few sources, so a driver loop of
+    range-partitioned sorts is the scalable shape) — then one union of
+    the KB-sized flag sets and ONE join-back by key, guarded against
+    duplicate keys in-plan like the global selector.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"negative budget {b} for source {s!r}")
+    per_source = []
+    for s, b in sorted(budgets.items()):
+        part = df.filter(F.col(source_field) == F.lit(s))
+        per_source.append(
+            _budget_flags(
+                part, b, tokens_field, score_field, key_field,
+                keep_field,
+            )
+        )
+    flags = per_source[0]
+    for more in per_source[1:]:
+        flags = flags.unionByName(more)
+    # the guard runs on the UNION: a key duplicated across sources
+    # fans the join-back out just like one duplicated within a source
+    flags = _guard_unique_key(
+        flags, key_field, keep_field, "select_under_token_budgets"
+    )
+    out = (
+        df.join(flags, key_field, "left")
+        .withColumn(keep_field, F.coalesce(F.col(keep_field), F.lit(0)))
+        .select(*df.columns, keep_field)
+    )
     if drop:
         out = out.filter(F.col(keep_field) == 1).drop(keep_field)
     return out
+
+
+def temperature_weights(
+    sizes: Sequence[float],
+    alpha: float,
+    target_tokens: Optional[float] = None,
+    max_epochs: Optional[float] = None,
+) -> "list[float]":
+    """Temperature-based mixing rates for :func:`sample_mix` — the
+    standard multilingual/multi-source recipe (exponentiated
+    smoothing, as in multilingual BERT / XLM / mT5 sampling): source
+    ``i`` with ``sizes[i]`` tokens is sampled toward composition
+    ``q_i ∝ (sizes[i] / Σ sizes)^alpha``.  ``alpha=1`` keeps natural
+    proportions (every rate equal), ``alpha=0`` equalizes the sources,
+    intermediate values upsample the tail without letting it dominate.
+
+    Returns per-source KEEP RATES ``w_i = q_i * T / sizes[i]`` for
+    ``sample_mix`` (rates above 1.0 oversample by whole epochs + a
+    fractional remainder — sample_mix's convention).  ``T`` is
+    ``target_tokens`` when given; otherwise the largest total such
+    that no source exceeds rate 1.0 (no oversampling — the biggest
+    corpus achievable at that composition).  ``max_epochs`` caps any
+    rate (the practical knob bounding tiny-source repetition); capped
+    sources fall short of their target share, which is the documented
+    trade-off rather than silent epochs blowup.
+
+    Driver-side arithmetic over ``len(sizes)`` floats — compose with
+    ``sample_mix(dfs, temperature_weights(sizes, alpha), ...)``.
+    """
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if any(s <= 0 for s in sizes):
+        raise ValueError("every source size must be > 0")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if max_epochs is not None and max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    total = float(sum(sizes))
+    q = [(s / total) ** alpha for s in sizes]
+    qsum = sum(q)
+    q = [x / qsum for x in q]
+    if target_tokens is None:
+        # max T with every rate <= 1: T = min_i sizes[i] / q_i
+        target = min(s / x for s, x in zip(sizes, q))
+    else:
+        if target_tokens < 0:
+            raise ValueError("target_tokens must be >= 0")
+        target = float(target_tokens)
+    rates = [x * target / s for s, x in zip(sizes, q)]
+    if max_epochs is not None:
+        rates = [min(r, max_epochs) for r in rates]
+    return rates

@@ -542,3 +542,147 @@ def test_select_under_token_budget_duplicate_keys_raise(spark):
     )
     with pytest.raises(Exception, match="NULL"):
         select_under_token_budget(dfn, 100, "n_tok", "q", "doc_id")
+
+
+def test_select_under_token_budgets_per_source(spark):
+    """Per-source budgets: each source independently greedy-selected
+    (python replay oracle), unbudgeted sources flagged 0, duplicate
+    keys across sources raise, drop mode filters."""
+    from smashed_spark.sources.loaders import select_under_token_budgets
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "web", 10 + i, float(i)))
+    for i in range(10, 16):
+        rows.append((i, "code", 20, float(100 - i)))
+    rows.append((99, "books", 5, 1.0))  # no budget entry
+    df = spark.createDataFrame(
+        rows, "doc_id: bigint, src: string, n_tok: bigint, q: double"
+    )
+    budgets = {"web": 40, "code": 50}
+    got = {
+        r.doc_id: r.in_budget
+        for r in select_under_token_budgets(
+            df, budgets, "src", "n_tok", "q", "doc_id"
+        ).collect()
+    }
+    want = {}
+    for s in ("web", "code", "books"):
+        sub = sorted(
+            (r for r in rows if r[1] == s),
+            key=lambda r: (-r[3], r[0]),
+        )
+        acc, budget = 0, budgets.get(s)
+        for doc_id, _, n, _q in sub:
+            if budget is None:
+                want[doc_id] = 0
+            else:
+                want[doc_id] = int(acc < budget)
+                if acc < budget:
+                    acc += n
+    assert got == want
+    # at least one selected and one rejected per budgeted source
+    assert 0 < sum(got[i] for i in range(10)) < 10
+    assert 0 < sum(got[i] for i in range(10, 16)) < 6
+    assert got[99] == 0
+    # partition invariance
+    got2 = {
+        r.doc_id: r.in_budget
+        for r in select_under_token_budgets(
+            df.repartition(7), budgets, "src", "n_tok", "q", "doc_id"
+        ).collect()
+    }
+    assert got2 == got
+    kept = select_under_token_budgets(
+        df, budgets, "src", "n_tok", "q", "doc_id", drop=True
+    )
+    assert kept.count() == sum(got.values())
+    assert "in_budget" not in kept.columns
+    # duplicate key ACROSS sources fans out -> raises
+    dup = df.unionByName(
+        spark.createDataFrame(
+            [(0, "code", 20, 50.0)],
+            "doc_id: bigint, src: string, n_tok: bigint, q: double",
+        )
+    )
+    with pytest.raises(Exception, match="not unique"):
+        select_under_token_budgets(
+            dup, budgets, "src", "n_tok", "q", "doc_id"
+        ).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        select_under_token_budgets(df, {}, "src", "n_tok", "q", "doc_id")
+    with pytest.raises(ValueError, match="negative budget"):
+        select_under_token_budgets(
+            df, {"web": -1}, "src", "n_tok", "q", "doc_id"
+        )
+
+
+def test_temperature_weights_math():
+    """alpha=1 -> equal rates (natural proportions); alpha=0 -> equal
+    token counts; composition follows q_i ∝ p_i^alpha; max_epochs
+    caps; target scaling and validation."""
+    from smashed_spark.sources.loaders import temperature_weights
+
+    sizes = [1000.0, 100.0, 10.0]
+    w1 = temperature_weights(sizes, 1.0)
+    assert all(abs(w - w1[0]) < 1e-12 for w in w1)
+    assert abs(max(w1) - 1.0) < 1e-12  # no-oversample default
+    w0 = temperature_weights(sizes, 0.0)
+    kept0 = [w * s for w, s in zip(w0, sizes)]
+    assert all(abs(k - kept0[0]) < 1e-9 for k in kept0)
+    assert abs(max(w0) - 1.0) < 1e-12  # smallest source at 1 epoch
+    # alpha=0.5: composition ∝ sqrt(p); verify against closed form
+    a = 0.5
+    wa = temperature_weights(sizes, a, target_tokens=500.0)
+    total = sum(sizes)
+    q = [(s / total) ** a for s in sizes]
+    qs = sum(q)
+    q = [x / qs for x in q]
+    kept = [w * s for w, s in zip(wa, sizes)]
+    assert abs(sum(kept) - 500.0) < 1e-9
+    for k, qi in zip(kept, q):
+        assert abs(k - qi * 500.0) < 1e-9
+    # upsampling beyond 1 epoch happens when target demands it,
+    # and max_epochs caps it
+    big = temperature_weights(sizes, 0.0, target_tokens=3000.0)
+    assert big[2] > 1.0
+    capped = temperature_weights(
+        sizes, 0.0, target_tokens=3000.0, max_epochs=4.0
+    )
+    assert capped[2] == 4.0 and capped[0] == big[0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="size"):
+        temperature_weights([1.0, 0.0], 0.5)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(sizes, -0.1)
+    with _pytest.raises(ValueError, match="max_epochs"):
+        temperature_weights(sizes, 0.5, max_epochs=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        temperature_weights([], 0.5)
+
+
+def test_temperature_weights_compose_with_sample_mix(spark):
+    """End-to-end: temperature rates feed sample_mix(method='hash')
+    and the realized per-source doc counts track the target
+    composition."""
+    from smashed_spark.sources.loaders import (
+        sample_mix,
+        temperature_weights,
+    )
+
+    a = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    b = spark.range(2000, 2200).withColumnRenamed("id", "doc_id")
+    sizes = [2000.0, 200.0]
+    w = temperature_weights(sizes, 0.5, target_tokens=1000.0)
+    mixed = sample_mix(
+        [a, b], w, seed=3, with_source=True, source_column="src",
+        method="hash", key_field="doc_id",
+    )
+    counts = {
+        r["src"]: r["count"]
+        for r in mixed.groupBy("src").count().collect()
+    }
+    for i, (sz, rate) in enumerate(zip(sizes, w)):
+        expect = rate * sz
+        assert abs(counts[i] - expect) / expect < 0.2, (i, counts, w)
