@@ -1214,13 +1214,20 @@ def fuzzy_dedup(
     max_hamming: int = 3,
     n_centroids: "int | str" = "auto",
     max_iterations: int = 30,
+    quality_field: Optional[str] = None,
 ) -> DataFrame:
     """One-call end-to-end fuzzy deduplication: near-dup PAIRS (by the
     chosen ``method``) -> connected components -> the corpus tagged
     with ``cluster_id`` (min doc id of its duplicate cluster) and
     ``is_kept`` (1 exactly for the cluster representative).  Filter
     ``is_kept = 1`` for the deduped corpus; group by ``cluster_id`` to
-    inspect duplicate groups.
+    inspect duplicate groups.  ``quality_field`` switches the
+    representative policy from min-id to highest-quality-member (ties
+    and NULLs fall back to min id) — keep the BEST of each near-dup
+    cluster, e.g. a model quality score from
+    :class:`~smashed_spark.functions.classifier.
+    LinearQualityClassifierMapper`; ``cluster_id`` stays the min id
+    either way.
 
     Methods (all built from this module's pair mappers +
     :class:`~smashed_spark.functions.graph.DedupClustersMapper`):
@@ -1324,6 +1331,7 @@ def fuzzy_dedup(
         pairs.select("id_a", "id_b"),
         id_field=id_field,
         max_iterations=max_iterations,
+        quality_field=quality_field,
     ).map(df)
 
 

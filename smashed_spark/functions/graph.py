@@ -231,6 +231,19 @@ class DedupClustersMapper(SparkMapper):
     for the cluster representative — downstream keeps ``is_kept = 1``
     rows for a deduped corpus, or groups by ``cluster_id`` to inspect
     duplicate groups.
+
+    Representative selection: by default the minimum doc id (the
+    cluster_id itself).  With ``quality_field`` set, the HIGHEST-
+    quality member of each cluster is kept instead (ties and NULL
+    qualities break to the minimum id) — the practical dedup policy:
+    among near-identical documents, keep the best one, not the one
+    with the smallest key.  ``cluster_id`` stays the min id either
+    way, so cluster identity is stable across policies.
+
+    Scale: the rep map is computed on the CLUSTER MEMBERS only (the
+    pair-connected subset — tiny vs the corpus) via one ``max_by``
+    aggregation over a slim ``(component, id, quality)`` projection;
+    singletons never touch it.
     """
 
     def __init__(
@@ -241,6 +254,7 @@ class DedupClustersMapper(SparkMapper):
         dst: str = "id_b",
         max_iterations: int = 30,
         small_graph_edges: int = 1_000_000,
+        quality_field: "str | None" = None,
     ) -> None:
         self.pairs = pairs
         self.id_field = id_field
@@ -248,7 +262,11 @@ class DedupClustersMapper(SparkMapper):
         self.dst = dst
         self.max_iterations = max_iterations
         self.small_graph_edges = small_graph_edges
-        super().__init__(input_fields=[id_field])
+        self.quality_field = quality_field
+        fields = [id_field] + (
+            [quality_field] if quality_field else []
+        )
+        super().__init__(input_fields=fields)
 
     def apply(self, df: DataFrame) -> DataFrame:
         comp = connected_components(
@@ -262,9 +280,47 @@ class DedupClustersMapper(SparkMapper):
             "cluster_id",
             F.coalesce("component", F.col(self.id_field).cast("bigint")),
         )
-        return out.drop("component").withColumn(
-            "is_kept",
-            (F.col("cluster_id") == F.col(self.id_field)).cast("int"),
+        if self.quality_field is None:
+            return out.drop("component").withColumn(
+                "is_kept",
+                (F.col("cluster_id") == F.col(self.id_field)).cast(
+                    "int"
+                ),
+            )
+        # quality policy: argmax(quality, tiebreak min id) per cluster,
+        # computed over the members only.  NULL quality sorts lowest
+        # (-inf), so an all-NULL cluster falls back to the min id —
+        # identical to the default policy.
+        q = F.coalesce(
+            F.col(self.quality_field).cast("double"),
+            F.lit(float("-inf")),
+        )
+        members = df.select(
+            F.col(self.id_field), F.col(self.quality_field)
+        ).join(comp, self.id_field)
+        reps = members.groupBy("component").agg(
+            F.max_by(
+                F.col(self.id_field),
+                F.struct(
+                    q.alias("q"),
+                    (-F.col(self.id_field)).alias("negid"),
+                ),
+            ).alias("__rep__")
+        ).withColumnRenamed("component", "cluster_id")
+        return (
+            out.drop("component")
+            .join(reps, "cluster_id", "left")
+            .withColumn(
+                "is_kept",
+                (
+                    F.col(self.id_field)
+                    == F.coalesce("__rep__", F.col(self.id_field))
+                ).cast("int"),
+            )
+            .drop("__rep__")
+            .select(
+                *df.columns, "cluster_id", "is_kept"
+            )
         )
 
 

@@ -95,6 +95,82 @@ def test_dedup_clusters_mapper_end_to_end(spark):
         assert out[singleton] == (singleton, 1)
 
 
+def test_dedup_clusters_quality_representative(spark):
+    """quality_field switches the keeper policy to highest-quality
+    member (tiebreak min id; NULLs sort lowest; all-NULL cluster falls
+    back to min id).  cluster_id stays the min id, singletons are
+    always kept, and schema/column order matches the default path."""
+    corpus = spark.createDataFrame(
+        [
+            (0, 0.1),     # cluster {0,3,5}: 5 has max quality
+            (1, 0.9),     # singleton
+            (2, None),    # singleton, NULL quality still kept
+            (3, 0.5),
+            (4, 0.2),     # singleton
+            (5, 0.8),
+            (6, 0.7),     # cluster {6,7}: tie -> min id 6
+            (7, 0.7),
+            (8, None),    # cluster {8,9}: all NULL -> min id 8
+            (9, None),
+        ],
+        "doc_id: bigint, q: double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7), (8, 9)], "id_a: bigint, id_b: bigint"
+    )
+    m = DedupClustersMapper(pairs, quality_field="q")
+    res = m.map(corpus)
+    assert res.columns == ["doc_id", "q", "cluster_id", "is_kept"]
+    out = {
+        r.doc_id: (r.cluster_id, r.is_kept) for r in res.collect()
+    }
+    assert out[5] == (0, 1) and out[0] == (0, 0) and out[3] == (0, 0)
+    assert out[6] == (6, 1) and out[7] == (6, 0)
+    assert out[8] == (8, 1) and out[9] == (8, 0)
+    for singleton in (1, 2, 4):
+        assert out[singleton] == (singleton, 1)
+    # exactly one keeper per cluster, partition-invariant
+    out2 = {
+        r.doc_id: (r.cluster_id, r.is_kept)
+        for r in m.map(corpus.repartition(7)).collect()
+    }
+    assert out2 == out
+
+
+def test_fuzzy_dedup_quality_field_plumbs_through(spark):
+    """fuzzy_dedup(quality_field=...) keeps the best member of each
+    near-dup cluster instead of the min id."""
+    from smashed_spark.functions.dedup import fuzzy_dedup
+
+    base = [f"w{i}" for i in range(30)]
+    near = base[:-1] + ["swapped"]
+    other = [f"u{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(base), 0.2),
+            (2, " ".join(near), 0.9),   # near-dup of 1, higher quality
+            (3, " ".join(other), 0.5),  # unrelated
+        ],
+        "doc_id: bigint, text: string, q: double",
+    ).withColumn("words", F.split("text", " "))
+    res = {
+        r.doc_id: (r.cluster_id, r.is_kept)
+        for r in fuzzy_dedup(
+            df, method="minhash", threshold=0.5, quality_field="q"
+        ).collect()
+    }
+    assert res[1] == (1, 0) and res[2] == (1, 1)  # best member kept
+    assert res[3] == (3, 1)
+    # default policy on the same corpus keeps the min id
+    res_min = {
+        r.doc_id: r.is_kept
+        for r in fuzzy_dedup(
+            df, method="minhash", threshold=0.5
+        ).collect()
+    }
+    assert res_min == {1: 1, 2: 0, 3: 1}
+
+
 def test_cc_plan_per_round_is_equi_join_only(spark):
     """No cartesian/broadcast-nested-loop term may appear anywhere in
     an iteration's plan — the per-round cost contract is O(|E|+|V|)."""
