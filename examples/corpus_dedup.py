@@ -48,6 +48,19 @@ def main() -> None:
         .orderBy(F.desc("n_dropped"))
         .show(10)
     )
+
+    # representative policy: keep the BEST member of each cluster
+    # (here: longest doc as a quality proxy — in production, a model
+    # quality score from LinearQualityClassifierMapper)
+    best = fuzzy_dedup(
+        docs, method="minhash", threshold=0.5, bands=8, rows_per_band=2,
+        quality_field="n_chars",
+    )
+    flipped = (
+        best.filter("is_kept = 1 AND cluster_id != doc_id").count()
+    )
+    print(f"quality policy keeps a non-min-id representative in "
+          f"{flipped} clusters")
     spark.stop()
 
 

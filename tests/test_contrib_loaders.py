@@ -686,3 +686,57 @@ def test_temperature_weights_compose_with_sample_mix(spark):
     for i, (sz, rate) in enumerate(zip(sizes, w)):
         expect = rate * sz
         assert abs(counts[i] - expect) / expect < 0.2, (i, counts, w)
+
+
+def test_temperature_weights_properties():
+    """Hypothesis invariants: kept-token composition matches q_i ∝
+    p_i^alpha exactly, rates are positive, default target never
+    oversamples, and raising alpha moves composition toward natural
+    proportions (larger sources gain share monotonically)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smashed_spark.sources.loaders import temperature_weights
+
+    sizes_st = st.lists(
+        st.floats(min_value=1.0, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=sizes_st,
+        alpha=st.floats(min_value=0.0, max_value=2.0, allow_nan=False),
+    )
+    def check(sizes, alpha):
+        w = temperature_weights(sizes, alpha)
+        assert all(r > 0 for r in w)
+        assert max(w) <= 1.0 + 1e-9  # default: no oversampling
+        kept = [r * s for r, s in zip(w, sizes)]
+        total = sum(sizes)
+        q = [(s / total) ** alpha for s in sizes]
+        qs = sum(q)
+        for k, qi in zip(kept, q):
+            assert abs(k / sum(kept) - qi / qs) < 1e-6
+
+    check()
+
+    @settings(max_examples=100, deadline=None)
+    @given(sizes=sizes_st.filter(lambda s: len(s) >= 2))
+    def check_monotone(sizes):
+        # share of the LARGEST source is non-decreasing in alpha
+        big = max(range(len(sizes)), key=lambda i: sizes[i])
+
+        def share(alpha):
+            w = temperature_weights(sizes, alpha, target_tokens=1.0)
+            kept = [r * s for r, s in zip(w, sizes)]
+            return kept[big] / sum(kept)
+
+        last = share(0.0)
+        for a in (0.3, 0.7, 1.0):
+            cur = share(a)
+            assert cur >= last - 1e-9
+            last = cur
+
+    check_monotone()
