@@ -1335,6 +1335,60 @@ def fuzzy_dedup(
     ).map(df)
 
 
+def dedup_report(
+    tagged: DataFrame,
+    id_field: str = "doc_id",
+    tokens_field: Optional[str] = None,
+) -> DataFrame:
+    """One-row audit summary of a :func:`fuzzy_dedup` /
+    :class:`~smashed_spark.functions.graph.DedupClustersMapper` result
+    (``cluster_id`` + ``is_kept`` columns): document counts, duplicate
+    rate, duplicate-cluster count, the largest cluster, and — with
+    ``tokens_field`` — how many tokens dedup removed.  The numbers a
+    curation run logs per batch.
+
+    Scale: one groupBy on ``cluster_id`` over a slim projection
+    (map-side combine; the only exchange) folded into a single-row
+    global aggregate — never a collect of per-cluster data.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("__sz__"),
+        F.sum("is_kept").alias("__k__"),
+    ]
+    if tokens_field is not None:
+        aggs += [
+            F.sum(tokens_field).alias("__t__"),
+            F.sum(
+                F.when(
+                    F.col("is_kept") == 1, F.col(tokens_field)
+                ).otherwise(F.lit(0))
+            ).alias("__tk__"),
+        ]
+    cols = ["cluster_id", "is_kept"] + (
+        [tokens_field] if tokens_field else []
+    )
+    per = tagged.select(*cols).groupBy("cluster_id").agg(*aggs)
+    out_aggs = [
+        F.sum("__sz__").alias("n_docs"),
+        F.sum("__k__").alias("n_kept"),
+        (F.sum("__sz__") - F.sum("__k__")).alias("n_dropped"),
+        F.sum((F.col("__sz__") > 1).cast("bigint")).alias(
+            "n_dup_clusters"
+        ),
+        F.max("__sz__").alias("max_cluster_size"),
+    ]
+    if tokens_field is not None:
+        out_aggs += [
+            F.sum("__t__").alias("tokens_total"),
+            F.sum("__tk__").alias("tokens_kept"),
+            (F.sum("__t__") - F.sum("__tk__")).alias("tokens_dropped"),
+        ]
+    return per.agg(*out_aggs).withColumn(
+        "dup_rate",
+        F.round(F.col("n_dropped") / F.col("n_docs"), 6),
+    )
+
+
 class SemanticNearDupPairsMapper(SparkMapper):
     """Semantic near-duplicate pairs à la SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): a spherical-kmeans coarse quantizer partitions

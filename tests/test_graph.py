@@ -232,3 +232,32 @@ def test_small_graph_tier_matches_distributed(spark):
 
     empty = spark.createDataFrame([], "id_a: bigint, id_b: bigint")
     assert connected_components(empty).count() == 0
+
+
+def test_dedup_report(spark):
+    """One-row audit summary replayed in python: counts, duplicate
+    rate, cluster stats, token accounting."""
+    from smashed_spark.functions.dedup import dedup_report
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc{i}", 10 * (i + 1)) for i in range(8)],
+        "doc_id: bigint, text: string, n_tok: bigint",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7)], "id_a: bigint, id_b: bigint"
+    )
+    tagged = DedupClustersMapper(pairs).map(corpus)
+    row = dedup_report(tagged, tokens_field="n_tok").collect()[0]
+    # clusters: {0,3,5} keep 0, {6,7} keep 6, singletons 1,2,4
+    assert row.n_docs == 8 and row.n_kept == 5 and row.n_dropped == 3
+    assert row.n_dup_clusters == 2 and row.max_cluster_size == 3
+    assert row.dup_rate == round(3 / 8, 6)
+    toks = {i: 10 * (i + 1) for i in range(8)}
+    dropped = toks[3] + toks[5] + toks[7]
+    assert row.tokens_total == sum(toks.values())
+    assert row.tokens_dropped == dropped
+    assert row.tokens_kept == sum(toks.values()) - dropped
+    # without tokens_field the token columns are absent
+    slim = dedup_report(tagged)
+    assert "tokens_total" not in slim.columns
+    assert slim.collect()[0].n_docs == 8
