@@ -501,6 +501,16 @@ class SimHashNearDupPairsMapper(SparkMapper):
         quadratic pair.  The window partitions on exactly the join
         keys, so its exchange + sort ARE the join's own exchange +
         sort — zero additional scans or jobs, and apply() stays lazy.
+
+        The guard wraps the ID column, NOT the band value: wrapping a
+        join key would hide the equality between the window's
+        partitioning (hash of the raw keys) and the join's requirement
+        (hash of the wrapped expression), making Catalyst insert a
+        second full exchange of the banded index per side under a
+        sort-merge join.  The id is carried — join condition and
+        output need it, so the guard always evaluates — but it is not
+        a partition key, so the window's exchange satisfies the join
+        directly.
         """
         from pyspark.sql.window import Window
 
@@ -525,8 +535,8 @@ class SimHashNearDupPairsMapper(SparkMapper):
             ),
         )
         return base.withColumn(
-            "__v__",
-            F.when(occ <= F.lit(cap), F.col("__v__")).otherwise(
+            "__id__",
+            F.when(occ <= F.lit(cap), F.col("__id__")).otherwise(
                 F.raise_error(msg)
             ),
         )
