@@ -18,7 +18,7 @@ shipping any state.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -550,6 +550,33 @@ def fit_centroids_sampled(
     return fit_ivf_centroids(mat, n_centroids, seed, max_iter)
 
 
+def fit_ivf_index(
+    df: DataFrame,
+    id_field: str = "vec_id",
+    vector_field: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    fit_sample: int = 100_000,
+) -> "list[list[float]]":
+    """Fit an IVF coarse quantizer once and get back a plain
+    ``[[float]]`` centroid matrix — persist it anywhere (JSON, a
+    parquet row, a model registry) and hand it to
+    ``IVFCosineTopK(centroids=...)`` so query batches never re-fit.
+    Deterministic (hash-ordered bounded sample + seeded Lloyd): the
+    same corpus version always yields the same index."""
+    base = df.select(
+        F.col(id_field).alias("__id__"),
+        F.transform(
+            F.col(vector_field), lambda x: x.cast("double")
+        ).alias("__v__"),
+    )
+    cent = fit_centroids_sampled(
+        base, n_centroids, seed, max_iter, fit_sample
+    )
+    return [[float(x) for x in row] for row in cent]
+
+
 def assign_cells(base: DataFrame, centroids) -> DataFrame:
     """Attach ``__cell__`` — the argmax-cosine centroid index — to a
     ``(__id__, __v__)`` frame: one argmax-matmul per Arrow batch
@@ -613,6 +640,14 @@ class IVFCosineTopK(SparkMapper):
     :class:`CosineTopK` or :class:`HyperplaneLSHTopK` instead.  Grow
     ``n_centroids`` ~ sqrt(N) so cells stay scan-able and the centroid
     broadcast stays small.
+
+    Index reuse: pass ``centroids`` (a ``[[float]]`` matrix — e.g. the
+    return of :func:`fit_ivf_index`, persisted anywhere) to skip
+    the fit entirely: a production ANN service fits its quantizer once
+    per corpus version and serves every query batch against it, and
+    the deterministic fit means a re-fit on unchanged data reproduces
+    the same index anyway.  ``n_centroids``/``seed``/``max_iter``/
+    ``fit_sample`` are ignored when ``centroids`` is given.
     """
 
     def __init__(
@@ -627,7 +662,21 @@ class IVFCosineTopK(SparkMapper):
         seed: int = 42,
         max_iter: int = 5,
         fit_sample: int = 100_000,
+        centroids: Optional[Sequence[Sequence[float]]] = None,
     ) -> None:
+        if centroids is not None:
+            if len(centroids) < 1:
+                raise ValueError("centroids must be non-empty")
+            dims = {len(c) for c in centroids}
+            if len(dims) != 1 or 0 in dims:
+                raise ValueError(
+                    "centroids must be a rectangular non-empty matrix"
+                )
+            if n_probe > len(centroids):
+                raise ValueError(
+                    f"n_probe={n_probe} exceeds the {len(centroids)} "
+                    "provided centroids"
+                )
         self.id_field = id_field
         self.vector_field = vector_field
         self.k = k
@@ -638,6 +687,7 @@ class IVFCosineTopK(SparkMapper):
         self.seed = seed
         self.max_iter = max_iter
         self.fit_sample = fit_sample
+        self.centroids = centroids
         super().__init__(input_fields=[id_field, vector_field])
 
     def _fit_centroids(self, base: DataFrame) -> "np.ndarray":  # noqa: F821
@@ -688,7 +738,16 @@ class IVFCosineTopK(SparkMapper):
                 F.col(self.vector_field), lambda x: x.cast("double")
             ).alias("__v__"),
         )
-        centroids = self._fit_centroids(base)
+        if self.centroids is not None:
+            # injected index: normalize to unit vectors (cosine cells)
+            # exactly as the fit would have
+            mat = np.asarray(self.centroids, dtype=np.float64)
+            norms = np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            centroids = mat / norms
+        else:
+            centroids = self._fit_centroids(base)
         assigned = assign_cells(base, centroids)
 
         # 2. driver-side: for each query cell we need its n_probe

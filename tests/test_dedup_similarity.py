@@ -429,6 +429,54 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.9, f"IVF recall too low: {recall}"
 
 
+def test_ivf_injected_centroids_match_fit_and_skip_fit_jobs(spark):
+    """Index reuse: fit once with fit_ivf_index, inject the plain
+    [[float]] matrix, get byte-identical results to the internally-fit
+    mapper — and the injected path must run ZERO fit jobs (pinned by
+    poisoning the fit)."""
+    import numpy as np
+
+    from smashed_spark.functions.similarity import (
+        IVFCosineTopK,
+        fit_ivf_index,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(4, 16))
+    pts = np.repeat(centers, 32, axis=0) + 0.1 * rng.normal(
+        size=(128, 16)
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(128)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    index = fit_ivf_index(df, n_centroids=4, seed=42)
+    assert len(index) == 4 and all(len(c) == 16 for c in index)
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.sim, r.rank)
+        for r in IVFCosineTopK(
+            k=3, n_centroids=4, n_probe=2, queries_filter="vec_id < 8"
+        ).map(df).collect()
+    )
+    m = IVFCosineTopK(
+        k=3, n_probe=2, queries_filter="vec_id < 8", centroids=index
+    )
+    m._fit_centroids = lambda base: (_ for _ in ()).throw(
+        AssertionError("injected-centroids path ran a fit")
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.sim, r.rank)
+        for r in m.map(df).collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="n_probe"):
+        IVFCosineTopK(n_probe=5, centroids=index)
+    with pytest.raises(ValueError, match="non-empty"):
+        IVFCosineTopK(centroids=[])
+    with pytest.raises(ValueError, match="rectangular"):
+        IVFCosineTopK(centroids=[[1.0, 2.0], [1.0]])
+
+
 def test_simhash_pairs_banding_is_exact(spark):
     """Pigeonhole banding must produce exactly the all-pairs
     Hamming-ball result, for every max_hamming (band count)."""
