@@ -15,15 +15,16 @@ State model — everything persistent is PARQUET under ``state_dir``:
 * ``bands/batch=N/``    — ~``bands`` x 36 B/doc MinHash band keys
 * survivors land in ``out_dir/batch=N/``
 
-Each micro-batch N (1) reads the full compact index (a few GB at
-100 TB of history — the whole point), (2) scrubs the batch against it
-with the batch operators, (3) OVERWRITES its own ``batch=N``
-subdirectories.  Overwrite-by-batch-id makes the sink idempotent under
-foreachBatch's at-least-once replay: a retried batch rewrites the same
-paths instead of appending duplicates, which is the standard
-exactly-once recipe for foreachBatch file sinks.  Index reads apply
-``.distinct()`` so replayed index rows can never change a dedup
-verdict even mid-retry.
+Each micro-batch N (1) reads the full compact index EXCLUDING its own
+``batch=N`` partition (a few GB at 100 TB of history — the whole
+point), (2) scrubs the batch against it with the batch operators,
+(3) OVERWRITES its own ``batch=N`` subdirectories.  Together these
+make a retried batch a pure replay: the overwrite rewrites the same
+paths instead of appending duplicates, and excluding the batch's own
+prior index contributions means the re-run computes the same verdicts
+instead of dropping every doc as "already seen" — the standard
+exactly-once recipe for foreachBatch file sinks, pinned by
+tests/test_multimodal_streaming.py's replay test.
 
 Determinism within a micro-batch comes from the batch operators
 themselves (first-wins by ``order_by``, content-hash tiebreaks, loud
@@ -44,14 +45,26 @@ _BAND_SCHEMA = "band int, key string"
 
 
 def _read_state(
-    spark: SparkSession, path: str, schema: str
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    exclude_batch: "int | None" = None,
 ) -> DataFrame:
     """The running index as a DataFrame — empty (typed) before the
-    first batch commits."""
+    first batch commits.  ``exclude_batch`` drops the ``batch=N``
+    partition from the read (the directory names become a ``batch``
+    partition column under Spark's partition discovery): a RETRIED
+    micro-batch must not see its own prior attempt's index
+    contributions, or every one of its docs would look like history
+    and the re-run would emit zero survivors."""
     try:
-        return spark.read.schema(schema).parquet(path).distinct()
+        df = spark.read.parquet(path)
     except Exception:
         return spark.createDataFrame([], schema)
+    if exclude_batch is not None and "batch" in df.columns:
+        df = df.filter(F.col("batch") != F.lit(exclude_batch))
+    names = [c.strip().split()[0] for c in schema.split(",")]
+    return df.select(*names).distinct()
 
 
 def ingest_dedup_batch(
@@ -82,14 +95,20 @@ def ingest_dedup_batch(
 
     spark = batch.sparkSession
     digest_index = _read_state(
-        spark, os.path.join(state_dir, "digests"), _DIGEST_SCHEMA
+        spark,
+        os.path.join(state_dir, "digests"),
+        _DIGEST_SCHEMA,
+        exclude_batch=batch_id,
     )
     kept = dedup_incremental(
         batch, digest_index, text_field=text_field, order_by=order_by
     )
     if fuzzy:
         band_index = _read_state(
-            spark, os.path.join(state_dir, "bands"), _BAND_SCHEMA
+            spark,
+            os.path.join(state_dir, "bands"),
+            _BAND_SCHEMA,
+            exclude_batch=batch_id,
         )
         if words_field not in kept.columns:
             kept = kept.withColumn(

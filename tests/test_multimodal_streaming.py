@@ -614,3 +614,47 @@ def test_streaming_ingest_dedup_matches_sequential_batches(
         for r in spark.read.parquet(state_dir + "/bands").collect()
     }
     assert bix == {(r.band, r.key) for r in bandix.collect()}
+
+
+def test_ingest_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch id must
+    OVERWRITE its own commits, leaving survivors and both indexes
+    byte-identical — the documented exactly-once recipe."""
+    from smashed_spark.streaming.ingest import ingest_dedup_batch
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(25))),
+            (1, " ".join(f"w{i}" for i in range(25))),  # exact dup of 0
+            (2, " ".join(f"u{i}" for i in range(25))),
+        ],
+        "doc_id: bigint, text: string",
+    )
+
+    def snapshot():
+        surv = sorted(
+            r.doc_id
+            for r in spark.read.schema(
+                "doc_id bigint, text string, digest string, "
+                "minhash array<bigint>"
+            ).parquet(out + "/batch=0").collect()
+        )
+        dig = sorted(
+            r.digest
+            for r in spark.read.parquet(state + "/digests").collect()
+        )
+        bands = sorted(
+            (r.band, r.key)
+            for r in spark.read.parquet(state + "/bands").collect()
+        )
+        return surv, dig, bands
+
+    ingest_dedup_batch(batch, state, out, batch_id=0)
+    first = snapshot()
+    assert first[0] == [0, 2]
+    # replay the SAME batch id (simulated foreachBatch retry): the
+    # overwrite-by-batch-id commit must not append duplicates
+    ingest_dedup_batch(batch, state, out, batch_id=0)
+    assert snapshot() == first
