@@ -150,6 +150,66 @@ def ingest_dedup_batch(
         )
 
 
+def compact_ingest_state(
+    spark: SparkSession,
+    state_dir: str,
+    fuzzy: bool = True,
+    partitions: int = 32,
+) -> None:
+    """Merge the per-batch index partitions into one consolidated
+    ``batch=-1`` partition — the small-files compaction a long-running
+    ingestion loop needs (thousands of micro-batches otherwise leave
+    thousands of KB-sized parquet files per index).
+
+    Crash-safe by construction: the consolidated partition is written
+    FIRST (overwrite), the per-batch partitions are removed after.  A
+    crash in between leaves duplicate index rows, which are harmless —
+    every index read applies ``.distinct()`` — and the next compaction
+    clears them.  ``batch=-1`` is never a real micro-batch id, so the
+    retried-batch exclusion (``exclude_batch``) keeps working after
+    compaction.  Run between batches or while the stream is stopped:
+    compaction and an in-flight batch writing ``batch=N`` must not
+    interleave (the batch could commit its partition after compaction
+    listed the directory).
+
+    Directory listing/removal uses local-filesystem paths (the
+    sandbox's storage); on object storage swap the ``os``/``shutil``
+    calls for the Hadoop FileSystem API or your store's SDK — the
+    write-first/remove-after ordering is what carries the safety, not
+    the API.
+    """
+    import shutil
+
+    for name, schema in (
+        ("digests", _DIGEST_SCHEMA),
+        ("bands", _BAND_SCHEMA),
+    ):
+        if name == "bands" and not fuzzy:
+            continue
+        root = os.path.join(state_dir, name)
+        full = _read_state(spark, root, schema)
+        if full.rdd.getNumPartitions() == 0:
+            continue
+        old = [
+            d
+            for d in os.listdir(root)
+            if d.startswith("batch=") and d != "batch=-1"
+        ] if os.path.isdir(root) else []
+        if not old:
+            continue
+        # the read must complete before the overwrite touches its own
+        # input files: materialize via localCheckpoint (index rows are
+        # bytes-per-doc; even a 100 TB corpus's index fits a cluster's
+        # block managers, and production would write-to-new-dir-and-
+        # swap instead)
+        full = full.repartition(partitions).localCheckpoint(eager=True)
+        full.write.mode("overwrite").parquet(
+            os.path.join(root, "batch=-1")
+        )
+        for d in old:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 def streaming_ingest_dedup(
     stream: DataFrame,
     state_dir: str,

@@ -658,3 +658,67 @@ def test_ingest_dedup_batch_replay_is_idempotent(spark, tmp_path):
     # overwrite-by-batch-id commit must not append duplicates
     ingest_dedup_batch(batch, state, out, batch_id=0)
     assert snapshot() == first
+
+
+def test_compact_ingest_state_preserves_semantics(spark, tmp_path):
+    """Compacting the per-batch index partitions into batch=-1 must
+    not change any future dedup verdict, and the retried-batch
+    exclusion keeps working afterwards."""
+    from smashed_spark.streaming.ingest import (
+        compact_ingest_state,
+        ingest_dedup_batch,
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id: bigint, text: string")
+
+    b0 = mk([(0, " ".join(f"w{i}" for i in range(25)))])
+    b1 = mk([(10, " ".join(f"u{i}" for i in range(25)))])
+    ingest_dedup_batch(b0, state, out, batch_id=0)
+    ingest_dedup_batch(b1, state, out, batch_id=1)
+
+    import os
+
+    def read_idx(name):
+        return {
+            tuple(r) for r in spark.read.parquet(
+                f"{state}/{name}"
+            ).drop("batch").distinct().collect()
+        }
+
+    before = (read_idx("digests"), read_idx("bands"))
+    compact_ingest_state(spark, state)
+    dirs = sorted(os.listdir(f"{state}/digests"))
+    assert dirs == ["batch=-1"], dirs
+    assert (read_idx("digests"), read_idx("bands")) == before
+
+    # post-compaction: repost of batch-0 content still drops, fresh
+    # survives, and a retried batch id still replays cleanly
+    b2 = mk([
+        (20, " ".join(f"w{i}" for i in range(25))),  # repost of 0
+        (21, " ".join(f"v{i}" for i in range(25))),  # fresh
+    ])
+    ingest_dedup_batch(b2, state, out, batch_id=2)
+    surv = sorted(
+        r.doc_id
+        for r in spark.read.schema(
+            "doc_id bigint, text string, digest string, "
+            "minhash array<bigint>"
+        ).parquet(out + "/batch=2").collect()
+    )
+    assert surv == [21]
+    ingest_dedup_batch(b2, state, out, batch_id=2)  # retry
+    surv2 = sorted(
+        r.doc_id
+        for r in spark.read.schema(
+            "doc_id bigint, text string, digest string, "
+            "minhash array<bigint>"
+        ).parquet(out + "/batch=2").collect()
+    )
+    assert surv2 == [21]
+    # idempotent: compacting again is a no-op
+    compact_ingest_state(spark, state)
+    compact_ingest_state(spark, state)
