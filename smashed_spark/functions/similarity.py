@@ -597,6 +597,15 @@ def assign_cells(base: DataFrame, centroids) -> DataFrame:
         if len(v) == 0:
             return pd.Series([], dtype="int32")
         mat = np.array(list(v), dtype=np.float64)
+        if mat.shape[1] != cent_t.shape[0]:
+            # reachable via injected centroids (IVFCosineTopK /
+            # SemanticNearDupPairsMapper centroids=): fail with the
+            # actual mismatch, not a bare numpy shape error
+            raise ValueError(
+                f"assign_cells: vector dims {mat.shape[1]} != "
+                f"centroid dims {cent_t.shape[0]} — the injected "
+                "index was fit on a different embedding space"
+            )
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(mat @ cent_t, axis=1).astype("int32"))
 

@@ -1600,3 +1600,15 @@ def test_semantic_pairs_injected_centroids_match_fit(spark):
     assert got == want and got
     with pytest.raises(ValueError, match="rectangular"):
         SemanticNearDupPairsMapper(centroids=[[1.0], [1.0, 2.0]])
+
+
+def test_ivf_injected_centroids_dims_mismatch_raises_clearly(spark):
+    from smashed_spark.functions.similarity import IVFCosineTopK
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0]) for i in range(8)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    m = IVFCosineTopK(k=2, n_probe=1, centroids=[[1.0, 0.0]])
+    with pytest.raises(Exception, match="different embedding space"):
+        m.map(df).collect()
