@@ -4,8 +4,16 @@ from .dedup import (
     MinHashLSHPairsMapper,
     MinHashMapper,
     NGramJaccardPairsMapper,
+    SemanticNearDupPairsMapper,
     SimHashMapper,
     SimHashNearDupPairsMapper,
+    dedup_incremental,
+    dedup_incremental_fuzzy,
+    dedup_report,
+    fuzzy_dedup,
+    semantic_dedup,
+    with_digests,
+    with_minhash_bands,
 )
 from .hashing import (
     cosine_similarity,
@@ -16,8 +24,12 @@ from .hashing import (
     word_shingles,
 )
 from .asof import AsofJoinMapper, RangeJoinMapper, asof_join
-from .similarity import CosineTopK, HyperplaneLSHTopK
-from .similarity import IVFCosineTopK
+from .similarity import (
+    CosineTopK,
+    HyperplaneLSHTopK,
+    IVFCosineTopK,
+    fit_ivf_index,
+)
 from .textstats import (
     DecontaminateMapper,
     SemanticDecontaminateMapper,
@@ -48,6 +60,15 @@ __all__ = [
     "AsofJoinMapper",
     "BinPackSequencesMapper",
     "DedupClustersMapper",
+    "SemanticNearDupPairsMapper",
+    "dedup_incremental",
+    "dedup_incremental_fuzzy",
+    "dedup_report",
+    "fit_ivf_index",
+    "fuzzy_dedup",
+    "semantic_dedup",
+    "with_digests",
+    "with_minhash_bands",
     "DedupParagraphsMapper",
     "DuplicatedSpansMapper",
     "DuplicatedWindowsMapper",
