@@ -103,6 +103,7 @@ def ingest_dedup_batch(
     kept = dedup_incremental(
         batch, digest_index, text_field=text_field, order_by=order_by
     )
+    words_added = False
     if fuzzy:
         band_index = _read_state(
             spark,
@@ -114,6 +115,7 @@ def ingest_dedup_batch(
             kept = kept.withColumn(
                 words_field, F.split(F.col(text_field), " ")
             )
+            words_added = True
         kept = dedup_incremental_fuzzy(
             kept,
             band_index,
@@ -131,7 +133,10 @@ def ingest_dedup_batch(
     # localCheckpoint is micro-batch-sized, not history-sized.
     kept = kept.localCheckpoint(eager=True)
     tag = f"batch={batch_id}"
-    kept.drop(words_field).write.mode("overwrite").parquet(
+    # only shed the words column if THIS function derived it — a
+    # words column the caller shipped is payload, not scratch
+    survivors = kept.drop(words_field) if words_added else kept
+    survivors.write.mode("overwrite").parquet(
         os.path.join(out_dir, tag)
     )
     with_digests(kept, text_field=text_field).write.mode(
@@ -188,8 +193,6 @@ def compact_ingest_state(
             continue
         root = os.path.join(state_dir, name)
         full = _read_state(spark, root, schema)
-        if full.rdd.getNumPartitions() == 0:
-            continue
         old = [
             d
             for d in os.listdir(root)
