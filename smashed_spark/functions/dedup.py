@@ -1791,9 +1791,11 @@ def dedup_incremental_fuzzy(
       hand — with ``verify_threshold`` set, a batch-internal band
       collision only drops the later doc if exact shingle-Jaccard
       against the colliding bucket's earliest doc reaches the
-      threshold, cutting LSH false-positive real-doc loss.  Cost
-      scales with the CANDIDATE count (the verify join touches only
-      colliding pairs), not the batch.  Requires ``words_field`` on
+      threshold, cutting LSH false-positive real-doc loss.  The
+      verify JOIN cost scales with the CANDIDATE count (only
+      colliding pairs), though deriving the two shingle-set sides
+      adds two more narrow scans of the batch — cache upstream if the
+      batch plan is expensive.  Requires ``words_field`` on
       ``new_df``.
 
     Scale: the signature/band compute is narrow, and the whole
