@@ -24,6 +24,12 @@ from .hashing import (
     word_shingles,
 )
 from .asof import AsofJoinMapper, RangeJoinMapper, asof_join
+from .classifier import (
+    LinearQualityClassifierMapper,
+    UnigramLogProbMapper,
+    fit_quality_classifier,
+    fit_unigram_logprob_table,
+)
 from .similarity import (
     CosineTopK,
     HyperplaneLSHTopK,
@@ -60,8 +66,12 @@ __all__ = [
     "AsofJoinMapper",
     "BinPackSequencesMapper",
     "DedupClustersMapper",
+    "LinearQualityClassifierMapper",
     "SemanticNearDupPairsMapper",
+    "UnigramLogProbMapper",
     "dedup_incremental",
+    "fit_quality_classifier",
+    "fit_unigram_logprob_table",
     "dedup_incremental_fuzzy",
     "dedup_report",
     "fit_ivf_index",

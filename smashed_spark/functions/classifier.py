@@ -200,3 +200,117 @@ def fit_quality_classifier(
         w -= lr * (X.T @ g / n + l2 * w)
         b -= lr * float(g.mean())
     return [float(v) for v in w], float(b)
+
+
+def fit_unigram_logprob_table(
+    corpus: DataFrame,
+    words_field: str = "words",
+    dims: int = 4096,
+    alpha: float = 1.0,
+    hash_fn: str = "md5",
+) -> List[float]:
+    """Fit a hashed-unigram log-probability table on a REFERENCE
+    corpus (e.g. curated high-quality text) for
+    :class:`UnigramLogProbMapper` — the CCNet-style perplexity-proxy
+    quality signal: documents whose words are improbable under the
+    reference model score low.
+
+    Fully distributed and exact — no sample cap needed: the fit is
+    word COUNTS, so it is one explode + groupBy on the hash bucket
+    (map-side combine; at most ``dims`` result rows cross the wire)
+    over however much reference text you have.  Deterministic by
+    construction (exact counts are partition-invariant).  Bucket ``b``
+    gets ``log((count_b + alpha) / (total + alpha * dims))`` —
+    add-alpha smoothing, so unseen buckets (and hence OOV words) carry
+    a floor probability instead of -inf.  Hash collisions merge word
+    counts (the hashed-BoW trade-off, same as the classifier); grow
+    ``dims`` to taste, plan-literal-bounded at ``MAX_NARROW_DIMS``.
+    """
+    import math
+
+    if dims < 1 or dims > MAX_NARROW_DIMS:
+        raise ValueError(f"need 1 <= dims <= {MAX_NARROW_DIMS}")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (smoothing mass)")
+    rows = (
+        corpus.select(
+            F.explode(
+                F.transform(
+                    F.col(words_field),
+                    lambda w: _feature_index(w, dims, hash_fn),
+                )
+            ).alias("__b__")
+        )
+        .groupBy("__b__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .collect()
+    )
+    counts = [0] * dims
+    for r in rows:
+        counts[r["__b__"]] = r["__c__"]
+    total = sum(counts)
+    denom = total + alpha * dims
+    return [math.log((c + alpha) / denom) for c in counts]
+
+
+class UnigramLogProbMapper(SparkMapper):
+    """Score every row with a reference unigram language model:
+    ``logprob_field = mean_w table[h(lower(w)) mod dims]`` over
+    ``words_field`` plus the perplexity proxy ``ppl_field =
+    exp(-mean)`` (lower = more reference-like).  Rows with no words
+    get NULL for both — a 0-token doc has no perplexity; filter or
+    coalesce explicitly downstream.
+
+    Narrow column algebra like the linear classifier: the table rides
+    the plan as one folded array literal and the score is one
+    ``aggregate`` fold — scan speed, zero exchanges, no UDF.  CCNet
+    (Wenzek et al. 2020) buckets documents by reference-LM perplexity
+    exactly like this (theirs is a 5-gram KenLM; the hashed unigram
+    table is the Spark-native scan-speed proxy — combine with the
+    repetition/Gopher signals which catch what unigrams can't).
+    """
+
+    def __init__(
+        self,
+        table: Sequence[float],
+        words_field: str = "words",
+        logprob_field: str = "mean_word_logprob",
+        ppl_field: str = "word_ppl",
+        hash_fn: str = "md5",
+    ) -> None:
+        if not table:
+            raise ValueError("table must be non-empty")
+        if len(table) > MAX_NARROW_DIMS:
+            raise ValueError(
+                f"dims={len(table)} exceeds MAX_NARROW_DIMS="
+                f"{MAX_NARROW_DIMS} (the table is a plan literal)"
+            )
+        if hash_fn not in ("md5", "xxhash64"):
+            raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
+        self.table = [float(x) for x in table]
+        self.words_field = words_field
+        self.logprob_field = logprob_field
+        self.ppl_field = ppl_field
+        self.hash_fn = hash_fn
+        super().__init__(
+            input_fields=[words_field],
+            output_fields=[logprob_field, ppl_field],
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        dims = len(self.table)
+        tarr = F.array(*[F.lit(x) for x in self.table])
+        words = F.col(self.words_field)
+        total = F.aggregate(
+            words,
+            F.lit(0.0),
+            lambda acc, w: acc
+            + F.element_at(
+                tarr, _feature_index(w, dims, self.hash_fn) + F.lit(1)
+            ),
+        )
+        n = F.size(words)
+        mean = F.when(n > 0, total / n)
+        return df.withColumn(self.logprob_field, mean).withColumn(
+            self.ppl_field, F.exp(-F.col(self.logprob_field))
+        )

@@ -124,3 +124,94 @@ def test_fit_validation(spark):
         fit_quality_classifier(empty, docs, dims=16)
     with pytest.raises(ValueError, match="dims"):
         fit_quality_classifier(docs, docs, dims=0)
+
+
+def test_unigram_logprob_matches_python_replay(spark):
+    """Spark mean log-prob / perplexity == a full python replay of the
+    hashed-count fit and the md5 bucket hashing; partition-invariant
+    fit (exact counts); empty docs score NULL."""
+    import hashlib
+    import math
+
+    from smashed_spark.functions.classifier import (
+        UnigramLogProbMapper,
+        fit_unigram_logprob_table,
+    )
+
+    dims, alpha = 32, 0.5
+    ref_rows = [
+        (0, "the quick brown fox"),
+        (1, "the lazy dog"),
+        (2, "the the the end"),
+    ]
+    ref = _docs(spark, ref_rows)
+    table = fit_unigram_logprob_table(ref, dims=dims, alpha=alpha)
+    assert len(table) == dims
+
+    def bucket(w):
+        return int(hashlib.md5(w.lower().encode()).hexdigest()[:8], 16) % dims
+
+    counts = [0] * dims
+    for _i, text in ref_rows:
+        for w in text.split(" "):
+            counts[bucket(w)] += 1
+    total = sum(counts)
+    want_table = [
+        math.log((c + alpha) / (total + alpha * dims)) for c in counts
+    ]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(table, want_table))
+    # exact counts: the fit is partition-layout-invariant
+    table2 = fit_unigram_logprob_table(
+        ref.repartition(7), dims=dims, alpha=alpha
+    )
+    assert table == table2
+
+    score_rows = [
+        (10, "the quick fox"),       # reference-like
+        (11, "zzz qqq www"),          # all OOV
+        (12, ""),                     # no words -> NULL
+    ]
+    out = {
+        r.doc_id: (r.mean_word_logprob, r.word_ppl)
+        for r in UnigramLogProbMapper(table)
+        .map(_docs(spark, score_rows))
+        .collect()
+    }
+    for doc_id, text in score_rows[:2]:
+        ws = text.split(" ")
+        mean = sum(want_table[bucket(w)] for w in ws) / len(ws)
+        got_lp, got_ppl = out[doc_id]
+        assert abs(got_lp - mean) < 1e-12, doc_id
+        assert abs(got_ppl - math.exp(-mean)) < 1e-9, doc_id
+    # note: _docs splits '' into [''] (one empty word), matching the
+    # Spark split convention — craft a truly-empty array instead
+    empty = spark.createDataFrame(
+        [(12,)], "doc_id: bigint"
+    ).withColumn("words", F.expr("array()").cast("array<string>"))
+    r = UnigramLogProbMapper(table).map(empty).collect()[0]
+    assert r.mean_word_logprob is None and r.word_ppl is None
+    # reference-like text is more probable than OOV text
+    assert out[10][0] > out[11][0]
+    assert out[10][1] < out[11][1]
+
+
+def test_unigram_logprob_validation_and_plan_is_narrow(spark):
+    from smashed_spark.functions.classifier import (
+        UnigramLogProbMapper,
+        fit_unigram_logprob_table,
+    )
+
+    with pytest.raises(ValueError, match="dims"):
+        fit_unigram_logprob_table(_docs(spark, [(0, "a")]), dims=0)
+    with pytest.raises(ValueError, match="alpha"):
+        fit_unigram_logprob_table(_docs(spark, [(0, "a")]), alpha=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        UnigramLogProbMapper([])
+    with pytest.raises(ValueError, match="hash_fn"):
+        UnigramLogProbMapper([0.1], hash_fn="sha1")
+    df = _docs(spark, [(0, "a b c")])
+    out = UnigramLogProbMapper([-1.0, -2.0]).map(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange (" not in plan  # scan-speed: zero exchanges
