@@ -1,0 +1,84 @@
+"""Model-based quality scoring end-to-end: fit a reference unigram LM
+and a hashed-BoW classifier on splits of the corpus, score every
+document at scan speed (both scorers are narrow ``aggregate`` folds
+over plan-literal tables — zero exchanges, no UDFs), then fit the best
+documents under a token budget.
+
+The CCNet / DCLM shape: perplexity-vs-reference + a learned quality
+score -> rank -> greedy budget selection.
+
+Run: python examples/quality_scoring.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from smashed_spark.functions import (
+    LinearQualityClassifierMapper,
+    UnigramLogProbMapper,
+    fit_quality_classifier,
+    fit_unigram_logprob_table,
+)
+from smashed_spark.sources import select_under_token_budget
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .withColumn("words", F.split("text", " "))
+    )
+
+    # "reference" = the longest documents (a stand-in for a curated
+    # corpus); "rejects" = the shortest
+    ref = docs.filter(F.col("n_chars") >= 400)
+    rej = docs.filter(F.col("n_chars") < 150)
+
+    table = fit_unigram_logprob_table(ref, dims=2048)
+    weights, bias = fit_quality_classifier(
+        ref, rej, dims=2048, epochs=80
+    )
+
+    scored = UnigramLogProbMapper(table).map(docs)
+    scored = LinearQualityClassifierMapper(weights, bias=bias).map(scored)
+    # composite rank: classifier score, perplexity as tiebreak signal
+    scored = scored.withColumn(
+        "quality_rank",
+        F.col("model_q_score") - F.coalesce(F.col("word_ppl"), F.lit(1e9)) / 1e6,
+    ).withColumn("n_tok", F.size("words"))
+
+    picked = select_under_token_budget(
+        scored, 20_000, tokens_field="n_tok",
+        score_field="quality_rank", key_field="doc_id", drop=True,
+    )
+    stats = picked.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tok").alias("tokens"),
+        F.round(F.avg("model_q_score"), 3).alias("avg_q"),
+        F.round(F.avg("word_ppl"), 1).alias("avg_ppl"),
+    ).collect()[0]
+    base = docs.agg(
+        F.count(F.lit(1)).alias("docs")
+    ).collect()[0]
+    print(
+        f"selected {stats.docs}/{base.docs} docs ({stats.tokens} tokens "
+        f"under the 20k budget), avg quality {stats.avg_q}, "
+        f"avg word-ppl {stats.avg_ppl}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
