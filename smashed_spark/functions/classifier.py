@@ -10,7 +10,8 @@ that step re-expressed Spark-first.  Scoring is
 friendly; the weight table rides the plan as a folded array literal
 (``dims`` ≤ 64k ⇒ ≤ 512 KB of plan, the practical ceiling for
 word-level quality models).  The fit collects a BOUNDED labeled sample
-(``sample_cap`` per class — limit pushdown, never a full scan) and
+(``sample_cap`` per class, chosen by hash order — one
+TakeOrderedAndProject pass per class, collecting only the top-k) and
 runs deterministic full-batch logistic gradient descent in numpy: the
 same bounded-driver-fit pattern as IVFCosineTopK's quantizer.
 
@@ -241,6 +242,7 @@ def fit_unigram_logprob_table(
                 )
             ).alias("__b__")
         )
+        .where(F.col("__b__").isNotNull())  # NULL words carry no count
         .groupBy("__b__")
         .agg(F.count(F.lit(1)).alias("__c__"))
         .collect()

@@ -1347,7 +1347,6 @@ def fuzzy_dedup(
 
 def dedup_report(
     tagged: DataFrame,
-    id_field: str = "doc_id",
     tokens_field: Optional[str] = None,
 ) -> DataFrame:
     """One-row audit summary of a :func:`fuzzy_dedup` /
@@ -1659,8 +1658,9 @@ def dedup_incremental(
     # function of the data.  Contrast dedup_incremental_fuzzy, where a
     # duplicate key merges DISTINCT docs into one decision and
     # therefore raises.
-    from pyspark.sql.types import MapType
     from pyspark.sql.window import Window
+
+    from .hashing import contains_map_type
 
     guarded_order = F.when(
         F.col(order_by).isNull(),
@@ -1673,11 +1673,21 @@ def dedup_incremental(
             )
         ),
     ).otherwise(F.col(order_by))
+    # hash every hashable column EXCEPT text/digest: tied rows share a
+    # digest, hence identical text — re-hashing ~100 KB of document
+    # per row buys nothing.  xxhash64 rejects maps at ANY nesting
+    # depth (the check must recurse; a top-level-only filter fails at
+    # analysis time on struct<... map ...> schemas).
     hashable = [
         f.name for f in fresh.schema.fields
-        if not isinstance(f.dataType, MapType)
+        if f.name not in (text_field, digest_field)
+        and not contains_map_type(f.dataType)
     ]
-    content = F.xxhash64(*[F.col(c) for c in hashable])
+    content = (
+        F.xxhash64(*[F.col(c) for c in hashable])
+        if hashable
+        else F.lit(0)
+    )
     w = Window.partitionBy(digest_field).orderBy(
         guarded_order.asc(), content.asc()
     )

@@ -288,11 +288,15 @@ class DedupClustersMapper(SparkMapper):
                 ),
             )
         # quality policy: argmax(quality, tiebreak min id) per cluster,
-        # computed over the members only.  NULL quality sorts lowest
-        # (-inf), so an all-NULL cluster falls back to the min id —
-        # identical to the default policy.
+        # computed over the members only.  NULL — and NaN, which Spark
+        # orders ABOVE every double and would otherwise win the argmax
+        # — sort lowest (-inf), so an all-NULL/NaN cluster falls back
+        # to the min id, identical to the default policy.
         q = F.coalesce(
-            F.col(self.quality_field).cast("double"),
+            F.nanvl(
+                F.col(self.quality_field).cast("double"),
+                F.lit(None).cast("double"),
+            ),
             F.lit(float("-inf")),
         )
         members = df.select(

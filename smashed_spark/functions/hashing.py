@@ -247,3 +247,20 @@ def cosine_similarity(a: Column, b: Column) -> Column:
         F.aggregate(db, F.lit(0.0), lambda acc, v: acc + v * v)
     )
     return dot / (na * nb)
+
+
+def contains_map_type(dt) -> bool:
+    """True when a Spark DataType contains a MapType at ANY nesting
+    depth — Spark's hash functions (xxhash64/hash/md5-over-struct)
+    reject maps recursively, so a top-level isinstance check misses
+    struct<... map ...> and array<map> schemas and fails at analysis
+    time."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return contains_map_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(contains_map_type(f.dataType) for f in dt.fields)
+    return False

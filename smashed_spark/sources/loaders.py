@@ -510,28 +510,34 @@ def _budget_flags(
 
 
 def _guard_unique_key(
-    flags: DataFrame, key_field: str, keep_field: str, fn_name: str
+    flags: DataFrame,
+    key_fields: "str | List[str]",
+    keep_field: str,
+    fn_name: str,
 ) -> DataFrame:
-    """Duplicate keys would fan the keep-flag join-back out and
+    """Duplicate join keys would fan the keep-flag join-back out and
     silently multiply corpus rows — and with_prefix_sum's totality
     check is on (negscore, key), which duplicate keys with DISTINCT
-    scores pass.  A count window over the key (riding the same hash
-    partitioning the join-back needs — no extra exchange on the slim
-    flags side) raises loudly instead; NULL keys already fail
-    with_prefix_sum's NULL-key check."""
+    scores pass.  A count window over the join key(s) (riding the
+    same hash partitioning the join-back needs — no extra exchange on
+    the slim flags side) raises loudly instead; NULL keys already
+    fail with_prefix_sum's NULL-key check."""
     from pyspark.sql.window import Window
 
-    kcount = F.count(F.lit(1)).over(Window.partitionBy(key_field))
+    keys = [key_fields] if isinstance(key_fields, str) else list(key_fields)
+    kcount = F.count(F.lit(1)).over(Window.partitionBy(*keys))
     return flags.withColumn(
         keep_field,
         F.when(kcount == 1, F.col(keep_field)).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(
-                        f"{fn_name}: key_field "
-                        f"{key_field!r} is not unique (value "
+                        f"{fn_name}: join key {keys!r} is not unique "
+                        "(value "
                     ),
-                    F.col(key_field).cast("string"),
+                    F.concat_ws(
+                        "/", *[F.col(k).cast("string") for k in keys]
+                    ),
                     F.lit(" appears "),
                     kcount.cast("string"),
                     F.lit(
@@ -562,15 +568,18 @@ def select_under_token_budgets(
     :func:`select_under_token_budget`'s greedy convention (descending
     score, key tiebreak, exclusive-prefix-under-budget with the
     boundary doc admitted).  Rows whose source has no budget entry get
-    ``keep_field`` 0.
+    ``keep_field`` 0.  Keys need only be unique WITHIN a source: the
+    flag join-back keys on ``(key, source)``, so a key reused across
+    sources gets each source's own verdict (and can never inherit a
+    budgeted source's flag).
 
     Scale: one slim ``(key, score, tokens)`` prefix sum PER SOURCE —
     each independently range-partitioned across the cluster (a single
     window partitioned by source would sort each source's entirety in
     ONE task; recipes have few sources, so a driver loop of
     range-partitioned sorts is the scalable shape) — then one union of
-    the KB-sized flag sets and ONE join-back by key, guarded against
-    duplicate keys in-plan like the global selector.
+    the KB-sized flag sets and ONE join-back by (key, source), guarded
+    against duplicate keys in-plan like the global selector.
     """
     if not budgets:
         raise ValueError("budgets must be non-empty")
@@ -584,18 +593,22 @@ def select_under_token_budgets(
             _budget_flags(
                 part, b, tokens_field, score_field, key_field,
                 keep_field,
-            )
+            ).withColumn(source_field, F.lit(s))
         )
     flags = per_source[0]
     for more in per_source[1:]:
         flags = flags.unionByName(more)
-    # the guard runs on the UNION: a key duplicated across sources
-    # fans the join-back out just like one duplicated within a source
+    # the guard runs on the UNION over the JOIN keys (key, source): a
+    # key duplicated within a source fans the join-back out and raises;
+    # the same key in another source is a different join key and fine
     flags = _guard_unique_key(
-        flags, key_field, keep_field, "select_under_token_budgets"
+        flags,
+        [key_field, source_field],
+        keep_field,
+        "select_under_token_budgets",
     )
     out = (
-        df.join(flags, key_field, "left")
+        df.join(flags, [key_field, source_field], "left")
         .withColumn(keep_field, F.coalesce(F.col(keep_field), F.lit(0)))
         .select(*df.columns, keep_field)
     )

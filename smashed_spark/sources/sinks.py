@@ -132,16 +132,21 @@ def shard_for_training(
         F.concat_ws(":", key, F.lit(f"{seed}:order"))
     )
     out = df.withColumn(shard_column, shard)
-    # hash every hashable column (xxhash64 rejects MapType; a row
-    # differing ONLY in a map column still ties — document-corpus
-    # schemas key their payload in atomic/array/struct columns)
-    from pyspark.sql.types import MapType
+    # hash every hashable column (xxhash64 rejects MapType at ANY
+    # nesting depth; a row differing ONLY in a map column still ties —
+    # document-corpus schemas key their payload in atomic/array/struct
+    # columns)
+    from ..functions.hashing import contains_map_type
 
     hashable = [
         f.name for f in df.schema.fields
-        if not isinstance(f.dataType, MapType)
+        if not contains_map_type(f.dataType)
     ]
-    content = F.xxhash64(*[F.col(c) for c in hashable])
+    content = (
+        F.xxhash64(*[F.col(c) for c in hashable])
+        if hashable
+        else F.lit(0)
+    )
     w = Window.partitionBy(shard_column).orderBy(
         order.asc(), F.col(key_field).asc(), content.asc()
     )

@@ -56,11 +56,24 @@ def _read_state(
     partition column under Spark's partition discovery): a RETRIED
     micro-batch must not see its own prior attempt's index
     contributions, or every one of its docs would look like history
-    and the re-run would emit zero survivors."""
+    and the re-run would emit zero survivors.
+
+    Only a genuinely-absent/empty index path maps to the empty frame;
+    any OTHER read failure (auth, listing timeout, corrupt footer)
+    propagates — silently treating a broken index as "no history"
+    would wave every duplicate through."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: None)() or str(e)
+        if (
+            "PATH_NOT_FOUND" in str(cond)
+            or "UNABLE_TO_INFER_SCHEMA" in str(cond)
+        ):
+            return spark.createDataFrame([], schema)
+        raise
     if exclude_batch is not None and "batch" in df.columns:
         df = df.filter(F.col("batch") != F.lit(exclude_batch))
     names = [c.strip().split()[0] for c in schema.split(",")]
@@ -172,7 +185,13 @@ def compact_ingest_state(
     every index read applies ``.distinct()`` — and the next compaction
     clears them.  ``batch=-1`` is never a real micro-batch id, so the
     retried-batch exclusion (``exclude_batch``) keeps working after
-    compaction.  Run between batches or while the stream is stopped:
+    compaction — and the LATEST real ``batch=N`` partition is always
+    left uncompacted: foreachBatch commits serially, so only the
+    newest batch can be uncommitted at a crash, and folding its rows
+    into ``batch=-1`` would defeat the replay exclusion (the restarted
+    batch would see its own digests as history and emit zero
+    survivors).  It gets merged by the NEXT compaction, once a newer
+    batch exists.  Run between batches or while the stream is stopped:
     compaction and an in-flight batch writing ``batch=N`` must not
     interleave (the batch could commit its partition after compaction
     listed the directory).
@@ -192,25 +211,36 @@ def compact_ingest_state(
         if name == "bands" and not fuzzy:
             continue
         root = os.path.join(state_dir, name)
-        full = _read_state(spark, root, schema)
-        old = [
-            d
-            for d in os.listdir(root)
-            if d.startswith("batch=") and d != "batch=-1"
-        ] if os.path.isdir(root) else []
+        real = sorted(
+            (
+                int(d.split("=", 1)[1])
+                for d in os.listdir(root)
+                if d.startswith("batch=") and d != "batch=-1"
+            )
+        ) if os.path.isdir(root) else []
+        # the newest batch stays out of the compaction: it may be an
+        # uncommitted attempt, and its rows must remain excludable by
+        # batch id for the replay to recompute the same verdicts
+        old = real[:-1]
         if not old:
             continue
+        keep_latest = real[-1]
+        merged = _read_state(spark, root, schema, exclude_batch=keep_latest)
         # the read must complete before the overwrite touches its own
         # input files: materialize via localCheckpoint (index rows are
         # bytes-per-doc; even a 100 TB corpus's index fits a cluster's
         # block managers, and production would write-to-new-dir-and-
         # swap instead)
-        full = full.repartition(partitions).localCheckpoint(eager=True)
-        full.write.mode("overwrite").parquet(
+        merged = merged.repartition(partitions).localCheckpoint(
+            eager=True
+        )
+        merged.write.mode("overwrite").parquet(
             os.path.join(root, "batch=-1")
         )
-        for d in old:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        for n in old:
+            shutil.rmtree(
+                os.path.join(root, f"batch={n}"), ignore_errors=True
+            )
 
 
 def streaming_ingest_dedup(

@@ -215,3 +215,22 @@ def test_unigram_logprob_validation_and_plan_is_narrow(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange (" not in plan  # scan-speed: zero exchanges
+
+
+def test_unigram_fit_ignores_null_words(spark):
+    """A NULL element inside a words array must not crash the fit —
+    it carries no count (r8 review)."""
+    from smashed_spark.functions.classifier import (
+        fit_unigram_logprob_table,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ["a", None, "b"]), (1, ["a"])],
+        "doc_id: bigint, words: array<string>",
+    )
+    t = fit_unigram_logprob_table(df, dims=8)
+    clean = spark.createDataFrame(
+        [(0, ["a", "b"]), (1, ["a"])],
+        "doc_id: bigint, words: array<string>",
+    )
+    assert t == fit_unigram_logprob_table(clean, dims=8)

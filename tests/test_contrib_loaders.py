@@ -598,10 +598,29 @@ def test_select_under_token_budgets_per_source(spark):
     )
     assert kept.count() == sum(got.values())
     assert "in_budget" not in kept.columns
-    # duplicate key ACROSS sources fans out -> raises
+    # the same key in ANOTHER source is a different (key, source) join
+    # key: each row gets its own source's verdict — in particular an
+    # unbudgeted source's row must NOT inherit a budgeted source's
+    # flag (the r8 review's cross-source leak)
+    leak = df.unionByName(
+        spark.createDataFrame(
+            [(0, "books", 20, 50.0)],  # doc_id 0 also exists in web
+            "doc_id: bigint, src: string, n_tok: bigint, q: double",
+        )
+    )
+    got_leak = {
+        (r.doc_id, r.src): r.in_budget
+        for r in select_under_token_budgets(
+            leak, budgets, "src", "n_tok", "q", "doc_id"
+        ).collect()
+    }
+    assert got_leak[(0, "books")] == 0  # no budget entry -> 0, always
+    assert got_leak[(0, "web")] == want[0]
+    assert len(got_leak) == len(rows) + 1  # no join fan-out
+    # duplicate key WITHIN a source still raises
     dup = df.unionByName(
         spark.createDataFrame(
-            [(0, "code", 20, 50.0)],
+            [(0, "web", 20, 50.0)],
             "doc_id: bigint, src: string, n_tok: bigint, q: double",
         )
     )

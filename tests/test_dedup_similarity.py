@@ -1612,3 +1612,24 @@ def test_ivf_injected_centroids_dims_mismatch_raises_clearly(spark):
     m = IVFCosineTopK(k=2, n_probe=1, centroids=[[1.0, 0.0]])
     with pytest.raises(Exception, match="different embedding space"):
         m.map(df).collect()
+
+
+def test_dedup_incremental_tolerates_nested_map_columns(spark):
+    """r8 review: the content tiebreak must skip map-containing
+    columns at ANY nesting depth (xxhash64 rejects them recursively)
+    — a struct<map> payload column must not break the call."""
+    from smashed_spark.functions.dedup import dedup_incremental
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa bbb", {"m": {"k": "v"}}),
+            (2, "ccc ddd", {"m": {"k2": "v2"}}),
+        ],
+        "doc_id: bigint, text: string, "
+        "meta: struct<m: map<string,string>>",
+    )
+    empty = spark.createDataFrame([], "digest: string")
+    got = sorted(
+        r.doc_id for r in dedup_incremental(df, empty).collect()
+    )
+    assert got == [1, 2]

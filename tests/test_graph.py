@@ -135,6 +135,22 @@ def test_dedup_clusters_quality_representative(spark):
         for r in m.map(corpus.repartition(7)).collect()
     }
     assert out2 == out
+    # NaN quality must NOT win (Spark sorts NaN above every double):
+    # it ranks like NULL, so the real-scored member is kept
+    nan_corpus = spark.createDataFrame(
+        [(0, 0.4), (1, float("nan")), (2, None)],
+        "doc_id: bigint, q: double",
+    )
+    nan_pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id_a: bigint, id_b: bigint"
+    )
+    nan_out = {
+        r.doc_id: r.is_kept
+        for r in DedupClustersMapper(nan_pairs, quality_field="q")
+        .map(nan_corpus)
+        .collect()
+    }
+    assert nan_out == {0: 1, 1: 0, 2: 0}
 
 
 def test_fuzzy_dedup_quality_field_plumbs_through(spark):

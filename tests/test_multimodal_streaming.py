@@ -692,7 +692,13 @@ def test_compact_ingest_state_preserves_semantics(spark, tmp_path):
     before = (read_idx("digests"), read_idx("bands"))
     compact_ingest_state(spark, state)
     dirs = sorted(os.listdir(f"{state}/digests"))
-    assert dirs == ["batch=-1"], dirs
+    # the NEWEST batch stays uncompacted: it may be an uncommitted
+    # attempt whose rows must remain excludable by batch id on replay
+    assert dirs == ["batch=-1", "batch=1"], dirs
+    assert (read_idx("digests"), read_idx("bands")) == before
+    # a crashed-then-restarted batch 1 replays with the same verdicts
+    # post-compaction (its own index rows are still excluded)
+    ingest_dedup_batch(b1, state, out, batch_id=1)
     assert (read_idx("digests"), read_idx("bands")) == before
 
     # post-compaction: repost of batch-0 content still drops, fresh
