@@ -414,9 +414,15 @@ class SimHashNearDupPairsMapper(SparkMapper):
     already needs: zero extra Spark jobs, zero extra scans, and
     ``apply()`` stays fully lazy (rounds 7's eager plan-time probe —
     one extra full pass over the banded index per fresh plan — is
-    gone).  Skipped for streaming inputs (non-time windows are
-    unsupported on streams; micro-batches are bounded by the trigger
-    interval anyway).
+    gone).  Skipped for streaming inputs — non-time window functions
+    are unsupported on streaming frames, so a direct streaming use of
+    this mapper runs with NO occupancy protection (micro-batches are
+    bounded by the trigger interval, which caps the damage but does
+    not prevent a hot bucket inside one batch).  The supported
+    streaming route is ``foreachBatch`` (the streaming/ingest.py
+    pattern): its body receives BATCH frames (``df.isStreaming`` is
+    False), so the guard is fully active there — pinned by
+    tests/test_multimodal_streaming.py's foreachBatch guard test.
     """
 
     #: default fail-fast threshold for the hottest band bucket: 20k
@@ -1348,24 +1354,37 @@ def fuzzy_dedup(
 def dedup_report(
     tagged: DataFrame,
     tokens_field: Optional[str] = None,
+    source_field: Optional[str] = None,
+    index_bands: Optional[int] = None,
 ) -> DataFrame:
-    """One-row audit summary of a :func:`fuzzy_dedup` /
+    """Audit summary of a :func:`fuzzy_dedup` /
     :class:`~smashed_spark.functions.graph.DedupClustersMapper` result
     (``cluster_id`` + ``is_kept`` columns): document counts, duplicate
     rate, duplicate-cluster count, the largest cluster, and — with
     ``tokens_field`` — how many tokens dedup removed.  The numbers a
     curation run logs per batch.
 
-    Scale: one groupBy on ``cluster_id`` over a slim projection
-    (map-side combine; the only exchange) folded into a single-row
-    global aggregate — never a collect of per-cluster data.
+    ``source_field`` switches to the per-source view a data-recipe
+    owner actually asks for — one row per source with doc/token counts
+    and that source's dup rate.  Cluster-SHAPE stats
+    (``n_dup_clusters``, ``max_cluster_size``) are deliberately absent
+    there: a cluster can span sources, so per-source cluster shapes
+    are not well defined — run the global (one-row) report for them.
+
+    The global row also carries the running-index cost of keeping the
+    survivors dedupable forever (the streaming/ingest.py accounting):
+    ``index_digest_bytes`` = 32 B per kept doc, and — when
+    ``index_bands`` is set to the ingest pipeline's band count —
+    ``index_band_bytes`` = 36 B x bands per kept doc.
+
+    Scale: ONE groupBy over a slim projection — on ``cluster_id``
+    (global; folded into a single-row aggregate whose input is
+    map-side-combined partials) or on ``source_field`` (per-source;
+    output rows = #sources) — never a collect of per-cluster data.
     """
-    aggs = [
-        F.count(F.lit(1)).alias("__sz__"),
-        F.sum("is_kept").alias("__k__"),
-    ]
+    tok_aggs = []
     if tokens_field is not None:
-        aggs += [
+        tok_aggs = [
             F.sum(tokens_field).alias("__t__"),
             F.sum(
                 F.when(
@@ -1373,10 +1392,49 @@ def dedup_report(
                 ).otherwise(F.lit(0))
             ).alias("__tk__"),
         ]
+
+    def _tok_out() -> list:
+        if tokens_field is None:
+            return []
+        return [
+            F.col("__t__").alias("tokens_total"),
+            F.col("__tk__").alias("tokens_kept"),
+            (F.col("__t__") - F.col("__tk__")).alias("tokens_dropped"),
+        ]
+
+    if source_field is not None:
+        per_src = (
+            tagged.select(
+                source_field,
+                "is_kept",
+                *([tokens_field] if tokens_field else []),
+            )
+            .groupBy(source_field)
+            .agg(
+                F.count(F.lit(1)).alias("__sz__"),
+                F.sum("is_kept").alias("__k__"),
+                *tok_aggs,
+            )
+        )
+        return per_src.select(
+            F.col(source_field).alias("source"),
+            F.col("__sz__").alias("n_docs"),
+            F.col("__k__").alias("n_kept"),
+            (F.col("__sz__") - F.col("__k__")).alias("n_dropped"),
+            *_tok_out(),
+            F.round(
+                (F.col("__sz__") - F.col("__k__")) / F.col("__sz__"), 6
+            ).alias("dup_rate"),
+        ).orderBy("source")
+
     cols = ["cluster_id", "is_kept"] + (
         [tokens_field] if tokens_field else []
     )
-    per = tagged.select(*cols).groupBy("cluster_id").agg(*aggs)
+    per = tagged.select(*cols).groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__sz__"),
+        F.sum("is_kept").alias("__k__"),
+        *tok_aggs,
+    )
     out_aggs = [
         F.sum("__sz__").alias("n_docs"),
         F.sum("__k__").alias("n_kept"),
@@ -1392,10 +1450,22 @@ def dedup_report(
             F.sum("__tk__").alias("tokens_kept"),
             (F.sum("__t__") - F.sum("__tk__")).alias("tokens_dropped"),
         ]
-    return per.agg(*out_aggs).withColumn(
+    out = per.agg(*out_aggs).withColumn(
         "dup_rate",
         F.round(F.col("n_dropped") / F.col("n_docs"), 6),
+    ).withColumn(
+        # the running exact-dedup index cost of these survivors
+        # (streaming/ingest.py state model: 32 B md5 digest per doc)
+        "index_digest_bytes",
+        F.col("n_kept") * F.lit(32),
     )
+    if index_bands is not None:
+        # minhash band-key index: ~36 B per (band, key) row
+        out = out.withColumn(
+            "index_band_bytes",
+            F.col("n_kept") * F.lit(36 * int(index_bands)),
+        )
+    return out
 
 
 class SemanticNearDupPairsMapper(SparkMapper):
@@ -1640,8 +1710,13 @@ def dedup_incremental(
     """
     digest = F.md5(F.col(text_field))
     keyed = new_df.withColumn(digest_field, digest)
+    # no .distinct() on the index side: LEFT ANTI is semantically
+    # indifferent to duplicate index rows, and at the 100 TB design
+    # point a distinct here is a ~32 GB full-index exchange per batch
+    # for nothing (the streaming-ingest path reads this index every
+    # micro-batch)
     fresh = keyed.join(
-        seen_digests.select(digest_field).distinct(),
+        seen_digests.select(digest_field),
         digest_field,
         "left_anti",
     )
@@ -1792,9 +1867,18 @@ def dedup_incremental_fuzzy(
       partition-order dependence.  ``order_by`` must be a unique
       non-NULL key (duplicates would merge two docs into one decision
       and fan the survivors join out) — enforced IN-PLAN at zero extra
-      cost: each doc explodes into exactly ``bands`` band rows, so the
-      per-id group size not equaling ``bands`` is a loud
-      ``raise_error``.
+      cost: each doc explodes into exactly ``bands`` band rows, so a
+      doc's DISTINCT (band, key) slot count not equaling ``bands`` is
+      a loud ``raise_error``.  The distinct-slot formulation is what
+      makes the whole decision duplicate-tolerant on the INDEX side
+      (duplicate ``(band, key)`` index rows — e.g. from a crashed
+      ingest compaction — fan the indicator join without changing any
+      verdict or tripping the guard); its one blind spot is an
+      ``order_by`` value duplicated across BYTE-IDENTICAL documents
+      (identical band keys collapse to ``bands`` slots), which merges
+      them into one decision and fans the survivors join — run exact
+      dedup first (the ingest composition does) if ids can repeat
+      that way.
     * **Opt-in in-batch verification** (``verify_threshold``): history
       drops cannot verify (the index stores 36-byte band keys, not
       documents), but batch-internal collisions have BOTH documents in
@@ -1857,10 +1941,18 @@ def dedup_incremental_fuzzy(
         F.col("__bk__.band").alias("band"),
         F.col("__bk__.key").alias("key"),
     )
-    index = (
-        seen_bands.select("band", "key")
-        .distinct()
-        .withColumn("__hit__", F.lit(1))
+    # no .distinct() on the index side: at the 100 TB design point
+    # that is a ~144 GB full-band-index exchange per ingestion batch.
+    # Duplicate (band, key) index rows — the shape a crashed ingest
+    # compaction legitimately leaves behind — instead become harmless
+    # by making every downstream aggregate duplicate-TOLERANT: a dup
+    # fans the left join out, but __dochit__ (max), __min__ (min) and
+    # __later__ (max of a per-row predicate) are all idempotent under
+    # row duplication, and __nb__ counts DISTINCT (band, key) slots
+    # per doc (collect_set inside the same per-id window — no extra
+    # exchange) rather than joined rows.
+    index = seen_bands.select("band", "key").withColumn(
+        "__hit__", F.lit(1)
     )
     from pyspark.sql.window import Window
 
@@ -1869,8 +1961,14 @@ def dedup_incremental_fuzzy(
     )
     # per-doc history verdict first, THEN per-bucket first-wins min
     # over the docs history didn't already claim
+    per_id = Window.partitionBy("__id__")
     flagged = marked.withColumn(
-        "__dochit__", F.max("__hit__").over(Window.partitionBy("__id__"))
+        "__dochit__", F.max("__hit__").over(per_id)
+    ).withColumn(
+        "__nb__",
+        F.size(
+            F.collect_set(F.struct("band", "key")).over(per_id)
+        ),
     ).withColumn(
         "__min__",
         F.min(
@@ -1882,7 +1980,7 @@ def dedup_incremental_fuzzy(
         F.max(
             (F.col("__id__") > F.col("__min__")).cast("int")
         ).alias("__later__"),
-        F.count(F.lit(1)).alias("__nb__"),
+        F.max("__nb__").alias("__nb__"),
     )
 
     def _guarded(cond: Column) -> Column:

@@ -573,28 +573,56 @@ def select_under_token_budgets(
     sources gets each source's own verdict (and can never inherit a
     budgeted source's flag).
 
-    Scale: one slim ``(key, score, tokens)`` prefix sum PER SOURCE —
-    each independently range-partitioned across the cluster (a single
+    Scale: ONE scan of the corpus regardless of how many sources the
+    recipe has — the slim ``(key, source, score, tokens)`` projection
+    (~40 bytes/row) is persisted once and the per-source prefix sums
+    loop over cached slices (r8 scanned the corpus once PER source;
+    column-pruned and predicate-pushed, but still S scans of a 100 TB
+    table for an S-source recipe).  Each source's prefix sum is
+    independently range-partitioned across the cluster (a single
     window partitioned by source would sort each source's entirety in
     ONE task; recipes have few sources, so a driver loop of
     range-partitioned sorts is the scalable shape) — then one union of
     the KB-sized flag sets and ONE join-back by (key, source), guarded
-    against duplicate keys in-plan like the global selector.
+    against duplicate keys in-plan like the global selector.  The
+    cache is released before returning: every per-source prefix sum
+    roots at its own micro materialization
+    (:func:`~smashed_spark.functions.packing.with_prefix_sum`
+    checkpoints its sorted input), so nothing downstream re-reads the
+    cached projection.
     """
     if not budgets:
         raise ValueError("budgets must be non-empty")
     for s, b in budgets.items():
         if b < 0:
             raise ValueError(f"negative budget {b} for source {s!r}")
-    per_source = []
-    for s, b in sorted(budgets.items()):
-        part = df.filter(F.col(source_field) == F.lit(s))
-        per_source.append(
-            _budget_flags(
-                part, b, tokens_field, score_field, key_field,
-                keep_field,
-            ).withColumn(source_field, F.lit(s))
+    slim_all = df.select(
+        *dict.fromkeys(
+            [key_field, source_field, score_field, tokens_field]
         )
+    )
+    # MEMORY_AND_DISK (persist default): the slim frame is ~40 B/doc,
+    # and a spill is still far cheaper than re-scanning the corpus
+    cached = len(budgets) > 1
+    if cached:
+        slim_all = slim_all.persist()
+    try:
+        per_source = []
+        for s, b in sorted(budgets.items()):
+            part = slim_all.filter(F.col(source_field) == F.lit(s))
+            per_source.append(
+                _budget_flags(
+                    part, b, tokens_field, score_field, key_field,
+                    keep_field,
+                ).withColumn(source_field, F.lit(s))
+            )
+    finally:
+        if cached:
+            # safe here, not just at exit: _budget_flags is eager at
+            # its core (with_prefix_sum checkpoints the sorted slice
+            # and collects per-partition totals), so the flag frames
+            # no longer reference the cached projection
+            slim_all.unpersist(blocking=False)
     flags = per_source[0]
     for more in per_source[1:]:
         flags = flags.unionByName(more)

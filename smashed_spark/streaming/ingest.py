@@ -15,9 +15,18 @@ State model — everything persistent is PARQUET under ``state_dir``:
 * ``bands/batch=N/``    — ~``bands`` x 36 B/doc MinHash band keys
 * survivors land in ``out_dir/batch=N/``
 
+Index-size accounting at the 100 TB design point (~10^9 docs at the
+repo's ~100 KB/doc convention): digests ~32 GB (32 B/doc), band keys
+~``bands`` x 36 B/doc ≈ 144 GB at ``bands=4`` — together ~3000x
+smaller than the corpus, which is what makes never-rescan ingestion
+dedup possible, but NOT "a few GB": per-batch index handling must
+still avoid gratuitous full-index shuffles (see ``_read_state`` —
+only the un-compacted tail is distinct'd per batch).
+
 Each micro-batch N (1) reads the full compact index EXCLUDING its own
-``batch=N`` partition (a few GB at 100 TB of history — the whole
-point), (2) scrubs the batch against it with the batch operators,
+``batch=N`` partition (~180 GB of slim keys at 100 TB of history vs
+a rescan of the corpus itself — the whole point), (2) scrubs the
+batch against it with the batch operators,
 (3) OVERWRITES its own ``batch=N`` subdirectories.  Together these
 make a retried batch a pure replay: the overwrite rewrites the same
 paths instead of appending duplicates, and excluding the batch's own
@@ -49,6 +58,7 @@ def _read_state(
     path: str,
     schema: str,
     exclude_batch: "int | None" = None,
+    full_distinct: bool = False,
 ) -> DataFrame:
     """The running index as a DataFrame — empty (typed) before the
     first batch commits.  ``exclude_batch`` drops the ``batch=N``
@@ -57,6 +67,23 @@ def _read_state(
     micro-batch must not see its own prior attempt's index
     contributions, or every one of its docs would look like history
     and the re-run would emit zero survivors.
+
+    Deduplication is scoped to where duplicates can actually exist —
+    the per-batch read must NOT shuffle the whole history index.  The
+    compacted ``batch=-1`` partition is duplicate-free by construction
+    (compaction writes it from a full distinct), so it is unioned
+    AS-IS, with a ``.distinct()`` over only the un-compacted tail
+    partitions: O(tail) aggregation work per micro-batch instead of an
+    O(history-index) exchange forever.  A crashed compaction can leave
+    rows duplicated ACROSS ``batch=-1`` and a leftover tail partition;
+    those cross-partition duplicates are harmless downstream — the
+    exact path is a LEFT ANTI join (duplicate-indifferent) and the
+    fuzzy indicator is duplicate-tolerant
+    (:func:`~smashed_spark.functions.dedup.dedup_incremental_fuzzy`
+    aggregates hits per band slot) — and the next compaction clears
+    them: ``full_distinct=True`` (compaction's read) keeps the global
+    distinct, which is correct there because its output IS the next
+    duplicate-free ``batch=-1``.
 
     Only a genuinely-absent/empty index path maps to the empty frame;
     any OTHER read failure (auth, listing timeout, corrupt footer)
@@ -77,7 +104,13 @@ def _read_state(
     if exclude_batch is not None and "batch" in df.columns:
         df = df.filter(F.col("batch") != F.lit(exclude_batch))
     names = [c.strip().split()[0] for c in schema.split(",")]
-    return df.select(*names).distinct()
+    if full_distinct or "batch" not in df.columns:
+        return df.select(*names).distinct()
+    compacted = df.filter(F.col("batch") == -1).select(*names)
+    tail = (
+        df.filter(F.col("batch") != -1).select(*names).distinct()
+    )
+    return compacted.unionByName(tail)
 
 
 def ingest_dedup_batch(
@@ -182,8 +215,10 @@ def compact_ingest_state(
     Crash-safe by construction: the consolidated partition is written
     FIRST (overwrite), the per-batch partitions are removed after.  A
     crash in between leaves duplicate index rows, which are harmless —
-    every index read applies ``.distinct()`` — and the next compaction
-    clears them.  ``batch=-1`` is never a real micro-batch id, so the
+    the exact path's LEFT ANTI join is duplicate-indifferent and the
+    fuzzy indicator join is duplicate-tolerant by design — and the
+    next compaction clears them (its read applies the full
+    ``.distinct()`` that per-batch reads deliberately avoid).  ``batch=-1`` is never a real micro-batch id, so the
     retried-batch exclusion (``exclude_batch``) keeps working after
     compaction — and the LATEST real ``batch=N`` partition is always
     left uncompacted: foreachBatch commits serially, so only the
@@ -225,7 +260,14 @@ def compact_ingest_state(
         if not old:
             continue
         keep_latest = real[-1]
-        merged = _read_state(spark, root, schema, exclude_batch=keep_latest)
+        # the ONE place a global distinct is right: this read's output
+        # becomes the next duplicate-free batch=-1, so it must also
+        # clear cross-partition duplicates a prior crashed compaction
+        # left behind
+        merged = _read_state(
+            spark, root, schema, exclude_batch=keep_latest,
+            full_distinct=True,
+        )
         # the read must complete before the overwrite touches its own
         # input files: materialize via localCheckpoint (index rows are
         # bytes-per-doc; even a 100 TB corpus's index fits a cluster's

@@ -277,3 +277,46 @@ def test_dedup_report(spark):
     slim = dedup_report(tagged)
     assert "tokens_total" not in slim.columns
     assert slim.collect()[0].n_docs == 8
+    # r9: running-index accounting rides the global row (32 B/doc
+    # digests; 36 B x bands band keys when the band count is given)
+    assert row.index_digest_bytes == 5 * 32
+    banded = dedup_report(tagged, index_bands=4).collect()[0]
+    assert banded.index_band_bytes == 5 * 36 * 4
+
+    # r9: per-source view — one row per source, replayed in python
+    src_tagged = tagged.withColumn(
+        "src",
+        F.when(F.col("doc_id") < 4, F.lit("web")).otherwise(
+            F.lit("books")
+        ),
+    )
+    rows = {
+        r.source: r
+        for r in dedup_report(
+            src_tagged, tokens_field="n_tok", source_field="src"
+        ).collect()
+    }
+    # clusters {0,3,5} keep 0, {6,7} keep 6: web drops 3, books drops
+    # 5 and 7
+    assert rows["web"].n_docs == 4 and rows["web"].n_dropped == 1
+    assert rows["books"].n_docs == 4 and rows["books"].n_dropped == 2
+    assert rows["web"].dup_rate == round(1 / 4, 6)
+    assert rows["books"].tokens_dropped == toks[5] + toks[7]
+    assert rows["web"].tokens_kept == sum(
+        toks[i] for i in (0, 1, 2)
+    )
+    # cluster-shape stats are global-only by contract
+    assert "n_dup_clusters" not in dedup_report(
+        src_tagged, source_field="src"
+    ).columns
+    # ONE slim exchange: the per-source plan aggregates once
+    per_src_plan = dedup_report(
+        src_tagged, source_field="src"
+    )._sc._jvm.PythonSQLUtils.explainString(
+        dedup_report(src_tagged, source_field="src")
+        ._jdf.queryExecution(),
+        "formatted",
+    ).split("===== Subqueries")[0]
+    # global sort for the orderBy + one agg exchange; no cluster_id
+    # exchange
+    assert per_src_plan.count("HashAggregate (") == 2, per_src_plan
