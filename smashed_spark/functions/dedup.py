@@ -1689,6 +1689,7 @@ def dedup_incremental(
     text_field: str = "text",
     order_by: str = "doc_id",
     digest_field: str = "digest",
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """Append-only ingestion dedup: drop rows of ``new_df`` whose text
     digest already exists in ``seen_digests`` (one ``digest`` column —
@@ -1700,6 +1701,19 @@ def dedup_incremental(
     fits (Catalyst auto-selects), shuffled hash join otherwise; never
     a rescan of the historical corpus, which is the point: the index
     is ~32 bytes/doc while the corpus is ~100 KB/doc.
+
+    ``broadcast_probe=True`` is the bounded-batch-vs-unbounded-history
+    shape (the streaming-ingest default): a shuffled anti-join would
+    EXCHANGE the full index every batch (~32 GB at 10^9 docs, forever),
+    because an anti-join can only broadcast its right side and the
+    index outgrows that early.  Instead the batch's distinct digests
+    (bounded by the trigger) are broadcast INTO an inner probe of the
+    index — the index crosses the plan as a SCAN ONLY, zero exchange,
+    zero sort — and the batch anti-joins against the (batch-sized) hit
+    set, also broadcast.  Same verdicts, duplicate-indifferent on both
+    sides; costs one extra evaluation of the batch's digest projection
+    (micro-batches are bounded; the history side is what must not pay
+    per-batch costs).  Pinned by the ingest plan-spy test.
 
     Determinism: ``order_by`` NULLs raise in-plan (a NULL key cannot
     be totally ordered); ``order_by`` ties — identical text by
@@ -1715,11 +1729,20 @@ def dedup_incremental(
     # point a distinct here is a ~32 GB full-index exchange per batch
     # for nothing (the streaming-ingest path reads this index every
     # micro-batch)
-    fresh = keyed.join(
-        seen_digests.select(digest_field),
-        digest_field,
-        "left_anti",
-    )
+    if broadcast_probe:
+        probe = keyed.select(digest_field).distinct()
+        hits = (
+            seen_digests.select(digest_field)
+            .join(F.broadcast(probe), digest_field)
+            .distinct()
+        )
+        fresh = keyed.join(F.broadcast(hits), digest_field, "left_anti")
+    else:
+        fresh = keyed.join(
+            seen_digests.select(digest_field),
+            digest_field,
+            "left_anti",
+        )
     # batch-internal dedup: first row (by order_by) per digest within
     # the new batch — row_number()==1 compiles to a WindowGroupLimit
     # (partial per-group limit below the exchange).  Totality of the
@@ -1838,6 +1861,7 @@ def dedup_incremental_fuzzy(
     rows_per_band: int = 4,
     hash_fn: str = "md5",
     verify_threshold: Optional[float] = None,
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """Append-only ingestion NEAR-dedup: drop rows of ``new_df`` whose
     MinHash band keys collide with the running ``seen_bands`` index
@@ -1904,6 +1928,18 @@ def dedup_incremental_fuzzy(
     recomputations of the input chain; measured 6x slower on the
     sample_mix gate chain.)  Nothing touches the historical corpus.
 
+    ``broadcast_probe=True`` is the bounded-batch-vs-unbounded-history
+    shape (the streaming-ingest default): once the band index outgrows
+    the auto-broadcast limit, the indicator LEFT join would EXCHANGE
+    the full index every batch (~144 GB of band keys at 10^9 docs,
+    forever).  Instead the batch's distinct ``(band, key)`` set
+    (bounded by the trigger) is broadcast INTO an inner probe of the
+    index — the index crosses the plan as a SCAN ONLY — and the
+    indicator joins against the (batch-sized, distinct) hit-key set,
+    also broadcast, which keeps the indicator join itself a broadcast
+    join on the batch side.  Same verdicts; costs one extra evaluation
+    of the slim band projection (three upstream evaluations total).
+
     Survivors keep their ``signature_field`` column so
     ``with_minhash_bands(survivors)`` extends the index without
     re-shingling.
@@ -1951,9 +1987,18 @@ def dedup_incremental_fuzzy(
     # row duplication, and __nb__ counts DISTINCT (band, key) slots
     # per doc (collect_set inside the same per-id window — no extra
     # exchange) rather than joined rows.
-    index = seen_bands.select("band", "key").withColumn(
-        "__hit__", F.lit(1)
-    )
+    if broadcast_probe:
+        probe = doc_bands.select("band", "key").distinct()
+        index = F.broadcast(
+            seen_bands.select("band", "key")
+            .join(F.broadcast(probe), ["band", "key"])
+            .distinct()
+            .withColumn("__hit__", F.lit(1))
+        )
+    else:
+        index = seen_bands.select("band", "key").withColumn(
+            "__hit__", F.lit(1)
+        )
     from pyspark.sql.window import Window
 
     marked = doc_bands.join(index, ["band", "key"], "left").withColumn(

@@ -54,23 +54,52 @@ def _with_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "filter_project",
     oracle="""
-    SELECT event_id AS id, user_id, event_type, ROUND(value, 6) AS val
+    SELECT event_id AS id, user_id, event_type, ROUND(value, 6) AS val,
+           event_type AS g_et, user_id AS g_uid,
+           to_json(flatten([[event_type], [CAST(user_id AS VARCHAR)]]))
+               AS pair
     FROM events WHERE value >= 50.0 AND contains(event_type, 'i')
     """,
 )
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FilterMapper (numeric >= AND 'in'/contains semantics) >>
-    ChangeFieldsMapper >> RenameFieldsMapper.  Family gate: also
-    certifies the former ``filter_in_contains`` gate's substring
-    operator (folded in round 5 to stay under the driver's 50-query
-    cap)."""
+    GlomMapper >> FlattenMapper >> ChangeFieldsMapper >>
+    RenameFieldsMapper.  Family gate: also certifies the former
+    ``filter_in_contains`` gate's substring operator (folded in round
+    5) and — since round 9, when ``glom_path`` rotated out to free a
+    slot for ``streaming_ingest_dedup`` under the driver's 50-query
+    cap — GlomMapper's native tuple/dotted path tiers (``g_et`` /
+    ``g_uid``) and FlattenMapper (``pair``)."""
+    from ..operators.glom import GlomMapper
+    from ..operators.shape import FlattenMapper
+
+    df = load(spark, sf_dir, "events").withColumn(
+        "meta",
+        F.struct(
+            F.col("event_type").alias("l"),
+            F.struct(F.col("user_id").alias("s")).alias("inner"),
+        ),
+    ).withColumn(
+        "pair",
+        F.array(
+            F.array("event_type"),
+            F.array(F.col("user_id").cast("string")),
+        ),
+    )
     pipe = (
         FilterMapper("value", ">=", 50.0)
         >> FilterMapper("event_type", "in", "i")
-        >> ChangeFieldsMapper(keep_fields=["event_id", "user_id", "event_type", "value"])
+        >> GlomMapper({"g_et": ("meta", "l"), "g_uid": "meta.inner.s"})
+        >> FlattenMapper("pair")
+        >> ChangeFieldsMapper(
+            keep_fields=[
+                "event_id", "user_id", "event_type", "value",
+                "g_et", "g_uid", "pair",
+            ]
+        )
         >> RenameFieldsMapper({"event_id": "id", "value": "val"})
     )
-    out = pipe.map(load(spark, sf_dir, "events"))
+    out = pipe.map(df)
     return out.withColumn("val", F.round("val", 6))
 
 

@@ -126,34 +126,86 @@ def q_strider_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "glom_path",
+    "streaming_ingest_dedup",
     oracle="""
-    SELECT doc_id, lang AS glang, source AS gsrc,
-           to_json(flatten([[lang], [source]])) AS pair
-    FROM documents
+    WITH b0 AS (
+        SELECT 0 AS batch, doc_id, text FROM documents
+        WHERE doc_id % 3 = 0
+    ), b1 AS (
+        SELECT 1 AS batch, doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        -- reposts of half of batch 0's content (history drops)
+        SELECT 1, doc_id + 2000000, text FROM documents
+        WHERE doc_id % 6 = 0
+    ), b2 AS (
+        SELECT 2 AS batch, doc_id + 3000000 AS doc_id, text
+        FROM documents WHERE doc_id % 3 = 2
+        UNION ALL
+        -- reposts of batch-1 content, read against the COMPACTED index
+        SELECT 2, doc_id + 4000000, text FROM documents
+        WHERE doc_id % 6 = 1
+    ), allb AS (
+        SELECT * FROM b0 UNION ALL SELECT * FROM b1
+        UNION ALL SELECT * FROM b2
+    )
+    SELECT CAST(batch AS BIGINT) AS batch, doc_id FROM (
+        SELECT batch, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY md5(text) ORDER BY batch, doc_id) AS rn
+        FROM allb
+    ) WHERE rn = 1
     """,
 )
-def q_glom_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GlomMapper native tier: tuple path and dotted path over nested
-    structs compile to plain column accesses.  Family gate: the
-    ``pair`` column certifies FlattenMapper (the former
-    ``flatten_nested`` gate, folded in round 5 to free a slot under
-    the driver's 50-query cap)."""
-    from ..operators.glom import GlomMapper
-    from ..operators.shape import FlattenMapper
+def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-ingest composition (streaming/ingest.py) gated
+    end-to-end on its EXACT path: three document micro-batches — with
+    deterministic cross-batch reposts — scrubbed sequentially by
+    ``ingest_dedup_batch`` against the persistent parquet digest
+    index, with a ``compact_ingest_state`` between batches 1 and 2 so
+    batch 2 reads through the r9 tail-union path (compacted
+    ``batch=-1`` unioned AS-IS + distinct over the un-compacted tail).
+    Sequential semantics = global first-wins per content digest by
+    (batch, doc_id), which is exactly what the oracle replays
+    (ROW_NUMBER over md5(text)).  The fuzzy path's SQL replay lives in
+    the ``sample_mix`` gate; the foreachBatch wiring, retry exclusion,
+    and crash-duplicate tolerance are pinned by
+    tests/test_multimodal_streaming.py (rotated into the registry in
+    round 9 — ``glom_path`` folded into ``filter_project``)."""
+    import shutil
+    import tempfile
 
-    df = load(spark, sf_dir, "documents").withColumn(
-        "meta",
-        F.struct(
-            F.col("lang").alias("l"),
-            F.struct(F.col("source").alias("s")).alias("inner"),
-        ),
-    ).withColumn("pair", F.array(F.array("lang"), F.array("source")))
-    out = GlomMapper(
-        {"glang": ("meta", "l"), "gsrc": "meta.inner.s"}
-    ).map(df)
-    out = FlattenMapper("pair").map(out)
-    return out.select("doc_id", "glang", "gsrc", "pair")
+    from ..streaming.ingest import compact_ingest_state, ingest_dedup_batch
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shift = lambda df, k: df.withColumn(  # noqa: E731
+        "doc_id", F.col("doc_id") + F.lit(k)
+    )
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == 0),
+        shift(docs.filter(F.col("doc_id") % 3 == 1), 1_000_000)
+        .unionByName(shift(docs.filter(F.col("doc_id") % 6 == 0), 2_000_000)),
+        shift(docs.filter(F.col("doc_id") % 3 == 2), 3_000_000)
+        .unionByName(shift(docs.filter(F.col("doc_id") % 6 == 1), 4_000_000)),
+    ]
+    root = tempfile.mkdtemp(prefix="smashed_ingest_gate_")
+    state, out_dir = root + "/state", root + "/out"
+    try:
+        for i, b in enumerate(batches):
+            ingest_dedup_batch(
+                b, state, out_dir, batch_id=i, fuzzy=False
+            )
+            if i == 1:
+                # fold batch 0 into batch=-1; batch 2's index read
+                # exercises the tail-union path
+                compact_ingest_state(spark, state, fuzzy=False)
+        out = (
+            spark.read.parquet(out_dir)
+            .select(F.col("batch").cast("bigint").alias("batch"), "doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

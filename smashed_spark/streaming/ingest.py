@@ -25,8 +25,11 @@ only the un-compacted tail is distinct'd per batch).
 
 Each micro-batch N (1) reads the full compact index EXCLUDING its own
 ``batch=N`` partition (~180 GB of slim keys at 100 TB of history vs
-a rescan of the corpus itself — the whole point), (2) scrubs the
-batch against it with the batch operators,
+a rescan of the corpus itself — the whole point; the index is SCANNED
+once per batch and never exchanged: both dedup operators run with
+``broadcast_probe=True``, which broadcasts the bounded batch's key
+set into an index probe instead of shuffling the index into a join),
+(2) scrubs the batch against it with the batch operators,
 (3) OVERWRITES its own ``batch=N`` subdirectories.  Together these
 make a retried batch a pure replay: the overwrite rewrites the same
 paths instead of appending duplicates, and excluding the batch's own
@@ -147,7 +150,15 @@ def ingest_dedup_batch(
         exclude_batch=batch_id,
     )
     kept = dedup_incremental(
-        batch, digest_index, text_field=text_field, order_by=order_by
+        batch,
+        digest_index,
+        text_field=text_field,
+        order_by=order_by,
+        # bounded batch vs unbounded history: broadcast the batch's
+        # digest set into an index PROBE so the history index is
+        # scanned, never exchanged — the per-batch cost that must not
+        # grow with history
+        broadcast_probe=True,
     )
     words_added = False
     if fuzzy:
@@ -172,6 +183,7 @@ def ingest_dedup_batch(
             bands=bands,
             rows_per_band=rows_per_band,
             verify_threshold=verify_threshold,
+            broadcast_probe=True,
         )
     # one materialization feeds survivors AND both index extensions:
     # without it the (possibly expensive) dedup plan would evaluate
