@@ -1371,11 +1371,12 @@ def dedup_report(
     there: a cluster can span sources, so per-source cluster shapes
     are not well defined — run the global (one-row) report for them.
 
-    The global row also carries the running-index cost of keeping the
-    survivors dedupable forever (the streaming/ingest.py accounting):
+    Both views carry the running-index cost of keeping the survivors
+    dedupable forever (the streaming/ingest.py accounting):
     ``index_digest_bytes`` = 32 B per kept doc, and — when
     ``index_bands`` is set to the ingest pipeline's band count —
-    ``index_band_bytes`` = 36 B x bands per kept doc.
+    ``index_band_bytes`` = 36 B x bands per kept doc; the per-source
+    rows report each source's own contribution.
 
     Scale: ONE groupBy over a slim projection — on ``cluster_id``
     (global; folded into a single-row aggregate whose input is
@@ -1416,6 +1417,15 @@ def dedup_report(
                 *tok_aggs,
             )
         )
+        idx_cols = [
+            (F.col("__k__") * F.lit(32)).alias("index_digest_bytes")
+        ]
+        if index_bands is not None:
+            idx_cols.append(
+                (F.col("__k__") * F.lit(36 * int(index_bands))).alias(
+                    "index_band_bytes"
+                )
+            )
         return per_src.select(
             F.col(source_field).alias("source"),
             F.col("__sz__").alias("n_docs"),
@@ -1425,6 +1435,7 @@ def dedup_report(
             F.round(
                 (F.col("__sz__") - F.col("__k__")) / F.col("__sz__"), 6
             ).alias("dup_rate"),
+            *idx_cols,
         ).orderBy("source")
 
     cols = ["cluster_id", "is_kept"] + (
@@ -1890,19 +1901,15 @@ def dedup_incremental_fuzzy(
       span removal.  Deterministic: a pure function of the data, no
       partition-order dependence.  ``order_by`` must be a unique
       non-NULL key (duplicates would merge two docs into one decision
-      and fan the survivors join out) — enforced IN-PLAN at zero extra
-      cost: each doc explodes into exactly ``bands`` band rows, so a
-      doc's DISTINCT (band, key) slot count not equaling ``bands`` is
-      a loud ``raise_error``.  The distinct-slot formulation is what
-      makes the whole decision duplicate-tolerant on the INDEX side
-      (duplicate ``(band, key)`` index rows — e.g. from a crashed
-      ingest compaction — fan the indicator join without changing any
-      verdict or tripping the guard); its one blind spot is an
-      ``order_by`` value duplicated across BYTE-IDENTICAL documents
-      (identical band keys collapse to ``bands`` slots), which merges
-      them into one decision and fans the survivors join — run exact
-      dedup first (the ingest composition does) if ids can repeat
-      that way.
+      and fan the survivors join out) — enforced IN-PLAN: each doc
+      explodes into exactly ``bands`` band rows, so a PRE-join per-id
+      row count not equaling ``bands`` is a loud ``raise_error``.
+      Counting before the indicator join is what makes the decision
+      duplicate-tolerant on the INDEX side (duplicate ``(band, key)``
+      index rows — e.g. from a crashed ingest compaction — fan the
+      join without changing any verdict or tripping the guard) while
+      still catching every duplicate ``order_by``, byte-identical
+      documents included.
     * **Opt-in in-batch verification** (``verify_threshold``): history
       drops cannot verify (the index stores 36-byte band keys, not
       documents), but batch-internal collisions have BOTH documents in
@@ -1967,6 +1974,8 @@ def dedup_incremental_fuzzy(
             )
         ),
     ).otherwise(F.col(order_by))
+    from pyspark.sql.window import Window
+
     doc_bands = keyed.select(
         null_guard.alias("__id__"),
         F.explode(
@@ -1977,16 +1986,30 @@ def dedup_incremental_fuzzy(
         F.col("__bk__.band").alias("band"),
         F.col("__bk__.key").alias("key"),
     )
+    # the uniqueness guard's count runs PRE-join (each doc explodes
+    # into exactly `bands` rows, so >bands rows per id == duplicate
+    # order keys — byte-identical docs included): counting post-join
+    # rows would break under duplicate INDEX rows (they fan the join),
+    # and counting post-join distinct slots would go blind on
+    # byte-identical duplicate ids (identical band keys collapse).
+    # Cost: the per-id exchange this window needs is the same one the
+    # post-join per-id verdict window needs — a broadcast index join
+    # (small index via Catalyst, or any index via broadcast_probe)
+    # preserves the partitioning between them, so no extra exchange on
+    # those paths.  Only plain mode over an above-broadcast-limit
+    # index pays one extra exchange — the regime broadcast_probe
+    # exists for.
+    doc_bands = doc_bands.withColumn(
+        "__nb__", F.count(F.lit(1)).over(Window.partitionBy("__id__"))
+    )
     # no .distinct() on the index side: at the 100 TB design point
     # that is a ~144 GB full-band-index exchange per ingestion batch.
     # Duplicate (band, key) index rows — the shape a crashed ingest
-    # compaction legitimately leaves behind — instead become harmless
-    # by making every downstream aggregate duplicate-TOLERANT: a dup
-    # fans the left join out, but __dochit__ (max), __min__ (min) and
-    # __later__ (max of a per-row predicate) are all idempotent under
-    # row duplication, and __nb__ counts DISTINCT (band, key) slots
-    # per doc (collect_set inside the same per-id window — no extra
-    # exchange) rather than joined rows.
+    # compaction legitimately leaves behind — are instead harmless by
+    # construction: every post-join aggregate is duplicate-TOLERANT
+    # (a dup fans the left join out, but __dochit__ (max), __min__
+    # (min) and __later__ (max of a per-row predicate) are idempotent
+    # under row duplication, and __nb__ was counted before the join).
     if broadcast_probe:
         probe = doc_bands.select("band", "key").distinct()
         index = F.broadcast(
@@ -1999,8 +2022,6 @@ def dedup_incremental_fuzzy(
         index = seen_bands.select("band", "key").withColumn(
             "__hit__", F.lit(1)
         )
-    from pyspark.sql.window import Window
-
     marked = doc_bands.join(index, ["band", "key"], "left").withColumn(
         "__hit__", F.coalesce(F.col("__hit__"), F.lit(0))
     )
@@ -2009,11 +2030,6 @@ def dedup_incremental_fuzzy(
     per_id = Window.partitionBy("__id__")
     flagged = marked.withColumn(
         "__dochit__", F.max("__hit__").over(per_id)
-    ).withColumn(
-        "__nb__",
-        F.size(
-            F.collect_set(F.struct("band", "key")).over(per_id)
-        ),
     ).withColumn(
         "__min__",
         F.min(
@@ -2029,11 +2045,12 @@ def dedup_incremental_fuzzy(
     )
 
     def _guarded(cond: Column) -> Column:
-        # each doc explodes into exactly `bands` band rows, so a group
-        # holding a multiple of that means duplicate order_by values:
-        # two docs merged into one decision, and a survivors join that
-        # would fan out.  The guard roots the filter expression, so it
-        # evaluates for every group — zero extra cost, loud raise.
+        # each doc explodes into exactly `bands` band rows BEFORE the
+        # indicator join (where __nb__ is counted), so a multiple of
+        # that means duplicate order_by values: two docs merged into
+        # one decision, and a survivors join that would fan out.  The
+        # guard roots the filter expression, so it evaluates for every
+        # group — loud raise, exact multiplicity in the message.
         return F.when(
             F.col("__nb__") == F.lit(bands), cond
         ).otherwise(

@@ -1246,16 +1246,14 @@ def test_dedup_incremental_order_key_fail_fast(spark):
     """r7 wrong #4 + r9 duplicate-tolerant guard: a duplicate or NULL
     order_by must not silently degrade the window semantics (exact) or
     fan the survivors join out (fuzzy).  Fuzzy raises loudly in-plan
-    when a duplicate key merges DISTINCT docs into one decision (the
-    guard counts DISTINCT (band, key) slots per id, so it stays silent
-    under duplicate INDEX rows — the r9 duplicate-tolerance change —
-    and its one blind spot is an id duplicated across BYTE-IDENTICAL
-    docs, which collapse to the same slots; the ingest composition is
-    still safe because exact dedup runs first and collapses those).
-    Exact pins ties — which by construction share a digest, i.e.
-    identical text, the epoch-oversample shape — with the content-hash
-    tiebreak so the result is a pure function of the data.  NULL keys
-    raise on both paths."""
+    on EVERY duplicate order key — byte-identical documents included —
+    because the guard counts per-id band rows BEFORE the indicator
+    join, which also keeps it silent under duplicate INDEX rows (the
+    r9 duplicate-tolerance change; post-join formulations must pick
+    one or the other).  Exact pins ties — which by construction share
+    a digest, i.e. identical text, the epoch-oversample shape — with
+    the content-hash tiebreak so the result is a pure function of the
+    data.  NULL keys raise on both paths."""
     from smashed_spark.functions.dedup import (
         dedup_incremental,
         dedup_incremental_fuzzy,
@@ -1289,15 +1287,14 @@ def test_dedup_incremental_order_key_fail_fast(spark):
         ).collect()
     )
     assert pick1 == pick2 and len(pick1) == 2
-    # the documented blind spot: an id duplicated across BYTE-IDENTICAL
-    # docs collapses to exactly `bands` distinct slots, so the guard
-    # cannot fire — both rows ride one merged decision and the
-    # survivors join fans them back out (run exact dedup first, as the
-    # ingest composition does, if ids can repeat that way)
-    fanned = dedup_incremental_fuzzy(
-        dup.withColumn("words", F.split("text", " ")), empty_bands
-    )
-    assert sorted(r.doc_id for r in fanned.collect()) == [1, 1, 2]
+    # an id duplicated across BYTE-IDENTICAL docs raises too: the
+    # pre-join row count sees 2 x bands rows for the id (a post-join
+    # distinct-slot count would go blind here — identical docs share
+    # every band key)
+    with pytest.raises(Exception, match="not unique"):
+        dedup_incremental_fuzzy(
+            dup.withColumn("words", F.split("text", " ")), empty_bands
+        ).collect()
 
     withnull = spark.createDataFrame(
         [(None, "aaa bbb ccc"), (2, "xxx yyy zzz")],

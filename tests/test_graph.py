@@ -309,6 +309,15 @@ def test_dedup_report(spark):
     assert "n_dup_clusters" not in dedup_report(
         src_tagged, source_field="src"
     ).columns
+    # per-source rows report each source's own index contribution
+    rows_idx = {
+        r.source: r
+        for r in dedup_report(
+            src_tagged, source_field="src", index_bands=4
+        ).collect()
+    }
+    assert rows_idx["web"].index_digest_bytes == 3 * 32
+    assert rows_idx["books"].index_band_bytes == 2 * 36 * 4
     # ONE slim exchange: the per-source plan aggregates once
     per_src_plan = dedup_report(
         src_tagged, source_field="src"

@@ -248,6 +248,33 @@ def _ngram_choice(spark, sf_dir: str) -> str:
     return m._choose_method(df)
 
 
+
+def _second_decade(q: dict, t100: float, r100) -> None:
+    """Attach the 100x decomposition fields + verdict to a query's
+    result dict — shared by the deep-query loop and the custom
+    (simhash128 / semantic) runners so the verdict thresholds can
+    never drift between them."""
+    q["sec_100x"] = t100
+    q["rows_100x"] = r100
+    q["wall_ratio_100x"] = (
+        round(t100 / q["sec_1x"], 2) if q["sec_1x"] > 0 else None
+    )
+    q["second_decade_ratio"] = (
+        round(t100 / q["sec_10x"], 2) if q["sec_10x"] > 0 else None
+    )
+    sd = q["second_decade_ratio"]
+    q["verdict"] = (
+        f"second decade {sd}x per 10x data: "
+        + (
+            "sublinear (fixed overheads still amortizing)"
+            if sd is not None and sd < 8
+            else "near-linear — no quadratic term surfacing"
+            if sd is not None and sd <= 13
+            else "SUPERLINEAR — investigate before the next decade"
+        )
+    )
+
+
 def main() -> None:
     # usage: scale_probe.py [out.json] [query ...]
     #   extra args restrict the probed set (deep phase skipped when
@@ -490,27 +517,9 @@ def main() -> None:
         q = result["queries"][name]
         if name == "dedup_ngram_jaccard":
             q["method_100x"] = _ngram_choice(spark, deep_dir)
-        q["sec_100x"] = t100
-        q["rows_100x"] = r100
-        q["wall_ratio_100x"] = (
-            round(t100 / q["sec_1x"], 2) if q["sec_1x"] > 0 else None
-        )
         # decade-over-decade exponent: ratio of the second decade's
         # blowup to the first — ~x means cost grew x-fold per 10x data
-        q["second_decade_ratio"] = (
-            round(t100 / q["sec_10x"], 2) if q["sec_10x"] > 0 else None
-        )
-        sd = q["second_decade_ratio"]
-        q["verdict"] = (
-            f"second decade {sd}x per 10x data: "
-            + (
-                "sublinear (fixed overheads still amortizing)"
-                if sd is not None and sd < 8
-                else "near-linear — no quadratic term surfacing"
-                if sd is not None and sd <= 13
-                else "SUPERLINEAR — investigate before the next decade"
-            )
-        )
+        _second_decade(q, t100, r100)
         print(
             f"# {name}: 100x={t100}s ratio_vs_1x={q['wall_ratio_100x']} "
             f"second_decade={q['second_decade_ratio']} rows={r100}",
@@ -519,57 +528,26 @@ def main() -> None:
     if simhash128_selected:
         t100, r100 = run_simhash128(deep_dir, reps=1)
         q = result["queries"]["dedup_simhash_128"]
-        q["sec_100x"] = t100
-        q["rows_100x"] = r100
-        q["wall_ratio_100x"] = (
-            round(t100 / q["sec_1x"], 2) if q["sec_1x"] > 0 else None
-        )
-        q["second_decade_ratio"] = (
-            round(t100 / q["sec_10x"], 2) if q["sec_10x"] > 0 else None
-        )
-        sd = q["second_decade_ratio"]
-        q["verdict"] = (
-            f"second decade {sd}x per 10x data: "
-            + (
-                "sublinear (fixed overheads still amortizing)"
-                if sd is not None and sd < 8
-                else "near-linear — no quadratic term surfacing"
-                if sd is not None and sd <= 13
-                else "SUPERLINEAR — investigate before the next decade"
-            )
-        )
+        _second_decade(q, t100, r100)
         print(
             f"# dedup_simhash_128: 100x={t100}s "
-            f"second_decade={sd} rows={r100}",
+            f"second_decade={q['second_decade_ratio']} rows={r100}",
             file=sys.stderr,
         )
     if sem_selected:
         t100, r100 = run_sem(deep_dir, 800, reps=1)
         q = result["queries"]["semantic_dedup_scaledk"]
-        q["sec_100x"] = t100
-        q["rows_100x"] = r100
+        _second_decade(q, t100, r100)
         q["k_100x"] = 800
-        q["wall_ratio_100x"] = (
-            round(t100 / q["sec_1x"], 2) if q["sec_1x"] > 0 else None
-        )
-        q["second_decade_ratio"] = (
-            round(t100 / q["sec_10x"], 2) if q["sec_10x"] > 0 else None
-        )
-        sd = q["second_decade_ratio"]
-        q["verdict"] = (
-            f"second decade {sd}x per 10x data (k 80->800, constant "
-            "cell size): "
-            + (
-                "sublinear (fixed overheads still amortizing)"
-                if sd is not None and sd < 8
-                else "near-linear — no quadratic term surfacing"
-                if sd is not None and sd <= 13
-                else "SUPERLINEAR — investigate before the next decade"
-            )
+        # same thresholds as every other query; only the context note
+        # differs (the scaled-quantizer knob)
+        q["verdict"] = q["verdict"].replace(
+            "per 10x data:",
+            "per 10x data (k 80->800, constant cell size):",
         )
         print(
             f"# semantic_dedup_scaledk: 100x={t100}s "
-            f"second_decade={sd} rows={r100}",
+            f"second_decade={q['second_decade_ratio']} rows={r100}",
             file=sys.stderr,
         )
     shutil.rmtree(deep_dir, ignore_errors=True)
