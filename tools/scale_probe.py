@@ -486,11 +486,91 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # r9: the streaming-ingest design claim measured DIRECTLY — a
+    # FIXED batch (the base documents, word-tagged 'bq' so it is
+    # disjoint from every history and survivor counts stay constant)
+    # scrubbed by ingest_dedup_batch against 1x / 10x / 100x HISTORY
+    # indexes.  The design contract is per-batch cost tracking the
+    # BATCH, not the history: the index is scanned (broadcast_probe),
+    # never exchanged, and never is the historical corpus touched.
+    ingest_selected = not only or "ingest_history_sweep" in only
+
+    def run_ingest_sweep(doc_dir: str, reps: int = 2) -> float:
+        import tempfile as _tf
+
+        from pyspark.sql import functions as F
+
+        from smashed_spark.functions.dedup import (
+            with_digests,
+            with_minhash_bands,
+        )
+        from smashed_spark.streaming.ingest import ingest_dedup_batch
+
+        root = _tf.mkdtemp(prefix="smashed_ingest_sweep_")
+        hist = spark.read.parquet(f"{doc_dir}/documents.parquet")
+        # compacted-index shape (batch=-1), untimed one-time build
+        with_digests(hist).repartition(32).write.parquet(
+            f"{root}/state/digests/batch=-1"
+        )
+        with_minhash_bands(
+            hist.withColumn("words", F.split("text", " "))
+        ).repartition(32).write.parquet(f"{root}/state/bands/batch=-1")
+        batch = (
+            spark.read.parquet(f"{BASE}/documents.parquet")
+            .select("doc_id", "text")
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.lit("bq")),
+                    ),
+                    " ",
+                ),
+            )
+        )
+        best = -1.0
+        for _ in range(reps):
+            isolate()
+            t0 = time.perf_counter()
+            ingest_dedup_batch(
+                batch, f"{root}/state", f"{root}/out", batch_id=999983
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best < 0 else min(best, dt)
+        shutil.rmtree(root, ignore_errors=True)
+        return round(best, 3)
+
+    if ingest_selected:
+        s1 = run_ingest_sweep(BASE)
+        s10 = run_ingest_sweep(scaled_dir)
+        result["queries"]["ingest_history_sweep"] = {
+            "sec_hist_1x": s1,
+            "sec_hist_10x": s10,
+            "history_ratio_10x": round(s10 / s1, 2) if s1 > 0 else None,
+            "note": (
+                "FIXED 5k-doc batch vs growing history index "
+                "(exact digests + minhash bands, compacted batch=-1 "
+                "shape, full ingest_dedup_batch incl. survivor + "
+                "index writes); flat = per-batch cost is O(batch), "
+                "the never-rescan + scan-only-index design claim"
+            ),
+        }
+        print(
+            f"# ingest_history_sweep: hist_1x={s1}s hist_10x={s10}s",
+            file=sys.stderr,
+        )
+
     shutil.rmtree(scaled_dir, ignore_errors=True)
 
     # deep phase: one more decade for the steepest curves
     deep_sel = [q for q in DEEP_QUERIES if not only or q in only]
-    if not deep_sel and not sem_selected and not simhash128_selected:
+    if (
+        not deep_sel
+        and not sem_selected
+        and not simhash128_selected
+        and not ingest_selected
+    ):
         with open(out_json, "w") as f:
             json.dump(result, f, indent=1)
         print(json.dumps(result))
@@ -502,6 +582,9 @@ def main() -> None:
         file=sys.stderr,
     )
     deep_tables = {t for q in deep_sel for t in DEEP_TABLES[q]}
+    if ingest_selected:
+        # the history sweep's third point needs 100x documents
+        deep_tables.add("documents")
     if simhash128_selected:
         # r9: the 128-bit tier gets its second decade too (judge ask
         # #4) — same word-tagged documents blowup
@@ -532,6 +615,31 @@ def main() -> None:
         print(
             f"# dedup_simhash_128: 100x={t100}s "
             f"second_decade={q['second_decade_ratio']} rows={r100}",
+            file=sys.stderr,
+        )
+    if ingest_selected:
+        s100 = run_ingest_sweep(deep_dir, reps=1)
+        q = result["queries"]["ingest_history_sweep"]
+        q["sec_hist_100x"] = s100
+        flat = round(s100 / q["sec_hist_1x"], 2) if q["sec_hist_1x"] else None
+        q["history_flatness_100x"] = flat
+        q["verdict"] = (
+            f"fixed batch, 100x the history: {flat}x the per-batch "
+            "cost — "
+            + (
+                "FLAT (per-batch cost is O(batch): the index scan at "
+                "this scale is still noise against the batch work)"
+                if flat is not None and flat < 2
+                else "index-scan term visible but far from O(history) "
+                "(a rescan design would be ~100x)"
+                if flat is not None and flat < 10
+                else "NOT FLAT — the per-batch index handling has an "
+                "O(history) term; investigate"
+            )
+        )
+        print(
+            f"# ingest_history_sweep: hist_100x={s100}s "
+            f"flatness={flat}",
             file=sys.stderr,
         )
     if sem_selected:
