@@ -9,19 +9,90 @@ cases AQE cannot re-plan:
   work spreads over ``num_salts`` reducers, then merge.  Only valid for
   algebraic aggregates (sum/count/min/max), which re-merge exactly.
 * ``salted_join`` — a skewed fact-side key joining a dimension too big
-  to broadcast: replicate each dimension row ``num_salts`` times and
-  scatter fact rows uniformly over the salt space, so one hot key's
-  rows land on ``num_salts`` tasks instead of one.
+  to broadcast: replicate dimension rows over the salt space and
+  scatter fact rows uniformly, so one hot key's rows land on
+  ``num_salts`` tasks instead of one.  With ``hot=...`` (the output of
+  :func:`hot_keys`) only the hot keys are salted — replication cost
+  drops from ``num_salts x |dim|`` to ``|dim| + (num_salts - 1) x
+  |hot dim rows|``, which is what makes salting affordable when the
+  dimension itself is large.
+* ``hot_keys`` — find the keys worth salting WITHOUT a full
+  groupBy-count of every key (at 100 TB that full-key exchange is
+  itself the bottleneck): one single-pass ``freqItems`` scan (Karp
+  et al. streaming majority — a treeAggregate with at most
+  ``1/support`` tracked items per partition, NO shuffle) yields a
+  guaranteed SUPERSET of the keys above the support threshold, then
+  one exact count over only the candidate-filtered rows confirms
+  them.  Deterministic output (the candidate pass may over-include
+  depending on partition order; the exact pass filters to the true
+  threshold either way).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SALT = "__salt__"
+
+#: join types whose semantics survive dimension-side replication: the
+#: fact side is preserved and every fact row sees the full dimension
+#: (each key's dim rows cover every salt).  right/full outer would
+#: emit UNMATCHED dimension rows once per salt replica — silently
+#: multiplied wrong results — so they are rejected loudly.
+_SALTABLE_JOINS = {
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "semi",
+    "left_anti", "leftanti", "anti", "cross",
+}
+
+
+def hot_keys(
+    df: DataFrame,
+    col: str,
+    support: float = 0.001,
+    exact: bool = True,
+) -> List:
+    """The keys appearing in at least ``support`` fraction of rows —
+    the salting candidates for :func:`salted_join` /
+    :func:`salted_groupby_agg`.
+
+    Scale: pass 1 is ``df.stat.freqItems`` — one scan, no shuffle, at
+    most ``1/support`` tracked items (Spark requires support >=
+    1e-4, i.e. <= 10k candidates — driver-bounded by construction).
+    Pass 2 confirms candidates with exact counts over ONLY the
+    candidate-filtered rows (predicate-pushed ``isin``; the exchange
+    carries at most the hot keys' rows, which is the skew being
+    diagnosed, map-side-combined down to one row per candidate).
+    ``exact=False`` skips pass 2 and returns the superset (single
+    scan, may over-salt a few cold keys — harmless, just wasted
+    replicas).  NULL keys are never returned (freqItems ignores them;
+    a NULL-heavy column is a data-quality problem, not a salting
+    target)."""
+    if not 1e-4 <= support < 1.0:
+        raise ValueError(
+            f"support must be in [1e-4, 1), got {support} — below "
+            "1e-4 the freqItems candidate map (1/support entries per "
+            "partition) stops being driver-bounded"
+        )
+    cands = [
+        c for c in df.stat.freqItems([col], support).collect()[0][0]
+        if c is not None
+    ]
+    if not exact or not cands:
+        return sorted(cands)
+    total = df.count()
+    counts = (
+        df.filter(F.col(col).isin(cands))
+        .groupBy(col)
+        .count()
+        .collect()
+    )
+    return sorted(
+        r[0] for r in counts if r["count"] >= support * total
+    )
 
 _PARTIAL = {
     "sum": F.sum,
@@ -77,15 +148,58 @@ def salted_join(
     num_salts: int = 16,
     how: str = "inner",
     seed: int = 42,
+    hot: Optional[Sequence] = None,
 ) -> DataFrame:
-    """Skew-resistant equi-join: the dimension side is replicated
-    ``num_salts`` times (cost: num_salts x |dim|), the fact side is
-    scattered uniformly, and the join key becomes (key, salt)."""
-    salts = F.explode(
-        F.sequence(F.lit(0), F.lit(num_salts - 1))
-    ).alias(_SALT)
-    dim_salted = dim.select("*", salts)
-    fact_salted = fact.withColumn(
-        _SALT, (F.rand(seed) * num_salts).cast("int")
-    )
+    """Skew-resistant equi-join: dimension rows are replicated over
+    the salt space, fact rows scattered uniformly, and the join key
+    becomes (key, salt).
+
+    ``hot`` (e.g. the output of :func:`hot_keys`) switches to
+    TARGETED salting: only rows whose key is in ``hot`` are
+    salted/replicated — cold fact rows take salt 0 and cold dim rows
+    exist only at salt 0, so replication cost is ``|dim| +
+    (num_salts - 1) x |hot dim rows|`` instead of ``num_salts x
+    |dim|``.  An empty ``hot`` list degenerates to the plain join
+    shape (everything at salt 0).
+
+    Join-type guard (r9): only fact-preserving types are accepted —
+    a right/full outer join would emit every UNMATCHED dimension row
+    once per salt replica, silently multiplying results.
+    """
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALTABLE_JOINS
+    }:
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-preserving — an "
+            "unmatched dimension row would be emitted once per salt "
+            "replica (num_salts x wrong results). Use inner/left/"
+            "semi/anti, or salt the other side by swapping the "
+            "arguments."
+        )
+    if hot is None:
+        salts = F.explode(
+            F.sequence(F.lit(0), F.lit(num_salts - 1))
+        ).alias(_SALT)
+        dim_salted = dim.select("*", salts)
+        fact_salted = fact.withColumn(
+            _SALT, (F.rand(seed) * num_salts).cast("int")
+        )
+    else:
+        hot = list(hot)
+        is_hot = F.col(on).isin(hot) if hot else F.lit(False)
+        dim_salted = dim.select(
+            "*",
+            F.explode(
+                F.when(
+                    is_hot,
+                    F.sequence(F.lit(0), F.lit(num_salts - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ).alias(_SALT),
+        )
+        fact_salted = fact.withColumn(
+            _SALT,
+            F.when(
+                is_hot, (F.rand(seed) * num_salts).cast("int")
+            ).otherwise(F.lit(0)),
+        )
     return fact_salted.join(dim_salted, [on, _SALT], how).drop(_SALT)

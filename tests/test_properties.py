@@ -383,3 +383,75 @@ def test_incremental_fuzzy_dedup_invariants(spark):
         with_minhash_bands(kept.drop("words", "text"))
     ).distinct()
     assert dedup_incremental_fuzzy(kept.drop("minhash"), index2).count() == 0
+
+
+def test_broadcast_probe_mode_parity_property(spark):
+    """Random corpora, random index slices, DUPLICATED index rows:
+    the broadcast-probe mode (index scanned, batch keys broadcast into
+    a probe — the streaming-ingest default) must produce exactly the
+    plain mode's survivors on BOTH incremental operators, and both
+    modes must tolerate duplicate index rows unchanged."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from smashed_spark.functions.dedup import (
+        dedup_incremental,
+        dedup_incremental_fuzzy,
+        with_digests,
+        with_minhash_bands,
+    )
+
+    rng = random.Random(91)
+    vocab = [f"w{i}" for i in range(50)]
+    bases = [
+        [rng.choice(vocab) for _ in range(rng.randint(10, 25))]
+        for _ in range(10)
+    ]
+    rows = []
+    for i in range(90):
+        w = list(rng.choice(bases))
+        for _ in range(rng.randint(0, 2)):
+            w[rng.randrange(len(w))] = rng.choice(vocab)
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(
+        rows, "doc_id: bigint, text: string"
+    ).withColumn("words", F.split("text", " "))
+    history = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+
+    dig = with_digests(history)
+    bandix = with_minhash_bands(history)
+    # crash-shaped duplicates: every index row twice + a few thrice
+    dig_dup = dig.unionByName(dig).unionByName(dig.limit(3))
+    band_dup = bandix.unionByName(bandix).unionByName(bandix.limit(5))
+
+    for idx in (dig, dig_dup):
+        plain = sorted(
+            r.doc_id
+            for r in dedup_incremental(
+                batch, idx, broadcast_probe=False
+            ).collect()
+        )
+        probed = sorted(
+            r.doc_id
+            for r in dedup_incremental(
+                batch, idx, broadcast_probe=True
+            ).collect()
+        )
+        assert plain == probed and len(plain) > 0
+
+    for idx in (bandix, band_dup):
+        plain = sorted(
+            r.doc_id
+            for r in dedup_incremental_fuzzy(
+                batch, idx, broadcast_probe=False
+            ).collect()
+        )
+        probed = sorted(
+            r.doc_id
+            for r in dedup_incremental_fuzzy(
+                batch, idx, broadcast_probe=True
+            ).collect()
+        )
+        assert plain == probed and len(plain) > 0

@@ -48,3 +48,94 @@ def test_salted_groupby_rejects_nonalgebraic():
 
     with pytest.raises(ValueError):
         salted_groupby_agg(None, ["k"], {"a": ("v", "avg")})
+
+
+def test_hot_keys_exact_and_superset(spark):
+    """r9: hot_keys finds exactly the keys at/above the support
+    threshold (python Counter replay), the inexact mode returns a
+    superset, NULLs are never candidates, and support below the
+    freqItems bound raises."""
+    import random
+
+    import pytest
+
+    from smashed_spark.core.skew import hot_keys
+
+    rng = random.Random(7)
+    # Zipf-ish: key 0 ~50%, key 1 ~25%, tail uniform over 100 keys
+    rows = []
+    for i in range(4000):
+        r = rng.random()
+        k = 0 if r < 0.5 else (1 if r < 0.75 else rng.randint(2, 101))
+        rows.append((k,))
+    rows += [(None,)] * 40
+    df = spark.createDataFrame(rows, "k: bigint")
+
+    from collections import Counter
+
+    counts = Counter(k for (k,) in rows if k is not None)
+    total = len(rows)
+    support = 0.05
+    want = sorted(k for k, c in counts.items() if c >= support * total)
+    got = hot_keys(df, "k", support=support)
+    assert got == want and 0 in got and 1 in got
+
+    # superset mode: single pass, must contain every true hot key
+    approx = hot_keys(df, "k", support=support, exact=False)
+    assert set(want) <= set(approx)
+    assert None not in approx
+
+    # partition invariance of the exact result
+    assert hot_keys(df.repartition(13), "k", support=support) == want
+
+    with pytest.raises(ValueError, match="support"):
+        hot_keys(df, "k", support=1e-5)
+
+
+def test_salted_join_targeted_hot_keys(spark):
+    """r9: hot-targeted salting must join identically to the plain
+    join (inner / left / anti), replicate ONLY hot dimension rows,
+    and reject non-fact-preserving join types (an unmatched dim row
+    would otherwise be emitted once per salt replica)."""
+    import pytest
+
+    from smashed_spark.core.skew import hot_keys, salted_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 10 if i % 3 else 0) for i in range(3000)],
+        "row_id: bigint, k: bigint",
+    )
+    # dim covers keys 0..7 only -> keys 8,9 unmatched on the fact side
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(8)], "k: bigint, name: string"
+    )
+    hot = hot_keys(fact, "k", support=0.2)
+    assert hot == [0]  # ~2/3 of fact rows carry key 0
+
+    for how in ("inner", "left", "left_anti"):
+        direct = fact.join(dim, "k", how)
+        salted = salted_join(fact, dim, "k", how=how, hot=hot)
+        dcols = sorted(direct.columns)
+        assert sorted(salted.columns) == dcols
+        assert sorted(
+            tuple(r[c] for c in dcols) for r in direct.collect()
+        ) == sorted(
+            tuple(r[c] for c in dcols) for r in salted.collect()
+        ), how
+
+    # empty hot list degenerates to the plain join
+    assert salted_join(
+        fact, dim, "k", hot=[]
+    ).count() == fact.join(dim, "k").count()
+
+    # full replication still works and agrees
+    assert salted_join(fact, dim, "k").count() == fact.join(
+        dim, "k"
+    ).count()
+
+    # non-fact-preserving types raise loudly in BOTH modes
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(fact, dim, "k", how=how)
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(fact, dim, "k", how=how, hot=hot)
