@@ -1025,3 +1025,55 @@ def test_ingest_broadcast_probe_never_exchanges_index(spark, tmp_path):
         ).collect()
     )
     assert 10 not in got  # history drop survives the mode change
+
+
+def test_ingest_dedup_batch_stats(spark, tmp_path):
+    """r9: opt-in per-batch stats — the numbers an ingestion pipeline
+    logs: input/survivor/dropped counts and the EXACT index growth
+    committed (growth, never total: counting the total index would be
+    the O(history) per-batch scan the module's design removes).
+    Python-replayed, and a retried batch reports identical stats."""
+    from smashed_spark.streaming.ingest import ingest_dedup_batch
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(25))),
+            (1, " ".join(f"w{i}" for i in range(25))),  # in-batch dup
+            (2, " ".join(f"u{i}" for i in range(25))),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    s0 = ingest_dedup_batch(b0, state, out, batch_id=0, return_stats=True)
+    assert s0["n_input"] == 3 and s0["n_survivors"] == 2
+    assert s0["n_dropped"] == 1
+    assert s0["index_digest_bytes_added"] == 2 * 32
+    # 2 survivors x 4 bands, all distinct band keys
+    assert s0["index_band_rows_added"] == 8
+    assert s0["index_band_bytes_added"] == 8 * 36
+
+    b1 = spark.createDataFrame(
+        [
+            (10, " ".join(f"w{i}" for i in range(25))),  # repost of 0
+            (11, " ".join(f"v{i}" for i in range(25))),  # fresh
+        ],
+        "doc_id: bigint, text: string",
+    )
+    s1 = ingest_dedup_batch(b1, state, out, batch_id=1, return_stats=True)
+    assert s1 == {
+        "batch_id": 1,
+        "n_input": 2,
+        "n_survivors": 1,
+        "n_dropped": 1,
+        "index_digest_rows_added": 1,
+        "index_digest_bytes_added": 32,
+        "index_band_rows_added": 4,
+        "index_band_bytes_added": 4 * 36,
+    }
+    # retry reports the same stats (replay exclusion)
+    assert ingest_dedup_batch(
+        b1, state, out, batch_id=1, return_stats=True
+    ) == s1
+    # default stays stats-free (no extra input evaluation)
+    assert ingest_dedup_batch(b1, state, out, batch_id=1) is None
