@@ -6,8 +6,9 @@ cases AQE cannot re-plan:
 
 * ``salted_groupby_agg`` — a hot grouping key whose single reducer
   becomes the straggler: pre-aggregate on (key, salt) so the hot key's
-  work spreads over ``num_salts`` reducers, then merge.  Only valid for
-  algebraic aggregates (sum/count/min/max), which re-merge exactly.
+  work spreads over ``num_salts`` reducers, then merge.  Only valid
+  for algebraic aggregates (sum/count/min/max, and avg via an exact
+  sum+count decomposition), which re-merge exactly.
 * ``salted_join`` — a skewed fact-side key joining a dimension too big
   to broadcast: replicate dimension rows over the salt space and
   scatter fact rows uniformly, so one hot key's rows land on
@@ -62,15 +63,22 @@ def hot_keys(
     Scale: pass 1 is ``df.stat.freqItems`` — one scan, no shuffle, at
     most ``1/support`` tracked items (Spark requires support >=
     1e-4, i.e. <= 10k candidates — driver-bounded by construction).
-    Pass 2 confirms candidates with exact counts over ONLY the
-    candidate-filtered rows (predicate-pushed ``isin``; the exchange
-    carries at most the hot keys' rows, which is the skew being
-    diagnosed, map-side-combined down to one row per candidate).
-    ``exact=False`` skips pass 2 and returns the superset (single
-    scan, may over-salt a few cold keys — harmless, just wasted
-    replicas).  NULL keys are never returned (freqItems ignores them;
-    a NULL-heavy column is a data-quality problem, not a salting
-    target)."""
+    Pass 2 confirms candidates with ONE grouped scan: every
+    non-candidate key folds into a single overflow bucket, so the
+    exchange carries at most ``len(candidates) + 1`` rows per
+    partition (map-side combine) and the bucket sum doubles as the
+    exact row total — no separate ``count()`` scan.  ``exact=False``
+    skips pass 2 and returns the superset (single scan, may over-salt
+    a few cold keys — harmless, just wasted replicas).  NULL keys are
+    never returned (freqItems ignores them; a NULL-heavy column is a
+    data-quality problem, not a salting target).
+
+    Threshold arithmetic: a key qualifies when ``count >= support *
+    total`` with a 1e-12 relative tolerance — IEEE rounding of the
+    product must not drop a key sitting exactly at the promised
+    fraction (0.07 * 166500 evaluates to 11655.000000000002)."""
+    import math
+
     if not 1e-4 <= support < 1.0:
         raise ValueError(
             f"support must be in [1e-4, 1), got {support} — below "
@@ -83,15 +91,19 @@ def hot_keys(
     ]
     if not exact or not cands:
         return sorted(cands)
-    total = df.count()
-    counts = (
-        df.filter(F.col(col).isin(cands))
-        .groupBy(col)
+    bucketed = (
+        df.groupBy(
+            F.when(F.col(col).isin(cands), F.col(col)).alias("__k__")
+        )
         .count()
         .collect()
     )
+    total = sum(r["count"] for r in bucketed)
+    thresh = math.ceil(support * total * (1 - 1e-12))
     return sorted(
-        r[0] for r in counts if r["count"] >= support * total
+        r["__k__"]
+        for r in bucketed
+        if r["__k__"] is not None and r["count"] >= thresh
     )
 
 _PARTIAL = {
@@ -117,28 +129,51 @@ def salted_groupby_agg(
     seed: int = 42,
 ) -> DataFrame:
     """Two-phase aggregation: ``agg_map`` maps output name ->
-    (column, one of 'sum'|'count'|'min'|'max')."""
+    (column, one of 'sum'|'count'|'min'|'max'|'avg').
+
+    ``avg`` (r9) is decomposed algebraically — per-salt partial
+    (sum, count) pairs, merged then divided — so it re-merges exactly
+    like the others (an average of per-salt averages would weight
+    salts, not rows, and be wrong).  NULLs behave like Spark's
+    ``avg``: they contribute to neither sum nor count.
+    """
     for _, (_, fn) in agg_map.items():
-        if fn not in _PARTIAL:
+        if fn not in _PARTIAL and fn not in ("avg", "mean"):
             raise ValueError(
                 f"unsupported aggregate '{fn}' — salting only re-merges "
-                "algebraic aggregates (sum/count/min/max)"
+                "algebraic aggregates (sum/count/min/max/avg)"
             )
     salted = df.withColumn(
         _SALT, (F.rand(seed) * num_salts).cast("int")
     )
-    partial = salted.groupBy(*group_cols, _SALT).agg(
-        *[
-            _PARTIAL[fn](col).alias(out)
-            for out, (col, fn) in agg_map.items()
-        ]
-    )
-    return partial.groupBy(*group_cols).agg(
-        *[
-            _MERGE[fn](out).alias(out)
-            for out, (_, fn) in agg_map.items()
-        ]
-    )
+    partials, merges, finals = [], [], []
+    for out, (col, fn) in agg_map.items():
+        if fn in ("avg", "mean"):
+            # sum/count pair; F.count(col) skips NULLs like avg does.
+            # The sum buffer is DOUBLE to match Spark's Average on
+            # non-decimal inputs — a native bigint sum could overflow
+            # (silently wrong in non-ANSI, ARITHMETIC_OVERFLOW in
+            # ANSI) where plain F.avg would not
+            partials += [
+                F.sum(F.col(col).cast("double")).alias(f"__{out}_s__"),
+                F.count(col).alias(f"__{out}_n__"),
+            ]
+            merges += [
+                F.sum(f"__{out}_s__").alias(f"__{out}_s__"),
+                F.sum(f"__{out}_n__").alias(f"__{out}_n__"),
+            ]
+            finals.append(
+                (F.col(f"__{out}_s__") / F.col(f"__{out}_n__")).alias(
+                    out
+                )
+            )
+        else:
+            partials.append(_PARTIAL[fn](col).alias(out))
+            merges.append(_MERGE[fn](out).alias(out))
+            finals.append(F.col(out))
+    partial = salted.groupBy(*group_cols, _SALT).agg(*partials)
+    merged = partial.groupBy(*group_cols).agg(*merges)
+    return merged.select(*group_cols, *finals)
 
 
 def salted_join(

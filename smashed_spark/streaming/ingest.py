@@ -138,16 +138,23 @@ def ingest_dedup_batch(
     body, also callable directly for a batch backfill.
 
     ``return_stats=True`` returns the per-batch numbers an ingestion
-    pipeline logs: input/survivor/dropped doc counts and the exact
-    index growth this batch commits.  Survivor-side counts are
-    near-free (the survivors are already materialized via
-    localCheckpoint); the input count is ONE extra evaluation of the
-    micro-batch plan — bounded by the trigger, but skipped by default
-    so the hot path stays single-evaluation.  Index GROWTH is reported
-    instead of total index size: counting the total would be an
-    O(history-index) scan per batch, the exact cost this module's
-    design removes (track the running total by summing the deltas, or
-    read it offline).
+    pipeline logs: input/survivor/dropped doc counts and the index
+    growth this batch commits.  ROW counts are exact; the ``*_bytes_``
+    fields are the module's 32 B/digest / 36 B/band-key LOGICAL
+    accounting convention (the same arithmetic as the module docstring
+    and ``dedup_report``), not on-disk parquet bytes — dictionary/RLE
+    encoding and compression make committed bytes smaller.
+    Survivor-side counts are near-free (the survivors are already
+    materialized via localCheckpoint); the input count is ONE extra
+    evaluation of the micro-batch plan — bounded by the trigger, but
+    skipped by default so the hot path stays single-evaluation.  Index
+    GROWTH is reported instead of total index size: counting the total
+    would be an O(history-index) scan per batch, the exact cost this
+    module's design removes (track the running total by summing the
+    deltas, or read it offline).  From the streaming entry point, pass
+    ``on_stats=`` to :func:`streaming_ingest_dedup` instead of
+    threading ``return_stats`` through ``batch_kwargs`` (the
+    foreachBatch body has nowhere to return a value to).
     """
     from ..functions.dedup import (
         dedup_incremental,
@@ -340,6 +347,7 @@ def streaming_ingest_dedup(
     checkpoint_dir: str,
     query_name: str = "ingest_dedup",
     available_now: bool = True,
+    on_stats=None,
     **batch_kwargs,
 ):
     """Run the ingestion-dedup composition over an unbounded document
@@ -352,17 +360,40 @@ def streaming_ingest_dedup(
     continuously with the default trigger.  ``batch_kwargs`` forward
     to :func:`ingest_dedup_batch` (fuzzy banding parameters,
     ``verify_threshold``, field names).
+
+    ``on_stats`` (a ``dict -> None`` callable) receives each batch's
+    :func:`ingest_dedup_batch` stats — the streaming equivalent of
+    ``return_stats=True``, whose dict a foreachBatch body has nowhere
+    to return to.  It runs on the DRIVER inside the micro-batch commit
+    (keep it cheap: log/emit, don't block).  Passing ``return_stats``
+    through ``batch_kwargs`` is rejected loudly: it would pay the
+    extra input evaluation every batch and silently discard the
+    numbers.
     """
     if not stream.isStreaming:
         raise ValueError(
             "streaming_ingest_dedup needs a streaming DataFrame; for "
             "batch data call ingest_dedup_batch directly"
         )
+    if "return_stats" in batch_kwargs:
+        raise ValueError(
+            "streaming_ingest_dedup: pass on_stats=<callable> instead "
+            "of return_stats — foreachBatch discards the body's return "
+            "value, so return_stats would cost the extra input "
+            "evaluation per batch and deliver nothing"
+        )
 
     def _body(batch: DataFrame, batch_id: int) -> None:
-        ingest_dedup_batch(
-            batch, state_dir, out_dir, batch_id, **batch_kwargs
+        stats = ingest_dedup_batch(
+            batch,
+            state_dir,
+            out_dir,
+            batch_id,
+            return_stats=on_stats is not None,
+            **batch_kwargs,
         )
+        if on_stats is not None:
+            on_stats(stats)
 
     writer = (
         stream.writeStream.queryName(query_name)

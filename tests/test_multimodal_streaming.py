@@ -1077,3 +1077,58 @@ def test_ingest_dedup_batch_stats(spark, tmp_path):
     ) == s1
     # default stays stats-free (no extra input evaluation)
     assert ingest_dedup_batch(b1, state, out, batch_id=1) is None
+
+
+def test_streaming_ingest_on_stats_callback(spark, tmp_path):
+    """r9 review fix: the streaming entry point surfaces per-batch
+    stats via on_stats (a foreachBatch body has nowhere to return
+    them), and passing return_stats through batch_kwargs is rejected
+    loudly instead of paying the extra evaluation and discarding the
+    numbers."""
+    from smashed_spark.streaming.ingest import streaming_ingest_dedup
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(25)))],
+        "doc_id: bigint, text: string",
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [
+            (10, " ".join(f"w{i}" for i in range(25))),  # repost
+            (11, " ".join(f"v{i}" for i in range(25))),  # fresh
+        ],
+        "doc_id: bigint, text: string",
+    ).coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+    seen = []
+    q = streaming_ingest_dedup(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="ingest_stats_probe",
+        on_stats=seen.append,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    assert len(seen) == 2
+    total = {
+        "n_input": sum(s["n_input"] for s in seen),
+        "n_survivors": sum(s["n_survivors"] for s in seen),
+    }
+    assert total == {"n_input": 3, "n_survivors": 2}
+    assert all("index_band_rows_added" in s for s in seen)
+
+    with pytest.raises(ValueError, match="on_stats"):
+        streaming_ingest_dedup(
+            stream,
+            str(tmp_path / "state2"),
+            str(tmp_path / "out2"),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            return_stats=True,
+        )

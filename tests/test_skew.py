@@ -47,7 +47,43 @@ def test_salted_groupby_rejects_nonalgebraic():
     import pytest
 
     with pytest.raises(ValueError):
-        salted_groupby_agg(None, ["k"], {"a": ("v", "avg")})
+        salted_groupby_agg(None, ["k"], {"a": ("v", "median")})
+
+
+def test_salted_groupby_avg_matches_direct(spark, sf_dir):
+    """r9: avg decomposes to per-salt (sum, count) pairs merged then
+    divided — exact under re-merge (averaging per-salt averages would
+    weight salts, not rows), NULL semantics identical to F.avg."""
+    df = load(spark, sf_dir, "events").withColumn(
+        "v_null",
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(
+            F.col("value")
+        ),
+    )
+    direct = df.groupBy("event_type").agg(
+        F.avg("value").alias("m"),
+        F.avg("v_null").alias("mn"),
+        F.sum("value").alias("t"),
+    )
+    salted = salted_groupby_agg(
+        df,
+        ["event_type"],
+        {
+            "m": ("value", "avg"),
+            "mn": ("v_null", "mean"),
+            "t": ("value", "sum"),
+        },
+    )
+    d = {
+        r.event_type: (round(r.m, 6), round(r.mn, 6), round(r.t, 6))
+        for r in direct.collect()
+    }
+    s = {
+        r.event_type: (round(r.m, 6), round(r.mn, 6), round(r.t, 6))
+        for r in salted.collect()
+    }
+    assert d == s
+    assert sorted(salted.columns) == ["event_type", "m", "mn", "t"]
 
 
 def test_hot_keys_exact_and_superset(spark):
@@ -110,7 +146,9 @@ def test_salted_join_targeted_hot_keys(spark):
         [(k, f"d{k}") for k in range(8)], "k: bigint, name: string"
     )
     hot = hot_keys(fact, "k", support=0.2)
-    assert hot == [0]  # ~2/3 of fact rows carry key 0
+    # key 0 carries 1200/3000 = 40% of fact rows (1000 via i%3==0 +
+    # 200 via i%10==0 with i%3!=0) — the only key above support=0.2
+    assert hot == [0]
 
     for how in ("inner", "left", "left_anti"):
         direct = fact.join(dim, "k", how)

@@ -507,38 +507,45 @@ def main() -> None:
         from smashed_spark.streaming.ingest import ingest_dedup_batch
 
         root = _tf.mkdtemp(prefix="smashed_ingest_sweep_")
-        hist = spark.read.parquet(f"{doc_dir}/documents.parquet")
-        # compacted-index shape (batch=-1), untimed one-time build
-        with_digests(hist).repartition(32).write.parquet(
-            f"{root}/state/digests/batch=-1"
-        )
-        with_minhash_bands(
-            hist.withColumn("words", F.split("text", " "))
-        ).repartition(32).write.parquet(f"{root}/state/bands/batch=-1")
-        batch = (
-            spark.read.parquet(f"{BASE}/documents.parquet")
-            .select("doc_id", "text")
-            .withColumn(
-                "text",
-                F.array_join(
-                    F.transform(
-                        F.split(F.col("text"), " "),
-                        lambda w: F.concat(w, F.lit("bq")),
+        try:
+            hist = spark.read.parquet(f"{doc_dir}/documents.parquet")
+            # compacted-index shape (batch=-1), untimed one-time build
+            with_digests(hist).repartition(32).write.parquet(
+                f"{root}/state/digests/batch=-1"
+            )
+            with_minhash_bands(
+                hist.withColumn("words", F.split("text", " "))
+            ).repartition(32).write.parquet(
+                f"{root}/state/bands/batch=-1"
+            )
+            batch = (
+                spark.read.parquet(f"{BASE}/documents.parquet")
+                .select("doc_id", "text")
+                .withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w: F.concat(w, F.lit("bq")),
+                        ),
+                        " ",
                     ),
-                    " ",
-                ),
+                )
             )
-        )
-        best = -1.0
-        for _ in range(reps):
-            isolate()
-            t0 = time.perf_counter()
-            ingest_dedup_batch(
-                batch, f"{root}/state", f"{root}/out", batch_id=999983
-            )
-            dt = time.perf_counter() - t0
-            best = dt if best < 0 else min(best, dt)
-        shutil.rmtree(root, ignore_errors=True)
+            best = -1.0
+            for _ in range(reps):
+                isolate()
+                t0 = time.perf_counter()
+                ingest_dedup_batch(
+                    batch, f"{root}/state", f"{root}/out",
+                    batch_id=999983,
+                )
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+        finally:
+            # a mid-rep failure must not leak up to 100x of index data
+            # into /tmp
+            shutil.rmtree(root, ignore_errors=True)
         return round(best, 3)
 
     if ingest_selected:
