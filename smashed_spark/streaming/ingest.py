@@ -267,13 +267,27 @@ def compact_ingest_state(
     ingestion loop needs (thousands of micro-batches otherwise leave
     thousands of KB-sized parquet files per index).
 
-    Crash-safe by construction: the consolidated partition is written
-    FIRST (overwrite), the per-batch partitions are removed after.  A
-    crash in between leaves duplicate index rows, which are harmless —
-    the exact path's LEFT ANTI join is duplicate-indifferent and the
-    fuzzy indicator join is duplicate-tolerant by design — and the
-    next compaction clears them (its read applies the full
-    ``.distinct()`` that per-batch reads deliberately avoid).  ``batch=-1`` is never a real micro-batch id, so the
+    Crash-safe by construction — write-to-sibling-then-swap (r9; the
+    earlier design localCheckpointed the full merged index to avoid
+    overwriting its own input, a ~180 GB block-manager materialization
+    at the 10^9-doc design point that a staging directory makes
+    unnecessary).  The ordering carries the safety; every crash window
+    leaves a fully usable index:
+
+    1. the merged, distinct index is written to a SIBLING staging dir
+       (outside the index root, so partition discovery never sees it;
+       a stale one from a prior crash is removed first) — a crash
+       here leaves only that harmless staging dir;
+    2. the old ``batch=-1`` is removed — a crash here loses only the
+       DERIVED partition: every folded ``batch=N`` source partition
+       still exists, so the index is complete;
+    3. the staging dir is renamed to ``batch=-1`` — a crash here
+       leaves rows duplicated across ``batch=-1`` and the folded
+       partitions, which the dedup operators tolerate by design and
+       the next compaction clears;
+    4. the folded per-batch partitions are removed.
+
+    ``batch=-1`` is never a real micro-batch id, so the
     retried-batch exclusion (``exclude_batch``) keeps working after
     compaction — and the LATEST real ``batch=N`` partition is always
     left uncompacted: foreachBatch commits serially, so only the
@@ -286,11 +300,12 @@ def compact_ingest_state(
     interleave (the batch could commit its partition after compaction
     listed the directory).
 
-    Directory listing/removal uses local-filesystem paths (the
+    Directory listing/rename/removal uses local-filesystem paths (the
     sandbox's storage); on object storage swap the ``os``/``shutil``
     calls for the Hadoop FileSystem API or your store's SDK — the
-    write-first/remove-after ordering is what carries the safety, not
-    the API.
+    stage/remove/rename/remove ORDERING is what carries the safety,
+    not the API.  (Object-store "rename" is a copy+delete; the crash
+    windows above still all resolve.)
     """
     import shutil
 
@@ -323,17 +338,20 @@ def compact_ingest_state(
             spark, root, schema, exclude_batch=keep_latest,
             full_distinct=True,
         )
-        # the read must complete before the overwrite touches its own
-        # input files: materialize via localCheckpoint (index rows are
-        # bytes-per-doc; even a 100 TB corpus's index fits a cluster's
-        # block managers, and production would write-to-new-dir-and-
-        # swap instead)
-        merged = merged.repartition(partitions).localCheckpoint(
-            eager=True
+        # (1) stage OUTSIDE the index root: the write never touches
+        # its own input, so no checkpoint/materialization is needed,
+        # and partition discovery on the root never sees the staging
+        # dir.  A stale staging dir from a prior crash is overwritten.
+        staging = os.path.join(state_dir, f"__compact_{name}__")
+        merged.repartition(partitions).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        # (2) + (3): swap the derived partition into place
+        shutil.rmtree(
+            os.path.join(root, "batch=-1"), ignore_errors=True
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(root, "batch=-1")
-        )
+        os.replace(staging, os.path.join(root, "batch=-1"))
+        # (4) remove the folded sources
         for n in old:
             shutil.rmtree(
                 os.path.join(root, f"batch={n}"), ignore_errors=True

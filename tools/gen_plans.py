@@ -602,6 +602,15 @@ auto-broadcast.  Three changes, each pinned by a plan-spy test:
    retry semantics); a deployment with a metastore can still register
    the compacted partition as a bucketed table and get scan-side
    co-location on top.
+4. **Staging-swap compaction** (late r9): ``compact_ingest_state``
+   writes the merged index to a SIBLING staging dir and swaps it into
+   ``batch=-1`` (stage / remove / rename / remove-sources ordering) —
+   the earlier design localCheckpointed the full merged index (~180 GB
+   in block managers at 10^9 docs) solely to avoid overwriting its own
+   input.  Every crash window resolves (stale staging consumed; a
+   missing ``batch=-1`` is re-derivable because the folded sources
+   outlive the swap; post-rename duplicates are tolerated by design) —
+   pinned by a crash-window test.
 
 ## Round-9 scale probes (judge ask #4: second decades)
 
