@@ -2119,3 +2119,253 @@ def dedup_incremental_fuzzy(
     return keyed.join(
         keep_ids.withColumnRenamed("__id__", order_by), order_by
     ).select(*keyed.columns)
+
+
+def with_semantic_cells(
+    df: DataFrame,
+    centroids,
+    vector_field: str = "embedding",
+) -> DataFrame:
+    """The ``(cell, vector)`` projection to append to a running
+    SEMANTIC-dedup index — the embedding analog of
+    :func:`with_digests` / :func:`with_minhash_bands`: ~``8 x dims``
+    bytes per document (64-dim: 512 B/doc, ~200x smaller than a
+    100 KB document).  Vectors are stored UNIT-NORMALIZED so the
+    per-batch scoring never re-normalizes history, and cells come from
+    the SAME injected quantizer every batch (fit once with
+    :func:`~smashed_spark.functions.similarity.fit_ivf_index`,
+    persist, inject — re-fitting per batch would silently shift cell
+    boundaries and make verdicts incomparable across batches).
+
+    Write it ``partitionBy("cell")`` (the
+    :func:`dedup_incremental_semantic` docstring's state layout): the
+    per-batch read filters to the batch's touched cells, and a
+    cell-partitioned layout turns that filter into partition pruning —
+    the untouched history is never even listed.
+    """
+    import numpy as np
+
+    from .similarity import assign_cells
+
+    mat = np.asarray(centroids, dtype=np.float64)
+    cents = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+    )
+    base = df.select(
+        F.transform(
+            F.col(vector_field), lambda x: x.cast("double")
+        ).alias("__v__")
+    ).withColumn("__id__", F.lit(0))
+    assigned = assign_cells(base, cents)
+    # unit-normalize JVM-side: v / sqrt(dot(v, v)), zero-norm kept as
+    # all-zero (cosine 0.0 to everything downstream)
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("__v__", "__v__", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = F.when(
+        norm > 0,
+        F.transform("__v__", lambda x: x / norm),
+    ).otherwise(F.col("__v__"))
+    return assigned.select(
+        F.col("__cell__").alias("cell"), unit.alias("vector")
+    )
+
+
+def dedup_incremental_semantic(
+    new_df: DataFrame,
+    seen_cells: DataFrame,
+    centroids,
+    vector_field: str = "embedding",
+    order_by: str = "vec_id",
+    threshold: float = 0.8,
+    max_cell_size: int = 50_000,
+    chunk: int = 256,
+) -> DataFrame:
+    """Append-only ingestion SEMANTIC dedup — the embedding analog of
+    :func:`dedup_incremental` (exact) and
+    :func:`dedup_incremental_fuzzy` (MinHash): drop rows of ``new_df``
+    whose embedding has cosine >= ``threshold`` to any indexed vector
+    in the SAME quantizer cell (``seen_cells``: ``(cell, vector)`` —
+    maintain it with :func:`with_semantic_cells`), then greedily
+    dedup the batch internally within cells.  Completes the dedup
+    matrix: exact / fuzzy / semantic, each in batch AND incremental
+    form, sharing one state discipline (slim per-doc index rows,
+    never a rescan of history).
+
+    Semantics (SemDeDup's approximation by construction, same as
+    :class:`SemanticNearDupPairsMapper`): only same-cell pairs are
+    compared — the quantizer is INJECTED (``fit_ivf_index`` once per
+    corpus version), because a per-batch re-fit would shift cell
+    boundaries and change verdicts retroactively.  Batch-internal
+    dedup is greedy first-wins by ``order_by`` with the conservative
+    over-drop convention shared with the fuzzy path: a later doc
+    similar to an EARLIER batch doc is dropped even if that earlier
+    doc was itself dropped.  ``order_by`` must be unique and non-NULL
+    (NULLs raise in-plan; duplicates raise via a count window on the
+    batch-sized keep flags before the survivors join — a duplicate
+    would merge two docs into one decision and fan the join).
+
+    Scale: the batch's cell assignment is one Arrow stage; the
+    history side is filtered to the batch's TOUCHED cells (at most
+    ``len(centroids)`` values, collected driver-side — one bounded
+    extra evaluation of the slim batch projection) — store the index
+    ``partitionBy("cell")`` and that filter becomes partition
+    pruning, so untouched history is never read, let alone shuffled.
+    ONE exchange on the cell key feeds a per-cell chunked float64
+    matmul (batch rows x (history + batch) rows — cost is
+    O(batch x cell occupancy), not O(history)); ``max_cell_size``
+    fails fast on a degenerate quantizer exactly like
+    ``SemanticNearDupPairsMapper``.  Survivors extend the index via
+    ``with_semantic_cells(survivors)`` with zero re-scoring.
+    """
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    from ..core.ship import ensure_shipped
+    from .similarity import assign_cells
+
+    mat = np.asarray(centroids, dtype=np.float64)
+    if mat.ndim != 2 or mat.shape[0] < 1 or mat.shape[1] < 1:
+        raise ValueError(
+            "centroids must be a non-empty rectangular matrix — fit "
+            "one with fit_ivf_index and persist it"
+        )
+    cents = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+    )
+    null_guard = F.when(
+        F.col(order_by).isNull(),
+        F.raise_error(
+            F.lit(
+                f"dedup_incremental_semantic: order_by {order_by!r} "
+                "has a NULL value; a NULL key cannot be totally "
+                "ordered and first-wins would be nondeterministic. "
+                "Filter or fill the key column."
+            )
+        ),
+    ).otherwise(F.col(order_by))
+    base = new_df.select(
+        null_guard.alias("__id__"),
+        F.transform(
+            F.col(vector_field), lambda x: x.cast("double")
+        ).alias("__v__"),
+    )
+    assigned = assign_cells(base, cents)
+    # touched cells: bounded by len(centroids) — the collect is what
+    # turns the history read into an isin partition-pruning filter
+    touched = [
+        r["__cell__"]
+        for r in assigned.select("__cell__").distinct().collect()
+    ]
+    if not touched:
+        return new_df  # empty batch
+    hist = (
+        seen_cells.filter(F.col("cell").isin(touched))
+        .select(
+            F.col("cell").alias("__cell__"),
+            F.col("vector").alias("__v__"),
+        )
+        .withColumn("__id__", F.lit(None).cast(
+            assigned.schema["__id__"].dataType
+        ))
+        .withColumn("__h__", F.lit(1))
+    )
+    both = assigned.select(
+        "__cell__", "__v__", "__id__"
+    ).withColumn("__h__", F.lit(0)).unionByName(hist)
+
+    thr = float(threshold)
+    cap = int(max_cell_size)
+    chk = int(chunk)
+
+    def cell_verdicts(pdf):
+        import pandas as _pd
+
+        n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"dedup_incremental_semantic: cell holds {n} vectors "
+                f"(> max_cell_size={cap}); refit the quantizer with "
+                "more centroids so cells stay scan-able"
+            )
+        bmask = pdf["__h__"].to_numpy() == 0
+        bat = pdf[bmask]
+        if len(bat) == 0:
+            return _pd.DataFrame({"__id__": [], "__keep__": []}).astype(
+                {"__keep__": "int32"}
+            )
+        order = bat["__id__"].to_numpy().argsort(kind="stable")
+        ids = bat["__id__"].to_numpy()[order]
+        bm = np.array(list(bat["__v__"].iloc[order]), dtype=np.float64)
+        bm /= np.maximum(
+            np.linalg.norm(bm, axis=1, keepdims=True), 1e-12
+        )
+        hp = pdf[~bmask]
+        hm = (
+            np.array(list(hp["__v__"]), dtype=np.float64)
+            if len(hp)
+            else np.zeros((0, bm.shape[1]))
+        )
+        if len(hm):
+            # stored unit-normalized, but re-normalizing is idempotent
+            # and guards hand-built indexes
+            hm /= np.maximum(
+                np.linalg.norm(hm, axis=1, keepdims=True), 1e-12
+            )
+        nb = len(bm)
+        keep = np.ones(nb, dtype=bool)
+        for s in range(0, nb, chk):
+            e = min(s + chk, nb)
+            if len(hm):
+                hs = bm[s:e] @ hm.T
+                keep[s:e] &= hs.max(axis=1) < thr
+            # batch-internal: similar to ANY earlier batch row
+            # (conservative over-drop, the fuzzy convention)
+            bs = bm[s:e] @ bm[:e].T
+            for i in range(s, e):
+                if i > 0 and bs[i - s, :i].max() >= thr:
+                    keep[i] = False
+        return _pd.DataFrame(
+            {"__id__": ids, "__keep__": keep.astype("int32")}
+        )
+
+    ensure_shipped(new_df.sparkSession)
+    id_type = assigned.schema["__id__"].dataType.simpleString()
+    flags = both.groupBy("__cell__").applyInPandas(
+        cell_verdicts, schema=f"__id__ {id_type}, __keep__ int"
+    )
+    # duplicate order keys fan the survivors join: raise via a count
+    # window over the BATCH-SIZED flags (same pattern as the fuzzy
+    # guard; cross-cell duplicates are visible here where the per-cell
+    # UDF cannot see them)
+    kcount = F.count(F.lit(1)).over(Window.partitionBy("__id__"))
+    flags = flags.withColumn(
+        "__keep__",
+        F.when(kcount == 1, F.col("__keep__")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"dedup_incremental_semantic: order_by "
+                        f"{order_by!r} is not unique (value "
+                    ),
+                    F.col("__id__").cast("string"),
+                    F.lit(" appears "),
+                    kcount.cast("string"),
+                    F.lit(
+                        " times); duplicate keys merge distinct docs "
+                        "into one dedup decision and fan the "
+                        "survivors join out. Dedup or re-key upstream."
+                    ),
+                )
+            )
+        ),
+    )
+    keep_ids = flags.filter(F.col("__keep__") == 1).select("__id__")
+    return new_df.join(
+        keep_ids.withColumnRenamed("__id__", order_by), order_by
+    ).select(*new_df.columns)

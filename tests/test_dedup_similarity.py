@@ -1641,3 +1641,134 @@ def test_dedup_incremental_tolerates_nested_map_columns(spark):
         r.doc_id for r in dedup_incremental(df, empty).collect()
     )
     assert got == [1, 2]
+
+
+def _np_unit(rows):
+    import numpy as np
+
+    m = np.array(rows, dtype=np.float64)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def test_dedup_incremental_semantic_replay(spark, tmp_path):
+    """r9: the semantic analog of dedup_incremental / _fuzzy — history
+    drop iff cosine >= threshold to any indexed vector in the SAME
+    cell; greedy first-wins batch dedup with the fuzzy path's
+    conservative over-drop convention.  Full python replay oracle,
+    partition invariance, idempotent ingestion, cell-partitioned
+    pruning plan-spy, NULL/duplicate key raises, cell-cap raise."""
+    import random
+
+    import numpy as np
+
+    from smashed_spark.functions.dedup import (
+        dedup_incremental_semantic,
+        with_semantic_cells,
+    )
+    from smashed_spark.functions.similarity import fit_ivf_index
+
+    rng = np.random.RandomState(17)
+    dims = 16
+    # two well-separated blobs so the quantizer forms clean cells
+    blob_a = rng.normal(0, 0.05, (40, dims)) + np.eye(dims)[0] * 3
+    blob_b = rng.normal(0, 0.05, (40, dims)) + np.eye(dims)[1] * 3
+    vecs = np.vstack([blob_a, blob_b])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<double>"
+    )
+    cents = fit_ivf_index(df, n_centroids=2, seed=3, max_iter=5)
+
+    history = df.filter(F.col("vec_id") % 4 == 0)
+    batch = df.filter(F.col("vec_id") % 4 != 0)
+    # cell-partitioned state, the documented layout
+    state = str(tmp_path / "sem")
+    with_semantic_cells(history, cents).write.partitionBy(
+        "cell"
+    ).parquet(state)
+    seen = spark.read.parquet(state)
+
+    thr = 0.9992  # inside-blob sims are ~0.999+; cross-blob ~0
+    kept = dedup_incremental_semantic(
+        batch, seen, cents, order_by="vec_id", threshold=thr
+    )
+    kept_ids = sorted(r.vec_id for r in kept.collect())
+
+    # ---- python replay of the documented contract ------------------
+    cmat = _np_unit(cents)
+    unit = _np_unit(vecs)
+    cell = np.argmax(unit @ cmat.T, axis=1)
+    hist_ids = [i for i in range(80) if i % 4 == 0]
+    batch_ids = [i for i in range(80) if i % 4 != 0]
+    want = []
+    for b in batch_ids:  # ascending == first-wins order
+        sims_h = [
+            float(unit[b] @ unit[h])
+            for h in hist_ids
+            if cell[h] == cell[b]
+        ]
+        if sims_h and max(sims_h) >= thr:
+            continue
+        if any(
+            cell[a] == cell[b] and float(unit[b] @ unit[a]) >= thr
+            for a in batch_ids
+            if a < b
+        ):
+            continue
+        want.append(b)
+    assert kept_ids == want and 0 < len(want) < len(batch_ids)
+
+    # partition invariance
+    kept2 = sorted(
+        r.vec_id
+        for r in dedup_incremental_semantic(
+            batch.repartition(7), seen, cents,
+            order_by="vec_id", threshold=thr,
+        ).collect()
+    )
+    assert kept2 == kept_ids
+
+    # idempotent ingestion: extend the index with the survivors and
+    # replay them — every one drops (cosine 1.0 to itself)
+    ext = with_semantic_cells(kept, cents)
+    seen_ext = seen.unionByName(ext)
+    assert dedup_incremental_semantic(
+        kept, seen_ext, cents, order_by="vec_id", threshold=thr
+    ).count() == 0
+
+    # plan-spy: the history read is partition-pruned to touched cells
+    plan = kept._sc._jvm.PythonSQLUtils.explainString(
+        kept._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell" in pf and pf.strip(), plan
+
+    # NULL key raises in-plan
+    withnull = spark.createDataFrame(
+        [(None, rows[1][1]), (2, rows[2][1])],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    with pytest.raises(Exception, match="NULL"):
+        dedup_incremental_semantic(
+            withnull, seen, cents, order_by="vec_id"
+        ).collect()
+
+    # duplicate key raises (two DISTINCT vectors sharing an id, in
+    # different cells — invisible to any per-cell check)
+    dup = spark.createDataFrame(
+        [(1, rows[0][1]), (1, rows[79][1])],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    with pytest.raises(Exception, match="not unique"):
+        dedup_incremental_semantic(
+            dup, seen, cents, order_by="vec_id"
+        ).collect()
+
+    # degenerate-quantizer fail-fast
+    with pytest.raises(Exception, match="max_cell_size"):
+        dedup_incremental_semantic(
+            batch, seen, cents, order_by="vec_id", max_cell_size=3
+        ).collect()
