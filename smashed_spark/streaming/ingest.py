@@ -13,6 +13,9 @@ State model — everything persistent is PARQUET under ``state_dir``:
 
 * ``digests/batch=N/``  — 32 B/doc md5 digests of every survivor
 * ``bands/batch=N/``    — ~``bands`` x 36 B/doc MinHash band keys
+* ``semantic/batch=N/cell=M/`` — (opt-in) 8 x dims B/doc unit
+  embeddings, cell-partitioned so per-batch reads prune to the
+  batch's touched cells
 * survivors land in ``out_dir/batch=N/``
 
 Index-size accounting at the 100 TB design point (~10^9 docs at the
@@ -54,6 +57,7 @@ from pyspark.sql import functions as F
 
 _DIGEST_SCHEMA = "digest string"
 _BAND_SCHEMA = "band int, key string"
+_SEMANTIC_SCHEMA = "cell int, vector array<double>"
 
 
 def _read_state(
@@ -62,6 +66,7 @@ def _read_state(
     schema: str,
     exclude_batch: "int | None" = None,
     full_distinct: bool = False,
+    no_distinct: bool = False,
 ) -> DataFrame:
     """The running index as a DataFrame — empty (typed) before the
     first batch commits.  ``exclude_batch`` drops the ``batch=N``
@@ -107,6 +112,11 @@ def _read_state(
     if exclude_batch is not None and "batch" in df.columns:
         df = df.filter(F.col("batch") != F.lit(exclude_batch))
     names = [c.strip().split()[0] for c in schema.split(",")]
+    if no_distinct:
+        # for indexes whose consumers are duplicate-tolerant at every
+        # tier (the semantic index: max cosine is idempotent) — even
+        # the tail distinct is unnecessary work
+        return df.select(*names)
     if full_distinct or "batch" not in df.columns:
         return df.select(*names).distinct()
     compacted = df.filter(F.col("batch") == -1).select(*names)
@@ -130,6 +140,9 @@ def ingest_dedup_batch(
     shingle_size: int = 3,
     bands: int = 4,
     rows_per_band: int = 4,
+    semantic_centroids=None,
+    semantic_threshold: float = 0.8,
+    vector_field: str = "embedding",
     return_stats: bool = False,
 ) -> "Optional[dict]":
     """Scrub ONE batch against the running indexes and commit
@@ -155,12 +168,27 @@ def ingest_dedup_batch(
     ``on_stats=`` to :func:`streaming_ingest_dedup` instead of
     threading ``return_stats`` through ``batch_kwargs`` (the
     foreachBatch body has nowhere to return a value to).
+
+    ``semantic_centroids`` (a persisted
+    :func:`~smashed_spark.functions.similarity.fit_ivf_index` matrix)
+    adds the third dedup family: embedding-space history dedup via
+    :func:`~smashed_spark.functions.dedup.dedup_incremental_semantic`
+    against a ``semantic/batch=N/cell=M/`` unit-vector index —
+    cell-partitioned, so each batch reads ONLY its touched cells
+    (partition pruning), and duplicate index rows are tolerated (the
+    max-cosine verdict is idempotent), which is why its per-batch read
+    skips even the tail distinct.  The quantizer must be the SAME
+    matrix every batch: a re-fit would shift cell boundaries and make
+    verdicts incomparable across batches.  Requires ``vector_field``
+    on the batch.
     """
     from ..functions.dedup import (
         dedup_incremental,
         dedup_incremental_fuzzy,
+        dedup_incremental_semantic,
         with_digests,
         with_minhash_bands,
+        with_semantic_cells,
     )
 
     spark = batch.sparkSession
@@ -206,6 +234,26 @@ def ingest_dedup_batch(
             verify_threshold=verify_threshold,
             broadcast_probe=True,
         )
+    if semantic_centroids is not None:
+        # duplicate-tolerant by construction (max cosine is idempotent
+        # under row duplication), so no distinct at any tier; the isin
+        # on touched cells becomes partition pruning on the
+        # cell-partitioned state
+        sem_index = _read_state(
+            spark,
+            os.path.join(state_dir, "semantic"),
+            _SEMANTIC_SCHEMA,
+            exclude_batch=batch_id,
+            no_distinct=True,
+        )
+        kept = dedup_incremental_semantic(
+            kept,
+            sem_index,
+            semantic_centroids,
+            vector_field=vector_field,
+            order_by=order_by,
+            threshold=semantic_threshold,
+        )
     # one materialization feeds survivors AND both index extensions:
     # without it the (possibly expensive) dedup plan would evaluate
     # three times.  Per-batch data is bounded by the trigger, so a
@@ -234,6 +282,16 @@ def ingest_dedup_batch(
         band_ext.write.mode("overwrite").parquet(
             os.path.join(state_dir, "bands", tag)
         )
+    sem_ext = None
+    if semantic_centroids is not None:
+        sem_ext = with_semantic_cells(
+            kept, semantic_centroids, vector_field=vector_field
+        )
+        # cell partitioning is what turns the next batches' touched-
+        # cell filters into partition pruning
+        sem_ext.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(state_dir, "semantic", tag)
+        )
     if not return_stats:
         return None
     n_in = batch.count()
@@ -253,6 +311,8 @@ def ingest_dedup_batch(
         nb = band_ext.count()
         stats["index_band_rows_added"] = nb
         stats["index_band_bytes_added"] = nb * 36
+    if sem_ext is not None:
+        stats["index_semantic_rows_added"] = stats["n_survivors"]
     return stats
 
 
@@ -309,12 +369,12 @@ def compact_ingest_state(
     """
     import shutil
 
-    for name, schema in (
-        ("digests", _DIGEST_SCHEMA),
-        ("bands", _BAND_SCHEMA),
-    ):
-        if name == "bands" and not fuzzy:
-            continue
+    tables = [("digests", _DIGEST_SCHEMA)]
+    if fuzzy:
+        tables.append(("bands", _BAND_SCHEMA))
+    if os.path.isdir(os.path.join(state_dir, "semantic")):
+        tables.append(("semantic", _SEMANTIC_SCHEMA))
+    for name, schema in tables:
         root = os.path.join(state_dir, name)
         real = sorted(
             (
@@ -343,9 +403,12 @@ def compact_ingest_state(
         # and partition discovery on the root never sees the staging
         # dir.  A stale staging dir from a prior crash is overwritten.
         staging = os.path.join(state_dir, f"__compact_{name}__")
-        merged.repartition(partitions).write.mode(
-            "overwrite"
-        ).parquet(staging)
+        writer = merged.repartition(partitions).write.mode("overwrite")
+        if name == "semantic":
+            # keep the cell partitioning through compaction — it is
+            # what makes per-batch touched-cell reads prune
+            writer = writer.partitionBy("cell")
+        writer.parquet(staging)
         # (2) + (3): swap the derived partition into place
         shutil.rmtree(
             os.path.join(root, "batch=-1"), ignore_errors=True

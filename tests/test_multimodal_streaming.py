@@ -1215,3 +1215,155 @@ def test_compaction_staging_swap_crash_windows(spark, tmp_path):
     compact_ingest_state(spark, state)
     dirs = sorted(os.listdir(os.path.join(state, "digests")))
     assert dirs == ["batch=-1", "batch=3"], dirs
+
+
+def test_ingest_semantic_family(spark, tmp_path):
+    """r9: the third dedup family in the ingest composition —
+    embedding-space history dedup against a cell-partitioned unit-
+    vector index with an INJECTED quantizer.  Two sequential batches
+    match the operator-level sequential replay, a retried batch
+    replays identically, the per-batch read skips every distinct
+    (max-cosine verdicts are duplicate-tolerant), stats report the
+    semantic rows, and compaction preserves both the verdicts and the
+    cell partitioning."""
+    import os
+
+    import numpy as np
+
+    from smashed_spark.functions.dedup import (
+        dedup_incremental_semantic,
+        with_semantic_cells,
+    )
+    from smashed_spark.functions.similarity import fit_ivf_index
+    from smashed_spark.streaming.ingest import (
+        compact_ingest_state,
+        ingest_dedup_batch,
+    )
+
+    rng = np.random.RandomState(5)
+    dims = 8
+    blob = lambda axis, n: (  # noqa: E731
+        rng.normal(0, 0.03, (n, dims)) + np.eye(dims)[axis] * 2
+    )
+    vecs = np.vstack([blob(0, 12), blob(1, 12)])
+    texts = [f"doc number {i} " + " ".join(f"t{i}w{j}" for j in range(10)) for i in range(24)]
+    rows = [
+        (i, texts[i], [float(x) for x in vecs[i]]) for i in range(24)
+    ]
+    schema = "doc_id: bigint, text: string, embedding: array<double>"
+    all_df = spark.createDataFrame(rows, schema)
+    cents = fit_ivf_index(
+        all_df, id_field="doc_id", n_centroids=2, seed=9, max_iter=4
+    )
+    # within-blob cosines sit ~0.9995: thr=0.99 keeps EVERY
+    # within-blob pair above threshold, so the greedy over-drop
+    # convention collapses each blob to its first doc deterministically
+    # (a near-1 threshold would make verdicts depend on which chain
+    # neighbor a doc was dropped against — documented semantics, but
+    # wrong material for a pinned test)
+    thr = 0.99
+
+    b0 = all_df.filter(F.col("doc_id") < 12)
+    # batch 1: semantically-near reposts of 3 batch-0 docs (tiny
+    # perturbation, DIFFERENT text so exact/fuzzy stages pass them)
+    near_rows = [
+        (
+            100 + i,
+            f"fresh words {i} " + " ".join(f"n{i}w{j}" for j in range(10)),
+            [float(x) for x in vecs[i] + rng.normal(0, 1e-4, dims)],
+        )
+        for i in range(3)
+    ] + [
+        (
+            200 + i,
+            f"other words {i} " + " ".join(f"o{i}w{j}" for j in range(10)),
+            [float(x) for x in vecs[12 + i]],
+        )
+        for i in range(3)
+    ]
+    b1 = spark.createDataFrame(near_rows, schema)
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    s0 = ingest_dedup_batch(
+        b0, state, out, batch_id=0,
+        semantic_centroids=cents, semantic_threshold=thr,
+        return_stats=True,
+    )
+    assert s0["index_semantic_rows_added"] == s0["n_survivors"]
+    # cell partitioning on disk
+    semdirs = os.listdir(os.path.join(state, "semantic", "batch=0"))
+    assert any(d.startswith("cell=") for d in semdirs), semdirs
+
+    s1 = ingest_dedup_batch(
+        b1, state, out, batch_id=1,
+        semantic_centroids=cents, semantic_threshold=thr,
+        return_stats=True,
+    )
+    surv1 = sorted(
+        r.doc_id
+        for r in spark.read.parquet(out + "/batch=1").select(
+            "doc_id"
+        ).collect()
+    )
+
+    # operator-level sequential replay: batch 0 survivors (all of b0 —
+    # distinct docs) extend an empty index; batch 1 runs against it
+    empty = spark.createDataFrame([], "cell: int, vector: array<double>")
+    kept0 = dedup_incremental_semantic(
+        b0, empty, cents, order_by="doc_id", threshold=thr
+    )
+    idx = with_semantic_cells(kept0, cents)
+    want1 = sorted(
+        r.doc_id
+        for r in dedup_incremental_semantic(
+            b1, idx, cents, order_by="doc_id", threshold=thr
+        ).collect()
+    )
+    assert surv1 == want1
+    # the near-reposts of history (100..102) dropped semantically; of
+    # the three fresh blob-1 docs, batch-internal dedup keeps only the
+    # first
+    assert not {100, 101, 102} & set(surv1)
+    assert 200 in surv1 and not {201, 202} & set(surv1)
+
+    # retry replays identically (its own semantic partition excluded)
+    s1b = ingest_dedup_batch(
+        b1, state, out, batch_id=1,
+        semantic_centroids=cents, semantic_threshold=thr,
+        return_stats=True,
+    )
+    assert s1b == s1
+
+    # compaction folds batch 0, keeps verdicts AND cell partitioning
+    ingest_dedup_batch(
+        spark.createDataFrame(
+            [(300, "tail batch " + " ".join(f"z{j}" for j in range(10)),
+              [float(x) for x in blob(2, 1)[0]])], schema
+        ),
+        state, out, batch_id=2,
+        semantic_centroids=cents, semantic_threshold=thr,
+    )
+    compact_ingest_state(spark, state)
+    semroot = sorted(os.listdir(os.path.join(state, "semantic")))
+    assert semroot == ["batch=-1", "batch=2"], semroot
+    assert any(
+        d.startswith("cell=")
+        for d in os.listdir(os.path.join(state, "semantic", "batch=-1"))
+    )
+    # a post-compaction repost of batch-0 content still drops
+    b3 = spark.createDataFrame(
+        [(400, "post compact " + " ".join(f"p{j}" for j in range(10)),
+          [float(x) for x in vecs[5]])], schema
+    )
+    ingest_dedup_batch(
+        b3, state, out, batch_id=3,
+        semantic_centroids=cents, semantic_threshold=thr,
+    )
+    surv3 = [
+        r.doc_id
+        for r in spark.read.parquet(out + "/batch=3").select(
+            "doc_id"
+        ).collect()
+    ]
+    assert surv3 == [], surv3
