@@ -611,6 +611,22 @@ auto-broadcast.  Three changes, each pinned by a plan-spy test:
    missing ``batch=-1`` is re-derivable because the folded sources
    outlive the swap; post-rename duplicates are tolerated by design) —
    pinned by a crash-window test.
+5. **Incremental SEMANTIC dedup** (late r9) completes the dedup
+   matrix — exact / fuzzy / semantic, each in batch AND incremental
+   form: ``dedup_incremental_semantic`` drops a new doc iff cosine >=
+   threshold to any indexed vector in the same INJECTED-quantizer
+   cell (a per-batch re-fit would shift cell boundaries), with greedy
+   first-wins batch dedup under the fuzzy path's conservative
+   over-drop convention.  The index stores unit vectors
+   ``partitionBy(cell)`` (~8 x dims B/doc); the per-batch read
+   filters to the batch's touched cells (<= n_centroids values), which
+   partition pruning turns into "untouched history is never read" —
+   plan-spy pinned — and the per-cell chunked matmul costs
+   O(batch x cell occupancy), never O(history).  Duplicate index rows
+   are tolerated at every tier (max cosine is idempotent), so its
+   ingest read path skips even the tail distinct.  Wired into
+   ``ingest_dedup_batch(semantic_centroids=...)`` as the opt-in third
+   family with ``semantic/batch=N/cell=M/`` state.
 
 ## Round-9 scale probes (judge ask #4: second decades)
 
