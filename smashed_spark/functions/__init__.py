@@ -26,6 +26,7 @@ from .hashing import (
     word_shingles,
 )
 from .asof import AsofJoinMapper, RangeJoinMapper, asof_join
+from .calibrate import calibrate_thresholds, select_top_fraction
 from .classifier import (
     LinearQualityClassifierMapper,
     UnigramLogProbMapper,
@@ -116,6 +117,8 @@ __all__ = [
     "TokenCountMapper",
     "WordPieceTokenizer",
     "asof_join",
+    "calibrate_thresholds",
+    "select_top_fraction",
     "cosine_similarity",
     "minhash_signature",
     "portable_hash32",

@@ -557,6 +557,19 @@ _MODELQ_CTE = (
     )"""
     + _MODELQ_CTE
     + """
+    , thr AS (
+        SELECT source,
+               max(CASE WHEN rn = k THEN sc END) AS src_threshold
+        FROM (
+            SELECT d.source, mq.model_q_score AS sc,
+                   ROW_NUMBER() OVER (PARTITION BY d.source
+                                      ORDER BY mq.model_q_score DESC) AS rn,
+                   greatest(1, CAST(ceil(
+                       0.5 * COUNT(mq.model_q_score) OVER (PARTITION BY d.source)
+                       - 1e-9) AS BIGINT)) AS k
+            FROM documents d JOIN mq ON d.doc_id = mq.doc_id
+        ) GROUP BY source
+    )
     SELECT d.doc_id,
            len(list_filter(string_split_regex(d.text, '\\s+'), t -> t != ''))
                ::BIGINT AS n_ws_tokens,
@@ -588,7 +601,9 @@ _MODELQ_CTE = (
            coalesce(rep.top, 0)::BIGINT AS rep_top_2gram_count,
            gv.gopher_reason,
            CAST(gv.gopher_reason = '' AS INT) AS gopher_keep,
-           mq.model_q_score
+           mq.model_q_score,
+           thr.src_threshold,
+           CAST(mq.model_q_score >= thr.src_threshold AS INT) AS q_keep
     FROM documents d
     JOIN n ON d.doc_id = n.doc_id
     JOIN q ON d.doc_id = q.doc_id
@@ -597,6 +612,7 @@ _MODELQ_CTE = (
     LEFT JOIN rep ON d.doc_id = rep.doc_id
     JOIN gv ON d.doc_id = gv.doc_id
     JOIN mq ON d.doc_id = mq.doc_id
+    JOIN thr ON d.source = thr.source
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,6 +655,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = LinearQualityClassifierMapper(
         _modelq_weights(), bias=_MODELQ_BIAS
     ).map(out.withColumn("words", F.split("text", " ")))
+    # r9 fold: per-source quality-threshold calibration (exact tier —
+    # k-th-largest model_q_score per source at retain=0.5; the approx
+    # percentile_approx tier is the 100 TB path, unit-tested) joins
+    # the family: the standard "keep the best X% per source" cut
+    from ..functions.calibrate import select_top_fraction
+
+    out = select_top_fraction(
+        out,
+        "model_q_score",
+        0.5,
+        by="source",
+        exact=True,
+        keep_field="q_keep",
+        threshold_field="src_threshold",
+    )
     return out.select(
         "doc_id",
         "n_ws_tokens",
@@ -657,6 +688,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gopher_reason",
         "gopher_keep",
         "model_q_score",
+        "src_threshold",
+        "q_keep",
     )
 
 

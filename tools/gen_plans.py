@@ -649,6 +649,28 @@ survivor + index writes — against 1x / 10x / 100x histories costs
 history — flat.**  Per-batch cost is O(batch); a rescan design would
 be ~100x, and an O(history-index)-exchange design (the r8 shape the
 round removed) would grow with the index.
+
+## Round-9 per-source quality-threshold calibration (functions/calibrate.py)
+
+`calibrate_thresholds` / `select_top_fraction` — the "keep the best
+X% of each source" cut between quality scoring and token budgeting.
+Exact tier (the text_stats gate fold, retain=0.5 on model_q_score):
+threshold = k-th LARGEST score, k = ceil(retain*n - 1e-9); the rank
+window and per-group count window share one hashpartitioning(group),
+so the slim (group, score) projection crosses exactly ONE exchange
+(plan-pinned).  Approx tier (the 100 TB default): percentile_approx
+at quantile 1-retain — Spark's Greenwald-Khanna sketch, mergeable
+and map-side partial, KB-sized exchange regardless of group size,
+rank error <= n/accuracy.  Join-back broadcasts the one-row-per-group
+thresholds; the corpus side never exchanges.  Deliberate two-scan
+shape: the threshold branch re-evaluates lineage column-pruned to
+(group, score) — at 100 TB a second narrow scoring scan is cheaper
+than the single-frame alternative (a rank window that would
+exchange+sort full-width rows, text included).  NaN normalizes to
+NULL on BOTH the calibration and filter sides (Spark orders NaN above
+every double — a raw `NaN >= t` would leak NaN rows).  text_stats
+gate cost: +1 slim exchange + 1 KB broadcast on top of the family's
+budget (pin updated to <=5).
 """
 
 out = ["# PLANS — physical plans of the headline queries",
