@@ -40,6 +40,7 @@ from .similarity import (
     fit_ivf_index,
 )
 from .textstats import (
+    CompressionRatioMapper,
     DecontaminateMapper,
     SemanticDecontaminateMapper,
     FingerprintMapper,
@@ -49,6 +50,7 @@ from .textstats import (
     RepetitionStatsMapper,
     TokenCountMapper,
 )
+from .web import DomainFilterMapper, UrlHostMapper
 from .wordpiece import WordPieceTokenizer, tiny_bert_tokenizer
 
 from .graph import DedupClustersMapper, connected_components
@@ -96,8 +98,11 @@ __all__ = [
     "kmv_sketch",
     "portable_hash60",
     "with_prefix_sum",
+    "CompressionRatioMapper",
     "CosineTopK",
     "DecontaminateMapper",
+    "DomainFilterMapper",
+    "UrlHostMapper",
     "SemanticDecontaminateMapper",
     "EmbeddingNearDupPairsMapper",
     "ExactDedupMapper",

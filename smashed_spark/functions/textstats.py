@@ -319,6 +319,69 @@ class RepetitionStatsMapper(SparkMapper):
         )
 
 
+class CompressionRatioMapper(SparkMapper):
+    """zlib compression ratio of the text — ``len(compress(utf8)) /
+    len(utf8)`` — the MassiveText/RefinedWeb-style repetitiveness
+    signal: template farms and boilerplate compress far below natural
+    prose, so a low ratio flags machine-generated or duplicated
+    content that word-level repetition stats can miss (repetition at
+    phrase/paragraph granularity).
+
+    This is a legitimate Python-tier operator: no Catalyst expression
+    computes DEFLATE, so the mapper runs one Arrow-batched pandas UDF
+    (zlib is stdlib C — one call per doc, no per-row Python
+    arithmetic).  The plan stays narrow: the UDF rides the scan, zero
+    exchanges (plan-pinned in tests/test_web_compression.py).  NULL and
+    empty text yield NULL (an empty doc has no meaningful ratio —
+    zlib's 8-byte header would read as ratio 8.0 and pollute
+    low-ratio filters).
+
+    ``level`` is zlib's compression level (1-9; default 6).  The
+    ratio can exceed 1.0 on short or incompressible text — consumers
+    should gate on doc length (the Gopher word-count bounds) before
+    thresholding.
+    """
+
+    def __init__(
+        self,
+        text_field: str = "text",
+        ratio_field: str = "compression_ratio",
+        level: int = 6,
+    ) -> None:
+        if not 1 <= level <= 9:
+            raise ValueError(f"zlib level must be in 1..9, got {level}")
+        self.text_field = text_field
+        self.ratio_field = ratio_field
+        self.level = level
+        super().__init__(
+            input_fields=[text_field], output_fields=[ratio_field]
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        level = self.level
+
+        def _ratio_fn(texts):
+            import zlib
+
+            def one(t):
+                if t is None or t == "":
+                    return None
+                raw = t.encode("utf-8")
+                return len(zlib.compress(raw, level)) / len(raw)
+
+            return texts.map(one)
+
+        # the module's `from __future__ import annotations` stringifies
+        # literal hints, which pandas_udf's signature inference can't
+        # resolve — assign real objects instead
+        _ratio_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        _ratio = pandas_udf(_ratio_fn, "double")
+        return df.withColumn(self.ratio_field, _ratio(F.col(self.text_field)))
+
+
 class PiiRedactMapper(SparkMapper):
     """Redact common PII patterns (emails, phone numbers, IPv4
     addresses) from a text column and count what was removed — the

@@ -1,0 +1,201 @@
+"""URL/domain curation operators: host extraction, registered-domain
+approximation, and domain allow/block filtering — the web-corpus
+hygiene steps (C4/RefinedWeb drop blocklisted domains; per-domain
+caps fight template farms).  The reference has no web surface
+(additive, SURVEY.md §2.10).
+
+Everything here is pure Column algebra (regexp on the JVM side — URL
+parsing never needs Python), so extraction rides the scan with zero
+exchanges.  Filtering has two tiers:
+
+* small lists (``<= max_literal_terms``): an ``isin`` plan literal —
+  Catalyst folds it into the scan's pushed filters, zero joins;
+* DataFrame blocklists of any size: a ``broadcast()`` LEFT ANTI /
+  LEFT SEMI join on the domain — domain vocabularies are millions of
+  rows at web scale (MBs), far under the broadcast threshold, and
+  the corpus side never exchanges.
+
+Registered-domain extraction is an APPROXIMATION: the real rule
+needs the Mozilla public-suffix list (thousands of entries, updated
+continuously); this keeps the last two labels, plus the last three
+under a small built-in set of common second-level public suffixes
+(``co.uk``, ``com.au``, ...).  Deployments that need exact PSL
+semantics should broadcast-join their own suffix snapshot; the
+operator API stays the same.
+
+Per-domain caps are deliberately NOT re-implemented here: compose
+``UrlHostMapper`` with the existing quota sampler
+(:func:`~smashed_spark.sources.loaders.quota_sample` — WindowGroupLimit,
+no full sort) on the extracted domain column.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.mapper import SparkMapper
+
+__all__ = ["UrlHostMapper", "DomainFilterMapper"]
+
+# applied AFTER the scheme prefix is stripped (a one-regex version
+# backtracks "http://" into host "http"):  [user@]  host  [:port][/...]
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+_HOST_RE = r"^(?:[^/@?#\s]*@)?([^/:?#\s]+)"
+
+# common second-level public suffixes where the registered domain is
+# three labels (approximate, documented subset — not the full PSL)
+_SECOND_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+
+class UrlHostMapper(SparkMapper):
+    """Extract the lowercase host and an approximate registered
+    domain from a URL column.  Scheme-less inputs (``example.com/x``)
+    parse too; a leading ``www.`` is stripped from the host before
+    the registered-domain cut.  Unparseable/NULL URLs yield NULL in
+    both fields.  Pure regexp Column algebra — narrow, zero shuffle.
+    """
+
+    def __init__(
+        self,
+        url_field: str = "url",
+        host_field: str = "host",
+        domain_field: str = "domain",
+    ) -> None:
+        self.url_field = url_field
+        self.host_field = host_field
+        self.domain_field = domain_field
+        super().__init__(
+            input_fields=[url_field],
+            output_fields=[host_field, domain_field],
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        url = F.trim(F.col(self.url_field))
+        raw = F.lower(
+            F.regexp_extract(F.regexp_replace(url, _SCHEME_RE, ""), _HOST_RE, 1)
+        )
+        # plausibility gate: free text like "not a url" also "matches"
+        # the scheme-less pattern with its first word — accept only a
+        # host that came with an explicit scheme, contains a dot, or
+        # is localhost (hostname-shaped chars throughout)
+        has_scheme = url.rlike(_SCHEME_RE)
+        plausible = raw.rlike(r"^[a-z0-9.\-]+$") & (
+            has_scheme | raw.contains(".") | (raw == "localhost")
+        )
+        host = F.when((raw != "") & plausible, raw)
+        bare = F.regexp_replace(host, r"^www\.", "")
+        parts = F.split(bare, r"\.")
+        n = F.size(parts)
+        last2 = F.concat_ws(
+            ".", F.element_at(parts, -2), F.element_at(parts, -1)
+        )
+        last3 = F.concat_ws(
+            ".", F.element_at(parts, -3), F.element_at(parts, -2),
+            F.element_at(parts, -1),
+        )
+        domain = (
+            F.when(n <= 2, bare)
+            .when(last2.isin(*_SECOND_LEVEL_SUFFIXES), last3)
+            .otherwise(last2)
+        )
+        return df.withColumns(
+            {
+                self.host_field: host,
+                self.domain_field: F.when(host.isNotNull(), domain),
+            }
+        )
+
+
+class DomainFilterMapper(SparkMapper):
+    """Drop (blocklist) or keep (allowlist) rows by domain.
+
+    ``terms`` may be a Python sequence or a one-column DataFrame.
+    Sequences up to ``max_literal_terms`` compile to an ``isin`` plan
+    literal (folds into the scan's pushed filters); longer sequences
+    and every DataFrame go through a ``broadcast()`` LEFT ANTI
+    (blocklist) / LEFT SEMI (allowlist) join — the corpus side never
+    exchanges either way.  Matching is on the exact domain string
+    lowercased; NULL domains are DROPPED in allowlist mode and KEPT
+    in blocklist mode (a missing domain is not on any blocklist).
+    """
+
+    def __init__(
+        self,
+        domain_field: str = "domain",
+        blocklist: Union[Sequence[str], DataFrame, None] = None,
+        allowlist: Union[Sequence[str], DataFrame, None] = None,
+        max_literal_terms: int = 1000,
+    ) -> None:
+        if (blocklist is None) == (allowlist is None):
+            raise ValueError(
+                "provide exactly one of blocklist= or allowlist="
+            )
+        self.domain_field = domain_field
+        self.mode = "block" if blocklist is not None else "allow"
+        self._terms = blocklist if blocklist is not None else allowlist
+        self.max_literal_terms = max_literal_terms
+        super().__init__(input_fields=[domain_field])
+
+    def config(self) -> dict:
+        terms = self._terms
+        return {
+            "domain_field": self.domain_field,
+            "mode": self.mode,
+            "max_literal_terms": self.max_literal_terms,
+            "terms": (
+                sorted(str(t).lower() for t in terms)
+                if not isinstance(terms, DataFrame)
+                else f"dataframe:{terms.columns}"
+            ),
+        }
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        dom = F.lower(F.col(self.domain_field))
+        terms = self._terms
+        if isinstance(terms, DataFrame):
+            if len(terms.columns) != 1:
+                raise ValueError(
+                    f"terms DataFrame must have exactly one column, "
+                    f"got {terms.columns}"
+                )
+            tdf = terms.select(
+                F.lower(F.col(terms.columns[0]))
+                .alias(self.domain_field)
+            )
+        else:
+            vals = sorted({str(t).lower() for t in terms})
+            if not vals:
+                # empty blocklist keeps everything; empty allowlist
+                # keeps nothing — both are almost certainly config
+                # mistakes at corpus scale
+                raise ValueError(f"empty {self.mode}list")
+            if len(vals) <= self.max_literal_terms:
+                if self.mode == "block":
+                    return df.filter(~dom.isin(vals) | dom.isNull())
+                return df.filter(dom.isin(vals))
+            tdf = df.sparkSession.createDataFrame(
+                [(v,) for v in vals], f"{self.domain_field} string"
+            )
+        # NULL keys never match a join: LEFT ANTI keeps NULL-domain
+        # rows, LEFT SEMI drops them — exactly the documented
+        # block/allow semantics, no extra predicate needed
+        how = "left_anti" if self.mode == "block" else "left_semi"
+        return (
+            df.withColumn("__dom__", dom)
+            .join(
+                F.broadcast(
+                    tdf.withColumnRenamed(self.domain_field, "__dom__")
+                ),
+                on="__dom__",
+                how=how,
+            )
+            .drop("__dom__")
+        )

@@ -1,0 +1,170 @@
+"""Web/domain curation (functions/web.py) and the zlib
+compression-ratio signal (textstats.CompressionRatioMapper)."""
+
+import random
+import string
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from smashed_spark.functions.textstats import CompressionRatioMapper
+from smashed_spark.functions.web import DomainFilterMapper, UrlHostMapper
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------- web
+
+
+URL_CASES = [
+    ("https://www.Example.COM/path?q=1", "www.example.com", "example.com"),
+    ("http://sub.news.co.uk/x", "sub.news.co.uk", "news.co.uk"),
+    ("example.com/landing", "example.com", "example.com"),
+    ("https://user:pw@deep.a.b.org:8443/p#f", "deep.a.b.org", "b.org"),
+    ("ftp://files.example.com.au", "files.example.com.au",
+     "example.com.au"),
+    ("localhost:8080/admin", "localhost", "localhost"),
+    ("   https://spaced.example.net  ", "spaced.example.net",
+     "example.net"),
+    ("not a url", None, None),
+    ("http://", None, None),
+    (None, None, None),
+]
+
+
+def test_url_host_and_domain_extraction(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(URL_CASES)],
+        "id long, url string",
+    )
+    out = {
+        r["id"]: (r["host"], r["domain"])
+        for r in UrlHostMapper().map(df).collect()
+    }
+    for i, (_, host, domain) in enumerate(URL_CASES):
+        assert out[i] == (host, domain), (i, URL_CASES[i], out[i])
+
+
+def test_url_mapper_is_narrow(spark):
+    df = spark.createDataFrame([(1, "https://a.b/c")], "id long, url string")
+    plan = _explain(UrlHostMapper().map(df))
+    assert "Exchange" not in plan, plan
+
+
+def _domains_df(spark):
+    rows = [
+        (1, "spam.example.com"),
+        (2, "good.org"),
+        (3, "ads.example.com"),
+        (4, None),
+        (5, "GOOD.org"),  # matching is lowercased
+    ]
+    return spark.createDataFrame(rows, "id long, domain string")
+
+
+def test_blocklist_literal_tier(spark):
+    df = _domains_df(spark)
+    out = DomainFilterMapper(
+        blocklist=["spam.example.com", "ADS.example.com"]
+    ).map(df)
+    assert sorted(r["id"] for r in out.collect()) == [2, 4, 5]
+    # literal tier: no join in the plan, the isin folds to a filter
+    assert "Join" not in _explain(out)
+
+
+def test_allowlist_literal_tier_drops_null(spark):
+    df = _domains_df(spark)
+    out = DomainFilterMapper(allowlist=["good.org"]).map(df)
+    assert sorted(r["id"] for r in out.collect()) == [2, 5]
+
+
+def test_blocklist_dataframe_tier_broadcasts(spark):
+    df = _domains_df(spark)
+    bl = spark.createDataFrame(
+        [("spam.example.com",)], "domain string"
+    )
+    out = DomainFilterMapper(blocklist=bl).map(df)
+    assert sorted(r["id"] for r in out.collect()) == [2, 3, 4, 5]
+    tree = _explain(out).split("\n\n")[0]
+    assert "BroadcastHashJoin LeftAnti" in tree, tree
+
+
+def test_allowlist_dataframe_tier(spark):
+    df = _domains_df(spark)
+    al = spark.createDataFrame([("good.org",)], "d string")
+    out = DomainFilterMapper(allowlist=al).map(df)
+    assert sorted(r["id"] for r in out.collect()) == [2, 5]
+    tree = _explain(out).split("\n\n")[0]
+    assert "BroadcastHashJoin LeftSemi" in tree, tree
+
+
+def test_big_literal_list_promotes_to_join(spark):
+    df = _domains_df(spark)
+    big = [f"d{i}.com" for i in range(50)] + ["spam.example.com"]
+    out = DomainFilterMapper(blocklist=big, max_literal_terms=10).map(df)
+    assert sorted(r["id"] for r in out.collect()) == [2, 3, 4, 5]
+    assert "BroadcastHashJoin LeftAnti" in _explain(out), _explain(out)
+
+
+def test_domain_filter_validation(spark):
+    with pytest.raises(ValueError, match="exactly one"):
+        DomainFilterMapper(blocklist=["a"], allowlist=["b"])
+    with pytest.raises(ValueError, match="exactly one"):
+        DomainFilterMapper()
+    df = _domains_df(spark)
+    with pytest.raises(ValueError, match="empty blocklist"):
+        DomainFilterMapper(blocklist=[]).map(df)
+    with pytest.raises(ValueError, match="one column"):
+        DomainFilterMapper(blocklist=df).map(df)
+
+
+# -------------------------------------------- compression ratio
+
+
+def test_compression_ratio_matches_python(spark):
+    rng = random.Random(5)
+    texts = [
+        "word " * 200,                       # highly repetitive
+        "".join(rng.choice(string.printable) for _ in range(800)),
+        "The quick brown fox jumps over the lazy dog. " * 10,
+        "短いユニコード文字列です。" * 30,
+        None,
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    out = {
+        r["id"]: r["compression_ratio"]
+        for r in CompressionRatioMapper().map(df).collect()
+    }
+    for i, t in enumerate(texts):
+        if not t:
+            assert out[i] is None
+        else:
+            raw = t.encode("utf-8")
+            want = len(zlib.compress(raw, 6)) / len(raw)
+            assert out[i] == pytest.approx(want), (i, out[i], want)
+    # the signal itself: boilerplate compresses far below random text
+    assert out[0] < 0.1 < out[1]
+
+
+def test_compression_ratio_level_and_validation(spark):
+    df = spark.createDataFrame([(1, "abc " * 100)], "id long, text string")
+    r9 = CompressionRatioMapper(level=9).map(df).collect()[0][-1]
+    raw = ("abc " * 100).encode()
+    assert r9 == pytest.approx(len(zlib.compress(raw, 9)) / len(raw))
+    with pytest.raises(ValueError, match="level"):
+        CompressionRatioMapper(level=0)
+
+
+def test_compression_ratio_plan_is_narrow_arrow(spark):
+    df = spark.createDataFrame([(1, "abc")], "id long, text string")
+    plan = _explain(CompressionRatioMapper().map(df))
+    assert "ArrowEvalPython" in plan, plan   # vectorized, not BatchEval
+    assert "Exchange" not in plan, plan

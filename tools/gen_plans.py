@@ -671,6 +671,32 @@ NULL on BOTH the calibration and filter sides (Spark orders NaN above
 every double — a raw `NaN >= t` would leak NaN rows).  text_stats
 gate cost: +1 slim exchange + 1 KB broadcast on top of the family's
 budget (pin updated to <=5).
+
+## Round-9 web hygiene + compression-ratio signal
+
+`UrlHostMapper` / `DomainFilterMapper` (functions/web.py): host and
+registered-domain extraction is pure JVM regexp (scheme stripped
+FIRST — a single combined regex backtracks "http://" into host
+"http"), with a plausibility gate so free text's first word never
+parses as a host.  Registered domain approximates the public-suffix
+list with a built-in second-level set (co.uk &c), documented; exact
+PSL deployments broadcast their own snapshot.  Filtering: small lists
+fold to an `isin` literal INSIDE the scan's pushed filters (no join
+node at all — plan-pinned); anything bigger broadcast LEFT ANTI/SEMI
+joins on the domain, corpus side exchange-free.  NULL domains: kept
+by blocklists, dropped by allowlists — exactly the NULL-key join
+semantics, no extra predicate.  Per-domain caps are NOT duplicated
+here: compose with quota_sample (WindowGroupLimit).
+
+`CompressionRatioMapper` (functions/textstats.py): zlib ratio of the
+utf-8 text — the MassiveText repetitiveness signal that catches
+paragraph-granularity boilerplate the word/2-gram stats miss.  One
+Arrow-batched pandas UDF around stdlib zlib (one C call per doc) —
+the legitimate Python-tier case, since Catalyst has no DEFLATE
+expression and DuckDB none either (hence unit-only: the replay test
+is bit-exact against python zlib).  Plan stays narrow
+(ArrowEvalPython, zero exchanges, pinned).  Empty/NULL text -> NULL
+(zlib's 8-byte header would otherwise score empty docs at ratio 8).
 """
 
 out = ["# PLANS — physical plans of the headline queries",
