@@ -1694,13 +1694,35 @@ def normalize_for_dedup(col: Column) -> Column:
     return F.trim(x)
 
 
+def _resolve_probe_mode(
+    batch: DataFrame,
+    broadcast_probe: "bool | str",
+    max_probe_rows: int,
+    rows_per_doc: int = 1,
+) -> bool:
+    """``"auto"`` -> probe mode iff the batch is small enough that its
+    broadcast key set stays bounded (``max_probe_rows`` keys, counting
+    ``rows_per_doc`` keys per batch row).  The decision reads at most
+    ``cap + 1`` batch rows — ``limit`` pushes into the batch's plan,
+    so the sizing job is O(cap) however large the batch, the same
+    bounded-probe idiom as SemanticDecontaminateMapper.  Row count
+    upper-bounds the DISTINCT key count, so the check never
+    under-estimates the broadcast.
+    """
+    if broadcast_probe != "auto":
+        return bool(broadcast_probe)
+    cap = max(1, max_probe_rows // max(1, rows_per_doc))
+    return batch.limit(cap + 1).count() <= cap
+
+
 def dedup_incremental(
     new_df: DataFrame,
     seen_digests: DataFrame,
     text_field: str = "text",
     order_by: str = "doc_id",
     digest_field: str = "digest",
-    broadcast_probe: bool = False,
+    broadcast_probe: "bool | str" = False,
+    max_probe_rows: int = 2_000_000,
 ) -> DataFrame:
     """Append-only ingestion dedup: drop rows of ``new_df`` whose text
     digest already exists in ``seen_digests`` (one ``digest`` column —
@@ -1726,6 +1748,15 @@ def dedup_incremental(
     (micro-batches are bounded; the history side is what must not pay
     per-batch costs).  Pinned by the ingest plan-spy test.
 
+    ``broadcast_probe="auto"`` (the ingest default): probe mode while
+    the batch stays under ``max_probe_rows`` rows (row count
+    upper-bounds the distinct digest set; sized by a bounded
+    ``limit(cap+1).count()`` job that reads O(cap) rows however large
+    the batch), plain anti-join above it — an unbounded backfill
+    "batch" must not be broadcast into executor memory, and for that
+    regime the plain join's batch+index exchange is the correct
+    price.
+
     Determinism: ``order_by`` NULLs raise in-plan (a NULL key cannot
     be totally ordered); ``order_by`` ties — identical text by
     construction, since tied rows share a digest (epoch-oversampled
@@ -1740,7 +1771,7 @@ def dedup_incremental(
     # point a distinct here is a ~32 GB full-index exchange per batch
     # for nothing (the streaming-ingest path reads this index every
     # micro-batch)
-    if broadcast_probe:
+    if _resolve_probe_mode(new_df, broadcast_probe, max_probe_rows):
         probe = keyed.select(digest_field).distinct()
         hits = (
             seen_digests.select(digest_field)
@@ -1872,7 +1903,8 @@ def dedup_incremental_fuzzy(
     rows_per_band: int = 4,
     hash_fn: str = "md5",
     verify_threshold: Optional[float] = None,
-    broadcast_probe: bool = False,
+    broadcast_probe: "bool | str" = False,
+    max_probe_rows: int = 2_000_000,
 ) -> DataFrame:
     """Append-only ingestion NEAR-dedup: drop rows of ``new_df`` whose
     MinHash band keys collide with the running ``seen_bands`` index
@@ -1946,6 +1978,11 @@ def dedup_incremental_fuzzy(
     also broadcast, which keeps the indicator join itself a broadcast
     join on the batch side.  Same verdicts; costs one extra evaluation
     of the slim band projection (three upstream evaluations total).
+    ``"auto"`` (the ingest default) picks probe mode while the batch
+    stays under ``max_probe_rows / bands`` rows (each doc contributes
+    ``bands`` probe keys; sized by a bounded ``limit().count()`` job)
+    and falls back to the plain indicator join above it — an
+    unbounded backfill batch must not be broadcast.
 
     Survivors keep their ``signature_field`` column so
     ``with_minhash_bands(survivors)`` extends the index without
@@ -2010,7 +2047,9 @@ def dedup_incremental_fuzzy(
     # (a dup fans the left join out, but __dochit__ (max), __min__
     # (min) and __later__ (max of a per-row predicate) are idempotent
     # under row duplication, and __nb__ was counted before the join).
-    if broadcast_probe:
+    if _resolve_probe_mode(
+        new_df, broadcast_probe, max_probe_rows, rows_per_doc=bands
+    ):
         probe = doc_bands.select("band", "key").distinct()
         index = F.broadcast(
             seen_bands.select("band", "key")

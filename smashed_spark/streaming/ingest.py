@@ -30,8 +30,12 @@ Each micro-batch N (1) reads the full compact index EXCLUDING its own
 ``batch=N`` partition (~180 GB of slim keys at 100 TB of history vs
 a rescan of the corpus itself — the whole point; the index is SCANNED
 once per batch and never exchanged: both dedup operators run with
-``broadcast_probe=True``, which broadcasts the bounded batch's key
-set into an index probe instead of shuffling the index into a join),
+``broadcast_probe="auto"``, which broadcasts the bounded batch's key
+set into an index probe instead of shuffling the index into a join —
+and falls back to the plain anti/indicator join for a batch above
+``max_probe_rows``, where the probe itself would be an unbounded
+broadcast: an oversized backfill pays one batch+index exchange
+instead of OOMing the executors),
 (2) scrubs the batch against it with the batch operators,
 (3) OVERWRITES its own ``batch=N`` subdirectories.  Together these
 make a retried batch a pure replay: the overwrite rewrites the same
@@ -144,6 +148,7 @@ def ingest_dedup_batch(
     semantic_threshold: float = 0.8,
     vector_field: str = "embedding",
     return_stats: bool = False,
+    max_probe_rows: int = 2_000_000,
 ) -> "Optional[dict]":
     """Scrub ONE batch against the running indexes and commit
     survivors + index extensions under ``batch=<batch_id>`` —
@@ -206,8 +211,11 @@ def ingest_dedup_batch(
         # bounded batch vs unbounded history: broadcast the batch's
         # digest set into an index PROBE so the history index is
         # scanned, never exchanged — the per-batch cost that must not
-        # grow with history
-        broadcast_probe=True,
+        # grow with history.  "auto": above max_probe_rows (an
+        # unbounded backfill "batch") the probe would itself be an
+        # unbounded broadcast, so it falls back to the plain anti-join
+        broadcast_probe="auto",
+        max_probe_rows=max_probe_rows,
     )
     words_added = False
     if fuzzy:
@@ -232,7 +240,8 @@ def ingest_dedup_batch(
             bands=bands,
             rows_per_band=rows_per_band,
             verify_threshold=verify_threshold,
-            broadcast_probe=True,
+            broadcast_probe="auto",
+            max_probe_rows=max_probe_rows,
         )
     if semantic_centroids is not None:
         # duplicate-tolerant by construction (max cosine is idempotent

@@ -1027,6 +1027,76 @@ def test_ingest_broadcast_probe_never_exchanges_index(spark, tmp_path):
     assert 10 not in got  # history drop survives the mode change
 
 
+def test_auto_probe_mode_routes_by_batch_size(spark, tmp_path):
+    """r9 late: ``broadcast_probe="auto"`` (now the ingest default)
+    must pick the probe plan for bounded batches and FALL BACK to the
+    plain join above ``max_probe_rows`` — an unbounded backfill batch
+    broadcast into executor memory is the OOM the auto tier exists to
+    prevent.  Probe mode is observable as the extra inner hits-join
+    (2 joins) vs plain mode's single anti/indicator join; verdicts
+    must not change with the route."""
+    from smashed_spark.functions.dedup import (
+        dedup_incremental,
+        dedup_incremental_fuzzy,
+        with_digests,
+        with_minhash_bands,
+    )
+
+    def _tree(df):
+        return (
+            df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            .split("===== Subqueries")[0]
+            .split("\n\n")[0]
+        )
+
+    hist = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(25)))],
+        "doc_id: bigint, text: string",
+    ).withColumn("words", F.split("text", " "))
+    with_digests(hist).write.parquet(str(tmp_path / "digests"))
+    with_minhash_bands(hist).write.parquet(str(tmp_path / "bands"))
+    dig_idx = spark.read.parquet(str(tmp_path / "digests"))
+    band_idx = spark.read.parquet(str(tmp_path / "bands"))
+
+    batch = spark.createDataFrame(
+        [
+            (10, " ".join(f"w{i}" for i in range(25))),
+            (11, " ".join(f"v{i}" for i in range(25))),
+            (12, " ".join(f"v{i}" for i in range(25))),
+        ],
+        "doc_id: bigint, text: string",
+    ).withColumn("words", F.split("text", " "))
+
+    # small batch under the cap -> probe plan (hits-join + anti-join)
+    small = dedup_incremental(
+        batch, dig_idx, broadcast_probe="auto", max_probe_rows=100
+    )
+    assert _tree(small).count("Join") == 2, _tree(small)
+    # batch over the cap -> plain single anti-join, same verdicts
+    big = dedup_incremental(
+        batch, dig_idx, broadcast_probe="auto", max_probe_rows=2
+    )
+    assert _tree(big).count("Join") == 1, _tree(big)
+    assert sorted(r.doc_id for r in small.collect()) == [11]
+    assert sorted(r.doc_id for r in big.collect()) == [11]
+
+    # fuzzy: cap counts bands keys per doc (3 docs x 4 bands = 12)
+    fsmall = dedup_incremental_fuzzy(
+        batch, band_idx, broadcast_probe="auto", max_probe_rows=100
+    )
+    fbig = dedup_incremental_fuzzy(
+        batch, band_idx, broadcast_probe="auto", max_probe_rows=8
+    )
+    # +1 everywhere vs the exact path: the survivors join-back
+    assert _tree(fsmall).count("Join") == 3, _tree(fsmall)
+    assert _tree(fbig).count("Join") == 2, _tree(fbig)
+    assert sorted(r.doc_id for r in fsmall.collect()) == sorted(
+        r.doc_id for r in fbig.collect()
+    )
+
+
 def test_ingest_dedup_batch_stats(spark, tmp_path):
     """r9: opt-in per-batch stats — the numbers an ingestion pipeline
     logs: input/survivor/dropped counts and the EXACT index growth

@@ -596,7 +596,15 @@ auto-broadcast.  Three changes, each pinned by a plan-spy test:
    of bucketing the index on its join key, without requiring a
    metastore table: per-batch cost is one index SCAN (parquet,
    column-pruned to the key columns) + O(batch) work, instead of an
-   O(index) exchange.  Why not `bucketBy`: Spark bucketed writes
+   O(index) exchange.  Late r9: the ingest default became
+   ``broadcast_probe="auto"`` — probe mode while the batch is under
+   ``max_probe_rows`` (default 2M keys; sized by a bounded
+   ``limit(cap+1).count()`` job, so the decision itself reads O(cap)
+   rows however large the batch), plain join above it.  An unbounded
+   backfill "batch" would otherwise be broadcast into executor
+   memory — the auto tier makes the oversized case pay one
+   batch+index exchange instead of OOMing, route + verdict-parity
+   test-pinned.  Why not `bucketBy`: Spark bucketed writes
    require `saveAsTable` (a metastore), while the ingest state is
    deliberately path-based parquet (portable, overwrite-by-batch-id
    retry semantics); a deployment with a metastore can still register
