@@ -1,0 +1,94 @@
+"""Web-corpus hygiene (r9 family): URL host/domain extraction ->
+domain blocklist -> per-domain caps (template-farm control) ->
+compression-ratio + heuristic quality signals -> per-source
+quality-threshold calibration (keep the best 60% of EACH source).
+
+Everything before the per-domain cap is narrow column algebra riding
+the scan; the cap is one WindowGroupLimit, and calibration adds one
+slim (source, score) exchange plus a KB-sized thresholds broadcast.
+
+The synthetic corpus has no URL column, so one is derived
+deterministically from (source, doc_id) — the pipeline shape is what
+this example demonstrates.
+
+Run: python examples/web_curation.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from smashed_spark.functions.calibrate import select_top_fraction
+from smashed_spark.functions.textstats import (
+    CompressionRatioMapper,
+    QualityScoreMapper,
+)
+from smashed_spark.functions.web import DomainFilterMapper, UrlHostMapper
+from smashed_spark.sources.loaders import quota_sample
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # synthesize a URL per doc: a handful of hosts per source, so the
+    # per-domain cap has something to cap
+    docs = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+
+    # 1. hosts + registered domains (narrow regexp, rides the scan)
+    curated = UrlHostMapper("url").map(docs)
+
+    # 2. domain blocklist — literal tier folds into the scan's filters
+    curated = DomainFilterMapper(
+        domain_field="domain", blocklist=["example.org"]
+    ).map(curated)
+
+    # 3. per-domain cap: compose with the existing quota sampler
+    # (WindowGroupLimit — no full sort); deterministic by doc_id
+    curated = quota_sample(
+        curated, group_by=["host"], max_per_group=300, key_field="doc_id"
+    )
+
+    # 4. quality signals: heuristic score + zlib repetitiveness
+    curated = (QualityScoreMapper("text") >> CompressionRatioMapper()).map(
+        curated
+    )
+
+    # 5. keep the best 60% of each source by q_score (approx tier:
+    # mergeable GK sketch — the 100 TB path)
+    kept = select_top_fraction(
+        curated, "q_score", 0.6, by="source", keep_field="keep",
+        threshold_field="src_cutoff",
+    )
+
+    kept.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum("keep").alias("kept"),
+        F.round(F.avg("compression_ratio"), 4).alias("avg_zratio"),
+        F.round(F.first("src_cutoff"), 4).alias("cutoff"),
+    ).orderBy("source").show(truncate=False)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
