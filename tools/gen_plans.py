@@ -511,6 +511,21 @@ fit-sample design does its job — assignment and probe-join are the
 linear terms.  Output rows scale exactly 100x (9,546,500 sessions /
 100 top-k rows), pinning constant density.
 
+## Round-9 deliberate cost buy: the text_stats calibration stage
+
+The late-r9 calibration fold (per-source threshold on model_q_score,
+retain=0.5, exact tier) prices at **~+0.3 s** on the sf0.1 gate
+(6.09 -> 6.36 s measured after warmup; a cold first rep reads ~8.8 s
+— this host's usual warm-up spread, see the ann_ivf note below).
+The cost is the threshold branch's second evaluation of the
+classifier fold, column-pruned to (source, model_q_score): Catalyst
+eliminates the repetition join and every other family column from
+that branch (left-join-vs-unique-agg elimination — verified in the
+plan tree: scan -> projects -> one slim exchange -> rank/count
+windows, no 2-gram aggregate).  New work, documented price; the
+exchange-budget pin moved 3 -> 5 (slim shuffle + thresholds
+broadcast).
+
 ## Round-9 bench-regression decomposition (the r8 VERDICT's wrong #3)
 
 The judge flagged three same-work r7->r8 deltas (`ann_ivf_topk` +32%,
