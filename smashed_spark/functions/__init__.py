@@ -59,6 +59,7 @@ from .packing import (
     PackSequencesMapper,
     with_prefix_sum,
 )
+from .selection import dsir_select, gumbel_top_k, with_importance_logweight
 from .sessions import SessionizeMapper, SessionStatsMapper
 from .sketches import KMVSketch, distinct_estimate, kmv_sketch
 from .substring import (
@@ -95,6 +96,9 @@ __all__ = [
     "SessionizeMapper",
     "connected_components",
     "distinct_estimate",
+    "dsir_select",
+    "gumbel_top_k",
+    "with_importance_logweight",
     "kmv_sketch",
     "portable_hash60",
     "with_prefix_sum",

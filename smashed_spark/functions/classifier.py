@@ -95,7 +95,15 @@ class LinearQualityClassifierMapper(SparkMapper):
         # ArrayType literal: element_at against it is a codegen-time
         # lookup, not a per-row array build
         warr = F.array(*[F.lit(x) for x in self.weights])
-        words = F.col(self.words_field)
+        # NULL words carry no weight — the fit's sampling convention,
+        # and a hard requirement inside the lambda: element_at with a
+        # NULL index poisons the whole aggregate to NULL even under
+        # coalesce (Spark HOF null-propagation quirk, pinned in
+        # tests/test_selection.py), which would silently un-score any
+        # doc with one NULL token
+        words = F.filter(
+            F.col(self.words_field), lambda w: w.isNotNull()
+        )
         total = F.aggregate(
             words,
             F.lit(0.0),
@@ -302,7 +310,11 @@ class UnigramLogProbMapper(SparkMapper):
     def apply(self, df: DataFrame) -> DataFrame:
         dims = len(self.table)
         tarr = F.array(*[F.lit(x) for x in self.table])
-        words = F.col(self.words_field)
+        # NULL words skipped, matching the fit (and dodging the HOF
+        # NULL-index poisoning quirk — see LinearQualityClassifier)
+        words = F.filter(
+            F.col(self.words_field), lambda w: w.isNotNull()
+        )
         total = F.aggregate(
             words,
             F.lit(0.0),

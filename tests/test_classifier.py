@@ -234,3 +234,33 @@ def test_unigram_fit_ignores_null_words(spark):
         "doc_id: bigint, words: array<string>",
     )
     assert t == fit_unigram_logprob_table(clean, dims=8)
+
+
+def test_scoring_mappers_skip_null_words(spark):
+    """Late r9: one NULL token must not un-score a doc.  Inside a HOF
+    lambda, element_at with a NULL index poisons the whole aggregate
+    to NULL even under coalesce (the quirk pinned in
+    tests/test_selection.py), so both scoring folds filter NULL words
+    first — matching the fit's 'NULL words carry no count' contract."""
+    from smashed_spark.functions.classifier import (
+        LinearQualityClassifierMapper,
+        UnigramLogProbMapper,
+    )
+
+    dirty = spark.createDataFrame(
+        [(0, ["a", None, "b"])], "doc_id: bigint, words: array<string>"
+    )
+    clean = spark.createDataFrame(
+        [(0, ["a", "b"])], "doc_id: bigint, words: array<string>"
+    )
+    table = [-1.5] * 8
+
+    for mapper in (
+        UnigramLogProbMapper(table),
+        LinearQualityClassifierMapper([0.3] * 8, bias=0.1),
+    ):
+        d = mapper.map(dirty).collect()[0]
+        c = mapper.map(clean).collect()[0]
+        got, want = d[d.__fields__[-1]], c[c.__fields__[-1]]
+        assert got is not None
+        assert got == want, (mapper, got, want)

@@ -1,0 +1,203 @@
+"""DSIR importance resampling (functions/selection.py): bit-level
+python replay of the log-weight fold, Gumbel-top-k determinism +
+distributional sanity, plan spies for the narrow/TakeOrdered claims."""
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from smashed_spark.functions.classifier import fit_unigram_logprob_table
+from smashed_spark.functions.selection import (
+    dsir_select,
+    gumbel_top_k,
+    with_importance_logweight,
+)
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _bucket(word: str, dims: int) -> int:
+    return int(hashlib.md5(word.lower().encode()).hexdigest()[:8], 16) % dims
+
+
+def _py_table(docs, dims, alpha=1.0):
+    counts = [0] * dims
+    for words in docs:
+        for w in words:
+            counts[_bucket(w, dims)] += 1
+    total = sum(counts)
+    return [
+        math.log((c + alpha) / (total + alpha * dims)) for c in counts
+    ]
+
+
+def _py_u(doc_id, seed):
+    h = int(
+        hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:8], 16
+    )
+    return (h + 0.5) / 2**32
+
+
+DIMS = 64
+
+
+def _corpora(spark):
+    rng = random.Random(2)
+    # target: "science-like" vocab; raw: mixed science + junk
+    sci = [f"atom{i}" for i in range(20)]
+    junk = [f"buy{i}" for i in range(20)]
+    target_rows = [
+        (i, [rng.choice(sci) for _ in range(12)]) for i in range(40)
+    ]
+    raw_rows = [
+        (
+            100 + i,
+            [
+                rng.choice(sci if i % 2 == 0 else junk)
+                for _ in range(12)
+            ],
+        )
+        for i in range(60)
+    ]
+    target = spark.createDataFrame(
+        target_rows, "doc_id long, words array<string>"
+    )
+    raw = spark.createDataFrame(
+        raw_rows, "doc_id long, words array<string>"
+    )
+    return target, raw, target_rows, raw_rows
+
+
+def test_logweight_matches_python_replay(spark):
+    target, raw, target_rows, raw_rows = _corpora(spark)
+    t_table = fit_unigram_logprob_table(target, dims=DIMS)
+    r_table = fit_unigram_logprob_table(raw, dims=DIMS)
+    # the spark fit itself replays
+    assert t_table == pytest.approx(
+        _py_table([w for _, w in target_rows], DIMS)
+    )
+    out = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in with_importance_logweight(raw, t_table, r_table).collect()
+    }
+    for doc_id, words in raw_rows:
+        want = sum(
+            t_table[_bucket(w, DIMS)] - r_table[_bucket(w, DIMS)]
+            for w in words
+        )
+        assert out[doc_id] == pytest.approx(want, rel=1e-9), doc_id
+    # science docs weigh more than junk docs
+    sci_w = [v for k, v in out.items() if k % 2 == 0]
+    junk_w = [v for k, v in out.items() if k % 2 == 1]
+    assert min(sci_w) > max(junk_w)
+
+
+def test_logweight_empty_and_null_words(spark):
+    df = spark.createDataFrame(
+        [(1, []), (2, None), (3, ["x", None])],
+        "doc_id long, words array<string>",
+    )
+    t = [-1.0] * 8
+    r = [-2.0] * 8
+    out = {
+        row["doc_id"]: row["dsir_logw"]
+        for row in with_importance_logweight(df, t, r).collect()
+    }
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+    assert out[3] == pytest.approx(1.0)  # one real word, +1 diff
+
+
+def test_logweight_validation(spark):
+    df = spark.createDataFrame([(1, ["a"])], "doc_id long, words array<string>")
+    with pytest.raises(ValueError, match="dims differ"):
+        with_importance_logweight(df, [0.0] * 4, [0.0] * 8)
+
+
+def test_gumbel_replay_and_determinism(spark):
+    _, raw, _, raw_rows = _corpora(spark)
+    weighted = raw.withColumn(
+        "dsir_logw", (F.col("doc_id") % 7).cast("double") / 2.0
+    )
+    sel = gumbel_top_k(weighted, 10, seed=42, key_field="key")
+    got = [(r["doc_id"], r["key"]) for r in sel.collect()]
+    # python replay of the exact draw
+    keys = {}
+    for doc_id, _ in raw_rows:
+        u = _py_u(doc_id, 42)
+        keys[doc_id] = (doc_id % 7) / 2.0 - math.log(-math.log(u))
+    want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d, kg), (_, kw) in zip(got, want):
+        assert kg == pytest.approx(kw, rel=1e-12), d
+    # partition-layout invariance
+    sel2 = gumbel_top_k(
+        weighted.repartition(7), 10, seed=42
+    )
+    assert sorted(r["doc_id"] for r in sel2.collect()) == sorted(
+        d for d, _ in got
+    )
+    # different seed, different sample (with near-certainty)
+    sel3 = gumbel_top_k(weighted, 10, seed=43)
+    assert sorted(r["doc_id"] for r in sel3.collect()) != sorted(
+        d for d, _ in got
+    )
+
+
+def test_gumbel_respects_weights_statistically(spark):
+    # one heavy doc vs many light: the heavy one should appear in
+    # nearly every k=1 draw across seeds
+    rows = [(i, 0.0) for i in range(50)] + [(999, 8.0)]
+    df = spark.createDataFrame(rows, "doc_id long, dsir_logw double")
+    hits = sum(
+        gumbel_top_k(df, 1, seed=s).collect()[0]["doc_id"] == 999
+        for s in range(20)
+    )
+    assert hits >= 18, hits  # exp(8) ~ 3000x the light weight
+
+
+def test_gumbel_null_guards(spark):
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (2, 1.0)], "doc_id long, dsir_logw double"
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException)):
+        gumbel_top_k(df, 1).collect()
+    df2 = spark.createDataFrame(
+        [(1, None), (2, 1.0)], "doc_id long, dsir_logw double"
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException)):
+        gumbel_top_k(df2, 1).collect()
+    with pytest.raises(ValueError, match="k must be"):
+        gumbel_top_k(df, 0)
+
+
+def test_plan_narrow_weight_takeordered_sample(spark):
+    _, raw, _, _ = _corpora(spark)
+    t = [0.1] * DIMS
+    r = [0.2] * DIMS
+    weighted = with_importance_logweight(raw, t, r)
+    plan_w = _explain(weighted)
+    assert "Exchange" not in plan_w, plan_w  # scan-speed fold
+    plan_k = _explain(gumbel_top_k(weighted, 5))
+    assert "TakeOrderedAndProject" in plan_k, plan_k
+    assert "Exchange" not in plan_k, plan_k  # k-row driver merge only
+
+
+def test_dsir_select_end_to_end(spark):
+    target, raw, _, _ = _corpora(spark)
+    sel = dsir_select(raw, target, 12, dims=DIMS, seed=7)
+    rows = sel.collect()
+    assert len(rows) == 12
+    ids = [r["doc_id"] for r in rows]
+    # mostly science docs (even ids): the target pull is strong here
+    assert sum(1 for i in ids if i % 2 == 0) >= 10, ids
+    assert "dsir_logw" in sel.columns

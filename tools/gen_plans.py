@@ -511,6 +511,31 @@ fit-sample design does its job — assignment and probe-join are the
 linear terms.  Output rows scale exactly 100x (9,546,500 sessions /
 100 top-k rows), pinning constant density.
 
+## Round-9 DSIR importance resampling (functions/selection.py)
+
+Data selection per Xie et al. 2023: log importance weight
+`sum_w [log p_target(w) - log p_raw(w)]` over the existing
+hashed-unigram tables — the two tables collapse into ONE difference
+array plan literal, so weighting is a single narrow aggregate fold
+(zero exchanges, plan-pinned).  Resampling uses the Gumbel-max
+trick: key = logw - ln(-ln(u)), u seeded per row from md5(id:seed)
+(portable_hash32) — a deterministic, partition-invariant,
+SQL-replayable draw WITHOUT replacement proportional to exp(logw).
+The top-k compiles to TakeOrderedAndProject: per-partition top-k,
+k-row driver merge, never a global sort — at 10^9 docs only k rows
+move.  Tests replay the exact draw bit-for-bit in python and pin the
+heavy-weight-wins statistics across 20 seeds.
+
+Fixing it surfaced a LATENT bug in both existing scoring folds
+(UnigramLogProbMapper, LinearQualityClassifierMapper): inside a
+higher-order-function lambda, `element_at` with a NULL index poisons
+the whole aggregate to NULL even when wrapped in coalesce — one NULL
+token silently un-scored the doc.  Both folds now filter NULL words
+first (the fit's "NULL words carry no count" contract); the quirk
+itself is pinned in tests/test_selection.py.  Gate-invariant: the
+text_stats corpus derives words via split(), which never produces
+NULL elements.
+
 ## Round-9 deliberate cost buy: the text_stats calibration stage
 
 The late-r9 calibration fold (per-source threshold on model_q_score,
