@@ -5,7 +5,10 @@ over plan-literal tables — zero exchanges, no UDFs), then fit the best
 documents under a token budget.
 
 The CCNet / DCLM shape: perplexity-vs-reference + a learned quality
-score -> rank -> greedy budget selection.
+score -> rank -> greedy budget selection.  Then (r9) the DSIR
+alternative on the same corpus: importance RESAMPLING toward the
+reference distribution — preserves diversity where the hard rank
+cutoff collapses onto the mode.
 
 Run: python examples/quality_scoring.py [sf_dir]
 """
@@ -76,6 +79,30 @@ def main() -> None:
         f"selected {stats.docs}/{base.docs} docs ({stats.tokens} tokens "
         f"under the 20k budget), avg quality {stats.avg_q}, "
         f"avg word-ppl {stats.avg_ppl}"
+    )
+
+    # DSIR (r9): resample 100 docs toward a CONTENT-defined target —
+    # a slice whose unigram profile genuinely skews (docs rich in one
+    # token; the synthetic corpus shares a single vocabulary across
+    # lang/source labels, so a label-defined target carries no
+    # signal).  Importance weights are one narrow fold; the draw is
+    # seeded Gumbel-top-k (TakeOrderedAndProject; only k rows move).
+    from smashed_spark.functions import dsir_select
+
+    docs_l = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "words", F.split("text", " ")
+    )
+    hits = F.size(F.filter("words", lambda w: w == F.lit("vector")))
+    rate = hits / F.greatest(F.size("words"), F.lit(1))
+    target = docs_l.filter(rate >= 0.06)
+    dsir = dsir_select(docs_l, target, 100, dims=2048, seed=11)
+    d = dsir.agg(F.round(F.avg(rate), 4).alias("r")).collect()[0]
+    b = docs_l.agg(F.round(F.avg(rate), 4).alias("r")).collect()[0]
+    print(
+        f"DSIR toward vector-heavy docs: resampled avg 'vector' "
+        f"token rate {d.r} vs corpus {b.r} — importance resampling "
+        "pulls the sample toward the target distribution without a "
+        "hard filter"
     )
     spark.stop()
 
