@@ -103,33 +103,10 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("val", F.round("val", 6))
 
 
-@query(
-    "enumerate_field",
-    oracle="""
-    SELECT d.doc_id, d.lang, e.lang_id, 1 AS flag
-    FROM documents d
-    JOIN (
-        SELECT lang, ROW_NUMBER() OVER (ORDER BY MIN(doc_id)) - 1 AS lang_id
-        FROM documents GROUP BY lang
-    ) e USING (lang)
-    """,
-)
-def q_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dictionary-encode lang in first-seen doc_id order
-    (reference EnumerateFieldMapper, fields.py:134-196).  Family gate:
-    also certifies MakeFieldMapper's constant field (the former
-    ``make_field_const`` gate, folded in round 5)."""
-    pipe = (
-        EnumerateFieldMapper(
-            "lang", destination_field="lang_id", order_by=["doc_id"]
-        )
-        >> MakeFieldMapper("flag", 1)
-        >> ChangeFieldsMapper(
-            keep_fields=["doc_id", "lang", "lang_id", "flag"]
-        )
-    )
-    out = pipe.map(load(spark, sf_dir, "documents"))
-    return out.withColumn("lang_id", F.col("lang_id").cast("bigint"))
+# enumerate_field rotated out late round 9 (slot freed for
+# dsir_select under the driver's 50-query cap): EnumerateFieldMapper
+# and MakeFieldMapper now certify inside cast_binarize below — same
+# documents table, same first-seen dictionary-encode semantics.
 
 
 # ---------------------------------------------------------------------------
@@ -140,21 +117,30 @@ def q_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cast_binarize",
     oracle="""
-    SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars_f,
-           CAST(n_chars > 500 AS BIGINT) AS is_long,
+    SELECT d.doc_id, CAST(d.n_chars AS DOUBLE) AS n_chars_f,
+           CAST(d.n_chars > 500 AS BIGINT) AS is_long,
            to_json(list_transform(range(0, 16),
-                                  i -> CAST(i = n_chars % 16 AS BIGINT)))
+                                  i -> CAST(i = d.n_chars % 16 AS BIGINT)))
                AS onehot,
-           CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 3
-                WHEN 'es' THEN 4 ELSE NULL END AS lang_code
-    FROM documents
+           CASE d.lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 3
+                WHEN 'es' THEN 4 ELSE NULL END AS lang_code,
+           e.lang_id, 1 AS flag
+    FROM documents d
+    JOIN (
+        SELECT lang, ROW_NUMBER() OVER (ORDER BY MIN(doc_id)) - 1 AS lang_id
+        FROM documents GROUP BY lang
+    ) e USING (lang)
     """,
 )
 def q_cast_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CastMapper + BinarizerMapper + OneHotMapper + LookupMapper.
     Family gate: the one-hot column certifies the former ``one_hot``
     gate, the lang_code column the former ``lookup_map`` gate (both
-    folded in round 5 to stay under the driver's 50-query cap)."""
+    folded in round 5 to stay under the driver's 50-query cap), and —
+    since late round 9, when ``enumerate_field`` rotated out to free a
+    slot for ``dsir_select`` — EnumerateFieldMapper's first-seen
+    dictionary encode (``lang_id``, reference fields.py:134-196) and
+    MakeFieldMapper's constant field (``flag``)."""
     df = load(spark, sf_dir, "documents")
     df = df.withColumn("is_long", F.col("n_chars"))
     df = BinarizerMapper("is_long", 500).map(df)
@@ -166,8 +152,18 @@ def q_cast_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = CastMapper({"n_chars": float}).map(df)
     df = RenameFieldsMapper({"n_chars": "n_chars_f"}).map(df)
+    df = (
+        EnumerateFieldMapper(
+            "lang", destination_field="lang_id", order_by=["doc_id"]
+        )
+        >> MakeFieldMapper("flag", 1)
+    ).map(df)
+    df = df.withColumn("lang_id", F.col("lang_id").cast("bigint"))
     return ChangeFieldsMapper(
-        keep_fields=["doc_id", "n_chars_f", "is_long", "onehot", "lang_code"]
+        keep_fields=[
+            "doc_id", "n_chars_f", "is_long", "onehot", "lang_code",
+            "lang_id", "flag",
+        ]
     ).map(df)
 
 

@@ -693,6 +693,84 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_DIMS = 512
+_DSIR_K = 200
+_DSIR_SEED = 13
+
+
+@query(
+    "dsir_select",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        FROM documents
+    ), wb AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(lower(wd)), 1, 8))::BIGINT
+                   % {_DSIR_DIMS} AS b
+        FROM w
+    ), tgt AS (
+        SELECT wb.b, count(*) AS c
+        FROM wb JOIN documents d USING (doc_id)
+        WHERE d.n_chars >= 400 GROUP BY wb.b
+    ), tt AS (SELECT sum(c) AS total FROM tgt
+    ), rawc AS (
+        SELECT b, count(*) AS c FROM wb GROUP BY b
+    ), rt AS (SELECT sum(c) AS total FROM rawc
+    ), logw AS (
+        SELECT wb.doc_id,
+               sum(ln((coalesce(t.c, 0) + 1.0)
+                      / (tt.total + {_DSIR_DIMS}.0))
+                 - ln((coalesce(r.c, 0) + 1.0)
+                      / (rt.total + {_DSIR_DIMS}.0))) AS lw
+        FROM wb
+        LEFT JOIN tgt t ON wb.b = t.b
+        LEFT JOIN rawc r ON wb.b = r.b, tt, rt
+        GROUP BY wb.doc_id
+    ), keyed AS (
+        SELECT d.doc_id, coalesce(l.lw, 0.0) AS lw,
+               coalesce(l.lw, 0.0)
+               - ln(-ln((('0x' || substr(md5(d.doc_id::VARCHAR
+                                             || ':{_DSIR_SEED}'), 1, 8))
+                             ::BIGINT + 0.5) / 4294967296.0)) AS k
+        FROM documents d LEFT JOIN logw l USING (doc_id)
+    )
+    SELECT doc_id, round(lw, 6) AS dsir_logw
+    FROM keyed ORDER BY k DESC, doc_id LIMIT {_DSIR_K}
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (late r9 rotation, slot freed by
+    folding enumerate_field into cast_binarize): target = long
+    documents (n_chars >= 400), raw = the whole corpus; hashed-unigram
+    tables fit on each (two bounded count jobs, <= dims rows
+    collected), per-doc log importance weight as ONE narrow aggregate
+    fold over the difference-array literal, then a seeded
+    Gumbel-top-k draw (md5-derived uniforms — the oracle replays the
+    EXACT draw, fit arithmetic included, from first principles in
+    SQL).  The top-k compiles to TakeOrderedAndProject: k rows move,
+    nothing exchanges."""
+    from ..functions.classifier import fit_unigram_logprob_table
+    from ..functions.selection import (
+        gumbel_top_k,
+        with_importance_logweight,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    target = docs.filter(F.col("n_chars") >= 400)
+    t_table = fit_unigram_logprob_table(target, dims=_DSIR_DIMS)
+    r_table = fit_unigram_logprob_table(docs, dims=_DSIR_DIMS)
+    weighted = with_importance_logweight(docs, t_table, r_table)
+    picked = gumbel_top_k(
+        weighted, _DSIR_K, id_field="doc_id", seed=_DSIR_SEED
+    )
+    return picked.select(
+        "doc_id", F.round("dsir_logw", 6).alias("dsir_logw")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational analytics (bench headliners; joins + aggregations)
 # ---------------------------------------------------------------------------

@@ -526,6 +526,16 @@ k-row driver merge, never a global sort — at 10^9 docs only k rows
 move.  Tests replay the exact draw bit-for-bit in python and pin the
 heavy-weight-wins statistics across 20 seeds.
 
+Late-r9 gate rotation #2: `dsir_select` joined the driver scorecard
+(target = long docs, k=200, seed=13) with an oracle that replays the
+ENTIRE pipeline from first principles in SQL — bucket-count fits as
+CTEs, smoothed log-ratios, per-doc sums, and the md5-seeded Gumbel
+keys — value-hash MATCH at 6dp.  The slot came from folding
+enumerate_field into cast_binarize (same documents table; the
+ROW_NUMBER dictionary-encode CTE now rides that gate's oracle), the
+same consolidation round 5 used for one_hot/lookup_map and round 9
+used for glom_path.
+
 Fixing it surfaced a LATENT bug in both existing scoring folds
 (UnigramLogProbMapper, LinearQualityClassifierMapper): inside a
 higher-order-function lambda, `element_at` with a NULL index poisons
