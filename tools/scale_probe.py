@@ -62,6 +62,10 @@ QUERIES = [
     # fuzzy incremental dedup -> token budget -> shard) — the probe
     # watches the chain's many small exchanges for a compounding term
     "sample_mix",
+    # late r9: DSIR — two bucket-count fits (corpus-linear, <= dims
+    # rows collected) + the narrow weight fold + TakeOrdered (k rows
+    # move); the probe pins that no global-sort term sneaks in
+    "dsir_select",
 ]
 # the steepest 10x curves get the extra decade. stream_sessionize /
 # ann_ivf_topk read only events / embeddings; dedup_ngram_jaccard
