@@ -59,6 +59,7 @@ from .packing import (
     PackSequencesMapper,
     with_prefix_sum,
 )
+from .profile import profile_corpus
 from .selection import dsir_select, gumbel_top_k, with_importance_logweight
 from .sessions import SessionizeMapper, SessionStatsMapper
 from .sketches import KMVSketch, distinct_estimate, kmv_sketch
@@ -101,6 +102,7 @@ __all__ = [
     "with_importance_logweight",
     "kmv_sketch",
     "portable_hash60",
+    "profile_corpus",
     "with_prefix_sum",
     "CompressionRatioMapper",
     "CosineTopK",

@@ -546,6 +546,20 @@ itself is pinned in tests/test_selection.py.  Gate-invariant: the
 text_stats corpus derives words via split(), which never produces
 NULL elements.
 
+## Round-9 one-pass corpus profiler (functions/profile.py)
+
+`profile_corpus`: the audit step — per-column nulls, min/max,
+moments, GK quantile sketches, string lengths in ONE global
+aggregate (a global agg's exchange carries one partial-state row per
+task — KBs regardless of column count), plus the existing
+single-pass multi-column KMV job for distinct estimates.  Two
+bounded jobs total for an N-column profile; result is O(N) rows
+assembled on the driver.  Complex types get counts/nulls only, BY
+DESIGN: profiling inside arrays/maps means an explode, and an audit
+helper must never hide an explode's cost — the caller projects
+explicitly.  NaN is excluded from moments exactly like NULL (a
+poisoned mean hides the rows an audit exists to find).
+
 ## Round-9 deliberate cost buy: the text_stats calibration stage
 
 The late-r9 calibration fold (per-source threshold on model_q_score,
