@@ -161,7 +161,21 @@ def select_top_fraction(
     keep: Column = F.coalesce(score >= F.col("__thr__"), F.lit(False))
     thr = thr.withColumnRenamed("threshold", "__thr__")
     if by_cols:
-        joined = df.join(F.broadcast(thr), on=by_cols, how="left")
+        # NULL-SAFE join keys: calibrate_thresholds treats a NULL
+        # group key as a real group (groupBy/Window semantics), so the
+        # join-back must too — a null-unsafe `on=by_cols` would never
+        # match the NULL group's threshold row and silently drop that
+        # entire partition of the corpus
+        thr = thr.select(
+            *[F.col(c).alias(f"__g_{c}__") for c in by_cols], "__thr__"
+        )
+        cond = None
+        for c in by_cols:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}__"))
+            cond = eq if cond is None else (cond & eq)
+        joined = df.join(F.broadcast(thr), on=cond, how="left").drop(
+            *[f"__g_{c}__" for c in by_cols]
+        )
     else:
         joined = df.crossJoin(F.broadcast(thr))
     out_cols = list(df.columns)

@@ -1709,6 +1709,14 @@ def _resolve_probe_mode(
     upper-bounds the DISTINCT key count, so the check never
     under-estimates the broadcast.
     """
+    if isinstance(broadcast_probe, str) and broadcast_probe != "auto":
+        # a typo'd "Auto"/"false"/"none" must not silently coerce
+        # truthy — that forces the unbounded broadcast the auto tier
+        # exists to prevent
+        raise ValueError(
+            f"broadcast_probe must be True, False, or 'auto'; got "
+            f"{broadcast_probe!r}"
+        )
     if broadcast_probe != "auto":
         return bool(broadcast_probe)
     cap = max(1, max_probe_rows // max(1, rows_per_doc))

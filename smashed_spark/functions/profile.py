@@ -22,7 +22,7 @@ explicit (explode costs must never hide in an audit helper).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,9 +76,18 @@ def profile_corpus(
         if isinstance(dt, _NUMERIC):
             v = col.cast("double")
             v = F.when(~F.isnan(v), v)
+            # min/max over the NaN-normalized value for FLOATING
+            # columns: Spark orders NaN above every double, so raw max
+            # would report the string 'NaN' and mask the true maximum —
+            # the same poisoning the docstring promises to exclude from
+            # the moments.  Integer/decimal columns cannot hold NaN and
+            # keep their native rendering ("5", not "5.0").
+            mcol = (
+                v if isinstance(dt, (T.FloatType, T.DoubleType)) else col
+            )
             aggs += [
-                F.min(col).cast("string").alias(f"{c}!min"),
-                F.max(col).cast("string").alias(f"{c}!max"),
+                F.min(mcol).cast("string").alias(f"{c}!min"),
+                F.max(mcol).cast("string").alias(f"{c}!max"),
                 F.avg(v).alias(f"{c}!mean"),
                 F.stddev_samp(v).alias(f"{c}!std"),
                 F.percentile_approx(
@@ -111,13 +120,13 @@ def profile_corpus(
     kmv_cols = [c for c in scalar if not isinstance(by_name[c], T.BooleanType)]
     if kmv_cols and n_rows:
         est = {
-            r["column"]: r["est_distinct"]
-            for r in distinct_rows(df, kmv_cols, kmv_k)
+            c: float(sk.estimate())
+            for c, sk in kmv_sketch_multi(df, kmv_cols, k=kmv_k).items()
         }
 
     out = []
+    d = row.asDict()
     for c in names:
-        d = row.asDict()
         nn = d[f"{c}!nn"]
         out.append(
             {
@@ -149,13 +158,3 @@ def profile_corpus(
     return df.sparkSession.createDataFrame(
         [tuple(r.values()) for r in out], schema
     )
-
-
-def distinct_rows(df: DataFrame, columns: List[str], k: int):
-    """KMV distinct estimates as plain dicts (shared with
-    profile_corpus; the sketch pass is one job for all columns)."""
-    sketches = kmv_sketch_multi(df, columns, k=k)
-    rows = []
-    for c, sk in sketches.items():
-        rows.append({"column": c, "est_distinct": float(sk.estimate())})
-    return rows

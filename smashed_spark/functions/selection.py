@@ -33,10 +33,10 @@ Three composable pieces, all deterministic:
 Scale notes: table fits are one bucket-count exchange each (<= dims
 rows collected — the fit's own contract); weighting is narrow; the
 resample moves k rows.  At 10^9 docs selecting 10^7, the driver merge
-holds k ids — use ``gumbel_top_k`` on a slim (id, logw) projection
-and join survivors back if k rows of full documents exceed driver
-comfort (the ``slim=True`` mode does exactly this with a broadcast
-semi-join when k is bounded).
+holds k full rows — if k rows of full documents exceed driver
+comfort, call ``gumbel_top_k`` on a slim ``(id, logw)`` projection
+yourself and broadcast-semi-join the k ids back against the corpus
+(both pieces compose from this module + ``F.broadcast``).
 """
 
 from __future__ import annotations

@@ -29,13 +29,13 @@ only the un-compacted tail is distinct'd per batch).
 Each micro-batch N (1) reads the full compact index EXCLUDING its own
 ``batch=N`` partition (~180 GB of slim keys at 100 TB of history vs
 a rescan of the corpus itself — the whole point; the index is SCANNED
-once per batch and never exchanged: both dedup operators run with
-``broadcast_probe="auto"``, which broadcasts the bounded batch's key
-set into an index probe instead of shuffling the index into a join —
-and falls back to the plain anti/indicator join for a batch above
-``max_probe_rows``, where the probe itself would be an unbounded
-broadcast: an oversized backfill pays one batch+index exchange
-instead of OOMing the executors),
+once per batch and never exchanged: ONE bounded sizing job on the
+raw batch routes BOTH dedup operators between ``broadcast_probe``
+mode — the bounded batch's key set broadcast into an index probe
+instead of shuffling the index into a join — and, for a batch above
+``max_probe_rows`` where the probe itself would be an unbounded
+broadcast, the plain anti/indicator join: an oversized backfill pays
+one batch+index exchange instead of OOMing the executors),
 (2) scrubs the batch against it with the batch operators,
 (3) OVERWRITES its own ``batch=N`` subdirectories.  Together these
 make a retried batch a pure replay: the overwrite rewrites the same
@@ -197,6 +197,20 @@ def ingest_dedup_batch(
     )
 
     spark = batch.sparkSession
+    # ONE bounded sizing job on the RAW batch resolves probe-vs-plain
+    # for BOTH operators: passing "auto" through would make the fuzzy
+    # operator's own sizing count run on the UNMATERIALIZED exact-dedup
+    # output — re-evaluating the anti-join (a second scan of the digest
+    # index) just to count rows.  The raw-batch count upper-bounds the
+    # fuzzy stage's input (survivors <= batch rows), so the routing is
+    # conservative in the safe direction: an oversized batch exchanges
+    # instead of broadcasting.  limit() keeps the job O(cap) however
+    # large the batch.
+    cap_fuzzy = max(1, max_probe_rows // max(1, bands))
+    sizing_cap = max(max_probe_rows, cap_fuzzy)
+    batch_rows_capped = batch.limit(sizing_cap + 1).count()
+    probe_exact = batch_rows_capped <= max_probe_rows
+    probe_fuzzy = batch_rows_capped <= cap_fuzzy
     digest_index = _read_state(
         spark,
         os.path.join(state_dir, "digests"),
@@ -211,11 +225,11 @@ def ingest_dedup_batch(
         # bounded batch vs unbounded history: broadcast the batch's
         # digest set into an index PROBE so the history index is
         # scanned, never exchanged — the per-batch cost that must not
-        # grow with history.  "auto": above max_probe_rows (an
-        # unbounded backfill "batch") the probe would itself be an
-        # unbounded broadcast, so it falls back to the plain anti-join
-        broadcast_probe="auto",
-        max_probe_rows=max_probe_rows,
+        # grow with history.  Above max_probe_rows (an unbounded
+        # backfill "batch") the probe would itself be an unbounded
+        # broadcast, so the plain anti-join runs instead (resolved by
+        # the single raw-batch sizing job above)
+        broadcast_probe=probe_exact,
     )
     words_added = False
     if fuzzy:
@@ -240,8 +254,7 @@ def ingest_dedup_batch(
             bands=bands,
             rows_per_band=rows_per_band,
             verify_threshold=verify_threshold,
-            broadcast_probe="auto",
-            max_probe_rows=max_probe_rows,
+            broadcast_probe=probe_fuzzy,
         )
     if semantic_centroids is not None:
         # duplicate-tolerant by construction (max cosine is idempotent

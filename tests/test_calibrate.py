@@ -184,3 +184,27 @@ def test_joinback_broadcasts_thresholds(spark):
     out = select_top_fraction(df, "score", 0.5, by="grp", exact=True)
     tree = _explain(out).split("\n\n")[0]
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_null_group_key_retains_its_rows(spark):
+    """Review fix: a NULL group key is a real group to groupBy/Window,
+    so the join-back must be null-SAFE — a null-unsafe join silently
+    dropped the entire NULL-source partition regardless of score."""
+    rows = [
+        (None, 9.0), (None, 1.0),
+        ("a", 5.0), ("a", 3.0),
+    ]
+    df = _mkdf(spark, rows)
+    thr = {
+        r["grp"]: r["threshold"]
+        for r in calibrate_thresholds(
+            df, "score", 0.5, by="grp", exact=True
+        ).collect()
+    }
+    assert thr == {None: 9.0, "a": 5.0}
+    kept = select_top_fraction(df, "score", 0.5, by="grp", exact=True)
+    got = sorted(
+        ((r["grp"], r["score"]) for r in kept.collect()),
+        key=lambda t: (t[0] or "", t[1]),
+    )
+    assert got == [(None, 9.0), ("a", 5.0)]

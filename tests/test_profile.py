@@ -55,6 +55,9 @@ def test_profile_values_match_python(spark):
     assert s["mean"] == pytest.approx(20.0)
     assert s["quantiles"] is not None
     assert all(not math.isnan(q) for q in s["quantiles"])
+    # NaN must not poison min/max either (review fix): the true max is
+    # 30.0, not the NaN Spark orders above every double
+    assert (s["min_value"], s["max_value"]) == ("10.0", "30.0")
 
     f = prof["flag"]
     assert (f["min_value"], f["max_value"]) == ("false", "true")

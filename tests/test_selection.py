@@ -201,3 +201,31 @@ def test_dsir_select_end_to_end(spark):
     # mostly science docs (even ids): the target pull is strong here
     assert sum(1 for i in ids if i % 2 == 0) >= 10, ids
     assert "dsir_logw" in sel.columns
+
+
+def test_hof_null_index_poisoning_quirk_is_real(spark):
+    """Pins the Spark behavior the NULL-word filters exist for: inside
+    a higher-order-function lambda, element_at with a NULL index
+    returns NULL for the WHOLE aggregate even when the term is wrapped
+    in coalesce.  If a future Spark fixes this, this test fails and
+    the filters in selection.py / classifier.py become optional."""
+    darr = F.array(*[F.lit(1.0)] * 4)
+    df = spark.createDataFrame(
+        [(1, ["x", None])], "doc_id long, words array<string>"
+    )
+    out = df.select(
+        F.aggregate(
+            "words",
+            F.lit(0.0),
+            lambda acc, w: acc
+            + F.coalesce(
+                F.element_at(darr, F.when(w.isNotNull(), F.lit(2))),
+                F.lit(0.0),
+            ),
+        ).alias("g")
+    ).collect()[0]["g"]
+    assert out is None, (
+        "Spark fixed the HOF NULL-index poisoning quirk — the NULL-word"
+        " filters in selection/classifier are now optional (got %r)"
+        % out
+    )
