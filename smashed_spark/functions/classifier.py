@@ -211,12 +211,33 @@ def fit_quality_classifier(
     return [float(v) for v in w], float(b)
 
 
+def _gram_stream(words: Column, ngram: int) -> Column:
+    """The token stream an n-gram LM scores: NULL words removed (the
+    'carry no count' contract + the HOF NULL-index quirk), then, for
+    ``ngram > 1``, every CONSECUTIVE n-gram joined with a space —
+    with repetition and in order, unlike hashing.word_shingles (which
+    dedups for set-similarity).  Arrays shorter than ``ngram`` yield
+    an empty stream (no gram exists, score NULL downstream)."""
+    ws = F.filter(words, lambda w: w.isNotNull())
+    if ngram == 1:
+        return ws
+    cnt = F.size(ws) - F.lit(ngram - 1)
+    return F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, ngram)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fit_unigram_logprob_table(
     corpus: DataFrame,
     words_field: str = "words",
     dims: int = 4096,
     alpha: float = 1.0,
     hash_fn: str = "md5",
+    ngram: int = 1,
 ) -> List[float]:
     """Fit a hashed-unigram log-probability table on a REFERENCE
     corpus (e.g. curated high-quality text) for
@@ -234,6 +255,15 @@ def fit_unigram_logprob_table(
     a floor probability instead of -inf.  Hash collisions merge word
     counts (the hashed-BoW trade-off, same as the classifier); grow
     ``dims`` to taste, plan-literal-bounded at ``MAX_NARROW_DIMS``.
+
+    ``ngram > 1`` (late r9) fits over consecutive space-joined word
+    n-grams instead — the CCNet direction: a hashed-BIGRAM table
+    sees local word order a unigram model cannot (scrambled text
+    scores like prose under unigrams, not under bigrams).  Same cost
+    shape: one explode + bucket-count exchange, <= dims rows
+    collected.  Score with ``UnigramLogProbMapper(table,
+    ngram=2)`` — the table and scorer must agree on ``ngram``,
+    ``dims`` and ``hash_fn``.
     """
     import math
 
@@ -241,11 +271,13 @@ def fit_unigram_logprob_table(
         raise ValueError(f"need 1 <= dims <= {MAX_NARROW_DIMS}")
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (smoothing mass)")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
     rows = (
         corpus.select(
             F.explode(
                 F.transform(
-                    F.col(words_field),
+                    _gram_stream(F.col(words_field), ngram),
                     lambda w: _feature_index(w, dims, hash_fn),
                 )
             ).alias("__b__")
@@ -278,6 +310,13 @@ class UnigramLogProbMapper(SparkMapper):
     exactly like this (theirs is a 5-gram KenLM; the hashed unigram
     table is the Spark-native scan-speed proxy — combine with the
     repetition/Gopher signals which catch what unigrams can't).
+
+    ``ngram=2`` (late r9) scores consecutive space-joined bigrams
+    against a table fit with the same ``ngram`` — one step toward
+    CCNet's higher-order model at identical plan cost (the gram
+    stream is built inline by the same fold; still zero exchanges).
+    Docs with fewer than ``ngram`` words have no gram to score and
+    get NULL.
     """
 
     def __init__(
@@ -287,6 +326,7 @@ class UnigramLogProbMapper(SparkMapper):
         logprob_field: str = "mean_word_logprob",
         ppl_field: str = "word_ppl",
         hash_fn: str = "md5",
+        ngram: int = 1,
     ) -> None:
         if not table:
             raise ValueError("table must be non-empty")
@@ -297,11 +337,14 @@ class UnigramLogProbMapper(SparkMapper):
             )
         if hash_fn not in ("md5", "xxhash64"):
             raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
+        if ngram < 1:
+            raise ValueError(f"ngram must be >= 1, got {ngram}")
         self.table = [float(x) for x in table]
         self.words_field = words_field
         self.logprob_field = logprob_field
         self.ppl_field = ppl_field
         self.hash_fn = hash_fn
+        self.ngram = ngram
         super().__init__(
             input_fields=[words_field],
             output_fields=[logprob_field, ppl_field],
@@ -310,11 +353,11 @@ class UnigramLogProbMapper(SparkMapper):
     def apply(self, df: DataFrame) -> DataFrame:
         dims = len(self.table)
         tarr = F.array(*[F.lit(x) for x in self.table])
-        # NULL words skipped, matching the fit (and dodging the HOF
-        # NULL-index poisoning quirk — see LinearQualityClassifier)
-        words = F.filter(
-            F.col(self.words_field), lambda w: w.isNotNull()
-        )
+        # NULL words skipped inside _gram_stream, matching the fit
+        # (and dodging the HOF NULL-index poisoning quirk — see
+        # LinearQualityClassifier); ngram>1 folds over the joined
+        # consecutive-gram stream instead
+        words = _gram_stream(F.col(self.words_field), self.ngram)
         total = F.aggregate(
             words,
             F.lit(0.0),

@@ -46,7 +46,12 @@ from typing import List, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .classifier import MAX_NARROW_DIMS, _feature_index, fit_unigram_logprob_table
+from .classifier import (
+    MAX_NARROW_DIMS,
+    _feature_index,
+    _gram_stream,
+    fit_unigram_logprob_table,
+)
 from .hashing import portable_hash32
 
 __all__ = [
@@ -63,13 +68,14 @@ def with_importance_logweight(
     words_field: str = "words",
     weight_field: str = "dsir_logw",
     hash_fn: str = "md5",
+    ngram: int = 1,
 ) -> DataFrame:
-    """Add the DSIR log importance weight: ``sum over words of
+    """Add the DSIR log importance weight: ``sum over grams of
     (target_logprob[bucket] - raw_logprob[bucket])``.  Empty word
     arrays get 0.0 (an empty product of ratios); NULL word entries
-    contribute nothing (their bucket is NULL -> element_at NULL ->
-    coalesced to 0 per word).  Both tables must share dims and the
-    hash_fn used to fit them."""
+    contribute nothing.  Both tables must share ``dims``, ``hash_fn``
+    and ``ngram`` with this call — the paper's feature space is
+    hashed n-grams (``ngram=2`` adds the word-order signal)."""
     if len(target_table) != len(raw_table):
         raise ValueError(
             f"table dims differ: target={len(target_table)} "
@@ -84,8 +90,9 @@ def with_importance_logweight(
     # carry no count" contract) — and necessarily so: inside a
     # higher-order-function lambda, `coalesce(element_at(arr, NULL))`
     # still poisons the whole aggregate to NULL (Spark lambda
-    # null-propagation quirk, pinned in tests/test_selection.py)
-    words = F.filter(F.col(words_field), lambda w: w.isNotNull())
+    # null-propagation quirk, pinned in tests/test_selection.py).
+    # _gram_stream does the filtering (and gram joining for ngram>1).
+    words = _gram_stream(F.col(words_field), ngram)
     logw = F.aggregate(
         words,
         F.lit(0.0),
@@ -172,8 +179,9 @@ def dsir_select(
     id_field: str = "doc_id",
     seed: int = 13,
     weight_field: str = "dsir_logw",
+    ngram: int = 1,
 ) -> DataFrame:
-    """One-call DSIR: fit hashed-unigram tables on the target and raw
+    """One-call DSIR: fit hashed n-gram tables on the target and raw
     corpora (two bounded fit jobs), weight every raw doc, Gumbel-top-k
     resample.  Returns the selected rows of ``raw_df`` with
     ``weight_field`` attached.
@@ -183,16 +191,16 @@ def dsir_select(
     sample actually comes from)."""
     target_table = fit_unigram_logprob_table(
         target_df, words_field=words_field, dims=dims, alpha=alpha,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, ngram=ngram,
     )
     raw_table = fit_unigram_logprob_table(
         raw_df, words_field=words_field, dims=dims, alpha=alpha,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, ngram=ngram,
     )
     weighted = with_importance_logweight(
         raw_df, target_table, raw_table,
         words_field=words_field, weight_field=weight_field,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, ngram=ngram,
     )
     return gumbel_top_k(
         weighted, k, weight_field=weight_field, id_field=id_field,

@@ -264,3 +264,83 @@ def test_scoring_mappers_skip_null_words(spark):
         got, want = d[d.__fields__[-1]], c[c.__fields__[-1]]
         assert got is not None
         assert got == want, (mapper, got, want)
+
+
+def test_bigram_tier_fit_and_score_replay(spark):
+    """Late r9: ngram=2 fits/scores consecutive space-joined bigrams —
+    the word-order signal a unigram table cannot see.  Python-replayed
+    bit-for-bit; <2-word docs have no gram and score NULL."""
+    import hashlib
+    import math
+
+    from smashed_spark.functions.classifier import (
+        UnigramLogProbMapper,
+        fit_unigram_logprob_table,
+    )
+
+    DIMS = 32
+
+    def bucket(g):
+        return int(
+            hashlib.md5(g.lower().encode()).hexdigest()[:8], 16
+        ) % DIMS
+
+    corpus_words = [
+        ["a", "b", "a", "b", "a", "b"],
+        ["a", "b", "c"],
+        ["solo"],          # no bigram
+        ["x", None, "y"],  # NULL removed first: gram ("x","y")? NO —
+                           # removal is positional: stream is x,y -> 1 gram
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(corpus_words)],
+        "doc_id long, words array<string>",
+    )
+    table = fit_unigram_logprob_table(df, dims=DIMS, ngram=2)
+
+    grams = []
+    for w in corpus_words:
+        ws = [x for x in w if x is not None]
+        grams += [
+            " ".join(ws[i:i + 2]) for i in range(len(ws) - 1)
+        ]
+    counts = [0] * DIMS
+    for g in grams:
+        counts[bucket(g)] += 1
+    total = sum(counts)
+    want = [
+        math.log((c + 1.0) / (total + DIMS)) for c in counts
+    ]
+    assert table == pytest.approx(want)
+
+    scored = {
+        r["doc_id"]: r["mean_word_logprob"]
+        for r in UnigramLogProbMapper(table, ngram=2).map(df).collect()
+    }
+    assert scored[2] is None  # one word: no bigram to score
+    g0 = ["a b", "b a", "a b", "b a", "a b"]
+    assert scored[0] == pytest.approx(
+        sum(table[bucket(g)] for g in g0) / len(g0)
+    )
+    # the point of the tier: in-order prose outscores scrambled text
+    # under bigrams (identical unigram profiles)
+    probe = spark.createDataFrame(
+        [(0, ["a", "b", "a", "b"]), (1, ["b", "b", "a", "a"])],
+        "doc_id long, words array<string>",
+    )
+    p = {
+        r["doc_id"]: r["mean_word_logprob"]
+        for r in UnigramLogProbMapper(table, ngram=2).map(probe).collect()
+    }
+    assert p[0] > p[1]
+    u_table = fit_unigram_logprob_table(df, dims=DIMS)
+    u = {
+        r["doc_id"]: r["mean_word_logprob"]
+        for r in UnigramLogProbMapper(u_table).map(probe).collect()
+    }
+    assert u[0] == pytest.approx(u[1])  # unigrams are order-blind
+
+    with pytest.raises(ValueError, match="ngram"):
+        fit_unigram_logprob_table(df, dims=DIMS, ngram=0)
+    with pytest.raises(ValueError, match="ngram"):
+        UnigramLogProbMapper(table, ngram=0)

@@ -229,3 +229,35 @@ def test_hof_null_index_poisoning_quirk_is_real(spark):
         " filters in selection/classifier are now optional (got %r)"
         % out
     )
+
+
+def test_dsir_bigram_features(spark):
+    """ngram=2 DSIR: a target defined by word ORDER (ab-prose) is
+    invisible to unigram weights but separable with bigram features."""
+    rows_ab = [(i, ["a", "b"] * 6) for i in range(20)]        # ordered
+    rows_sh = [(100 + i, ["b"] * 6 + ["a"] * 6) for i in range(20)]
+    raw = spark.createDataFrame(
+        rows_ab + rows_sh, "doc_id long, words array<string>"
+    )
+    target = spark.createDataFrame(
+        rows_ab, "doc_id long, words array<string>"
+    )
+    uni = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_select(
+            raw, target, 40, dims=32, seed=3, ngram=1
+        ).collect()
+    }
+    # unigram weights cannot separate the groups (same bag of words)
+    assert max(
+        abs(uni[i] - uni[100 + i]) for i in range(20)
+    ) < 1e-9
+    bi = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_select(
+            raw, target, 40, dims=32, seed=3, ngram=2
+        ).collect()
+    }
+    assert min(bi[i] for i in range(20)) > max(
+        bi[100 + i] for i in range(20)
+    )

@@ -511,6 +511,23 @@ fit-sample design does its job — assignment and probe-join are the
 linear terms.  Output rows scale exactly 100x (9,546,500 sessions /
 100 top-k rows), pinning constant density.
 
+## Round-9 session-2 bench budget (gate-set delta)
+
+The late-r9 gate set differs from the BENCH_r08 set by: +dsir_select
+(~1.7 s at sf0.1 — two bucket-count fits + narrow fold +
+TakeOrdered), text_stats +~0.35 s (the calibration stage, priced
+above), −enumerate_field (~0.2 s, folded into cast_binarize which
+gains ~0.15 s for the dictionary-encode join).  Net expected total:
+~+1.9 s over the 50.9 s r9 sidecar refresh.  Three back-to-back
+full runs on this host measured 68.5 / 61.8 / 57.8 s with 1-min
+loadavg swinging 0.9-3.1 — the spread between runs (10.7 s) exceeds
+the entire code delta, and per-query comparison shows the inflation
+landing on UNTOUCHED queries (dedup_clusters 2.7↔4.0, pii_redact
+1.2↔2.2 across runs): host noise, not regression.  The
+streaming_ingest_dedup gate absorbs the new per-batch sizing counts
+(3 batches x 1 bounded count job) inside its run-to-run noise
+band (3.1↔5.1 s across the three runs).
+
 ## Round-9 DSIR importance resampling (functions/selection.py)
 
 Data selection per Xie et al. 2023: log importance weight
