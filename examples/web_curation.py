@@ -87,6 +87,17 @@ def main() -> None:
         F.round(F.first("src_cutoff"), 4).alias("cutoff"),
     ).orderBy("source").show(truncate=False)
 
+    # 6. the audit: profile the curated output (two bounded jobs for
+    # every column — the before/after numbers a recipe owner records)
+    from smashed_spark.functions.profile import profile_corpus
+
+    profile_corpus(
+        kept, columns=["domain", "q_score", "compression_ratio", "keep"]
+    ).select(
+        "column", "n_nulls", "est_distinct", "min_value", "max_value",
+        F.round("mean", 4).alias("mean"),
+    ).show(truncate=False)
+
     spark.stop()
 
 
