@@ -455,3 +455,46 @@ def test_broadcast_probe_mode_parity_property(spark):
             ).collect()
         )
         assert plain == probed and len(plain) > 0
+
+
+def test_calibrate_exact_property_multikey(spark):
+    """Property sweep for the exact calibration tier, batched through
+    ONE DataFrame (the file's convention): 60 random (case, grp)
+    score sets, multi-column grouping keys (not covered by the unit
+    tests), ties, negatives, and a NULL mix — thresholds must equal
+    the pure-python k-th-largest oracle for every group."""
+    import math
+    import random
+
+    from smashed_spark.functions.calibrate import calibrate_thresholds
+
+    rng = random.Random(41)
+    rows, want = [], {}
+    retain = 0.35
+    for case in range(60):
+        grp = f"g{case % 7}"
+        n = rng.randrange(1, 12)
+        scores = [
+            round(rng.uniform(-5, 5), 2) if rng.random() > 0.15 else None
+            for _ in range(n)
+        ]
+        # force ties sometimes
+        if n >= 3 and rng.random() < 0.4:
+            scores[1] = scores[0]
+        rows += [(case, grp, s) for s in scores]
+        real = sorted(
+            (s for s in scores if s is not None), reverse=True
+        )
+        if real:
+            k = max(1, math.ceil(retain * len(real) - 1e-9))
+            want[(case, grp)] = real[k - 1]
+        else:
+            want[(case, grp)] = None
+    df = spark.createDataFrame(rows, "case int, grp string, score double")
+    got = {
+        (r["case"], r["grp"]): r["threshold"]
+        for r in calibrate_thresholds(
+            df, "score", retain, by=["case", "grp"], exact=True
+        ).collect()
+    }
+    assert got == want
