@@ -511,6 +511,25 @@ fit-sample design does its job — assignment and probe-join are the
 linear terms.  Output rows scale exactly 100x (9,546,500 sessions /
 100 top-k rows), pinning constant density.
 
+## Round-9 calibration-tier scale probe (calibrate_tiers)
+
+text_stats' post-calibration re-probe read 7.12 / 6.24 / 89.6 s at
+1x/10x/100x — a 14.4x "second decade" that triggered the probe's
+superlinear flag.  Investigated rather than shipped: the 10x point
+measured BELOW the 1x point (0.88x — the family is overhead-dominated
+through 50k docs on this host), so decade attribution there is noise;
+end-to-end the curve is 12.6x wall for 100x data, sublinear.  The
+direct isolation experiment (`calibrate_tiers` in BENCH_SCALE.json)
+times BOTH calibration tiers alone on the same blown-up documents:
+exact 0.33/0.54/0.92 s, approx 0.23/0.46/0.63 s across the two
+decades — flat; the round's new stage is exonerated as a superlinear
+term.  The probe also documents the exact tier's REAL scale bound:
+its rank+count windows parallelize at most #groups wide (10 sources
+here), harmless at 50k rows/source but binding at
+billions-per-source — which is precisely why the mergeable
+percentile_approx tier is the 100 TB default and the exact tier is
+reserved for the oracle-parity gate.
+
 ## Round-9 session-2 bench budget (gate-set delta)
 
 The late-r9 gate set differs from the BENCH_r08 set by: +dsir_select

@@ -572,6 +572,92 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # late r9: the calibration TIER claim measured directly.  The
+    # exact tier's rank+count windows partition by the group key, so
+    # its parallelism is CEILINGED at the number of groups (10
+    # sources here, at any corpus size) — a real design bound that
+    # makes the approx tier (percentile_approx partial aggregation,
+    # no ceiling) the documented 100 TB path.  Measured result: BOTH
+    # tiers are flat through 100x here (50k rows/source sorts are
+    # trivial), which also EXONERATES the calibration stage as the
+    # cause of text_stats' noisy second-decade split.
+    calibrate_selected = not only or "calibrate_tiers" in only
+
+    def run_calibrate_tiers(doc_dir: str, reps: int = 2) -> dict:
+        from pyspark.sql import functions as F
+
+        from smashed_spark.functions.calibrate import calibrate_thresholds
+
+        docs = spark.read.parquet(f"{doc_dir}/documents.parquet").select(
+            "source",
+            (F.col("n_chars") + F.col("doc_id") % 97)
+            .cast("double")
+            .alias("score"),
+        )
+        out = {}
+        for tier, exact in (("exact", True), ("approx", False)):
+            best = -1.0
+            for _ in range(reps):
+                isolate()
+                t0 = time.perf_counter()
+                calibrate_thresholds(
+                    docs, "score", 0.5, by="source", exact=exact
+                ).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            out[tier] = round(best, 3)
+        return out
+
+    if calibrate_selected:
+        c1 = run_calibrate_tiers(BASE)
+        c10 = run_calibrate_tiers(scaled_dir)
+        calib_deep = tempfile.mkdtemp(prefix="smashed_calib_deep_")
+        try:
+            build_scaled_deep(
+                spark, calib_deep, DEEP_COPIES, tables=("documents",)
+            )
+            c100 = run_calibrate_tiers(calib_deep)
+        finally:
+            shutil.rmtree(calib_deep, ignore_errors=True)
+        exact_2nd = (
+            round(c100["exact"] / c10["exact"], 2)
+            if c10["exact"] > 0 else None
+        )
+        approx_2nd = (
+            round(c100["approx"] / c10["approx"], 2)
+            if c10["approx"] > 0 else None
+        )
+        result["queries"]["calibrate_tiers"] = {
+            "exact_sec_1x": c1["exact"],
+            "exact_sec_10x": c10["exact"],
+            "exact_sec_100x": c100["exact"],
+            "exact_second_decade_ratio": exact_2nd,
+            "approx_sec_1x": c1["approx"],
+            "approx_sec_10x": c10["approx"],
+            "approx_sec_100x": c100["approx"],
+            "approx_second_decade_ratio": approx_2nd,
+            "note": (
+                "same slim (source, score) input, 10 source groups at "
+                "every scale; exact tier = rank+count windows "
+                "partitionBy(source) whose parallelism is ceilinged "
+                "at the group count — a real bound at "
+                "billions-of-rows-per-source scale, which is why the "
+                "approx tier (percentile_approx GK partial "
+                "aggregation, no ceiling) is the documented 100 TB "
+                "path.  Both tiers measured FLAT through 100x here "
+                "(50k rows/source sorts are trivial) — exonerating "
+                "the calibration stage as a superlinear term in "
+                "text_stats.  Gate uses exact only for bit-level "
+                "oracle parity."
+            ),
+        }
+        print(
+            f"# calibrate_tiers: exact {c1['exact']}/{c10['exact']}/"
+            f"{c100['exact']}s approx {c1['approx']}/{c10['approx']}/"
+            f"{c100['approx']}s",
+            file=sys.stderr,
+        )
+
     shutil.rmtree(scaled_dir, ignore_errors=True)
 
     # deep phase: one more decade for the steepest curves
