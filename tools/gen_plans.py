@@ -511,6 +511,24 @@ fit-sample design does its job — assignment and probe-join are the
 linear terms.  Output rows scale exactly 100x (9,546,500 sessions /
 100 top-k rows), pinning constant density.
 
+## Round-9 attribute sidecars (sources/attributes.py)
+
+The Dolma-style storage pattern that makes 100 TB re-curation cheap:
+scoring passes run ONCE and persist bytes/doc of (key, attributes)
+parquet; every later recipe change is a join against the sidecar,
+not a recompute of the scoring scan.  Writer projects slim columns
+(payload-named columns refused by default — a sidecar that carries
+the corpus defeats its purpose) and repartitions by key.  Join tier:
+broadcast under a bounded limit-probe (filtered sidecars are small),
+else plain equi-join — plain parquet cannot record bucketing without
+a metastore (the same documented bucketBy/saveAsTable trade-off as
+the ingest indexes; metastore deployments bucket BOTH sides and
+delete the join exchanges, same API).  Duplicate sidecar keys raise
+in-plan through the shared count-window guard wrapping a CARRIED
+attribute column — wrapping a synthetic dropped column would let
+Catalyst prune the guard away with it (the simhash lesson, re-learned
+by the first draft and caught before commit).
+
 ## Round-9 calibration-tier scale probe (calibrate_tiers)
 
 text_stats' post-calibration re-probe read 7.12 / 6.24 / 89.6 s at
