@@ -104,6 +104,26 @@ def main() -> None:
         "pulls the sample toward the target distribution without a "
         "hard filter"
     )
+
+    # attribute sidecar (r9): persist the scores once (bytes/doc), so
+    # the NEXT recipe change re-joins instead of re-scoring the corpus
+    import tempfile
+
+    from smashed_spark.sources.attributes import (
+        join_attributes,
+        write_attributes,
+    )
+
+    side = tempfile.mkdtemp(prefix="qs_attrs_") + "/attrs"
+    cols = write_attributes(
+        scored, side,
+        attribute_fields=["model_q_score", "word_ppl", "quality_rank"],
+    )
+    rejoined = join_attributes(docs.select("doc_id", "text"), side)
+    print(
+        f"sidecar: wrote {cols} for {rejoined.count()} docs; re-curation "
+        "is now a broadcast join, not a scoring scan"
+    )
     spark.stop()
 
 

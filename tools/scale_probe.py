@@ -80,6 +80,10 @@ DEEP_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_substring",
     "dedup_clusters",
+    # late r9: DSIR's fits are corpus-linear and the draw is
+    # TakeOrdered — the second decade pins that no hidden sort term
+    # appears at 500k docs
+    "dsir_select",
     # r7: the banded simhash join's 10x point was fixed-cost-dominated
     # (0.81x) — the second decade pins whether band occupancy holds
     # (the in-plan occupancy guard runs inside the timed region, as it
@@ -231,6 +235,7 @@ DEEP_TABLES = {
     # embedding-space benchmark matmul, joined by id)
     "decontaminate": ("documents", "embeddings"),
     "stream_dedup": ("events",),
+    "dsir_select": ("documents",),
 }
 
 
