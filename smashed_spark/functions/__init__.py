@@ -26,6 +26,7 @@ from .hashing import (
     word_shingles,
 )
 from .asof import AsofJoinMapper, RangeJoinMapper, asof_join
+from .bpe import BpeTokenCountMapper, bpe_encode_word, fit_bpe_merges
 from .calibrate import calibrate_thresholds, select_top_fraction
 from .classifier import (
     LinearQualityClassifierMapper,
@@ -128,6 +129,9 @@ __all__ = [
     "TokenCountMapper",
     "WordPieceTokenizer",
     "asof_join",
+    "BpeTokenCountMapper",
+    "bpe_encode_word",
+    "fit_bpe_merges",
     "calibrate_thresholds",
     "select_top_fraction",
     "cosine_similarity",

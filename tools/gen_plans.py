@@ -511,6 +511,22 @@ fit-sample design does its job — assignment and probe-join are the
 linear terms.  Output rows scale exactly 100x (9,546,500 sessions /
 100 top-k rows), pinning constant density.
 
+## Round-9 learned BPE (functions/bpe.py)
+
+Hermetic, corpus-learned byte-pair encoding so token-budget
+selection and packing run on numbers that track real tokenizer
+behavior instead of whitespace counts.  Fit = Sennrich word-type
+algorithm with two Spark bounds: word-type counts cross ONE
+map-side-partial exchange, and a TakeOrdered caps the driver table
+at max_word_types (most frequent, ties by word — deterministic,
+partition-invariant, test-pinned); the merge loop then runs
+driver-side over the bounded table, independent of corpus size, with
+a lexicographic tiebreak and a stop rule (best pair count < 2 =
+memorization, stop).  Encoding ships merge ranks in one Arrow UDF
+closure — narrow, zero exchanges, character fallback for unseen
+input.  The textbook merge sequence is hand-derived in the test, not
+replayed through the implementation.
+
 ## Round-9 attribute sidecars (sources/attributes.py)
 
 The Dolma-style storage pattern that makes 100 TB re-curation cheap:
