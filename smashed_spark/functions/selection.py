@@ -58,6 +58,8 @@ __all__ = [
     "with_importance_logweight",
     "gumbel_top_k",
     "dsir_select",
+    "with_prototypicality",
+    "diversity_select",
 ]
 
 
@@ -206,3 +208,142 @@ def dsir_select(
         weighted, k, weight_field=weight_field, id_field=id_field,
         seed=seed,
     )
+
+
+def with_prototypicality(
+    df: DataFrame,
+    centroids,
+    vector_field: str = "embedding",
+    cell_field: str = "cell",
+    score_field: str = "proto_cos",
+) -> DataFrame:
+    """Attach the two columns D4-style diversity selection ranks on
+    (Tirumala et al. 2023, "D4: Improving LLM Pretraining via Document
+    De-Duplication and Diversification", arXiv:2308.12284):
+    ``cell_field`` — the document's spherical-kmeans cluster under the
+    INJECTED quantizer (fit once with :func:`~smashed_spark.functions.
+    similarity.fit_ivf_index`, persist, inject — the same
+    fit-once-score-many contract as semantic dedup) — and
+    ``score_field`` — the cosine of the document's unit embedding to
+    its cluster centroid, the *prototypicality*: high = the cluster's
+    redundant core, low = its diverse tail.
+
+    One Arrow-batched matmul stage, fully narrow — score a corpus at
+    scan speed, write the result as an attribute sidecar
+    (:func:`~smashed_spark.sources.attributes.write_attributes`), and
+    re-curate by join without ever re-scoring.  Zero-norm embeddings
+    get cell 0 / cosine 0.0 (documented in
+    :func:`~smashed_spark.functions.similarity.assign_cells_scored`).
+
+    The reference has no embedding surface (additive, SURVEY.md §2.10).
+    """
+    import numpy as np
+
+    from .similarity import assign_cells_scored
+
+    if cell_field in df.columns or score_field in df.columns:
+        raise ValueError(
+            f"with_prototypicality: output column "
+            f"{cell_field!r}/{score_field!r} already exists on the "
+            "input — pick different names or drop the stale columns"
+        )
+    mat = np.asarray(centroids, dtype=np.float64)
+    cents = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+    )
+    base = df.withColumn(
+        "__v__",
+        F.transform(F.col(vector_field), lambda x: x.cast("double")),
+    )
+    scored = assign_cells_scored(base, cents)
+    return (
+        scored.withColumn(cell_field, F.col("__cell__"))
+        .withColumn(score_field, F.col("__cos__"))
+        .drop("__v__", "__cell__", "__cos__")
+    )
+
+
+def diversity_select(
+    df: DataFrame,
+    centroids,
+    keep_fraction: Optional[float] = None,
+    per_cell: Optional[int] = None,
+    keep: str = "diverse",
+    vector_field: str = "embedding",
+    id_field: str = "vec_id",
+    cell_field: str = "cell",
+    score_field: str = "proto_cos",
+    rank_field: Optional[str] = None,
+) -> DataFrame:
+    """Cluster-balanced diversity selection — the D4 pruning step that
+    runs AFTER dedup: rank every document within its semantic cluster
+    by prototypicality (:func:`with_prototypicality`) and keep the
+    ``keep="diverse"`` tail (lowest cosine to the centroid — D4's
+    SSL-prototypes pruning drops the redundant core) or the
+    ``keep="prototypical"`` core (highest cosine — the "most
+    representative examples" view).  Exactly one of ``keep_fraction``
+    (per-cluster fraction, >= 1 doc per non-empty cluster via ceil) or
+    ``per_cell`` (fixed per-cluster cap) must be given.  Cluster
+    balance is the point: a global score cutoff would empty small
+    clusters first and collapse the corpus onto its dominant modes.
+
+    Determinism: the quantizer is injected (same centroids every run),
+    the ranking tie-breaks on ``id_field``, and the per-cell count is
+    exact — the selection is a pure function of (data, centroids),
+    partition-layout-invariant and SQL-replayable (the driver gate's
+    oracle replays fit + assignment + ranking from scratch).
+
+    Scale shape: scoring is one narrow Arrow matmul stage; the ranking
+    is ONE exchange on the cell key.  With ``per_cell`` the rank
+    filter is a literal, so Catalyst rewrites the window to
+    WindowGroupLimit (per-partition top-n pre-shuffle — only
+    candidates move); with ``keep_fraction`` the threshold needs the
+    cell's count, which is a second window function over the SAME
+    partition key — it rides the one exchange, no extra shuffle.
+    Cells are quantizer-balanced (~N/k docs), so no skew salting is
+    needed; a pathological quantizer shows up in
+    :func:`~smashed_spark.functions.dedup.dedup_report`-style cell
+    histograms before it hurts."""
+    from pyspark.sql.window import Window
+
+    if (keep_fraction is None) == (per_cell is None):
+        raise ValueError(
+            "diversity_select: pass exactly one of keep_fraction or "
+            "per_cell"
+        )
+    if keep_fraction is not None and not (0.0 < keep_fraction <= 1.0):
+        raise ValueError(
+            f"diversity_select: keep_fraction must be in (0, 1], got "
+            f"{keep_fraction}"
+        )
+    if per_cell is not None and per_cell < 1:
+        raise ValueError(
+            f"diversity_select: per_cell must be >= 1, got {per_cell}"
+        )
+    if keep not in ("diverse", "prototypical"):
+        raise ValueError(
+            "diversity_select: keep must be 'diverse' or "
+            f"'prototypical', got {keep!r}"
+        )
+    scored = with_prototypicality(
+        df, centroids, vector_field=vector_field,
+        cell_field=cell_field, score_field=score_field,
+    )
+    order = (
+        F.col(score_field).asc()
+        if keep == "diverse"
+        else F.col(score_field).desc()
+    )
+    w = Window.partitionBy(cell_field).orderBy(order, F.col(id_field))
+    rank = rank_field or "__dsel_rank__"
+    ranked = scored.withColumn(rank, F.row_number().over(w))
+    if per_cell is not None:
+        out = ranked.filter(F.col(rank) <= per_cell)
+    else:
+        # count(*) over the same partition key rides the same exchange
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(cell_field))
+        out = ranked.withColumn(
+            "__dsel_keep__",
+            F.col(rank) <= F.ceil(F.lit(float(keep_fraction)) * cnt),
+        ).filter(F.col("__dsel_keep__")).drop("__dsel_keep__")
+    return out if rank_field else out.drop(rank)

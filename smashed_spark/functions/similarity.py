@@ -612,6 +612,75 @@ def assign_cells(base: DataFrame, centroids) -> DataFrame:
     return base.withColumn("__cell__", assign("__v__"))
 
 
+def assign_cells_scored(base: DataFrame, centroids) -> DataFrame:
+    """:func:`assign_cells` plus ``__cos__`` — the cosine of the row's
+    UNIT vector to its winning centroid, i.e. the *prototypicality*
+    score that D4-style diversity selection ranks on
+    (:func:`~smashed_spark.functions.selection.diversity_select`).
+    Same argmax matmul, same lowest-cell tie-break; the score comes
+    from the SAME ``sims`` matrix the argmax read, so cell and score
+    can never disagree.  Zero-norm vectors land in cell 0 with cosine
+    0.0 (the all-zero row dots 0.0 with every centroid).  One Arrow
+    stage, narrow — no exchange.
+
+    ``centroids`` must already be unit-normalized (both fitters
+    guarantee it; callers injecting external centroids normalize
+    first, as :func:`~smashed_spark.functions.dedup.with_semantic_cells`
+    does)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from ..core.ship import ensure_shipped
+
+    ensure_shipped(base.sparkSession)
+    cent_t = centroids.T.copy()
+    out_type = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series([], dtype="int32"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        mat = np.array(list(v), dtype=np.float64)
+        if mat.shape[1] != cent_t.shape[0]:
+            raise ValueError(
+                f"assign_cells_scored: vector dims {mat.shape[1]} != "
+                f"centroid dims {cent_t.shape[0]} — the injected "
+                "index was fit on a different embedding space"
+            )
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent_t
+        cell = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": cell.astype("int32"),
+                "cos": sims[np.arange(len(cell)), cell],
+            }
+        )
+
+    scored = base.withColumn("__cc__", assign("__v__"))
+    return scored.select(
+        "*",
+        F.col("__cc__.cell").alias("__cell__"),
+        F.col("__cc__.cos").alias("__cos__"),
+    ).drop("__cc__")
+
+
 def ivf_probe_map(centroids, n_probe: int) -> dict:
     """cell -> its ``n_probe`` most-similar cells (including itself),
     from the tiny centroid×centroid similarity matrix."""

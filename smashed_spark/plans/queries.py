@@ -352,14 +352,11 @@ def q_truncate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "batch_fixed_size",
-    oracle="""
-    SELECT to_json(list(doc_id ORDER BY doc_id)) AS doc_id,
-           to_json(list(lang ORDER BY doc_id)) AS lang
-    FROM documents GROUP BY doc_id // 10
-    """,
-)
+# gate slot freed round 9 for diversity_select: this exact mapper
+# call (FixedBatchSizeMapper(10, order_by=["doc_id"],
+# contiguous_key=True) on documents) runs verbatim as the first stage
+# of the collate_pad_longest gate, whose oracle groups by doc_id // 10
+# the same way — the batcher family stays driver-certified there.
 def q_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FixedBatchSizeMapper over the dense doc_id key — the scalable
     contiguous-key path (plain hash aggregate, no global sort)."""
@@ -795,7 +792,9 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FixedBatchSize >> ListCollator pad-to-longest
-    (reference collators.py:318-475)."""
+    (reference collators.py:318-475).  Also the driver certification
+    for FixedBatchSizeMapper itself since round 9 (the freed
+    batch_fixed_size gate ran the identical first stage)."""
     from ..operators.batchers import FixedBatchSizeMapper
     from ..operators.collators import ListCollatorMapper
 

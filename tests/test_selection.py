@@ -261,3 +261,164 @@ def test_dsir_bigram_features(spark):
     assert min(bi[i] for i in range(20)) > max(
         bi[100 + i] for i in range(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# D4-style diversity selection (with_prototypicality / diversity_select)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from smashed_spark.functions.selection import (  # noqa: E402
+    diversity_select,
+    with_prototypicality,
+)
+
+# two well-separated unit directions in 4d + noise — cluster membership
+# is unambiguous, so the python replay never depends on kmeans luck
+_DSEL_CENTS = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+
+def _dsel_rows():
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        axis = i % 2
+        v = [rng.uniform(-0.08, 0.08) for _ in range(4)]
+        v[axis] += 1.0 + 0.5 * rng.random()
+        rows.append((i, v))
+    # a zero-norm straggler: must land in cell 0 with cosine 0.0
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+    return rows
+
+
+def _py_proto(rows, cents):
+    cents = np.asarray(cents, dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    out = {}
+    for i, v in rows:
+        u = np.asarray(v, dtype=np.float64)
+        u /= max(np.linalg.norm(u), 1e-12)
+        sims = cents @ u
+        cell = int(np.argmax(sims))
+        out[i] = (cell, float(sims[cell]))
+    return out
+
+
+def _py_diversity(rows, cents, keep_fraction=None, per_cell=None,
+                  keep="diverse"):
+    proto = _py_proto(rows, cents)
+    by_cell = {}
+    for i, (cell, cos) in proto.items():
+        by_cell.setdefault(cell, []).append((cos, i))
+    kept = set()
+    for cell, members in by_cell.items():
+        members.sort(key=lambda t: (t[0], t[1]))
+        if keep == "prototypical":
+            members.sort(key=lambda t: (-t[0], t[1]))
+        cap = (
+            per_cell
+            if per_cell is not None
+            else math.ceil(keep_fraction * len(members))
+        )
+        kept.update(i for _, i in members[:cap])
+    return kept, proto
+
+
+def test_prototypicality_matches_python_replay(spark):
+    rows = _dsel_rows()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (r["cell"], r["proto_cos"])
+        for r in with_prototypicality(df, _DSEL_CENTS).collect()
+    }
+    want = _py_proto(rows, _DSEL_CENTS)
+    assert got.keys() == want.keys()
+    for i in got:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - want[i][1]) < 1e-12, i
+    # the zero-norm straggler: cell 0, cosine exactly 0.0
+    assert got[99] == (0, 0.0)
+
+
+def test_diversity_select_fraction_matches_replay(spark):
+    rows = _dsel_rows()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for keep in ("diverse", "prototypical"):
+        out = diversity_select(
+            df, _DSEL_CENTS, keep_fraction=0.25, keep=keep
+        )
+        got = {r["vec_id"] for r in out.collect()}
+        want, _ = _py_diversity(
+            rows, _DSEL_CENTS, keep_fraction=0.25, keep=keep
+        )
+        assert got == want, keep
+    # diverse and prototypical pick from opposite ends of each cell
+    div, proto = _py_diversity(rows, _DSEL_CENTS, keep_fraction=0.25)
+    prot, _ = _py_diversity(
+        rows, _DSEL_CENTS, keep_fraction=0.25, keep="prototypical"
+    )
+    assert div != prot
+
+
+def test_diversity_select_per_cell_cap_and_plan(spark):
+    rows = _dsel_rows()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = diversity_select(
+        df, _DSEL_CENTS, per_cell=3, rank_field="rank"
+    )
+    got = out.collect()
+    want, _ = _py_diversity(rows, _DSEL_CENTS, per_cell=3)
+    assert {r["vec_id"] for r in got} == want
+    per = {}
+    for r in got:
+        per[r["cell"]] = per.get(r["cell"], 0) + 1
+        assert 1 <= r["rank"] <= 3
+    assert all(v <= 3 for v in per.values())
+    # literal rank filter compiles to WindowGroupLimit (pre-shuffle
+    # per-partition top-n) and the whole selection is ONE exchange
+    # (after collect, AQE echoes the pre-adaptive plan under an
+    # "Initial Plan" banner — count only the final plan)
+    tree = (
+        _explain(out).split("\n\n")[0].split("== Initial Plan ==")[0]
+    )
+    assert "WindowGroupLimit" in tree, tree
+    assert tree.count("Exchange (") == 1, tree
+
+
+def test_diversity_select_fraction_single_exchange(spark):
+    rows = _dsel_rows()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = diversity_select(df, _DSEL_CENTS, keep_fraction=0.5)
+    # the count window rides the rank window's exchange — still one
+    tree = _explain(out).split("\n\n")[0]
+    assert tree.count("Exchange (") == 1, tree
+
+
+def test_diversity_select_validation(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])],
+                               ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="exactly one"):
+        diversity_select(df, _DSEL_CENTS)
+    with pytest.raises(ValueError, match="exactly one"):
+        diversity_select(df, _DSEL_CENTS, keep_fraction=0.5, per_cell=2)
+    with pytest.raises(ValueError, match="keep_fraction"):
+        diversity_select(df, _DSEL_CENTS, keep_fraction=1.5)
+    with pytest.raises(ValueError, match="per_cell"):
+        diversity_select(df, _DSEL_CENTS, per_cell=0)
+    with pytest.raises(ValueError, match="keep must be"):
+        diversity_select(df, _DSEL_CENTS, keep_fraction=0.5, keep="best")
+    with pytest.raises(ValueError, match="already exists"):
+        with_prototypicality(
+            df.withColumn("cell", F.lit(1)), _DSEL_CENTS
+        )
+
+
+def test_prototypicality_dims_mismatch_actionable(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)) as ei:
+        with_prototypicality(df, _DSEL_CENTS).collect()
+    assert "different embedding space" in str(ei.value)
