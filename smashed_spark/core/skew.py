@@ -85,8 +85,16 @@ def hot_keys(
             "1e-4 the freqItems candidate map (1/support entries per "
             "partition) stops being driver-bounded"
         )
+    # freqItems guarantees a superset only of items with frequency
+    # STRICTLY greater than its support argument — a key sitting
+    # exactly at the promised fraction could miss the candidate set
+    # and pass 2 can only confirm candidates.  Probe with a slightly
+    # smaller support (clamped to Spark's 1e-4 floor) so ">= support"
+    # keys are always candidates; pass 2's exact threshold then
+    # decides membership.
+    probe_support = max(support * (1.0 - 1e-6), 1e-4)
     cands = [
-        c for c in df.stat.freqItems([col], support).collect()[0][0]
+        c for c in df.stat.freqItems([col], probe_support).collect()[0][0]
         if c is not None
     ]
     if not exact or not cands:

@@ -127,7 +127,21 @@ def gumbel_top_k(
     (silently ranking NULL-weight rows last would hide scoring bugs).
     Ties (astronomically unlikely with real weights) break by id for
     full determinism.  ``key_field`` optionally exposes the perturbed
-    key for audit."""
+    key for audit.
+
+    ``id_field`` must be UNIQUE: duplicate ids share their Gumbel
+    noise (``u`` is a pure function of id + seed), so two copies of
+    one document carry correlated keys and the "without replacement"
+    draw could return the same document twice.  Enforcing corpus-wide
+    uniqueness in-plan would cost a full exchange before the top-k
+    (defeating the TakeOrderedAndProject k-row-merge shape — the
+    fuzzy/semantic dedup guards can ride an exchange their joins
+    already pay; this plan has none), so the contract is enforced
+    where a violation is actually observable AND free to check: a
+    zero-exchange lag-over-sorted-ids guard over the k WINNERS raises
+    on any duplicate id in the output.  A duplicate pair where only
+    one copy wins leaves the output a valid set of distinct rows and
+    stays the caller's contract."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     id_col = F.col(id_field)
@@ -165,6 +179,39 @@ def gumbel_top_k(
     name = key_field or "__gumbel_key__"
     out = out.withColumn(name, key)
     out = out.orderBy(F.col(name).desc(), id_col).limit(k)
+    # Duplicate-winner guard (see docstring): duplicates sort adjacent
+    # under ORDER BY id, and TakeOrderedAndProject's output is a
+    # single partition, so the un-partitioned lag window needs NO
+    # exchange and sorts only k rows.  It wraps weight_field — a
+    # CARRIED output column — so Catalyst cannot prune the guard (a
+    # guard on a dropped synthetic column is pruned with it).
+    from pyspark.sql.window import Window
+
+    prev_id = F.lag(id_col).over(Window.orderBy(id_col))
+    out = out.withColumn(
+        weight_field,
+        F.when(
+            prev_id.eqNullSafe(id_col),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"gumbel_top_k: id_field {id_field!r} has "
+                        "duplicate value "
+                    ),
+                    id_col.cast("string"),
+                    F.lit(
+                        " among the selected rows — duplicate ids "
+                        "share Gumbel noise, turning the without-"
+                        "replacement draw into with-replacement. "
+                        "Dedup the id column upstream."
+                    ),
+                )
+            ),
+        ).otherwise(F.col(weight_field)),
+    )
+    # the guard's id-sort changed row order; restore key-descending
+    # (a k-row sort, still exchange-free)
+    out = out.orderBy(F.col(name).desc(), id_col)
     if key_field is None:
         out = out.drop(name)
     return out
@@ -342,8 +389,20 @@ def diversity_select(
     else:
         # count(*) over the same partition key rides the same exchange
         cnt = F.count(F.lit(1)).over(Window.partitionBy(cell_field))
+        # ceil over an epsilon-nudged product (calibrate.py's _K_EPS
+        # convention): keep_fraction * cnt can land one IEEE ulp ABOVE
+        # an exact integer and ceil would then keep one extra row per
+        # cell, diverging from exact-arithmetic oracle replays.
+        # greatest(1, ...) preserves the ">= 1 doc per non-empty
+        # cluster" contract for tiny fractions.
+        thr = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(
+                F.lit(float(keep_fraction)) * cnt.cast("double")
+                - F.lit(1e-9)
+            ),
+        )
         out = ranked.withColumn(
-            "__dsel_keep__",
-            F.col(rank) <= F.ceil(F.lit(float(keep_fraction)) * cnt),
+            "__dsel_keep__", F.col(rank) <= thr
         ).filter(F.col("__dsel_keep__")).drop("__dsel_keep__")
     return out if rank_field else out.drop(rank)

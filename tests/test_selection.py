@@ -180,6 +180,25 @@ def test_gumbel_null_guards(spark):
         gumbel_top_k(df, 0)
 
 
+def test_gumbel_duplicate_winner_raises(spark):
+    """Duplicate ids share Gumbel noise; when both copies land in the
+    top-k the in-plan lag guard raises instead of silently returning
+    the same document twice (with-replacement)."""
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    rows = [(1, 50.0), (1, 50.0)] + [(i, 0.0) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "doc_id long, dsir_logw double")
+    with pytest.raises(
+        (PySparkRuntimeError, SparkRuntimeException), match="duplicate"
+    ):
+        gumbel_top_k(df, 2).collect()
+    # k=1: only one copy can win — valid distinct output, no raise
+    # (full-corpus uniqueness stays the documented caller contract;
+    # enforcing it would cost a full pre-top-k exchange)
+    out = gumbel_top_k(df, 1).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1
+
+
 def test_plan_narrow_weight_takeordered_sample(spark):
     _, raw, _, _ = _corpora(spark)
     t = [0.1] * DIMS
@@ -316,10 +335,13 @@ def _py_diversity(rows, cents, keep_fraction=None, per_cell=None,
         members.sort(key=lambda t: (t[0], t[1]))
         if keep == "prototypical":
             members.sort(key=lambda t: (-t[0], t[1]))
+        # mirrors the _K_EPS convention: ceil over the epsilon-nudged
+        # IEEE product (0.1 * 30 lands one ulp above 3.0; exact
+        # arithmetic keeps 3, not 4)
         cap = (
             per_cell
             if per_cell is not None
-            else math.ceil(keep_fraction * len(members))
+            else max(1, math.ceil(keep_fraction * len(members) - 1e-9))
         )
         kept.update(i for _, i in members[:cap])
     return kept, proto
@@ -393,6 +415,25 @@ def test_diversity_select_fraction_single_exchange(spark):
     # the count window rides the rank window's exchange — still one
     tree = _explain(out).split("\n\n")[0]
     assert tree.count("Exchange (") == 1, tree
+
+
+def test_diversity_fraction_ulp_epsilon(spark):
+    """0.07 * 100 evaluates one IEEE ulp ABOVE 7.0 (7.000000000000001)
+    — a raw ceil keeps 8 rows where exact arithmetic keeps 7.  Pins
+    the _K_EPS-style epsilon in the keep_fraction branch (ADVICE r9)."""
+    assert 0.07 * 100 > 7.0  # the premise: the product is above the int
+    rng = random.Random(11)
+    rows = []
+    for i in range(100):  # all 100 land in cell 0
+        v = [rng.uniform(-0.05, 0.05) for _ in range(4)]
+        v[0] += 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = diversity_select(df, _DSEL_CENTS, keep_fraction=0.07)
+    assert out.count() == 7
+    # tiny fraction: greatest(1, ...) keeps one doc per non-empty cell
+    out1 = diversity_select(df, _DSEL_CENTS, keep_fraction=1e-12)
+    assert out1.count() == 1
 
 
 def test_diversity_select_validation(spark):

@@ -128,6 +128,22 @@ def test_hot_keys_exact_and_superset(spark):
         hot_keys(df, "k", support=1e-5)
 
 
+def test_hot_keys_exactly_at_support_boundary(spark):
+    """ADVICE r9: freqItems only guarantees items with frequency
+    STRICTLY above its support argument, so a key sitting exactly at
+    the promised fraction could miss the candidate set.  hot_keys now
+    probes with a nudged-down support — a key at exactly support *
+    total must always be returned."""
+    from smashed_spark.core.skew import hot_keys
+
+    # key 7 appears in exactly 10% of 2000 rows; tail keys are unique
+    rows = [(7,)] * 200 + [(1000 + i,) for i in range(1800)]
+    df = spark.createDataFrame(rows, "k: bigint")
+    assert hot_keys(df, "k", support=0.1) == [7]
+    # and at the floor support value the clamp keeps freqItems legal
+    assert 7 in hot_keys(df, "k", support=1e-4)
+
+
 def test_salted_join_targeted_hot_keys(spark):
     """r9: hot-targeted salting must join identically to the plain
     join (inner / left / anti), replicate ONLY hot dimension rows,
