@@ -500,33 +500,14 @@ def q_multiseq_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "labels_mask_one",
-    oracle="""
-    WITH w AS (
-        SELECT doc_id,
-               list_transform(list_slice(string_split(text, ' '), 1, 3),
-                              t -> CAST(length(t) AS BIGINT)) AS labels
-        FROM documents
-    )
-    SELECT doc_id,
-           to_json(list_transform(range(0, len(labels)),
-                          j -> CASE WHEN j = pos THEN labels[j + 1]
-                               ELSE -100 END)) AS labels
-    FROM w, UNNEST(range(0, len(labels))) AS t(pos)
-    """,
-)
-def q_labels_one(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LabelsMaskerMapper strategy='one' (reference multiseq.py:197-295)."""
-    from ..operators.multiseq import LabelsMaskerMapper
-
-    df = _with_words(spark, sf_dir).select(
-        "doc_id",
-        F.transform(
-            F.slice(F.col("words"), 1, 3), lambda w: F.length(w).cast("bigint")
-        ).alias("labels"),
-    )
-    return LabelsMaskerMapper(strategy="one").map(df)
+# labels_mask_one rotated out round 10 (slot freed for
+# diversity_select under the driver's 50-query cap):
+# LabelsMaskerMapper strategy='one' (reference multiseq.py:197-295)
+# now certifies inside multiseq_stride_pack below — the masker runs
+# over each packed window's per-sequence lengths, so the
+# position-explode + one-hot-unmask semantics ride the same oracle
+# (the recursive-CTE walk gains a label/UNNEST tail stage, exactly
+# the CTE the retired labels_mask_one gate used).
 
 
 @query(
@@ -558,10 +539,22 @@ def q_labels_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     win AS (
         SELECT doc_id, start, max(pos) + 1 AS e
         FROM walk GROUP BY doc_id, start
+    ),
+    packed AS (
+        SELECT win.doc_id AS doc_id,
+               sq.seqs[win.start + 1 : win.e] AS seqs
+        FROM win JOIN sq USING (doc_id)
+    ),
+    lab AS (
+        SELECT doc_id, seqs,
+               list_transform(seqs, s -> CAST(len(s) AS BIGINT)) AS labels
+        FROM packed
     )
-    SELECT win.doc_id AS doc_id,
-           to_json(sq.seqs[win.start + 1 : win.e]) AS seqs
-    FROM win JOIN sq USING (doc_id)
+    SELECT doc_id, to_json(seqs) AS seqs,
+           to_json(list_transform(range(0, len(labels)),
+                          j -> CASE WHEN j = pos THEN labels[j + 1]
+                               ELSE -100 END)) AS labels
+    FROM lab, UNNEST(range(0, len(labels))) AS t(pos)
     """,
 )
 def q_multiseq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,8 +563,17 @@ def q_multiseq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     per window.  The sequential greedy fold is mirrored in the oracle
     by a recursive CTE walking positions per doc and resetting the
     running (start, cum) at each break — both length- and count-driven
-    breaks are exercised (sequence sizes vary with word length)."""
-    from ..operators.multiseq import MultiSequenceStriderMapper
+    breaks are exercised (sequence sizes vary with word length).
+
+    Family gate since round 10: LabelsMaskerMapper strategy='one'
+    (reference multiseq.py:197-295, the retired ``labels_mask_one``
+    gate) runs over each packed window's per-sequence lengths — the
+    position explode multiplies cardinality and the -100 one-hot
+    unmask is checked value-for-value by the oracle's UNNEST tail."""
+    from ..operators.multiseq import (
+        LabelsMaskerMapper,
+        MultiSequenceStriderMapper,
+    )
 
     df = _with_words(spark, sf_dir).select(
         "doc_id",
@@ -583,12 +585,17 @@ def q_multiseq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("seqs"),
     )
-    return MultiSequenceStriderMapper(
+    out = MultiSequenceStriderMapper(
         max_stride_count=4,
         max_length=12,
         length_reference_field="seqs",
         fields_to_stride=["seqs"],
     ).map(df)
+    out = out.withColumn(
+        "labels",
+        F.transform(F.col("seqs"), lambda s: F.size(s).cast("bigint")),
+    )
+    return LabelsMaskerMapper(strategy="one").map(out)
 
 
 @query(

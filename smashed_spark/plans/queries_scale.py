@@ -1276,6 +1276,142 @@ def _semantic_pairs_sql(
     return build
 
 
+# Last sf_dir the diversity_select GATE query fit on — same
+# centroid-parity fail-fast as semantic_dedup / ann_ivf_topk.
+_DSEL_GATE_SF_DIR: dict = {"dir": None}
+
+
+def _diversity_select_sql(
+    keep_fraction: float,
+    n_centroids: int,
+    max_iter: int,
+    seed: int,
+    fit_sample: int = 100_000,
+) -> "Callable[[], str]":  # noqa: F821
+    """LAZY oracle for D4-style diversity_select (selection.py): replay
+    the spherical-kmeans fit driver-side exactly like the gate query
+    (hash-ordered fit set, same numpy Lloyd), renormalize the centroids
+    the way with_prototypicality does (bit-identical literals), assign
+    cells with the same normalize-then-dot argmax (lowest cell on
+    ties), then rank within each cell by prototypicality ASC
+    (keep='diverse') with vec_id tie-break and keep rank <=
+    greatest(1, ceil(frac * cnt - 1e-9)) — the _K_EPS arithmetic the
+    Spark side uses, replayed in exact-match SQL."""
+
+    def build() -> str:
+        import os
+
+        import duckdb
+        import numpy as np
+
+        from ..functions.similarity import fit_ivf_centroids
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        if _DSEL_GATE_SF_DIR["dir"] not in (None, os.path.normpath(sf_dir)):
+            raise RuntimeError(
+                "diversity_select oracle/gate sf_dir mismatch: the "
+                f"Spark gate query fit on {_DSEL_GATE_SF_DIR['dir']} "
+                f"but the oracle would replay the fit on {sf_dir} "
+                "(from SPARK_GRAFT_ORACLE_SF_DIR). Centroid parity is "
+                "per-corpus by construction."
+            )
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+            f"FROM '{sf_dir}/embeddings.parquet' "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+            f"LIMIT {fit_sample}"
+        ).fetchall()
+        con.close()
+        mat = np.array([r[0] for r in rows], dtype=np.float64)
+        centroids = fit_ivf_centroids(mat, n_centroids, seed, max_iter)
+        # with_prototypicality renormalizes injected centroids; replay
+        # the identical arithmetic so the SQL literals are bit-equal
+        centroids = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        cent_vals = ",\n        ".join(
+            f"({c}, [" + ", ".join(repr(x) for x in centroids[c])
+            + "]::DOUBLE[])"
+            for c in range(len(centroids))
+        )
+        return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    un AS (SELECT vec_id,
+                  list_transform(v, x -> x / greatest(
+                      sqrt(list_dot_product(v, v)), 1e-12)) AS u
+           FROM e),
+    cents AS (SELECT * FROM (VALUES
+        {cent_vals}) t(cell, c)),
+    asg AS (
+        SELECT vec_id, cell, cos FROM (
+            SELECT un.vec_id, c.cell,
+                   list_dot_product(un.u, c.c) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY un.vec_id
+                       ORDER BY list_dot_product(un.u, c.c) DESC, c.cell
+                   ) AS rn
+            FROM un CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    ranked AS (
+        SELECT vec_id, cell, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cell ORDER BY cos ASC, vec_id
+               ) AS rnk,
+               COUNT(*) OVER (PARTITION BY cell) AS cnt
+        FROM asg
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           round(cos, 6) AS proto_cos, CAST(rnk AS BIGINT) AS rank
+    FROM ranked
+    WHERE rnk <= greatest(1, CAST(ceil(
+        {keep_fraction!r} * CAST(cnt AS DOUBLE) - 1e-9) AS BIGINT))
+    """
+
+    return build
+
+
+@query("diversity_select", oracle=_diversity_select_sql(0.5, 8, 3, 42))
+def q_diversity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style cluster-balanced diversity selection (Tirumala et al.
+    2023, selection.py:with_prototypicality/diversity_select): fit the
+    coarse quantizer once on a hash-ordered bounded sample (the
+    fit-once/inject contract), score every embedding's prototypicality
+    in one narrow Arrow matmul, rank within each cell over ONE
+    exchange, keep the diverse (low-cosine) half per cell.  The
+    keep_fraction tier is gated — its count-window + epsilon-ceil
+    arithmetic is the part an oracle can get wrong; per_cell is a
+    literal filter on the same rank."""
+    import os
+
+    from ..functions.selection import diversity_select
+    from ..functions.similarity import fit_centroids_sampled
+
+    _DSEL_GATE_SF_DIR["dir"] = os.path.normpath(sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("__id__"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v__"),
+    )
+    cents = fit_centroids_sampled(base, 8, 42, 3, 100_000)
+    out = diversity_select(
+        emb, cents, keep_fraction=0.5, keep="diverse",
+        vector_field="embedding", id_field="vec_id", rank_field="rank",
+    )
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.round("proto_cos", 6).alias("proto_cos"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 @query("semantic_dedup", oracle=_semantic_pairs_sql(0.35, 8, 3, 42))
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
