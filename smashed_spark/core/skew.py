@@ -91,8 +91,23 @@ def hot_keys(
     # and pass 2 can only confirm candidates.  Probe with a slightly
     # smaller support (clamped to Spark's 1e-4 floor) so ">= support"
     # keys are always candidates; pass 2's exact threshold then
-    # decides membership.
+    # decides membership.  RESIDUAL EDGE at the floor itself: when
+    # support == 1e-4 exactly, the clamp makes the probe support equal
+    # to the requested support (Spark refuses anything smaller), so a
+    # key at exactly the 1e-4 fraction can still miss the candidate
+    # map — the boundary guarantee holds for support > 1e-4 only.
     probe_support = max(support * (1.0 - 1e-6), 1e-4)
+    if exact and probe_support == support:
+        import warnings
+
+        warnings.warn(
+            "hot_keys: support is at Spark's 1e-4 freqItems floor — "
+            "the strictly-greater candidate probe cannot be nudged "
+            "below it, so a key at EXACTLY the 1e-4 fraction may be "
+            "missed. Use support > 1e-4 for the exact-boundary "
+            "guarantee.",
+            stacklevel=2,
+        )
     cands = [
         c for c in df.stat.freqItems([col], probe_support).collect()[0][0]
         if c is not None

@@ -14,8 +14,11 @@ word-type algorithm with two Spark-scale bounds:
   frequent types (ties broken by word — deterministic, and the
   ordering is computed IN Spark via one TakeOrdered, so at most
   ``max_word_types`` rows ever reach the driver);
-* the merge loop is driver-side over that bounded table —
-  O(types x word_len x merges), independent of corpus size.
+* the merge loop is driver-side over that bounded table with
+  INCREMENTAL pair-count maintenance (exact counts + a pair->word
+  inverted index + a lazy-deletion heap): each merge touches only the
+  words containing the merged pair, so 8k+ merges over the 50k-type
+  cap fit in seconds, independent of corpus size.
 
 Determinism: counts are exact (partition-invariant); the most
 frequent pair ties break lexicographically.  Same corpus, any
@@ -100,30 +103,69 @@ def fit_bpe_merges(
     vocab: List[Tuple[List[str], int]] = [
         (list(r["__w__"]) + [_EOW], r["__c__"]) for r in rows
     ]
+    # Incremental pair-count maintenance (the classic fast-BPE fit):
+    # a from-scratch recount per merge is O(types x word_len) PER
+    # MERGE — hours at 32k merges.  Instead keep (a) exact pair
+    # counts, (b) a pair -> word-index SUPERSET index (stale members
+    # are harmless: their subtract-all/add-all cancels), and (c) a
+    # lazy-deletion heap of (-count, pair) entries validated against
+    # the live count on pop.  Each merge touches only the words that
+    # contain the merged pair.  Selection rule is unchanged — highest
+    # count, lexicographically smallest pair on ties — so the merges
+    # are bit-identical to the recount formulation (test-pinned
+    # against a from-scratch replay in tests/test_bpe.py).
+    import heapq
+
+    pairs: Dict[Tuple[str, str], int] = {}
+    where: Dict[Tuple[str, str], set] = {}
+    for wi, (symbols, cnt) in enumerate(vocab):
+        for i in range(len(symbols) - 1):
+            p = (symbols[i], symbols[i + 1])
+            pairs[p] = pairs.get(p, 0) + cnt
+            where.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in pairs.items()]
+    heapq.heapify(heap)
     merges: List[Tuple[str, str]] = []
-    for _ in range(num_merges):
-        pairs: Dict[Tuple[str, str], int] = {}
-        for symbols, cnt in vocab:
+    while len(merges) < num_merges and heap:
+        negc, best = heapq.heappop(heap)
+        if pairs.get(best) != -negc:
+            continue  # stale entry — count changed since push
+        if -negc < 2:
+            break  # nothing repeats: further merges are memorization
+        a, b = best
+        merges.append(best)
+        merged = a + b
+        del pairs[best]
+        touched: set = set()
+        for wi in where.pop(best, ()):  # superset of containing words
+            symbols, cnt = vocab[wi]
+            # subtract ALL pairs of the old word, remerge, add ALL
+            # pairs of the new word: unrelated pairs cancel exactly,
+            # so staleness in `where` costs time, never correctness
             for i in range(len(symbols) - 1):
                 p = (symbols[i], symbols[i + 1])
-                pairs[p] = pairs.get(p, 0) + cnt
-        if not pairs:
-            break
-        # max count, lexicographically-smallest pair on ties ->
-        # deterministic
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < 2:
-            break  # nothing repeats: further merges are memorization
-        a, b = best[0]
-        merges.append((a, b))
-        merged = a + b
-        for symbols, _ in vocab:
+                c = pairs.get(p)
+                if c is not None:
+                    if c - cnt <= 0:
+                        del pairs[p]
+                    else:
+                        pairs[p] = c - cnt
+                    touched.add(p)
             i = 0
             while i < len(symbols) - 1:
                 if symbols[i] == a and symbols[i + 1] == b:
                     symbols[i:i + 2] = [merged]
                 else:
                     i += 1
+            for i in range(len(symbols) - 1):
+                p = (symbols[i], symbols[i + 1])
+                pairs[p] = pairs.get(p, 0) + cnt
+                where.setdefault(p, set()).add(wi)
+                touched.add(p)
+        for p in touched:
+            c = pairs.get(p)
+            if c:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 

@@ -32,11 +32,12 @@ Three composable pieces, all deterministic:
 
 Scale notes: table fits are one bucket-count exchange each (<= dims
 rows collected — the fit's own contract); weighting is narrow; the
-resample moves k rows.  At 10^9 docs selecting 10^7, the driver merge
-holds k full rows — if k rows of full documents exceed driver
-comfort, call ``gumbel_top_k`` on a slim ``(id, logw)`` projection
-yourself and broadcast-semi-join the k ids back against the corpus
-(both pieces compose from this module + ``F.broadcast``).
+resample moves k rows.  At 10^9 docs selecting 10^7, a full-width
+driver merge of k rows would not fit — :func:`dsir_select` routes
+that case automatically (``slim=None``): above a documented driver
+budget it draws on a ``(id, logw)`` projection and
+broadcast-semi-joins the k winner ids back, so only slim rows ever
+enter the TakeOrdered.
 """
 
 from __future__ import annotations
@@ -182,39 +183,82 @@ def gumbel_top_k(
     # Duplicate-winner guard (see docstring): duplicates sort adjacent
     # under ORDER BY id, and TakeOrderedAndProject's output is a
     # single partition, so the un-partitioned lag window needs NO
-    # exchange and sorts only k rows.  It wraps weight_field — a
-    # CARRIED output column — so Catalyst cannot prune the guard (a
-    # guard on a dropped synthetic column is pruned with it).
+    # exchange and sorts only k rows.  It wraps BOTH carried identity
+    # columns — weight_field AND id_field — because Catalyst prunes a
+    # guard exactly when it prunes the column it rides: a downstream
+    # projection that keeps only the ids (e.g. dsir_select's slim-path
+    # semi-join) would prune a weight-only guard, and one that keeps
+    # only the weights would prune an id-only guard.  To lose the
+    # check a projection must drop both, at which point no duplicate
+    # is observable in the output either.
     from pyspark.sql.window import Window
 
     prev_id = F.lag(id_col).over(Window.orderBy(id_col))
-    out = out.withColumn(
-        weight_field,
-        F.when(
-            prev_id.eqNullSafe(id_col),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"gumbel_top_k: id_field {id_field!r} has "
-                        "duplicate value "
-                    ),
-                    id_col.cast("string"),
-                    F.lit(
-                        " among the selected rows — duplicate ids "
-                        "share Gumbel noise, turning the without-"
-                        "replacement draw into with-replacement. "
-                        "Dedup the id column upstream."
-                    ),
-                )
+    dup = prev_id.eqNullSafe(id_col)
+    guard_err = F.raise_error(
+        F.concat(
+            F.lit(
+                f"gumbel_top_k: id_field {id_field!r} has "
+                "duplicate value "
             ),
-        ).otherwise(F.col(weight_field)),
+            id_col.cast("string"),
+            F.lit(
+                " among the selected rows — duplicate ids "
+                "share Gumbel noise, turning the without-"
+                "replacement draw into with-replacement. "
+                "Dedup the id column upstream."
+            ),
+        )
     )
-    # the guard's id-sort changed row order; restore key-descending
-    # (a k-row sort, still exchange-free)
+    out = out.select(
+        *[
+            F.when(dup, guard_err).otherwise(F.col(c)).alias(c)
+            if c in (id_field, weight_field)
+            else F.col(c)
+            for c in out.columns
+        ]
+    )
+    # the guard's id-sort changed row order; restore key-descending.
+    # This re-sort is COSMETIC (k rows, exchange-free) — a convenience
+    # presentation order, not a global-order contract of the API; the
+    # contract is the SET of winners.
     out = out.orderBy(F.col(name).desc(), id_col)
     if key_field is None:
         out = out.drop(name)
     return out
+
+
+def _estimated_row_bytes(schema) -> int:
+    """Static per-row width estimate for :func:`dsir_select`'s
+    driver-budget routing — deliberately PESSIMISTIC (strings/binaries
+    64 B, containers assumed 64 elements deep) because the two failure
+    modes are asymmetric: a wrong "slim" verdict costs one extra
+    narrow scan of the raw corpus, while a wrong "direct" verdict is a
+    k-row full-width driver merge that can kill the driver at large
+    k.  Mirrors the spirit of Catalyst's ``DataType.defaultSize``
+    sizing (statistics estimation), not actual row bytes."""
+    from pyspark.sql import types as T
+
+    def width(dt) -> int:
+        if isinstance(dt, (T.BooleanType, T.ByteType)):
+            return 1
+        if isinstance(dt, T.ShortType):
+            return 2
+        if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+            return 4
+        if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType)):
+            return 8
+        if isinstance(dt, T.DecimalType):
+            return 16
+        if isinstance(dt, T.ArrayType):
+            return 64 * width(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return 64 * (width(dt.keyType) + width(dt.valueType))
+        if isinstance(dt, T.StructType):
+            return sum(width(f.dataType) for f in dt.fields)
+        return 64  # string, binary, anything exotic
+
+    return sum(width(f.dataType) for f in schema.fields)
 
 
 def dsir_select(
@@ -229,6 +273,8 @@ def dsir_select(
     seed: int = 13,
     weight_field: str = "dsir_logw",
     ngram: int = 1,
+    slim: Optional[bool] = None,
+    driver_budget_bytes: int = 256 << 20,
 ) -> DataFrame:
     """One-call DSIR: fit hashed n-gram tables on the target and raw
     corpora (two bounded fit jobs), weight every raw doc, Gumbel-top-k
@@ -237,7 +283,25 @@ def dsir_select(
 
     The raw-side table is fit on ``raw_df`` itself (the paper's
     formulation — the denominator is the proposal distribution the
-    sample actually comes from)."""
+    sample actually comes from).
+
+    **Driver-budget routing** (``slim``): the direct path's
+    ``TakeOrderedAndProject`` merges k FULL rows on the driver — fine
+    for k=200 gate-sized draws, fatal at k=10^7 over kilobyte
+    documents (~a TB of driver merge).  When ``slim=None`` (auto) the
+    function compares ``k x`` a pessimistic static row-width estimate
+    (:func:`_estimated_row_bytes`) against ``driver_budget_bytes``
+    (default 256 MiB): over budget, it runs :func:`gumbel_top_k` on a
+    ``(id, logw)`` projection — so only slim rows ever enter the
+    TakeOrdered — and broadcast-LEFT-SEMI-joins the k winner ids back
+    against the weighted corpus.  Same winner SET (the draw is a pure
+    function of (id, weight, seed), identical on both paths; the
+    duplicate-winner guard survives the id-only projection because it
+    wraps ``id_field`` too), at the cost of a second narrow scan of
+    ``raw_df``.  Slim-path row ORDER is unspecified (it is a
+    selection, not a ranking — the direct path's key-descending order
+    is cosmetic anyway); sort the k-row result yourself if you need
+    one.  ``slim=True``/``False`` forces a path."""
     target_table = fit_unigram_logprob_table(
         target_df, words_field=words_field, dims=dims, alpha=alpha,
         hash_fn=hash_fn, ngram=ngram,
@@ -251,9 +315,27 @@ def dsir_select(
         words_field=words_field, weight_field=weight_field,
         hash_fn=hash_fn, ngram=ngram,
     )
-    return gumbel_top_k(
-        weighted, k, weight_field=weight_field, id_field=id_field,
+    if slim is None:
+        slim = (
+            k * _estimated_row_bytes(weighted.schema)
+            > driver_budget_bytes
+        )
+    if not slim:
+        return gumbel_top_k(
+            weighted, k, weight_field=weight_field, id_field=id_field,
+            seed=seed,
+        )
+    winners = gumbel_top_k(
+        weighted.select(id_field, weight_field),
+        k,
+        weight_field=weight_field,
+        id_field=id_field,
         seed=seed,
+    )
+    return weighted.join(
+        F.broadcast(winners.select(id_field)),
+        on=id_field,
+        how="left_semi",
     )
 
 

@@ -15,13 +15,15 @@ exchanges.  Filtering has two tiers:
   rows at web scale (MBs), far under the broadcast threshold, and
   the corpus side never exchanges.
 
-Registered-domain extraction is an APPROXIMATION: the real rule
-needs the Mozilla public-suffix list (thousands of entries, updated
-continuously); this keeps the last two labels, plus the last three
-under a small built-in set of common second-level public suffixes
-(``co.uk``, ``com.au``, ...).  Deployments that need exact PSL
-semantics should broadcast-join their own suffix snapshot; the
-operator API stays the same.
+Registered-domain extraction defaults to an APPROXIMATION: the real
+rule needs the Mozilla public-suffix list (thousands of entries,
+updated continuously); the default keeps the last two labels, plus
+the last three under a small built-in set of common second-level
+public suffixes (``co.uk``, ``com.au``, ...).  Deployments that need
+real PSL semantics pass their own snapshot via
+``UrlHostMapper(suffixes=...)`` — a sequence or one-column DataFrame
+of plain suffix entries, compiled into per-depth in-plan literals
+(bounded dimension metadata; wildcard/exception rules refused).
 
 Per-domain caps are deliberately NOT re-implemented here: compose
 ``UrlHostMapper`` with the existing quota sampler
@@ -61,6 +63,19 @@ class UrlHostMapper(SparkMapper):
     parse too; a leading ``www.`` is stripped from the host before
     the registered-domain cut.  Unparseable/NULL URLs yield NULL in
     both fields.  Pure regexp Column algebra — narrow, zero shuffle.
+
+    ``suffixes=`` replaces the built-in 16-entry second-level suffix
+    approximation with YOUR public-suffix snapshot: a sequence of
+    plain suffix strings or a one-column DataFrame (e.g. a parquet of
+    the Mozilla PSL).  Entries may be any label depth (``uk``,
+    ``co.uk``, ``pref.hokkaido.jp``); the registered domain is the
+    deepest matching suffix plus one more label.  PSL wildcard
+    (``*.ck``) and exception (``!www.ck``) rules are NOT supported
+    and raise.  The list is dimension METADATA — bounded
+    (``max_suffix_entries``, the real PSL is ~10k rows) and collected
+    to the driver once, then compiled into per-depth ``isin`` plan
+    literals, so the cut still rides the scan with zero joins and
+    zero exchanges at any corpus size.
     """
 
     def __init__(
@@ -68,14 +83,71 @@ class UrlHostMapper(SparkMapper):
         url_field: str = "url",
         host_field: str = "host",
         domain_field: str = "domain",
+        suffixes: Union[Sequence[str], DataFrame, None] = None,
+        max_suffix_entries: int = 100_000,
     ) -> None:
         self.url_field = url_field
         self.host_field = host_field
         self.domain_field = domain_field
+        self.suffixes = suffixes
+        self.max_suffix_entries = max_suffix_entries
         super().__init__(
             input_fields=[url_field],
             output_fields=[host_field, domain_field],
         )
+
+    def _suffix_sets(self):
+        """Resolve ``suffixes`` to {label_depth: sorted entries}.
+        Depth-1 entries (plain TLDs) are accepted but dropped: the
+        default last-two-labels cut already implements them."""
+        terms = self.suffixes
+        if terms is None:
+            entries = list(_SECOND_LEVEL_SUFFIXES)
+        elif isinstance(terms, DataFrame):
+            if len(terms.columns) != 1:
+                raise ValueError(
+                    "suffixes DataFrame must have exactly one column, "
+                    f"got {terms.columns}"
+                )
+            rows = terms.limit(self.max_suffix_entries + 1).collect()
+            if len(rows) > self.max_suffix_entries:
+                raise ValueError(
+                    f"suffixes DataFrame exceeds max_suffix_entries="
+                    f"{self.max_suffix_entries} — a public-suffix "
+                    "snapshot is bounded metadata, not corpus data"
+                )
+            entries = [r[0] for r in rows]
+        else:
+            entries = list(terms)
+            if len(entries) > self.max_suffix_entries:
+                raise ValueError(
+                    f"suffixes list exceeds max_suffix_entries="
+                    f"{self.max_suffix_entries}"
+                )
+        sets: dict = {}
+        for e in entries:
+            if e is None:
+                continue
+            s = str(e).strip().lower()
+            if (
+                not s
+                or "*" in s
+                or "!" in s
+                or s.startswith(".")
+                or s.endswith(".")
+            ):
+                raise ValueError(
+                    f"suffixes entry {e!r} is not a plain suffix — "
+                    "PSL wildcard (*.tld) and exception (!host) rules "
+                    "are not supported; expand them upstream"
+                )
+            depth = s.count(".") + 1
+            if depth >= 2:
+                sets.setdefault(depth, set()).add(s)
+        if not sets and self.suffixes is not None:
+            # only depth-1 entries: legal, the default cut covers them
+            return {}
+        return {d: sorted(v) for d, v in sets.items()}
 
     def apply(self, df: DataFrame) -> DataFrame:
         url = F.trim(F.col(self.url_field))
@@ -94,18 +166,27 @@ class UrlHostMapper(SparkMapper):
         bare = F.regexp_replace(host, r"^www\.", "")
         parts = F.split(bare, r"\.")
         n = F.size(parts)
-        last2 = F.concat_ws(
-            ".", F.element_at(parts, -2), F.element_at(parts, -1)
-        )
-        last3 = F.concat_ws(
-            ".", F.element_at(parts, -3), F.element_at(parts, -2),
-            F.element_at(parts, -1),
-        )
-        domain = (
-            F.when(n <= 2, bare)
-            .when(last2.isin(*_SECOND_LEVEL_SUFFIXES), last3)
-            .otherwise(last2)
-        )
+
+        def last_k(k: int):
+            # concat_ws skips the NULLs element_at yields past the
+            # array start, so a host with exactly k labels compares
+            # equal to itself here — matching the n<=2 bare behavior
+            return F.concat_ws(
+                ".",
+                *[F.element_at(parts, -i) for i in range(k, 0, -1)],
+            )
+
+        last2 = last_k(2)
+        # resolve ONCE (a DataFrame suffixes= collects here), then
+        # deepest suffix first: "pref.hokkaido.jp" must win over "jp"
+        suffix_sets = self._suffix_sets()
+        domain = F.when(n <= 2, bare)
+        for depth in sorted(suffix_sets, reverse=True):
+            domain = domain.when(
+                last_k(depth).isin(*suffix_sets[depth]),
+                last_k(depth + 1),
+            )
+        domain = domain.otherwise(last2)
         return df.withColumns(
             {
                 self.host_field: host,

@@ -1276,9 +1276,14 @@ def _semantic_pairs_sql(
     return build
 
 
-# Last sf_dir the diversity_select GATE query fit on — same
-# centroid-parity fail-fast as semantic_dedup / ann_ivf_topk.
-_DSEL_GATE_SF_DIR: dict = {"dir": None}
+# Last sf_dir the diversity_select GATE query fit on ("dir") and the
+# oracle replayed on ("oracle_dir") — same centroid-parity fail-fast
+# as semantic_dedup / ann_ivf_topk, recorded by BOTH sides so the
+# mismatch check fires regardless of which one runs first.  A plain
+# module global is a SEQUENTIAL-DRIVE-ONLY pattern: the driver runs
+# gate and oracle in one process, one query at a time; parallel gate
+# execution would need a keyed registry instead.
+_DSEL_GATE_SF_DIR: dict = {"dir": None, "oracle_dir": None}
 
 
 def _diversity_select_sql(
@@ -1317,6 +1322,9 @@ def _diversity_select_sql(
                 "(from SPARK_GRAFT_ORACLE_SF_DIR). Centroid parity is "
                 "per-corpus by construction."
             )
+        # record this side too, so a gate that runs AFTER the oracle
+        # hits the same fail-fast (the check is order-symmetric)
+        _DSEL_GATE_SF_DIR["oracle_dir"] = os.path.normpath(sf_dir)
         con = duckdb.connect()
         rows = con.execute(
             "SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
@@ -1393,6 +1401,17 @@ def q_diversity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.selection import diversity_select
     from ..functions.similarity import fit_centroids_sampled
 
+    if _DSEL_GATE_SF_DIR["oracle_dir"] not in (
+        None,
+        os.path.normpath(sf_dir),
+    ):
+        raise RuntimeError(
+            "diversity_select gate/oracle sf_dir mismatch: the oracle "
+            f"already replayed the fit on "
+            f"{_DSEL_GATE_SF_DIR['oracle_dir']} but the Spark gate "
+            f"query would fit on {sf_dir}. Centroid parity is "
+            "per-corpus by construction."
+        )
     _DSEL_GATE_SF_DIR["dir"] = os.path.normpath(sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     base = emb.select(

@@ -112,3 +112,87 @@ def test_budget_integration(spark):
     rows = picked.collect()
     assert sum(r["n_bpe_tokens_learned"] for r in rows) <= 10
     assert len(rows) >= 1
+
+
+def _fit_replay(docs, num_merges, max_word_types=50_000):
+    """From-scratch recount reference fit (the textbook formulation the
+    incremental heap+inverted-index loop must match bit-for-bit):
+    full pair recount every merge, same selection rule (max count,
+    lexicographically smallest pair on ties), same <2 stop."""
+    from collections import Counter
+
+    cnt = Counter()
+    for words in docs:
+        for w in words:
+            if w:
+                cnt[w] += 1
+    items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    items = items[:max_word_types]
+    vocab = [(list(w) + ["</w>"], c) for w, c in items]
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for symbols, c in vocab:
+            for i in range(len(symbols) - 1):
+                p = (symbols[i], symbols[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        merged = a + b
+        for symbols, _ in vocab:
+            i = 0
+            while i < len(symbols) - 1:
+                if symbols[i] == a and symbols[i + 1] == b:
+                    symbols[i:i + 2] = [merged]
+                else:
+                    i += 1
+    return merges
+
+
+def test_incremental_fit_matches_from_scratch_replay(spark):
+    """The incremental pair-count loop is an optimization, not a new
+    algorithm: on a deep random corpus (small alphabet so merges chain
+    far) the merges must equal the from-scratch recount exactly."""
+    import random
+
+    rng = random.Random(11)
+    docs = [
+        [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(3, 15))
+        ]
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, words array<string>"
+    )
+    got = fit_bpe_merges(df, num_merges=120)
+    want = _fit_replay(docs, 120)
+    assert got == want
+    assert len(got) > 30  # the corpus actually supports deep merging
+
+
+def test_incremental_fit_matches_replay_with_type_cap(spark):
+    """max_word_types truncation happens BEFORE the merge loop; the
+    incremental loop must match the replay under the same cap."""
+    import random
+
+    rng = random.Random(5)
+    docs = [
+        [
+            "".join(rng.choice("xy") for _ in range(rng.randint(2, 6)))
+            for _ in range(8)
+        ]
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, words array<string>"
+    )
+    got = fit_bpe_merges(df, num_merges=40, max_word_types=12)
+    want = _fit_replay(docs, 40, max_word_types=12)
+    assert got == want

@@ -463,3 +463,83 @@ def test_prototypicality_dims_mismatch_actionable(spark):
     with pytest.raises((Py4JJavaError, PySparkException, Exception)) as ei:
         with_prototypicality(df, _DSEL_CENTS).collect()
     assert "different embedding space" in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# dsir_select driver-budget routing (slim path)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_select_slim_matches_direct(spark):
+    """The slim path (gumbel on a (id, logw) projection + broadcast
+    semi-join back) selects the SAME winner set with the SAME weights
+    as the direct path — the draw is a pure function of (id, weight,
+    seed).  Row order is not part of the contract."""
+    target, raw, _, _ = _corpora(spark)
+    direct = dsir_select(raw, target, 12, dims=DIMS, seed=7)
+    slimmed = dsir_select(raw, target, 12, dims=DIMS, seed=7, slim=True)
+    d_rows = direct.collect()
+    s_rows = slimmed.collect()
+    assert sorted(r["doc_id"] for r in s_rows) == sorted(
+        r["doc_id"] for r in d_rows
+    )
+    assert set(slimmed.columns) == set(direct.columns)
+    dmap = {r["doc_id"]: r["dsir_logw"] for r in d_rows}
+    for r in s_rows:
+        assert r["dsir_logw"] == dmap[r["doc_id"]]
+
+
+def test_dsir_select_auto_budget_routing_plan_spy(spark):
+    """slim=None routes on k x estimated row width vs the driver
+    budget.  Over budget: the TakeOrderedAndProject node must hold
+    ONLY the slim (id, logw, key) columns — the full-width frame never
+    enters the driver merge — and the join-back is a broadcast
+    LeftSemi.  Under budget (gate-sized k): direct TakeOrdered, no
+    semi-join."""
+    target, raw, _, _ = _corpora(spark)
+    plan = _explain(
+        dsir_select(
+            raw, target, 12, dims=DIMS, seed=7, driver_budget_bytes=1
+        )
+    )
+    assert "LeftSemi" in plan, plan
+    assert "words" in plan  # probe side still reads the corpus
+    tol_blocks = [
+        b for b in plan.split("\n\n") if "TakeOrderedAndProject" in b
+    ]
+    assert tol_blocks, plan
+    for b in tol_blocks:
+        assert "words" not in b, b  # slim rows only in the merge
+    plan2 = _explain(dsir_select(raw, target, 12, dims=DIMS, seed=7))
+    assert "LeftSemi" not in plan2, plan2
+    assert "TakeOrderedAndProject" in plan2, plan2
+
+
+def test_estimated_row_bytes_heuristic():
+    from pyspark.sql import types as T
+
+    from smashed_spark.functions.selection import _estimated_row_bytes
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("words", T.ArrayType(T.StringType())),
+            T.StructField("w", T.DoubleType()),
+        ]
+    )
+    # 8 + 64*64 + 8 — pessimistic container sizing, documented
+    assert _estimated_row_bytes(schema) == 8 + 64 * 64 + 8
+
+
+def test_duplicate_winner_guard_survives_id_only_projection(spark):
+    """The guard wraps id_field as well as weight_field, so a
+    projection that keeps only the ids (the slim path's semi-join
+    shape) cannot prune it."""
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    rows = [(1, 50.0), (1, 50.0)] + [(i, 0.0) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "doc_id long, dsir_logw double")
+    with pytest.raises(
+        (PySparkRuntimeError, SparkRuntimeException), match="duplicate"
+    ):
+        gumbel_top_k(df, 2).select("doc_id").collect()

@@ -193,3 +193,24 @@ def test_salted_join_targeted_hot_keys(spark):
             salted_join(fact, dim, "k", how=how)
         with pytest.raises(ValueError, match="fact-preserving"):
             salted_join(fact, dim, "k", how=how, hot=hot)
+
+
+def test_hot_keys_warns_at_freqitems_floor(spark):
+    """ADVICE r10: at support == 1e-4 the probe cannot be nudged below
+    Spark's freqItems floor, so the exact-boundary guarantee does not
+    hold there — hot_keys must say so (a warning, not silence)."""
+    import warnings
+
+    from smashed_spark.core.skew import hot_keys
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "k: bigint")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        hot_keys(df, "k", support=1e-4)
+    assert any("freqItems floor" in str(x.message) for x in w), [
+        str(x.message) for x in w
+    ]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        hot_keys(df, "k", support=0.1)
+    assert not any("freqItems floor" in str(x.message) for x in w)
