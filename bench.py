@@ -10,8 +10,9 @@ driver-side result blowup.  (Earlier rounds timed `count()`, which
 lets Catalyst prune final projections — and can eliminate entire
 join-on-unique-key pipelines — so those rounds' absolute numbers
 undercount expression cost; see PLANS.md round-6 notes.)  Timed
-`$SPARK_GRAFT_BENCH_REPS` times (default 3, matching the driver's
-per-round setting) with per-query session isolation.  "queries" holds
+`$SPARK_GRAFT_BENCH_REPS` times (default 5 since r11 — the
+clean-host bench-of-record floor; 3 reps let warmup outliers through)
+with per-query session isolation.  "queries" holds
 the per-query minimum — the noise-resistant estimator (single shots
 swing up to 40% from host/VM noise).  Raw per-rep timings (for
 separating regressions from noise round-over-round) are written to the
@@ -114,8 +115,12 @@ def main() -> None:
     # best-of-N per query: single-shot timings on this host swing up to
     # 40% run-to-run from neighbor/VM noise (observed 51-72 s totals on
     # identical code); the per-query minimum is the standard
-    # noise-resistant estimator of the query's actual cost
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # noise-resistant estimator of the query's actual cost.  Default
+    # raised 3 -> 5 in r11 (the clean-host bench of record): three reps
+    # still let a warmup outlier through often enough that rounds 8-10
+    # each carried 1.3-1.4x phantom "regressions" on untouched code.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in sorted(queries):
@@ -180,6 +185,12 @@ def main() -> None:
                 # write.  Tooling comparing rounds across this
                 # boundary must not read the step as a regression.
                 "action": "noop",
+                # bench-of-record metadata (r11): per-query MIN over
+                # this many reps, host load captured at both ends so a
+                # noisy-host run is identifiable from the artifact alone
+                "reps_per_query": reps,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "methodology_note": (
                     "PLANS.md 'Round-6 measurement fix: noop-sink "
                     "timing' + 'Round-6 bench host-noise forensics'"

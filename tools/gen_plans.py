@@ -845,6 +845,86 @@ expression and DuckDB none either (hence unit-only: the replay test
 is bit-exact against python zlib).  Plan stays narrow
 (ArrowEvalPython, zero exchanges, pinned).  Empty/NULL text -> NULL
 (zlib's 8-byte header would otherwise score empty docs at ratio 8).
+
+## Round-11 incremental BPE fit (r10 VERDICT ask #2)
+
+fit_bpe_merges' driver loop now maintains pair counts incrementally:
+exact counts dict + a pair->word-index SUPERSET inverted index (stale
+members cost a no-op subtract/add, never correctness) + a
+lazy-deletion heap of (-count, pair) entries validated against the
+live count on pop.  Each merge touches only words containing the
+merged pair, so cost is O(occurrences), not O(types x word_len) per
+merge.  Selection rule unchanged (max count, lexicographic tiebreak,
+stop below 2) => merges bit-identical to the from-scratch recount,
+pinned by a replay test on a deep random corpus plus the textbook
+hand-derivation.  Wall time: num_merges=8000 over a 50k-type
+zipf-weighted vocab = 7.4 s driver-side (measured on the committed
+loop source); the recount formulation was hours at that depth.  The
+Spark side is unchanged: ONE word-count exchange + one TakeOrdered.
+
+## Round-11 dsir_select driver-budget auto-slim (r10 VERDICT ask #1)
+
+The direct Gumbel path's TakeOrderedAndProject merges k FULL rows on
+the driver — at k=1e7 over kilobyte docs that's ~a TB.  dsir_select
+(slim=None) now compares k x a deliberately pessimistic static row
+width (strings 64 B, containers 64 elements — _estimated_row_bytes)
+against driver_budget_bytes (256 MiB default).  Over budget: the
+draw runs on a (id, logw) projection — the TakeOrdered holds slim
+rows only, plan-spy-pinned — and the k winner ids broadcast-LEFT-
+SEMI-join back against the weighted corpus (one extra narrow scan,
+the documented trade).  Winner SET identical on both paths (the draw
+is a pure function of id+weight+seed; slim==direct equality tested);
+slim-path row order unspecified.  The duplicate-winner guard now
+wraps id_field AND weight_field, so the id-only projection cannot
+prune it (r10 ADVICE #2).
+
+## Round-11 fuzzy ingest gate (r10 VERDICT ask #4)
+
+streaming_ingest_fuzzy (registry slot 50) drives ingest_dedup_batch
+fuzzy=True over three batches whose cross-batch reposts carry one
+APPENDED word — invisible to the digest phase, decided by the
+MinHash band index, with compact_ingest_state(fuzzy=True) between
+batches 1 and 2 so batch 2 reads bands through the compacted
+tail-union path.  The oracle generates the full sequential
+recurrence in SQL (per batch: digest anti-join + first-wins, 16-slot
+coefficient-shared MinHash over 3-shingles, band-history drop,
+per-band min-doc_id greedy banding, survivor-only index extensions).
+Short reposts whose extra shingle shifts a band minimum legitimately
+survive; both engines must agree on exactly which — that agreement
+is the gate.
+
+## Round-11 clean-host bench of record (r10 VERDICT ask #3)
+
+BENCH_CLEAN_r11.json: full 50-query bench, 5 reps/query (bench.py's
+default is now 5 — three reps let warmup outliers through often
+enough that rounds 8-10 each carried 1.3-1.4x phantom regressions),
+per-query MIN, run at 1-min loadavg 0.82 with rep arrays + loadavg
+start/end now embedded in the stdout JSON itself.  Result: total
+61.61 s; shared-49 geomean vs BENCH_r10 = 0.982.  The +-5%
+explanation the ask demanded: a SECOND same-code 5-rep run in this
+session has geomean 0.977 against the first — i.e. the measured
+0.982 sits inside the same-code repeatability floor of this host, so
+round-over-round parity is the finding, with no per-query delta
+attributable to code.  The one changed-code query, dsir_select
+(guard now wraps id_field too), was A/B'd in matched isolated 5-rep
+runs: old min 1.446 s vs new 1.533 s (+6%, inside the rep-spread
+width); its full-bench swing 1.24 -> 1.94 s is bench-context
+pressure (same signature as the r9 forensics: sample_mix spans
+4.9-6.3 s within one run on identical code).  Standing conclusion:
+on this host only matched isolated A/B runs can attribute deltas
+under ~40% to code; BENCH_r{N}.json totals are for trend, not
+attribution.
+
+## Round-11 UrlHostMapper custom PSL (r10 VERDICT ask #7)
+
+suffixes= accepts a sequence or one-column DataFrame snapshot of
+plain public-suffix entries at any label depth.  The snapshot is
+dimension metadata: bounded (max_suffix_entries, default 100k; the
+real PSL is ~10k), collected once, compiled into per-depth isin plan
+literals checked deepest-first — the registered-domain cut still
+rides the scan with zero joins and zero exchanges at any corpus
+size.  Wildcard (*.ck) / exception (!www.ck) PSL rules are refused
+loudly rather than approximated.
 """
 
 out = ["# PLANS — physical plans of the headline queries",
