@@ -54,7 +54,12 @@ def main() -> None:
         ),
     )
 
-    # 1. hosts + registered domains (narrow regexp, rides the scan)
+    # 1. hosts + registered domains (narrow regexp, rides the scan).
+    # Production would pass the real Mozilla PSL snapshot here —
+    # suffixes= takes a sequence or a one-column DataFrame (e.g.
+    # spark.read.text of the list) and compiles it into per-depth
+    # in-plan literals, still zero joins/exchanges:
+    #   UrlHostMapper("url", suffixes=psl_df).map(docs)
     curated = UrlHostMapper("url").map(docs)
 
     # 2. domain blocklist — literal tier folds into the scan's filters

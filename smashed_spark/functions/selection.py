@@ -27,6 +27,12 @@ Three composable pieces, all deterministic:
   then a driver merge of k rows — never a global sort, never a full
   exchange; k rows is the only thing that moves.
 
+* :func:`gumbel_top_k_grouped` — the STRATIFIED variant: an
+  independent draw of k per group (source/language/domain), so a
+  large high-weight source cannot starve small ones.  The literal
+  rank filter compiles to WindowGroupLimit (per-partition top-k
+  before the one group-key exchange; no global sort anywhere).
+
 * :func:`dsir_select` — the one-call composition: fit both tables,
   weight, resample.
 
@@ -58,6 +64,7 @@ from .hashing import portable_hash32
 __all__ = [
     "with_importance_logweight",
     "gumbel_top_k",
+    "gumbel_top_k_grouped",
     "dsir_select",
     "with_prototypicality",
     "diversity_select",
@@ -259,6 +266,95 @@ def _estimated_row_bytes(schema) -> int:
         return 64  # string, binary, anything exotic
 
     return sum(width(f.dataType) for f in schema.fields)
+
+
+def gumbel_top_k_grouped(
+    df: DataFrame,
+    k: int,
+    group_by,
+    weight_field: str = "dsir_logw",
+    id_field: str = "doc_id",
+    seed: int = 13,
+    key_field: Optional[str] = None,
+) -> DataFrame:
+    """STRATIFIED sampling without replacement: an independent
+    Gumbel-top-k draw (see :func:`gumbel_top_k`) of ``k`` rows PER
+    GROUP, proportional to ``exp(weight_field)`` within each group —
+    the data-recipe step that keeps every source/language/domain
+    represented where a single global draw would let a large
+    high-weight source starve the small ones.  ``group_by`` is a
+    column name or list of names.
+
+    Same determinism contract as the global draw: the perturbed key
+    is a pure function of (id, seed) so the selection is
+    partition-layout-invariant and SQL-replayable (``ROW_NUMBER()
+    OVER (PARTITION BY grp ORDER BY logw - ln(-ln(u)) DESC, id)``),
+    and the same NULL-id / NULL-weight in-plan raises apply.  NULL
+    group keys form their own group (Spark window semantics), so no
+    row silently escapes a quota.
+
+    Scale shape: the rank filter is a LITERAL (``rn <= k``), so
+    Catalyst rewrites the window to WindowGroupLimit — per-partition
+    top-k BEFORE the group exchange; only candidate rows move, and
+    there is never a global sort.  ONE exchange on the group key
+    total.  The duplicate-id guard of the global draw is NOT applied
+    here: it would need a second window over a different key
+    (id-order within group), and unlike the global path — where the
+    guard rides the already-single-partition TakeOrdered output for
+    free — that second sort is not free at per-group cardinalities;
+    id uniqueness stays the caller's contract (the same one
+    :func:`gumbel_top_k` documents)."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    groups: List[str] = (
+        [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    if not groups:
+        raise ValueError("group_by must name at least one column")
+    id_col = F.col(id_field)
+    guarded_id = F.when(
+        id_col.isNull(),
+        F.raise_error(
+            F.lit(
+                f"gumbel_top_k_grouped: id_field {id_field!r} has a "
+                "NULL — a NULL id cannot seed a deterministic draw. "
+                "Filter or fill the id column."
+            )
+        ),
+    ).otherwise(id_col)
+    w = F.col(weight_field).cast("double")
+    guarded_w = F.when(
+        w.isNull() | F.isnan(w),
+        F.raise_error(
+            F.lit(
+                f"gumbel_top_k_grouped: weight_field {weight_field!r} "
+                "has a NULL/NaN-free contract — score rows upstream "
+                "or filter them before resampling."
+            )
+        ),
+    ).otherwise(w)
+    u = (
+        portable_hash32(
+            F.concat(guarded_id.cast("string"), F.lit(f":{seed}"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    key = guarded_w - F.log(-F.log(u))
+    name = key_field or "__gumbel_key__"
+    win = Window.partitionBy(*groups).orderBy(
+        F.col(name).desc(), id_col
+    )
+    out = (
+        df.withColumn(name, key)
+        .withColumn("__grank__", F.row_number().over(win))
+        .filter(F.col("__grank__") <= k)
+        .drop("__grank__")
+    )
+    if key_field is None:
+        out = out.drop(name)
+    return out
 
 
 def dsir_select(

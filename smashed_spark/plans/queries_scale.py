@@ -695,6 +695,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_DIMS = 512
 _DSIR_K = 200
+_DSIR_GROUP_K = 20
 _DSIR_SEED = 13
 
 
@@ -728,15 +729,23 @@ _DSIR_SEED = 13
         LEFT JOIN rawc r ON wb.b = r.b, tt, rt
         GROUP BY wb.doc_id
     ), keyed AS (
-        SELECT d.doc_id, coalesce(l.lw, 0.0) AS lw,
+        SELECT d.doc_id, d.source, coalesce(l.lw, 0.0) AS lw,
                coalesce(l.lw, 0.0)
                - ln(-ln((('0x' || substr(md5(d.doc_id::VARCHAR
                                              || ':{_DSIR_SEED}'), 1, 8))
                              ::BIGINT + 0.5) / 4294967296.0)) AS k
         FROM documents d LEFT JOIN logw l USING (doc_id)
     )
-    SELECT doc_id, round(lw, 6) AS dsir_logw
-    FROM keyed ORDER BY k DESC, doc_id LIMIT {_DSIR_K}
+    SELECT 'global' AS stage, doc_id, round(lw, 6) AS dsir_logw
+    FROM (SELECT doc_id, lw FROM keyed
+          ORDER BY k DESC, doc_id LIMIT {_DSIR_K})
+    UNION ALL
+    SELECT 'grouped' AS stage, doc_id, round(lw, 6) AS dsir_logw
+    FROM (
+        SELECT doc_id, lw, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+        FROM keyed
+    ) WHERE rn <= {_DSIR_GROUP_K}
     """,
 )
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,10 +758,19 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gumbel-top-k draw (md5-derived uniforms — the oracle replays the
     EXACT draw, fit arithmetic included, from first principles in
     SQL).  The top-k compiles to TakeOrderedAndProject: k rows move,
-    nothing exchanges."""
+    nothing exchanges.
+
+    r11 fold: a second STRATIFIED stage draws ``_DSIR_GROUP_K`` per
+    ``source`` from the same weights and seed via
+    :func:`~smashed_spark.functions.selection.gumbel_top_k_grouped`
+    (WindowGroupLimit — per-partition top-k before the one group-key
+    exchange); the oracle replays it as a ROW_NUMBER over the same
+    keyed CTE.  Both stages share the per-doc Gumbel key, so the gate
+    certifies the grouped ranking against the identical arithmetic."""
     from ..functions.classifier import fit_unigram_logprob_table
     from ..functions.selection import (
         gumbel_top_k,
+        gumbel_top_k_grouped,
         with_importance_logweight,
     )
 
@@ -766,8 +784,20 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = gumbel_top_k(
         weighted, _DSIR_K, id_field="doc_id", seed=_DSIR_SEED
     )
+    grouped = gumbel_top_k_grouped(
+        weighted, _DSIR_GROUP_K, "source",
+        id_field="doc_id", seed=_DSIR_SEED,
+    )
     return picked.select(
-        "doc_id", F.round("dsir_logw", 6).alias("dsir_logw")
+        F.lit("global").alias("stage"),
+        "doc_id",
+        F.round("dsir_logw", 6).alias("dsir_logw"),
+    ).unionByName(
+        grouped.select(
+            F.lit("grouped").alias("stage"),
+            "doc_id",
+            F.round("dsir_logw", 6).alias("dsir_logw"),
+        )
     )
 
 

@@ -543,3 +543,126 @@ def test_duplicate_winner_guard_survives_id_only_projection(spark):
         (PySparkRuntimeError, SparkRuntimeException), match="duplicate"
     ):
         gumbel_top_k(df, 2).select("doc_id").collect()
+
+
+# ---------------------------------------------------------------------------
+# gumbel_top_k_grouped (stratified draw)
+# ---------------------------------------------------------------------------
+
+from smashed_spark.functions.selection import (  # noqa: E402
+    gumbel_top_k_grouped,
+)
+
+
+def _grouped_frame(spark):
+    # three sources of different sizes and weight profiles
+    rows = []
+    for i in range(30):
+        rows.append((i, "big", float(i % 5)))
+    for i in range(100, 108):
+        rows.append((i, "small", 2.0))
+    rows.append((200, "tiny", 0.0))
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, dsir_logw double"
+    )
+
+
+def test_grouped_gumbel_quota_and_python_replay(spark):
+    df = _grouped_frame(spark)
+    out = gumbel_top_k_grouped(
+        df, 4, "source", seed=5, key_field="key"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # every group filled to min(k, group size)
+    assert len(by_src["big"]) == 4
+    assert len(by_src["small"]) == 4
+    assert len(by_src["tiny"]) == 1
+    # bit-level python replay of the within-group ranking
+    import math as m
+
+    def key_of(doc_id, logw):
+        return logw - m.log(-m.log(_py_u(doc_id, 5)))
+
+    want = {}
+    for doc_id, src, logw in [
+        (r["doc_id"], r["source"], r["dsir_logw"])
+        for r in _grouped_frame(spark).collect()
+    ]:
+        want.setdefault(src, []).append((key_of(doc_id, logw), doc_id))
+    for src, items in want.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        want[src] = sorted(d for _, d in items[:4])
+    got = {s: sorted(r["doc_id"] for r in rs) for s, rs in by_src.items()}
+    assert got == want
+    for r in out:
+        assert r["key"] == pytest.approx(
+            key_of(r["doc_id"], r["dsir_logw"]), rel=1e-12
+        )
+
+
+def test_grouped_gumbel_partition_invariance_and_null_group(spark):
+    df = _grouped_frame(spark).unionByName(
+        _grouped_frame(spark).limit(0)
+    )
+    a = sorted(
+        (r["source"], r["doc_id"])
+        for r in gumbel_top_k_grouped(df, 3, "source").collect()
+    )
+    b = sorted(
+        (r["source"], r["doc_id"])
+        for r in gumbel_top_k_grouped(
+            df.repartition(7), 3, "source"
+        ).collect()
+    )
+    assert a == b
+    # NULL group key forms its own group (no row escapes the quota)
+    df2 = df.withColumn(
+        "source",
+        F.when(F.col("doc_id") < 3, F.lit(None)).otherwise("x"),
+    )
+    out = gumbel_top_k_grouped(df2, 2, "source").collect()
+    null_rows = [r for r in out if r["source"] is None]
+    assert len(null_rows) == 2
+
+
+def test_grouped_gumbel_single_group_matches_global(spark):
+    df = _grouped_frame(spark).withColumn("g", F.lit("all"))
+    grouped = sorted(
+        r["doc_id"] for r in gumbel_top_k_grouped(df, 6, "g", seed=9).collect()
+    )
+    global_ = sorted(
+        r["doc_id"] for r in gumbel_top_k(df, 6, seed=9).collect()
+    )
+    assert grouped == global_
+
+
+def test_grouped_gumbel_plan_windowgrouplimit(spark):
+    df = _grouped_frame(spark)
+    plan = _explain(gumbel_top_k_grouped(df, 3, "source"))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # one logical exchange
+    # (AQE may print shuffle read stages; the write side is single)
+
+
+def test_grouped_gumbel_validation_and_guards(spark):
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    df = _grouped_frame(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        gumbel_top_k_grouped(df, 0, "source")
+    with pytest.raises(ValueError, match="at least one column"):
+        gumbel_top_k_grouped(df, 1, [])
+    bad = spark.createDataFrame(
+        [(None, "s", 1.0), (2, "s", 1.0)],
+        "doc_id long, source string, dsir_logw double",
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException)):
+        gumbel_top_k_grouped(bad, 1, "source").collect()
+    bad2 = spark.createDataFrame(
+        [(1, "s", None), (2, "s", 1.0)],
+        "doc_id long, source string, dsir_logw double",
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException)):
+        gumbel_top_k_grouped(bad2, 1, "source").collect()

@@ -84,6 +84,20 @@ HEADLINERS = {
         "job dies in the banding stage before a hot bucket can make "
         "the join output quadratic; a 128-bit two-word fingerprint "
         "tier (32-bit bands) covers corpora past ~1e9 docs.",
+    "dsir_select": "Two bounded table fits (one bucket-count exchange "
+        "each, <= dims rows collected), then a fully NARROW "
+        "difference-literal aggregate fold scores every doc, and the "
+        "seeded Gumbel draw collapses to TakeOrderedAndProject — "
+        "per-partition top-k plus a k-row driver merge, no global "
+        "sort, no exchange.  r11: above a 256 MiB driver budget the "
+        "draw runs on a (id, logw) projection and the winner ids "
+        "broadcast-semi-join back (slim rows only in the merge).",
+    "diversity_select": "Injected-quantizer cell assignment + "
+        "prototypicality cosine in ONE narrow Arrow matmul stage; the "
+        "within-cell ranking is ONE exchange on the cell key, and the "
+        "keep_fraction count-window rides that same exchange (same "
+        "partition key).  With per_cell the literal filter rewrites "
+        "to WindowGroupLimit (partial top-n before the shuffle).",
 }
 
 STATIC = """\
@@ -914,6 +928,55 @@ pressure (same signature as the r9 forensics: sample_mix spans
 on this host only matched isolated A/B runs can attribute deltas
 under ~40% to code; BENCH_r{N}.json totals are for trend, not
 attribution.
+
+## Round-11 scale probes (r10 VERDICT asks #5, #6, #8)
+
+All in BENCH_SCALE.json, same constant-density blowup discipline.
+
+* text_stats re-probed with 3 MATCHED reps at every decade (the r10
+  split was computed from 2-rep 10x vs 1-rep 100x points and came
+  out below 1): 6.22 / 7.38 / 56.16 s -> first decade 1.19x
+  (overhead-dominated), second decade 7.61x — STABLE and
+  sub-linear-to-linear; no growing term beyond the scan.  Ask #8
+  closed with a stable number, not a named term.
+* diversity_select (the D4 certification tail): first mismatched-rep
+  probe showed the same pathology (100x below 10x); re-probed with 3
+  matched reps: 0.67 / 1.37 / 9.65 s -> second decade 7.06x,
+  near-linear.  The one exchange on the cell key holds through 200k
+  vectors; scoring stays a narrow Arrow matmul.
+* profile_corpus: 1.34 / 2.16 / 3.91 s -> second decade 1.81x, flat
+  as designed — ONE global aggregate with per-COLUMN output means
+  the exchange is KB-sized at every scale; the slope is the parquet
+  scan plus the KMV second job.
+* join_attributes: 0.43 / 0.47 / 0.89 s with broadcast_rows=100k so
+  the flip lands inside the sweep.  The probe now records TWO facts
+  per scale: the OPERATOR tier (its limit-probe decision:
+  broadcast/broadcast/plain as sidecar rows go 5k/50k/500k — the
+  designed flip) and the PLAN join (broadcast at all three points:
+  above the operator's cap Catalyst's own autoBroadcastJoinThreshold
+  still broadcasts the 8 MB sidecar, which is the right plan and not
+  the operator's doing; the operator-tier routing itself is pinned
+  with auto-broadcast DISABLED in tests/test_attributes.py).  First
+  probe conflated these two facts; the artifact now separates them.
+
+## Round-11 stratified Gumbel draw (gumbel_top_k_grouped)
+
+The data-recipe gap between the global draw and per-source quotas:
+one independent Gumbel-top-k PER GROUP, so a large high-weight
+source cannot starve small ones.  Same seeded md5-derived noise
+(partition-layout-invariant, SQL-replayable as ROW_NUMBER over
+PARTITION BY group ORDER BY key DESC, id), same in-plan NULL
+raises.  The literal rank filter compiles to WindowGroupLimit —
+per-partition top-k BEFORE the one group-key exchange, never a
+global sort (plan-pinned).  The global path's duplicate-winner guard
+is deliberately NOT applied: there it rides the already-single-
+partition TakeOrdered output for free, here it would need a second
+per-group sort that is not free — id uniqueness stays the caller's
+contract, as documented.  Driver-gated via a fold into dsir_select
+(a second 'grouped' stage, 20 per source, same weights + seed; the
+oracle replays it as ROW_NUMBER over the shared Gumbel-key CTE) —
+a deliberate small bench-cost buy on that gate (the grouped window
+over the already-scored frame; the fits are shared).
 
 ## Round-11 UrlHostMapper custom PSL (r10 VERDICT ask #7)
 

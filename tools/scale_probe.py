@@ -378,8 +378,10 @@ def main() -> None:
     for name in [q for q in QUERIES if not only or q in only]:
         # r11 (judge ask #8): text_stats' decade split was computed
         # from mismatched rep counts (10x at 2 reps vs 100x at 1) and
-        # came out unstable; it now gets 3 matched reps at EVERY point
-        reps = 3 if name == "text_stats" else 2
+        # came out unstable; it (and diversity_select, whose first
+        # mismatched-rep probe showed the same below-1 decade
+        # pathology) now gets 3 matched reps at EVERY point
+        reps = 3 if name in ("text_stats", "diversity_select") else 2
         t1, r1 = run(name, BASE, reps=reps)
         t10, r10 = run(name, scaled_dir, reps=reps)
         ratio = round(t10 / t1, 2) if t1 > 0 else None
@@ -761,11 +763,22 @@ def main() -> None:
             plan = out._sc._jvm.PythonSQLUtils.explainString(
                 out._jdf.queryExecution(), "formatted"
             )
-            tier = (
+            # two distinct facts: what the OPERATOR decided (its
+            # limit-probe vs broadcast_rows — the tier under test) and
+            # what the PLAN does (above the cap the operator stops
+            # hinting, but Catalyst's own autoBroadcastJoinThreshold
+            # may still broadcast a small-bytes sidecar — desirable,
+            # and not the operator's doing)
+            n_sidecar = spark.read.parquet(f"{root}/attrs").count()
+            op_tier = (
+                "broadcast" if n_sidecar <= 100_000 else "plain"
+            )
+            plan_join = (
                 "broadcast"
                 if "BroadcastHashJoin" in plan
                 else "shuffle"
             )
+            tier = f"op={op_tier}/plan={plan_join}"
         finally:
             shutil.rmtree(root, ignore_errors=True)
         return round(best, 3), rows, tier
@@ -834,7 +847,11 @@ def main() -> None:
         deep_tables.add("embeddings")
     build_scaled_deep(spark, deep_dir, DEEP_COPIES, tables=deep_tables)
     for name in deep_sel:
-        t100, r100 = run(name, deep_dir, reps=3 if name == "text_stats" else 1)
+        t100, r100 = run(
+            name,
+            deep_dir,
+            reps=3 if name in ("text_stats", "diversity_select") else 1,
+        )
         q = result["queries"][name]
         if name == "dedup_ngram_jaccard":
             q["method_100x"] = _ngram_choice(spark, deep_dir)
