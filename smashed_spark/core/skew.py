@@ -97,7 +97,10 @@ def hot_keys(
     # key at exactly the 1e-4 fraction can still miss the candidate
     # map — the boundary guarantee holds for support > 1e-4 only.
     probe_support = max(support * (1.0 - 1e-6), 1e-4)
-    if exact and probe_support == support:
+    # warn in BOTH modes: exact=False returns the (possibly
+    # boundary-missing) superset AS the final answer, so it is the
+    # more exposed caller, not the less
+    if probe_support == support:
         import warnings
 
         warnings.warn(

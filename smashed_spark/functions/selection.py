@@ -114,6 +114,47 @@ def with_importance_logweight(
     )
 
 
+def _gumbel_perturbed_key(
+    id_field: str, weight_field: str, seed: int, fn_name: str
+) -> Column:
+    """The shared seeded-noise construction of BOTH draw variants:
+    ``logw - ln(-ln(u))`` with ``u = (md5_32(id ':' seed) + 0.5) /
+    2^32`` (never exactly 0 or 1, so the double log is always
+    finite), with the in-plan NULL-id / NULL-NaN-weight raises baked
+    in.  One definition so the global and grouped draws can never
+    silently diverge — the dsir_select gate certifies them against
+    the SAME arithmetic."""
+    id_col = F.col(id_field)
+    guarded_id = F.when(
+        id_col.isNull(),
+        F.raise_error(
+            F.lit(
+                f"{fn_name}: id_field {id_field!r} has a NULL — a "
+                "NULL id cannot seed a deterministic draw. Filter or "
+                "fill the id column."
+            )
+        ),
+    ).otherwise(id_col)
+    w = F.col(weight_field).cast("double")
+    guarded_w = F.when(
+        w.isNull() | F.isnan(w),
+        F.raise_error(
+            F.lit(
+                f"{fn_name}: weight_field {weight_field!r} has a "
+                "NULL/NaN-free contract — score rows upstream or "
+                "filter them before resampling."
+            )
+        ),
+    ).otherwise(w)
+    u = (
+        portable_hash32(
+            F.concat(guarded_id.cast("string"), F.lit(f":{seed}"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    return guarded_w - F.log(-F.log(u))
+
+
 def gumbel_top_k(
     df: DataFrame,
     k: int,
@@ -153,36 +194,9 @@ def gumbel_top_k(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     id_col = F.col(id_field)
-    guarded_id = F.when(
-        id_col.isNull(),
-        F.raise_error(
-            F.lit(
-                f"gumbel_top_k: id_field {id_field!r} has a NULL — a "
-                "NULL id cannot seed a deterministic draw. Filter or "
-                "fill the id column."
-            )
-        ),
-    ).otherwise(id_col)
-    w = F.col(weight_field).cast("double")
-    guarded_w = F.when(
-        w.isNull() | F.isnan(w),
-        F.raise_error(
-            F.lit(
-                f"gumbel_top_k: weight_field {weight_field!r} has a "
-                "NULL/NaN-free contract — score rows upstream or "
-                "filter them before resampling."
-            )
-        ),
-    ).otherwise(w)
-    # u in (0, 1): (h32 + 0.5) / 2^32 — never exactly 0 or 1, so the
-    # double log is always finite
-    u = (
-        portable_hash32(
-            F.concat(guarded_id.cast("string"), F.lit(f":{seed}"))
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(2**32))
-    key = guarded_w - F.log(-F.log(u))
+    key = _gumbel_perturbed_key(
+        id_field, weight_field, seed, "gumbel_top_k"
+    )
     out = df
     name = key_field or "__gumbel_key__"
     out = out.withColumn(name, key)
@@ -236,14 +250,16 @@ def gumbel_top_k(
 
 
 def _estimated_row_bytes(schema) -> int:
-    """Static per-row width estimate for :func:`dsir_select`'s
-    driver-budget routing — deliberately PESSIMISTIC (strings/binaries
-    64 B, containers assumed 64 elements deep) because the two failure
-    modes are asymmetric: a wrong "slim" verdict costs one extra
-    narrow scan of the raw corpus, while a wrong "direct" verdict is a
-    k-row full-width driver merge that can kill the driver at large
-    k.  Mirrors the spirit of Catalyst's ``DataType.defaultSize``
-    sizing (statistics estimation), not actual row bytes."""
+    """Static per-row width FLOOR for :func:`dsir_select`'s
+    driver-budget routing (strings/binaries 64 B, containers assumed
+    64 elements deep).  Static schema widths are blind to actual data
+    — a ``text string`` column is 64 B here whether the documents are
+    tweets or 500 KB crawl pages — so the routing combines this floor
+    with :func:`_sampled_row_bytes` (which sees real lengths) and
+    takes the MAX.  The asymmetry that motivates erring large: a
+    wrong "slim" verdict costs one extra narrow scan of the raw
+    corpus, while a wrong "direct" verdict is a k-row full-width
+    driver merge that can kill the driver at large k."""
     from pyspark.sql import types as T
 
     def width(dt) -> int:
@@ -266,6 +282,25 @@ def _estimated_row_bytes(schema) -> int:
         return 64  # string, binary, anything exotic
 
     return sum(width(f.dataType) for f in schema.fields)
+
+
+def _sampled_row_bytes(df: DataFrame, n: int = 256) -> float:
+    """Average serialized row width from a bounded ``n``-row sample —
+    ONE tiny job (``limit(n)`` stops the scan after one partition's
+    worth of rows).  JSON length tracks in-memory row width within a
+    small factor AND, unlike static schema widths, sees the actual
+    text/array lengths — the difference between routing a tweet
+    corpus and a 500 KB-per-page crawl correctly.  Returns 0.0 on an
+    empty frame (the static floor then decides)."""
+    row = (
+        df.limit(n)
+        .select(
+            F.length(F.to_json(F.struct(*df.columns))).alias("__w__")
+        )
+        .agg(F.avg("__w__").alias("__a__"))
+        .collect()[0]
+    )
+    return float(row["__a__"]) if row["__a__"] is not None else 0.0
 
 
 def gumbel_top_k_grouped(
@@ -314,34 +349,9 @@ def gumbel_top_k_grouped(
     if not groups:
         raise ValueError("group_by must name at least one column")
     id_col = F.col(id_field)
-    guarded_id = F.when(
-        id_col.isNull(),
-        F.raise_error(
-            F.lit(
-                f"gumbel_top_k_grouped: id_field {id_field!r} has a "
-                "NULL — a NULL id cannot seed a deterministic draw. "
-                "Filter or fill the id column."
-            )
-        ),
-    ).otherwise(id_col)
-    w = F.col(weight_field).cast("double")
-    guarded_w = F.when(
-        w.isNull() | F.isnan(w),
-        F.raise_error(
-            F.lit(
-                f"gumbel_top_k_grouped: weight_field {weight_field!r} "
-                "has a NULL/NaN-free contract — score rows upstream "
-                "or filter them before resampling."
-            )
-        ),
-    ).otherwise(w)
-    u = (
-        portable_hash32(
-            F.concat(guarded_id.cast("string"), F.lit(f":{seed}"))
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(2**32))
-    key = guarded_w - F.log(-F.log(u))
+    key = _gumbel_perturbed_key(
+        id_field, weight_field, seed, "gumbel_top_k_grouped"
+    )
     name = key_field or "__gumbel_key__"
     win = Window.partitionBy(*groups).orderBy(
         F.col(name).desc(), id_col
@@ -385,8 +395,10 @@ def dsir_select(
     ``TakeOrderedAndProject`` merges k FULL rows on the driver — fine
     for k=200 gate-sized draws, fatal at k=10^7 over kilobyte
     documents (~a TB of driver merge).  When ``slim=None`` (auto) the
-    function compares ``k x`` a pessimistic static row-width estimate
-    (:func:`_estimated_row_bytes`) against ``driver_budget_bytes``
+    function compares ``k x`` an estimated row width — the MAX of a
+    static schema floor (:func:`_estimated_row_bytes`) and a bounded
+    256-row sampled width (:func:`_sampled_row_bytes`, one tiny job,
+    sees actual text lengths) — against ``driver_budget_bytes``
     (default 256 MiB): over budget, it runs :func:`gumbel_top_k` on a
     ``(id, logw)`` projection — so only slim rows ever enter the
     TakeOrdered — and broadcast-LEFT-SEMI-joins the k winner ids back
@@ -412,10 +424,17 @@ def dsir_select(
         hash_fn=hash_fn, ngram=ngram,
     )
     if slim is None:
-        slim = (
-            k * _estimated_row_bytes(weighted.schema)
-            > driver_budget_bytes
+        # max(static floor, sampled actual): the static widths catch
+        # wide schemas on empty/tiny frames; the bounded sample (one
+        # tiny job) catches what static sizing cannot — long text in
+        # a plain string column (review r11: a 500 KB-page corpus
+        # under static-only sizing routed DIRECT and the k-row merge
+        # would have been ~k x 500 KB on the driver)
+        est = max(
+            float(_estimated_row_bytes(weighted.schema)),
+            _sampled_row_bytes(weighted),
         )
+        slim = k * est > driver_budget_bytes
     if not slim:
         return gumbel_top_k(
             weighted, k, weight_field=weight_field, id_field=id_field,

@@ -101,6 +101,15 @@ class UrlHostMapper(SparkMapper):
         Depth-1 entries (plain TLDs) are accepted but dropped: the
         default last-two-labels cut already implements them."""
         terms = self.suffixes
+        if isinstance(terms, str):
+            # a bare string would iterate as CHARACTERS: every entry
+            # depth-1, silently discarding both the custom set and the
+            # built-in one — reject loudly instead
+            raise ValueError(
+                f"suffixes= got a bare string {terms!r} — pass a "
+                "list/tuple of suffix strings or a one-column "
+                "DataFrame"
+            )
         if terms is None:
             entries = list(_SECOND_LEVEL_SUFFIXES)
         elif isinstance(terms, DataFrame):

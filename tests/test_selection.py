@@ -666,3 +666,31 @@ def test_grouped_gumbel_validation_and_guards(spark):
     )
     with pytest.raises((PySparkRuntimeError, SparkRuntimeException)):
         gumbel_top_k_grouped(bad2, 1, "source").collect()
+
+
+def test_dsir_select_sampled_width_routes_long_text_slim(spark):
+    """Code review r11: static schema widths are blind to a 500 KB
+    page in a plain string column; the bounded sampled width must
+    route such a corpus SLIM under a budget the static floor alone
+    would pass."""
+    import random
+
+    rng = random.Random(3)
+    big = " ".join(
+        "".join(rng.choice("abcdefgh") for _ in range(8))
+        for _ in range(4000)
+    )  # ~36 KB of text per doc
+    rows = [(i, (big + f" tail{i}").split(" ")) for i in range(30)]
+    raw = spark.createDataFrame(rows, "doc_id long, words array<string>")
+    target = raw.limit(10)
+    # static floor: 8 + 64*64 + 8 ~ 4.1 KB/row -> k=20 x 4.1 KB ~ 83 KB
+    # under a 512 KB budget -> static-only would go DIRECT; the
+    # sampled width (~44 KB/row serialized) makes k x est ~ 880 KB ->
+    # over budget -> SLIM
+    plan = _explain(
+        dsir_select(
+            raw, target, 20, dims=32, seed=1,
+            driver_budget_bytes=512 << 10,
+        )
+    )
+    assert "LeftSemi" in plan, plan[:2000]

@@ -214,3 +214,17 @@ def test_hot_keys_warns_at_freqitems_floor(spark):
         warnings.simplefilter("always")
         hot_keys(df, "k", support=0.1)
     assert not any("freqItems floor" in str(x.message) for x in w)
+
+
+def test_hot_keys_floor_warning_fires_for_approx_mode_too(spark):
+    """Code review r11: exact=False returns the superset AS the final
+    answer, so the boundary-miss warning must fire there too."""
+    import warnings
+
+    from smashed_spark.core.skew import hot_keys
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "k: bigint")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        hot_keys(df, "k", support=1e-4, exact=False)
+    assert any("freqItems floor" in str(x.message) for x in w)

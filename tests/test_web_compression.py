@@ -226,3 +226,11 @@ def test_url_mapper_suffixes_validation(spark):
     # depth-1 entries are accepted no-ops (the default cut covers them)
     out = UrlHostMapper(suffixes=["com"]).map(df).collect()[0]
     assert out["domain"] == "a.ck"
+
+
+def test_url_mapper_suffixes_bare_string_rejected(spark):
+    """Code review r11: a bare string would iterate as characters and
+    silently disable all suffix handling."""
+    df = spark.createDataFrame([(0, "https://a.co.uk/x")], "id long, url string")
+    with pytest.raises(ValueError, match="bare string"):
+        UrlHostMapper(suffixes="co.uk").map(df)

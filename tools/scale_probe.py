@@ -725,6 +725,10 @@ def main() -> None:
     # probe cap, plain equi-join above it; broadcast_rows=100k makes
     # the flip land INSIDE this sweep (5k -> 50k -> 500k sidecar rows)
     attrs_selected = not only or "join_attributes" in only
+    # ONE constant shared by the operator call and the tier
+    # derivation below — two literals would let them drift and record
+    # a flip point the operator never has
+    ATTR_BROADCAST_ROWS = 100_000
 
     def run_join_attrs(doc_dir: str, reps: int = 2):
         import tempfile as _tf
@@ -753,7 +757,9 @@ def main() -> None:
                 isolate()
                 t0 = time.perf_counter()
                 out = join_attributes(
-                    docs, f"{root}/attrs", broadcast_rows=100_000
+                    docs,
+                    f"{root}/attrs",
+                    broadcast_rows=ATTR_BROADCAST_ROWS,
                 )
                 out.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
@@ -768,10 +774,13 @@ def main() -> None:
             # what the PLAN does (above the cap the operator stops
             # hinting, but Catalyst's own autoBroadcastJoinThreshold
             # may still broadcast a small-bytes sidecar — desirable,
-            # and not the operator's doing)
-            n_sidecar = spark.read.parquet(f"{root}/attrs").count()
+            # and not the operator's doing).  The sidecar is built 1:1
+            # from docs, so the probe's own output count IS the
+            # sidecar row count — no extra scan needed
             op_tier = (
-                "broadcast" if n_sidecar <= 100_000 else "plain"
+                "broadcast"
+                if rows <= ATTR_BROADCAST_ROWS
+                else "plain"
             )
             plan_join = (
                 "broadcast"
