@@ -1731,6 +1731,7 @@ def dedup_incremental(
     digest_field: str = "digest",
     broadcast_probe: "bool | str" = False,
     max_probe_rows: int = 2_000_000,
+    bloom=None,
 ) -> DataFrame:
     """Append-only ingestion dedup: drop rows of ``new_df`` whose text
     digest already exists in ``seen_digests`` (one ``digest`` column —
@@ -1765,6 +1766,19 @@ def dedup_incremental(
     regime the plain join's batch+index exchange is the correct
     price.
 
+    ``bloom=`` (a :class:`~smashed_spark.functions.bloom.
+    BloomFilterSketch` fit over the INDEX's digest column) splits the
+    batch in-plan before any join: bloom-negative rows are
+    definitely-new (they never touch the index or an exchange —
+    narrow all the way), only the bloom-positive remainder (true dups
+    + the sketch's FPR) runs the anti-join.  The win is largest for a
+    plain-join backfill, where it shrinks the batch side of the
+    shuffle from |batch| to ~|dups|.  OPERATIONAL CONTRACT (loud):
+    the sketch must cover every digest in ``seen_digests`` — fit it
+    from the index, or OR per-batch sketches together as batches
+    commit; a stale sketch silently re-admits duplicates against the
+    missing keys.  False positives only cost exact confirms.
+
     Determinism: ``order_by`` NULLs raise in-plan (a NULL key cannot
     be totally ordered); ``order_by`` ties — identical text by
     construction, since tied rows share a digest (epoch-oversampled
@@ -1774,6 +1788,21 @@ def dedup_incremental(
     """
     digest = F.md5(F.col(text_field))
     keyed = new_df.withColumn(digest_field, digest)
+    negatives = None
+    if bloom is not None:
+        from .bloom import with_bloom_flag
+
+        flagged = with_bloom_flag(
+            keyed, digest_field, bloom, "__bloom_maybe__"
+        )
+        # digest is md5(text): NULL only for NULL text, whose digest
+        # can't be in any index — treat NULL flags as definitely-new
+        negatives = flagged.filter(
+            ~F.coalesce(F.col("__bloom_maybe__"), F.lit(False))
+        ).drop("__bloom_maybe__")
+        keyed = flagged.filter(
+            F.coalesce(F.col("__bloom_maybe__"), F.lit(False))
+        ).drop("__bloom_maybe__")
     # no .distinct() on the index side: LEFT ANTI is semantically
     # indifferent to duplicate index rows, and at the 100 TB design
     # point a distinct here is a ~32 GB full-index exchange per batch
@@ -1793,6 +1822,13 @@ def dedup_incremental(
             digest_field,
             "left_anti",
         )
+    if negatives is not None:
+        # definitely-new rows rejoin AFTER the index check and BEFORE
+        # the batch-internal first-wins window: two in-batch copies of
+        # a NEW doc are both bloom-negative (the verdict is a pure
+        # function of the digest), and the window below is what dedups
+        # them — so it must see the union
+        fresh = fresh.unionByName(negatives)
     # batch-internal dedup: first row (by order_by) per digest within
     # the new batch — row_number()==1 compiles to a WindowGroupLimit
     # (partial per-group limit below the exchange).  Totality of the

@@ -149,6 +149,7 @@ def ingest_dedup_batch(
     vector_field: str = "embedding",
     return_stats: bool = False,
     max_probe_rows: int = 2_000_000,
+    digest_bloom=None,
 ) -> "Optional[dict]":
     """Scrub ONE batch against the running indexes and commit
     survivors + index extensions under ``batch=<batch_id>`` —
@@ -230,6 +231,14 @@ def ingest_dedup_batch(
         # broadcast, so the plain anti-join runs instead (resolved by
         # the single raw-batch sizing job above)
         broadcast_probe=probe_exact,
+        # optional Bloom prefilter (functions/bloom.py): pays most on
+        # exactly those oversized plain-join backfills — only
+        # suspected-dup rows cross the exchange.  The CALLER maintains
+        # the sketch (fit from the index, or merge() per-batch fits as
+        # batches commit — e.g. fit_bloom over this batch's survivors
+        # after return); a stale sketch re-admits duplicates, see the
+        # bloom module contract.
+        bloom=digest_bloom,
     )
     words_added = False
     if fuzzy:

@@ -978,6 +978,34 @@ oracle replays it as ROW_NUMBER over the shared Gumbel-key CTE) —
 a deliberate small bench-cost buy on that gate (the grouped window
 over the already-scored frame; the fits are shared).
 
+## Round-11 Bloom membership sketch (functions/bloom.py)
+
+The cheap tier between "no index" and "exact anti-join": Spark's own
+bloom_filter_agg/might_contain are unregistered internal expressions
+(runtime-filter machinery), so this is public-API DataFrame algebra
+in the repo's portable-md5 convention.  Positions are
+Kirsch-Mitzenmacher double hashing from ONE md5 per key (h1 =
+md5[0:8], h2 = md5[8:16]|1, pos_i = (h1 + i*h2) % m) — bit-for-bit
+replayable in python AND DuckDB (both test-pinned).  Fit: explode k
+positions, group by word index (pos >> 6), bit_or the masks —
+map-side partials fold before the ONE exchange, and the collect is
+bounded at num_bits/64 rows.  Probe: position arrays compute
+JVM-side (codegen), the bitmap rides one Arrow pandas UDF doing a
+vectorized numpy gather — narrow, zero exchanges (plan-pinned).
+Sketch = bounded driver artifact (128 MiB cap ~ 1e8 keys at 1% FPR);
+past that, keep m fixed and let FPR degrade — saturation**k is
+monitorable, false positives only cost exact confirms, false
+negatives impossible for covered keys.  Mergeable via OR (merge ==
+fit-on-union, test-pinned), so ingestion ORs a per-batch fit into
+the running sketch at commit time.  dedup_incremental(bloom=) splits
+the batch in-plan: bloom-negative rows never touch the index or an
+exchange; only suspected dups run the anti-join — on a plain-join
+backfill that shrinks the shuffled batch side from |batch| to
+~|dups| + FPR x |batch|.  The one operational hazard — a STALE
+sketch missing index keys re-admits those dups — is pinned by a test
+as the documented contract, and output equality bloom-vs-plain is
+pinned in both join modes.
+
 ## Round-11 UrlHostMapper custom PSL (r10 VERDICT ask #7)
 
 suffixes= accepts a sequence or one-column DataFrame snapshot of
