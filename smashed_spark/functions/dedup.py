@@ -1767,17 +1767,22 @@ def dedup_incremental(
     price.
 
     ``bloom=`` (a :class:`~smashed_spark.functions.bloom.
-    BloomFilterSketch` fit over the INDEX's digest column) splits the
-    batch in-plan before any join: bloom-negative rows are
-    definitely-new (they never touch the index or an exchange —
-    narrow all the way), only the bloom-positive remainder (true dups
-    + the sketch's FPR) runs the anti-join.  The win is largest for a
-    plain-join backfill, where it shrinks the batch side of the
-    shuffle from |batch| to ~|dups|.  OPERATIONAL CONTRACT (loud):
-    the sketch must cover every digest in ``seen_digests`` — fit it
-    from the index, or OR per-batch sketches together as batches
-    commit; a stale sketch silently re-admits duplicates against the
-    missing keys.  False positives only cost exact confirms.
+    BloomFilterSketch` fit over the INDEX's digest column) removes
+    definitely-new keys from the index check.  In PROBE mode it
+    filters the slim distinct-digest probe set — one Arrow membership
+    pass over <= |distinct digests| rows, smaller broadcast, wide
+    rows untouched: strictly cheaper, use it freely.  In PLAIN mode
+    (the unbroadcastable backfill) it splits the batch so only
+    suspected dups (true dups + FPR) cross the anti-join exchange —
+    worth it when rows are wide (the ~100 KB-document case: exchange
+    saved ~ width x rows vs UDF cost ~ rows) and the batch is cheap
+    to evaluate twice (checkpoint it first otherwise); with
+    kilobyte-narrow rows the split can LOSE (measured in BENCH_SCALE
+    ``bloom_backfill``).  OPERATIONAL CONTRACT (loud): the sketch
+    must cover every digest in ``seen_digests`` — fit it from the
+    index, or OR per-batch sketches together as batches commit; a
+    stale sketch silently re-admits duplicates against the missing
+    keys.  False positives only cost exact confirms.
 
     Determinism: ``order_by`` NULLs raise in-plan (a NULL key cannot
     be totally ordered); ``order_by`` ties — identical text by
@@ -1788,21 +1793,6 @@ def dedup_incremental(
     """
     digest = F.md5(F.col(text_field))
     keyed = new_df.withColumn(digest_field, digest)
-    negatives = None
-    if bloom is not None:
-        from .bloom import with_bloom_flag
-
-        flagged = with_bloom_flag(
-            keyed, digest_field, bloom, "__bloom_maybe__"
-        )
-        # digest is md5(text): NULL only for NULL text, whose digest
-        # can't be in any index — treat NULL flags as definitely-new
-        negatives = flagged.filter(
-            ~F.coalesce(F.col("__bloom_maybe__"), F.lit(False))
-        ).drop("__bloom_maybe__")
-        keyed = flagged.filter(
-            F.coalesce(F.col("__bloom_maybe__"), F.lit(False))
-        ).drop("__bloom_maybe__")
     # no .distinct() on the index side: LEFT ANTI is semantically
     # indifferent to duplicate index rows, and at the 100 TB design
     # point a distinct here is a ~32 GB full-index exchange per batch
@@ -1810,25 +1800,67 @@ def dedup_incremental(
     # micro-batch)
     if _resolve_probe_mode(new_df, broadcast_probe, max_probe_rows):
         probe = keyed.select(digest_field).distinct()
+        if bloom is not None:
+            # probe-mode bloom: filter the SLIM distinct-digest probe
+            # set, not the wide batch — a bloom-negative digest cannot
+            # be a hit, so dropping it is exact, the Arrow membership
+            # UDF runs ONCE over <= |distinct digests| rows, the
+            # broadcast shrinks, and the wide rows are never split or
+            # re-unioned.  Strictly cheaper than the plain-mode split
+            # whenever probe mode applies.
+            from .bloom import with_bloom_flag
+
+            probe = (
+                with_bloom_flag(
+                    probe, digest_field, bloom, "__bloom_maybe__"
+                )
+                .filter(F.coalesce(F.col("__bloom_maybe__"), F.lit(False)))
+                .drop("__bloom_maybe__")
+            )
         hits = (
             seen_digests.select(digest_field)
             .join(F.broadcast(probe), digest_field)
             .distinct()
         )
         fresh = keyed.join(F.broadcast(hits), digest_field, "left_anti")
-    else:
-        fresh = keyed.join(
+    elif bloom is not None:
+        # plain-mode bloom: split the batch so only suspected dups
+        # cross the anti-join exchange.  TWO costs to weigh, both
+        # measured in BENCH_SCALE bloom_backfill: (a) the filter-split
+        # evaluates the batch plan twice — checkpoint an expensive
+        # unmaterialized batch before calling; (b) the crossover
+        # depends on ROW WIDTH: the exchange saved is ~width x rows
+        # while the membership UDF costs ~rows, so kilobyte-narrow
+        # rows can come out slower (the probe's finding) while the
+        # ~100 KB documents this path exists for shift it decisively
+        # toward the bloom.
+        from .bloom import with_bloom_flag
+
+        flagged = with_bloom_flag(
+            keyed, digest_field, bloom, "__bloom_maybe__"
+        )
+        # digest is md5(text): NULL only for NULL text, whose digest
+        # can't be in any index — treat NULL flags as definitely-new
+        maybe = F.coalesce(F.col("__bloom_maybe__"), F.lit(False))
+        negatives = flagged.filter(~maybe).drop("__bloom_maybe__")
+        suspects = flagged.filter(maybe).drop("__bloom_maybe__")
+        fresh = suspects.join(
             seen_digests.select(digest_field),
             digest_field,
             "left_anti",
         )
-    if negatives is not None:
         # definitely-new rows rejoin AFTER the index check and BEFORE
         # the batch-internal first-wins window: two in-batch copies of
         # a NEW doc are both bloom-negative (the verdict is a pure
         # function of the digest), and the window below is what dedups
         # them — so it must see the union
         fresh = fresh.unionByName(negatives)
+    else:
+        fresh = keyed.join(
+            seen_digests.select(digest_field),
+            digest_field,
+            "left_anti",
+        )
     # batch-internal dedup: first row (by order_by) per digest within
     # the new batch — row_number()==1 compiles to a WindowGroupLimit
     # (partial per-group limit below the exchange).  Totality of the

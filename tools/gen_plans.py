@@ -997,14 +997,22 @@ past that, keep m fixed and let FPR degrade — saturation**k is
 monitorable, false positives only cost exact confirms, false
 negatives impossible for covered keys.  Mergeable via OR (merge ==
 fit-on-union, test-pinned), so ingestion ORs a per-batch fit into
-the running sketch at commit time.  dedup_incremental(bloom=) splits
-the batch in-plan: bloom-negative rows never touch the index or an
-exchange; only suspected dups run the anti-join — on a plain-join
-backfill that shrinks the shuffled batch side from |batch| to
-~|dups| + FPR x |batch|.  The one operational hazard — a STALE
-sketch missing index keys re-admits those dups — is pinned by a test
-as the documented contract, and output equality bloom-vs-plain is
-pinned in both join modes.
+the running sketch at commit time.  dedup_incremental(bloom=) uses
+it in TWO mode-specific shapes.  Probe mode: the slim distinct-
+digest probe set is bloom-filtered before the broadcast — one Arrow
+pass over <= |distinct digests| rows, smaller broadcast, wide rows
+untouched; strictly cheaper, no caveats.  Plain mode (the
+unbroadcastable backfill): the batch splits so only suspected dups
+cross the anti-join exchange — a WIDTH-dependent trade the
+BENCH_SCALE bloom_backfill probe measures honestly: with the probe's
+~1 KB rows the split LOSES (the membership UDF + double batch
+evaluation outweigh the small exchange saved), while the ~100 KB
+documents the path exists for put ~100x more bytes on the exchange
+per row at the same UDF cost; the docstring names both costs
+(checkpoint an expensive batch before splitting).  The operational
+hazard — a STALE sketch missing index keys re-admits those dups —
+is pinned by a test as the documented contract, and output equality
+bloom-vs-plain is pinned in both join modes.
 
 ## Round-11 UrlHostMapper custom PSL (r10 VERDICT ask #7)
 
