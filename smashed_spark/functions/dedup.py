@@ -1773,12 +1773,15 @@ def dedup_incremental(
     pass over <= |distinct digests| rows, smaller broadcast, wide
     rows untouched: strictly cheaper, use it freely.  In PLAIN mode
     (the unbroadcastable backfill) it splits the batch so only
-    suspected dups (true dups + FPR) cross the anti-join exchange —
-    worth it when rows are wide (the ~100 KB-document case: exchange
-    saved ~ width x rows vs UDF cost ~ rows) and the batch is cheap
-    to evaluate twice (checkpoint it first otherwise); with
-    kilobyte-narrow rows the split can LOSE (measured in BENCH_SCALE
-    ``bloom_backfill``).  OPERATIONAL CONTRACT (loud): the sketch
+    suspected dups (true dups + FPR) cross the anti-join exchange.
+    The split is a CLUSTER-ONLY optimization: its win is network
+    shuffle bytes (~row width x new-row count), its costs are the
+    membership UDF plus a second evaluation of the batch plan
+    (checkpoint an expensive batch first) — and on a single node,
+    where "shuffles" are memory copies, the costs win at every row
+    width (measured honestly in BENCH_SCALE ``bloom_backfill`` /
+    ``bloom_backfill_wide``).  On a network-bound cluster the saved
+    bytes are the dominant term the probe cannot see.  OPERATIONAL CONTRACT (loud): the sketch
     must cover every digest in ``seen_digests`` — fit it from the
     index, or OR per-batch sketches together as batches commit; a
     stale sketch silently re-admits duplicates against the missing

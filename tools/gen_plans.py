@@ -1003,13 +1003,17 @@ digest probe set is bloom-filtered before the broadcast — one Arrow
 pass over <= |distinct digests| rows, smaller broadcast, wide rows
 untouched; strictly cheaper, no caveats.  Plain mode (the
 unbroadcastable backfill): the batch splits so only suspected dups
-cross the anti-join exchange — a WIDTH-dependent trade the
-BENCH_SCALE bloom_backfill probe measures honestly: with the probe's
-~1 KB rows the split LOSES (the membership UDF + double batch
-evaluation outweigh the small exchange saved), while the ~100 KB
-documents the path exists for put ~100x more bytes on the exchange
-per row at the same UDF cost; the docstring names both costs
-(checkpoint an expensive batch before splitting).  The operational
+cross the anti-join exchange — and the BENCH_SCALE probes
+(bloom_backfill + the explicit-only bloom_backfill_wide at ~60 KB
+rows) measure it losing at EVERY width on this harness, for a reason
+the probe itself names: local[32] "shuffles" are same-machine memory
+copies, so the bytes the split removes are nearly free locally while
+its membership UDF + double batch evaluation always cost.  The
+split's actual regime is NETWORK-bound cluster shuffles, which a
+single node cannot exhibit — the docs mark it cluster-only and steer
+every probe-eligible caller to probe mode.  Recording a negative
+local result + its mechanism beats extrapolating a win the harness
+cannot show.  The operational
 hazard — a STALE sketch missing index keys re-admits those dups —
 is pinned by a test as the documented contract, and output equality
 bloom-vs-plain is pinned in both join modes.
