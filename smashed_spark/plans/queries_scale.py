@@ -865,17 +865,139 @@ def q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "windowed_event_counts",
     oracle="""
-    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
-           count(*) AS n_events, round(sum(value), 6) AS sum_value
-    FROM events GROUP BY 1, 2
+    WITH w AS (
+        SELECT 'window' AS stage,
+               time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value,
+               CAST(NULL AS DOUBLE) AS min_value,
+               CAST(NULL AS DOUBLE) AS max_value,
+               CAST(NULL AS DOUBLE) AS avg_value,
+               CAST(NULL AS BIGINT) AS distinct_users
+        FROM events GROUP BY 2, 3
+    ), base AS (
+        SELECT date_trunc('day', ts) AS bucket, event_type, value,
+               user_id
+        FROM events
+    ), stats AS (
+        SELECT bucket, event_type, count(*) AS n_events,
+               round(sum(value), 6) AS sum_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value,
+               round(sum(value) / count(value), 6) AS avg_value
+        FROM base GROUP BY 1, 2
+    ), h AS (
+        SELECT DISTINCT bucket, event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+        FROM base WHERE user_id IS NOT NULL
+    ), r AS (
+        SELECT bucket, event_type, h, row_number() OVER (
+            PARTITION BY bucket, event_type ORDER BY h) AS rn
+        FROM h
+    ), reg AS (
+        SELECT bucket, event_type, count(*) AS n_distinct,
+               max(CASE WHEN rn = 48 THEN h END) AS kth
+        FROM r GROUP BY 1, 2
+    )
+    SELECT 'rollup_day' AS stage, s.bucket, s.event_type, s.n_events,
+           s.sum_value, s.min_value, s.max_value, s.avg_value,
+           CAST(coalesce(
+               CASE WHEN g.n_distinct < 48 THEN g.n_distinct
+                    ELSE (CAST(47 AS HUGEINT)
+                          * CAST(1152921504606846976 AS HUGEINT))
+                         // g.kth END, 0) AS BIGINT) AS distinct_users
+    FROM stats s LEFT JOIN reg g
+      ON s.bucket = g.bucket AND s.event_type = g.event_type
+    UNION ALL
+    SELECT * FROM w
     """,
 )
 def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling-window aggregation (streaming/runner.py) —
-    identical code path runs on readStream with a watermark."""
+    """Two stages since r11.  ``window``: event-time tumbling-window
+    aggregation (streaming/runner.py) — identical code path runs on
+    readStream with a watermark.  ``rollup_day``: the hypertable
+    rollup family (functions/rollup.py) driven through its FULL
+    incremental lifecycle — three event micro-batches (split on
+    ``event_id % 3``) folded into parquet state by
+    ``rollup_ingest_batch`` at HOUR granularity, a
+    ``compact_rollup_state`` after batch 1 (so the read crosses the
+    manifest-carrying ``batch=-1`` plus un-compacted tails), the
+    merged hourly rollup cascaded to DAY via
+    ``rollup_to_granularity``, and ``rollup_estimates`` deriving
+    ``avg`` from the mergeable sum/count pair and ``distinct_users``
+    from the k=48 KMV register (md5-60 convention — the oracle
+    replays the register bit-exactly with DuckDB HUGEINT integer
+    arithmetic; k=48 keeps both estimator branches live at sf0.01:
+    per-(day, event_type) distinct users span 42..67 there)."""
+    import shutil
+    import tempfile
+
+    from ..functions.rollup import (
+        RollupSpec,
+        compact_rollup_state,
+        read_rollup,
+        rollup_estimates,
+        rollup_ingest_batch,
+        rollup_to_granularity,
+    )
     from ..streaming.runner import windowed_event_counts
 
-    return windowed_event_counts(load(spark, sf_dir, "events"))
+    ev = load(spark, sf_dir, "events")
+    nulld = F.lit(None).cast("double")
+    win = windowed_event_counts(ev).select(
+        F.lit("window").alias("stage"),
+        F.col("window_start").alias("bucket"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        nulld.alias("min_value"),
+        nulld.alias("max_value"),
+        nulld.alias("avg_value"),
+        F.lit(None).cast("bigint").alias("distinct_users"),
+    )
+    spec = RollupSpec(
+        ts_field="ts",
+        keys=("event_type",),
+        values=("value",),
+        distinct=("user_id",),
+        k=48,
+    )
+    root = tempfile.mkdtemp(prefix="smashed_rollup_gate_")
+    try:
+        for i in range(3):
+            rollup_ingest_batch(
+                spark,
+                root,
+                ev.where(F.col("event_id") % 3 == i),
+                i,
+                spec,
+                "hour",
+            )
+            if i == 1:
+                # folds batch 0 into the manifest-carrying batch=-1;
+                # the final read then merges compacted + tail partials
+                compact_rollup_state(spark, root, spec)
+        daily = rollup_to_granularity(
+            read_rollup(spark, root, spec), "day", spec, finer="hour"
+        )
+        roll = (
+            rollup_estimates(daily, spec)
+            .select(
+                F.lit("rollup_day").alias("stage"),
+                "bucket",
+                "event_type",
+                "n_events",
+                F.round("sum_value", 6).alias("sum_value"),
+                F.round("min_value", 6).alias("min_value"),
+                F.round("max_value", 6).alias("max_value"),
+                F.round("avg_value", 6).alias("avg_value"),
+                F.col("distinct_user_id").alias("distinct_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return win.unionByName(roll)
 
 
 @query(

@@ -1028,6 +1028,50 @@ literals checked deepest-first — the registered-domain cut still
 rides the scan with zero joins and zero exchanges at any corpus
 size.  Wildcard (*.ck) / exception (!www.ck) PSL rules are refused
 loudly rather than approximated.
+
+## Round-11 hypertable rollups (functions/rollup.py)
+
+Continuous-aggregate design: every stored statistic merges (count /
+sum / min / max / non-null count; avg is DERIVED sum/n because stored
+averages don't merge; distinct counts are KMV registers — the k
+smallest distinct md5-60 hashes, array<bigint> — because
+COUNT(DISTINCT) doesn't merge and registers do: sorted distinct
+union re-truncated to k, associative + commutative).  rollup_events
+is ONE corpus-wide exchange with map-side partials; requesting
+registers adds a SLIM side plan — project (bucket, keys, hash),
+distinct, row_number <= k per group (WindowGroupLimit pushes the
+partial top-k below that exchange, so map tasks forward <= k rows
+per group) — folded back by UNION + re-aggregation, not a join: a
+null-safe join would re-exchange BOTH sides on coalesced keys, and
+groupBy treats a NULL key as just a group.  Every exchange past the
+first two carries rollup-sized rows.  Coarser granularities cascade
+from finer ROLLUPS (hour -> day -> month), never raw events, with
+nesting validation (month-from-week would fold boundary-spanning
+weeks wholly into the earlier month).  The raw input is scanned
+twice when registers are requested (stats scan + a column-pruned
+hash scan) — the deliberate trade against an O(per-group-distinct)
+collect_set that OOMs on a billion-user bucket.
+
+Incremental state reuses the ingest layout (per-batch partial
+parquet partitions, overwrite-by-batch-id idempotent retries,
+staging-swap compaction, newest batch never folded) with the
+exactly-once machinery SUMS need where dedup indexes tolerate
+duplicates: `_folded.json` inside `batch=-1` lists the batch ids the
+compacted partition absorbed and publishes ATOMICALLY with the data
+via the same directory rename (leading underscore = invisible to
+parquet readers); reads exclude listed partitions, so the
+rename-done/delete-pending crash window reads exactly-once instead
+of double-counting.  A recovery pass finishes a swap that crashed
+between removing the old batch=-1 and renaming the staged
+replacement (the staged dir, gated on _SUCCESS, is the only copy of
+previously-compacted rows at that point — the same window silently
+loses DERIVED index rows in the ingest design, where it is
+recoverable-by-rescan; for rollups it is not, hence the hard
+recovery).  Gate: windowed_event_counts' rollup_day stage drives
+ingest -> compact -> read -> hour->day cascade -> estimates against
+a raw-events date_trunc oracle incl. a bit-exact HUGEINT replay of
+the k=48 register estimator (both branches live at sf0.01:
+per-(day, event_type) distinct users span 42..67).
 """
 
 out = ["# PLANS — physical plans of the headline queries",
@@ -1037,10 +1081,30 @@ out = ["# PLANS — physical plans of the headline queries",
        "whole-stage-codegen'd operators.  Regenerate with",
        "`python tools/gen_plans.py`.", ""]
 from smashed_spark.plans.queries_scale import q_revenue_nation
+
+
+def _rollup_headliner(spark, sf_dir):
+    from smashed_spark.functions.rollup import RollupSpec, rollup_events
+    from smashed_spark.plans.registry import load as _load
+
+    return rollup_events(
+        _load(spark, sf_dir, "events"),
+        RollupSpec(distinct=("user_id",), k=48),
+        "hour",
+    )
+
+
 HEADLINERS_EXTRA = {
     "join_revenue_by_nation (unregistered r5; plan pinned in test_plan_quality)":
         (q_revenue_nation, "Dimension tables broadcast (no fact shuffle for "
          "the join); only the final small rollup exchanges."),
+    "rollup_events+registers (r11; gated via windowed_event_counts rollup_day stage)":
+        (_rollup_headliner, "Hypertable rollup with KMV distinct registers: "
+         "main stats = one corpus exchange with map-side partials; the "
+         "register side plan is slim (bucket, key, hash) distinct + "
+         "WindowGroupLimit top-k, folded back by union + re-aggregation "
+         "(no null-safe join); exchanges past the first two carry "
+         "rollup-sized rows."),
 }
 def clip(tree: str, width: int = 200) -> str:
     # r7: the sample_mix chain inlines 16 minhash permutation lambdas

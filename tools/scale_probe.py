@@ -71,6 +71,13 @@ QUERIES = [
     # keep_fraction count-window rides that exchange (no second
     # shuffle term) as the corpus grows
     "diversity_select",
+    # r11: the hypertable-rollup lifecycle (3-batch ingest ->
+    # compaction -> merged read -> hour->day cascade -> estimates) —
+    # per-batch partials are batch-sized exchanges and every merge
+    # operates on rollup-sized rows, so the whole gate should scale
+    # with the raw-scan term; the probe pins that the register side
+    # plan (distinct + WindowGroupLimit) adds no superlinear term
+    "windowed_event_counts",
 ]
 # the steepest 10x curves get the extra decade. stream_sessionize /
 # ann_ivf_topk read only events / embeddings; dedup_ngram_jaccard
