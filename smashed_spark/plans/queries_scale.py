@@ -113,17 +113,105 @@ WITH e AS (
     WITH g AS (
         SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         FROM documents GROUP BY text
+    ), ded AS (
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+               g.dup_count
+        FROM documents d JOIN g USING (doc_id)
+    ), new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' EDITED'
+                    ELSE text END AS text,
+               lang, source,
+               CASE WHEN doc_id % 5 = 0 THEN n_chars + 7
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, 'new_source', n_chars
+        FROM documents WHERE doc_id % 13 = 0
+    ), d AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN (o.lang IS NOT DISTINCT FROM n.lang)
+                     AND (o.n_chars IS NOT DISTINCT FROM n.n_chars)
+                     AND (o.source IS NOT DISTINCT FROM n.source)
+                     AND (o.text IS NOT DISTINCT FROM n.text)
+                        THEN 'unchanged'
+                    ELSE 'changed' END AS diff_status,
+               CASE WHEN o.doc_id IS NOT NULL
+                     AND n.doc_id IS NOT NULL THEN
+                    concat_ws(',',
+                        CASE WHEN o.lang IS DISTINCT FROM n.lang
+                             THEN 'lang' END,
+                        CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars
+                             THEN 'n_chars' END,
+                        CASE WHEN o.source IS DISTINCT FROM n.source
+                             THEN 'source' END,
+                        CASE WHEN o.text IS DISTINCT FROM n.text
+                             THEN 'text' END)
+                    ELSE '' END AS changed_str
+        FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     )
-    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, g.dup_count
-    FROM documents d JOIN g USING (doc_id)
+    SELECT d.doc_id, d.diff_status, d.changed_str,
+           ded.text, ded.lang, ded.source, ded.n_chars, ded.dup_count
+    FROM d LEFT JOIN ded ON d.doc_id = ded.doc_id
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: md5-digest hash aggregate, keep first doc per
-    content group."""
+    """Exact dedup (md5-digest hash aggregate, keep first doc per
+    content group) + since r11 the corpus snapshot diff
+    (functions/diff.py) folded in: a derived v2 snapshot — every 7th
+    doc removed, every 5th edited (text suffix + n_chars shift),
+    every 13th re-added under a shifted id and a new source — is
+    diffed against the corpus (full-outer join on doc_id, NULL-safe
+    per-field comparison, sorted change attribution), and the
+    dedup verdicts join onto the diff rows by key (added rows carry
+    NULLs).  The oracle replays the diff with IS [NOT] DISTINCT FROM
+    cases and concat_ws attribution."""
     from ..functions.dedup import ExactDedupMapper
+    from ..functions.diff import corpus_diff
 
-    return ExactDedupMapper().map(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
+    deduped = ExactDedupMapper().map(docs)
+    edited = F.col("doc_id") % 5 == 0
+    new = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(edited, F.concat(F.col("text"), F.lit(" EDITED")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            "source",
+            F.when(edited, F.col("n_chars") + 7)
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "text",
+                "lang",
+                F.lit("new_source").alias("source"),
+                "n_chars",
+            )
+        )
+    )
+    diff = corpus_diff(docs, new).select(
+        "doc_id",
+        "diff_status",
+        F.array_join("changed_fields", ",").alias("changed_str"),
+    )
+    return diff.join(deduped, "doc_id", "left").select(
+        "doc_id",
+        "diff_status",
+        "changed_str",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        "dup_count",
+    )
 
 
 def _lsh_pairs_sql(k: int, bands: int, rows: int) -> str:

@@ -64,6 +64,34 @@ _BAND_SCHEMA = "band int, key string"
 _SEMANTIC_SCHEMA = "cell int, vector array<double>"
 
 
+def _recover_compaction_swap(root: str) -> None:
+    """Finish a compaction that crashed between removing the old
+    ``batch=-1`` partition and renaming its staged replacement into
+    place (r11 hardening — that window, however small the two
+    syscalls make it, is the ONE compaction crash state the original
+    ordering didn't resolve: after the SECOND compaction,
+    ``batch=-1`` is the only copy of batches folded by EARLIER
+    compactions, and the fully-written staging dir holding the merge
+    is invisible to partition discovery).  Recovery is unambiguous:
+    ``batch=-1`` absent + staging COMPLETE (Spark's ``_SUCCESS``
+    marker) can only mean the swap was interrupted, so the rename is
+    completed before any read.  A staging dir alongside a live
+    ``batch=-1`` is a pre-swap crash leftover instead — stale, and
+    overwritten by the next compaction.  Local-filesystem paths only,
+    like compaction itself (the ``os.path`` probes are no-ops on
+    object-store URLs)."""
+    name = os.path.basename(root.rstrip("/"))
+    staging = os.path.join(
+        os.path.dirname(root.rstrip("/")), f"__compact_{name}__"
+    )
+    if (
+        not os.path.isdir(os.path.join(root, "batch=-1"))
+        and os.path.isdir(staging)
+        and os.path.isfile(os.path.join(staging, "_SUCCESS"))
+    ):
+        os.replace(staging, os.path.join(root, "batch=-1"))
+
+
 def _read_state(
     spark: SparkSession,
     path: str,
@@ -103,6 +131,7 @@ def _read_state(
     would wave every duplicate through."""
     from pyspark.errors import AnalysisException
 
+    _recover_compaction_swap(path)
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:
@@ -362,20 +391,31 @@ def compact_ingest_state(
     earlier design localCheckpointed the full merged index to avoid
     overwriting its own input, a ~180 GB block-manager materialization
     at the 10^9-doc design point that a staging directory makes
-    unnecessary).  The ordering carries the safety; every crash window
-    leaves a fully usable index:
+    unnecessary).  The ordering plus the r11 recovery pass carry the
+    safety; every crash window leaves a usable index:
 
     1. the merged, distinct index is written to a SIBLING staging dir
        (outside the index root, so partition discovery never sees it;
        a stale one from a prior crash is removed first) — a crash
        here leaves only that harmless staging dir;
-    2. the old ``batch=-1`` is removed — a crash here loses only the
-       DERIVED partition: every folded ``batch=N`` source partition
-       still exists, so the index is complete;
+    2. the old ``batch=-1`` is removed — a crash in the tiny window
+       before step 3's rename is the one state the ordering alone
+       does NOT resolve: from the second compaction on, ``batch=-1``
+       is the only copy of batches folded by EARLIER compactions, so
+       "re-derive from the surviving partitions" cannot reconstruct
+       it.  The COMPLETE staging dir can: ``_recover_compaction_swap``
+       (called on every state read and at compaction entry) finishes
+       the rename whenever ``batch=-1`` is absent and staging carries
+       Spark's ``_SUCCESS`` marker — an unambiguous signature of this
+       window (r11; the original r9 analysis claimed the surviving
+       partitions sufficed, which is only true for the FIRST
+       compaction);
     3. the staging dir is renamed to ``batch=-1`` — a crash here
        leaves rows duplicated across ``batch=-1`` and the folded
        partitions, which the dedup operators tolerate by design and
-       the next compaction clears;
+       the next compaction clears (rollup state, whose sums would
+       double-count, adds a manifest for this window instead —
+       functions/rollup.py);
     4. the folded per-batch partitions are removed.
 
     ``batch=-1`` is never a real micro-batch id, so the
@@ -407,6 +447,10 @@ def compact_ingest_state(
         tables.append(("semantic", _SEMANTIC_SCHEMA))
     for name, schema in tables:
         root = os.path.join(state_dir, name)
+        # finish a swap a prior compaction crashed in the middle of
+        # BEFORE listing: the staged merge may be the only copy of
+        # earlier-folded rows
+        _recover_compaction_swap(root)
         real = sorted(
             (
                 int(d.split("=", 1)[1])

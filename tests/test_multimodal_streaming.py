@@ -1206,11 +1206,14 @@ def test_streaming_ingest_on_stats_callback(spark, tmp_path):
 
 def test_compaction_staging_swap_crash_windows(spark, tmp_path):
     """r9: compaction stages the merged index OUTSIDE the index root
-    and swaps it in (no more full-index localCheckpoint).  The crash
-    windows all resolve: a stale staging dir from a prior crash is
-    overwritten and consumed; a missing batch=-1 (crash between remove
-    and rename) still leaves a complete index because every folded
-    source partition outlives the swap."""
+    and swaps it in (no more full-index localCheckpoint).  A stale
+    staging dir from a prior crash is overwritten and consumed; for a
+    FIRST compaction, a missing batch=-1 (crash between remove and
+    rename) still leaves a complete index because every folded source
+    partition outlives the swap.  (From the second compaction on that
+    argument fails — earlier-folded rows live only in batch=-1 — and
+    the r11 staging recovery covers it: see
+    test_compaction_swap_recovery_restores_earlier_folds.)"""
     import os
 
     from smashed_spark.streaming.ingest import (
@@ -1285,6 +1288,87 @@ def test_compaction_staging_swap_crash_windows(spark, tmp_path):
     compact_ingest_state(spark, state)
     dirs = sorted(os.listdir(os.path.join(state, "digests")))
     assert dirs == ["batch=-1", "batch=3"], dirs
+
+
+def test_compaction_swap_recovery_restores_earlier_folds(spark, tmp_path):
+    """r11 hardening: from the SECOND compaction on, ``batch=-1`` is
+    the only copy of batches folded by earlier compactions — a crash
+    between removing it and renaming the staged merge must be
+    recovered FROM the staging dir (the window-2 story above only
+    covers partitions this compaction folds).  Simulate the crash
+    state (complete staging incl. _SUCCESS, no batch=-1) and verify
+    both recovery entry points: a state READ during the next batch
+    drops a repost of the earlier-folded content, and a direct
+    compaction folds cleanly."""
+    import os
+    import shutil
+
+    from smashed_spark.streaming.ingest import (
+        compact_ingest_state,
+        ingest_dedup_batch,
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id: bigint, text: string")
+
+    w_text = " ".join(f"w{i}" for i in range(25))
+    ingest_dedup_batch(mk([(0, w_text)]), state, out, batch_id=0)
+    ingest_dedup_batch(
+        mk([(10, " ".join(f"u{i}" for i in range(25)))]),
+        state, out, batch_id=1,
+    )
+    compact_ingest_state(spark, state)  # batch 0 now lives ONLY in batch=-1
+    for name in ("digests", "bands"):
+        src = os.path.join(state, name, "batch=-1")
+        assert os.path.isfile(os.path.join(src, "_SUCCESS"))
+        # the remove->rename crash state: staged merge complete,
+        # batch=-1 gone
+        shutil.move(src, os.path.join(state, f"__compact_{name}__"))
+    # recovery path 1: the next batch's index READ must see batch 0's
+    # digests again, so its repost is dropped (without recovery the
+    # repost would survive — batch 0's rows exist nowhere else)
+    ingest_dedup_batch(
+        mk([(20, w_text), (21, " ".join(f"y{i}" for i in range(25)))]),
+        state, out, batch_id=2,
+    )
+    surv = sorted(
+        r.doc_id
+        for r in spark.read.schema(
+            "doc_id bigint, text string, digest string, "
+            "minhash array<bigint>"
+        ).parquet(out + "/batch=2").collect()
+    )
+    assert surv == [21], surv
+    assert os.path.isdir(os.path.join(state, "digests", "batch=-1"))
+    # recovery path 2: same crash state, recovery at compaction entry
+    for name in ("digests", "bands"):
+        src = os.path.join(state, name, "batch=-1")
+        shutil.move(src, os.path.join(state, f"__compact_{name}__"))
+    compact_ingest_state(spark, state)
+    assert os.path.isdir(os.path.join(state, "digests", "batch=-1"))
+    # an INCOMPLETE staging dir (no _SUCCESS) must NOT be recovered —
+    # wait for the next compaction to rebuild it instead
+    shutil.move(
+        os.path.join(state, "digests", "batch=-1"),
+        os.path.join(state, "__crash_sim__"),
+    )
+    os.makedirs(os.path.join(state, "__compact_digests__"))
+    with open(
+        os.path.join(state, "__compact_digests__", "part-torn.parquet"), "w"
+    ) as f:
+        f.write("torn write")
+    from smashed_spark.streaming.ingest import _recover_compaction_swap
+
+    _recover_compaction_swap(os.path.join(state, "digests"))
+    assert not os.path.isdir(os.path.join(state, "digests", "batch=-1"))
+    shutil.rmtree(os.path.join(state, "__compact_digests__"))
+    shutil.move(
+        os.path.join(state, "__crash_sim__"),
+        os.path.join(state, "digests", "batch=-1"),
+    )
 
 
 def test_ingest_semantic_family(spark, tmp_path):

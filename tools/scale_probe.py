@@ -115,6 +115,11 @@ DEEP_QUERIES = [
     # r11: the D4 family's certification tail — second decade for the
     # single-exchange rank plan
     "diversity_select",
+    # r11: the rollup lifecycle's second decade — the per-batch
+    # partial exchanges grow with the batch while every merge stays
+    # rollup-sized (group count is ~constant under the timestamp-
+    # preserving scaler), so the slope should be the events scan
+    "windowed_event_counts",
 ]
 # streaming probes drain through the PRODUCTION parquet sink (round 5
 # forensics: the memory sink's driver-side collect adds a superlinear
@@ -252,6 +257,7 @@ DEEP_TABLES = {
     "stream_dedup": ("events",),
     "dsir_select": ("documents",),
     "diversity_select": ("embeddings",),
+    "windowed_event_counts": ("events",),
 }
 
 
