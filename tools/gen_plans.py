@@ -1072,6 +1072,44 @@ ingest -> compact -> read -> hour->day cascade -> estimates against
 a raw-events date_trunc oracle incl. a bit-exact HUGEINT replay of
 the k=48 register estimator (both branches live at sf0.01:
 per-(day, event_type) distinct users span 42..67).
+
+## Round-11 corpus snapshot diff (functions/diff.py)
+
+Release-audit diff of two keyed snapshots: ONE full-outer
+plain-equality join on the key — each corpus side exchanges exactly
+once, and the duplicate-key count-window guard rides that SAME
+partitioning (plan-asserted: Exchange count == 2).  All field
+comparisons are JVM-side null-safe equality on the joined row, so
+Catalyst prunes both scans to key + compared columns; per-field
+change attribution is an in-plan array_compact fold in sorted name
+order (SQL-replayable via concat_ws over IS DISTINCT FROM cases).
+NULL keys raise loudly — raising is what KEEPS the join on plain
+keys: a null-safe join would hash-partition both corpus-sized sides
+a second time on coalesce-wrapped keys (measured on the rollup
+register join before it was rewritten to union-merge: +2 exchanges
++ a self-join ambiguity hazard).  Gate: folded into dedup_exact —
+a derived v2 snapshot (1/7 removed, 1/5 edited, 1/13 re-added under
+shifted ids and a new source) diffed against documents, dedup
+verdicts joined onto the diff rows.
+
+## Round-11 Count-Min sketch (functions/cms.py)
+
+Approximate per-key frequency completing the mergeable-sketch
+family (KMV distinct / Bloom membership / CMS frequency).  Fit is
+ONE exchange on the (row, counter) key with map-side partial sums,
+then a collect bounded by depth x width GEOMETRY, not the corpus;
+merge is element-wise addition (per-batch incremental maintenance,
+the Bloom OR-merge shape); estimates are JVM-side position math +
+one vectorized-numpy Arrow gather, zero exchanges.  One-sided error
+(never undercounts) makes "estimate >= threshold, then ONE exact
+candidate-filtered confirm pass" a sound MERGEABLE replacement for
+the freqItems probe in the core/skew.py hot-keys pattern — relevant
+when candidates must accumulate across micro-batches, where
+freqItems (not mergeable, item-set-only) cannot carry state.
+Counter indexes are the repo's md5-KM convention, byte-portable to
+DuckDB (count replay test-pinned).  No driver gate by design: the
+registry is at its 50-slot cap and the DuckDB replay already pins
+the SQL story bit-exactly.
 """
 
 out = ["# PLANS — physical plans of the headline queries",
