@@ -552,3 +552,59 @@ def compact_rollup_state(
     os.replace(staging, os.path.join(root, "batch=-1"))
     for n in to_fold:
         shutil.rmtree(os.path.join(root, f"batch={n}"), ignore_errors=True)
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    spec: RollupSpec = RollupSpec(),
+    granularity: str = "hour",
+    compact_every: int = 0,
+    query_name: str = "rollup",
+    available_now: bool = True,
+):
+    """The CONTINUOUS aggregate: run the incremental rollup over an
+    unbounded event stream — ``foreachBatch(rollup_ingest_batch)``
+    with the per-batch partial partitions as cross-batch state,
+    queryable at any time via :func:`read_rollup` (and cascadable /
+    estimable from there).  Returns the started ``StreamingQuery``.
+
+    ``compact_every=N`` folds old partials after every N-th
+    micro-batch, INSIDE the foreachBatch body — foreachBatch commits
+    serially, so compaction never interleaves with a batch write (the
+    documented requirement), and the keep-newest-out rule composes
+    with retries: the batch just written is never folded, so a
+    crashed-then-replayed batch overwrites its own partition without
+    its rows also living in ``batch=-1``.  ``0`` disables in-stream
+    compaction (run :func:`compact_rollup_state` while the stream is
+    stopped instead).
+
+    ``available_now=True`` drains the currently-available input and
+    self-terminates (backfill / test mode); ``False`` runs
+    continuously with the default trigger — the streaming/ingest.py
+    contract."""
+    if not stream.isStreaming:
+        raise ValueError(
+            "streaming_rollup needs a streaming DataFrame; for batch "
+            "data call rollup_ingest_batch directly"
+        )
+    if compact_every < 0:
+        raise ValueError("compact_every must be >= 0")
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        rollup_ingest_batch(
+            batch.sparkSession, state_dir, batch, batch_id, spec,
+            granularity,
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_rollup_state(batch.sparkSession, state_dir, spec)
+
+    writer = (
+        stream.writeStream.queryName(query_name)
+        .foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -321,6 +321,58 @@ def test_compaction_crash_windows(spark, tmp_path):
     assert (root / "batch=-1").is_dir()
 
 
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """The continuous-aggregate wrapper: three parquet files drained
+    as three micro-batches (maxFilesPerTrigger=1) with in-stream
+    compaction at batch 2 must leave state whose merged read equals
+    the one-shot batch rollup."""
+    from smashed_spark.functions.rollup import streaming_rollup
+
+    rows = _rows()
+    src = str(tmp_path / "src")
+    for i, sl in enumerate([rows[0:70], rows[70:140], rows[140:200]]):
+        spark.createDataFrame(sl, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    state = str(tmp_path / "state")
+    q = streaming_rollup(
+        stream,
+        state,
+        str(tmp_path / "ckpt"),
+        SPEC,
+        "hour",
+        compact_every=2,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    root = tmp_path / "state" / "rollup"
+    # the in-body compaction at batch 2 folded 0 and 1, kept 2 out
+    assert (root / "batch=-1").is_dir()
+    assert (root / "batch=2").is_dir()
+    assert not (root / "batch=0").exists()
+    got = _collect(read_rollup(spark, state, SPEC))
+    full = _collect(
+        rollup_events(spark.createDataFrame(rows, SCHEMA), SPEC, "hour")
+    )
+    assert set(got) == set(full)
+    for key in full:
+        g, w = got[key], full[key]
+        assert (g[0], g[2], g[3], g[4], g[5]) == (
+            w[0], w[2], w[3], w[4], w[5],
+        ), key
+        if w[1] is not None:
+            assert g[1] == pytest.approx(w[1])
+    with pytest.raises(ValueError, match="streaming"):
+        streaming_rollup(
+            spark.createDataFrame([], SCHEMA), state, str(tmp_path / "c2")
+        )
+
+
 def test_empty_state_and_validation(spark, tmp_path):
     empty = read_rollup(
         spark,

@@ -1073,6 +1073,25 @@ a raw-events date_trunc oracle incl. a bit-exact HUGEINT replay of
 the k=48 register estimator (both branches live at sf0.01:
 per-(day, event_type) distinct users span 42..67).
 
+## Round-11 session-2 bench budget (deliberate gate-cost buys)
+
+Two gates got materially heavier this session, by design (min-of-5
+isolated reps at sf0.1, vs BENCH_CLEAN_r11 values):
+
+- windowed_event_counts 0.34 -> 3.28 s: the gate now drives the
+  FULL incremental rollup lifecycle (three rollup_ingest_batch
+  parquet writes, a compact_rollup_state staging swap, the merged
+  read, the hour->day cascade, estimates) rather than a single
+  in-memory aggregation.  The added seconds are mostly the five
+  parquet state round-trips — the thing the gate exists to certify.
+- dedup_exact 0.26 -> 0.93 s: + the corpus snapshot diff (derived
+  v2 snapshot build, full-outer join, dedup join-back).
+
+Gate-set total grows ~+3.6 s; every other query is untouched (their
+modules did not change).  Same trade as the r9 streaming_ingest gate
+(+3.8 s): lifecycle gates cost real I/O and buy end-to-end
+certification of the state machinery.
+
 ## Round-11 corpus snapshot diff (functions/diff.py)
 
 Release-audit diff of two keyed snapshots: ONE full-outer
