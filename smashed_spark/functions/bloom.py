@@ -107,7 +107,14 @@ class BloomFilterSketch:
     def num_set_bits(self) -> int:
         import numpy as np
 
-        return int(np.unpackbits(self.words.view(np.uint8)).sum())
+        # per-byte popcount via a 256-entry lookup table — O(bytes)
+        # with no temporaries beyond the byte view (np.unpackbits
+        # would materialize one BYTE per BIT: ~1 GiB transient for a
+        # cap-sized sketch polled as a health metric)
+        table = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.uint8
+        )
+        return int(table[self.words.view(np.uint8)].sum())
 
     @property
     def saturation(self) -> float:
@@ -175,24 +182,13 @@ def load_bloom(path: str) -> BloomFilterSketch:
 def _position_cols(
     col: Column, num_bits: int, num_hashes: int, salt: int
 ) -> list:
-    """Kirsch-Mitzenmacher positions from ONE md5 — shared by fit and
-    probe so they can never diverge, and matching the DuckDB replay:
-    h1 = ('0x'||substr(md5(k||':bloom:'||salt),1,8))::BIGINT,
-    h2 = ('0x'||substr(...,9,8))::BIGINT | 1,
-    pos_i = (h1 + i*h2) % num_bits."""
-    dig = F.md5(
-        F.concat(col.cast("string"), F.lit(f":bloom:{salt}"))
-    )
-    h1 = F.conv(F.substring(dig, 1, 8), 16, 10).cast("bigint")
-    h2 = (
-        F.conv(F.substring(dig, 9, 8), 16, 10)
-        .cast("bigint")
-        .bitwiseOR(F.lit(1))
-    )
-    return [
-        (h1 + F.lit(i) * h2) % F.lit(num_bits)
-        for i in range(num_hashes)
-    ]
+    """Bit positions via the shared md5 Kirsch-Mitzenmacher helper
+    (functions/hashing.py ``km_positions``, tag ``bloom``) — one
+    implementation serves fit, probe, and the DuckDB replay, so they
+    can never diverge."""
+    from .hashing import km_positions
+
+    return km_positions(col, num_hashes, num_bits, "bloom", salt)
 
 
 def fit_bloom(
@@ -258,6 +254,11 @@ def with_bloom_flag(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if flag_field in df.columns:
+        raise ValueError(
+            f"output column {flag_field!r} already exists — "
+            "withColumn would silently replace it"
+        )
     words = sketch.words  # closure capture -> shipped once per task
     k = sketch.num_hashes
 

@@ -57,6 +57,25 @@ _MAX_COUNTERS = 1 << 24  # 128 MiB of int64 counters — driver artifact
 _MAX_DEPTH = 16
 
 
+def _portable_key_str(value) -> str:
+    """Driver-side rendering matching Spark's CAST(col AS STRING) for
+    the portably-renderable types.  bool precedes int (bool IS an
+    int in Python, but Spark renders booleans as true/false)."""
+    if isinstance(value, str):
+        return value
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, int):
+        return str(value)
+    raise TypeError(
+        f"CountMinSketch.estimate: cannot portably render a "
+        f"{type(value).__name__} key the way Spark's CAST(... AS "
+        "STRING) did at fit time (Java Double.toString has no "
+        "reliable Python replica); pre-format the key column to "
+        "string at fit time or use with_cms_estimate."
+    )
+
+
 class CountMinSketch:
     """The fitted counter matrix + its parameters.  ``counts`` is a
     numpy int64 array of shape ``(depth, width)``.  ``total`` is the
@@ -79,13 +98,21 @@ class CountMinSketch:
 
     def estimate(self, value) -> int:
         """Point estimate: min over the key's counter per row —
-        never below the true weight of ``value``."""
+        never below the true weight of ``value``.  The key is
+        formatted to match Spark's ``CAST(col AS STRING)`` (the fit
+        side): str passes through, int/bool use Spark's rendering.
+        Floats are REFUSED — Java's ``Double.toString`` cannot be
+        replicated reliably from Python, and a formatting mismatch
+        would consult the wrong counters and silently undercount
+        (breaking the one-sided contract).  Pre-format float keys to
+        strings at fit time, or use :func:`with_cms_estimate`, which
+        shares the fit's JVM cast."""
         import hashlib
 
         import numpy as np
 
         dig = hashlib.md5(
-            f"{value}:cms:{self.salt}".encode()
+            f"{_portable_key_str(value)}:cms:{self.salt}".encode()
         ).hexdigest()
         h1 = int(dig[0:8], 16)
         h2 = int(dig[8:16], 16) | 1
@@ -163,19 +190,13 @@ def _check_geometry(depth: int, width: int) -> None:
 def _position_cols(
     col: Column, depth: int, width: int, salt: int
 ) -> list:
-    """Kirsch-Mitzenmacher counter indexes from ONE md5 — shared by
-    fit and estimate so they can never diverge, and matching the
-    DuckDB replay: h1 = ('0x'||substr(md5(k||':cms:'||salt),1,8))
-    ::BIGINT, h2 = ('0x'||substr(...,9,8))::BIGINT | 1, pos_j =
-    (h1 + j*h2) % width."""
-    dig = F.md5(F.concat(col.cast("string"), F.lit(f":cms:{salt}")))
-    h1 = F.conv(F.substring(dig, 1, 8), 16, 10).cast("bigint")
-    h2 = (
-        F.conv(F.substring(dig, 9, 8), 16, 10)
-        .cast("bigint")
-        .bitwiseOR(F.lit(1))
-    )
-    return [(h1 + F.lit(j) * h2) % F.lit(width) for j in range(depth)]
+    """Counter indexes via the shared md5 Kirsch-Mitzenmacher helper
+    (functions/hashing.py ``km_positions``, tag ``cms``) — one
+    implementation serves fit, estimate, and the DuckDB replay, so
+    they can never diverge."""
+    from .hashing import km_positions
+
+    return km_positions(col, depth, width, "cms", salt)
 
 
 def fit_cms(
@@ -273,13 +294,19 @@ def with_cms_estimate(
     def gather(pos_ser: pd.Series) -> pd.Series:
         import numpy as np
 
-        out_vals = np.full(len(pos_ser), np.nan, dtype="float64")
+        # stay in int64 end-to-end: a float64 staging buffer would
+        # round counters above 2^53 and could UNDERcount, breaking
+        # the one-sided contract
+        vals = np.zeros(len(pos_ser), dtype="int64")
         ok = (~pos_ser.isna()).to_numpy()
         if ok.any():
             arr_ok = np.stack(pos_ser[ok].to_numpy()).astype("int64")
-            est = counts[np.arange(depth)[None, :], arr_ok].min(axis=1)
-            out_vals[ok] = est
-        return pd.Series(out_vals).astype("Int64")
+            vals[ok] = counts[
+                np.arange(depth)[None, :], arr_ok
+            ].min(axis=1)
+        ser = pd.Series(vals, dtype="Int64")
+        ser[~ok] = pd.NA
+        return ser
 
     gather.__annotations__ = {
         "pos_ser": pd.Series, "return": pd.Series

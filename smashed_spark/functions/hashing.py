@@ -53,6 +53,28 @@ def portable_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def km_positions(
+    col: Column, count: int, modulus: int, tag: str, salt: int
+) -> "list[Column]":
+    """Kirsch-Mitzenmacher double-hash positions from ONE md5 — the
+    shared convention behind the Bloom bitmap (functions/bloom.py)
+    and the Count-Min counters (functions/cms.py), kept in one place
+    so the fit/probe pairs and their DuckDB replays can never
+    diverge: ``h1 = ('0x'||substr(md5(k||':'||tag||':'||salt),1,8))
+    ::BIGINT``, ``h2 = ('0x'||substr(...,9,8))::BIGINT | 1`` (forced
+    odd), ``pos_i = (h1 + i*h2) % modulus``."""
+    dig = F.md5(F.concat(col.cast("string"), F.lit(f":{tag}:{salt}")))
+    h1 = F.conv(F.substring(dig, 1, 8), 16, 10).cast("bigint")
+    h2 = (
+        F.conv(F.substring(dig, 9, 8), 16, 10)
+        .cast("bigint")
+        .bitwiseOR(F.lit(1))
+    )
+    return [
+        (h1 + F.lit(i) * h2) % F.lit(modulus) for i in range(count)
+    ]
+
+
 def word_shingles(words: Column, n: int) -> Column:
     """Distinct word n-grams (joined with a space) from a words array.
 

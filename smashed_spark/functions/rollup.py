@@ -424,7 +424,13 @@ def rollup_ingest_batch(
     is never touched) and overwrite ``rollup/batch=N``.  Idempotent on
     retry by the same overwrite-by-batch-id contract as
     streaming/ingest.py: a replayed batch rewrites the same paths.
-    ``batch_id`` must be >= 0 (-1 is the compacted partition)."""
+    ``batch_id`` must be >= 0 (-1 is the compacted partition).
+
+    ``spark`` is unused here (the batch frame carries its session)
+    and kept only for signature symmetry with :func:`read_rollup` /
+    :func:`compact_rollup_state`, which do need it — a uniform
+    ``(spark, state_dir, ...)`` family shape is less error-prone to
+    thread through foreachBatch bodies and retry wrappers."""
     if batch_id < 0:
         raise ValueError("batch_id must be >= 0 (-1 is reserved)")
     g = _check_granularity(granularity)

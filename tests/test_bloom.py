@@ -118,6 +118,11 @@ def test_null_flag_and_flag_plan_is_narrow(spark):
     plan = _explain(out)
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan, plan
+    # an existing column must not be silently replaced
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        with_bloom_flag(out, "digest", sk)
 
 
 def test_merge_equals_fit_on_union_and_rejects_mismatch(spark):

@@ -174,6 +174,23 @@ def test_with_cms_estimate_column(spark):
     assert "Exchange" not in plan.split("\n\n")[0], plan
 
 
+def test_estimate_key_rendering_matches_spark_cast(spark):
+    # int and bool keys must consult the SAME counters the fit wrote
+    # via CAST(col AS STRING); floats are refused (Java
+    # Double.toString has no reliable Python replica)
+    df = spark.createDataFrame(
+        [(7,), (7,), (None,)], "k bigint"
+    )
+    sk = fit_cms(df, "k", depth=DEPTH, width=WIDTH, salt=SALT)
+    assert sk.estimate(7) == 2
+    bdf = spark.createDataFrame([(True,), (True,), (False,)], "k boolean")
+    bsk = fit_cms(bdf, "k", depth=DEPTH, width=WIDTH, salt=SALT)
+    assert bsk.estimate(True) == 2
+    assert bsk.estimate(False) == 1
+    with pytest.raises(TypeError, match="portably"):
+        sk.estimate(1.5)
+
+
 def test_geometry_validation_and_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError, match="depth"):

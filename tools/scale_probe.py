@@ -910,6 +910,13 @@ def main() -> None:
                     "spark.sql.adaptive.autoBroadcastJoinThreshold",
                     old_adp,
                 )
+            else:
+                # previously UNSET: unset again, or the -1 leaks into
+                # every later (deep-phase) measurement with AQE's
+                # shuffle->broadcast demotion silently disabled
+                spark.conf.unset(
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold"
+                )
             batch.unpersist()
             index.unpersist()
         return out
@@ -980,6 +987,9 @@ def main() -> None:
         ).localCheckpoint(eager=True)
         sk = fit_bloom(index, "digest", 1 << 17, 4)
         old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_adp = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+        )
         out = {}
         try:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -1001,6 +1011,15 @@ def main() -> None:
             spark.conf.set(
                 "spark.sql.autoBroadcastJoinThreshold", old_thr
             )
+            if old_adp is not None:
+                spark.conf.set(
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                    old_adp,
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold"
+                )
             batch.unpersist()
             index.unpersist()
         return out
