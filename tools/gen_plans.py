@@ -1092,6 +1092,15 @@ modules did not change).  Same trade as the r9 streaming_ingest gate
 (+3.8 s): lifecycle gates cost real I/O and buy end-to-end
 certification of the state machinery.
 
+Probe-integrity note: a code-review pass caught the bloom probe
+sections leaking adaptive.autoBroadcastJoinThreshold=-1 into any
+LATER same-process measurement (the restore was conditional on the
+key having had a prior value).  Fixed; and the recorded
+BENCH_SCALE.json numbers are unaffected — the deep-phase entries
+were captured in runs that predate the bloom sections entirely, and
+every bloom run used a restricted `only` selection that skips the
+deep phase.
+
 ## Round-11 corpus snapshot diff (functions/diff.py)
 
 Release-audit diff of two keyed snapshots: ONE full-outer

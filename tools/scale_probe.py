@@ -78,6 +78,11 @@ QUERIES = [
     # with the raw-scan term; the probe pins that the register side
     # plan (distinct + WindowGroupLimit) adds no superlinear term
     "windowed_event_counts",
+    # r11: the corpus snapshot diff fold — ONE full-outer join where
+    # each side exchanges exactly once (guard windows ride the join
+    # partitioning); the probe pins that the per-field comparison and
+    # attribution stay scan-speed as both snapshots grow
+    "dedup_exact",
 ]
 # the steepest 10x curves get the extra decade. stream_sessionize /
 # ann_ivf_topk read only events / embeddings; dedup_ngram_jaccard
