@@ -438,20 +438,52 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "io_roundtrip",
-    oracle="""
-    SELECT doc_id, lang, n_chars, source, text FROM documents
-    """,
-)
+def _io_roundtrip_oracle() -> str:
+    """io_roundtrip oracle incl. the r11 Z-order fold: the zkey is
+    recomputed from first principles in DuckDB — exact min/max bounds
+    as a CTE (the gate's fit_zorder_bounds is the same exact
+    aggregate), exact HUGEINT rank arithmetic, and the SAME Morton
+    interleave the operator uses (sources/layout.py `_interleave_expr`
+    generates both sides, so the bit layout cannot drift)."""
+    from ..sources.layout import _interleave_expr
+
+    interleave = _interleave_expr(["r1", "r2"], bits=8, dialect="duckdb")
+    return f"""
+    WITH zb AS (
+        SELECT min(n_chars) AS lo1, max(n_chars) AS hi1,
+               min(doc_id) AS lo2, max(doc_id) AS hi2
+        FROM documents
+    ), zr AS (
+        SELECT doc_id,
+               CAST((CAST(n_chars AS HUGEINT) - lo1) * 255
+                    // CAST(hi1 - lo1 AS HUGEINT) AS BIGINT) AS r1,
+               CAST((CAST(doc_id AS HUGEINT) - lo2) * 255
+                    // CAST(hi2 - lo2 AS HUGEINT) AS BIGINT) AS r2
+        FROM documents, zb
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, d.source, d.text,
+           {interleave} AS zkey
+    FROM documents d JOIN zr USING (doc_id)
+    """
+
+
+@query("io_roundtrip", oracle=_io_roundtrip_oracle)
 def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both sink/loader cycles in one gate: write_csv then
     CsvLoaderMapper (reference loaders.py:139-168) for one column set,
     write_jsonl (gzip) then JsonlLoaderMapper (loaders.py:171-192) for
     another, re-joined on doc_id — every row and value must survive
-    both round-trips."""
+    both round-trips.  r11 fold: a THIRD roundtrip through
+    optimize_layout (sources/layout.py) writes (doc_id, n_chars)
+    Z-order-clustered on both columns at bits=8 with the key kept, and
+    the read-back ``zkey`` joins into the result — the oracle
+    recomputes every Morton key from first principles in exact integer
+    arithmetic, so the clustered write path (bounds fit, rank math,
+    bit interleave, range-partitioned write) is certified
+    value-for-value."""
     import tempfile
 
+    from ..sources.layout import optimize_layout
     from ..sources.loaders import CsvLoaderMapper, JsonlLoaderMapper
     from ..sources.sinks import write_csv, write_jsonl
 
@@ -479,6 +511,16 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         base + "/jsonl_docs",
         mode="overwrite",
     )
+    optimize_layout(
+        docs.select("doc_id", "n_chars"),
+        base + "/zdocs",
+        cluster_by=["n_chars", "doc_id"],
+        bits=8,
+        num_files=4,
+        keep_zorder_column=True,
+        mode="overwrite",
+    )
+    from_z = spark.read.parquet(base + "/zdocs").select("doc_id", "zkey")
     csv_paths = spark.createDataFrame([(base + "/csv_docs",)], "path: string")
     jsonl_paths = spark.createDataFrame(
         [(base + "/jsonl_docs",)], "path: string"
@@ -499,8 +541,10 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .map(jsonl_paths)
         .select("doc_id", "source", "text")
     )
-    return from_csv.join(from_jsonl, "doc_id").select(
-        "doc_id", "lang", "n_chars", "source", "text"
+    return (
+        from_csv.join(from_jsonl, "doc_id")
+        .join(from_z, "doc_id")
+        .select("doc_id", "lang", "n_chars", "source", "text", "zkey")
     )
 
 

@@ -1138,6 +1138,53 @@ Counter indexes are the repo's md5-KM convention, byte-portable to
 DuckDB (count replay test-pinned).  No driver gate by design: the
 registry is at its 50-slot cap and the DuckDB replay already pins
 the SQL story bit-exactly.
+
+## Round-11 physical layout (sources/layout.py)
+
+At 100 TB most query cost is the scan, and the scan's cost is set at
+WRITE time.  Three levers, one module:
+
+* `optimize_layout` — Z-order (Morton) clustered parquet writes.  The
+  Z-key is pure Catalyst bit algebra (unrolled shift/mask OR-terms,
+  whole-stage-codegen friendly, no UDF); the integer tier is EXACT
+  arithmetic (DECIMAL(38,0) `DIV` in Spark, HUGEINT `//` in DuckDB),
+  so Spark == DuckDB == Python bit-for-bit — certified value-for-value
+  by the io_roundtrip gate fold, whose oracle recomputes every key
+  from first principles (SQL min/max bounds CTE + the SAME
+  generator-emitted interleave expression, so operator and oracle
+  cannot drift).  Plan shape: the ONE `repartitionByRange` exchange a
+  clustered write inherently needs, then a narrow
+  `sortWithinPartitions`.  Bounds come from one exact min/max
+  aggregate (KB result) or are caller-pinned for append-stable keys
+  across snapshots.  Measured on a 20k-row uniform 2-D corpus, a 10%
+  range predicate on EITHER dimension skips ~75% of rows after
+  Z-ordering vs 0% for a random layout (test-pinned > 50%).
+* `scan_stats` / `skip_fraction` — the honest meter: footer min/max
+  envelopes read DISTRIBUTED (file list as a DataFrame, pyarrow
+  footer reads inside `mapInPandas` — millions of files at 100 TB
+  rule out a driver loop), folded to the fraction of rows a range
+  predicate is entitled to skip.  Conservative by construction:
+  stat-less row groups never count, so reported skipping is a lower
+  bound and false skips are impossible (property-tested against
+  actual row-group contents).
+* `compact_dataset` — the small-files answer with ZERO exchanges: the
+  byte target goes into `spark.sql.files.maxPartitionBytes` (with
+  openCost lowered and minPartitionNum pinned to 1, both restored
+  set-or-unset afterward — the scale_probe conf-leak lesson), so the
+  file-source SCAN bin-packs splits to target size and each task
+  writes exactly one file; `repartition(n)` would shuffle every byte
+  for the same result.  Staging-`_SUCCESS`-`os.replace` swap (the
+  streaming/ingest.py pattern); the one crash window is repaired by
+  `recover_compaction_swap` at every entry.  LOCAL-only by design:
+  object stores have no atomic rename — the refusal names the
+  write-new-prefix + pointer-flip recipe instead.
+
+Partition transforms (`days`/`hours`/`bucket_by_md5`) give the
+directory-pruning tier above file-level skipping; the bucket
+transform uses the portable md5-60 convention so a re-written
+snapshot buckets identically on any engine (F.hash would not survive
+an engine or seed change).  `read_with_provenance` exposes Spark's
+`_metadata` (file_name, row_index) as durable row lineage for audits.
 """
 
 out = ["# PLANS — physical plans of the headline queries",
