@@ -1185,6 +1185,36 @@ transform uses the portable md5-60 convention so a re-written
 snapshot buckets identically on any engine (F.hash would not survive
 an engine or seed change).  `read_with_provenance` exposes Spark's
 `_metadata` (file_name, row_index) as durable row lineage for audits.
+
+Scale probe (BENCH_SCALE.json `layout_optimize`): the clustered
+write measured 1.04/1.42/1.69 s at 1x/10x/100x documents — second
+decade 1.2x (fixed costs dominate at this volume; the terms are all
+linear: fit scan, range sampling, one exchange, narrow sort, write).
+The VALUE held steady: a mid-range 10%-wide predicate could skip
+0.609/0.611/0.577 of rows across the three decades — clustering
+quality does not decay with volume.  Its level is the 2-D envelope
+math (64 files over 2 dims = ~12.5% file span per dim), not a flaw:
+a 1-D sort would skip ~0.9 on one column and nothing on the other.
+
+## Round-11 data governance (sources/retention.py)
+
+The two deletion shapes a 100 TB corpus operator runs.  Forget lists
+(`apply_deletions`): ONE LEFT ANTI join per rewrite — broadcast tier
+under a bounded `limit(cap+1).count()` probe so the corpus side never
+exchanges, plain shuffled anti-join above it; NULL forget keys raise
+loudly (an anti-join can never match NULL — the "deletion" would
+silently no-op otherwise); hive partitioning is preserved through the
+rewrite, and `partition_scope=` restricts the read AND rewrite to the
+named partition directories — the 100 TB lever, since a scoped
+takedown touches only the partitions it names while every other byte
+stays on disk untouched.  Row accounting comes from parquet footers
+(before/after), zero extra count scans; the swap is the shared
+staging-`_SUCCESS`-`os.replace` pattern with its crash window
+repaired at every entry.  Retention windows
+(`drop_partitions_older_than`): expiry as DIRECTORY deletes over the
+sortable `field=value` names the layout `days`/`hours` transforms
+write — zero bytes scanned, zero Spark jobs, idempotent per-dir
+removal, `dry_run` tier for automation.
 """
 
 out = ["# PLANS — physical plans of the headline queries",

@@ -1067,6 +1067,103 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # r11: the Z-order clustered write (sources/layout.py) — cost is
+    # bounds fit (one agg scan) + range-sampling + ONE range exchange
+    # + narrow sort + write, all linear terms; num_files held constant
+    # across scales so the slope is the data, not the file count.  The
+    # skip fraction a fixed-width (10%) predicate earns should hold
+    # ~steady per decade — that's the VALUE the write buys, recorded
+    # alongside its cost.
+    layout_selected = not only or "layout_optimize" in only
+
+    def run_layout(doc_dir: str, reps: int = 2):
+        import tempfile as _tf
+
+        from smashed_spark.sources.layout import (
+            optimize_layout,
+            scan_stats,
+            skip_fraction,
+        )
+
+        docs = spark.read.parquet(f"{doc_dir}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+        best, skipx = -1.0, None
+        for _ in range(reps):
+            isolate()
+            out = _tf.mkdtemp(prefix="smashed_layout_")
+            t0 = time.perf_counter()
+            rep = optimize_layout(
+                docs,
+                out + "/z",
+                cluster_by=["n_chars", "doc_id"],
+                bits=16,
+                num_files=64,
+                mode="overwrite",
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best < 0 else min(best, dt)
+            if skipx is None:
+                lo_b, hi_b = rep["bounds"]["n_chars"]
+                span = hi_b - lo_b
+                f = skip_fraction(
+                    scan_stats(spark, out + "/z", ["n_chars"]),
+                    "n_chars",
+                    lower=lo_b + span * 45 // 100,
+                    upper=lo_b + span * 55 // 100,
+                )
+                skipx = round(f["row_skip_fraction"], 3)
+            shutil.rmtree(out, ignore_errors=True)
+        return round(best, 3), skipx
+
+    if layout_selected:
+        l1, s1 = run_layout(BASE)
+        l10, s10 = run_layout(scaled_dir)
+        layout_deep = tempfile.mkdtemp(prefix="smashed_layout_deep_")
+        try:
+            build_scaled_deep(
+                spark, layout_deep, DEEP_COPIES, tables=("documents",)
+            )
+            l100, s100 = run_layout(layout_deep)
+        finally:
+            shutil.rmtree(layout_deep, ignore_errors=True)
+        second = round(l100 / l10, 2) if l10 > 0 else None
+        result["queries"]["layout_optimize"] = {
+            "sec_1x": l1,
+            "sec_10x": l10,
+            "sec_100x": l100,
+            "second_decade_ratio": second,
+            "skip_fraction_1x": s1,
+            "skip_fraction_10x": s10,
+            "skip_fraction_100x": s100,
+            "note": (
+                "optimize_layout on the slim (doc_id, n_chars) "
+                "projection, bits=16, num_files=64 at every scale; "
+                "skip_fraction = rows a mid-range 10%-wide n_chars "
+                "predicate may skip, from the distributed footer "
+                "audit.  Linear-ish decades expected (fit scan + "
+                "range sample + one exchange + sort + write).  The "
+                "design claim is the skip fraction holding STEADY "
+                "across decades (clustering quality does not decay "
+                "with volume); its level is the 2-D envelope math — "
+                "64 files over 2 dimensions give each file a "
+                "~64^(-1/2) = 12.5% span per dimension, so a 10% "
+                "predicate keeps ~(0.10 + 0.125) of row groups plus "
+                "boundary effects (~0.6 skipped measured).  A "
+                "1-D layout would skip ~0.9 on n_chars but nothing "
+                "on the second dimension — the Z tradeoff, by design"
+            ),
+            "verdict": (
+                f"second decade {second}x; skip fraction "
+                f"{s1}/{s10}/{s100} across decades"
+            ),
+        }
+        print(
+            f"# layout_optimize: {l1}/{l10}/{l100}s skip "
+            f"{s1}/{s10}/{s100}",
+            file=sys.stderr,
+        )
+
     shutil.rmtree(scaled_dir, ignore_errors=True)
 
     # deep phase: one more decade for the steepest curves
