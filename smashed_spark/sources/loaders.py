@@ -86,6 +86,25 @@ class JsonlLoaderMapper(SparkMapper):
         return reader.json(paths)
 
 
+class OrcLoaderMapper(SparkMapper):
+    """Rows carry ORC dataset paths; output is one row per record
+    across all files — the ORC face of the Csv/Jsonl loader pattern
+    (no reference analogue: the reference loads CSV/JSONL only;
+    sources/sinks.py ``write_orc`` is the matching sink).  ORC is
+    self-describing, so no schema/inference options: the footer IS
+    the schema, read at planning time for free."""
+
+    def __init__(self, paths_field: str) -> None:
+        self.paths_field = paths_field
+        super().__init__(input_fields=[paths_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        paths = [
+            r[0] for r in df.select(self.paths_field).distinct().collect()
+        ]
+        return df.sparkSession.read.orc(paths)
+
+
 def concatenate_datasets(dfs: Sequence[DataFrame]) -> DataFrame:
     """Union by name (reference combine_strategy='concatenate',
     loaders.py:100-116)."""

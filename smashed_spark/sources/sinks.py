@@ -81,6 +81,25 @@ def write_csv(
     writer.csv(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: Sequence[str] = (),
+    compression: str = "zstd",
+) -> None:
+    """ORC sink (Spark-native, no external package) — the interchange
+    format for Hive/Trino-side consumers the same way parquet serves
+    Spark-side ones.  Avro, by contrast, is an EXTERNAL Spark module
+    (spark-avro jar): absent from this environment, so there is
+    deliberately no write_avro here — with the jar deployed it is
+    ``df.write.format("avro")``, nothing this module would add."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def shard_for_training(
     df: DataFrame,
     key_field: str,

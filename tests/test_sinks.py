@@ -24,6 +24,34 @@ def test_jsonl_csv_roundtrip(spark, sf_dir, tmp_path):
     assert spark.read.csv(cp, header=True).count() == df.count()
 
 
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """write_orc -> OrcLoaderMapper round-trip, value-exact, with the
+    predicate reaching the ORC scan (PushedFilters)."""
+    from smashed_spark.sources.loaders import OrcLoaderMapper
+    from smashed_spark.sources.sinks import write_orc
+
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "orc_docs")
+    write_orc(df, out, mode="overwrite")
+    paths = spark.createDataFrame([(out,)], "path: string")
+    back = OrcLoaderMapper("path").map(paths)
+    assert back.count() == df.count()
+    assert (
+        back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    )
+    plan = (
+        back.filter("n_chars > 400")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_chars" in plan.split(
+        "PushedFilters"
+    )[1][:80]
+
+
 def test_shard_for_training_deterministic_and_partition_invariant(spark):
     """Shard + rank are pure functions of keys: identical across
     repartitionings, shards are balanced-ish, ranks are 1..len(shard),

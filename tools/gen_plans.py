@@ -1086,11 +1086,15 @@ isolated reps at sf0.1, vs BENCH_CLEAN_r11 values):
   parquet state round-trips — the thing the gate exists to certify.
 - dedup_exact 0.26 -> 0.93 s: + the corpus snapshot diff (derived
   v2 snapshot build, full-outer join, dedup join-back).
+- io_roundtrip 1.30 -> 2.12 s (session 4): + the Z-order layout
+  roundtrip (bounds fit scan, range-sampled exchange, clustered
+  parquet write, read-back join) — the write path the fold certifies
+  value-for-value against the first-principles Morton oracle.
 
-Gate-set total grows ~+3.6 s; every other query is untouched (their
-modules did not change).  Same trade as the r9 streaming_ingest gate
-(+3.8 s): lifecycle gates cost real I/O and buy end-to-end
-certification of the state machinery.
+Gate-set total grows ~+4.4 s across the session; every other query
+is untouched (their modules did not change).  Same trade as the r9
+streaming_ingest gate (+3.8 s): lifecycle gates cost real I/O and
+buy end-to-end certification of the state machinery.
 
 Probe-integrity note: a code-review pass caught the bloom probe
 sections leaking adaptive.autoBroadcastJoinThreshold=-1 into any
