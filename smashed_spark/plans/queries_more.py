@@ -444,7 +444,12 @@ def _io_roundtrip_oracle() -> str:
     as a CTE (the gate's fit_zorder_bounds is the same exact
     aggregate), exact HUGEINT rank arithmetic, and the SAME Morton
     interleave the operator uses (sources/layout.py `_interleave_expr`
-    generates both sides, so the bit layout cannot drift)."""
+    generates both sides, so the bit layout cannot drift).  The r11
+    retention fold is the WHERE tail: the gate applies a forget list
+    (every doc_id divisible by 37) to the written Z-clustered parquet
+    copy via sources/retention.py apply_deletions — an in-place
+    staged-swap rewrite — so a ghost row, an over-deletion, or a
+    corrupted survivor breaks the row count AND the hash."""
     from ..sources.layout import _interleave_expr
 
     interleave = _interleave_expr(["r1", "r2"], bits=8, dialect="duckdb")
@@ -464,6 +469,7 @@ def _io_roundtrip_oracle() -> str:
     SELECT d.doc_id, d.lang, d.n_chars, d.source, d.text,
            {interleave} AS zkey
     FROM documents d JOIN zr USING (doc_id)
+    WHERE d.doc_id % 37 <> 0
     """
 
 
@@ -519,6 +525,17 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_files=4,
         keep_zorder_column=True,
         mode="overwrite",
+    )
+    # r11 retention fold: forget-list rewrite of the clustered copy
+    # (staged swap, broadcast anti-join) — the inner join below then
+    # certifies the surviving row set value-for-value
+    from ..sources.retention import apply_deletions
+
+    apply_deletions(
+        spark,
+        base + "/zdocs",
+        docs.filter(F.col("doc_id") % 37 == 0).select("doc_id"),
+        "doc_id",
     )
     from_z = spark.read.parquet(base + "/zdocs").select("doc_id", "zkey")
     csv_paths = spark.createDataFrame([(base + "/csv_docs",)], "path: string")

@@ -1086,12 +1086,17 @@ isolated reps at sf0.1, vs BENCH_CLEAN_r11 values):
   parquet state round-trips — the thing the gate exists to certify.
 - dedup_exact 0.26 -> 0.93 s: + the corpus snapshot diff (derived
   v2 snapshot build, full-outer join, dedup join-back).
-- io_roundtrip 1.30 -> 2.12 s (session 4): + the Z-order layout
+- io_roundtrip 1.30 -> 2.49 s (session 4): + the Z-order layout
   roundtrip (bounds fit scan, range-sampled exchange, clustered
-  parquet write, read-back join) — the write path the fold certifies
-  value-for-value against the first-principles Morton oracle.
+  parquet write, read-back join — certified value-for-value against
+  the first-principles Morton oracle) + the retention fold (a
+  forget-list apply_deletions staged-swap rewrite of that clustered
+  copy; the oracle's WHERE tail catches ghost rows and
+  over-deletions both).  The gate is now the full storage-lifecycle
+  certification: sink -> loader x3 formats, clustered write, in-place
+  governed rewrite.
 
-Gate-set total grows ~+4.4 s across the session; every other query
+Gate-set total grows ~+4.8 s across the session; every other query
 is untouched (their modules did not change).  Same trade as the r9
 streaming_ingest gate (+3.8 s): lifecycle gates cost real I/O and
 buy end-to-end certification of the state machinery.
