@@ -1224,6 +1224,25 @@ repaired at every entry.  Retention windows
 sortable `field=value` names the layout `days`/`hours` transforms
 write — zero bytes scanned, zero Spark jobs, idempotent per-dir
 removal, `dry_run` tier for automation.
+
+## Round-11 stream-stream interval joins (streaming/joins.py)
+
+The enrichment shape batch as-of/range joins cannot serve: match
+events across two UNBOUNDED streams within an event-time interval.
+The helper's value is the state contract — watermarks on both sides
+plus the two-sided time-range condition are always installed, so
+Structured Streaming can expire join state (bounded by (interval +
+watermark skew) x arrival rate) and close unmatched rows for the
+outer modes.  Without them Spark ACCEPTS the inner join and grows
+state forever — the failure mode the helper exists to make
+impossible.  The same call runs on batch frames (watermarks no-op),
+and the tests pin streaming == batch through a real two-stream
+multi-micro-batch replay.  Operational trap pinned by test: the
+global watermark is the MIN over streams, so a quiet side stops all
+interval closure — sparse feeds need heartbeats (or the max policy
+and its drop risk).  `stream_static_enrich` covers the
+stream-static tier: no state, broadcast-hinted dim, with the
+per-micro-batch dim re-evaluation caveat documented.
 """
 
 out = ["# PLANS — physical plans of the headline queries",
