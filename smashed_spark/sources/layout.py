@@ -145,11 +145,14 @@ def _validate_zorder(
         if c not in bounds:
             raise ValueError(f"zorder: no bounds for column {c!r}")
         lo, hi = bounds[c]
-        if _is_exact(lo, hi) != (_is_exact(lo, lo) and _is_exact(hi, hi)):
+        if _is_exact(lo, lo) != _is_exact(hi, hi):
             raise ValueError(
                 f"zorder: mixed int/float bounds for {c!r} ({lo!r}, "
-                f"{hi!r}); both ends must share a type (the bound "
-                "type selects the exact-vs-double rank tier)"
+                f"{hi!r}); both ends must share a type — the bound "
+                "type selects the exact-vs-double rank tier, and a "
+                "mixed pair (e.g. one end floatified by a JSON "
+                "round-trip of a persisted bounds report) would "
+                "silently flip the tier and break append-stability"
             )
         if hi < lo:
             raise ValueError(
@@ -338,6 +341,13 @@ def optimize_layout(
     Z-keys append-stable across snapshots.
     """
     cluster_by = list(cluster_by)
+    if zorder_field in df.columns:
+        raise ValueError(
+            f"optimize_layout: input already has a {zorder_field!r} "
+            "column (a previous keep_zorder_column=True write?) — "
+            "drop it or pass a different zorder_field; silently "
+            "overwriting a data column is how columns get lost"
+        )
     if bounds is None:
         bounds = fit_zorder_bounds(df, cluster_by)
     out = df.withColumn(
@@ -448,13 +458,26 @@ def scan_stats(
                         mn = st.min if has else None
                         mx = st.max if has else None
 
-                        def _as_num(v):
-                            return (
-                                float(v)
-                                if isinstance(v, (int, float))
-                                and not isinstance(v, bool)
-                                else None
-                            )
+                        def _as_num(v, direction):
+                            # int64 stats above 2^53 round when cast
+                            # to double; rounding could move a min UP
+                            # or a max DOWN and manufacture a FALSE
+                            # skip.  Widen one ulp outward instead —
+                            # exact when representable, conservative
+                            # when not (the no-false-skip contract)
+                            import math as _m
+
+                            if isinstance(v, bool) or not isinstance(
+                                v, (int, float)
+                            ):
+                                return None
+                            f = float(v)
+                            if isinstance(v, int) and f != v:
+                                if direction == "lo" and f > v:
+                                    f = _m.nextafter(f, -_m.inf)
+                                elif direction == "hi" and f < v:
+                                    f = _m.nextafter(f, _m.inf)
+                            return f
 
                         def _as_str(v):
                             if v is None:
@@ -477,8 +500,8 @@ def scan_stats(
                                     else None
                                 ),
                                 "has_stats": has,
-                                "min_double": _as_num(mn),
-                                "max_double": _as_num(mx),
+                                "min_double": _as_num(mn, "lo"),
+                                "max_double": _as_num(mx, "hi"),
                                 "min_str": _as_str(mn),
                                 "max_str": _as_str(mx),
                             }
@@ -574,37 +597,57 @@ def skip_fraction(
 # ---------------------------------------------------------------------------
 
 
-def _staging_path(path: str) -> str:
+def _swap_staging_path(path: str, suffix: str) -> str:
     parent, name = os.path.split(path.rstrip("/"))
     # leading dot: invisible to a glob over the parent directory
-    return os.path.join(parent, f".{name}.{COMPACT_STAGING_SUFFIX}")
+    return os.path.join(parent, f".{name}.{suffix}")
 
 
-def recover_compaction_swap(path: str) -> bool:
-    """Finish a compaction swap that crashed between removing the
-    original directory and renaming staging into place (the ONE
-    crash window :func:`compact_dataset` has).  Safe to call at every
-    pipeline entry: a no-op unless the original is MISSING and a
-    COMPLETE (``_SUCCESS``-bearing) staging sibling exists.  Returns
-    True when a swap was finished."""
-    local = _local_path(path)
-    staging = _staging_path(local)
+def _recover_swap(path: str, suffix: str) -> bool:
+    """Finish a staged swap that crashed between removing the original
+    directory and renaming staging into place — the ONE crash window
+    the staging-``_SUCCESS``-``os.replace`` protocol has.  Shared by
+    compaction here and the retention rewrites (sources/retention.py)
+    so a protocol fix lands once.  No-op unless the original is
+    MISSING and a COMPLETE (``_SUCCESS``-bearing) staging sibling
+    exists; returns True when a swap was finished."""
+    staging = _swap_staging_path(path, suffix)
     if (
-        not os.path.exists(local)
+        not os.path.exists(path)
         and os.path.isdir(staging)
         and os.path.isfile(os.path.join(staging, "_SUCCESS"))
     ):
-        os.replace(staging, local)
+        os.replace(staging, path)
         return True
     return False
 
 
-def _local_path(path: str) -> str:
+def _swap_in(path: str, suffix: str) -> None:
+    """The commit step of the protocol: staging (which must already
+    hold ``_SUCCESS``) replaces ``path``.  Callers verify staging
+    completeness BEFORE this; the rmtree→replace window is what
+    :func:`_recover_swap` repairs."""
+    staging = _swap_staging_path(path, suffix)
+    shutil.rmtree(path)
+    os.replace(staging, path)
+
+
+def _staging_path(path: str) -> str:
+    return _swap_staging_path(path, COMPACT_STAGING_SUFFIX)
+
+
+def recover_compaction_swap(path: str) -> bool:
+    """Finish a compaction swap that crashed mid-commit — safe at
+    every pipeline entry (see :func:`_recover_swap`)."""
+    return _recover_swap(_local_path(path), COMPACT_STAGING_SUFFIX)
+
+
+def _local_path(path: str, caller: str = "compact_dataset") -> str:
     if "://" in path:
         scheme = path.split("://", 1)[0]
         if scheme != "file":
             raise ValueError(
-                f"compact_dataset: {scheme}:// paths are not supported "
+                f"{caller}: {scheme}:// paths are not supported "
                 "— object stores have no atomic directory rename, so "
                 "an in-place swap cannot be crash-safe there.  The "
                 "cloud recipe is: write a NEW prefix with "
@@ -715,8 +758,7 @@ def compact_dataset(
             "compact_dataset: staging write finished without _SUCCESS; "
             "refusing to swap"
         )
-    shutil.rmtree(local)
-    os.replace(staging, local)
+    _swap_in(local, COMPACT_STAGING_SUFFIX)
     files_after = _parquet_files_under(local)
     return {
         "path": path,

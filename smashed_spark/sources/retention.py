@@ -51,7 +51,13 @@ from typing import Dict, Mapping, Optional, Sequence, Union
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .layout import _local_path, _parquet_files_under
+from .layout import (
+    _local_path,
+    _parquet_files_under,
+    _recover_swap,
+    _swap_in,
+    _swap_staging_path,
+)
 
 RETENTION_STAGING_SUFFIX = "__retention_staging__"
 
@@ -62,26 +68,20 @@ DEFAULT_BROADCAST_KEYS = 2_000_000
 
 
 def _staging_path(path: str) -> str:
-    parent, name = os.path.split(path.rstrip("/"))
-    return os.path.join(parent, f".{name}.{RETENTION_STAGING_SUFFIX}")
+    return _swap_staging_path(path, RETENTION_STAGING_SUFFIX)
 
 
 def recover_retention_swap(path: str) -> bool:
     """Finish a deletion swap that crashed between removing the
-    original and renaming staging in — the same single crash window
-    (and the same repair contract) as layout.recover_compaction_swap.
-    No-op unless the original is missing AND a complete staging
-    sibling exists."""
-    local = _local_path(path)
-    staging = _staging_path(local)
-    if (
-        not os.path.exists(local)
-        and os.path.isdir(staging)
-        and os.path.isfile(os.path.join(staging, "_SUCCESS"))
-    ):
-        os.replace(staging, local)
-        return True
-    return False
+    original and renaming staging in — the shared staged-swap repair
+    (layout.py ``_recover_swap``), same contract as
+    ``recover_compaction_swap``.  ``path`` may be the dataset root OR
+    a scoped partition directory; :func:`apply_deletions` runs it on
+    the root and on every scoped target at entry."""
+    return _recover_swap(
+        _local_path(path, caller="apply_deletions"),
+        RETENTION_STAGING_SUFFIX,
+    )
 
 
 def _footer_row_count(local: str) -> int:
@@ -142,7 +142,7 @@ def apply_deletions(
     LEFT SEMI count of surviving rows against the key set, asserted
     zero (and returned in the report as ``remaining_matches``).
     """
-    local = _local_path(path)
+    local = _local_path(path, caller="apply_deletions")
     recover_retention_swap(local)
     if not os.path.isdir(local):
         raise ValueError(f"apply_deletions: {path!r} is not a directory")
@@ -198,6 +198,11 @@ def apply_deletions(
         scope_dirs = [
             os.path.join(local, f"{scope_col}={v}") for v in scope_vals
         ]
+        # a scoped rewrite that crashed mid-commit left THIS partition
+        # directory missing with a complete staging sibling — repair
+        # before the existence check, or the re-run raises forever
+        for d in scope_dirs:
+            _recover_swap(d, RETENTION_STAGING_SUFFIX)
         missing = [d for d in scope_dirs if not os.path.isdir(d)]
         if missing:
             raise ValueError(
@@ -208,6 +213,11 @@ def apply_deletions(
     targets = scope_dirs if scope_dirs is not None else [local]
     # bounded strategy probe (never an unbounded count of the key set)
     probed = keys_df.limit(broadcast_threshold_rows + 1).count()
+    if probed == 0:
+        raise ValueError(
+            "apply_deletions: empty forget list (the DataFrame has no "
+            "rows) — refusing a full rewrite that would delete nothing"
+        )
     use_broadcast = probed <= broadcast_threshold_rows
     anti_rhs = F.broadcast(keys_df) if use_broadcast else keys_df
 
@@ -250,8 +260,7 @@ def apply_deletions(
                 "apply_deletions: staging write finished without "
                 "_SUCCESS; refusing to swap"
             )
-        shutil.rmtree(tdir)
-        os.replace(staging, tdir)
+        _swap_in(tdir, RETENTION_STAGING_SUFFIX)
         rows_after += _footer_row_count(tdir)
 
     report["rows_before"] = rows_before
@@ -293,7 +302,7 @@ def drop_partitions_older_than(
 
     ``dry_run=True`` lists what would be dropped without touching
     disk — run it first in anything automated."""
-    local = _local_path(path)
+    local = _local_path(path, caller="drop_partitions_older_than")
     if not os.path.isdir(local):
         raise ValueError(
             f"drop_partitions_older_than: {path!r} is not a directory"

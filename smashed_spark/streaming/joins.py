@@ -185,5 +185,13 @@ def stream_static_enrich(
             "outer-on-the-static-side would need the stream fully "
             "buffered, which streaming cannot do"
         )
+    collisions = (set(stream.columns) & set(dim.columns)) - set(keys)
+    if collisions:
+        raise ValueError(
+            "stream_static_enrich: non-key columns collide across "
+            f"sides: {sorted(collisions)} — rename them (the same "
+            "stance as interval_join: a silently ambiguous column is "
+            "how the wrong feature ships)"
+        )
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, keys, how)

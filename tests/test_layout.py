@@ -170,6 +170,13 @@ def test_zorder_validation_raises(spark):
     df = _mixed_frame(spark, n=5)
     with pytest.raises(ValueError, match="62"):
         zorder_column(df, ["x", "y"], {"x": (0, 1), "y": (0.0, 1.0)}, 32)
+    # mixed-type bounds (one end floatified, e.g. by a JSON round-trip
+    # of a persisted bounds report) must raise, not silently flip the
+    # exact tier to the double tier and break append-stability
+    with pytest.raises(ValueError, match="mixed int/float"):
+        zorder_column(df, ["x"], {"x": (0, 1000.0)}, 8)
+    with pytest.raises(ValueError, match="mixed int/float"):
+        zorder_column(df, ["x"], {"x": (0.0, 1000)}, 8)
     with pytest.raises(ValueError, match="reversed"):
         zorder_column(df, ["x"], {"x": (10, 0)}, 8)
     with pytest.raises(ValueError, match="no bounds"):
@@ -296,6 +303,47 @@ def test_skip_fraction_string_bounds(spark, tmp_path):
         skip_fraction(st, "s", lower=1, lower_str="a")
     with pytest.raises(ValueError, match="at least one bound"):
         skip_fraction(st, "s")
+
+
+def test_scan_stats_huge_int64_envelope_is_conservative(spark, tmp_path):
+    """int64 stats above 2^53 round when cast to double; the envelope
+    must widen OUTWARD (min down, max up) so a boundary predicate can
+    never manufacture a false skip."""
+    path = str(tmp_path / "big")
+    lo_true = (1 << 53) + 3   # not double-representable (rounds UP)
+    hi_true = (1 << 60) + 1   # rounds DOWN as a double
+    df = spark.createDataFrame(
+        [(lo_true,), (hi_true,)], "x bigint"
+    ).coalesce(1)
+    df.write.parquet(path)
+    st = scan_stats(spark, path, ["x"]).collect()
+    assert len(st) == 1
+    r = st[0]
+    assert r["min_double"] <= lo_true
+    assert r["max_double"] >= hi_true
+    # the exact-boundary predicate that naive float() rounding skips
+    f = skip_fraction(
+        scan_stats(spark, path, ["x"]), "x",
+        lower=float(0), upper=float(lo_true),
+    )
+    assert f["skipped_row_groups"] == 0
+
+
+def test_optimize_layout_zkey_collision_raises(spark, tmp_path):
+    """Re-clustering a dataset written with keep_zorder_column=True
+    must not silently overwrite (then drop) the existing key column."""
+    path = str(tmp_path / "z1")
+    df = spark.createDataFrame([(i, i * 2) for i in range(50)],
+                               "a bigint, b bigint")
+    optimize_layout(df, path, ["a"], bits=8, num_files=2,
+                    keep_zorder_column=True)
+    back = spark.read.parquet(path)
+    assert "zkey" in back.columns
+    with pytest.raises(ValueError, match="zkey"):
+        optimize_layout(back, str(tmp_path / "z2"), ["a"], bits=8)
+    # an explicit fresh name works
+    optimize_layout(back, str(tmp_path / "z3"), ["a"], bits=8,
+                    num_files=2, zorder_field="zkey2")
 
 
 def test_skip_fraction_missing_stats_conservative(spark):

@@ -171,6 +171,61 @@ def test_apply_deletions_partition_scope(spark, tmp_path):
         )
 
 
+def test_apply_deletions_empty_dataframe_forget_list_raises(
+    spark, tmp_path
+):
+    """An empty DataFrame forget list must raise like the sequence
+    tier does — not trigger a full rewrite that deletes nothing."""
+    path = str(tmp_path / "e")
+    _corpus(spark, 20).write.parquet(path)
+    files_before = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    empty = spark.createDataFrame([], "doc_id bigint")
+    with pytest.raises(ValueError, match="empty forget list"):
+        apply_deletions(spark, path, empty, "doc_id")
+    # and the dataset was not rewritten
+    assert sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ) == files_before
+
+
+def test_apply_deletions_scoped_crash_recovery(spark, tmp_path):
+    """The scoped rewrite's crash window (partition dir removed,
+    staging complete) must be repaired at the next apply_deletions
+    entry — not raise 'scoped partitions missing on disk' forever."""
+    path = str(tmp_path / "scr")
+    df = _corpus(spark, 90).withColumn(
+        "day", F.concat(F.lit("2024-01-0"), (F.col("doc_id") % 3 + 1))
+    )
+    df.write.partitionBy("day").parquet(path)
+    pdir = os.path.join(path, "day=2024-01-01")
+    staging = os.path.join(
+        path, ".day=2024-01-01.__retention_staging__"
+    )
+    # complete staging snapshot (the crashed run's survivors), then
+    # "crash" after the rmtree
+    spark.read.parquet(pdir).filter("doc_id >= 30").coalesce(
+        1
+    ).write.parquet(staging)
+    assert os.path.isfile(os.path.join(staging, "_SUCCESS"))
+    shutil.rmtree(pdir)
+    # re-run of the same scoped deletion: recovery first, then rewrite
+    report = apply_deletions(
+        spark,
+        path,
+        [0],
+        "doc_id",
+        partition_scope={"day": ["2024-01-01"]},
+    )
+    assert not os.path.exists(staging)
+    back = spark.read.parquet(path).filter("day = '2024-01-01'")
+    # recovered survivors (doc_id >= 30 of day 1) minus the new
+    # deletion target... 0 was already gone with the crashed rewrite
+    assert back.filter("doc_id < 30").count() == 0
+    assert report["rows_before"] > 0
+
+
 def test_apply_deletions_crash_recovery(spark, tmp_path):
     path = str(tmp_path / "cr")
     _corpus(spark, 100).write.parquet(path)

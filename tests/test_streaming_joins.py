@@ -216,3 +216,8 @@ def test_stream_static_enrich(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="inner.*left|left.*inner"):
         stream_static_enrich(stream, dim, on="user", how="full_outer")
+    # non-key collisions raise here too (same stance as interval_join)
+    with pytest.raises(ValueError, match="collide"):
+        stream_static_enrich(
+            stream, dim.withColumnRenamed("channel", "ts"), on="user"
+        )
