@@ -1243,6 +1243,26 @@ interval closure — sparse feeds need heartbeats (or the max policy
 and its drop risk).  `stream_static_enrich` covers the
 stream-static tier: no state, broadcast-hinted dim, with the
 per-micro-batch dim re-evaluation caveat documented.
+
+## Round-11 schema evolution (sources/evolve.py)
+
+Reading across years of snapshot generations written under drifting
+schemas.  Measured finding that drives the design: parquet
+`mergeSchema` unions column SETS but REFUSES same-column TYPE
+changes (int -> bigint raises CANNOT_MERGE_SCHEMAS on Spark 4.1) —
+and a type widening across generations is exactly the drift being
+read.  So `read_evolved` aligns each snapshot to the explicit
+target schema and `unionByName`s: same bytes scanned as a merged
+read, one scan node per snapshot, no exchange, target projection
+pushed into every scan.  `align_to_schema` makes each silent
+behavior an explicit policy — missing columns become typed NULLs or
+raise; extras drop, keep, or raise; type changes pass only through
+a safe-cast matrix (lossless widenings), RAISING on the lossy casts
+Spark would silently truncate (bigint->int, double->float,
+bigint->double past 2^53, string->number parse-nulls) unless the
+caller forces them.  `schema_drift`/`drift_summary` see the drift
+before any read: per-file physical schemas from parquet FOOTERS,
+distributed exactly like the layout scan_stats audit.
 """
 
 out = ["# PLANS — physical plans of the headline queries",
