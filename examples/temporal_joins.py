@@ -64,6 +64,26 @@ def main() -> None:
         bands, point_field="value", bucket_width=10.0, how="left"
     ).map(events.select("event_id", "value"))
     banded.groupBy("band").count().orderBy("band").show()
+
+    # the STREAMING shape of the same enrichment: match each alert
+    # with readings up to 2h BEFORE it, over two unbounded streams —
+    # interval_join installs the watermarks + two-sided time bound
+    # that keep join state bounded (run here in its batch mode; the
+    # identical call works on readStream frames)
+    from smashed_spark.streaming.joins import interval_join
+
+    paired = interval_join(
+        alerts,
+        readings.withColumnRenamed("ts", "reading_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="reading_ts",
+        before="2 hours",
+        after="0 seconds",
+        how="left_outer",
+    )
+    n_pairs = paired.filter(F.col("reading").isNotNull()).count()
+    print(f"interval_join: {n_pairs} (alert, reading-within-2h) pairs")
     spark.stop()
 
 

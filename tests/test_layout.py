@@ -259,6 +259,42 @@ def test_optimize_layout_beats_random_on_both_dims(spark, layout_dirs):
     assert fz_y["row_skip_fraction"] > 0.5
 
 
+def test_optimize_layout_append_with_pinned_bounds(spark, tmp_path):
+    """The append story: a second batch written with the FIRST
+    write's bounds lands in the same dataset with keys computed
+    identically (append-stable), and the footer audit still prunes
+    across the combined file set."""
+    path = str(tmp_path / "appended")
+    b1 = spark.createDataFrame(
+        [(i, i * 7 % 1000) for i in range(0, 2000)], "id bigint, x bigint"
+    )
+    b2 = spark.createDataFrame(
+        [(i, i * 7 % 1000) for i in range(2000, 4000)], "id bigint, x bigint"
+    )
+    rep = optimize_layout(
+        b1, path, ["x"], bits=10, num_files=4,
+        keep_zorder_column=True,
+    )
+    optimize_layout(
+        b2, path, ["x"], bits=10, num_files=4,
+        bounds=rep["bounds"], keep_zorder_column=True, mode="append",
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    # identical x => identical zkey across batches (append-stability)
+    dup_keys = (
+        back.groupBy("x")
+        .agg(F.countDistinct("zkey").alias("d"))
+        .filter("d > 1")
+        .count()
+    )
+    assert dup_keys == 0
+    f = skip_fraction(
+        scan_stats(spark, path, ["x"]), "x", lower=0, upper=99
+    )
+    assert f["row_skip_fraction"] > 0.5
+
+
 def test_scan_stats_no_false_skips(spark, tmp_path):
     """Every row group skip_fraction claims skippable truly contains
     no matching row — checked against the actual row-group contents
