@@ -1263,6 +1263,28 @@ bigint->double past 2^53, string->number parse-nulls) unless the
 caller forces them.  `schema_drift`/`drift_summary` see the drift
 before any read: per-file physical schemas from parquet FOOTERS,
 distributed exactly like the layout scan_stats audit.
+
+## Round-11 plan linter (core/lint.py)
+
+The design-for-scale checklist this repo's plan-spy tests apply to
+every operator, published as an API a pipeline author can hold THEIR
+composed plan to.  `plan_report` counts exchanges by kind, join
+strategies, Python eval tiers (row-at-a-time vs Arrow), reads
+per-scan pushdown visibility from the formatted explain (one block
+per `Location:` line — a scan whose predicate is entirely
+non-pushable, e.g. a Python-UDF filter, prints NO PushedFilters line
+and must still surface as an empty-pushdown scan), and warns on the
+100 TB failure patterns: cartesian/nested-loop joins, BatchEvalPython
+in the plan (Arrow deliberately not warned — it is this engine's
+documented legitimate tier), full-dataset global sorts
+(TakeOrderedAndProject exempt), and filters running after IO.
+`assert_plan` is the test-side contract (max exchanges, forbidden
+nodes, warnings-free) raising with the offending plan excerpt.
+Static analysis of the pre-runtime plan — what Catalyst INTENDS,
+which is what review should hold opinions about; AQE may re-plan at
+runtime.  Test-pinned gotcha: `range` output is already ordered by
+id, so a monotone-key `orderBy` is ELIMINATED by Catalyst — sort
+tests need a non-monotonic key.
 """
 
 out = ["# PLANS — physical plans of the headline queries",
