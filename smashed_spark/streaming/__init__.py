@@ -1,4 +1,5 @@
 from .ingest import ingest_dedup_batch, streaming_ingest_dedup
+from .joins import interval_join, stream_static_enrich
 from .runner import (
     apply_pipeline_stream,
     assert_streamable,
@@ -10,6 +11,8 @@ __all__ = [
     "apply_pipeline_stream",
     "assert_streamable",
     "ingest_dedup_batch",
+    "interval_join",
+    "stream_static_enrich",
     "streamable",
     "streaming_ingest_dedup",
     "windowed_event_counts",
