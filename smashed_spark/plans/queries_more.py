@@ -579,11 +579,19 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
     n AS (SELECT least((SELECT count(*) FROM a),
                        (SELECT count(*) FROM b)) AS m)
-    SELECT doc_id, lang, CAST(-1 AS BIGINT) AS ord, 'concat' AS part FROM u
+    SELECT doc_id, lang, CAST(-1 AS BIGINT) AS ord, 'concat' AS part,
+           CAST(NULL AS DOUBLE) AS n_chars_d
+    FROM u
     UNION ALL
     SELECT doc_id, lang, CAST(rn * 2 + src AS BIGINT) AS ord,
-           'interleave' AS part
+           'interleave' AS part, CAST(NULL AS DOUBLE) AS n_chars_d
     FROM u, n WHERE rn < m
+    UNION ALL
+    SELECT doc_id, lang, CAST(-2 AS BIGINT) AS ord, 'evolved' AS part,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(CAST(n_chars AS FLOAT) AS DOUBLE)
+                ELSE NULL END AS n_chars_d
+    FROM documents
     """,
 )
 def q_combine_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,12 +599,26 @@ def q_combine_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine_strategy='concatenate'/'interleave', loaders.py:100-116) on
     the same two sources, tagged and unioned: interleave alternates row
     i of each source, stopping with the shortest, and its explicit
-    order column is the downstream ordering key."""
+    order column is the downstream ordering key.
+
+    r11 'evolved' stage: the schema-evolution read
+    (sources/evolve.py) over two generation snapshots written to tmp —
+    v1 (even doc_ids) with an INT doc_id and NO n_chars column, v2
+    (odd doc_ids) with a BIGINT doc_id and a FLOAT n_chars —
+    read_evolved aligns both to (doc_id bigint, lang string, n_chars_d
+    double): the int→bigint and float→double safe widenings and the
+    missing-column→typed-NULL policy are value-checked by the oracle's
+    CASE tail (DuckDB replays the float32 round-trip with the same
+    IEEE cast chain)."""
     from ..sources.loaders import (
         INTERLEAVE_ORDER,
         concatenate_datasets,
         interleave_datasets,
     )
+
+    import tempfile
+
+    from ..sources.evolve import read_evolved
 
     docs = load(spark, sf_dir, "documents")
     a = docs.filter("n_chars > 500").select("doc_id", "lang")
@@ -614,7 +636,38 @@ def q_combine_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(INTERLEAVE_ORDER).cast("bigint").alias("ord"),
         F.lit("interleave").alias("part"),
     )
-    return cat.unionByName(inter)
+    nulled = F.lit(None).cast("double").alias("n_chars_d")
+    out = cat.unionByName(inter).select(
+        "doc_id", "lang", "ord", "part", nulled
+    )
+
+    # r11 evolved stage: two generation snapshots with drifting
+    # schemas, aligned by read_evolved.  The returned frame reads the
+    # snapshots LAZILY (driver collects later) — clean at exit, not
+    # here (the io_roundtrip pattern)
+    import atexit
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="smashed_evolve_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("int").alias("doc_id"), "lang"
+    ).write.mode("overwrite").parquet(base + "/v1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.col("n_chars").cast("float").alias("n_chars_d")
+    ).write.mode("overwrite").parquet(base + "/v2")
+    evolved = read_evolved(
+        spark,
+        [base + "/v1", base + "/v2"],
+        "doc_id bigint, lang string, n_chars_d double",
+    ).select(
+        "doc_id",
+        "lang",
+        F.lit(-2).cast("bigint").alias("ord"),
+        F.lit("evolved").alias("part"),
+        "n_chars_d",
+    )
+    return out.unionByName(evolved)
 
 
 @query(

@@ -408,3 +408,25 @@ def test_fuzzy_dedup_simhash_128_bit_composes(spark):
     }
     assert out[1] == (1, 1) and out[2] == (1, 0)
     assert out[3] == (3, 1)
+
+
+def test_no_row_python_eval_in_any_gate_plan(spark, sf_dir):
+    """The repo-wide claim VERDICT audits by hand — 'no row-at-a-time
+    Python UDF anywhere in the hot paths' — pinned as a sweep: every
+    registry query's physical plan is linted for BatchEvalPython.
+    Arrow-tier Python (pandas_udf / mapInPandas) is the documented
+    legitimate tier and is NOT restricted.  Plans are built, never
+    executed (lifecycle gates do write their temp inputs during
+    construction — that side effect is part of building the plan)."""
+    from smashed_spark.core.lint import plan_report
+    from smashed_spark.plans.registry import QUERIES
+
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, sf_dir)
+        counts = plan_report(df)["counts"]
+        if counts["python_row_evals"]:
+            offenders[name] = counts["python_row_evals"]
+    assert not offenders, (
+        f"row-at-a-time Python eval found in gate plans: {offenders}"
+    )
