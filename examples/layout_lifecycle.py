@@ -141,6 +141,33 @@ def main() -> None:
         f"kept {sweep['partitions_kept']}"
     )
 
+    # 4b. EVOLVE -----------------------------------------------------------
+    # next year's snapshot adds a column and widens a type; read both
+    # generations through one aligned schema and see the drift first
+    from smashed_spark.sources.evolve import (
+        drift_summary,
+        read_evolved,
+        schema_drift,
+    )
+
+    v2 = os.path.join(base, "snapshot_v2")
+    docs.select(
+        "doc_id", "lang",
+        (F.col("n_chars") / 100.0).alias("quality"),
+    ).write.parquet(v2)
+    drift = drift_summary(schema_drift(spark, [pile, v2]))
+    n_drifted = drift.filter("NOT in_all_files").count()
+    both = read_evolved(
+        spark, [pile, v2],
+        "doc_id bigint, lang string, quality double",
+    )
+    print(
+        f"schema drift: {n_drifted} (column, type) shapes not in all "
+        f"files; evolved read: {both.count()} rows, "
+        f"{both.filter('quality IS NULL').count()} legacy rows with "
+        "NULL quality"
+    )
+
     # 5. TRACE -------------------------------------------------------------
     pv = read_with_provenance(spark, pile)
     sample = pv.select("doc_id", "prov_file", "prov_row_index").first()

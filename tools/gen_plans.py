@@ -1086,6 +1086,9 @@ isolated reps at sf0.1, vs BENCH_CLEAN_r11 values):
   parquet state round-trips — the thing the gate exists to certify.
 - dedup_exact 0.26 -> 0.93 s: + the corpus snapshot diff (derived
   v2 snapshot build, full-outer join, dedup join-back).
+- combine_sources 0.38 -> ~1.0 s (session 4): + the schema-evolution
+  'evolved' stage (two tmp generation-snapshot writes + the aligned
+  two-scan read) — the drift-read semantics the fold certifies.
 - io_roundtrip 1.30 -> 2.49 s (session 4): + the Z-order layout
   roundtrip (bounds fit scan, range-sampled exchange, clustered
   parquet write, read-back join — certified value-for-value against

@@ -1164,6 +1164,71 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # r11: small-files compaction — the zero-exchange claim means the
+    # cost is ONE scan + ONE write of the surviving bytes; linear
+    # decades with the file-count collapse recorded per scale.
+    compact_selected = not only or "layout_compact" in only
+
+    def run_compact(doc_dir: str, reps: int = 2):
+        import tempfile as _tf
+
+        from smashed_spark.sources.layout import compact_dataset
+
+        docs = spark.read.parquet(f"{doc_dir}/documents.parquet")
+        best, shape = -1.0, None
+        for _ in range(reps):
+            isolate()
+            pile = _tf.mkdtemp(prefix="smashed_pile_") + "/ds"
+            docs.repartition(256).write.parquet(pile)
+            t0 = time.perf_counter()
+            rep = compact_dataset(spark, pile, target_file_bytes=64 << 20)
+            dt = time.perf_counter() - t0
+            best = dt if best < 0 else min(best, dt)
+            if shape is None:
+                shape = (rep["files_before"], rep["files_after"])
+            shutil.rmtree(os.path.dirname(pile), ignore_errors=True)
+        return round(best, 3), shape
+
+    if compact_selected:
+        c1, s1c = run_compact(BASE)
+        c10, s10c = run_compact(scaled_dir)
+        cmp_deep = tempfile.mkdtemp(prefix="smashed_cmp_deep_")
+        try:
+            build_scaled_deep(
+                spark, cmp_deep, DEEP_COPIES, tables=("documents",)
+            )
+            c100, s100c = run_compact(cmp_deep)
+        finally:
+            shutil.rmtree(cmp_deep, ignore_errors=True)
+        c2 = round(c100 / c10, 2) if c10 > 0 else None
+        result["queries"]["layout_compact"] = {
+            "sec_1x": c1,
+            "sec_10x": c10,
+            "sec_100x": c100,
+            "second_decade_ratio": c2,
+            "files_1x": list(s1c),
+            "files_10x": list(s10c),
+            "files_100x": list(s100c),
+            "note": (
+                "compact_dataset on a 256-file pile of documents at "
+                "each scale, 64 MB target; timing excludes the pile "
+                "setup write.  Zero-exchange design: the scan "
+                "bin-packs (maxPartitionBytes) and each task writes "
+                "one file, so the cost is one read + one write of "
+                "the bytes — linear decades expected"
+            ),
+            "verdict": (
+                f"second decade {c2}x; files "
+                f"{s1c[0]}->{s1c[1]} / {s10c[0]}->{s10c[1]} / "
+                f"{s100c[0]}->{s100c[1]}"
+            ),
+        }
+        print(
+            f"# layout_compact: {c1}/{c10}/{c100}s files "
+            f"{s1c}/{s10c}/{s100c}",
+            file=sys.stderr,
+        )
+
     # r11: the retention family's 100 TB claim measured — a forget
     # list scoped to ONE partition of a growing corpus costs O(that
     # partition), not O(corpus): the scoped rewrite never opens the
