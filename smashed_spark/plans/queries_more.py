@@ -725,10 +725,23 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, epoch_us(ts) AS t, round(max(value), 6) AS rv
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id, epoch_us(ts)
+    ), al AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        WHERE event_id % 2 = 1
+    ), rd AS (
+        SELECT user_id, epoch_us(ts) AS rt, round(value, 6) AS rv
+        FROM events WHERE event_id % 2 = 0
     )
-    SELECT l.event_id, l.user_id, l.t, r.t AS t_asof, r.rv AS rv_asof
+    SELECT l.event_id, l.user_id, l.t, r.t AS t_asof, r.rv AS rv_asof,
+           'asof' AS stage
     FROM l ASOF LEFT JOIN r
       ON l.user_id = r.user_id AND l.t >= r.t
+    UNION ALL
+    SELECT al.event_id, al.user_id, al.t, rd.rt AS t_asof,
+           rd.rv AS rv_asof, 'interval' AS stage
+    FROM al LEFT JOIN rd
+      ON al.user_id = rd.user_id
+     AND rd.rt BETWEEN al.t - 300000000 AND al.t
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,8 +750,18 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof.py:asof_join — union + keyed window, ONE exchange, no join
     node).  The right side is deduped to unique (user_id, t) keys so
     ties are deterministic on both engines; DuckDB's native ASOF LEFT
-    JOIN is the oracle."""
+    JOIN is the oracle.
+
+    r11 'interval' stage: the batch tier of streaming/joins.py
+    interval_join — odd events (alerts) LEFT-OUTER matched to ALL even
+    events (readings) by the same user within a 5-minute lookback
+    (inclusive both ends), the multi-match generalization the as-of
+    join truncates to one row.  The oracle replays it as a plain
+    BETWEEN theta join on epoch micros; the streaming tier of the SAME
+    call is pinned separately by the streaming==batch equivalence
+    tests and the BENCH_SCALE interval_join_stream probe."""
     from ..functions.asof import asof_join
+    from ..streaming.joins import interval_join
 
     ev = load(spark, sf_dir, "events")
     left = ev.select(
@@ -749,7 +772,36 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.unix_micros("ts").alias("t"))
         .agg(F.round(F.max("value"), 6).alias("rv"))
     )
-    return asof_join(left, right, on="t", by=["user_id"])
+    asof = asof_join(left, right, on="t", by=["user_id"]).withColumn(
+        "stage", F.lit("asof")
+    )
+
+    alerts = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts"
+    )
+    readings = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.round("value", 6).alias("rv"),
+    )
+    ij = interval_join(
+        alerts,
+        readings,
+        on="user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        before="5 minutes",
+        after="0 seconds",
+        how="left_outer",
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.unix_micros("r_ts").alias("t_asof"),
+        F.col("rv").alias("rv_asof"),
+        F.lit("interval").alias("stage"),
+    )
+    return asof.unionByName(ij)
 
 
 @query(

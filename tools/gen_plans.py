@@ -1086,6 +1086,10 @@ isolated reps at sf0.1, vs BENCH_CLEAN_r11 values):
   parquet state round-trips — the thing the gate exists to certify.
 - dedup_exact 0.26 -> 0.93 s: + the corpus snapshot diff (derived
   v2 snapshot build, full-outer join, dedup join-back).
+- asof_join 0.55 -> 1.01 s (session 4): + the interval_join batch
+  tier ('interval' stage — the multi-match generalization the as-of
+  join truncates; its streaming tier is certified by the
+  equivalence tests + the interval_join_stream probe).
 - combine_sources 0.38 -> ~1.0 s (session 4): + the schema-evolution
   'evolved' stage (two tmp generation-snapshot writes + the aligned
   two-scan read) — the drift-read semantics the fold certifies.
