@@ -1109,13 +1109,16 @@ streaming_ingest gate (+3.8 s): lifecycle gates cost real I/O and
 buy end-to-end certification of the state machinery.
 
 Session-4 refreshed bench of record (BENCH_CLEAN_r11.json, idle
-host, 5 reps/query, per-query MIN): total 70.98 s vs the pre-fold
+host, 5 reps/query, per-query MIN): total 74.10 s vs the pre-fold
 61.61 s record.  The delta decomposes into exactly the documented
-fold buys — windowed_event_counts 0.34 -> 2.91 (rollup lifecycle),
-dedup_exact 0.26 -> 0.60 (snapshot diff), io_roundtrip 1.30 -> 2.13
-(Z-order + forget-list roundtrips) — while the 49-query shared
-geomean is 0.975: parity to the old record everywhere the code did
-not deliberately buy certification depth.
+fold buys — windowed_event_counts 0.34 -> 3.21 (rollup lifecycle,
+session 3), dedup_exact 0.26 -> 0.66 (snapshot diff, session 3),
+io_roundtrip 1.30 -> 2.15 (Z-order + forget-list roundtrips),
+combine_sources 0.38 -> 0.89 (schema-evolution stage), asof_join
+0.55 -> 0.83 (interval_join batch tier) — while the shared geomean
+against the mid-session intermediate record is 1.06 with load
+1.8-3.0 (host-noise band): parity everywhere the code did not
+deliberately buy certification depth.
 
 Probe-integrity note: a code-review pass caught the bloom probe
 sections leaking adaptive.autoBroadcastJoinThreshold=-1 into any
