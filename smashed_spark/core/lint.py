@@ -57,7 +57,14 @@ def plan_report(df: DataFrame) -> Dict[str, object]:
     # node names below it (the round-9 lesson: "Scan parquet" appears
     # in both, so counting must stay inside one representation)
     counts = {
-        "exchanges": plan.count("Exchange "),
+        # SHUFFLE exchanges only: BroadcastExchange is not a shuffle
+        # (the whole point of broadcasting) and ReusedExchange REMOVES
+        # one — counting either would fail a max_exchanges=0 contract
+        # on exactly the plans that honor it (the repo's own plan-spy
+        # convention: tests/test_plan_quality.py)
+        "exchanges": len(
+            re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", plan)
+        ),
         "exchanges_hash": plan.count("Exchange hashpartitioning"),
         "exchanges_range": plan.count("Exchange rangepartitioning"),
         "exchanges_single": plan.count("Exchange SinglePartition"),
@@ -109,24 +116,38 @@ def plan_report(df: DataFrame) -> Dict[str, object]:
             "express it in pyspark.sql.functions"
         )
     # a global sort materializes a total order: Sort with global=true
-    # (printed as 'Sort [...], true,') outside TakeOrderedAndProject
-    if re.search(r"Sort \[[^\]]*\], true,", plan):
+    # (printed as 'Sort [...], true,') outside TakeOrderedAndProject.
+    # Non-greedy across the key list: a sort KEY may itself contain
+    # ']' (e.g. arr#5[0]), which a [^\]]* class would stop at and
+    # miss the match entirely
+    if re.search(r"Sort \[.*?\], true, ", plan):
         warnings.append(
             "global sort in the plan — a full-dataset total order "
             "(single-partition final stage); at corpus scale prefer "
             "TakeOrderedAndProject (limit), sortWithinPartitions, or "
             "an explicit order column"
         )
+    # an actual Filter NODE in the formatted TREE (first block) — a
+    # bare substring test would match the scan's own
+    # 'PushedFilters:'/'PartitionFilters:' metadata and fire on
+    # filterless plans
+    tree = formatted.split("\n\n")[0]
+    has_filter_node = re.search(r"\bFilter \(\d+\)", tree) is not None
     if scans and any(
         s["pushed_filters"] == "" for s in scans
-    ) and "Filter" in plan:
+    ) and has_filter_node:
         warnings.append(
             "a scan has no pushed filters while the plan filters "
             "above it — if the predicate references scanned columns, "
             "it is running AFTER IO; check for casts/UDFs wrapping "
             "the filter column"
         )
-    return {"counts": counts, "scans": scans, "warnings": warnings}
+    return {
+        "counts": counts,
+        "scans": scans,
+        "warnings": warnings,
+        "plan": plan,
+    }
 
 
 def assert_plan(
@@ -138,8 +159,8 @@ def assert_plan(
     """Raise ``AssertionError`` (with the offending plan excerpt)
     unless the physical plan satisfies the contract; returns the
     :func:`plan_report` on success so callers can assert further."""
-    plan, _ = _plans(df)
-    report = plan_report(df)
+    report = plan_report(df)  # one plan materialization, reused below
+    plan = report["plan"]
     counts = report["counts"]
     if max_exchanges is not None:
         total = counts["exchanges"]

@@ -112,10 +112,16 @@ def align_to_schema(
     if cast not in ("safe", "force", "error"):
         raise ValueError(f"align_to_schema: cast={cast!r}")
 
-    have = {f.name: f.dataType for f in df.schema.fields}
+    # name resolution is case-INSENSITIVE, matching Spark's default
+    # resolver (spark.sql.caseSensitive=false): a snapshot written as
+    # DOC_ID must align to a doc_id target, not be silently NULLed as
+    # "missing" while DOC_ID is dropped as an "extra" — exactly the
+    # silent loss this module exists to prevent
+    have = {f.name.lower(): (f.name, f.dataType) for f in df.schema.fields}
     cols: List = []
     for f in target.fields:
-        if f.name not in have:
+        hit = have.get(f.name.lower())
+        if hit is None:
             if missing == "error":
                 raise ValueError(
                     f"align_to_schema: column {f.name!r} "
@@ -124,9 +130,9 @@ def align_to_schema(
                 )
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             continue
-        src = have[f.name]
+        in_name, src = hit
         if _simple(src) == _simple(f.dataType):
-            cols.append(F.col(f.name))
+            cols.append(F.col(in_name).alias(f.name))
         else:
             if cast == "error":
                 raise ValueError(
@@ -142,9 +148,9 @@ def align_to_schema(
                     "the target type, or pass cast='force' to own "
                     "the loss explicitly"
                 )
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-    extras = [c for c in df.columns if c not in {f.name for f in
-                                                 target.fields}]
+            cols.append(F.col(in_name).cast(f.dataType).alias(f.name))
+    target_lower = {f.name.lower() for f in target.fields}
+    extras = [c for c in df.columns if c.lower() not in target_lower]
     if extras:
         if extra == "error":
             raise ValueError(
@@ -184,6 +190,11 @@ def read_evolved(
     and Catalyst pushes the target projection into each scan."""
     if isinstance(paths, str):
         paths = [paths]
+    if not paths:
+        raise ValueError(
+            "read_evolved: empty paths list — the discovery/glob step "
+            "found no snapshots"
+        )
     aligned = [
         align_to_schema(
             spark.read.option("mergeSchema", "true").parquet(p),
@@ -279,15 +290,22 @@ def drift_summary(drift: DataFrame) -> DataFrame:
     logical_type): how many files carry the column at that type, how
     many rows that covers — the shape a migration decision reads.  A
     column whose name appears with >1 type, or whose file count is
-    below the total, IS the drift."""
-    totals = drift.select("file").distinct().count()
+    below the total, IS the drift.
+
+    Fully lazy: the file total rides the same collection as the
+    group counts (a broadcast cross-join of a one-row aggregate) —
+    an eager ``count()`` here would run the whole distributed footer
+    scan once for the total and AGAIN when the caller collects."""
+    totals = drift.agg(
+        F.countDistinct("file").alias("total_files")
+    )
     return (
         drift.groupBy("col", "logical_type")
         .agg(
             F.countDistinct("file").alias("n_files"),
             F.sum("num_rows").alias("n_rows"),
         )
-        .withColumn("total_files", F.lit(totals))
+        .crossJoin(F.broadcast(totals))
         .withColumn(
             "in_all_files", F.col("n_files") == F.col("total_files")
         )

@@ -139,6 +139,27 @@ def test_schema_drift_and_summary(spark, tmp_path):
     assert by_col["lang"][0]["n_files"] == 1
 
 
+def test_align_case_insensitive_resolution(spark):
+    """Spark's default resolver is case-insensitive; a case-drifted
+    snapshot column must align to the target, not be silently NULLed
+    as missing while its differently-cased twin drops as extra."""
+    df = spark.createDataFrame(
+        [(7, "x")], "DOC_ID bigint, Text string"
+    )
+    out = align_to_schema(df, "doc_id bigint, text string")
+    assert out.columns == ["doc_id", "text"]
+    row = out.first()
+    assert row["doc_id"] == 7 and row["text"] == "x"
+    # and the case-matched column is not ALSO treated as an extra
+    with pytest.raises(ValueError, match="missing"):
+        align_to_schema(df, "other bigint", missing="error")
+
+
+def test_read_evolved_empty_paths_raises(spark):
+    with pytest.raises(ValueError, match="empty paths"):
+        read_evolved(spark, [], "doc_id bigint")
+
+
 def test_align_is_pure_projection(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
     plan = (

@@ -90,6 +90,45 @@ def test_pushdown_visibility(spark, sf_dir):
     assert any("AFTER IO" in w for w in blocked["warnings"])
 
 
+def test_broadcast_and_reused_exchanges_are_not_shuffles(spark):
+    """max_exchanges=0 must HOLD for a broadcast-enrich plan — the
+    whole point of broadcasting is that the big side never shuffles;
+    BroadcastExchange/ReusedExchange must not count."""
+    big = spark.range(10000).select(
+        "id", (F.col("id") % 10).alias("k")
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "k bigint, name string"
+    )
+    joined = big.join(F.broadcast(dim), "k")
+    rep = assert_plan(joined, max_exchanges=0)
+    assert rep["counts"]["broadcast_exchanges"] >= 1
+    assert rep["counts"]["exchanges"] == 0
+
+
+def test_no_pushdown_warning_requires_a_filter_node(spark, tmp_path):
+    """A filterless parquet scan must NOT warn: the scan's own
+    'PushedFilters:' metadata line is not a Filter node."""
+    path = str(tmp_path / "p")
+    spark.createDataFrame([(1, "a")], "id bigint, s string").write.parquet(
+        path
+    )
+    rep = plan_report(spark.read.parquet(path).select("id"))
+    assert any(s["pushed_filters"] == "" for s in rep["scans"])
+    assert not any("AFTER IO" in w for w in rep["warnings"])
+    assert_plan(spark.read.parquet(path).select("id"), warnings_free=True)
+
+
+def test_global_sort_detected_with_bracketed_sort_key(spark):
+    """A sort key containing ']' (array element access) must not
+    defeat the global-sort detection."""
+    df = spark.createDataFrame(
+        [([3, 1],), ([2, 5],)], "arr array<int>"
+    ).orderBy(F.col("arr")[0])
+    rep = plan_report(df)
+    assert any("global sort" in w for w in rep["warnings"])
+
+
 def test_assert_plan_contracts(spark):
     df = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
     with pytest.raises(AssertionError, match="exchanges"):

@@ -1372,14 +1372,23 @@ def main() -> None:
             staged = tempfile.mkdtemp(prefix="smashed_ijoin_src_")
             os.symlink(src, os.path.join(staged, "part-0.parquet"))
             src = staged
+        # reading a TIMESTAMP column through an explicit bigint schema
+        # yields the RAW stored int64 — micros for these fixtures
+        # (timestamp[us] on disk; a regenerated nanos fixture would
+        # read ~1000x larger).  Sniff the magnitude so the probe's
+        # interval semantics cannot silently compress 1000x (the
+        # r11-session-4 review catch: `ts div 1000` on micros turned
+        # the 30-minute lookback into ~21 days of event time)
+        raw_min = (
+            spark.read.schema(sch).parquet(src).agg(PF.min("ts")).first()[0]
+        )
+        to_us = "ts div 1000" if raw_min > 10**17 else "ts"
 
         def side(parity: int, ts_name: str, id_name: str):
             s = spark.readStream.schema(sch).parquet(src)
             return s.filter(PF.col("event_id") % 2 == parity).select(
                 "user_id",
-                PF.timestamp_micros(PF.expr("ts div 1000")).alias(
-                    ts_name
-                ),
+                PF.timestamp_micros(PF.expr(to_us)).alias(ts_name),
                 PF.col("event_id").alias(id_name),
             )
 
