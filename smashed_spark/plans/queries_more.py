@@ -670,14 +670,52 @@ def q_combine_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(evolved)
 
 
+# Count-Min geometry for the skew_salted fold — width 32 is DELIBERATELY
+# tiny so the ~25 nation keys collide and the oracle certifies the
+# overcount branch (min over depth rows) as well as the exact one
+_CMS_DEPTH = 4
+_CMS_WIDTH = 32
+_CMS_SALT = 0
+
+
 @query(
     "skew_salted",
-    oracle="""
-    SELECT c.c_nationkey AS nationkey,
-           count(*) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS revenue
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY 1
+    oracle=f"""
+    WITH joined AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+               o.o_orderkey, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), agg AS (
+        SELECT nationkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM joined GROUP BY 1
+    ), h AS (
+        SELECT ('0x' || substr(md5(CAST(nationkey AS VARCHAR)
+                   || ':cms:{_CMS_SALT}'), 1, 8))::BIGINT AS h1,
+               (('0x' || substr(md5(CAST(nationkey AS VARCHAR)
+                   || ':cms:{_CMS_SALT}'), 9, 8))::BIGINT | 1) AS h2
+        FROM joined
+    ), counters AS (
+        SELECT j, (h1 + j * h2) % {_CMS_WIDTH} AS p, count(*) AS c
+        FROM h, (SELECT unnest(range({_CMS_DEPTH})) AS j) GROUP BY 1, 2
+    ), keyed AS (
+        SELECT nationkey,
+               ('0x' || substr(md5(CAST(nationkey AS VARCHAR)
+                   || ':cms:{_CMS_SALT}'), 1, 8))::BIGINT AS h1,
+               (('0x' || substr(md5(CAST(nationkey AS VARCHAR)
+                   || ':cms:{_CMS_SALT}'), 9, 8))::BIGINT | 1) AS h2
+        FROM agg
+    ), est AS (
+        SELECT nationkey, min(c) AS cms_orders FROM (
+            SELECT k.nationkey, ct.c
+            FROM keyed k
+            CROSS JOIN (SELECT unnest(range({_CMS_DEPTH})) AS j) d
+            JOIN counters ct
+              ON ct.j = d.j AND ct.p = (k.h1 + d.j * k.h2) % {_CMS_WIDTH}
+        ) GROUP BY 1
+    )
+    SELECT a.nationkey, a.n_orders, a.revenue, e.cms_orders
+    FROM agg a JOIN est e USING (nationkey)
     """,
 )
 def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,8 +723,20 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate: the dimension is replicated num_salts times and the fact
     scattered uniformly for the join; the rollup runs partials on
     (key, salt) and re-merges algebraically — byte-identical to the
-    direct join + group-by, immune to hot keys."""
+    direct join + group-by, immune to hot keys.
+
+    r12 'cms' fold: a Count-Min sketch (functions/cms.py) is fit over
+    the per-order nationkey stream (the key column whose skew the salt
+    utilities exist for) and its per-key frequency estimate rides the
+    result as ``cms_orders`` — the mergeable replacement for the exact
+    per-key table a 100 TB heavy-hitter probe can't keep.  The oracle
+    replays the fit from first principles (md5 Kirsch-Mitzenmacher
+    positions, the test-pinned DuckDB convention of tests/test_cms.py)
+    and takes the same min-over-depth estimate; width 32 forces real
+    collisions so the one-sided overcount branch is value-checked, not
+    just the collision-free identity."""
     from ..core.skew import salted_groupby_agg, salted_join
+    from ..functions.cms import fit_cms, with_cms_estimate
 
     orders = load(spark, sf_dir, "orders").withColumnRenamed(
         "o_custkey", "custkey"
@@ -705,6 +755,11 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n_orders": ("o_orderkey", "count"), "revenue": ("o_totalprice", "sum")},
         num_salts=8,
     )
+    sketch = fit_cms(
+        joined, "nationkey",
+        depth=_CMS_DEPTH, width=_CMS_WIDTH, salt=_CMS_SALT,
+    )
+    out = with_cms_estimate(out, "nationkey", sketch, out="cms_orders")
     return out.withColumn("revenue", F.round("revenue", 2))
 
 
@@ -979,6 +1034,29 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'),
                                     1, 15))::BIGINT % 4 AS INT) AS shard
         FROM budgeted
+    ),
+    -- r12: Bloom-filter membership replay (functions/bloom.py) — the
+    -- history index's bit positions from the SAME md5 double-hash the
+    -- operator uses (tests/test_bloom.py pins the convention); a row
+    -- flags True iff EVERY one of its positions was set by history
+    histbits AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(digest || ':bloom:0'), 1, 8))::BIGINT
+             + bt.i * (('0x' || substr(md5(digest || ':bloom:0'), 9, 8))
+                           ::BIGINT | 1)) % 128 AS bit
+        FROM seen, UNNEST(range(0, 2)) AS bt(i)
+    ),
+    rowpos AS (
+        SELECT doc_id,
+            (('0x' || substr(md5(digest || ':bloom:0'), 1, 8))::BIGINT
+             + u.i * (('0x' || substr(md5(digest || ':bloom:0'), 9, 8))
+                          ::BIGINT | 1)) % 128 AS p
+        FROM sharded, UNNEST(range(0, 2)) AS u(i)
+    ),
+    miss AS (
+        SELECT DISTINCT r.doc_id FROM rowpos r
+        LEFT JOIN histbits b ON r.p = b.bit
+        WHERE b.bit IS NULL
     )
     SELECT doc_id, lang, n_chars, src, split, digest, in_budget, shard,
            CAST(row_number() OVER (
@@ -986,7 +1064,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
                                             || ':5:order'), 1, 15))::BIGINT,
                         doc_id
-           ) AS BIGINT) AS shard_rank
+           ) AS BIGINT) AS shard_rank,
+           doc_id NOT IN (SELECT doc_id FROM miss) AS hist_maybe
     FROM sharded
     """,
 )
@@ -1073,6 +1152,16 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, 15000, tokens_field="n_chars", score_field="n_chars",
         key_field="doc_id",
     )
+    # r12: Bloom membership flag vs the SAME history index the exact
+    # anti-join used (functions/bloom.py) — every survivor is a true
+    # non-member, so True flags are exactly the sketch's deterministic
+    # false positives; 128 bits over ~n/10 history keys keeps both
+    # branches live at gate SF.  Certifies fit (bit_or word agg) and
+    # probe (Arrow gather) end-to-end under the driver's value hash.
+    from ..functions.bloom import fit_bloom, with_bloom_flag
+
+    bloom = fit_bloom(seen, "digest", num_bits=128, num_hashes=2)
+    out = with_bloom_flag(out, "digest", bloom, flag_field="hist_maybe")
     # r6: deterministic training-shard export closes the chain — same
     # portable-hash convention, so shard AND within-shard order replay
     # in SQL (sinks.shard_for_training; write_training_shards
