@@ -438,6 +438,30 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# skip-fraction predicate for the r12 footer-audit fold: the inclusive
+# range is `n_chars <= _IO_SKIP_UPPER`, so a row group is provably
+# skippable iff its footer min exceeds the bound (both engines compute
+# it from the SAME physical files the gate just wrote)
+_IO_SKIP_UPPER = 175
+
+
+def _io_zdocs_path() -> str:
+    """Z-clustered-copy path shared by the gate (writer) and the
+    footer-audit oracle (parquet_metadata reader).  The driver
+    materializes every oracle STRING before any gate runs, so the path
+    must be deterministic ahead of the write — pid-keyed (not
+    mkdtemp'd) so concurrent drive processes never collide while the
+    string and the write always agree within one process.  DuckDB only
+    touches the files at EXECUTE time, which the drive sequences after
+    the Spark run."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"smashed_io_zdocs_{os.getpid()}"
+    )
+
+
 def _io_roundtrip_oracle() -> str:
     """io_roundtrip oracle incl. the r11 Z-order fold: the zkey is
     recomputed from first principles in DuckDB — exact min/max bounds
@@ -449,9 +473,16 @@ def _io_roundtrip_oracle() -> str:
     (every doc_id divisible by 37) to the written Z-clustered parquet
     copy via sources/retention.py apply_deletions — an in-place
     staged-swap rewrite — so a ghost row, an over-deletion, or a
-    corrupted survivor breaks the row count AND the hash."""
+    corrupted survivor breaks the row count AND the hash.
+
+    r12 footer-audit fold: DuckDB's ``parquet_metadata()`` reads the
+    SAME parquet footers sources/layout.py scan_stats reads on the
+    executors, so the skip-fraction envelope math (row groups whose
+    n_chars min exceeds the predicate bound) is replayed independently
+    — closing the r11 "footers are not SQL-visible" refusal."""
     from ..sources.layout import _interleave_expr
 
+    zdocs = _io_zdocs_path()
     interleave = _interleave_expr(["r1", "r2"], bits=8, dialect="duckdb")
     return f"""
     WITH zb AS (
@@ -465,10 +496,27 @@ def _io_roundtrip_oracle() -> str:
                CAST((CAST(doc_id AS HUGEINT) - lo2) * 255
                     // CAST(hi2 - lo2 AS HUGEINT) AS BIGINT) AS r2
         FROM documents, zb
+    ), fm AS (
+        SELECT CAST(stats_min_value AS BIGINT) AS mn,
+               row_group_num_rows AS nr
+        FROM parquet_metadata('{zdocs}/*.parquet')
+        WHERE path_in_schema = 'n_chars'
+    ), sk AS (
+        SELECT CAST(count(*) AS BIGINT) AS rg_total,
+               CAST(coalesce(sum(CASE WHEN mn > {_IO_SKIP_UPPER}
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS rg_skipped,
+               CAST(coalesce(sum(nr), 0) AS BIGINT) AS rows_total,
+               CAST(coalesce(sum(CASE WHEN mn > {_IO_SKIP_UPPER}
+                                      THEN nr END), 0) AS BIGINT)
+                   AS rows_skipped
+        FROM fm
     )
     SELECT d.doc_id, d.lang, d.n_chars, d.source, d.text,
-           {interleave} AS zkey
+           {interleave} AS zkey,
+           sk.rg_total, sk.rg_skipped, sk.rows_total, sk.rows_skipped
     FROM documents d JOIN zr USING (doc_id)
+    CROSS JOIN sk
     WHERE d.doc_id % 37 <> 0
     """
 
@@ -486,7 +534,14 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes every Morton key from first principles in exact integer
     arithmetic, so the clustered write path (bounds fit, rank math,
     bit interleave, range-partitioned write) is certified
-    value-for-value."""
+    value-for-value.
+
+    r12 fold: the footer audit (sources/layout.py scan_stats +
+    skip_fraction) runs over the deletion-rewritten clustered copy and
+    its row-group skip accounting rides the result as literal columns;
+    DuckDB's parquet_metadata() recomputes the same envelope math from
+    the same physical footers — per-row-group min/max, row counts, and
+    the ``n_chars <= 175`` prune verdicts are all value-checked."""
     import tempfile
 
     from ..sources.layout import optimize_layout
@@ -517,9 +572,11 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         base + "/jsonl_docs",
         mode="overwrite",
     )
+    zdocs = _io_zdocs_path()
+    atexit.register(shutil.rmtree, zdocs, ignore_errors=True)
     optimize_layout(
         docs.select("doc_id", "n_chars"),
-        base + "/zdocs",
+        zdocs,
         cluster_by=["n_chars", "doc_id"],
         bits=8,
         num_files=4,
@@ -533,11 +590,20 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_deletions(
         spark,
-        base + "/zdocs",
+        zdocs,
         docs.filter(F.col("doc_id") % 37 == 0).select("doc_id"),
         "doc_id",
     )
-    from_z = spark.read.parquet(base + "/zdocs").select("doc_id", "zkey")
+    # r12 footer-audit fold: scan_stats reads the rewritten copy's
+    # parquet footers on the executors and skip_fraction computes what
+    # a stats-aware scan of `n_chars <= _IO_SKIP_UPPER` may prune; the
+    # audit numbers ride the result as literal columns and the oracle
+    # recomputes them from the SAME footers via parquet_metadata()
+    from ..sources.layout import scan_stats, skip_fraction
+
+    stats = scan_stats(spark, zdocs, columns=["n_chars"])
+    sk = skip_fraction(stats, "n_chars", upper=_IO_SKIP_UPPER)
+    from_z = spark.read.parquet(zdocs).select("doc_id", "zkey")
     csv_paths = spark.createDataFrame([(base + "/csv_docs",)], "path: string")
     jsonl_paths = spark.createDataFrame(
         [(base + "/jsonl_docs",)], "path: string"
@@ -562,6 +628,14 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         from_csv.join(from_jsonl, "doc_id")
         .join(from_z, "doc_id")
         .select("doc_id", "lang", "n_chars", "source", "text", "zkey")
+        .withColumn("rg_total", F.lit(sk["row_groups"]).cast("bigint"))
+        .withColumn(
+            "rg_skipped", F.lit(sk["skipped_row_groups"]).cast("bigint")
+        )
+        .withColumn("rows_total", F.lit(sk["rows"]).cast("bigint"))
+        .withColumn(
+            "rows_skipped", F.lit(sk["skipped_rows"]).cast("bigint")
+        )
     )
 
 
@@ -1328,16 +1402,100 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT col, h,
                row_number() OVER (PARTITION BY col ORDER BY h) AS rn
         FROM h
+    ), kmv_rows AS (
+        SELECT col AS "column", CAST(64 AS BIGINT) AS k_used,
+               CAST(least(count(*), 64) AS BIGINT) AS n_hashes,
+               max(CASE WHEN rn <= 64 THEN h END) AS kth_hash,
+               CAST(CASE WHEN count(*) < 64 THEN count(*)
+                    ELSE (CAST(63 AS HUGEINT)
+                          * CAST(1152921504606846976 AS HUGEINT))
+                         // max(CASE WHEN rn <= 64 THEN h END)
+                    END AS BIGINT) AS est_distinct
+        FROM r GROUP BY col
+    ),
+    -- r12 profile stage replay: the same md5-60 KMV at k=256 over
+    -- three documents columns, plus the one-pass audit statistics
+    ph AS (
+        SELECT 'doc_id' AS col,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+        FROM documents WHERE doc_id IS NOT NULL
+        UNION ALL
+        SELECT 'lang', ('0x' || substr(md5(lang), 1, 15))::BIGINT
+        FROM documents WHERE lang IS NOT NULL
+        UNION ALL
+        SELECT 'n_chars',
+               ('0x' || substr(md5(CAST(n_chars AS VARCHAR)), 1, 15))
+                   ::BIGINT
+        FROM documents WHERE n_chars IS NOT NULL
+    ), pdh AS (
+        SELECT DISTINCT col, h FROM ph
+    ), prk AS (
+        SELECT col, h,
+               row_number() OVER (PARTITION BY col ORDER BY h) AS rn
+        FROM pdh
+    ), kmv256 AS (
+        SELECT col,
+               CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                    ELSE CAST((CAST(255 AS HUGEINT)
+                               * CAST(1152921504606846976 AS HUGEINT))
+                              // max(CASE WHEN rn <= 256 THEN h END)
+                              AS DOUBLE)
+               END AS pd
+        FROM prk GROUP BY col
+    ), pstats AS (
+        SELECT 'doc_id' AS col, 'bigint' AS dtype,
+               count(*) AS n_rows,
+               count(*) - count(doc_id) AS n_nulls,
+               round((count(*) - count(doc_id))
+                     / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+               CAST(min(doc_id) AS VARCHAR) AS min_value,
+               CAST(max(doc_id) AS VARCHAR) AS max_value,
+               round(avg(CAST(doc_id AS DOUBLE)), 4) AS mean,
+               round(stddev_samp(CAST(doc_id AS DOUBLE)), 4) AS stddev,
+               CAST(NULL AS DOUBLE) AS avg_len
+        FROM documents
+        UNION ALL
+        SELECT 'lang', 'string', count(*),
+               count(*) - count(lang),
+               round((count(*) - count(lang))
+                     / CAST(count(*) AS DOUBLE), 6),
+               min(lang), max(lang),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               round(avg(CAST(length(lang) AS DOUBLE)), 4)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', 'bigint', count(*),
+               count(*) - count(n_chars),
+               round((count(*) - count(n_chars))
+                     / CAST(count(*) AS DOUBLE), 6),
+               CAST(min(n_chars) AS VARCHAR),
+               CAST(max(n_chars) AS VARCHAR),
+               round(avg(CAST(n_chars AS DOUBLE)), 4),
+               round(stddev_samp(CAST(n_chars AS DOUBLE)), 4),
+               CAST(NULL AS DOUBLE)
+        FROM documents
     )
-    SELECT col AS "column", CAST(64 AS BIGINT) AS k_used,
-           CAST(least(count(*), 64) AS BIGINT) AS n_hashes,
-           max(CASE WHEN rn <= 64 THEN h END) AS kth_hash,
-           CAST(CASE WHEN count(*) < 64 THEN count(*)
-                ELSE (CAST(63 AS HUGEINT)
-                      * CAST(1152921504606846976 AS HUGEINT))
-                     // max(CASE WHEN rn <= 64 THEN h END)
-                END AS BIGINT) AS est_distinct
-    FROM r GROUP BY col
+    SELECT 'kmv' AS stage, "column", k_used, n_hashes, kth_hash,
+           est_distinct,
+           CAST(NULL AS VARCHAR) AS dtype,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT) AS n_nulls,
+           CAST(NULL AS DOUBLE) AS null_frac,
+           CAST(NULL AS DOUBLE) AS prof_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean,
+           CAST(NULL AS DOUBLE) AS stddev,
+           CAST(NULL AS DOUBLE) AS avg_len
+    FROM kmv_rows
+    UNION ALL
+    SELECT 'profile', p.col,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           p.dtype, p.n_rows, p.n_nulls, p.null_frac,
+           k.pd, p.min_value, p.max_value, p.mean, p.stddev, p.avg_len
+    FROM pstats p JOIN kmv256 k USING (col)
     """,
 )
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1346,11 +1504,53 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch), event_type stays unsaturated (exact branch) — both
     branches certified by one oracle.  Deterministic md5-60 hashing
     makes the k-th smallest hash and the integer-division estimate
-    bit-reproducible in DuckDB."""
+    bit-reproducible in DuckDB.
+
+    r12 'profile' stage: the one-pass corpus audit
+    (functions/profile.py profile_corpus) over three documents columns
+    — null accounting, stringified min/max envelopes, moments (rounded
+    to 4dp; FP summation order differs across engines), string length,
+    and the k=256 KMV distinct estimates — every number replayed in
+    SQL.  GK quantiles are the one column omitted: percentile_approx
+    has no exact cross-engine replay (the r11 reasoned refusal, now
+    narrowed from the whole function to that single field)."""
+    from ..functions.profile import profile_corpus
     from ..functions.sketches import distinct_estimate
 
     ev = load(spark, sf_dir, "events")
-    return distinct_estimate(ev, ["user_id", "event_type"], k=64)
+    kmv = distinct_estimate(ev, ["user_id", "event_type"], k=64).select(
+        F.lit("kmv").alias("stage"),
+        "column", "k_used", "n_hashes", "kth_hash", "est_distinct",
+        F.lit(None).cast("string").alias("dtype"),
+        F.lit(None).cast("bigint").alias("n_rows"),
+        F.lit(None).cast("bigint").alias("n_nulls"),
+        F.lit(None).cast("double").alias("null_frac"),
+        F.lit(None).cast("double").alias("prof_distinct"),
+        F.lit(None).cast("string").alias("min_value"),
+        F.lit(None).cast("string").alias("max_value"),
+        F.lit(None).cast("double").alias("mean"),
+        F.lit(None).cast("double").alias("stddev"),
+        F.lit(None).cast("double").alias("avg_len"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    prof = profile_corpus(
+        docs.select("doc_id", "lang", "n_chars"), kmv_k=256
+    ).select(
+        F.lit("profile").alias("stage"),
+        "column",
+        F.lit(None).cast("bigint").alias("k_used"),
+        F.lit(None).cast("bigint").alias("n_hashes"),
+        F.lit(None).cast("bigint").alias("kth_hash"),
+        F.lit(None).cast("bigint").alias("est_distinct_kmv"),
+        "dtype", "n_rows", "n_nulls",
+        F.round("null_frac", 6).alias("null_frac"),
+        F.col("est_distinct").alias("prof_distinct"),
+        "min_value", "max_value",
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+        F.round("avg_len", 4).alias("avg_len"),
+    ).withColumnRenamed("est_distinct_kmv", "est_distinct")
+    return kmv.unionByName(prof)
 
 
 @query(
