@@ -334,7 +334,12 @@ def optimize_layout(
 
     Sizing: ``num_files`` explicit, else ONE count job when
     ``target_rows_per_file`` is given (also set as ``maxRecordsPerFile``
-    belt-and-braces), else the session's default parallelism.
+    belt-and-braces), else the session's default parallelism.  That
+    count job is a full extra pass over the INPUT plan — cheap for a
+    bare parquet scan (footer-served) but a real second evaluation
+    when ``df`` is an unmaterialized pipeline; at 100 TB prefer
+    ``num_files=`` pinned from a row count the pipeline already knows
+    (its own ingest stats, a rollup, or the source manifest).
 
     Returns a report dict — notably the fitted ``bounds``, which a
     caller should persist and pass back when appending, keeping

@@ -29,6 +29,29 @@ def test_binary_metadata(spark):
     assert len(out[0].blob_md5) == 32
 
 
+def test_image_decode_env_blocked_refusal(spark):
+    """r12 (VERDICT ask #7): the real-decode tier is ENV-BLOCKED in
+    this sandbox (PIL/av/soundfile absent — the same class of refusal
+    as the blingfire splitter backend); require_codec=True must raise
+    LOUDLY rather than silently serve the fake tier.  If a codec ever
+    appears in the image, the first branch keeps the test honest."""
+    import pytest
+
+    from smashed_spark.operators.multimodal import _try_pil
+
+    if _try_pil():
+        out = (
+            ImageDecodeMapper(require_codec=True)
+            .map(_bin_df(spark).withColumnRenamed("blob", "image"))
+            .collect()
+        )
+        assert out  # real tier live: decode ran (garbage bytes may
+        # still yield None metas, but construction must not raise)
+    else:
+        with pytest.raises(NotImplementedError, match="requires PIL"):
+            ImageDecodeMapper(require_codec=True)
+
+
 def test_image_decode_fake(spark):
     df = _bin_df(spark).withColumnRenamed("blob", "image")
     out = ImageDecodeMapper().map(df).orderBy("id").collect()

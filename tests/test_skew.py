@@ -140,8 +140,15 @@ def test_hot_keys_exactly_at_support_boundary(spark):
     rows = [(7,)] * 200 + [(1000 + i,) for i in range(1800)]
     df = spark.createDataFrame(rows, "k: bigint")
     assert hot_keys(df, "k", support=0.1) == [7]
-    # and at the floor support value the clamp keeps freqItems legal
-    assert 7 in hot_keys(df, "k", support=1e-4)
+    # and at the floor support value the clamp keeps freqItems legal;
+    # the floor warning is INTENDED here — assert it instead of
+    # letting it leak into the suite output (r11 VERDICT nit)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert 7 in hot_keys(df, "k", support=1e-4)
+    assert any("freqItems floor" in str(w.message) for w in caught)
 
 
 def test_salted_join_targeted_hot_keys(spark):

@@ -1283,6 +1283,80 @@ caller forces them.  `schema_drift`/`drift_summary` see the drift
 before any read: per-file physical schemas from parquet FOOTERS,
 distributed exactly like the layout scan_stats audit.
 
+## Round-12 sketch/audit gate folds (r11 VERDICT asks #1-#4)
+
+The r11 "reasoned no-gate" components are now driver-certified, all
+as folds (registry capped at 50):
+
+* **Count-Min -> skew_salted**: fit over the per-order nationkey
+  stream, per-key estimates ride the gate as `cms_orders`; width 32
+  deliberately forces collisions so the one-sided OVERCOUNT branch is
+  value-checked (2/25 keys overcount at sf0.01), not just the
+  collision-free identity.  Oracle = the test-pinned DuckDB md5-KM
+  counter replay + min-over-depth.
+* **Bloom -> sample_mix**: fit over the history digest index, flag
+  every surviving row.  Survivors all passed the exact anti-join, so
+  True flags are exactly the sketch's deterministic false positives
+  (21/88 at sf0.01 — both branches live); oracle replays fit (bit set
+  from history positions) and probe (all-positions-set) in SQL.
+* **Footer audit -> io_roundtrip**: scan_stats + skip_fraction run
+  over the deletion-rewritten Z-clustered copy; skip accounting rides
+  the gate as literal columns and DuckDB's `parquet_metadata()`
+  recomputes the envelope math from the SAME physical files (2/4 row
+  groups provably skippable at sf0.01).  The r11 refusal ("footers
+  are not SQL-visible") was WRONG — parquet_metadata() closes it.
+  Plumbing note: the driver materializes oracle STRINGS before any
+  gate runs, so the clustered copy moved from mkdtemp to a pid-keyed
+  fixed path the oracle can name ahead of the write (DuckDB reads the
+  files only at execute time, which the drive sequences after the
+  Spark run).
+* **profile_corpus -> sketch_distinct**: a 'profile' stage audits
+  three documents columns — nulls, stringified min/max envelopes,
+  moments (rounded to 4dp: cross-engine FP summation order), avg
+  string length, k=256 KMV distinct estimates — every field replayed
+  in the oracle.  GK quantiles are the ONE field omitted
+  (percentile_approx has no exact cross-engine replay): the r11
+  whole-function refusal is narrowed to a single column.
+
+Deep-probe tail closed the same session (BENCH_SCALE.json):
+dedup_exact second decade 1.24x (the diff join is fixed-cost-
+dominated even at 500k x 500k snapshot rows), pack_sequences 4.89x —
+nothing superlinear anywhere in the file.
+
+## Round-12 streaming_ingest_fuzzy job census (r11 VERDICT ask #6)
+
+The gate is the bench's largest line (11.2 s at sf0.1).  A per-job
+census (tools/ingest_census.py — monkeypatched timers on count /
+collect / localCheckpoint / write.parquet attributing each job to its
+smashed_spark call site, warm lap first, run at the bench shape)
+decomposes the warm 11.3 s wall into:
+
+* 6.2 s — the three per-batch `localCheckpoint`s (ingest.py:321),
+  i.e. the actual dedup plan materializing: digest anti-join +
+  16-slot MinHash over every batch shingle + band-index join.  This
+  is the work being certified, ~2.1 s/batch, flat across batches
+  (the broadcast-probe design keeps history out of the per-batch
+  cost — the r9 sweep measured 1.12x at 100x history).
+* 2.0 s — the three bounded per-batch writes (survivors ~0.35 s,
+  digest extensions ~0.30 s, band extensions ~0.74 s; the band write
+  re-expands carried signatures, never re-shingles — with_minhash_
+  bands reuses the minhash column the fuzzy join computed).
+* 0.65 s — the mid-run fuzzy compaction (two staged-swap rewrites).
+* 0.33 s — the three capped sizing counts (`limit(cap+1).count()` on
+  the raw batch, ingest.py:241) that route broadcast-probe vs plain.
+  It cannot ride the index read (it sizes the BATCH, and runs before
+  the index plan exists) and at 3% of wall is not worth a caller
+  knob.
+* ~2.1 s — untracked driver-side residue: per-batch plan
+  construction/analysis on a 3-deep union + two dedup operators
+  (py4j round-trips), spread across 19 jobs.
+
+Verdict: no redundant job.  Every tracked second is either the
+certified lifecycle itself (checkpoint + state commits + compaction)
+or a bounded O(cap) routing probe; the gate's bench cost is the price
+of running a full 3-batch stateful replay inside the correctness
+harness, not a plan flaw.  Recorded as the irreducible floor.
+
 ## Round-11 plan linter (core/lint.py)
 
 The design-for-scale checklist this repo's plan-spy tests apply to

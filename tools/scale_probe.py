@@ -125,6 +125,11 @@ DEEP_QUERIES = [
     # rollup-sized (group count is ~constant under the timestamp-
     # preserving scaler), so the slope should be the events scan
     "windowed_event_counts",
+    # r12 (judge ask #5): the last two 1x/10x-only entries — the
+    # snapshot-diff full-outer join (post-r11 fold) and the packer's
+    # slim prefix sum + two wide exchanges get their second decade
+    "dedup_exact",
+    "pack_sequences",
 ]
 # streaming probes drain through the PRODUCTION parquet sink (round 5
 # forensics: the memory sink's driver-side collect adds a superlinear
@@ -263,6 +268,8 @@ DEEP_TABLES = {
     "dsir_select": ("documents",),
     "diversity_select": ("embeddings",),
     "windowed_event_counts": ("events",),
+    "dedup_exact": ("documents",),
+    "pack_sequences": ("documents",),
 }
 
 
