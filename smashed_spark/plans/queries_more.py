@@ -20,6 +20,13 @@ from pyspark.sql.window import Window
 from ..functions.hashing import MERSENNE_P, hash_coeffs
 from .registry import load, query
 
+# Bloom geometry for the sample_mix fold — shared by the gate call and
+# the oracle CTEs (the CMS-fold convention) so the two sides can never
+# drift; 128 bits over the ~n/10-key history keeps both flag branches
+# live at gate SF
+_BLOOM_BITS = 128
+_BLOOM_HASHES = 2
+
 # MinHash oracle slots generated from the SAME coefficient list the
 # Spark operator uses (functions/hashing.py) — byte-identical
 # signatures in both engines (the queries_scale.py convention)
@@ -445,21 +452,32 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IO_SKIP_UPPER = 175
 
 
-def _io_zdocs_path() -> str:
-    """Z-clustered-copy path shared by the gate (writer) and the
-    footer-audit oracle (parquet_metadata reader).  The driver
-    materializes every oracle STRING before any gate runs, so the path
-    must be deterministic ahead of the write — pid-keyed (not
-    mkdtemp'd) so concurrent drive processes never collide while the
-    string and the write always agree within one process.  DuckDB only
-    touches the files at EXECUTE time, which the drive sequences after
-    the Spark run."""
+def _bind_io_zdocs_path() -> str:
     import os
     import tempfile
 
     return os.path.join(
         tempfile.gettempdir(), f"smashed_io_zdocs_{os.getpid()}"
     )
+
+
+# Z-clustered-copy path shared by the gate (writer) and the
+# footer-audit oracle (parquet_metadata reader).  The driver
+# materializes every oracle STRING before any gate runs, so the path
+# must be deterministic ahead of the write — pid-keyed (not mkdtemp'd)
+# so concurrent drive processes never collide.  Bound ONCE at import
+# (not per call): a fork after import copies this constant, so the
+# writer and the oracle can never disagree even if the gate runs in a
+# forked worker while the oracle string was built in the parent.
+# DuckDB only touches the files at EXECUTE time, which the drive
+# sequences after the Spark run (the gate write is mode=overwrite, so
+# a stale directory from a crashed earlier run is replaced before the
+# oracle reads).
+_IO_ZDOCS_PATH = _bind_io_zdocs_path()
+
+
+def _io_zdocs_path() -> str:
+    return _IO_ZDOCS_PATH
 
 
 def _io_roundtrip_oracle() -> str:
@@ -829,8 +847,15 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n_orders": ("o_orderkey", "count"), "revenue": ("o_totalprice", "sum")},
         num_salts=8,
     )
+    # the fit only needs the nationkey MULTISET, so it reads the plain
+    # broadcast join on a slim projection rather than re-evaluating the
+    # 8x-replicated salted plan a second time (TRAP 14: filter/fit
+    # side-pipelines should never double-evaluate a wide parent)
+    key_stream = orders.select("custkey").join(
+        F.broadcast(customer.select("custkey", "c_nationkey")), "custkey"
+    ).select(F.col("c_nationkey").cast("bigint").alias("nationkey"))
     sketch = fit_cms(
-        joined, "nationkey",
+        key_stream, "nationkey",
         depth=_CMS_DEPTH, width=_CMS_WIDTH, salt=_CMS_SALT,
     )
     out = with_cms_estimate(out, "nationkey", sketch, out="cms_orders")
@@ -1117,15 +1142,15 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT
             (('0x' || substr(md5(digest || ':bloom:0'), 1, 8))::BIGINT
              + bt.i * (('0x' || substr(md5(digest || ':bloom:0'), 9, 8))
-                           ::BIGINT | 1)) % 128 AS bit
-        FROM seen, UNNEST(range(0, 2)) AS bt(i)
+                           ::BIGINT | 1)) % {_BLOOM_BITS} AS bit
+        FROM seen, UNNEST(range(0, {_BLOOM_HASHES})) AS bt(i)
     ),
     rowpos AS (
         SELECT doc_id,
             (('0x' || substr(md5(digest || ':bloom:0'), 1, 8))::BIGINT
              + u.i * (('0x' || substr(md5(digest || ':bloom:0'), 9, 8))
-                          ::BIGINT | 1)) % 128 AS p
-        FROM sharded, UNNEST(range(0, 2)) AS u(i)
+                          ::BIGINT | 1)) % {_BLOOM_BITS} AS p
+        FROM sharded, UNNEST(range(0, {_BLOOM_HASHES})) AS u(i)
     ),
     miss AS (
         SELECT DISTINCT r.doc_id FROM rowpos r
@@ -1234,7 +1259,9 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe (Arrow gather) end-to-end under the driver's value hash.
     from ..functions.bloom import fit_bloom, with_bloom_flag
 
-    bloom = fit_bloom(seen, "digest", num_bits=128, num_hashes=2)
+    bloom = fit_bloom(
+        seen, "digest", num_bits=_BLOOM_BITS, num_hashes=_BLOOM_HASHES
+    )
     out = with_bloom_flag(out, "digest", bloom, flag_field="hist_maybe")
     # r6: deterministic training-shard export closes the chain — same
     # portable-hash convention, so shard AND within-shard order replay

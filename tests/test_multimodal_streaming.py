@@ -40,13 +40,18 @@ def test_image_decode_env_blocked_refusal(spark):
     from smashed_spark.operators.multimodal import _try_pil
 
     if _try_pil():
-        out = (
-            ImageDecodeMapper(require_codec=True)
-            .map(_bin_df(spark).withColumnRenamed("blob", "image"))
-            .collect()
+        # real tier live: decode an actual in-memory PNG end-to-end
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (3, 2)).save(buf, format="PNG")
+        df = spark.createDataFrame([(1, buf.getvalue())], "id int, image binary")
+        meta = (
+            ImageDecodeMapper(require_codec=True).map(df).collect()[0].image_meta
         )
-        assert out  # real tier live: decode ran (garbage bytes may
-        # still yield None metas, but construction must not raise)
+        assert (meta.width, meta.height, meta.mode) == (3, 2, "RGB")
     else:
         with pytest.raises(NotImplementedError, match="requires PIL"):
             ImageDecodeMapper(require_codec=True)

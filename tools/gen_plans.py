@@ -1318,6 +1318,19 @@ as folds (registry capped at 50):
   (percentile_approx has no exact cross-engine replay): the r11
   whole-function refusal is narrowed to a single column.
 
+Bench budget of the r12 folds (clean 5-rep A/B vs BENCH_CLEAN_r11,
+everything else in the noise band — shared-50 geomean 1.06 with all
+of the delta in the four fold-carrying gates): skew_salted
+0.44->~2.0 s (the CMS fit md5-hashes all 150k per-order keys — the
+certified work; the fit reads a slim plain broadcast join rather
+than re-evaluating the 8x-replicated salted plan, measured ~7%
+cheaper warm and structurally non-double-evaluating), sketch_distinct
+1.42->2.33 s (profile global aggregate + k=256 KMV over documents),
+io_roundtrip 2.15->3.15 s (footer scan_stats + skip aggregation +
+parquet_metadata-visible write), sample_mix 3.46->4.45 s (bloom fit +
+Arrow flag + second history read).  Priced-in certification content,
+the r11 convention.
+
 Deep-probe tail closed the same session (BENCH_SCALE.json):
 dedup_exact second decade 1.24x (the diff join is fixed-cost-
 dominated even at 500k x 500k snapshot rows), pack_sequences 4.89x —

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-RECORDS = []  # (seq, op, file:line of smashed_spark caller, seconds)
+RECORDS = []  # (seq, phase, op, file:line of smashed_spark caller, sec)
 _MARK = {"label": "setup"}
 
 
