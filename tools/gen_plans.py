@@ -1318,6 +1318,13 @@ as folds (registry capped at 50):
   (percentile_approx has no exact cross-engine replay): the r11
   whole-function refusal is narrowed to a single column.
 
+BENCH_CLEAN_r12.json is the min of THREE same-code full 5-rep runs
+(77.61 / 76.29 / 83.87 s; the 83.87 run launched into a loadavg-5.5
+spike despite an idle pre-check — the r9 forensics conclusion again:
+this host cannot attribute <10% total deltas without matched
+isolation).  The recorded run's loadavg_start was 2.2; per-query
+numbers quoted below are from it.
+
 Bench budget of the r12 folds (clean 5-rep A/B vs BENCH_CLEAN_r11,
 everything else in the noise band — shared-50 geomean 1.06 with all
 of the delta in the four fold-carrying gates): skew_salted
