@@ -45,6 +45,7 @@ def profile_corpus(
     quantiles: Tuple[float, ...] = (0.25, 0.5, 0.75, 0.99),
     kmv_k: int = 256,
     accuracy: int = 10_000,
+    quantile_mode: str = "approx",
 ) -> DataFrame:
     """Profile ``columns`` (default: all) of ``df`` into one row per
     column: ``(column, dtype, n_rows, n_nulls, null_frac,
@@ -58,9 +59,34 @@ def profile_corpus(
     values).  NaNs in numeric columns are excluded from moments and
     quantiles the same way NULLs are (``isnan`` guard) — a poisoned
     mean would hide exactly the rows an audit exists to find.
+
+    ``quantile_mode`` picks the quantile tier (the calibrate.py
+    exact/approx pattern):
+
+    * ``"approx"`` (default, the 100 TB path) — mergeable GK sketches
+      via ``percentile_approx``, partial-aggregated inside the same
+      single pass as every other statistic; rank error bounded by
+      ``1/accuracy``.
+    * ``"exact"`` — one EXTRA bounded job: all numeric columns' values
+      exchange ONCE partitioned by column index, a shared
+      ``row_number``+``count`` window pair ranks each partition, and
+      only the ``ceil(q*n)``-th rows (the discrete lower-quantile
+      order statistic, ``<= columns x quantiles`` rows total) come
+      back.  Deterministic and engine-replayable (ties are
+      value-identical at any rank inside a tie run, so row_number's
+      arbitrary tie order cannot change the answer).  The documented
+      bound is parallelism: one partition PER COLUMN, so a
+      billion-row column funnels through one task — audit-scale
+      exactness, not the streaming default (same trade as
+      calibrate_thresholds(exact=True)).
     """
     if not quantiles or not all(0.0 <= q <= 1.0 for q in quantiles):
         raise ValueError(f"quantiles must be in [0, 1]: {quantiles!r}")
+    if quantile_mode not in ("approx", "exact"):
+        raise ValueError(
+            f"quantile_mode must be 'approx' or 'exact', got "
+            f"{quantile_mode!r}"
+        )
     names = list(columns) if columns is not None else list(df.columns)
     missing = [c for c in names if c not in df.columns]
     if missing:
@@ -90,11 +116,14 @@ def profile_corpus(
                 F.max(mcol).cast("string").alias(f"{c}!max"),
                 F.avg(v).alias(f"{c}!mean"),
                 F.stddev_samp(v).alias(f"{c}!std"),
-                F.percentile_approx(
-                    v, F.array(*[F.lit(q) for q in quantiles]),
-                    F.lit(accuracy),
-                ).alias(f"{c}!q"),
             ]
+            if quantile_mode == "approx":
+                aggs.append(
+                    F.percentile_approx(
+                        v, F.array(*[F.lit(q) for q in quantiles]),
+                        F.lit(accuracy),
+                    ).alias(f"{c}!q")
+                )
             scalar.append(c)
         elif isinstance(dt, T.StringType):
             aggs += [
@@ -115,6 +144,11 @@ def profile_corpus(
 
     row = df.agg(*aggs).collect()[0]
     n_rows = row["__n__"]
+
+    exact_q: dict = {}
+    numeric = [c for c in names if isinstance(by_name[c], _NUMERIC)]
+    if quantile_mode == "exact" and numeric and n_rows:
+        exact_q = _exact_quantiles(df, numeric, quantiles)
 
     est = {}
     kmv_cols = [c for c in scalar if not isinstance(by_name[c], T.BooleanType)]
@@ -144,8 +178,13 @@ def profile_corpus(
                 "stddev": d.get(f"{c}!std"),
                 "avg_len": d.get(f"{c}!len"),
                 "quantiles": (
-                    list(d[f"{c}!q"]) if d.get(f"{c}!q") is not None
-                    else None
+                    exact_q.get(c)
+                    if quantile_mode == "exact"
+                    else (
+                        list(d[f"{c}!q"])
+                        if d.get(f"{c}!q") is not None
+                        else None
+                    )
                 ),
             }
         )
@@ -158,3 +197,80 @@ def profile_corpus(
     return df.sparkSession.createDataFrame(
         [tuple(r.values()) for r in out], schema
     )
+
+
+def _exact_quantiles(
+    df: DataFrame,
+    numeric: Sequence[str],
+    quantiles: Tuple[float, ...],
+) -> dict:
+    """Exact discrete quantiles (the ``ceil(q*n)``-th smallest
+    non-NULL non-NaN value) for every numeric column in ONE job.
+
+    Plan: a per-row array of ``(cidx, value)`` structs (NULL/NaN
+    compacted out) explodes to slim pairs, which exchange ONCE
+    partitioned by column index; a shared-partitioning
+    ``row_number`` + ``count`` window pair (the calibrate.py exact
+    tier's shape — the count rides the rank's exchange) marks each
+    partition's target ranks in-plan, and only those rows are
+    collected (``<= len(numeric) x len(quantiles)``).  The target
+    rank is computed as ``ceil(q * n)`` in DOUBLE arithmetic on both
+    the Spark side and any replaying engine — IEEE multiplication and
+    ceil agree bit-for-bit, so oracles replay it with the same
+    expression.  Ties cannot perturb the answer: every rank inside a
+    tie run holds the same value."""
+    from pyspark.sql.window import Window
+
+    pairs = df.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            F.col(c).isNotNull()
+                            & ~F.isnan(F.col(c).cast("double")),
+                            F.struct(
+                                F.lit(i).alias("cidx"),
+                                F.col(c).cast("double").alias("v"),
+                            ),
+                        )
+                        for i, c in enumerate(numeric)
+                    ]
+                )
+            )
+        ).alias("p")
+    ).select("p.cidx", "p.v")
+    w_rank = Window.partitionBy("cidx").orderBy("v")
+    w_part = Window.partitionBy("cidx")
+    ranked = pairs.select(
+        "cidx",
+        "v",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_part).alias("n"),
+    )
+    hit = None
+    for q in quantiles:
+        cond = F.col("rn") == F.greatest(
+            F.lit(1), F.ceil(F.lit(float(q)) * F.col("n"))
+        )
+        hit = cond if hit is None else (hit | cond)
+    rows = ranked.where(hit).collect()
+    by_col: dict = {}
+    for r in rows:
+        by_col.setdefault(int(r["cidx"]), {})[int(r["rn"])] = (
+            float(r["v"]),
+            int(r["n"]),
+        )
+    import math
+
+    out = {}
+    for i, c in enumerate(numeric):
+        got = by_col.get(i)
+        if not got:
+            out[c] = None
+            continue
+        n = next(iter(got.values()))[1]
+        out[c] = [
+            got[max(1, math.ceil(q * float(n)))][0] for q in quantiles
+        ]
+    return out

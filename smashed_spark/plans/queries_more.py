@@ -1470,6 +1470,28 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AS DOUBLE)
                END AS pd
         FROM prk GROUP BY col
+    ), pqp AS (
+        SELECT col, v,
+               row_number() OVER (PARTITION BY col ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY col) AS n
+        FROM (
+            SELECT 'doc_id' AS col, CAST(doc_id AS DOUBLE) AS v
+            FROM documents WHERE doc_id IS NOT NULL
+            UNION ALL
+            SELECT 'n_chars', CAST(n_chars AS DOUBLE)
+            FROM documents WHERE n_chars IS NOT NULL
+        )
+    ), pq AS (
+        SELECT col,
+               max(CASE WHEN rn = greatest(1,
+                   CAST(ceil(0.25 * n) AS BIGINT)) THEN v END) AS q25,
+               max(CASE WHEN rn = greatest(1,
+                   CAST(ceil(0.5 * n) AS BIGINT)) THEN v END) AS q50,
+               max(CASE WHEN rn = greatest(1,
+                   CAST(ceil(0.75 * n) AS BIGINT)) THEN v END) AS q75,
+               max(CASE WHEN rn = greatest(1,
+                   CAST(ceil(0.99 * n) AS BIGINT)) THEN v END) AS q99
+        FROM pqp GROUP BY col
     ), pstats AS (
         SELECT 'doc_id' AS col, 'bigint' AS dtype,
                count(*) AS n_rows,
@@ -1514,15 +1536,22 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS max_value,
            CAST(NULL AS DOUBLE) AS mean,
            CAST(NULL AS DOUBLE) AS stddev,
-           CAST(NULL AS DOUBLE) AS avg_len
+           CAST(NULL AS DOUBLE) AS avg_len,
+           CAST(NULL AS DOUBLE) AS q25,
+           CAST(NULL AS DOUBLE) AS q50,
+           CAST(NULL AS DOUBLE) AS q75,
+           CAST(NULL AS DOUBLE) AS q99
     FROM kmv_rows
     UNION ALL
     SELECT 'profile', p.col,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            p.dtype, p.n_rows, p.n_nulls, p.null_frac,
-           k.pd, p.min_value, p.max_value, p.mean, p.stddev, p.avg_len
-    FROM pstats p JOIN kmv256 k USING (col)
+           k.pd, p.min_value, p.max_value, p.mean, p.stddev, p.avg_len,
+           q.q25, q.q50, q.q75, q.q99
+    FROM pstats p
+    JOIN kmv256 k USING (col)
+    LEFT JOIN pq q USING (col)
     """,
 )
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,10 +1566,13 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/profile.py profile_corpus) over three documents columns
     — null accounting, stringified min/max envelopes, moments (rounded
     to 4dp; FP summation order differs across engines), string length,
-    and the k=256 KMV distinct estimates — every number replayed in
-    SQL.  GK quantiles are the one column omitted: percentile_approx
-    has no exact cross-engine replay (the r11 reasoned refusal, now
-    narrowed from the whole function to that single field)."""
+    the k=256 KMV distinct estimates, AND exact quantiles via the r12
+    quantile_mode='exact' tier (the ceil(q*n)-th order statistic from
+    a shared rank+count window — deterministic, so the oracle replays
+    it with the same rank CTE) — every number replayed in SQL.  The
+    GK tier (percentile_approx) remains the mergeable 100 TB default
+    and remains unreplayable, but the audit path no longer has ANY
+    field outside the oracle."""
     from ..functions.profile import profile_corpus
     from ..functions.sketches import distinct_estimate
 
@@ -1558,10 +1590,16 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("mean"),
         F.lit(None).cast("double").alias("stddev"),
         F.lit(None).cast("double").alias("avg_len"),
+        F.lit(None).cast("double").alias("q25"),
+        F.lit(None).cast("double").alias("q50"),
+        F.lit(None).cast("double").alias("q75"),
+        F.lit(None).cast("double").alias("q99"),
     )
     docs = load(spark, sf_dir, "documents")
     prof = profile_corpus(
-        docs.select("doc_id", "lang", "n_chars"), kmv_k=256
+        docs.select("doc_id", "lang", "n_chars"),
+        kmv_k=256,
+        quantile_mode="exact",
     ).select(
         F.lit("profile").alias("stage"),
         "column",
@@ -1576,6 +1614,10 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean", 4).alias("mean"),
         F.round("stddev", 4).alias("stddev"),
         F.round("avg_len", 4).alias("avg_len"),
+        F.element_at("quantiles", 1).alias("q25"),
+        F.element_at("quantiles", 2).alias("q50"),
+        F.element_at("quantiles", 3).alias("q75"),
+        F.element_at("quantiles", 4).alias("q99"),
     ).withColumnRenamed("est_distinct_kmv", "est_distinct")
     return kmv.unionByName(prof)
 

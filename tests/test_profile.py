@@ -111,3 +111,114 @@ def test_profile_on_documents(spark, sf_dir):
     assert rows["doc_id"]["n_nulls"] == 0
     assert rows["lang"]["est_distinct"] == 5.0
     assert rows["n_chars"]["quantiles"] is not None
+
+
+def test_exact_quantiles_match_sorted_ranks(spark):
+    """r12: quantile_mode='exact' returns the ceil(q*n)-th smallest
+    non-NULL non-NaN value — checked against a driver-side sort,
+    including ties, NULLs, NaNs, and a column with no valid values."""
+    import math as _m
+
+    rows = [
+        (1.0, 5, None),
+        (2.0, 5, None),
+        (2.0, 1, None),
+        (float("nan"), 2, None),
+        (None, 2, None),
+        (9.0, 7, None),
+    ]
+    df = spark.createDataFrame(rows, "a double, b int, c double")
+    qs = (0.25, 0.5, 0.75, 0.99)
+    prof = {
+        r["column"]: r.asDict()
+        for r in profile_corpus(
+            df, quantiles=qs, quantile_mode="exact"
+        ).collect()
+    }
+
+    def want(vals):
+        vals = sorted(vals)
+        return [vals[max(1, _m.ceil(q * len(vals))) - 1] for q in qs]
+
+    assert prof["a"]["quantiles"] == want([1.0, 2.0, 2.0, 9.0])
+    assert prof["b"]["quantiles"] == want([5.0, 5.0, 1.0, 2.0, 2.0, 7.0])
+    assert prof["c"]["quantiles"] is None  # no valid values
+    # non-numerics stay NULL in exact mode too
+    mixed = df.withColumn("s", F.lit("x"))
+    p2 = {
+        r["column"]: r.asDict()
+        for r in profile_corpus(
+            mixed, quantiles=qs, quantile_mode="exact"
+        ).collect()
+    }
+    assert p2["s"]["quantiles"] is None
+    with pytest.raises(ValueError, match="quantile_mode"):
+        profile_corpus(df, quantile_mode="median")
+
+
+def test_exact_quantiles_single_exchange_plan(spark):
+    """The exact tier's rank job: the count window rides the rank
+    window's exchange (shared partitioning), so the slim pair stream
+    exchanges exactly once."""
+    from pyspark.sql.window import Window
+
+    df = _sample(spark).select("id", "score")
+    pairs = df.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("score").isNotNull()
+                        & ~F.isnan(F.col("score")),
+                        F.struct(
+                            F.lit(0).alias("cidx"),
+                            F.col("score").alias("v"),
+                        ),
+                    )
+                )
+            )
+        ).alias("p")
+    ).select("p.cidx", "p.v")
+    ranked = pairs.select(
+        "cidx",
+        F.row_number()
+        .over(Window.partitionBy("cidx").orderBy("v"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cidx")).alias("n"),
+    )
+    plan = _explain(ranked)
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_exact_quantiles_match_duckdb_rank_replay(spark):
+    """Cross-engine replay: DuckDB computes the same order statistics
+    from the same ceil(q*n) rank expression — the gate-fold oracle's
+    convention."""
+    import duckdb
+
+    vals = [float(x) for x in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    qs = (0.25, 0.5, 0.75, 0.99)
+    prof = {
+        r["column"]: r.asDict()
+        for r in profile_corpus(
+            df, quantiles=qs, quantile_mode="exact"
+        ).collect()
+    }
+    con = duckdb.connect()
+    got = []
+    for q in qs:
+        got.append(
+            con.execute(
+                f"""
+                SELECT v FROM (
+                    SELECT x AS v,
+                           row_number() OVER (ORDER BY x) AS rn,
+                           count(*) OVER () AS n
+                    FROM (SELECT unnest(?) AS x)
+                ) WHERE rn = greatest(1, CAST(ceil({q} * n) AS BIGINT))
+                """,
+                [vals],
+            ).fetchone()[0]
+        )
+    assert prof["x"]["quantiles"] == got
