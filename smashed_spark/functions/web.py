@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..core.mapper import SparkMapper
 
-__all__ = ["UrlHostMapper", "DomainFilterMapper"]
+__all__ = ["UrlHostMapper", "DomainFilterMapper", "UrlCanonicalMapper"]
 
 # applied AFTER the scheme prefix is stripped (a one-regex version
 # backtracks "http://" into host "http"):  [user@]  host  [:port][/...]
@@ -289,3 +289,120 @@ class DomainFilterMapper(SparkMapper):
             )
             .drop("__dom__")
         )
+
+
+# tracking query parameters dropped by UrlCanonicalMapper's default
+# config — the common cross-site click/campaign identifiers; callers
+# with site-specific noise pass their own list
+_TRACKING_PARAMS = (
+    "fbclid", "gclid", "msclkid", "dclid", "mc_eid", "mc_cid",
+    "igshid", "ref_src", "ref_url", "spm", "yclid",
+)
+
+
+class UrlCanonicalMapper(SparkMapper):
+    """Canonicalize a URL column so byte-unequal duplicates of the
+    same resource collapse for exact dedup / per-URL grouping — the
+    step BEFORE ``md5(url)`` keys mean anything at web scale (the
+    same page arrives as ``HTTP://Site.com/a/?utm_source=x#top`` and
+    ``http://site.com/a`` across crawls).
+
+    Rules, in order (each a documented normalization, applied with
+    pure JVM ``regexp``/array algebra — zero Python, zero exchanges,
+    and every expression has a DuckDB twin so oracles replay it):
+
+    1. trim surrounding whitespace; strip the ``#fragment``;
+    2. lowercase the scheme and the host[:port] (never path/query);
+    3. drop the scheme-default port (``:80`` http, ``:443`` https);
+    4. drop tracking query parameters: exact names from
+       ``tracking_params`` plus every ``utm_*``;
+    5. byte-order-sort the surviving ``k=v`` parameters (param order
+       is transport noise; byte order is collation-free on both
+       engines for ASCII params) and drop an emptied query entirely;
+    6. strip trailing ``/`` runs from the path (root ``/`` becomes
+       empty — ``http://a.com/`` == ``http://a.com``).
+
+    Values WITHOUT a ``scheme://`` are passed through steps 1-2's
+    trim/fragment-strip only and otherwise left verbatim (not URLs —
+    a hygiene mapper must not invent structure); NULL stays NULL.
+    """
+
+    def __init__(
+        self,
+        url_field: str = "url",
+        output_field: str = "canon_url",
+        tracking_params: Sequence[str] = _TRACKING_PARAMS,
+    ) -> None:
+        self.url_field = url_field
+        self.output_field = output_field
+        bad = [t for t in tracking_params if not t or "=" in t or "&" in t]
+        if bad:
+            raise ValueError(
+                f"tracking_params must be bare parameter names: {bad}"
+            )
+        self.tracking_params = tuple(tracking_params)
+        super().__init__(
+            input_fields=[url_field], output_fields=[output_field]
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        u0 = F.trim(F.col(self.url_field))
+        # re-trim after the fragment strip: 'text #frag' must not keep
+        # its now-trailing space on the non-URL passthrough path
+        u1 = F.trim(F.regexp_replace(u0, r"#.*", ""))
+        scheme = F.lower(
+            F.regexp_extract(u1, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+        )
+        after = F.regexp_replace(u1, _SCHEME_RE, "")
+        hostport = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+        host = (
+            F.when(
+                (scheme == "http") & hostport.endswith(":80"),
+                hostport.substr(F.lit(1), F.length(hostport) - 3),
+            )
+            .when(
+                (scheme == "https") & hostport.endswith(":443"),
+                hostport.substr(F.lit(1), F.length(hostport) - 4),
+            )
+            .otherwise(hostport)
+        )
+        # everything after host[:port] — '' or starts with '/' or '?'
+        pathq = after.substr(
+            F.length(hostport) + 1, F.length(after)
+        )
+        path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+        query = F.when(
+            pathq.contains("?"),
+            F.regexp_replace(pathq, r"^[^?]*\?", ""),
+        ).otherwise(F.lit(""))
+        drop_re = "|".join(
+            ["utm_[^=&]*"] + [re_escape(t) for t in self.tracking_params]
+        )
+        params = F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(f"^(?:{drop_re})(?:=.*)?$"),
+        )
+        canon_q = F.array_join(F.array_sort(params), "&")
+        path_norm = F.regexp_replace(path, r"/+$", "")
+        canon = F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path_norm,
+            F.when(
+                canon_q != "", F.concat(F.lit("?"), canon_q)
+            ).otherwise(F.lit("")),
+        )
+        return df.withColumn(
+            self.output_field,
+            F.when(scheme == "", u1).otherwise(canon),
+        )
+
+
+def re_escape(s: str) -> str:
+    """Escape a literal for use inside the tracking-param regex —
+    identical escaping semantics on Spark (Java regex) and DuckDB
+    (RE2) for the characters parameter names can contain."""
+    import re as _re
+
+    return _re.escape(s)

@@ -1746,9 +1746,18 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pii_redact",
-    oracle="""
+# tracking-param drop regex for the r12 URL-canonicalization fold —
+# built from the SAME default list the mapper uses (functions/web.py
+# _TRACKING_PARAMS), so gate and oracle can never drift
+import re as _re_url  # noqa: E402
+
+from ..functions.web import _TRACKING_PARAMS as _URL_TRACKING  # noqa: E402
+
+_URL_DROP_RE = "|".join(
+    ["utm_[^=&]*"] + [_re_url.escape(t) for t in _URL_TRACKING]
+)
+
+_PII_REDACT_ORACLE = """
     WITH t AS (
         SELECT doc_id,
                'reach me at ' || source || '_' || doc_id ||
@@ -1850,17 +1859,90 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                array_to_string(list(p ORDER BY i), ' ') AS deduped,
                count(*) AS n_kept
         FROM firsts WHERE rn = 1 GROUP BY doc_id
+    ),
+    -- r12: URL canonicalization (functions/web.py UrlCanonicalMapper)
+    -- over a synthesized per-doc crawl URL exercising every rule:
+    -- mixed-case scheme/host, default vs explicit port, trailing
+    -- slash, utm_/named tracking params, unsorted params, fragment,
+    -- and a schemeless passthrough branch
+    urls AS (
+        SELECT doc_id,
+            CASE WHEN doc_id % 13 = 0
+                 THEN 'no url here ' || CAST(doc_id AS VARCHAR)
+                 ELSE 'HTTP://Crawl-' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.Example.COM'
+                      || CASE WHEN doc_id % 3 = 0 THEN ':80'
+                              WHEN doc_id % 3 = 1 THEN ':8080'
+                              ELSE '' END
+                      || '/docs/' || source
+                      || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                      || '?utm_source=feed&z='
+                      || CAST(doc_id % 5 AS VARCHAR) || '&a=1'
+                      || CASE WHEN doc_id % 4 = 0
+                              THEN '&fbclid=abc' ELSE '' END
+                      || CASE WHEN doc_id % 6 = 0
+                              THEN '#sec' ELSE '' END
+            END AS url
+        FROM documents
+    ), uc AS (
+        SELECT doc_id, trim(regexp_replace(trim(url), '#.*', '')) AS u1
+        FROM urls
+    ), up AS (
+        SELECT *,
+            lower(regexp_extract(u1,
+                '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+            regexp_replace(u1,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS after
+        FROM uc
+    ), uh AS (
+        SELECT *,
+            lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport,
+            substr(after,
+                length(regexp_extract(after, '^([^/?]*)', 1)) + 1)
+                AS pathq
+        FROM up
+    ), uq AS (
+        SELECT *,
+            regexp_extract(pathq, '^([^?]*)', 1) AS upath,
+            CASE WHEN contains(pathq, '?')
+                 THEN regexp_replace(pathq, '^[^?]*\?', '')
+                 ELSE '' END AS uquery
+        FROM uh
+    ), us AS (
+        SELECT *, array_to_string(list_sort(list_filter(
+            string_split(uquery, '&'),
+            x -> x <> '' AND NOT regexp_matches(x,
+                '^(?:__URL_DROP_RE__)(?:=.*)?$'))), '&') AS cq
+        FROM uq
+    ), ucanon AS (
+        SELECT doc_id,
+            CASE WHEN scheme = '' THEN u1 ELSE
+                scheme || '://' ||
+                CASE WHEN scheme = 'http'
+                          AND ends_with(hostport, ':80')
+                     THEN substr(hostport, 1, length(hostport) - 3)
+                     WHEN scheme = 'https'
+                          AND ends_with(hostport, ':443')
+                     THEN substr(hostport, 1, length(hostport) - 4)
+                     ELSE hostport END ||
+                regexp_replace(upath, '/+$', '') ||
+                CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+            END AS canon_url
+        FROM us
     )
     SELECT f.doc_id, f.n_pii_email, f.n_pii_phone, f.n_pii_ipv4,
            f.redacted,
            coalesce(k.deduped, '') AS deduped,
            CAST(len(string_split(f.redacted, ' '))
                 - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
-           c4.c4_text, c4.c4_keep
+           c4.c4_text, c4.c4_keep, u.canon_url
     FROM f LEFT JOIN kept k ON f.doc_id = k.doc_id
     JOIN c4 ON f.doc_id = c4.doc_id
-    """,
-)
+    JOIN ucanon u ON f.doc_id = u.doc_id
+    """.replace("__URL_DROP_RE__", _URL_DROP_RE)
+
+
+@query("pii_redact", oracle=_PII_REDACT_ORACLE)
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over a synthesized-PII text column (emails / phones /
     IPv4 embedded deterministically from doc_id so both engines build
@@ -1879,6 +1961,15 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     a synthesized line-structured input: the gate corpus itself has no
     newlines or terminal punctuation, so deterministic lines are built
     from doc_id + text exercising every rule branch.
+
+    r12: the composite also certifies UrlCanonicalMapper
+    (functions/web.py) — the canonical-form step that makes md5(url)
+    dedup keys meaningful across crawls — on a synthesized per-doc
+    crawl URL exercising every normalization branch; the oracle
+    replays the full rule chain (fragment strip, scheme/host
+    lowercase, default-port drop, tracking-param filter built from
+    the SAME _TRACKING_PARAMS list, byte-order param sort, trailing
+    slash) with DuckDB's regexp/list algebra.
     """
     from ..functions.cleaning import C4CleanMapper
     from ..functions.textstats import PiiRedactMapper
@@ -1908,6 +1999,31 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 5 == 0, F.lit("Tiny."))
         .otherwise(F.lit("Final line with enough words here.")),
     )
+    # r12: synthesized crawl URL exercising every canonicalization
+    # rule branch (mixed-case scheme/host, default vs explicit port,
+    # trailing slash, utm_/named tracking params, unsorted params,
+    # fragment, schemeless passthrough)
+    d = F.col("doc_id")
+    url_built = F.concat(
+        F.lit("HTTP://Crawl-"),
+        (d % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 3 == 0, F.lit(":80"))
+        .when(d % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.col("source"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z="),
+        (d % 5).cast("string"),
+        F.lit("&a=1"),
+        F.when(d % 4 == 0, F.lit("&fbclid=abc")).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    url = F.when(
+        d % 13 == 0,
+        F.concat(F.lit("no url here "), d.cast("string")),
+    ).otherwise(url_built)
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
@@ -1923,8 +2039,14 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
         ).alias("raw"),
         c4_in.alias("c4_in"),
+        url.alias("url"),
     )
     out = PiiRedactMapper("raw", output_field="redacted").map(docs)
+    # r12: URL canonicalization stage (functions/web.py) — narrow
+    # regexp/array algebra riding the same scan
+    from ..functions.web import UrlCanonicalMapper
+
+    out = UrlCanonicalMapper().map(out)
     # r5: the gate is now the full scrub pipeline — corpus-wide
     # word-unit exact dedup (DedupParagraphsMapper with sep=' ') of
     # the redacted text certifies the paragraph-dedup machinery
@@ -1934,7 +2056,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = out.select(
         "doc_id", "n_pii_email", "n_pii_phone", "n_pii_ipv4",
-        "redacted", "c4_in",
+        "redacted", "c4_in", "canon_url",
     ).withColumn("deduped", F.col("redacted"))
     out = DedupParagraphsMapper(
         text_field="deduped", sep=" "
@@ -1943,7 +2065,8 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = C4CleanMapper(text_field="c4_in").map(out)
     return out.select(
         "doc_id", "n_pii_email", "n_pii_phone", "n_pii_ipv4",
-        "redacted", "deduped", "n_removed", "c4_text", "c4_keep"
+        "redacted", "deduped", "n_removed", "c4_text", "c4_keep",
+        "canon_url",
     )
 
 

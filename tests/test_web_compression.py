@@ -234,3 +234,148 @@ def test_url_mapper_suffixes_bare_string_rejected(spark):
     df = spark.createDataFrame([(0, "https://a.co.uk/x")], "id long, url string")
     with pytest.raises(ValueError, match="bare string"):
         UrlHostMapper(suffixes="co.uk").map(df)
+
+
+def test_url_canonical_rules(spark):
+    """r12 UrlCanonicalMapper: each documented normalization on one
+    deliberately-ugly case + the passthrough/NULL edges."""
+    from smashed_spark.functions.web import UrlCanonicalMapper
+
+    cases = {
+        # scheme+host lowercased, :80 dropped, utm_* dropped, params
+        # sorted, trailing slash stripped, fragment stripped; path
+        # case PRESERVED
+        "HTTP://Site.Com:80/A/Path/?utm_source=x&b=2&a=1#frag":
+            "http://site.com/A/Path?a=2&b=2".replace("a=2", "a=1"),
+        "https://site.com:443/": "https://site.com",
+        "https://site.com/": "https://site.com",
+        "https://site.com": "https://site.com",
+        # non-default port kept
+        "http://site.com:8080/x/": "http://site.com:8080/x",
+        # tracking names dropped with and without '=v'
+        "http://a.com/p?fbclid=123": "http://a.com/p",
+        "http://a.com/p?fbclid": "http://a.com/p",
+        # utm_ prefix family + mixed keepers
+        "http://a.com/p?z=1&a=2&utm_campaign=c&gclid=g":
+            "http://a.com/p?a=2&z=1",
+        # whitespace trim; bare '?' dropped; slash runs collapse
+        "  http://a.com/p  ": "http://a.com/p",
+        "http://a.com/p?": "http://a.com/p",
+        "http://a.com//": "http://a.com",
+        # non-http(s) schemes: ports untouched, host still lowered
+        "ftp://Host.Com/File": "ftp://host.com/File",
+        # schemeless passthrough: trim + fragment strip only
+        "not a url #frag": "not a url",
+    }
+    df = spark.createDataFrame(
+        [(k,) for k in list(cases) + [None]], "url string"
+    )
+    got = {
+        r["url"]: r["canon_url"]
+        for r in UrlCanonicalMapper().map(df).collect()
+    }
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
+    assert got[None] is None
+    # custom tracking list replaces the default (utm_ family stays)
+    one = spark.createDataFrame(
+        [("http://a.com/p?sid=1&fbclid=2&utm_x=3",)], "url string"
+    )
+    r = (
+        UrlCanonicalMapper(tracking_params=("sid",))
+        .map(one)
+        .collect()[0]["canon_url"]
+    )
+    assert r == "http://a.com/p?fbclid=2"
+    import pytest
+
+    with pytest.raises(ValueError, match="bare parameter names"):
+        UrlCanonicalMapper(tracking_params=("a=b",))
+
+
+def test_url_canonical_plan_is_narrow(spark):
+    from smashed_spark.functions.web import UrlCanonicalMapper
+
+    df = spark.createDataFrame([("http://a.com/x",)], "url string")
+    plan = _explain(UrlCanonicalMapper().map(df))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_url_canonical_duckdb_replay(spark):
+    """Cross-engine replay of the full rule chain — the pii_redact
+    gate-fold oracle's expression set, pinned here on adversarial
+    cases (the gate corpus exercises a narrower mix)."""
+    import re as _re
+
+    import duckdb
+
+    from smashed_spark.functions.web import (
+        _TRACKING_PARAMS,
+        UrlCanonicalMapper,
+    )
+
+    urls = [
+        "HTTP://Site.Com:80/A/Path/?utm_source=x&b=2&a=1#frag",
+        "https://site.com:443/?yclid=1&k=v",
+        "http://site.com:8080/x/?b=1&a=1&a=0",
+        "plain words #tail",
+        "ftp://Host.Com:21/File/",
+        "http://h.com/p?utm_=x&utm=keepme",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["canon_url"]
+        for r in UrlCanonicalMapper().map(df).collect()
+    }
+    drop_re = "|".join(
+        ["utm_[^=&]*"] + [_re.escape(t) for t in _TRACKING_PARAMS]
+    )
+    con = duckdb.connect()
+    sql = f"""
+    WITH uc AS (
+        SELECT url, trim(regexp_replace(trim(url), '#.*', '')) AS u1
+        FROM (SELECT unnest(?) AS url)
+    ), up AS (
+        SELECT *,
+            lower(regexp_extract(u1,
+                '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+            regexp_replace(u1,
+                '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS after
+        FROM uc
+    ), uh AS (
+        SELECT *,
+            lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport,
+            substr(after,
+                length(regexp_extract(after, '^([^/?]*)', 1)) + 1)
+                AS pathq
+        FROM up
+    ), uq AS (
+        SELECT *,
+            regexp_extract(pathq, '^([^?]*)', 1) AS path,
+            CASE WHEN contains(pathq, '?')
+                 THEN regexp_replace(pathq, '^[^?]*\\?', '')
+                 ELSE '' END AS query
+        FROM uh
+    ), us AS (
+        SELECT *, array_to_string(list_sort(list_filter(
+            string_split(query, '&'),
+            x -> x <> '' AND NOT regexp_matches(x,
+                '^(?:{drop_re})(?:=.*)?$'))), '&') AS cq
+        FROM uq
+    )
+    SELECT url,
+        CASE WHEN scheme = '' THEN u1 ELSE
+            scheme || '://' ||
+            CASE WHEN scheme = 'http' AND ends_with(hostport, ':80')
+                 THEN substr(hostport, 1, length(hostport) - 3)
+                 WHEN scheme = 'https' AND ends_with(hostport, ':443')
+                 THEN substr(hostport, 1, length(hostport) - 4)
+                 ELSE hostport END ||
+            regexp_replace(path, '/+$', '') ||
+            CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+        END AS canon_url
+    FROM us
+    """
+    for url, canon in con.execute(sql, [urls]).fetchall():
+        assert got[url] == canon, (url, got[url], canon)
