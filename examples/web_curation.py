@@ -1,4 +1,5 @@
-"""Web-corpus hygiene (r9 family): URL host/domain extraction ->
+"""Web-corpus hygiene (r9 family): URL canonicalization (r12) ->
+URL host/domain extraction ->
 domain blocklist -> per-domain caps (template-farm control) ->
 compression-ratio + heuristic quality signals -> per-source
 quality-threshold calibration (keep the best 60% of EACH source).
@@ -53,6 +54,15 @@ def main() -> None:
             F.col("doc_id").cast("string"),
         ),
     )
+
+    # 0. canonicalize the URL (r12): mixed-case hosts, tracking
+    # params, default ports, fragments, and trailing slashes all
+    # collapse — this is what makes md5(canon_url) a usable dedup key
+    # across crawls.  Narrow regexp/array algebra, rides the scan.
+    from smashed_spark.functions.web import UrlCanonicalMapper
+
+    docs = UrlCanonicalMapper("url", output_field="url_c").map(docs)
+    docs = docs.drop("url").withColumnRenamed("url_c", "url")
 
     # 1. hosts + registered domains (narrow regexp, rides the scan).
     # Production would pass the real Mozilla PSL snapshot here —

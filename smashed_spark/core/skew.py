@@ -264,3 +264,98 @@ def salted_join(
             ).otherwise(F.lit(0)),
         )
     return fact_salted.join(dim_salted, [on, _SALT], how).drop(_SALT)
+
+
+def hot_keys_cms(
+    df,
+    col: str,
+    support: float,
+    sketch=None,
+    depth: int = 4,
+    width: int = 1 << 16,
+    salt: int = 0,
+    exact: bool = True,
+):
+    """Heavy-hitter detection with a Count-Min sketch in place of
+    :func:`hot_keys`'s ``freqItems`` probe — the MERGEABLE variant a
+    running ingestion pipeline needs: ``freqItems`` state cannot be
+    combined across batches, while per-batch CMS fits ``merge()``
+    into a running sketch (functions/cms.py), so "hot against
+    EVERYTHING ingested so far" needs no history rescan.
+
+    Two modes:
+
+    * ``sketch=None`` (self-contained): fit a CMS over ``df[col]``,
+      take the keys of ``df`` whose estimate clears ``support *
+      total`` as candidates — a guaranteed SUPERSET of the truly-hot
+      keys (CMS never undercounts) — then, with ``exact=True`` (the
+      default), confirm with the same single bucketed scan
+      :func:`hot_keys` pass 2 uses.  Same contract as ``hot_keys``,
+      no 1e-4 support floor.
+    * ``sketch=<running CMS>``: candidates are ``df``'s keys whose
+      history-inclusive estimate clears ``support * sketch.total``.
+      ``exact`` must be False — a confirm pass over ``df`` alone
+      would count only the current batch's occurrences against the
+      whole stream's threshold and drop genuinely hot keys, breaking
+      the one-sided contract.  The result is the documented superset
+      (false positives at the sketch's collision rate; no false
+      negatives among keys PRESENT in ``df`` — a key hot in history
+      but absent from this batch is not enumerable from a sketch).
+
+    Geometry guard: the CMS overcount bound is ``e/width * total``;
+    if that is not comfortably under the threshold (``support/2``),
+    the candidate set stops being support-bounded and the call
+    raises instead of silently returning a flood.
+    """
+    import math
+
+    from ..functions.cms import fit_cms, with_cms_estimate
+
+    if not 0.0 < support < 1.0:
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    if math.e / width >= support / 2:
+        raise ValueError(
+            f"hot_keys_cms: width {width} gives an overcount bound of "
+            f"e/width = {math.e / width:.2e} of total mass, not "
+            f"comfortably under support/2 = {support / 2:.2e} — the "
+            "candidate superset would not be support-bounded; widen "
+            "the sketch or raise support"
+        )
+    if sketch is None:
+        sketch = fit_cms(df, col, depth=depth, width=width, salt=salt)
+    elif exact:
+        raise ValueError(
+            "hot_keys_cms: exact=True with a caller-provided running "
+            "sketch would confirm batch-local counts against the "
+            "whole stream's threshold and drop hot keys — pass "
+            "exact=False (the estimate superset IS the contract) or "
+            "fit on this frame by omitting sketch"
+        )
+    if sketch.total == 0:
+        return []
+    thresh = math.ceil(support * sketch.total * (1 - 1e-12))
+    keys = df.select(F.col(col).alias("__k__")).where(
+        F.col("__k__").isNotNull()
+    ).distinct()
+    cands = [
+        r["__k__"]
+        for r in with_cms_estimate(keys, "__k__", sketch, out="__est__")
+        .where(F.col("__est__") >= F.lit(thresh))
+        .collect()
+    ]
+    if not exact or not cands:
+        return sorted(cands)
+    bucketed = (
+        df.groupBy(
+            F.when(F.col(col).isin(cands), F.col(col)).alias("__k__")
+        )
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in bucketed)
+    thresh = math.ceil(support * total * (1 - 1e-12))
+    return sorted(
+        r["__k__"]
+        for r in bucketed
+        if r["__k__"] is not None and r["count"] >= thresh
+    )

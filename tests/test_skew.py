@@ -235,3 +235,49 @@ def test_hot_keys_floor_warning_fires_for_approx_mode_too(spark):
         warnings.simplefilter("always")
         hot_keys(df, "k", support=1e-4, exact=False)
     assert any("freqItems floor" in str(x.message) for x in w)
+
+
+def test_hot_keys_cms_matches_hot_keys_and_superset(spark):
+    """r12: the mergeable heavy-hitter variant — exact self-fit mode
+    must agree with hot_keys on the same frame; estimate-only mode
+    must be a superset of the truth."""
+    from smashed_spark.core.skew import hot_keys, hot_keys_cms
+
+    rows = (
+        [(7,)] * 200 + [(9,)] * 120 + [(1000 + i,) for i in range(1680)]
+    )
+    df = spark.createDataFrame(rows, "k: bigint")
+    assert hot_keys_cms(df, "k", support=0.05) == hot_keys(
+        df, "k", support=0.05
+    ) == [7, 9]
+    sup = hot_keys_cms(df, "k", support=0.05, exact=False)
+    assert set(sup) >= {7, 9}
+
+
+def test_hot_keys_cms_running_sketch_across_batches(spark):
+    """The reason this variant exists: per-batch fits merge into a
+    running sketch, so a key whose mass accumulated across batches is
+    flagged by a later batch without rescanning history."""
+    import pytest
+
+    from smashed_spark.core.skew import hot_keys_cms
+    from smashed_spark.functions.cms import fit_cms
+
+    b1 = spark.createDataFrame(
+        [(5,)] * 60 + [(100 + i,) for i in range(140)], "k: bigint"
+    )
+    b2 = spark.createDataFrame(
+        [(5,)] * 60 + [(300 + i,) for i in range(140)], "k: bigint"
+    )
+    running = fit_cms(b1, "k").merge(fit_cms(b2, "k"))
+    # key 5 is 120/400 = 30% of the STREAM but only 30% of each batch
+    # too; a batch-local confirm at stream scale would still pass it —
+    # so make the batch-local fraction sub-threshold: key 5 is 60/200
+    # = 30% per batch; threshold 25% of stream total (400) = 100 > 60,
+    # so a batch-only count would DROP it; the running sketch keeps it
+    got = hot_keys_cms(b2, "k", support=0.25, sketch=running, exact=False)
+    assert got == [5]
+    with pytest.raises(ValueError, match="exact=True"):
+        hot_keys_cms(b2, "k", support=0.25, sketch=running)
+    with pytest.raises(ValueError, match="support-bounded"):
+        hot_keys_cms(b2, "k", support=0.0001, width=64, exact=False)

@@ -1343,6 +1343,37 @@ dedup_exact second decade 1.24x (the diff join is fixed-cost-
 dominated even at 500k x 500k snapshot rows), pack_sequences 4.89x —
 nothing superlinear anywhere in the file.
 
+## Round-12 late additions (beyond the VERDICT asks)
+
+* **Exact quantile tier** (functions/profile.py quantile_mode='exact'):
+  the ceil(q*n)-th order statistic for every numeric column in ONE
+  extra job — slim (cidx, value) pairs exchange once partitioned by
+  column index, a shared row_number+count window pair marks target
+  ranks in-plan, and <= columns x quantiles rows come back.  Folded
+  into the sketch_distinct profile stage as q25/q50/q75/q99 with the
+  oracle replaying the same rank CTE — the profiler now has NO field
+  outside the oracle.  GK stays the mergeable 100 TB default; the
+  exact tier's documented bound is one partition per column (the
+  calibrate exact-tier trade).
+* **UrlCanonicalMapper** (functions/web.py): canonical URL form for
+  cross-crawl dedup keys — trim+fragment strip, scheme/host
+  lowercase, scheme-default port drop, utm_*/named tracking-param
+  filter, byte-order param sort, trailing-slash strip; schemeless
+  passthrough; pure regexp/array algebra, zero exchanges.  Folded
+  into pii_redact on synthesized crawl URLs exercising every branch;
+  the tracking list is shared between mapper and oracle (the
+  constants convention), and a 13-case unit corpus carries its own
+  DuckDB replay.
+* **hot_keys_cms** (core/skew.py): the mergeable heavy-hitter
+  composition the CMS module documented — self-fit mode reproduces
+  hot_keys exactly (no 1e-4 freqItems floor); running-sketch mode
+  gives history-inclusive superset verdicts per batch without
+  rescanning history (exact-confirm against a caller sketch is
+  REFUSED: a batch-local count against a stream-total threshold
+  would drop genuinely hot keys).  Geometry guard raises when
+  e/width is not under support/2, keeping the candidate set
+  support-bounded.
+
 ## Round-12 streaming_ingest_fuzzy job census (r11 VERDICT ask #6)
 
 The gate is the bench's largest line (11.2 s at sf0.1).  A per-job
