@@ -266,6 +266,19 @@ def salted_join(
     return fact_salted.join(dim_salted, [on, _SALT], how).drop(_SALT)
 
 
+def _check_cms_support(width: int, support: float) -> None:
+    import math
+
+    if math.e / width >= support / 2:
+        raise ValueError(
+            f"hot_keys_cms: width {width} gives an overcount bound of "
+            f"e/width = {math.e / width:.2e} of total mass, not "
+            f"comfortably under support/2 = {support / 2:.2e} — the "
+            "candidate superset would not be support-bounded; widen "
+            "the sketch or raise support"
+        )
+
+
 def hot_keys_cms(
     df,
     col: str,
@@ -313,34 +326,42 @@ def hot_keys_cms(
 
     if not 0.0 < support < 1.0:
         raise ValueError(f"support must be in (0, 1), got {support}")
-    if math.e / width >= support / 2:
-        raise ValueError(
-            f"hot_keys_cms: width {width} gives an overcount bound of "
-            f"e/width = {math.e / width:.2e} of total mass, not "
-            f"comfortably under support/2 = {support / 2:.2e} — the "
-            "candidate superset would not be support-bounded; widen "
-            "the sketch or raise support"
-        )
     if sketch is None:
+        # validate the geometry BEFORE paying for the fit
+        _check_cms_support(width, support)
         sketch = fit_cms(df, col, depth=depth, width=width, salt=salt)
-    elif exact:
-        raise ValueError(
-            "hot_keys_cms: exact=True with a caller-provided running "
-            "sketch would confirm batch-local counts against the "
-            "whole stream's threshold and drop hot keys — pass "
-            "exact=False (the estimate superset IS the contract) or "
-            "fit on this frame by omitting sketch"
-        )
+    else:
+        if exact:
+            raise ValueError(
+                "hot_keys_cms: exact=True with a caller-provided "
+                "running sketch would confirm batch-local counts "
+                "against the whole stream's threshold and drop hot "
+                "keys — pass exact=False (the estimate superset IS "
+                "the contract) or fit on this frame by omitting "
+                "sketch"
+            )
+        # the guard must judge the sketch that will actually answer —
+        # the width/depth/salt PARAMETERS are fit-mode-only and a
+        # narrow running sketch would otherwise sail past a check of
+        # the unused default
+        _check_cms_support(sketch.width, support)
     if sketch.total == 0:
         return []
     thresh = math.ceil(support * sketch.total * (1 - 1e-12))
-    keys = df.select(F.col(col).alias("__k__")).where(
+    # estimate on the RAW key stream and filter BEFORE the distinct:
+    # the exchange then carries only threshold-passing rows (map-side
+    # partial dedup folds each partition to <= candidates rows) —
+    # dedup-then-estimate would shuffle the entire key vocabulary,
+    # the exact full-key exchange this module exists to avoid
+    keyed = df.select(F.col(col).alias("__k__")).where(
         F.col("__k__").isNotNull()
-    ).distinct()
+    )
     cands = [
         r["__k__"]
-        for r in with_cms_estimate(keys, "__k__", sketch, out="__est__")
+        for r in with_cms_estimate(keyed, "__k__", sketch, out="__est__")
         .where(F.col("__est__") >= F.lit(thresh))
+        .select("__k__")
+        .distinct()
         .collect()
     ]
     if not exact or not cands:

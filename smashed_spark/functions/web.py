@@ -40,7 +40,12 @@ from pyspark.sql import functions as F
 
 from ..core.mapper import SparkMapper
 
-__all__ = ["UrlHostMapper", "DomainFilterMapper", "UrlCanonicalMapper"]
+__all__ = [
+    "UrlHostMapper",
+    "DomainFilterMapper",
+    "UrlCanonicalMapper",
+    "tracking_drop_regex",
+]
 
 # applied AFTER the scheme prefix is stripped (a one-regex version
 # backtracks "http://" into host "http"):  [user@]  host  [:port][/...]
@@ -300,6 +305,17 @@ _TRACKING_PARAMS = (
 )
 
 
+def tracking_drop_regex(params: Sequence[str]) -> str:
+    """The tracking-parameter drop pattern — ``utm_*`` plus the given
+    exact names — built in ONE place so the mapper, the pii_redact
+    gate oracle, and the unit replay can never drift (``re.escape``
+    emits identical escaping for Java regex and RE2 over the
+    characters parameter names can contain)."""
+    import re as _re
+
+    return "|".join(["utm_[^=&]*"] + [_re.escape(t) for t in params])
+
+
 class UrlCanonicalMapper(SparkMapper):
     """Canonicalize a URL column so byte-unequal duplicates of the
     same resource collapse for exact dedup / per-URL grouping — the
@@ -312,7 +328,8 @@ class UrlCanonicalMapper(SparkMapper):
     and every expression has a DuckDB twin so oracles replay it):
 
     1. trim surrounding whitespace; strip the ``#fragment``;
-    2. lowercase the scheme and the host[:port] (never path/query);
+    2. lowercase the scheme and the host[:port] — never path,
+       query, or RFC-3986 case-sensitive userinfo (``User@`` is kept);
     3. drop the scheme-default port (``:80`` http, ``:443`` https);
     4. drop tracking query parameters: exact names from
        ``tracking_params`` plus every ``utm_*``;
@@ -354,7 +371,15 @@ class UrlCanonicalMapper(SparkMapper):
             F.regexp_extract(u1, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
         )
         after = F.regexp_replace(u1, _SCHEME_RE, "")
-        hostport = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+        authority = F.regexp_extract(after, r"^([^/?]*)", 1)
+        # lowercase ONLY host[:port] — RFC 3986 userinfo (user:pass@)
+        # is case-sensitive, and merging 'UserA@' with 'usera@' would
+        # conflate genuinely different resources
+        userinfo = F.regexp_extract(authority, r"^([^@]*@)", 1)
+        hostport = F.concat(
+            userinfo,
+            F.lower(F.regexp_replace(authority, r"^[^@]*@", "")),
+        )
         host = (
             F.when(
                 (scheme == "http") & hostport.endswith(":80"),
@@ -366,18 +391,16 @@ class UrlCanonicalMapper(SparkMapper):
             )
             .otherwise(hostport)
         )
-        # everything after host[:port] — '' or starts with '/' or '?'
+        # everything after the authority — '' or starts with '/' or '?'
         pathq = after.substr(
-            F.length(hostport) + 1, F.length(after)
+            F.length(authority) + 1, F.length(after)
         )
         path = F.regexp_extract(pathq, r"^([^?]*)", 1)
         query = F.when(
             pathq.contains("?"),
             F.regexp_replace(pathq, r"^[^?]*\?", ""),
         ).otherwise(F.lit(""))
-        drop_re = "|".join(
-            ["utm_[^=&]*"] + [re_escape(t) for t in self.tracking_params]
-        )
+        drop_re = tracking_drop_regex(self.tracking_params)
         params = F.filter(
             F.split(query, "&"),
             lambda x: (x != "") & ~x.rlike(f"^(?:{drop_re})(?:=.*)?$"),
@@ -397,12 +420,3 @@ class UrlCanonicalMapper(SparkMapper):
             self.output_field,
             F.when(scheme == "", u1).otherwise(canon),
         )
-
-
-def re_escape(s: str) -> str:
-    """Escape a literal for use inside the tracking-param regex —
-    identical escaping semantics on Spark (Java regex) and DuckDB
-    (RE2) for the characters parameter names can contain."""
-    import re as _re
-
-    return _re.escape(s)

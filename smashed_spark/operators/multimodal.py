@@ -128,14 +128,22 @@ class ImageDecodeMapper(SparkMapper):
 
                         from PIL import Image
 
-                        with Image.open(io.BytesIO(raw)) as img:
-                            metas.append(
-                                {
-                                    "width": img.width,
-                                    "height": img.height,
-                                    "mode": img.mode,
-                                }
-                            )
+                        # corrupt/non-image bytes yield a NULL meta,
+                        # never a task failure: at corpus scale a few
+                        # truncated blobs are a certainty, and one
+                        # must not kill a 100 TB decode job (filter
+                        # `meta IS NULL` downstream to quarantine)
+                        try:
+                            with Image.open(io.BytesIO(raw)) as img:
+                                metas.append(
+                                    {
+                                        "width": img.width,
+                                        "height": img.height,
+                                        "mode": img.mode,
+                                    }
+                                )
+                        except Exception:
+                            metas.append(None)
                     else:
                         # deterministic fake: dimensions from content hash
                         h = hashlib.md5(raw).digest()

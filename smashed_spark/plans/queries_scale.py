@@ -1749,13 +1749,10 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tracking-param drop regex for the r12 URL-canonicalization fold —
 # built from the SAME default list the mapper uses (functions/web.py
 # _TRACKING_PARAMS), so gate and oracle can never drift
-import re as _re_url  # noqa: E402
-
 from ..functions.web import _TRACKING_PARAMS as _URL_TRACKING  # noqa: E402
+from ..functions.web import tracking_drop_regex as _tdr  # noqa: E402
 
-_URL_DROP_RE = "|".join(
-    ["utm_[^=&]*"] + [_re_url.escape(t) for t in _URL_TRACKING]
-)
+_URL_DROP_RE = _tdr(_URL_TRACKING)
 
 _PII_REDACT_ORACLE = """
     WITH t AS (
@@ -1896,7 +1893,11 @@ _PII_REDACT_ORACLE = """
         FROM uc
     ), uh AS (
         SELECT *,
-            lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport,
+            regexp_extract(regexp_extract(after, '^([^/?]*)', 1),
+                           '^([^@]*@)', 1)
+                || lower(regexp_replace(
+                       regexp_extract(after, '^([^/?]*)', 1),
+                       '^[^@]*@', '')) AS hostport,
             substr(after,
                 length(regexp_extract(after, '^([^/?]*)', 1)) + 1)
                 AS pathq

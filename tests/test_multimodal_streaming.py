@@ -40,18 +40,24 @@ def test_image_decode_env_blocked_refusal(spark):
     from smashed_spark.operators.multimodal import _try_pil
 
     if _try_pil():
-        # real tier live: decode an actual in-memory PNG end-to-end
+        # real tier live: decode an actual in-memory PNG end-to-end,
+        # AND corrupt bytes must yield a NULL meta, not a task failure
         import io
 
         from PIL import Image
 
         buf = io.BytesIO()
         Image.new("RGB", (3, 2)).save(buf, format="PNG")
-        df = spark.createDataFrame([(1, buf.getvalue())], "id int, image binary")
-        meta = (
-            ImageDecodeMapper(require_codec=True).map(df).collect()[0].image_meta
+        df = spark.createDataFrame(
+            [(1, buf.getvalue()), (2, b"not an image")],
+            "id int, image binary",
         )
-        assert (meta.width, meta.height, meta.mode) == (3, 2, "RGB")
+        rows = {
+            r["id"]: r["image_meta"]
+            for r in ImageDecodeMapper(require_codec=True).map(df).collect()
+        }
+        assert (rows[1].width, rows[1].height, rows[1].mode) == (3, 2, "RGB")
+        assert rows[2] is None
     else:
         with pytest.raises(NotImplementedError, match="requires PIL"):
             ImageDecodeMapper(require_codec=True)

@@ -264,6 +264,9 @@ def test_url_canonical_rules(spark):
         "http://a.com//": "http://a.com",
         # non-http(s) schemes: ports untouched, host still lowered
         "ftp://Host.Com/File": "ftp://host.com/File",
+        # RFC-3986 userinfo is case-SENSITIVE: preserved verbatim
+        # while the host after it still lowers
+        "http://UserA@Site.Com/x": "http://UserA@site.com/x",
         # schemeless passthrough: trim + fragment strip only
         "not a url #frag": "not a url",
     }
@@ -306,13 +309,12 @@ def test_url_canonical_duckdb_replay(spark):
     """Cross-engine replay of the full rule chain — the pii_redact
     gate-fold oracle's expression set, pinned here on adversarial
     cases (the gate corpus exercises a narrower mix)."""
-    import re as _re
-
     import duckdb
 
     from smashed_spark.functions.web import (
         _TRACKING_PARAMS,
         UrlCanonicalMapper,
+        tracking_drop_regex,
     )
 
     urls = [
@@ -322,15 +324,14 @@ def test_url_canonical_duckdb_replay(spark):
         "plain words #tail",
         "ftp://Host.Com:21/File/",
         "http://h.com/p?utm_=x&utm=keepme",
+        "https://MixedUser:Pw@Host.COM:443/p/@mention/",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = {
         r["url"]: r["canon_url"]
         for r in UrlCanonicalMapper().map(df).collect()
     }
-    drop_re = "|".join(
-        ["utm_[^=&]*"] + [_re.escape(t) for t in _TRACKING_PARAMS]
-    )
+    drop_re = tracking_drop_regex(_TRACKING_PARAMS)
     con = duckdb.connect()
     sql = f"""
     WITH uc AS (
@@ -345,7 +346,11 @@ def test_url_canonical_duckdb_replay(spark):
         FROM uc
     ), uh AS (
         SELECT *,
-            lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport,
+            regexp_extract(regexp_extract(after, '^([^/?]*)', 1),
+                           '^([^@]*@)', 1)
+                || lower(regexp_replace(
+                       regexp_extract(after, '^([^/?]*)', 1),
+                       '^[^@]*@', '')) AS hostport,
             substr(after,
                 length(regexp_extract(after, '^([^/?]*)', 1)) + 1)
                 AS pathq
