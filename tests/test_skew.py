@@ -281,3 +281,38 @@ def test_hot_keys_cms_running_sketch_across_batches(spark):
         hot_keys_cms(b2, "k", support=0.25, sketch=running)
     with pytest.raises(ValueError, match="support-bounded"):
         hot_keys_cms(b2, "k", support=0.0001, width=64, exact=False)
+
+
+def test_hot_keys_cms_filters_below_the_distinct_exchange(spark):
+    """r12 review fix pin: the estimate filter must run BELOW the
+    distinct's exchange so the shuffle carries only threshold-passing
+    rows — dedup-then-estimate would exchange the full key
+    vocabulary.  Physical plans print parents first, so the (single)
+    Exchange must appear before the Filter, which must appear before
+    the Arrow estimate eval feeding it."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from smashed_spark.functions.cms import fit_cms, with_cms_estimate
+
+    df = spark.createDataFrame(
+        [(i % 50,) for i in range(2000)], "k: bigint"
+    )
+    sk = fit_cms(df, "k")
+    thresh = math.ceil(0.05 * sk.total)
+    keyed = df.select(F.col("k").alias("__k__")).where(
+        F.col("__k__").isNotNull()
+    )
+    plan_df = (
+        with_cms_estimate(keyed, "__k__", sk, out="__est__")
+        .where(F.col("__est__") >= F.lit(thresh))
+        .select("__k__")
+        .distinct()
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    ex = plan.index("Exchange hashpartitioning")
+    fi = plan.index("Filter ")
+    ar = plan.index("ArrowEvalPython")
+    assert ex < fi < ar, plan
