@@ -653,6 +653,78 @@ def main() -> None:
             out[tier] = round(best, 3)
         return out
 
+    quantile_selected = not only or "profile_quantile_tiers" in only
+
+    def run_quantile_tiers(doc_dir: str, reps: int = 2) -> dict:
+        from smashed_spark.functions.profile import profile_corpus
+
+        docs = spark.read.parquet(f"{doc_dir}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+        out = {}
+        for tier in ("exact", "approx"):
+            best = -1.0
+            for _ in range(reps):
+                isolate()
+                t0 = time.perf_counter()
+                profile_corpus(
+                    docs, kmv_k=64, quantile_mode=tier
+                ).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            out[tier] = round(best, 3)
+        return out
+
+    if quantile_selected:
+        q1 = run_quantile_tiers(BASE)
+        q10 = run_quantile_tiers(scaled_dir)
+        qdeep = tempfile.mkdtemp(prefix="smashed_quant_deep_")
+        try:
+            build_scaled_deep(
+                spark, qdeep, DEEP_COPIES, tables=("documents",)
+            )
+            q100 = run_quantile_tiers(qdeep)
+        finally:
+            shutil.rmtree(qdeep, ignore_errors=True)
+        qe2 = (
+            round(q100["exact"] / q10["exact"], 2)
+            if q10["exact"] > 0 else None
+        )
+        qa2 = (
+            round(q100["approx"] / q10["approx"], 2)
+            if q10["approx"] > 0 else None
+        )
+        result["queries"]["profile_quantile_tiers"] = {
+            "exact_sec_1x": q1["exact"],
+            "exact_sec_10x": q10["exact"],
+            "exact_sec_100x": q100["exact"],
+            "exact_second_decade_ratio": qe2,
+            "approx_sec_1x": q1["approx"],
+            "approx_sec_10x": q10["approx"],
+            "approx_sec_100x": q100["approx"],
+            "approx_second_decade_ratio": qa2,
+            "note": (
+                "full profile_corpus over (doc_id, n_chars) at each "
+                "tier; the tiers differ by the exact tier's ONE extra "
+                "rank-window job (slim pairs, one exchange on the "
+                "column index) vs percentile_approx partials riding "
+                "the shared global aggregate.  The exact tier's "
+                "documented bound is one partition per COLUMN — at "
+                "500k rows x 2 columns the per-partition sorts are "
+                "trivial, so near-flat decades here exonerate the "
+                "fold; the ceiling only binds at "
+                "billions-of-rows-per-column, which is why approx "
+                "(GK, mergeable) stays the 100 TB default"
+            ),
+        }
+        print(
+            f"# profile_quantile_tiers: exact {q1['exact']}/"
+            f"{q10['exact']}/{q100['exact']}s (2nd decade {qe2}), "
+            f"approx {q1['approx']}/{q10['approx']}/{q100['approx']}s "
+            f"(2nd decade {qa2})",
+            file=sys.stderr,
+        )
+
     if calibrate_selected:
         c1 = run_calibrate_tiers(BASE)
         c10 = run_calibrate_tiers(scaled_dir)
