@@ -98,6 +98,24 @@ def main() -> None:
     print(f"day 2: {n2_in} arrived, {n2_out} survived "
           f"({n2_in - n2_out} dropped; {n_reposts_left} re-/near-posts "
           "slipped through the band S-curve)")
+
+    # ---- running heavy hitters (r12): per-day Count-Min fits merge
+    # into a stream-lifetime sketch, so day 2 can flag sources hot
+    # against EVERYTHING ingested so far without rescanning day 1 —
+    # the freqItems probe cannot merge across days (core/skew.py
+    # hot_keys_cms; verdicts are a guaranteed superset of the
+    # truly-hot keys)
+    from smashed_spark.core.skew import hot_keys_cms
+    from smashed_spark.functions.cms import fit_cms
+
+    src1 = kept1.withColumn("src", F.col("doc_id") % 5)
+    src2 = kept2.withColumn("src", F.col("doc_id") % 5)
+    running = fit_cms(src1, "src").merge(fit_cms(src2, "src"))
+    hot = hot_keys_cms(
+        src2, "src", support=0.15, sketch=running, exact=False
+    )
+    print(f"stream-lifetime hot sources (support 15%): {hot} — "
+          "feed these into salted_join(hot=) for the next stage")
     spark.stop()
 
 
