@@ -132,7 +132,14 @@ class ImageDecodeMapper(SparkMapper):
                         # never a task failure: at corpus scale a few
                         # truncated blobs are a certainty, and one
                         # must not kill a 100 TB decode job (filter
-                        # `meta IS NULL` downstream to quarantine)
+                        # `meta IS NULL` downstream to quarantine).
+                        # Catch ONLY decode-shaped errors
+                        # (UnidentifiedImageError is an OSError;
+                        # truncated streams raise OSError/ValueError/
+                        # SyntaxError; oversized images raise
+                        # DecompressionBombError) — a genuine
+                        # programming fault still fails the task
+                        # loudly instead of masquerading as bad data.
                         try:
                             with Image.open(io.BytesIO(raw)) as img:
                                 metas.append(
@@ -142,7 +149,12 @@ class ImageDecodeMapper(SparkMapper):
                                         "mode": img.mode,
                                     }
                                 )
-                        except Exception:
+                        except (
+                            OSError,
+                            SyntaxError,
+                            ValueError,
+                            Image.DecompressionBombError,
+                        ):
                             metas.append(None)
                     else:
                         # deterministic fake: dimensions from content hash

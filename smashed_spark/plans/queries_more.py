@@ -456,6 +456,13 @@ def _bind_io_zdocs_path() -> str:
     import os
     import tempfile
 
+    # explicit override wins: a driver that runs gates in SPAWNED
+    # workers (where a re-import would re-bind under a new pid and
+    # diverge from the oracle string baked in the parent) can pin one
+    # shared location for both the writer and the oracle
+    override = os.environ.get("SMASHED_IO_ZDOCS_DIR")
+    if override:
+        return override
     return os.path.join(
         tempfile.gettempdir(), f"smashed_io_zdocs_{os.getpid()}"
     )
@@ -469,6 +476,9 @@ def _bind_io_zdocs_path() -> str:
 # (not per call): a fork after import copies this constant, so the
 # writer and the oracle can never disagree even if the gate runs in a
 # forked worker while the oracle string was built in the parent.
+# SPAWN caveat: a spawn-started worker re-imports this module under a
+# new pid and would bind a different path — set SMASHED_IO_ZDOCS_DIR
+# in that configuration so parent and worker agree.
 # DuckDB only touches the files at EXECUTE time, which the drive
 # sequences after the Spark run (the gate write is mode=overwrite, so
 # a stale directory from a crashed earlier run is replaced before the
@@ -478,6 +488,36 @@ _IO_ZDOCS_PATH = _bind_io_zdocs_path()
 
 def _io_zdocs_path() -> str:
     return _IO_ZDOCS_PATH
+
+
+def _claim_io_zdocs_dir(path: str) -> None:
+    """Refuse to write through a path another user pre-created.
+
+    The pid-keyed name is predictable, so on a multi-user host someone
+    could pre-create or symlink it and have the gate's overwrite follow
+    the link.  Claim the directory first: create it 0o700 if absent,
+    and if it already exists require that it is a real directory (not a
+    symlink) owned by us — otherwise fail loudly instead of rewriting
+    foreign files.
+    """
+    import os
+
+    if os.path.islink(path):
+        raise RuntimeError(
+            f"io_roundtrip staging dir {path!r} is a symlink — refusing "
+            "to write through it (pre-created by another process?). "
+            "Set SMASHED_IO_ZDOCS_DIR to a private location."
+        )
+    try:
+        os.makedirs(path, mode=0o700)
+    except FileExistsError:
+        st = os.stat(path, follow_symlinks=False)
+        if hasattr(os, "geteuid") and st.st_uid != os.geteuid():
+            raise RuntimeError(
+                f"io_roundtrip staging dir {path!r} exists and is owned "
+                f"by uid {st.st_uid}, not us — refusing to overwrite. "
+                "Set SMASHED_IO_ZDOCS_DIR to a private location."
+            )
 
 
 def _io_roundtrip_oracle() -> str:
@@ -591,6 +631,7 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="overwrite",
     )
     zdocs = _io_zdocs_path()
+    _claim_io_zdocs_dir(zdocs)
     atexit.register(shutil.rmtree, zdocs, ignore_errors=True)
     optimize_layout(
         docs.select("doc_id", "n_chars"),

@@ -1887,9 +1887,9 @@ _PII_REDACT_ORACLE = """
     ), up AS (
         SELECT *,
             lower(regexp_extract(u1,
-                '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
             regexp_replace(u1,
-                '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS after
+                '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS after
         FROM uc
     ), uh AS (
         SELECT *,
@@ -1906,7 +1906,7 @@ _PII_REDACT_ORACLE = """
         SELECT *,
             regexp_extract(pathq, '^([^?]*)', 1) AS upath,
             CASE WHEN contains(pathq, '?')
-                 THEN regexp_replace(pathq, '^[^?]*\?', '')
+                 THEN regexp_replace(pathq, '^[^?]*\\?', '')
                  ELSE '' END AS uquery
         FROM uh
     ), us AS (

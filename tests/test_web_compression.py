@@ -246,7 +246,7 @@ def test_url_canonical_rules(spark):
         # sorted, trailing slash stripped, fragment stripped; path
         # case PRESERVED
         "HTTP://Site.Com:80/A/Path/?utm_source=x&b=2&a=1#frag":
-            "http://site.com/A/Path?a=2&b=2".replace("a=2", "a=1"),
+            "http://site.com/A/Path?a=1&b=2",
         "https://site.com:443/": "https://site.com",
         "https://site.com/": "https://site.com",
         "https://site.com": "https://site.com",
