@@ -57,6 +57,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+from contextlib import contextmanager
 from typing import Dict, Mapping, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -654,14 +655,54 @@ def _local_path(path: str, caller: str = "compact_dataset") -> str:
             raise ValueError(
                 f"{caller}: {scheme}:// paths are not supported "
                 "— object stores have no atomic directory rename, so "
-                "an in-place swap cannot be crash-safe there.  The "
-                "cloud recipe is: write a NEW prefix with "
-                "optimize_layout/write_parquet, then flip your table "
-                "pointer (Iceberg/Delta commit or a manifest file) "
-                "and delete the old prefix after."
+                "an in-place swap cannot be crash-safe there.  Use the "
+                "snapshot protocol instead (sources/snapshot.py): "
+                "compact_snapshot / apply_deletions_snapshot write a "
+                "NEW prefix, commit a versioned manifest, and flip the "
+                "table pointer atomically; vacuum_snapshots deletes "
+                "the old prefix after."
             )
         return path.split("://", 1)[1]
     return path
+
+
+@contextmanager
+def packed_scan_conf(spark: SparkSession, target_file_bytes: int):
+    """Scoped confs that make a file-source SCAN bin-pack small files
+    into ~``target_file_bytes`` splits, so a plain read→write compacts
+    with ZERO exchanges (each task writes one target-sized file).
+    Shared by :func:`compact_dataset` (in-place swap) and the
+    snapshot-publish compaction (sources/snapshot.py, write-new-prefix).
+    Every conf is restored on exit — to its previous value, or unset if
+    it was unset (a leaked conf is the scale_probe lesson)."""
+    conf_keys = {
+        "spark.sql.files.maxPartitionBytes": str(int(target_file_bytes)),
+        # each packed file is charged openCostInBytes on top of its
+        # size, so the default (4 MB) would cap a bin at a handful of
+        # tiny files; 4 KB still models the seek without starving the
+        # pack
+        "spark.sql.files.openCostInBytes": str(4 << 10),
+        # Spark floors the split size at totalBytes/parallelism so a
+        # small scan still uses every core — correct for queries,
+        # wrong for a compaction whose whole point is the byte
+        # target; pin the floor to 1 so maxSplitBytes == target
+        "spark.sql.files.minPartitionNum": "1",
+    }
+    prev: Dict[str, Optional[str]] = {}
+    for k, v in conf_keys.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _parquet_files_under(local: str):
@@ -723,27 +764,7 @@ def compact_dataset(
     staging = _staging_path(local)
     shutil.rmtree(staging, ignore_errors=True)
 
-    conf_keys = {
-        "spark.sql.files.maxPartitionBytes": str(int(target_file_bytes)),
-        # each packed file is charged openCostInBytes on top of its
-        # size, so the default (4 MB) would cap a bin at a handful of
-        # tiny files; 4 KB still models the seek without starving the
-        # pack
-        "spark.sql.files.openCostInBytes": str(4 << 10),
-        # Spark floors the split size at totalBytes/parallelism so a
-        # small scan still uses every core — correct for queries,
-        # wrong for a compaction whose whole point is the byte
-        # target; pin the floor to 1 so maxSplitBytes == target
-        "spark.sql.files.minPartitionNum": "1",
-    }
-    prev: Dict[str, Optional[str]] = {}
-    for k, v in conf_keys.items():
-        try:
-            prev[k] = spark.conf.get(k)
-        except Exception:
-            prev[k] = None
-        spark.conf.set(k, v)
-    try:
+    with packed_scan_conf(spark, target_file_bytes):
         df = spark.read.parquet(local)
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
@@ -752,12 +773,6 @@ def compact_dataset(
             .option("compression", compression)
             .parquet(staging)
         )
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     if not os.path.isfile(os.path.join(staging, "_SUCCESS")):
         raise RuntimeError(
             "compact_dataset: staging write finished without _SUCCESS; "

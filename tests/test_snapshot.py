@@ -1,0 +1,394 @@
+"""Snapshot publish protocol (sources/snapshot.py): write-new-prefix +
+versioned manifest + atomic pointer flip — crash windows simulated on
+both the writer and reader side, local and (moto) s3 tiers.
+"""
+
+import json
+import os
+
+import pytest
+
+import smashed_spark.sources.snapshot as snap
+from smashed_spark.sources.snapshot import (
+    apply_deletions_snapshot,
+    compact_snapshot,
+    list_snapshots,
+    publish_snapshot,
+    read_snapshot,
+    resolve_snapshot,
+    vacuum_snapshots,
+)
+
+
+def _df(spark, n=100, tag="a"):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(tag + "_"), F.col("id")).alias("text"),
+    )
+
+
+def _rows(df):
+    return sorted((r.doc_id, r.text) for r in df.collect())
+
+
+def _root(tmp_path):
+    return str(tmp_path / "table")
+
+
+# ---------------------------------------------------------------------------
+# happy path: publish / resolve / read / time travel
+# ---------------------------------------------------------------------------
+
+
+def test_publish_read_roundtrip(spark, tmp_path):
+    root = _root(tmp_path)
+    info = publish_snapshot(_df(spark, 50), root)
+    assert info.version == 1
+    assert info.row_count == 50
+    assert info.parent is None
+    assert info.operation == "publish"
+    assert all(f["bytes"] > 0 for f in info.files)
+    assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 50))
+
+
+def test_versions_increment_and_time_travel(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+    info2 = publish_snapshot(_df(spark, 20, "b"), root)
+    assert info2.version == 2
+    assert info2.parent == 1
+    assert list_snapshots(root) == [1, 2]
+    # latest is v2; explicit version=1 still reads the old bytes
+    assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 20, "b"))
+    assert _rows(read_snapshot(spark, root, version=1)) == _rows(
+        _df(spark, 10, "a")
+    )
+
+
+def test_resolve_errors(spark, tmp_path):
+    root = _root(tmp_path)
+    with pytest.raises(FileNotFoundError, match="no pointer"):
+        resolve_snapshot(root)
+    publish_snapshot(_df(spark, 5), root)
+    with pytest.raises(FileNotFoundError, match="no manifest"):
+        resolve_snapshot(root, version=99)
+
+
+def test_reader_scans_manifest_file_list_not_prefix(spark, tmp_path):
+    """Debris inside the data prefix (a file a crashed job left behind)
+    must never leak into a read — the reader scans the manifest's file
+    list, not the directory."""
+    root = _root(tmp_path)
+    info = publish_snapshot(_df(spark, 10), root)
+    # drop a foreign parquet file into the published prefix
+    _df(spark, 999).limit(3).write.parquet(str(tmp_path / "debris"))
+    part = next(
+        f
+        for f in os.listdir(str(tmp_path / "debris"))
+        if f.endswith(".parquet")
+    )
+    os.rename(
+        str(tmp_path / "debris" / part),
+        os.path.join(info.data_prefix, "zz-debris.parquet"),
+    )
+    assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 10))
+
+
+# ---------------------------------------------------------------------------
+# crash windows
+# ---------------------------------------------------------------------------
+
+
+def test_crash_before_manifest_is_invisible_and_vacuumable(
+    spark, tmp_path, monkeypatch
+):
+    """Window 1: data prefix written, manifest never lands.  The old
+    snapshot stays current; retry succeeds; vacuum sweeps the orphan."""
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+
+    real = snap._write_atomic
+
+    def boom(path, payload, client=None):
+        if snap.MANIFEST_DIR in path:
+            raise RuntimeError("simulated crash before manifest")
+        return real(path, payload, client=client)
+
+    monkeypatch.setattr(snap, "_write_atomic", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        publish_snapshot(_df(spark, 20, "b"), root)
+    monkeypatch.undo()
+
+    # reader: unaffected
+    assert resolve_snapshot(root).version == 1
+    assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 10, "a"))
+    # orphan prefix exists but is unreferenced
+    data_dirs = os.listdir(os.path.join(root, snap.DATA_DIR))
+    assert len(data_dirs) == 2
+    # retry publishes cleanly (fresh token => no collision)
+    info = publish_snapshot(_df(spark, 20, "b"), root)
+    assert info.version == 2
+    report = vacuum_snapshots(root, keep_last=5)
+    assert len(report["dropped_orphan_prefixes"]) == 1
+    assert report["dropped_versions"] == []
+    assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 20, "b"))
+
+
+def test_crash_before_pointer_skips_version_and_gated_vacuum(
+    spark, tmp_path, monkeypatch
+):
+    """Window 2: manifest written, pointer never flips.  Readers stay
+    on the old version; the next publish allocates PAST the orphan
+    number; vacuum removes the orphan only with drop_unpublished."""
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+
+    real = snap._write_atomic
+
+    def boom(path, payload, client=None):
+        if path.endswith(snap.POINTER_NAME):
+            raise RuntimeError("simulated crash before pointer")
+        return real(path, payload, client=client)
+
+    monkeypatch.setattr(snap, "_write_atomic", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        publish_snapshot(_df(spark, 20, "b"), root)
+    monkeypatch.undo()
+
+    assert resolve_snapshot(root).version == 1
+    assert list_snapshots(root) == [1, 2]  # orphan manifest visible to lister
+    # allocation must not reuse the orphan's number
+    info = publish_snapshot(_df(spark, 30, "c"), root)
+    assert info.version == 3
+    assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 30, "c"))
+    # default vacuum leaves the (possibly in-flight) orphan alone
+    report = vacuum_snapshots(root, keep_last=5)
+    assert report["dropped_versions"] == []
+    assert 2 in list_snapshots(root)
+    # explicit opt-in sweeps it
+    report = vacuum_snapshots(root, keep_last=5, drop_unpublished=True)
+    assert report["dropped_versions"] == [2]
+    assert list_snapshots(root) == [1, 3]
+
+
+def test_reader_between_manifest_and_pointer_sees_old_version(
+    spark, tmp_path, monkeypatch
+):
+    """Reader side of window 2: a resolve racing the publish — after
+    the manifest exists but before the flip — returns the OLD
+    snapshot in full."""
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+
+    real = snap._write_atomic
+    seen = {}
+
+    def spy(path, payload, client=None):
+        if path.endswith(snap.POINTER_NAME) and "version" not in seen:
+            # the moment before the flip: manifest v2 is durable
+            info = resolve_snapshot(root)
+            seen["version"] = info.version
+            seen["rows"] = _rows(read_snapshot(spark, root))
+        return real(path, payload, client=client)
+
+    monkeypatch.setattr(snap, "_write_atomic", spy)
+    publish_snapshot(_df(spark, 20, "b"), root)
+    assert seen["version"] == 1
+    assert seen["rows"] == _rows(_df(spark, 10, "a"))
+    assert resolve_snapshot(root).version == 2
+
+
+def test_concurrent_writer_detected_at_flip(spark, tmp_path, monkeypatch):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+
+    real = snap._write_data_prefix
+    state = {"racing": False}
+
+    def race(df, root_sp, rel_prefix, compression, client=None):
+        out = real(df, root_sp, rel_prefix, compression, client=client)
+        if not state["racing"]:
+            state["racing"] = True
+            publish_snapshot(_df(spark, 5, "other"), str(root_sp))
+        return out
+
+    monkeypatch.setattr(snap, "_write_data_prefix", race)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        publish_snapshot(_df(spark, 20, "b"), root)
+    # the racer's snapshot is the current one, untouched
+    monkeypatch.undo()
+    assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 5, "other"))
+
+
+# ---------------------------------------------------------------------------
+# vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_keep_last(spark, tmp_path):
+    root = _root(tmp_path)
+    for i, tag in enumerate(["a", "b", "c", "d"], start=1):
+        publish_snapshot(_df(spark, 10 * i, tag), root)
+    report = vacuum_snapshots(root, keep_last=2)
+    assert report["dropped_versions"] == [1, 2]
+    assert report["kept"] == [3, 4]
+    assert list_snapshots(root) == [3, 4]
+    with pytest.raises(FileNotFoundError):
+        resolve_snapshot(root, version=1)
+    assert _rows(read_snapshot(spark, root, version=3)) == _rows(
+        _df(spark, 30, "c")
+    )
+    assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 40, "d"))
+    # current survives even keep_last=1
+    report = vacuum_snapshots(root, keep_last=1)
+    assert list_snapshots(root) == [4]
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_snapshots(root, keep_last=0)
+
+
+# ---------------------------------------------------------------------------
+# composed maintenance: compaction + deletions as publishes
+# ---------------------------------------------------------------------------
+
+
+def test_compact_snapshot(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 2000, "a").repartition(16), root)
+    before = resolve_snapshot(root)
+    assert len(before.files) >= 16
+    info = compact_snapshot(spark, root, target_file_bytes=256 << 20)
+    assert info.version == 2
+    assert info.operation == "compact"
+    assert len(info.files) < len(before.files)
+    assert info.row_count == before.row_count
+    assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 2000, "a"))
+    # the compacted-away version is still time-travelable until vacuum
+    assert len(resolve_snapshot(root, version=1).files) == len(before.files)
+
+
+def test_apply_deletions_snapshot(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 100, "a"), root)
+    info = apply_deletions_snapshot(
+        spark, root, keys=[0, 7, 99], key_field="doc_id"
+    )
+    assert info.version == 2
+    assert info.operation == "delete"
+    assert info.row_count == 97
+    got = _rows(read_snapshot(spark, root))
+    assert {r[0] for r in got} == set(range(100)) - {0, 7, 99}
+
+
+def test_apply_deletions_snapshot_refusals(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+    with pytest.raises(ValueError, match="empty forget list"):
+        apply_deletions_snapshot(spark, root, keys=[], key_field="doc_id")
+    with pytest.raises(ValueError, match="not in snapshot columns"):
+        apply_deletions_snapshot(spark, root, keys=[1], key_field="nope")
+    null_keys = spark.createDataFrame(
+        [(1,), (None,)], schema="doc_id bigint"
+    )
+    with pytest.raises(ValueError, match="NULL forget key"):
+        apply_deletions_snapshot(
+            spark, root, keys=null_keys, key_field="doc_id"
+        )
+
+
+# ---------------------------------------------------------------------------
+# s3 tier (moto): same protocol, same artifacts
+# ---------------------------------------------------------------------------
+
+boto3 = pytest.importorskip("boto3")
+moto = pytest.importorskip("moto")
+
+BUCKET = "snapbucket"
+
+
+@pytest.fixture()
+def s3():
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket=BUCKET)
+        yield client
+
+
+def _s3_root():
+    return f"s3://{BUCKET}/tables/docs"
+
+
+def test_s3_publish_resolve_and_pointer(spark, s3):
+    root = _s3_root()
+    info = publish_snapshot(_df(spark, 40, "a"), root, client=s3)
+    assert info.version == 1
+    assert info.row_count == 40
+    info2 = publish_snapshot(_df(spark, 60, "b"), root, client=s3)
+    assert info2.version == 2 and info2.parent == 1
+    assert list_snapshots(root, client=s3) == [1, 2]
+    # the pointer object is real, tiny JSON
+    body = s3.get_object(
+        Bucket=BUCKET, Key="tables/docs/_latest.json"
+    )["Body"].read()
+    assert json.loads(body)["version"] == 2
+    # resolve is pure GETs and yields fully-qualified s3 paths
+    cur = resolve_snapshot(root, client=s3)
+    assert cur.version == 2
+    assert all(p.startswith("s3://") for p in cur.file_paths)
+
+
+def test_s3_read_requires_connector_or_download(spark, s3):
+    root = _s3_root()
+    publish_snapshot(_df(spark, 25, "a"), root, client=s3)
+    with pytest.raises(NotImplementedError, match="s3 Hadoop connector"):
+        read_snapshot(spark, root, client=s3)
+    got = read_snapshot(
+        spark, root, client=s3, allow_driver_download=True
+    )
+    assert _rows(got) == _rows(_df(spark, 25, "a"))
+
+
+def test_s3_manifest_tier_equality(spark, s3, tmp_path):
+    """The manifest an s3 publish writes is structurally identical to
+    the local tier's for the same data: same version, same per-file
+    inventory shape, same row count."""
+    df = _df(spark, 30, "x").coalesce(1)
+    local_info = publish_snapshot(df, _root(tmp_path))
+    s3_info = publish_snapshot(df, _s3_root(), client=s3)
+    assert local_info.version == s3_info.version == 1
+    assert local_info.row_count == s3_info.row_count == 30
+    assert len(local_info.files) == len(s3_info.files) == 1
+    assert set(local_info.files[0]) == set(s3_info.files[0]) == {
+        "path",
+        "bytes",
+    }
+
+
+def test_s3_vacuum_and_composed_maintenance(spark, s3):
+    root = _s3_root()
+    publish_snapshot(_df(spark, 200, "a").repartition(8), root, client=s3)
+    info = compact_snapshot(
+        spark,
+        root,
+        target_file_bytes=256 << 20,
+        client=s3,
+        allow_driver_download=True,
+    )
+    assert info.version == 2 and info.row_count == 200
+    info = apply_deletions_snapshot(
+        spark,
+        root,
+        keys=[5, 6],
+        key_field="doc_id",
+        client=s3,
+        allow_driver_download=True,
+    )
+    assert info.version == 3 and info.row_count == 198
+    report = vacuum_snapshots(root, keep_last=1, client=s3)
+    assert report["dropped_versions"] == [1, 2]
+    assert list_snapshots(root, client=s3) == [3]
+    got = read_snapshot(
+        spark, root, client=s3, allow_driver_download=True
+    )
+    assert {r.doc_id for r in got.collect()} == set(range(200)) - {5, 6}
