@@ -490,7 +490,7 @@ def _io_zdocs_path() -> str:
     return _IO_ZDOCS_PATH
 
 
-def _claim_io_zdocs_dir(path: str) -> None:
+def _claim_io_zdocs_dir(path: str, env_var: str = "SMASHED_IO_ZDOCS_DIR") -> None:
     """Refuse to write through a path another user pre-created.
 
     The pid-keyed name is predictable, so on a multi-user host someone
@@ -504,9 +504,9 @@ def _claim_io_zdocs_dir(path: str) -> None:
 
     if os.path.islink(path):
         raise RuntimeError(
-            f"io_roundtrip staging dir {path!r} is a symlink — refusing "
+            f"gate staging dir {path!r} is a symlink — refusing "
             "to write through it (pre-created by another process?). "
-            "Set SMASHED_IO_ZDOCS_DIR to a private location."
+            f"Set {env_var} to a private location."
         )
     try:
         os.makedirs(path, mode=0o700)
@@ -514,9 +514,9 @@ def _claim_io_zdocs_dir(path: str) -> None:
         st = os.stat(path, follow_symlinks=False)
         if hasattr(os, "geteuid") and st.st_uid != os.geteuid():
             raise RuntimeError(
-                f"io_roundtrip staging dir {path!r} exists and is owned "
+                f"gate staging dir {path!r} exists and is owned "
                 f"by uid {st.st_uid}, not us — refusing to overwrite. "
-                "Set SMASHED_IO_ZDOCS_DIR to a private location."
+                f"Set {env_var} to a private location."
             )
 
 

@@ -1690,14 +1690,108 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).map(load(spark, sf_dir, "embeddings"))
 
 
-@query(
-    "multimodal_binary",
-    oracle="""
+def _bind_media_gate_path() -> str:
+    import os
+    import tempfile
+
+    # same contract as queries_more._IO_ZDOCS_PATH (TRAP 22): the drive
+    # materializes oracle strings BEFORE gates run, so the path must be
+    # deterministic ahead of the write — pid-keyed, bound once at
+    # import, env-overridable for spawn-started workers
+    override = os.environ.get("SMASHED_MEDIA_GATE_DIR")
+    if override:
+        return override
+    return os.path.join(
+        tempfile.gettempdir(), f"smashed_media_gate_{os.getpid()}"
+    )
+
+
+_MEDIA_GATE_PATH = _bind_media_gate_path()
+
+
+def _synth_media_batches(batches):
+    """Deterministic per-doc_id media bytes, REAL headers (stdlib
+    synthesizers in operators/multimodal.py), format by doc_id % 6:
+    png / gif / canonical wav / jpeg / truncated png / garbage.  Runs
+    distributed (mapInPandas) — the gate synthesizes its media corpus
+    without a driver loop."""
+    import pandas as pd
+
+    from smashed_spark.operators.multimodal import (
+        synth_gif,
+        synth_jpeg,
+        synth_png,
+        synth_wav,
+    )
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            m = d % 6
+            if m == 0:
+                b = synth_png(64 + d % 1000, 32 + d % 700)
+            elif m == 1:
+                b = synth_gif(16 + d % 1200, 16 + d % 800)
+            elif m == 2:
+                b = synth_wav(
+                    1 + d % 2, (8000, 16000, 44100)[d % 3], 16, 100 + d % 400
+                )
+            elif m == 3:
+                b = synth_jpeg(32 + d % 2000, 32 + d % 900)
+            elif m == 4:
+                b = synth_png(640, 480)[:10]  # magic intact, IHDR gone
+            else:
+                b = f"garbage bytes {d}".encode()
+            blobs.append(b)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media_blob": blobs})
+
+
+def _multimodal_oracle() -> str:
+    """multimodal_binary oracle incl. the r13 header fold: DuckDB
+    re-parses the SAME synthesized media bytes the gate wrote (blob
+    slicing via hex/substring), with every fixed-offset expression
+    generated by operators/multimodal.media_header_expr — the exact
+    generator the Spark tier compiles, so offsets/magic/guards cannot
+    drift.  The synthesized JPEG's layout is fixed (SOF0 at byte 23),
+    so even the variable-offset format is value-checked byte-for-byte."""
+    from ..operators.multimodal import _be, _hx, media_header_expr
+
+    def mh(field: str) -> str:
+        return media_header_expr("media_blob", field, "duckdb")
+
+    # gate-synthesized JPEG layout: SOI(2) + APP0 marker+len(4) + JFIF
+    # body(14) => SOF0 marker at 1-indexed byte 21; after marker(2) +
+    # seglen(2) + precision(1), height/width u16 land at bytes 26/28
+    jpeg_sof = (
+        f"(octet_length(media_blob) >= 29 "
+        f"AND {_hx('media_blob', 1, 3, 'duckdb')} = 'FFD8FF' "
+        f"AND {_hx('media_blob', 21, 2, 'duckdb')} = 'FFC0')"
+    )
+    width = (
+        f"COALESCE({mh('width')}, CASE WHEN {jpeg_sof} "
+        f"THEN {_be('media_blob', 28, 2, 'duckdb')} END)"
+    )
+    height = (
+        f"COALESCE({mh('height')}, CASE WHEN {jpeg_sof} "
+        f"THEN {_be('media_blob', 26, 2, 'duckdb')} END)"
+    )
+    return f"""
     WITH m AS (
         SELECT doc_id, text, length(text) AS n FROM documents
     ), f AS (
         SELECT doc_id, n, i
         FROM m, (SELECT unnest(range(4)) AS i)
+    ), hdr AS (
+        SELECT doc_id,
+               {mh('format')} AS hdr_format,
+               {width} AS hdr_width,
+               {height} AS hdr_height,
+               {mh('channels')} AS hdr_channels,
+               {mh('sample_rate_hz')} AS hdr_sample_rate_hz,
+               {mh('bits_per_sample')} AS hdr_bits_per_sample,
+               {mh('duration_ms')} AS hdr_duration_ms
+        FROM parquet_scan('{_MEDIA_GATE_PATH}/*.parquet')
     )
     SELECT f.doc_id,
            CAST(m.n AS BIGINT) AS media_n_bytes,
@@ -1709,10 +1803,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN m.n = 0 THEN 0 ELSE floor(
                (SELECT avg(ascii(c))
                 FROM unnest(string_split_regex(m.text, '')) AS t(c)
-                WHERE c != '')) END AS BIGINT) AS media_mean_level
+                WHERE c != '')) END AS BIGINT) AS media_mean_level,
+           hdr.hdr_format, hdr.hdr_width, hdr.hdr_height,
+           hdr.hdr_channels, hdr.hdr_sample_rate_hz,
+           hdr.hdr_bits_per_sample, hdr.hdr_duration_ms
     FROM f JOIN m ON f.doc_id = m.doc_id
-    """,
-)
+    JOIN hdr ON f.doc_id = hdr.doc_id
+    """
+
+
+@query("multimodal_binary", oracle=_multimodal_oracle)
 def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline over an opaque media column
     (documents.text utf-8-encoded — ASCII in this corpus, so the
@@ -1720,29 +1820,75 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata (length+md5 at scan speed), N:M frame sampling (one row
     per pseudo-frame via mapInPandas), and byte-level feature
     extraction — certifying the binary schema, Arrow batch plumbing,
-    and fan-out cardinality end-to-end."""
-    from ..core.pipeline import Pipeline
+    and fan-out cardinality end-to-end.
+
+    r13 fold: REAL media headers.  A distributed synth stage writes
+    per-doc png/gif/wav/jpeg/corrupt bytes (valid magic + offsets +
+    CRC) to a side parquet; MediaHeaderMapper (native Column tier)
+    parses format/dims/audio geometry at scan speed, with
+    DeepMediaHeaderMapper's stdlib JPEG-SOF walk filling the one
+    variable-offset gap; the oracle re-parses the same bytes in DuckDB
+    via generator-shared blob slicing.  Codec-less header metadata is
+    thereby value-certified — only pixel/sample DECODE remains
+    env-blocked (PIL/av/soundfile)."""
+    import atexit
+    import shutil
+
+    from ..core.ship import ensure_shipped
     from ..operators.multimodal import (
         AudioFeatureMapper,
         BinaryMetadataMapper,
+        DeepMediaHeaderMapper,
         FrameSampleMapper,
+        MediaHeaderMapper,
     )
+    from .queries_more import _claim_io_zdocs_dir
 
+    ensure_shipped(spark)
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("media")
     )
+
+    _claim_io_zdocs_dir(_MEDIA_GATE_PATH, env_var="SMASHED_MEDIA_GATE_DIR")
+    atexit.register(shutil.rmtree, _MEDIA_GATE_PATH, ignore_errors=True)
+    docs.select("doc_id").mapInPandas(
+        _synth_media_batches, "doc_id long, media_blob binary"
+    ).write.mode("overwrite").parquet(_MEDIA_GATE_PATH)
+
+    hdr = MediaHeaderMapper("media_blob", prefix="hdr").map(
+        spark.read.parquet(_MEDIA_GATE_PATH)
+    )
+    hdr = DeepMediaHeaderMapper("media_blob", prefix="deep").map(hdr)
+    hdr = hdr.select(
+        "doc_id",
+        "hdr_format",
+        F.coalesce("hdr_width", "deep_width").alias("hdr_width"),
+        F.coalesce("hdr_height", "deep_height").alias("hdr_height"),
+        "hdr_channels",
+        "hdr_sample_rate_hz",
+        "hdr_bits_per_sample",
+        "hdr_duration_ms",
+    )
+
     pipe = (
         BinaryMetadataMapper("media", prefix="media")
         >> AudioFeatureMapper("media", prefix="level")
         >> FrameSampleMapper("media", num_frames=4)
     )
-    return pipe.map(docs).select(
+    return pipe.map(docs).join(hdr, "doc_id").select(
         "doc_id",
         "media_n_bytes",
         "media_md5",
         "frame_idx",
         "frame_digest",
         F.col("level_mean_level").alias("media_mean_level"),
+        "hdr_format",
+        "hdr_width",
+        "hdr_height",
+        "hdr_channels",
+        "hdr_sample_rate_hz",
+        "hdr_bits_per_sample",
+        "hdr_duration_ms",
     )
 
 
