@@ -41,9 +41,19 @@ from pyspark.sql import functions as F
 
 from ..core.mapper import SparkMapper
 
-__all__ = ["fit_bpe_merges", "bpe_encode_word", "BpeTokenCountMapper"]
+__all__ = [
+    "fit_bpe_merges",
+    "bpe_encode_word",
+    "bpe_ranks",
+    "bpe_vocab",
+    "save_bpe_merges",
+    "load_bpe_merges",
+    "BpeTokenCountMapper",
+]
 
 _EOW = "</w>"
+
+_BPE_FORMAT_VERSION = 1
 
 
 def bpe_encode_word(
@@ -166,6 +176,96 @@ def fit_bpe_merges(
             c = pairs.get(p)
             if c:
                 heapq.heappush(heap, (-c, p))
+    return merges
+
+
+def bpe_ranks(
+    merges: List[Tuple[str, str]]
+) -> Dict[Tuple[str, str], int]:
+    """Merge list -> rank lookup for :func:`bpe_encode_word` (rank =
+    fit order; lower merges first)."""
+    return {tuple(m): i for i, m in enumerate(merges)}
+
+
+def bpe_vocab(
+    merges: List[Tuple[str, str]], base_chars: Sequence[str] = ()
+) -> List[str]:
+    """Token vocabulary implied by a merge table: the (sorted,
+    deduped) base characters + the end-of-word marker + every merged
+    symbol in RANK ORDER (deduped keeping first occurrence — two merge
+    paths can produce the same surface string).  ``base_chars`` is
+    caller-supplied (the fit corpus' character set) because the merge
+    table alone doesn't record characters that never merged."""
+    seen = set()
+    out: List[str] = []
+    for tok in sorted(set(base_chars)):
+        if tok not in seen:
+            seen.add(tok)
+            out.append(tok)
+    if _EOW not in seen:
+        seen.add(_EOW)
+        out.append(_EOW)
+    for a, b in merges:
+        tok = a + b
+        if tok not in seen:
+            seen.add(tok)
+            out.append(tok)
+    return out
+
+
+def save_bpe_merges(
+    merges: List[Tuple[str, str]],
+    path: str,
+    base_chars: Sequence[str] = (),
+) -> None:
+    """Persist a fitted merge table under ``path`` (local or s3 via
+    io_utils — the bloom/cms convention: a corpus-fit tokenizer is a
+    driver artifact like persisted centroids, reusable across
+    jobs/engines).  Writes ``merges.json`` — versioned, JSON-escaped
+    (symbols may contain any character; the GPT-2 space-separated
+    merges.txt format cannot carry them unambiguously) — and the
+    derived :func:`bpe_vocab` as ``vocab.json``."""
+    import json
+
+    from ..sources.io_utils import open_file_for_write
+
+    payload = {
+        "format_version": _BPE_FORMAT_VERSION,
+        "eow": _EOW,
+        "num_merges": len(merges),
+        "merges": [[a, b] for a, b in merges],
+    }
+    with open_file_for_write(f"{path}/merges.json", "w") as f:
+        f.write(json.dumps(payload))
+    with open_file_for_write(f"{path}/vocab.json", "w") as f:
+        f.write(json.dumps(bpe_vocab(merges, base_chars)))
+
+
+def load_bpe_merges(path: str) -> List[Tuple[str, str]]:
+    """Load a merge table persisted by :func:`save_bpe_merges` —
+    encode parity with the in-memory fit is test-pinned.  Refuses
+    unknown format versions instead of misreading them."""
+    import json
+
+    from ..sources.io_utils import open_file_for_read
+
+    with open_file_for_read(f"{path}/merges.json", "r") as f:
+        payload = json.loads(f.read())
+    version = payload.get("format_version")
+    if version != _BPE_FORMAT_VERSION:
+        raise ValueError(
+            f"load_bpe_merges: unsupported format_version {version!r} "
+            f"(this build reads {_BPE_FORMAT_VERSION})"
+        )
+    if payload.get("eow") != _EOW:
+        raise ValueError(
+            f"load_bpe_merges: end-of-word marker {payload.get('eow')!r} "
+            f"does not match this build's {_EOW!r} — encodings would "
+            "silently diverge"
+        )
+    merges = [tuple(m) for m in payload["merges"]]
+    if any(len(m) != 2 for m in merges):
+        raise ValueError("load_bpe_merges: malformed merge entry")
     return merges
 
 

@@ -1197,6 +1197,40 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT r.doc_id FROM rowpos r
         LEFT JOIN histbits b ON r.p = b.bit
         WHERE b.bit IS NULL
+    ),
+    -- r13: temperature_weights replay — q_i ∝ p_i^0.5 keep rates
+    -- recomputed from SUM(n_chars) with the EXACT Python operation
+    -- order (q raw -> normalize -> target = min(s/q) -> rate =
+    -- q * target / s; power(x, 0.5) is the same libm pow the driver
+    -- called), then the sample_mix hash thresholds:
+    -- u(doc_id:17:src) < floor(rate * 2^32) — always true for the
+    -- rate-1.0 source, the fractional filter for the other
+    tsz AS (
+        SELECT CAST(sum(CASE WHEN lang = 'en' THEN n_chars
+                             ELSE 0 END) AS DOUBLE) AS s0,
+               CAST(sum(CASE WHEN lang <> 'en' THEN n_chars
+                             ELSE 0 END) AS DOUBLE) AS s1
+        FROM documents
+    ),
+    tq AS (
+        SELECT s0, s1,
+               power(s0 / (s0 + s1), 0.5) AS q0r,
+               power(s1 / (s0 + s1), 0.5) AS q1r
+        FROM tsz
+    ),
+    trates AS (
+        SELECT least(s0 / (q0r / (q0r + q1r)), s1 / (q1r / (q0r + q1r)))
+                   AS target,
+               q0r / (q0r + q1r) AS q0n, q1r / (q1r + q0r) AS q1n,
+               s0, s1
+        FROM tq
+    ),
+    tthr AS (
+        SELECT CAST(floor(q0n * target / s0 * 4294967296.0) AS BIGINT)
+                   AS t0,
+               CAST(floor(q1n * target / s1 * 4294967296.0) AS BIGINT)
+                   AS t1
+        FROM trates
     )
     SELECT doc_id, lang, n_chars, src, split, digest, in_budget, shard,
            CAST(row_number() OVER (
@@ -1205,7 +1239,11 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             || ':5:order'), 1, 15))::BIGINT,
                         doc_id
            ) AS BIGINT) AS shard_rank,
-           doc_id NOT IN (SELECT doc_id FROM miss) AS hist_maybe
+           doc_id NOT IN (SELECT doc_id FROM miss) AS hist_maybe,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':17:'
+                               || CAST(src AS VARCHAR)), 1, 8))::BIGINT
+               < (CASE WHEN src = 0 THEN (SELECT t0 FROM tthr)
+                       ELSE (SELECT t1 FROM tthr) END) AS temp_kept
     FROM sharded
     """,
 )
@@ -1315,6 +1353,42 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = out.drop("text")
     out = shard_for_training(out, "doc_id", n_shards=4, seed=5)
+    # r13: temperature-mixing fold (sources/loaders.py
+    # temperature_weights) — q_i ∝ p_i^α keep rates computed from the
+    # REAL per-source token masses (one bounded 2-cell aggregate), fed
+    # through an independent hash-mix (seed 17), and surfaced as a
+    # membership flag on every surviving row.  α = 0.5 so the only
+    # transcendental is pow(x, 0.5) — the same libm call DuckDB's
+    # power() makes, so the oracle recomputes the rates bit-for-bit
+    # from SUM(n_chars) and replays the thresholds exactly.  With
+    # target_tokens=None the smaller source's rate is exactly 1.0
+    # (kept whole) and the larger is downsampled — both flag branches
+    # live by construction.
+    from ..sources.loaders import temperature_weights
+
+    sizes = docs.groupBy().agg(
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("n_chars")).otherwise(0)
+        ).alias("s0"),
+        F.sum(
+            F.when(F.col("lang") != "en", F.col("n_chars")).otherwise(0)
+        ).alias("s1"),
+    ).collect()[0]
+    rates = temperature_weights(
+        [float(sizes["s0"]), float(sizes["s1"])], alpha=0.5
+    )
+    temp_mix = sample_mix(
+        [en, rest],
+        weights=rates,
+        seed=17,
+        with_source=True,
+        source_column="tsrc",
+        method="hash",
+        key_field="doc_id",
+    ).select("doc_id", "tsrc")
+    out = out.join(temp_mix, "doc_id", "left").withColumn(
+        "temp_kept", F.col("tsrc").isNotNull()
+    ).drop("tsrc")
     return out.withColumn("src", F.col("src").cast("int"))
 
 

@@ -1505,12 +1505,37 @@ def _semantic_pairs_sql(
                    ) AS rn
             FROM un CROSS JOIN cents c
         ) WHERE rn = 1
+    ),
+    -- r13 incremental stage: history = vec_id % 3 == 0 (the persisted
+    -- index), batch = the rest; a batch row survives iff NO same-cell
+    -- history vector and NO EARLIER same-cell batch row reaches the
+    -- threshold (dedup_incremental_semantic's conservative over-drop:
+    -- earlier rows count whether or not they themselves survived,
+    -- which is exactly what makes this a join, not a recurrence)
+    hist AS (SELECT vec_id, u, cell FROM asg WHERE vec_id % 3 = 0),
+    bat AS (SELECT vec_id, u, cell FROM asg WHERE vec_id % 3 <> 0),
+    surv AS (
+        SELECT b.vec_id FROM bat b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM hist h
+            WHERE h.cell = b.cell
+              AND list_dot_product(b.u, h.u) >= {threshold}
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM bat a
+            WHERE a.cell = b.cell AND a.vec_id < b.vec_id
+              AND list_dot_product(a.u, b.u) >= {threshold}
+        )
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT 'pairs' AS stage, a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.u, b.u), 6) AS sim
     FROM asg a JOIN asg b
       ON a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.u, b.u) >= {threshold}
+    UNION ALL
+    SELECT 'incremental' AS stage, vec_id AS id_a,
+           CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS sim
+    FROM surv
     """
 
     return build
@@ -1679,15 +1704,57 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a chunked unit-vector matmul per cell — the O(N²/k) cluster-scoped
     form of embedding_near_dup.  Deterministic given seed + hash
     order, so the oracle replays the fit and the cell assignment
-    exactly (same pattern as ann_ivf_topk)."""
+    exactly (same pattern as ann_ivf_topk).
+
+    r13 fold ('incremental' stage): the incremental-semantic tier of
+    the dedup matrix (functions/dedup.py dedup_incremental_semantic +
+    with_semantic_cells).  vec_id % 3 == 0 becomes the persisted
+    (cell, unit-vector) history index, the rest arrives as a batch and
+    is dropped on cosine >= threshold to any SAME-CELL history vector
+    OR any EARLIER same-cell batch row (the conservative over-drop
+    convention — vs all earlier rows, kept or not, which is what makes
+    the oracle a plain double-NOT-EXISTS instead of a recurrence).
+    The quantizer is INJECTED (fit once via fit_centroids_sampled with
+    the pairs stage's exact fit parameters), so the oracle's replayed
+    centroids certify both stages."""
     import os
 
-    from ..functions.dedup import SemanticNearDupPairsMapper
+    from ..functions.dedup import (
+        SemanticNearDupPairsMapper,
+        dedup_incremental_semantic,
+        with_semantic_cells,
+    )
+    from ..functions.similarity import fit_centroids_sampled
 
     _SEM_GATE_SF_DIR["dir"] = os.path.normpath(sf_dir)
-    return SemanticNearDupPairsMapper(
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = SemanticNearDupPairsMapper(
         threshold=0.35, n_centroids=8, max_iter=3, seed=42
-    ).map(load(spark, sf_dir, "embeddings"))
+    ).map(emb)
+
+    base = emb.select(
+        F.col("vec_id").alias("__id__"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v__"),
+    )
+    cents = fit_centroids_sampled(base, 8, 42, 3, 100_000)
+    index = with_semantic_cells(emb.filter("vec_id % 3 = 0"), cents)
+    survivors = dedup_incremental_semantic(
+        emb.filter("vec_id % 3 != 0"),
+        index,
+        cents,
+        vector_field="embedding",
+        order_by="vec_id",
+        threshold=0.35,
+    )
+    inc = survivors.select(
+        F.lit("incremental").alias("stage"),
+        F.col("vec_id").cast("bigint").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.lit(None).cast("double").alias("sim"),
+    )
+    return pairs.select(
+        F.lit("pairs").alias("stage"), "id_a", "id_b", "sim"
+    ).unionByName(inc)
 
 
 def _bind_media_gate_path() -> str:

@@ -4,6 +4,11 @@ scan, column pruning, broadcast joins for dimensions, map-side partial
 aggregation, and no Python in native-operator plans.
 """
 
+import glob
+import os
+import sys
+
+import pytest
 from pyspark.sql import functions as F
 
 from smashed_spark.operators.fields import ChangeFieldsMapper
@@ -429,4 +434,61 @@ def test_no_row_python_eval_in_any_gate_plan(spark, sf_dir):
             offenders[name] = counts["python_row_evals"]
     assert not offenders, (
         f"row-at-a-time Python eval found in gate plans: {offenders}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13: the same sweep over DEMO code — every example script runs with
+# lint hooks patched into every DataFrame action (tools/
+# lint_examples.py), so an example cannot regress into the Python-eval
+# tier while still "working".  ONE subprocess sweeps all examples (a
+# shared JVM; per-example processes would pay 15 JVM boots), then the
+# parametrized test reports each example's verdict individually.
+# ---------------------------------------------------------------------------
+
+_EXAMPLES = sorted(
+    os.path.basename(p)
+    for p in glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "examples", "*.py")
+    )
+)
+
+
+@pytest.fixture(scope="session")
+def example_lint_results():
+    import json
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "lint_examples.py")],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    line = next(
+        (
+            ln
+            for ln in reversed(proc.stdout.splitlines())
+            if ln.startswith("RESULTS: ")
+        ),
+        None,
+    )
+    assert line is not None, (
+        f"lint_examples.py produced no RESULTS line; "
+        f"stderr tail: {proc.stderr[-2000:]}"
+    )
+    return json.loads(line[len("RESULTS: "):])
+
+
+@pytest.mark.parametrize("example", _EXAMPLES)
+def test_no_row_python_eval_in_example_plans(
+    example, example_lint_results
+):
+    res = example_lint_results.get(example)
+    assert res is not None, f"{example} was not swept"
+    assert res["error"] is None, f"{example} failed: {res['error']}"
+    assert res["python_row_evals"] == 0, (
+        f"{example} executed {res['python_row_evals']} row-at-a-time "
+        "Python eval(s) — see tools/lint_examples.py"
     )
