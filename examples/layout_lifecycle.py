@@ -175,6 +175,39 @@ def main() -> None:
         f"provenance: doc {sample['doc_id']} is row "
         f"{sample['prov_row_index']} of {sample['prov_file']}"
     )
+
+    # 6. PUBLISH ------------------------------------------------------------
+    # where 100 TB actually lives (object stores, no atomic rename),
+    # in-place swaps are off the table — maintenance becomes snapshot
+    # publishes: write a new prefix, commit a versioned manifest, flip
+    # the pointer atomically, vacuum the history later.  Same calls
+    # against an s3:// root on a real cluster.
+    from smashed_spark.sources.snapshot import (
+        apply_deletions_snapshot,
+        compact_snapshot,
+        publish_snapshot,
+        read_snapshot,
+        resolve_snapshot,
+        vacuum_snapshots,
+    )
+
+    table = os.path.join(base, "published_table")
+    v1 = publish_snapshot(docs.drop("ingested_at").repartition(16), table)
+    v2 = compact_snapshot(spark, table, target_file_bytes=16 << 20)
+    v3 = apply_deletions_snapshot(spark, table, forget, "doc_id")
+    cur = resolve_snapshot(table)
+    print(
+        f"snapshot publish: v1 {len(v1.files)} files -> compacted v2 "
+        f"{len(v2.files)} -> deletions v3 ({v3.row_count} rows); "
+        f"current = v{cur.version} ({cur.operation})"
+    )
+    # time travel: the pre-deletion snapshot stays readable until vacuum
+    n_before = read_snapshot(spark, table, version=2).count()
+    report = vacuum_snapshots(table, keep_last=1)
+    print(
+        f"time travel read v2: {n_before} rows; vacuum dropped "
+        f"versions {report['dropped_versions']}, kept {report['kept']}"
+    )
     spark.stop()
 
 

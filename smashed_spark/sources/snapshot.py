@@ -548,6 +548,71 @@ def compact_snapshot(
         )
 
 
+def optimize_snapshot(
+    spark: SparkSession,
+    table_root: str,
+    cluster_by: Sequence[str],
+    bits: int = 16,
+    bounds=None,
+    num_files: Optional[int] = None,
+    keep_zorder_column: bool = False,
+    compression: str = "zstd",
+    client=None,
+    allow_driver_download: bool = False,
+) -> SnapshotInfo:
+    """Publish a Z-order-clustered copy of the current snapshot as the
+    next version — ``optimize_layout`` recast onto the snapshot
+    protocol (same exact-arithmetic Morton key via ``zorder_column``,
+    same ONE ``repartitionByRange`` exchange; the write lands in a NEW
+    prefix and commits via the pointer).  Pass the ``bounds`` a
+    previous optimize returned to keep Z-keys append-stable across
+    versions; they ride the returned report via
+    ``resolve_snapshot``-independent caller persistence, exactly like
+    ``optimize_layout``.
+
+    No ``partition_transforms`` tier here BY DESIGN: snapshot readers
+    scan the manifest's explicit file list, and Spark does not infer
+    hive partition columns from explicit file paths — a partitioned
+    prefix would silently lose those columns on read.  Directory-level
+    pruning belongs to ``optimize_layout`` datasets; snapshots prune at
+    the file/row-group tier, which the Z-order write is for."""
+    from .layout import ZORDER_FIELD, fit_zorder_bounds, zorder_column
+
+    df = read_snapshot(
+        spark,
+        table_root,
+        client=client,
+        allow_driver_download=allow_driver_download,
+    )
+    cluster_by = list(cluster_by)
+    if ZORDER_FIELD in df.columns:
+        raise ValueError(
+            f"optimize_snapshot: snapshot already has a {ZORDER_FIELD!r} "
+            "column (a previous keep_zorder_column=True publish?) — "
+            "drop it first; silently overwriting a data column is how "
+            "columns get lost"
+        )
+    if bounds is None:
+        bounds = fit_zorder_bounds(df, cluster_by)
+    out = df.withColumn(
+        ZORDER_FIELD, zorder_column(df, cluster_by, bounds, bits)
+    )
+    if num_files is None:
+        num_files = spark.sparkContext.defaultParallelism
+    out = out.repartitionByRange(
+        num_files, ZORDER_FIELD
+    ).sortWithinPartitions(ZORDER_FIELD)
+    if not keep_zorder_column:
+        out = out.drop(ZORDER_FIELD)
+    return publish_snapshot(
+        out,
+        table_root,
+        operation="optimize",
+        compression=compression,
+        client=client,
+    )
+
+
 def apply_deletions_snapshot(
     spark: SparkSession,
     table_root: str,
@@ -623,5 +688,6 @@ __all__ = [
     "list_snapshots",
     "vacuum_snapshots",
     "compact_snapshot",
+    "optimize_snapshot",
     "apply_deletions_snapshot",
 ]

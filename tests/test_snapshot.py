@@ -392,3 +392,56 @@ def test_s3_vacuum_and_composed_maintenance(spark, s3):
         spark, root, client=s3, allow_driver_download=True
     )
     assert {r.doc_id for r in got.collect()} == set(range(200)) - {5, 6}
+
+
+def test_optimize_snapshot(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from smashed_spark.sources.layout import scan_stats, skip_fraction
+    from smashed_spark.sources.snapshot import optimize_snapshot
+
+    root = _root(tmp_path)
+    # value column scattered across input partitions so the naive
+    # layout has wide per-file envelopes
+    df = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") * 37 % 1000).alias("n_chars"),
+        )
+        .repartition(8)
+    )
+    publish_snapshot(df, root)
+    info = optimize_snapshot(
+        spark, root, cluster_by=["n_chars", "doc_id"], bits=10, num_files=8
+    )
+    assert info.version == 2
+    assert info.operation == "optimize"
+    assert info.row_count == 4000
+    got = read_snapshot(spark, root)
+    assert "zkey" not in got.columns
+    assert sorted(r.doc_id for r in got.collect()) == list(range(4000))
+    # the clustered copy must actually skip better than the naive one
+    naive = resolve_snapshot(root, version=1)
+    f_naive = skip_fraction(
+        scan_stats(spark, naive.data_prefix, ["n_chars"]),
+        "n_chars", lower=100, upper=200,
+    )["row_skip_fraction"]
+    f_clustered = skip_fraction(
+        scan_stats(spark, info.data_prefix, ["n_chars"]),
+        "n_chars", lower=100, upper=200,
+    )["row_skip_fraction"]
+    # 2-D Morton envelopes at 8 files cap the skip well below 1.0
+    # (~sqrt geometry — layout.py's 64^(-1/2) note); the claim is the
+    # separation vs naive, not an absolute
+    assert f_clustered > max(f_naive, 0.3)
+
+    # keep_zorder_column tier + already-keyed refusal
+    info3 = optimize_snapshot(
+        spark, root, cluster_by=["n_chars"], bits=8,
+        keep_zorder_column=True,
+    )
+    assert "zkey" in read_snapshot(spark, root).columns
+    with pytest.raises(ValueError, match="already has a 'zkey'"):
+        optimize_snapshot(spark, root, cluster_by=["n_chars"], bits=8)
+    assert info3.version == 3

@@ -1439,6 +1439,103 @@ which is what review should hold opinions about; AQE may re-plan at
 runtime.  Test-pinned gotcha: `range` output is already ordered by
 id, so a monotone-key `orderBy` is ELIMINATED by Catalyst — sort
 tests need a non-monotonic key.
+
+## Round-13: object-store snapshot protocol (sources/snapshot.py)
+
+The r12 VERDICT's #1 miss — compaction/retention unusable where
+100 TB actually lives — closed by implementing the recipe the
+in-place rewriters' refusals named: a minimal Iceberg/Delta-style
+table protocol.  Data prefixes (`data/vNNNNNNNN-<token>/`) and
+versioned manifests are IMMUTABLE; the commit is an atomic replace of
+one tiny pointer object (`os.replace` locally, single PUT on s3).
+Readers resolve via two GETs and scan the manifest's explicit file
+list — never a prefix listing — so write debris, a racing publish,
+and S3 LIST eventual-consistency are all structurally invisible to
+reads.  Crash windows: pre-manifest and pre-flip debris is
+unreferenced and vacuumable; "published" is defined as the pointer's
+parent CHAIN (not numeric order), so an orphan manifest from a
+pre-flip crash stays unpublished forever however many versions commit
+after it (`drop_unpublished=True` opts into sweeping those).
+Concurrent writers are DETECTED (not prevented — bare S3 has no CAS):
+the manifest write refuses an existing manifest for its allocated
+version (the silent-clobber case the first draft of the test suite
+caught), and the flip re-checks the pointer hasn't moved.
+Maintenance composes onto the protocol as publishes: compact_snapshot
+(the zero-exchange packed-scan rewrite, conf now factored into
+layout.packed_scan_conf and shared with compact_dataset),
+apply_deletions_snapshot (probe-routed LEFT ANTI forget-list), and
+optimize_snapshot (the Z-order rewrite; no partition_transforms tier
+BY DESIGN — explicit-file-list reads do not infer hive partition
+columns, so a partitioned prefix would silently lose them).
+Sandbox seam, documented: no s3 Hadoop connector here, so the s3
+tier's Spark write stages locally and uploads via io_utils — the
+protocol above `_write_data_prefix` is byte-identical to the real
+cluster's direct s3a write.
+
+## Round-13 media-header tier (operators/multimodal.py)
+
+PNG/GIF/canonical-WAV headers are fixed-offset struct parses, so
+"multimodal metadata" needed no codec at all: `media_header_expr`
+emits the parse (magic guards, BE/LE integer extraction, duration
+arithmetic) in BOTH Spark SQL and DuckDB SQL from one offsets table;
+MediaHeaderMapper compiles the Spark side into pure Column algebra
+(whole-stage codegen; plan-spy pins zero Python evals), and the gate
+oracle blob-slices the SAME bytes in DuckDB (hex-string slicing at
+doubled offsets — DuckDB 1.0 has no blob substring; `'0x'||hex`
+casts do the integer decode).  DeepMediaHeaderMapper is the stdlib
+Arrow tier for variable-offset layouts (JPEG SOF marker walk,
+word-aligned RIFF chunk walk).  The multimodal_binary gate grew a
+distributed synth stage (real magic/offsets/CRC bytes, 6 branches
+incl. truncated + garbage) written to a pid-keyed side parquet the
+oracle re-parses — the synthesized JPEG's fixed layout makes even SOF
+dimensions blob-sliceable.  The env-blocked multimodal row narrowed
+to pixel/sample DECODE only.
+
+## Round-13 matched-rep exoneration of the two steepest decades
+
+The r12 watch items — decontaminate 11.7x and dedup_ngram_jaccard
+10.85x second decades — were SINGLE-RUN 100x numbers.  Re-probed
+under the matched 3-rep protocol (min-of-3 at every scale point, the
+r11 text_stats fix, now applied via the `_MATCHED_REP_QUERIES` set):
+decontaminate 8.46 s at 100x = 3.15x/decade, dedup_ngram_jaccard
+29.1 s = 5.59x/decade — both SUBLINEAR.  The old 30.5 s / 84.3 s
+points were warmup/noise outliers, the exact pathology the protocol
+exists for; no PPJoin prefix-filter tightening is warranted on this
+evidence.  Protocol note: any future probe whose first run looks
+superlinear goes through matched reps before its verdict is trusted.
+
+## Round-13 bench host-noise guard
+
+BENCH_r11/r12 driver records were both captured at loadavg 6-8 and
+overstated the engine ~18%.  bench.py now defends the record itself:
+a bounded wait-for-idle loop (1-min loadavg < 4, 300 s cap, both
+env-tunable) runs before any timing, and the output JSON carries
+`host_noise: true` + `idle_wait_sec` whenever the cap expired on a
+still-loaded host — a hot artifact is now self-identifying.
+
+## Round-13 gate folds
+
+- semantic_dedup += 'incremental' stage: dedup_incremental_semantic
+  against a vec_id%3 history index under the SAME replayed injected
+  quantizer; the conservative over-drop convention (drop vs ALL
+  earlier same-cell batch rows, kept or not) is exactly what makes
+  the oracle a plain double NOT-EXISTS instead of a sequential
+  recurrence.  354 rows; 37 history-drops + 45 batch-internal drops
+  live at sf0.01.
+- sample_mix += 'temp_kept' flag: temperature_weights rates computed
+  from real per-source token masses at alpha=0.5 — pow(x, 0.5) is
+  the same glibc pow both engines call, so the oracle recomputes the
+  rates AND the int(frac*2^32) hash thresholds bit-for-bit from
+  SUM(n_chars).  With target=None the smaller source's rate is
+  exactly 1.0 (kept whole; threshold 2^32 is always-true by
+  construction) and the larger is sqrt-downsampled — 77/11 flag
+  split at sf0.01.
+- multimodal_binary += the header stage above.
+
+Bench-budget note: the three folds price in as certification content
+(semantic_dedup gains one Arrow assign + per-cell matmul over ~1/3
+of embeddings; sample_mix one 2-cell aggregate + one membership
+join; multimodal_binary a synth write + two header stages).
 """
 
 out = ["# PLANS — physical plans of the headline queries",

@@ -137,6 +137,16 @@ DEEP_QUERIES = [
 # the A/B).  Batch queries are unaffected by the env var.
 STREAMING_QUERIES = {"stream_sessionize", "stream_dedup"}
 
+# queries probed with 3 MATCHED reps at every decade (min-of-3): added
+# when a single-run decade split looked pathological — text_stats /
+# diversity_select in r11, the two steepest second decades in r13
+_MATCHED_REP_QUERIES = {
+    "text_stats",
+    "diversity_select",
+    "decontaminate",
+    "dedup_ngram_jaccard",
+}
+
 
 def build_scaled(spark, out_dir: str) -> None:
     from pyspark.sql import functions as F
@@ -405,8 +415,12 @@ def main() -> None:
         # from mismatched rep counts (10x at 2 reps vs 100x at 1) and
         # came out unstable; it (and diversity_select, whose first
         # mismatched-rep probe showed the same below-1 decade
-        # pathology) now gets 3 matched reps at EVERY point
-        reps = 3 if name in ("text_stats", "diversity_select") else 2
+        # pathology) now gets 3 matched reps at EVERY point.
+        # r13 (judge ask #7): decontaminate (11.7x) and
+        # dedup_ngram_jaccard (10.85x) — the two steepest single-run
+        # second decades — join the matched-rep protocol before their
+        # slopes are trusted
+        reps = 3 if name in _MATCHED_REP_QUERIES else 2
         t1, r1 = run(name, BASE, reps=reps)
         t10, r10 = run(name, scaled_dir, reps=reps)
         ratio = round(t10 / t1, 2) if t1 > 0 else None
@@ -1584,7 +1598,7 @@ def main() -> None:
         t100, r100 = run(
             name,
             deep_dir,
-            reps=3 if name in ("text_stats", "diversity_select") else 1,
+            reps=3 if name in _MATCHED_REP_QUERIES else 1,
         )
         q = result["queries"][name]
         if name == "dedup_ngram_jaccard":
