@@ -1728,15 +1728,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _SEM_GATE_SF_DIR["dir"] = os.path.normpath(sf_dir)
     emb = load(spark, sf_dir, "embeddings")
-    pairs = SemanticNearDupPairsMapper(
-        threshold=0.35, n_centroids=8, max_iter=3, seed=42
-    ).map(emb)
-
+    # ONE quantizer fit serves both stages (injection is the
+    # documented contract; a second identical fit would double the
+    # driver-side k-means and make the shared-centroids guarantee
+    # parameter-coincidental instead of structural)
     base = emb.select(
         F.col("vec_id").alias("__id__"),
         F.transform("embedding", lambda x: x.cast("double")).alias("__v__"),
     )
     cents = fit_centroids_sampled(base, 8, 42, 3, 100_000)
+    pairs = SemanticNearDupPairsMapper(
+        threshold=0.35, centroids=cents
+    ).map(emb)
     index = with_semantic_cells(emb.filter("vec_id % 3 = 0"), cents)
     survivors = dedup_incremental_semantic(
         emb.filter("vec_id % 3 != 0"),
@@ -1796,16 +1799,21 @@ def _synth_media_batches(batches):
         for d in pdf["doc_id"]:
             d = int(d)
             m = d % 6
+            # vary within a format via k = d // 6: d % 6 == m pins
+            # d's residues mod 2 and mod 3, so moduli of d itself
+            # would be CONSTANT per branch (the first draft's wav was
+            # all mono/44100 — review catch)
+            k = d // 6
             if m == 0:
-                b = synth_png(64 + d % 1000, 32 + d % 700)
+                b = synth_png(64 + k % 1000, 32 + k % 700)
             elif m == 1:
-                b = synth_gif(16 + d % 1200, 16 + d % 800)
+                b = synth_gif(16 + k % 1200, 16 + k % 800)
             elif m == 2:
                 b = synth_wav(
-                    1 + d % 2, (8000, 16000, 44100)[d % 3], 16, 100 + d % 400
+                    1 + k % 2, (8000, 16000, 44100)[k % 3], 16, 100 + k % 400
                 )
             elif m == 3:
-                b = synth_jpeg(32 + d % 2000, 32 + d % 900)
+                b = synth_jpeg(32 + k % 2000, 32 + k % 900)
             elif m == 4:
                 b = synth_png(640, 480)[:10]  # magic intact, IHDR gone
             else:

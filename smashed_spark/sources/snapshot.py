@@ -37,7 +37,9 @@ Crash windows (writer side)
 ---------------------------
 1. Crash during/after the data write, before the manifest: the orphan
    prefix is unreferenced and invisible (readers follow the pointer);
-   :func:`vacuum_snapshots` garbage-collects it.  A retried publish
+   :func:`vacuum_snapshots` garbage-collects it with
+   ``drop_unpublished=True`` — opt-in, because a manifest-less prefix
+   is also what a publish IN FLIGHT looks like.  A retried publish
    allocates a fresh random prefix token, so it can never collide with
    the orphan.
 2. Crash after the manifest, before the pointer: the orphan manifest
@@ -115,6 +117,9 @@ class SnapshotInfo:
     parent: Optional[int]
     operation: str
     committed_at: float
+    # free-form operation metadata carried by the manifest (e.g. the
+    # fitted Z-order bounds an optimize publish must hand the next one)
+    properties: Dict[str, object]
 
     @property
     def file_paths(self) -> List[str]:
@@ -210,6 +215,7 @@ def resolve_snapshot(
         parent=manifest.get("parent"),
         operation=str(manifest.get("operation", "publish")),
         committed_at=float(manifest.get("committed_at", 0.0)),
+        properties=dict(manifest.get("properties") or {}),
     )
 
 
@@ -309,6 +315,7 @@ def publish_snapshot(
     table_root: str,
     operation: str = "publish",
     compression: str = "zstd",
+    properties: Optional[Dict[str, object]] = None,
     client=None,
 ) -> SnapshotInfo:
     """Publish ``df`` as the table's next snapshot (see module docstring
@@ -339,6 +346,7 @@ def publish_snapshot(
         "operation": operation,
         "committed_at": time.time(),
         "format": "parquet",
+        "properties": dict(properties or {}),
     }
     # manifests are immutable: if OUR allocated version already has one,
     # a second writer claimed it while we were writing data — refuse
@@ -407,6 +415,12 @@ def read_snapshot(
                 "small tables pass allow_driver_download=True."
             )
         local_dir = tempfile.mkdtemp(prefix="smashed_snapread_")
+        # the returned DataFrame reads these files LAZILY, so the dir
+        # cannot be removed here; reclaim it at interpreter exit so a
+        # maintenance loop over many tables doesn't fill TMPDIR
+        import atexit
+
+        atexit.register(shutil.rmtree, local_dir, ignore_errors=True)
         for f in info.file_paths:
             rel = SmartPath.parse(f).relative_to(
                 SmartPath.parse(info.data_prefix)
@@ -422,6 +436,16 @@ def read_snapshot(
     return spark.read.parquet(*info.file_paths)
 
 
+def _remove_dir_quiet(path: str, client=None) -> None:
+    """remove_directory tolerating an already-missing target — what
+    makes an interrupted vacuum re-runnable (s3 deletes are naturally
+    idempotent; local shutil.rmtree is not)."""
+    try:
+        io_utils.remove_directory(path, client=client)
+    except FileNotFoundError:
+        pass
+
+
 def vacuum_snapshots(
     table_root: str,
     keep_last: int = 2,
@@ -434,13 +458,21 @@ def vacuum_snapshots(
     parent → ...), not numerically below the pointer: a manifest from
     a publish that crashed before its flip (window 2) sits off-chain
     forever, whatever versions commit after it.  Removes (a) chain
-    members older than the newest ``keep_last``, (b) data prefixes no
-    manifest references (window 1 debris), and (c) — only with
-    ``drop_unpublished=True`` — off-chain manifests+prefixes (window 2
-    debris; opt-in because under a violated single-writer assumption an
-    off-chain manifest could be a publish in flight).
+    members older than the newest ``keep_last`` unconditionally, and
+    (b) — only with ``drop_unpublished=True`` — everything
+    unreferenced: off-chain manifests+prefixes (window 2 debris) AND
+    manifest-less data prefixes (window 1 debris).  Both opt-in for
+    the same reason: from the outside, crash debris is
+    indistinguishable from a publish IN FLIGHT (a half-uploaded data
+    prefix has no manifest yet either; sweeping it by default would
+    let a routine vacuum destroy the upload and the publisher would
+    then commit a manifest pointing at deleted objects).
+    ``drop_unpublished=True`` is the caller's assertion that no
+    publish is running.
 
     The CURRENT snapshot is never removed, whatever ``keep_last`` says.
+    Idempotent under interruption: removals tolerate already-missing
+    targets, and a half-removed version is simply re-removed next run.
     """
     if keep_last < 1:
         raise ValueError("vacuum_snapshots: keep_last must be >= 1")
@@ -477,7 +509,7 @@ def vacuum_snapshots(
             not on_chain and drop_unpublished
         )
         if drop:
-            io_utils.remove_directory(str(root / rel), client=client)
+            _remove_dir_quiet(str(root / rel), client=client)
             io_utils.remove_file(
                 str(root / _manifest_key(v)), client=client
             )
@@ -486,19 +518,23 @@ def vacuum_snapshots(
             referenced_rel.add(rel)
 
     # unreferenced data prefixes: crash window 1 (no manifest was ever
-    # written).  Listing data/ finds each orphan's files; their
-    # first-level directory name is the prefix to sweep.
+    # written) — but also exactly what an IN-FLIGHT publish looks like
+    # before its manifest lands, so sweeping requires the same
+    # no-publish-running assertion as off-chain manifests.  Listing
+    # data/ finds each orphan's files; their first-level directory
+    # name is the prefix to sweep.
     dropped_orphans: List[str] = []
-    seen_prefixes: set = set()
-    for f in io_utils.recursively_list_files(
-        str(root / DATA_DIR), client=client, ignore_hidden=False
-    ):
-        rel = SmartPath.parse(f).relative_to(root / DATA_DIR)
-        top = rel.split("/", 1)[0]
-        seen_prefixes.add(f"{DATA_DIR}/{top}")
-    for prefix in sorted(seen_prefixes - referenced_rel):
-        io_utils.remove_directory(str(root / prefix), client=client)
-        dropped_orphans.append(prefix)
+    if drop_unpublished:
+        seen_prefixes: set = set()
+        for f in io_utils.recursively_list_files(
+            str(root / DATA_DIR), client=client, ignore_hidden=False
+        ):
+            rel = SmartPath.parse(f).relative_to(root / DATA_DIR)
+            top = rel.split("/", 1)[0]
+            seen_prefixes.add(f"{DATA_DIR}/{top}")
+        for prefix in sorted(seen_prefixes - referenced_rel):
+            _remove_dir_quiet(str(root / prefix), client=client)
+            dropped_orphans.append(prefix)
 
     return {
         "current": current,
@@ -564,11 +600,11 @@ def optimize_snapshot(
     next version — ``optimize_layout`` recast onto the snapshot
     protocol (same exact-arithmetic Morton key via ``zorder_column``,
     same ONE ``repartitionByRange`` exchange; the write lands in a NEW
-    prefix and commits via the pointer).  Pass the ``bounds`` a
-    previous optimize returned to keep Z-keys append-stable across
-    versions; they ride the returned report via
-    ``resolve_snapshot``-independent caller persistence, exactly like
-    ``optimize_layout``.
+    prefix and commits via the pointer).  The fitted bounds are
+    PERSISTED in the manifest (``SnapshotInfo.properties
+    ["zorder_bounds"]``, with ``zorder_bits``/``cluster_by``), so the
+    next optimize can keep Z-keys append-stable by passing them back
+    as ``bounds=`` — no side-channel caller persistence needed.
 
     No ``partition_transforms`` tier here BY DESIGN: snapshot readers
     scan the manifest's explicit file list, and Spark does not infer
@@ -609,6 +645,11 @@ def optimize_snapshot(
         table_root,
         operation="optimize",
         compression=compression,
+        properties={
+            "zorder_bounds": {c: list(bounds[c]) for c in cluster_by},
+            "zorder_bits": int(bits),
+            "cluster_by": cluster_by,
+        },
         client=client,
     )
 

@@ -130,9 +130,17 @@ def test_crash_before_manifest_is_invisible_and_vacuumable(
     # retry publishes cleanly (fresh token => no collision)
     info = publish_snapshot(_df(spark, 20, "b"), root)
     assert info.version == 2
+    # default vacuum must NOT sweep the orphan prefix — from the
+    # outside it is indistinguishable from a publish in flight
     report = vacuum_snapshots(root, keep_last=5)
+    assert report["dropped_orphan_prefixes"] == []
+    assert report["dropped_versions"] == []
+    report = vacuum_snapshots(root, keep_last=5, drop_unpublished=True)
     assert len(report["dropped_orphan_prefixes"]) == 1
     assert report["dropped_versions"] == []
+    # idempotent: a second sweep finds nothing and does not raise
+    report = vacuum_snapshots(root, keep_last=5, drop_unpublished=True)
+    assert report["dropped_orphan_prefixes"] == []
     assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 20, "b"))
 
 
@@ -298,17 +306,18 @@ def test_apply_deletions_snapshot_refusals(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# s3 tier (moto): same protocol, same artifacts
+# s3 tier (moto): same protocol, same artifacts.  importorskip lives
+# INSIDE the fixture: a module-level skip would silently disable the
+# local-tier tests above on a moto-less machine.
 # ---------------------------------------------------------------------------
-
-boto3 = pytest.importorskip("boto3")
-moto = pytest.importorskip("moto")
 
 BUCKET = "snapbucket"
 
 
 @pytest.fixture()
 def s3():
+    boto3 = pytest.importorskip("boto3")
+    moto = pytest.importorskip("moto")
     with moto.mock_aws():
         client = boto3.client("s3", region_name="us-east-1")
         client.create_bucket(Bucket=BUCKET)
@@ -418,6 +427,12 @@ def test_optimize_snapshot(spark, tmp_path):
     assert info.version == 2
     assert info.operation == "optimize"
     assert info.row_count == 4000
+    # the fitted bounds ride the manifest so the NEXT optimize can
+    # keep Z-keys append-stable — and they survive a JSON roundtrip
+    props = resolve_snapshot(root).properties
+    assert props["zorder_bits"] == 10
+    assert props["cluster_by"] == ["n_chars", "doc_id"]
+    assert props["zorder_bounds"]["doc_id"] == [0, 3999]
     got = read_snapshot(spark, root)
     assert "zkey" not in got.columns
     assert sorted(r.doc_id for r in got.collect()) == list(range(4000))
