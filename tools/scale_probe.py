@@ -832,6 +832,78 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # r13: snapshot-protocol metadata cost vs FILE COUNT (rows held
+    # constant, so the data bytes are ~fixed and the slope isolates
+    # the per-file machinery: inventory walk + footer row counts at
+    # publish, manifest size at resolve, listing at vacuum).  The
+    # protocol's claim is that reads are two GETs regardless of file
+    # count — resolve_wall should stay ~flat while publish grows with
+    # the (driver-side, once-per-publish) footer walk.
+    snapshot_selected = not only or "snapshot_lifecycle" in only
+
+    def run_snapshot_lifecycle(n_files: int, reps: int = 2) -> dict:
+        import tempfile as _tf
+
+        from smashed_spark.sources.snapshot import (
+            publish_snapshot,
+            resolve_snapshot,
+            vacuum_snapshots,
+        )
+
+        best = {"publish": -1.0, "resolve": -1.0, "vacuum": -1.0}
+        for _ in range(reps):
+            isolate()
+            root = _tf.mkdtemp(prefix="smashed_snapprobe_") + "/tbl"
+            df = spark.range(160_000).selectExpr(
+                "id AS doc_id", "id % 997 AS n_chars"
+            ).repartition(n_files)
+            t0 = time.perf_counter()
+            publish_snapshot(df, root)
+            t_pub = time.perf_counter() - t0
+            # second version so vacuum has something to drop
+            publish_snapshot(df.limit(1000), root)
+            t0 = time.perf_counter()
+            info = resolve_snapshot(root)
+            t_res = time.perf_counter() - t0
+            assert len(info.files) >= 1
+            t0 = time.perf_counter()
+            vacuum_snapshots(root, keep_last=1, drop_unpublished=True)
+            t_vac = time.perf_counter() - t0
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+            for key, val in (
+                ("publish", t_pub), ("resolve", t_res), ("vacuum", t_vac)
+            ):
+                best[key] = val if best[key] < 0 else min(best[key], val)
+        # resolve is sub-millisecond by design — 3dp would round it to
+        # a degenerate 0.000 and the flatness claim would be unreadable
+        return {k: round(v, 5) for k, v in best.items()}
+
+    if snapshot_selected:
+        sweep = {n: run_snapshot_lifecycle(n) for n in (16, 160, 1600)}
+        result["queries"]["snapshot_lifecycle"] = {
+            "files_sweep": {str(n): sweep[n] for n in sweep},
+            "publish_ratio_per_decade": [
+                round(sweep[160]["publish"] / max(sweep[16]["publish"], 1e-9), 2),
+                round(sweep[1600]["publish"] / max(sweep[160]["publish"], 1e-9), 2),
+            ],
+            "resolve_ratio_per_decade": [
+                round(sweep[160]["resolve"] / max(sweep[16]["resolve"], 1e-9), 2),
+                round(sweep[1600]["resolve"] / max(sweep[160]["resolve"], 1e-9), 2),
+            ],
+            "note": (
+                "constant 160k rows repartitioned into 16/160/1600 "
+                "files — the slope isolates per-file metadata cost. "
+                "publish carries the one-per-publish driver-side "
+                "footer walk (O(files)); resolve is two GETs + one "
+                "manifest parse and must stay ~flat; vacuum lists the "
+                "data/ prefix (O(files))."
+            ),
+        }
+        print(
+            f"# snapshot_lifecycle: {result['queries']['snapshot_lifecycle']['files_sweep']}",
+            file=sys.stderr,
+        )
+
     # r11 (judge ask #6): sidecar re-join — broadcast tier under the
     # probe cap, plain equi-join above it; broadcast_rows=100k makes
     # the flip land INSIDE this sweep (5k -> 50k -> 500k sidecar rows)
