@@ -76,6 +76,33 @@ Scale notes
 * :func:`compact_snapshot` reuses layout.py's ``packed_scan_conf`` so
   the compaction rewrite is still a ZERO-exchange scan→write, now
   landing in a new prefix instead of an in-place swap.
+
+Appends, stats, and skipping (manifest spec 2)
+----------------------------------------------
+A 100 TB ingest table APPENDS daily; rewriting the world per publish
+would be absurd.  :func:`append_snapshot` writes only the new rows'
+prefix and its manifest carries the parent's file entries VERBATIM
+plus the new ones — O(new data) work per append, however large the
+table.  Spec-2 manifests therefore list files by TABLE-ROOT-relative
+path (a snapshot may span many prefixes) and record every referenced
+prefix, so :func:`vacuum_snapshots` never sweeps a prefix an older
+append chain still shares with the current snapshot.
+
+Each file entry may carry per-column ``min``/``max``/``nulls`` footer
+stats (``stats_columns=`` at publish time, aggregated over row groups
+once, at write; appends never recompute the parent's).  ``read_snapshot
+(where=...)`` uses them for Iceberg-style FILE SKIPPING: conjunctive
+range predicates drop files whose envelope cannot match, and the same
+predicates are then applied as ordinary Spark filters, so skipping is
+purely an optimization — semantics are exactly ``filter`` whatever the
+stats say.  Float/double columns are REFUSED for stats by design:
+parquet writers (pyarrow included — verified in this environment)
+compute min/max ignoring NaN, and under Spark semantics NaN is greater
+than every value, so a NaN-blind ``max`` could prune a file containing
+matches.  String stats are safe even when a writer truncates them:
+parquet truncation keeps a prefix for min (still a lower bound) and
+increments the last byte for max (still an upper bound), and envelope
+pruning needs only bound validity, never exactness.
 """
 
 from __future__ import annotations
@@ -105,14 +132,29 @@ DATA_DIR = "data"
 # is the honest plan (same threshold as sources/retention.py)
 DEFAULT_BROADCAST_KEYS = 2_000_000
 
+# manifest properties every publish re-states from its parent unless
+# the caller overrides them: the streaming sink's exactly-once
+# watermark must not vanish when a compaction (which sets its own
+# properties) commits on top of the last stream append, or when vacuum
+# later removes that append's manifest
+_PROPAGATED_PROPS = ("stream_app_id", "stream_batch_id")
+
 
 @dataclass(frozen=True)
 class SnapshotInfo:
-    """A resolved snapshot: everything a reader needs, no listing."""
+    """A resolved snapshot: everything a reader needs, no listing.
+
+    ``files`` entries are normalized to TABLE-ROOT-relative paths at
+    resolve time (spec-1 manifests, which listed paths relative to
+    their single data prefix, are rewritten on read), each with
+    ``bytes``, optionally ``rows`` and per-column ``stats``.
+    """
 
     version: int
-    data_prefix: str  # fully-qualified (local path or s3://...)
-    files: List[Dict[str, object]]  # [{"path": rel, "bytes": int}, ...]
+    table_root: str
+    data_prefix: str  # THIS version's own write prefix, fully-qualified
+    prefixes: List[str]  # every root-relative prefix the snapshot spans
+    files: List[Dict[str, object]]
     row_count: int
     parent: Optional[int]
     operation: str
@@ -123,7 +165,7 @@ class SnapshotInfo:
 
     @property
     def file_paths(self) -> List[str]:
-        base = self.data_prefix.rstrip("/")
+        base = self.table_root.rstrip("/")
         return [f"{base}/{f['path']}" for f in self.files]
 
 
@@ -207,10 +249,21 @@ def resolve_snapshot(
             f"resolve_snapshot: no manifest for version {version} under "
             f"{table_root!r} (vacuumed, or a publish that never committed)"
         )
+    own_prefix = str(manifest["data_prefix"])
+    files = [dict(f) for f in manifest["files"]]
+    prefixes = manifest.get("prefixes")
+    if prefixes is None:
+        # spec-1 manifest: single prefix, file paths relative to it —
+        # normalize to the spec-2 root-relative convention on read
+        prefixes = [own_prefix]
+        for f in files:
+            f["path"] = f"{own_prefix}/{f['path']}"
     return SnapshotInfo(
         version=int(manifest["version"]),
-        data_prefix=str(root / manifest["data_prefix"]),
-        files=list(manifest["files"]),
+        table_root=str(root),
+        data_prefix=str(root / own_prefix),
+        prefixes=[str(p) for p in prefixes],
+        files=files,
         row_count=int(manifest["row_count"]),
         parent=manifest.get("parent"),
         operation=str(manifest.get("operation", "publish")),
@@ -238,16 +291,245 @@ def _local_parquet_files(local_dir: str) -> List[str]:
     return sorted(out)
 
 
+# ---------------------------------------------------------------------------
+# per-file column stats (manifest spec 2) and envelope pruning
+# ---------------------------------------------------------------------------
+
+
+def _stats_kind(arrow_type) -> Optional[str]:
+    """JSON-serializable stats kind for an arrow column type, or None
+    if the column is ineligible.  Float/double are ineligible BY
+    DESIGN (module docstring: parquet min/max is NaN-blind while Spark
+    orders NaN above everything, so a float envelope could prune a
+    file that matches); binary/nested types are simply unsupported."""
+    import pyarrow as pa
+
+    if pa.types.is_boolean(arrow_type):
+        return "bool"
+    if pa.types.is_integer(arrow_type):
+        return "int"
+    if pa.types.is_string(arrow_type) or pa.types.is_large_string(arrow_type):
+        return "str"
+    if pa.types.is_date(arrow_type):
+        return "date"
+    if pa.types.is_timestamp(arrow_type):
+        return "ts"
+    return None
+
+
+def _norm_stat(value, kind: str):
+    """Normalize a footer statistic (or a predicate literal) to its
+    JSON form.  date → ISO 'YYYY-MM-DD'; ts → naive-UTC ISO with fixed
+    microsecond precision — both compare lexicographically in
+    chronological order, so the pruner needs no datetime parsing."""
+    import datetime as _dt
+
+    if kind == "int":
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise TypeError(f"expected int, got {value!r}")
+        return value
+    if kind == "bool":
+        if not isinstance(value, bool):
+            raise TypeError(f"expected bool, got {value!r}")
+        return value
+    if kind == "str":
+        if not isinstance(value, str):
+            raise TypeError(f"expected str, got {value!r}")
+        return value
+    if kind == "date":
+        if isinstance(value, _dt.datetime):
+            raise TypeError(f"expected date, got datetime {value!r}")
+        if isinstance(value, _dt.date):
+            return value.isoformat()
+        if isinstance(value, str):
+            return _dt.date.fromisoformat(value).isoformat()
+        raise TypeError(f"expected date, got {value!r}")
+    if kind == "ts":
+        if isinstance(value, str):
+            value = _dt.datetime.fromisoformat(value)
+        if not isinstance(value, _dt.datetime):
+            raise TypeError(f"expected datetime, got {value!r}")
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return value.isoformat(timespec="microseconds")
+    raise ValueError(f"unknown stats kind {kind!r}")
+
+
+def _file_column_stats(
+    pf, stats_columns: Sequence[str]
+) -> Dict[str, Dict[str, object]]:
+    """Aggregate one parquet file's row-group footer stats into
+    per-column ``{kind, min, max, nulls}``.  Conservative: a column is
+    OMITTED for this file (pruner keeps the file) unless every
+    non-empty row group either carries min/max or is provably all-NULL;
+    ``nulls`` is omitted if any row group lacks a null count."""
+    schema = pf.schema_arrow
+    kinds: Dict[str, str] = {}
+    for c in stats_columns:
+        idx = schema.get_field_index(c)
+        if idx < 0:
+            raise ValueError(
+                f"stats_columns: {c!r} not in schema {schema.names}"
+            )
+        kind = _stats_kind(schema.field(idx).type)
+        if kind is None:
+            raise ValueError(
+                f"stats_columns: {c!r} has type {schema.field(idx).type} — "
+                "only int/bool/string/date/timestamp columns carry "
+                "envelope stats (float is refused: parquet min/max is "
+                "NaN-blind, see module docstring)"
+            )
+        kinds[c] = kind
+
+    md = pf.metadata
+    col_idx = {
+        md.row_group(0).column(i).path_in_schema: i
+        for i in range(md.row_group(0).num_columns)
+    } if md.num_row_groups else {}
+    out: Dict[str, Dict[str, object]] = {}
+    for c, kind in kinds.items():
+        mins, maxes, nulls, valid = [], [], 0, True
+        nulls_known = True
+        for g in range(md.num_row_groups):
+            col = md.row_group(g).column(col_idx[c])
+            st = col.statistics
+            n_rows = md.row_group(g).num_rows
+            if st is not None and st.has_null_count:
+                nulls += st.null_count
+            else:
+                nulls_known = False
+            if n_rows == 0:
+                continue
+            if st is not None and st.has_min_max:
+                mins.append(_norm_stat(st.min, kind))
+                maxes.append(_norm_stat(st.max, kind))
+            elif st is not None and st.has_null_count and (
+                st.null_count == n_rows
+            ):
+                continue  # all-NULL group contributes no envelope
+            elif col.physical_type == "INT96":
+                raise ValueError(
+                    f"stats_columns: {c!r} was written as INT96 (Spark's "
+                    "legacy default, which carries no footer min/max) — "
+                    "set spark.sql.parquet.outputTimestampType="
+                    "TIMESTAMP_MICROS before publishing to make "
+                    "timestamp envelopes available"
+                )
+            else:
+                valid = False
+                break
+        if not valid:
+            continue
+        entry: Dict[str, object] = {"kind": kind}
+        if mins:
+            entry["min"] = min(mins)
+            entry["max"] = max(maxes)
+        if nulls_known:
+            entry["nulls"] = nulls
+        out[c] = entry
+    return out
+
+
+#: supported predicate operators for ``where=`` pruning
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def _file_can_match(
+    entry: Dict[str, object], col: str, op: str, value
+) -> bool:
+    """Conservative envelope test: False ONLY when the file provably
+    contains no matching row.  Missing stats → True (keep)."""
+    rows = entry.get("rows")
+    if rows == 0:
+        return False
+    stats = (entry.get("stats") or {}).get(col)
+    if not stats:
+        return True
+    kind = stats["kind"]
+    if "min" not in stats:
+        # every row group was all-NULL for this column; NULL fails
+        # every comparison predicate
+        return False
+    lo, hi = stats["min"], stats["max"]
+    if op == "in":
+        return any(lo <= _norm_stat(v, kind) <= hi for v in value)
+    v = _norm_stat(value, kind)
+    if op == "=":
+        return lo <= v <= hi
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    if op == ">":
+        return hi > v
+    if op == ">=":
+        return hi >= v
+    raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
+
+
+def plan_snapshot_scan(
+    info: SnapshotInfo, where: Sequence
+) -> Dict[str, object]:
+    """Decide which of a snapshot's files a conjunctive predicate list
+    can possibly match.  ``where`` is ``[(column, op, value), ...]``
+    with ops ``= < <= > >= in``.  Returns kept/skipped file entries and
+    counts; a file with no stats for a referenced column is always
+    kept, so the plan is safe whatever was collected at publish time.
+    Type mismatches between a literal and the column's stats kind raise
+    (a silent str-vs-int comparison is how wrong pruning happens)."""
+    for col, op, _ in where:
+        if op not in _PRUNE_OPS:
+            raise ValueError(
+                f"plan_snapshot_scan: op {op!r} on {col!r} not in "
+                f"{_PRUNE_OPS}"
+            )
+    kept, skipped = [], []
+    for entry in info.files:
+        if all(_file_can_match(entry, c, op, v) for c, op, v in where):
+            kept.append(entry)
+        else:
+            skipped.append(entry)
+    return {
+        "kept": kept,
+        "skipped": skipped,
+        "files_total": len(info.files),
+        "files_kept": len(kept),
+        "files_skipped": len(skipped),
+    }
+
+
+def _inventory_entry(
+    local_file: str,
+    rel_prefix: str,
+    rel: str,
+    stats_columns: Sequence[str],
+) -> Dict[str, object]:
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(local_file)
+    entry: Dict[str, object] = {
+        "path": f"{rel_prefix}/{rel}",
+        "bytes": os.path.getsize(local_file),
+        "rows": pf.metadata.num_rows,
+    }
+    if stats_columns:
+        entry["stats"] = _file_column_stats(pf, stats_columns)
+    return entry
+
+
 def _write_data_prefix(
     df: DataFrame,
     root: SmartPath,
     rel_prefix: str,
     compression: str,
+    stats_columns: Sequence[str] = (),
     client=None,
 ) -> Dict[str, object]:
     """Write ``df`` as parquet under ``root/rel_prefix`` and return the
-    manifest's file inventory (relative paths + sizes) and footer row
-    count.
+    manifest's file inventory (root-relative paths, sizes, per-file row
+    counts, optional per-column envelope stats) and total row count.
+    Stats come from the footers of the files JUST written — read once
+    here, carried by every descendant manifest, never recomputed.
 
     Local tier: a direct Spark write.  S3 tier: the Spark write lands
     in a local staging dir and io_utils uploads it — the sandbox has no
@@ -255,8 +537,6 @@ def _write_data_prefix(
     straight to Spark instead and executors write the prefix directly
     (the manifest/pointer protocol above this seam is identical).
     """
-    import pyarrow.parquet as pq
-
     if root.is_s3:
         staging_root = tempfile.mkdtemp(prefix="smashed_snap_")
         # mkdtemp creates the dir, which errorifexists would refuse —
@@ -273,14 +553,12 @@ def _write_data_prefix(
                     "publish_snapshot: staging write finished without "
                     "_SUCCESS; refusing to publish"
                 )
-            files = _local_parquet_files(staging)
             inventory, rows = [], 0
-            for f in files:
+            for f in _local_parquet_files(staging):
                 rel = os.path.relpath(f, staging)
-                inventory.append(
-                    {"path": rel, "bytes": os.path.getsize(f)}
-                )
-                rows += pq.ParquetFile(f).metadata.num_rows
+                entry = _inventory_entry(f, rel_prefix, rel, stats_columns)
+                inventory.append(entry)
+                rows += entry["rows"]
                 dest = str(root / rel_prefix / rel)
                 with open(f, "rb") as r:
                     with io_utils.open_file_for_write(
@@ -305,8 +583,9 @@ def _write_data_prefix(
     inventory, rows = [], 0
     for f in _local_parquet_files(dest):
         rel = os.path.relpath(f, dest)
-        inventory.append({"path": rel, "bytes": os.path.getsize(f)})
-        rows += pq.ParquetFile(f).metadata.num_rows
+        entry = _inventory_entry(f, rel_prefix, rel, stats_columns)
+        inventory.append(entry)
+        rows += entry["rows"]
     return {"files": inventory, "row_count": rows}
 
 
@@ -316,11 +595,19 @@ def publish_snapshot(
     operation: str = "publish",
     compression: str = "zstd",
     properties: Optional[Dict[str, object]] = None,
+    stats_columns: Sequence[str] = (),
     client=None,
+    _carry_parent: bool = False,
 ) -> SnapshotInfo:
     """Publish ``df`` as the table's next snapshot (see module docstring
     for the protocol and its crash windows).  Returns the committed
     :class:`SnapshotInfo`.
+
+    ``stats_columns`` opts chosen columns into per-file envelope stats
+    (min/max/nulls from the just-written footers) that
+    ``read_snapshot(where=...)`` uses for file skipping.  Opt-in, not
+    automatic: at 800k files × many columns the manifest is the cost,
+    and the caller knows which columns queries actually filter on.
 
     Order of operations IS the crash-safety argument: data prefix
     (new, random-token suffix) → manifest (immutable, versioned) →
@@ -329,24 +616,51 @@ def publish_snapshot(
     """
     root = SmartPath.parse(table_root)
     begin_version = _pointer_version(root, client=client)
+    carried_files: List[Dict[str, object]] = []
+    carried_prefixes: List[str] = []
+    carried_rows = 0
+    carried_props: Dict[str, object] = {}
+    if _carry_parent and begin_version is None:
+        raise FileNotFoundError(
+            f"append_snapshot: nothing published under {table_root!r} "
+            "yet — the first write is a publish_snapshot"
+        )
+    if begin_version is not None:
+        parent_info = resolve_snapshot(
+            table_root, begin_version, client=client
+        )
+        # the streaming sink's exactly-once watermark must survive
+        # rewrites (compact/optimize/delete) AND vacuum, so every
+        # descendant manifest re-states it unless the caller advances
+        # it explicitly (streaming/snapshot_sink.py)
+        for k in _PROPAGATED_PROPS:
+            if k in parent_info.properties:
+                carried_props[k] = parent_info.properties[k]
+        if _carry_parent:
+            carried_files = [dict(f) for f in parent_info.files]
+            carried_prefixes = list(parent_info.prefixes)
+            carried_rows = parent_info.row_count
     version = _next_version(root, client=client)
     token = uuid.uuid4().hex[:8]
     rel_prefix = f"{DATA_DIR}/v{version:08d}-{token}"
 
     written = _write_data_prefix(
-        df, root, rel_prefix, compression, client=client
+        df, root, rel_prefix, compression,
+        stats_columns=stats_columns, client=client,
     )
 
     manifest = {
         "version": version,
+        "spec": 2,
         "data_prefix": rel_prefix,
-        "files": written["files"],
-        "row_count": written["row_count"],
+        "prefixes": sorted(set(carried_prefixes) | {rel_prefix}),
+        "files": carried_files + written["files"],
+        "row_count": carried_rows + written["row_count"],
         "parent": begin_version,
         "operation": operation,
         "committed_at": time.time(),
         "format": "parquet",
-        "properties": dict(properties or {}),
+        "properties": {**carried_props, **(properties or {})},
     }
     # manifests are immutable: if OUR allocated version already has one,
     # a second writer claimed it while we were writing data — refuse
@@ -385,10 +699,64 @@ def publish_snapshot(
     return resolve_snapshot(table_root, version, client=client)
 
 
+def append_snapshot(
+    df: DataFrame,
+    table_root: str,
+    compression: str = "zstd",
+    properties: Optional[Dict[str, object]] = None,
+    stats_columns: Sequence[str] = (),
+    client=None,
+) -> SnapshotInfo:
+    """Publish ``df`` as new rows APPENDED to the current snapshot —
+    the daily-ingest operation.  Only the new rows' prefix is written;
+    the manifest carries the parent's file entries (and their stats)
+    verbatim, so an append costs O(new data) however large the table.
+    Same crash windows and single-writer detection as
+    :func:`publish_snapshot`; the first write to an empty table must be
+    a publish (raises FileNotFoundError otherwise, so a typo'd root
+    can't silently start a new table)."""
+    return publish_snapshot(
+        df,
+        table_root,
+        operation="append",
+        compression=compression,
+        properties=properties,
+        stats_columns=stats_columns,
+        client=client,
+        _carry_parent=True,
+    )
+
+
+def _where_to_column(df: DataFrame, where: Sequence):
+    """The Spark filter equivalent of a prune predicate list — applied
+    to every pruned read so ``where=`` is SEMANTICALLY a filter and the
+    envelope skipping is purely an optimization."""
+    cond = F.lit(True)
+    for col, op, value in where:
+        c = F.col(col)
+        if op == "=":
+            term = c == F.lit(value)
+        elif op == "<":
+            term = c < F.lit(value)
+        elif op == "<=":
+            term = c <= F.lit(value)
+        elif op == ">":
+            term = c > F.lit(value)
+        elif op == ">=":
+            term = c >= F.lit(value)
+        elif op == "in":
+            term = c.isin(list(value))
+        else:
+            raise ValueError(f"unsupported prune op {op!r}")
+        cond = cond & term
+    return cond
+
+
 def read_snapshot(
     spark: SparkSession,
     table_root: str,
     version: Optional[int] = None,
+    where: Optional[Sequence] = None,
     client=None,
     allow_driver_download: bool = False,
 ) -> DataFrame:
@@ -397,12 +765,45 @@ def read_snapshot(
     prefix could never leak into the scan, and `_SUCCESS`/hidden files
     are excluded by construction.
 
+    ``where=[(column, op, value), ...]`` (ops ``= < <= > >= in``,
+    conjunctive) prunes files via the manifest's envelope stats BEFORE
+    Spark ever sees them — at 800k files the skipped ones cost zero
+    footer GETs, zero tasks — and then applies the same predicates as
+    ordinary Spark filters, so the result is exactly ``filter``
+    semantics whatever stats were (or weren't) collected.
+
     S3 tier: this sandbox has no s3 Hadoop connector, so Spark cannot
     scan ``s3://`` directly here — on a real cluster the same resolved
     paths scan as ``s3a://`` URIs.  ``allow_driver_download=True``
     copies the snapshot to a local temp dir through io_utils first
     (driver-side: tests and small tables only, and it says so)."""
     info = resolve_snapshot(table_root, version, client=client)
+    if where is not None:
+        plan = plan_snapshot_scan(info, where)
+        if not plan["kept"]:
+            # schema still comes from a real file: scan one under an
+            # always-false predicate (footer-only work)
+            one = SnapshotInfo(**{**info.__dict__, "files": [info.files[0]]})
+            base = _scan_files(
+                spark, table_root, one, client, allow_driver_download
+            ).where(F.lit(False))
+            return base.where(_where_to_column(base, where))
+        info = SnapshotInfo(
+            **{**info.__dict__, "files": plan["kept"]}
+        )
+    df = _scan_files(spark, table_root, info, client, allow_driver_download)
+    if where is not None:
+        df = df.where(_where_to_column(df, where))
+    return df
+
+
+def _scan_files(
+    spark: SparkSession,
+    table_root: str,
+    info: SnapshotInfo,
+    client,
+    allow_driver_download: bool,
+) -> DataFrame:
     root = SmartPath.parse(table_root)
     if root.is_s3:
         if not allow_driver_download:
@@ -422,9 +823,7 @@ def read_snapshot(
 
         atexit.register(shutil.rmtree, local_dir, ignore_errors=True)
         for f in info.file_paths:
-            rel = SmartPath.parse(f).relative_to(
-                SmartPath.parse(info.data_prefix)
-            )
+            rel = SmartPath.parse(f).relative_to(root)
             dest = os.path.join(local_dir, rel)
             os.makedirs(os.path.dirname(dest) or local_dir, exist_ok=True)
             with io_utils.open_file_for_read(f, "rb", client=client) as r:
@@ -434,6 +833,66 @@ def read_snapshot(
             *[os.path.join(local_dir, x["path"]) for x in info.files]
         )
     return spark.read.parquet(*info.file_paths)
+
+
+def read_snapshot_changes(
+    spark: SparkSession,
+    table_root: str,
+    since_version: int,
+    version: Optional[int] = None,
+    client=None,
+    allow_driver_download: bool = False,
+) -> DataFrame:
+    """Scan only the rows ADDED after ``since_version`` (exclusive) up
+    to ``version`` (default: current) — the incremental-consumer read
+    (e.g. feeding only new documents into an incremental dedup index).
+
+    Valid ONLY when every step on the chain between the two versions is
+    an append: a rewrite (compact/optimize/delete/publish) invalidates
+    file-level increments, and this raises with the offending operation
+    instead of silently replaying the whole table as "changes".  The
+    added rows are exactly the set-difference of the two manifests'
+    file lists — appends never touch parent files, so the difference is
+    each step's own new prefix."""
+    target = resolve_snapshot(table_root, version, client=client)
+    if target.version == since_version:
+        added: List[Dict[str, object]] = []
+    else:
+        cursor = target
+        steps: List[SnapshotInfo] = []
+        while cursor.version != since_version:
+            steps.append(cursor)
+            if cursor.parent is None:
+                raise ValueError(
+                    f"read_snapshot_changes: v{since_version} is not an "
+                    f"ancestor of v{target.version} (chain bottoms out at "
+                    f"v{cursor.version})"
+                )
+            cursor = resolve_snapshot(
+                table_root, cursor.parent, client=client
+            )
+        bad = [s for s in steps if s.operation != "append"]
+        if bad:
+            ops = ", ".join(f"v{s.version}={s.operation!r}" for s in bad)
+            raise ValueError(
+                "read_snapshot_changes: the chain from "
+                f"v{since_version} to v{target.version} contains "
+                f"non-append operations ({ops}) — file-level increments "
+                "are invalid across a rewrite; re-read the full snapshot"
+            )
+        since_paths = {
+            f["path"] for f in cursor.files  # cursor == since snapshot
+        }
+        added = [f for f in target.files if f["path"] not in since_paths]
+    if not added:
+        one = SnapshotInfo(**{**target.__dict__, "files": [target.files[0]]})
+        return _scan_files(
+            spark, table_root, one, client, allow_driver_download
+        ).where(F.lit(False))
+    sub = SnapshotInfo(**{**target.__dict__, "files": added})
+    return _scan_files(
+        spark, table_root, sub, client, allow_driver_download
+    )
 
 
 def _remove_dir_quiet(path: str, client=None) -> None:
@@ -497,25 +956,37 @@ def vacuum_snapshots(
     keep = set(chain[-keep_last:])
     keep.add(current)
 
-    dropped_versions: List[int] = []
+    def _prefixes(doc: dict) -> List[str]:
+        return [str(p) for p in doc.get("prefixes") or [doc["data_prefix"]]]
+
+    # decide drops first, THEN compute what the survivors reference:
+    # append chains share prefixes across versions, so dropping an old
+    # version must never sweep a prefix the current snapshot still
+    # lists files under
+    to_drop: List[int] = []
     referenced_rel: set = set()
     for v in versions:
         doc = manifests[v]
         if doc is None:  # raced its own removal; nothing to do
             continue
-        rel = str(doc["data_prefix"])
         on_chain = v in chain
         drop = (on_chain and v not in keep) or (
             not on_chain and drop_unpublished
         )
         if drop:
-            _remove_dir_quiet(str(root / rel), client=client)
-            io_utils.remove_file(
-                str(root / _manifest_key(v)), client=client
-            )
-            dropped_versions.append(v)
+            to_drop.append(v)
         else:
-            referenced_rel.add(rel)
+            referenced_rel.update(_prefixes(doc))
+
+    dropped_versions: List[int] = []
+    swept_prefixes: set = set()
+    for v in to_drop:
+        for rel in _prefixes(manifests[v]):
+            if rel not in referenced_rel and rel not in swept_prefixes:
+                _remove_dir_quiet(str(root / rel), client=client)
+                swept_prefixes.add(rel)
+        io_utils.remove_file(str(root / _manifest_key(v)), client=client)
+        dropped_versions.append(v)
 
     # unreferenced data prefixes: crash window 1 (no manifest was ever
     # written) — but also exactly what an IN-FLIGHT publish looks like
@@ -557,6 +1028,7 @@ def compact_snapshot(
     target_file_bytes: int = 128 << 20,
     compression: str = "zstd",
     sort_within: Sequence[str] = (),
+    stats_columns: Sequence[str] = (),
     client=None,
     allow_driver_download: bool = False,
 ) -> SnapshotInfo:
@@ -580,6 +1052,7 @@ def compact_snapshot(
             table_root,
             operation="compact",
             compression=compression,
+            stats_columns=stats_columns,
             client=client,
         )
 
@@ -593,6 +1066,7 @@ def optimize_snapshot(
     num_files: Optional[int] = None,
     keep_zorder_column: bool = False,
     compression: str = "zstd",
+    stats_columns: Sequence[str] = (),
     client=None,
     allow_driver_download: bool = False,
 ) -> SnapshotInfo:
@@ -645,6 +1119,7 @@ def optimize_snapshot(
         table_root,
         operation="optimize",
         compression=compression,
+        stats_columns=stats_columns,
         properties={
             "zorder_bounds": {c: list(bounds[c]) for c in cluster_by},
             "zorder_bits": int(bits),
@@ -661,6 +1136,7 @@ def apply_deletions_snapshot(
     key_field: str,
     broadcast_threshold_rows: int = DEFAULT_BROADCAST_KEYS,
     compression: str = "zstd",
+    stats_columns: Sequence[str] = (),
     client=None,
     allow_driver_download: bool = False,
 ) -> SnapshotInfo:
@@ -717,6 +1193,7 @@ def apply_deletions_snapshot(
         table_root,
         operation="delete",
         compression=compression,
+        stats_columns=stats_columns,
         client=client,
     )
 
@@ -724,7 +1201,10 @@ def apply_deletions_snapshot(
 __all__ = [
     "SnapshotInfo",
     "publish_snapshot",
+    "append_snapshot",
     "read_snapshot",
+    "read_snapshot_changes",
+    "plan_snapshot_scan",
     "resolve_snapshot",
     "list_snapshots",
     "vacuum_snapshots",

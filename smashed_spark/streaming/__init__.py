@@ -1,5 +1,10 @@
 from .ingest import ingest_dedup_batch, streaming_ingest_dedup
 from .joins import interval_join, stream_static_enrich
+from .snapshot_sink import (
+    snapshot_batch_writer,
+    stream_commit_watermark,
+    streaming_snapshot_append,
+)
 from .runner import (
     apply_pipeline_stream,
     assert_streamable,
@@ -12,8 +17,11 @@ __all__ = [
     "assert_streamable",
     "ingest_dedup_batch",
     "interval_join",
+    "snapshot_batch_writer",
+    "stream_commit_watermark",
     "stream_static_enrich",
     "streamable",
     "streaming_ingest_dedup",
+    "streaming_snapshot_append",
     "windowed_event_counts",
 ]

@@ -1,0 +1,185 @@
+"""Exactly-once streaming appends into a snapshot table
+(sources/snapshot.py) — the object-store landing zone for a
+continuously-ingesting 100 TB corpus.
+
+Beyond-reference surface (the reference — ``src/smashed/mappers/*`` —
+has no streaming at all).  Composes Structured Streaming's
+``foreachBatch`` with :func:`~smashed_spark.sources.snapshot
+.append_snapshot`: each micro-batch commits as one snapshot version,
+so readers always see whole batches (the pointer flip is the commit)
+and time travel / incremental ``read_snapshot_changes`` work out of
+the box.
+
+Exactly-once argument
+---------------------
+Structured Streaming guarantees at-least-once delivery of each
+``batch_id`` to a ``foreachBatch`` body (a crash between the body and
+the checkpoint commit replays the id).  The sink makes the table-side
+effect idempotent:
+
+* Every committed batch stamps ``stream_app_id``/``stream_batch_id``
+  into its manifest's properties, and EVERY snapshot publish — the
+  sink's appends, but also compact/optimize/delete rewrites —
+  re-states those keys from its parent (``snapshot._PROPAGATED_PROPS``),
+  so the watermark survives any maintenance commit and any vacuum.
+* On entry the body reads the current snapshot's watermark (one
+  pointer GET + one manifest GET, no chain walk) and SKIPS any
+  ``batch_id`` at or below it — a replayed batch is a no-op.
+* A crash BEFORE the pointer flip leaves only unreferenced debris
+  (snapshot crash window 1/2); the replay appends a fresh prefix.
+  A crash AFTER the flip but before the checkpoint commit is the
+  replayed-batch case above.
+
+``app_id`` is the checkpoint's identity (Delta's ``txnAppId``
+pattern): batch ids restart at 0 for a NEW checkpoint, so comparing
+them across checkpoints would silently drop data.  A mismatch between
+the table's recorded app and the sink's raises; ``takeover=True`` is
+the operator's explicit assertion that the old checkpoint is dead and
+the new one's ids start fresh.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+
+from ..sources.snapshot import (
+    append_snapshot,
+    publish_snapshot,
+    resolve_snapshot,
+)
+
+__all__ = [
+    "stream_commit_watermark",
+    "snapshot_batch_writer",
+    "streaming_snapshot_append",
+]
+
+
+def stream_commit_watermark(
+    table_root: str, client=None
+) -> Tuple[Optional[str], Optional[int]]:
+    """The table's (app_id, batch_id) streaming watermark — what the
+    last committed micro-batch stamped, as propagated to the CURRENT
+    manifest.  (None, None) for a table with no snapshot or no
+    streaming history."""
+    try:
+        props = resolve_snapshot(table_root, client=client).properties
+    except FileNotFoundError:
+        return (None, None)
+    app = props.get("stream_app_id")
+    bid = props.get("stream_batch_id")
+    return (
+        None if app is None else str(app),
+        None if bid is None else int(bid),
+    )
+
+
+def snapshot_batch_writer(
+    table_root: str,
+    app_id: str,
+    stats_columns: Sequence[str] = (),
+    compression: str = "zstd",
+    takeover: bool = False,
+    client=None,
+    on_commit: Optional[Callable[[dict], None]] = None,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` body: idempotent append of each
+    micro-batch as one snapshot version (module docstring has the
+    exactly-once argument).  The first batch on an empty table is a
+    publish; every later one an append.  ``on_commit`` (driver-side,
+    keep it cheap) receives ``{"batch_id", "version", "rows",
+    "skipped"}`` per delivery — including replays, with
+    ``skipped=True``."""
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        app, last = stream_commit_watermark(table_root, client=client)
+        if app is not None and app != app_id and not takeover:
+            raise RuntimeError(
+                f"snapshot_batch_writer: table {table_root!r} was last "
+                f"written by stream app {app!r}, not {app_id!r} — batch "
+                "ids are per-checkpoint, so honoring this batch could "
+                "replay or drop data.  If the old checkpoint is "
+                "decommissioned, pass takeover=True to start fresh."
+            )
+        same_app = app == app_id
+        if same_app and last is not None and batch_id <= last:
+            if on_commit is not None:
+                on_commit(
+                    {
+                        "batch_id": batch_id,
+                        "version": None,
+                        "rows": None,
+                        "skipped": True,
+                    }
+                )
+            return
+        props = {"stream_app_id": app_id, "stream_batch_id": batch_id}
+        try:
+            resolve_snapshot(table_root, client=client)
+            empty = False
+        except FileNotFoundError:
+            empty = True
+        if empty:
+            info = publish_snapshot(
+                batch,
+                table_root,
+                operation="publish",
+                compression=compression,
+                properties=props,
+                stats_columns=stats_columns,
+                client=client,
+            )
+        else:
+            info = append_snapshot(
+                batch,
+                table_root,
+                compression=compression,
+                properties=props,
+                stats_columns=stats_columns,
+                client=client,
+            )
+        if on_commit is not None:
+            on_commit(
+                {
+                    "batch_id": batch_id,
+                    "version": info.version,
+                    "rows": info.row_count,
+                    "skipped": False,
+                }
+            )
+
+    return _body
+
+
+def streaming_snapshot_append(
+    stream: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    app_id: str,
+    query_name: str = "snapshot_append",
+    available_now: bool = True,
+    **writer_kwargs,
+):
+    """Run the exactly-once snapshot sink over an unbounded stream:
+    ``foreachBatch(snapshot_batch_writer(...))``.  Returns the started
+    ``StreamingQuery``.  ``available_now=True`` drains the available
+    input and self-terminates (backfill / test mode); ``False`` runs
+    continuously.  ``writer_kwargs`` forward to
+    :func:`snapshot_batch_writer` (``stats_columns``, ``on_commit``,
+    ``takeover``...)."""
+    if not stream.isStreaming:
+        raise ValueError(
+            "streaming_snapshot_append needs a streaming DataFrame; for "
+            "batch data call publish_snapshot/append_snapshot directly"
+        )
+    body = snapshot_batch_writer(table_root, app_id, **writer_kwargs)
+    writer = (
+        stream.writeStream.queryName(query_name)
+        .foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -215,7 +215,7 @@ def test_concurrent_writer_detected_at_flip(spark, tmp_path, monkeypatch):
     real = snap._write_data_prefix
     state = {"racing": False}
 
-    def race(df, root_sp, rel_prefix, compression, client=None):
+    def race(df, root_sp, rel_prefix, compression, stats_columns=(), client=None):
         out = real(df, root_sp, rel_prefix, compression, client=client)
         if not state["racing"]:
             state["racing"] = True
@@ -371,7 +371,9 @@ def test_s3_manifest_tier_equality(spark, s3, tmp_path):
     assert set(local_info.files[0]) == set(s3_info.files[0]) == {
         "path",
         "bytes",
+        "rows",
     }
+    assert local_info.files[0]["rows"] == s3_info.files[0]["rows"] == 30
 
 
 def test_s3_vacuum_and_composed_maintenance(spark, s3):
@@ -460,3 +462,308 @@ def test_optimize_snapshot(spark, tmp_path):
     with pytest.raises(ValueError, match="already has a 'zkey'"):
         optimize_snapshot(spark, root, cluster_by=["n_chars"], bits=8)
     assert info3.version == 3
+
+
+# ---------------------------------------------------------------------------
+# appends (manifest spec 2): O(new data) publishes, shared prefixes
+# ---------------------------------------------------------------------------
+
+
+def test_append_snapshot_carries_parent_files(spark, tmp_path):
+    root = _root(tmp_path)
+    v1 = publish_snapshot(_df(spark, 10, "a").coalesce(1), root)
+    v2 = snap.append_snapshot(_df(spark, 5, "b").coalesce(1), root)
+    assert v2.version == 2 and v2.operation == "append"
+    assert v2.row_count == 15
+    # the parent's file entry rides verbatim: appends are O(new data)
+    assert v1.files[0] in v2.files
+    assert len(v2.files) == 2
+    assert len(v2.prefixes) == 2
+    got = _rows(read_snapshot(spark, root))
+    assert got == sorted(_rows(_df(spark, 10, "a")) + _rows(_df(spark, 5, "b")))
+    # time travel still sees only the base
+    assert _rows(read_snapshot(spark, root, version=1)) == _rows(
+        _df(spark, 10, "a")
+    )
+
+
+def test_append_to_empty_table_refused(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="first write is a publish"):
+        snap.append_snapshot(_df(spark, 5), _root(tmp_path))
+
+
+def test_vacuum_never_sweeps_shared_append_prefix(spark, tmp_path):
+    """Dropping an old append-chain version must not delete a data
+    prefix the CURRENT snapshot still lists files under."""
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a").coalesce(1), root)
+    snap.append_snapshot(_df(spark, 5, "b").coalesce(1), root)
+    snap.append_snapshot(_df(spark, 3, "c").coalesce(1), root)
+    report = vacuum_snapshots(root, keep_last=1)
+    assert report["dropped_versions"] == [1, 2]
+    # v1/v2's prefixes are SHARED with v3 — all 15+3 rows must survive
+    got = _rows(read_snapshot(spark, root))
+    assert len(got) == 18
+    # and all three data prefixes still exist on disk
+    assert len(os.listdir(os.path.join(root, snap.DATA_DIR))) == 3
+
+
+def test_vacuum_sweeps_prefix_once_rewrite_abandons_it(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a").coalesce(1), root)
+    snap.append_snapshot(_df(spark, 5, "b").coalesce(1), root)
+    # a full rewrite (compact) stops referencing the old prefixes
+    compact_snapshot(spark, root)
+    report = vacuum_snapshots(root, keep_last=1)
+    assert report["dropped_versions"] == [1, 2]
+    assert len(os.listdir(os.path.join(root, snap.DATA_DIR))) == 1
+    assert len(_rows(read_snapshot(spark, root))) == 15
+
+
+def test_spec1_manifest_still_resolves(spark, tmp_path):
+    """Back-compat: a spec-1 manifest (single prefix, prefix-relative
+    paths, no 'prefixes' key) resolves and reads."""
+    root = _root(tmp_path)
+    info = publish_snapshot(_df(spark, 8, "a"), root)
+    mpath = os.path.join(root, snap._manifest_key(1))
+    doc = json.load(open(mpath))
+    rel_prefix = doc["data_prefix"]
+    del doc["prefixes"]
+    doc.pop("spec", None)
+    for f in doc["files"]:
+        assert f["path"].startswith(rel_prefix + "/")
+        f["path"] = f["path"][len(rel_prefix) + 1:]
+        f.pop("rows", None)
+    with open(mpath, "w") as fh:
+        json.dump(doc, fh)
+    got = resolve_snapshot(root)
+    assert got.prefixes == [rel_prefix]
+    assert got.file_paths == info.file_paths
+    assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 8, "a"))
+
+
+# ---------------------------------------------------------------------------
+# envelope stats + file skipping
+# ---------------------------------------------------------------------------
+
+
+def _stats_df(spark, lo, hi, tag="a"):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(tag), F.col("id")).alias("text"),
+            (F.col("id") % 2 == 0).alias("even"),
+        )
+        .coalesce(1)
+    )
+
+
+def test_publish_collects_envelope_stats(spark, tmp_path):
+    root = _root(tmp_path)
+    info = publish_snapshot(
+        _stats_df(spark, 0, 100), root,
+        stats_columns=["doc_id", "text", "even"],
+    )
+    st = info.files[0]["stats"]
+    assert st["doc_id"] == {"kind": "int", "min": 0, "max": 99, "nulls": 0}
+    assert st["text"]["kind"] == "str" and st["text"]["min"] == "a0"
+    assert st["even"] == {"kind": "bool", "min": False, "max": True,
+                          "nulls": 0}
+    # stats survive the JSON roundtrip with types intact
+    again = resolve_snapshot(root)
+    assert again.files[0]["stats"] == st
+
+
+def test_stats_refuse_float_and_missing_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.rand(7).alias("score")
+    )
+    with pytest.raises(Exception, match="NaN-blind"):
+        publish_snapshot(df, root, stats_columns=["score"])
+    with pytest.raises(Exception, match="not in schema"):
+        publish_snapshot(df, root + "2", stats_columns=["nope"])
+
+
+def test_plan_snapshot_scan_prunes_disjoint_appends(spark, tmp_path):
+    from smashed_spark.sources.snapshot import plan_snapshot_scan
+
+    root = _root(tmp_path)
+    publish_snapshot(
+        _stats_df(spark, 0, 100), root, stats_columns=["doc_id"]
+    )
+    snap.append_snapshot(
+        _stats_df(spark, 100, 200, "b"), root, stats_columns=["doc_id"]
+    )
+    snap.append_snapshot(
+        _stats_df(spark, 200, 300, "c"), root, stats_columns=["doc_id"]
+    )
+    info = resolve_snapshot(root)
+    assert len(info.files) == 3
+    plan = plan_snapshot_scan(info, [("doc_id", ">=", 205)])
+    assert plan["files_kept"] == 1 and plan["files_skipped"] == 2
+    plan = plan_snapshot_scan(info, [("doc_id", "<", 100)])
+    assert plan["files_kept"] == 1
+    plan = plan_snapshot_scan(info, [("doc_id", "=", 150)])
+    assert plan["files_kept"] == 1
+    plan = plan_snapshot_scan(info, [("doc_id", "in", [5, 250])])
+    assert plan["files_kept"] == 2
+    # conjunction: both predicates must be satisfiable in one file
+    plan = plan_snapshot_scan(
+        info, [("doc_id", ">=", 50), ("doc_id", "<=", 60)]
+    )
+    assert plan["files_kept"] == 1
+    # boundary exactness: >= 200 keeps exactly the third file
+    plan = plan_snapshot_scan(info, [("doc_id", ">=", 200)])
+    assert plan["files_kept"] == 1
+    plan = plan_snapshot_scan(info, [("doc_id", ">", 299)])
+    assert plan["files_kept"] == 0
+
+
+def test_read_snapshot_where_matches_plain_filter(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(
+        _stats_df(spark, 0, 100), root, stats_columns=["doc_id"]
+    )
+    snap.append_snapshot(
+        _stats_df(spark, 100, 200, "b"), root, stats_columns=["doc_id"]
+    )
+    full = read_snapshot(spark, root)
+    pruned = read_snapshot(spark, root, where=[("doc_id", ">=", 150)])
+    expect = sorted(
+        (r.doc_id, r.text) for r in full.where("doc_id >= 150").collect()
+    )
+    assert sorted((r.doc_id, r.text) for r in pruned.collect()) == expect
+    # the pruned scan reads ONE file, not two
+    assert len(pruned.inputFiles()) == 1
+    # all files pruned: empty result, schema intact
+    none = read_snapshot(spark, root, where=[("doc_id", ">", 10_000)])
+    assert none.count() == 0
+    assert none.columns == full.columns
+
+
+def test_where_prunes_conservatively_without_stats(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_stats_df(spark, 0, 100), root)  # no stats collected
+    got = read_snapshot(spark, root, where=[("doc_id", ">=", 90)])
+    assert got.count() == 10  # kept the file, filtered the rows
+
+
+def test_where_type_mismatch_raises(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(
+        _stats_df(spark, 0, 10), root, stats_columns=["doc_id"]
+    )
+    with pytest.raises(TypeError, match="expected int"):
+        read_snapshot(spark, root, where=[("doc_id", ">=", "90")])
+
+
+def test_stats_all_null_column_prunes_file(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from smashed_spark.sources.snapshot import plan_snapshot_scan
+
+    root = _root(tmp_path)
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("maybe"),
+    ).coalesce(1)
+    publish_snapshot(df, root, stats_columns=["maybe"])
+    info = resolve_snapshot(root)
+    # NULL fails every comparison predicate — the file is provably empty
+    plan = plan_snapshot_scan(info, [("maybe", ">=", 0)])
+    assert plan["files_kept"] == 0
+    assert read_snapshot(spark, root, where=[("maybe", ">=", 0)]).count() == 0
+
+
+def test_stats_date_and_timestamp_envelopes(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from smashed_spark.sources.snapshot import plan_snapshot_scan
+
+    root = _root(tmp_path)
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 5), dt.datetime(2024, 1, 5, 12, 0, 0)),
+            (2, dt.date(2024, 3, 1), dt.datetime(2024, 3, 1, 0, 30, 0)),
+        ],
+        "doc_id bigint, d date, t timestamp",
+    ).coalesce(1)
+    # Spark's legacy INT96 timestamp layout carries no footer min/max:
+    # requesting stats for it must raise with the remediation...
+    with pytest.raises(Exception, match="INT96"):
+        publish_snapshot(df, root + "96", stats_columns=["t"])
+    # ...which is to publish with the stats-bearing micros layout
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(ts_key)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        publish_snapshot(df, root, stats_columns=["d", "t"])
+    finally:
+        spark.conf.set(ts_key, prev)
+    info = resolve_snapshot(root)
+    st = info.files[0]["stats"]
+    assert st["d"]["min"] == "2024-01-05" and st["d"]["max"] == "2024-03-01"
+    assert st["t"]["min"].startswith("2024-01-05T12:00:00")
+    # prune with a date literal (and its ISO-string spelling)
+    assert plan_snapshot_scan(
+        info, [("d", ">", dt.date(2024, 3, 1))]
+    )["files_kept"] == 0
+    assert plan_snapshot_scan(info, [("d", ">", "2024-02-01")])[
+        "files_kept"
+    ] == 1
+    assert plan_snapshot_scan(
+        info, [("t", "<", dt.datetime(2024, 1, 1))]
+    )["files_kept"] == 0
+    got = read_snapshot(
+        spark, root, where=[("d", ">=", dt.date(2024, 2, 1))]
+    )
+    assert [r.doc_id for r in got.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# incremental changes reads
+# ---------------------------------------------------------------------------
+
+
+def test_read_snapshot_changes_between_appends(spark, tmp_path):
+    from smashed_spark.sources.snapshot import read_snapshot_changes
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+    snap.append_snapshot(_df(spark, 5, "b"), root)
+    snap.append_snapshot(_df(spark, 3, "c"), root)
+    # v1 -> v3: both appended batches, nothing from the base
+    got = _rows(read_snapshot_changes(spark, root, since_version=1))
+    assert got == sorted(_rows(_df(spark, 5, "b")) + _rows(_df(spark, 3, "c")))
+    # v2 -> v3: just the last batch
+    got = _rows(read_snapshot_changes(spark, root, since_version=2))
+    assert got == _rows(_df(spark, 3, "c"))
+    # explicit target version
+    got = _rows(
+        read_snapshot_changes(spark, root, since_version=1, version=2)
+    )
+    assert got == _rows(_df(spark, 5, "b"))
+    # same version: empty, schema intact
+    empty = read_snapshot_changes(spark, root, since_version=3)
+    assert empty.count() == 0 and empty.columns == ["doc_id", "text"]
+
+
+def test_read_snapshot_changes_refuses_rewrites(spark, tmp_path):
+    from smashed_spark.sources.snapshot import read_snapshot_changes
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+    snap.append_snapshot(_df(spark, 5, "b"), root)
+    compact_snapshot(spark, root)
+    with pytest.raises(ValueError, match="non-append operations"):
+        read_snapshot_changes(spark, root, since_version=1)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_snapshot_changes(spark, root, since_version=99)
