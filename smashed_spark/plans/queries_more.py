@@ -1957,3 +1957,183 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_ids",
         "tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# r13: the snapshot-table lifecycle (sources/snapshot.py + appends /
+# envelope stats / file skipping) as a driver-gated query — the
+# protocol's query-visible surface, oracle-replayed end to end.
+# ---------------------------------------------------------------------------
+
+# prune predicate for the skipping stage (inclusive n_chars >= bound);
+# ~median of the documents n_chars distribution at every test SF, so
+# rows survive AND files can skip at sf0.001 through sf0.1
+_SNAP_PRUNE_LOWER = 320
+
+
+def _bind_snapshot_table_path() -> str:
+    import os
+    import tempfile
+
+    override = os.environ.get("SMASHED_SNAPSHOT_DIR")
+    if override:
+        return override
+    return os.path.join(
+        tempfile.gettempdir(), f"smashed_snap_gate_{os.getpid()}"
+    )
+
+
+# same import-time-binding + claim discipline as _IO_ZDOCS_PATH above
+# (the oracle string embeds this path, and the driver materializes
+# every oracle string before any gate runs); see that comment for the
+# fork/spawn rationale.  SMASHED_SNAPSHOT_DIR overrides for spawned
+# workers / multi-user hosts.
+_SNAP_STAGING_PATH = _bind_snapshot_table_path()
+
+
+def _snapshot_lifecycle_oracle() -> str:
+    """The whole lifecycle is deterministic arithmetic on `documents`:
+    published thirds (doc_id%3 in (0,1)) minus the forget list
+    (doc_id%10=0) is the final row set, the incremental-changes stage
+    is the second third, and the file-skipping accounting is replayed
+    from the PHYSICAL parquet footers of the final (vacuumed-to-one-
+    version) table via parquet_metadata() — the same footers the
+    publish-time stats collector read, so a drift between manifest
+    envelopes and file reality breaks the hash."""
+    table = f"{_SNAP_STAGING_PATH}/table"
+    return f"""
+    WITH surv AS (
+        SELECT doc_id, lang, n_chars, source FROM documents
+        WHERE doc_id % 3 IN (0, 1) AND doc_id % 10 <> 0
+    ), ch AS (
+        SELECT CAST(count(*) AS BIGINT) AS changes_rows,
+               CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS changes_sum
+        FROM documents WHERE doc_id % 3 = 1
+    ), fm AS (
+        SELECT file_name, max(CAST(stats_max_value AS BIGINT)) AS mx
+        FROM parquet_metadata('{table}/data/*/*.parquet')
+        WHERE path_in_schema = 'n_chars'
+        GROUP BY file_name
+    ), pr AS (
+        SELECT CAST(count(*) AS BIGINT) AS files_total,
+               CAST(coalesce(sum(CASE WHEN mx >= {_SNAP_PRUNE_LOWER}
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS files_kept
+        FROM fm
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS final_rows FROM surv
+    )
+    SELECT s.doc_id, s.lang, s.n_chars, s.source,
+           ch.changes_rows, ch.changes_sum,
+           pr.files_total, pr.files_kept,
+           tot.final_rows
+    FROM surv s CROSS JOIN ch CROSS JOIN pr CROSS JOIN tot
+    WHERE s.n_chars >= {_SNAP_PRUNE_LOWER}
+    """
+
+
+@query("snapshot_lifecycle", oracle=_snapshot_lifecycle_oracle)
+def q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The object-store table protocol (sources/snapshot.py), driven
+    through a full lifecycle and value-certified end to end:
+
+    1. publish the first third of `documents` (doc_id%3=0) with
+       per-file envelope stats on (doc_id, n_chars);
+    2. APPEND the second third (doc_id%3=1) — O(new data), the parent
+       file entries ride the manifest verbatim;
+    3. incremental consumers read exactly the appended batch via
+       read_snapshot_changes (count + doc_id checksum ride the result
+       as literals);
+    4. GDPR forget-list rewrite (doc_id%10=0) as a new version;
+    5. optimize_snapshot Z-orders the survivors on (n_chars, doc_id),
+       so file envelopes separate and skipping has something to skip;
+    6. vacuum to ONE version (drop_unpublished sweeps everything
+       unreferenced), leaving only the optimized prefix under data/ —
+       which is what lets the oracle glob the physical footers;
+    7. read back with where=[n_chars >= bound]: the manifest-stats
+       pruner picks files, Spark re-applies the predicate, and the
+       kept/total accounting rides the result — DuckDB recomputes the
+       SAME per-file verdicts from parquet_metadata(), certifying the
+       publish-time stats collector against the physical footers.
+
+    Every surviving row's values are oracle-checked (a ghost row, a
+    lost append, an over-deletion, or a stats/footer drift each breaks
+    row count or hash).  Empty part files (possible at tiny SF under
+    repartitionByRange) are excluded from the accounting literals on
+    both sides: the pruner proves them skippable from rows=0 while
+    parquet_metadata has no row group to report for them.
+    """
+    import atexit
+    import shutil
+
+    from ..sources.snapshot import (
+        append_snapshot,
+        apply_deletions_snapshot,
+        optimize_snapshot,
+        plan_snapshot_scan,
+        publish_snapshot,
+        read_snapshot,
+        read_snapshot_changes,
+        resolve_snapshot,
+        vacuum_snapshots,
+    )
+
+    _claim_io_zdocs_dir(_SNAP_STAGING_PATH, env_var="SMASHED_SNAPSHOT_DIR")
+    atexit.register(shutil.rmtree, _SNAP_STAGING_PATH, ignore_errors=True)
+    table = f"{_SNAP_STAGING_PATH}/table"
+    # a crashed earlier run's versions would shift allocation and
+    # diverge from the oracle's glob — each build starts a fresh table
+    shutil.rmtree(table, ignore_errors=True)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    stats_cols = ["doc_id", "n_chars"]
+    publish_snapshot(
+        docs.filter(F.col("doc_id") % 3 == 0).repartition(4),
+        table,
+        stats_columns=stats_cols,
+    )
+    append_snapshot(
+        docs.filter(F.col("doc_id") % 3 == 1).repartition(4),
+        table,
+        stats_columns=stats_cols,
+    )
+    changes = read_snapshot_changes(spark, table, since_version=1)
+    ch = changes.agg(
+        F.count("*").alias("changes_rows"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).alias("changes_sum"),
+    ).collect()[0]
+    apply_deletions_snapshot(
+        spark,
+        table,
+        keys=docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"),
+        key_field="doc_id",
+        stats_columns=stats_cols,
+    )
+    optimize_snapshot(
+        spark,
+        table,
+        cluster_by=["n_chars", "doc_id"],
+        bits=10,
+        num_files=6,
+        stats_columns=stats_cols,
+    )
+    vacuum_snapshots(table, keep_last=1, drop_unpublished=True)
+
+    info = resolve_snapshot(table)
+    where = [("n_chars", ">=", _SNAP_PRUNE_LOWER)]
+    plan = plan_snapshot_scan(info, where)
+    nonempty_total = sum(1 for f in info.files if f.get("rows"))
+    out = read_snapshot(spark, table, where=where)
+    return (
+        out.withColumn(
+            "changes_rows", F.lit(int(ch["changes_rows"])).cast("bigint")
+        )
+        .withColumn("changes_sum", F.lit(int(ch["changes_sum"])).cast("bigint"))
+        .withColumn("files_total", F.lit(nonempty_total).cast("bigint"))
+        .withColumn(
+            "files_kept", F.lit(int(plan["files_kept"])).cast("bigint")
+        )
+        .withColumn("final_rows", F.lit(int(info.row_count)).cast("bigint"))
+    )

@@ -839,18 +839,22 @@ def main() -> None:
     # protocol's claim is that reads are two GETs regardless of file
     # count — resolve_wall should stay ~flat while publish grows with
     # the (driver-side, once-per-publish) footer walk.
-    snapshot_selected = not only or "snapshot_lifecycle" in only
+    snapshot_selected = not only or "snapshot_protocol" in only
 
     def run_snapshot_lifecycle(n_files: int, reps: int = 2) -> dict:
         import tempfile as _tf
 
         from smashed_spark.sources.snapshot import (
+            append_snapshot,
             publish_snapshot,
             resolve_snapshot,
             vacuum_snapshots,
         )
 
-        best = {"publish": -1.0, "resolve": -1.0, "vacuum": -1.0}
+        best = {
+            "publish": -1.0, "append": -1.0, "resolve": -1.0,
+            "vacuum": -1.0,
+        }
         for _ in range(reps):
             isolate()
             root = _tf.mkdtemp(prefix="smashed_snapprobe_") + "/tbl"
@@ -860,8 +864,19 @@ def main() -> None:
             t0 = time.perf_counter()
             publish_snapshot(df, root)
             t_pub = time.perf_counter() - t0
-            # second version so vacuum has something to drop
-            publish_snapshot(df.limit(1000), root)
+            # r13 part 2: a CONSTANT 1000-row daily batch appended onto
+            # the n_files-file table — the O(new data) claim says this
+            # should stay ~flat across the sweep (the only O(table)
+            # term left is rewriting the manifest JSON, KBs per file).
+            # Built INDEPENDENTLY of df: a limit() over the parent's
+            # n_files partitions would make computing the batch itself
+            # scale with the sweep and poison the flatness measurement
+            batch = spark.range(1000).selectExpr(
+                "id AS doc_id", "id % 997 AS n_chars"
+            ).coalesce(1)
+            t0 = time.perf_counter()
+            append_snapshot(batch, root)
+            t_app = time.perf_counter() - t0
             t0 = time.perf_counter()
             info = resolve_snapshot(root)
             t_res = time.perf_counter() - t0
@@ -871,7 +886,8 @@ def main() -> None:
             t_vac = time.perf_counter() - t0
             shutil.rmtree(os.path.dirname(root), ignore_errors=True)
             for key, val in (
-                ("publish", t_pub), ("resolve", t_res), ("vacuum", t_vac)
+                ("publish", t_pub), ("append", t_app),
+                ("resolve", t_res), ("vacuum", t_vac),
             ):
                 best[key] = val if best[key] < 0 else min(best[key], val)
         # resolve is sub-millisecond by design — 3dp would round it to
@@ -879,8 +895,10 @@ def main() -> None:
         return {k: round(v, 5) for k, v in best.items()}
 
     if snapshot_selected:
+        # key renamed r13 part 2: "snapshot_lifecycle" now names the
+        # GATE query; this entry probes the protocol machinery itself
         sweep = {n: run_snapshot_lifecycle(n) for n in (16, 160, 1600)}
-        result["queries"]["snapshot_lifecycle"] = {
+        result["queries"]["snapshot_protocol"] = {
             "files_sweep": {str(n): sweep[n] for n in sweep},
             "publish_ratio_per_decade": [
                 round(sweep[160]["publish"] / max(sweep[16]["publish"], 1e-9), 2),
@@ -890,17 +908,24 @@ def main() -> None:
                 round(sweep[160]["resolve"] / max(sweep[16]["resolve"], 1e-9), 2),
                 round(sweep[1600]["resolve"] / max(sweep[160]["resolve"], 1e-9), 2),
             ],
+            "append_ratio_per_decade": [
+                round(sweep[160]["append"] / max(sweep[16]["append"], 1e-9), 2),
+                round(sweep[1600]["append"] / max(sweep[160]["append"], 1e-9), 2),
+            ],
             "note": (
                 "constant 160k rows repartitioned into 16/160/1600 "
                 "files — the slope isolates per-file metadata cost. "
                 "publish carries the one-per-publish driver-side "
-                "footer walk (O(files)); resolve is two GETs + one "
+                "footer walk (O(files)); append is a CONSTANT "
+                "1000-row batch and must stay ~flat (the O(new data) "
+                "ingest claim — its only O(table) term is the "
+                "manifest JSON rewrite); resolve is two GETs + one "
                 "manifest parse and must stay ~flat; vacuum lists the "
                 "data/ prefix (O(files))."
             ),
         }
         print(
-            f"# snapshot_lifecycle: {result['queries']['snapshot_lifecycle']['files_sweep']}",
+            f"# snapshot_protocol: {result['queries']['snapshot_protocol']['files_sweep']}",
             file=sys.stderr,
         )
 
