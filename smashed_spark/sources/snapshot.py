@@ -103,6 +103,18 @@ matches.  String stats are safe even when a writer truncates them:
 parquet truncation keeps a prefix for min (still a lower bound) and
 increments the last byte for max (still an upper bound), and envelope
 pruning needs only bound validity, never exactness.
+
+Tags (pinned releases)
+----------------------
+:func:`tag_snapshot` pins a version under a name ("the 2026-08
+training set") via a tiny pointer under ``_tags/``.  Tagged versions —
+and every data prefix they reference — are exempt from vacuum, and
+chain members are only ever vacuumed as a connected PREFIX (oldest
+first, stopping at the first kept version): "published" is defined by
+pointer ancestry, so dropping a version BETWEEN a pinned release and
+the present would strand the release off-chain, indistinguishable
+from crash debris.  Retargeting an existing tag requires an explicit
+``replace=True``.
 """
 
 from __future__ import annotations
@@ -835,6 +847,85 @@ def _scan_files(
     return spark.read.parquet(*info.file_paths)
 
 
+TAG_DIR = "_tags"
+
+
+def _tag_path(root: SmartPath, tag: str) -> str:
+    if not tag or "/" in tag or tag.startswith("."):
+        raise ValueError(
+            f"invalid tag {tag!r}: non-empty, no '/', no leading '.'"
+        )
+    return str(root / TAG_DIR / f"{tag}.json")
+
+
+def tag_snapshot(
+    table_root: str,
+    tag: str,
+    version: Optional[int] = None,
+    replace: bool = False,
+    client=None,
+) -> int:
+    """Pin a snapshot version under a name — "the 2026-08 training
+    set".  Tags are tiny pointer objects under ``_tags/``; a tagged
+    version (and every data prefix it references) is EXEMPT from
+    :func:`vacuum_snapshots`, so a pinned release stays reproducible
+    whatever ``keep_last`` says.  Refuses to move an existing tag
+    unless ``replace=True`` (silently retargeting a release name is
+    how two training runs end up 'identical' on different data).
+    Returns the pinned version."""
+    if version is None:
+        version = resolve_snapshot(table_root, client=client).version
+    else:
+        resolve_snapshot(table_root, version, client=client)  # must exist
+    root = SmartPath.parse(table_root)
+    path = _tag_path(root, tag)
+    if not replace and io_utils.exists(path, client=client):
+        existing = _read_json(path, client=client)
+        raise RuntimeError(
+            f"tag_snapshot: tag {tag!r} already points at "
+            f"v{existing['version']} — pass replace=True to retarget"
+        )
+    _write_atomic(path, json.dumps({"version": int(version)}), client=client)
+    return int(version)
+
+
+def list_tags(table_root: str, client=None) -> Dict[str, int]:
+    """All tags and the versions they pin."""
+    root = SmartPath.parse(table_root)
+    out: Dict[str, int] = {}
+    for f in io_utils.recursively_list_files(
+        str(root / TAG_DIR), client=client
+    ):
+        name = f.rsplit("/", 1)[-1]
+        if name.endswith(".json"):
+            doc = _read_json(f, client=client)
+            if doc is not None:
+                out[name[:-5]] = int(doc["version"])
+    return out
+
+
+def delete_tag(table_root: str, tag: str, client=None) -> None:
+    """Unpin a tag (the version becomes vacuumable again under the
+    normal keep_last rules)."""
+    root = SmartPath.parse(table_root)
+    io_utils.remove_file(_tag_path(root, tag), client=client)
+
+
+def resolve_tag(table_root: str, tag: str, client=None) -> SnapshotInfo:
+    """Resolve the snapshot a tag pins.  Raises FileNotFoundError for
+    an unknown tag (and for a tag whose version was vacuumed BEFORE
+    tagging protected it — possible only if the tag was written after
+    the vacuum)."""
+    root = SmartPath.parse(table_root)
+    doc = _read_json(_tag_path(root, tag), client=client)
+    if doc is None:
+        raise FileNotFoundError(
+            f"resolve_tag: no tag {tag!r} under {table_root!r} "
+            f"(known: {sorted(list_tags(table_root, client=client))})"
+        )
+    return resolve_snapshot(table_root, int(doc["version"]), client=client)
+
+
 def read_snapshot_changes(
     spark: SparkSession,
     table_root: str,
@@ -955,9 +1046,29 @@ def vacuum_snapshots(
     chain.reverse()  # oldest first
     keep = set(chain[-keep_last:])
     keep.add(current)
+    # tagged versions are pinned releases: exempt from keep_last AND
+    # from the off-chain sweep, together with every prefix they
+    # reference (the referenced_rel accounting below sees them as
+    # survivors)
+    tagged = set(list_tags(table_root, client=client).values())
+    keep |= tagged
 
     def _prefixes(doc: dict) -> List[str]:
         return [str(p) for p in doc.get("prefixes") or [doc["data_prefix"]]]
+
+    # chain members may only be dropped as a connected PREFIX (oldest
+    # first, stopping at the first kept version): "published" is
+    # DEFINED by pointer ancestry, so dropping a middle version would
+    # disconnect every older survivor — a pinned (tagged) release
+    # would become indistinguishable from crash debris.  The cost is
+    # that versions between a pinned release and the keep_last window
+    # linger until the pin is deleted; the alternative (rewriting
+    # immutable manifests' parents) is not on the table.
+    chain_droppable: set = set()
+    for v in chain:  # oldest first
+        if v in keep:
+            break
+        chain_droppable.add(v)
 
     # decide drops first, THEN compute what the survivors reference:
     # append chains share prefixes across versions, so dropping an old
@@ -970,8 +1081,8 @@ def vacuum_snapshots(
         if doc is None:  # raced its own removal; nothing to do
             continue
         on_chain = v in chain
-        drop = (on_chain and v not in keep) or (
-            not on_chain and drop_unpublished
+        drop = (on_chain and v in chain_droppable) or (
+            not on_chain and drop_unpublished and v not in keep
         )
         if drop:
             to_drop.append(v)
@@ -1205,6 +1316,10 @@ __all__ = [
     "read_snapshot",
     "read_snapshot_changes",
     "plan_snapshot_scan",
+    "tag_snapshot",
+    "list_tags",
+    "delete_tag",
+    "resolve_tag",
     "resolve_snapshot",
     "list_snapshots",
     "vacuum_snapshots",

@@ -767,3 +767,237 @@ def test_read_snapshot_changes_refuses_rewrites(spark, tmp_path):
         read_snapshot_changes(spark, root, since_version=1)
     with pytest.raises(ValueError, match="not an ancestor"):
         read_snapshot_changes(spark, root, since_version=99)
+
+
+# ---------------------------------------------------------------------------
+# property: envelope pruning is SAFE — a skipped file provably contains
+# no matching row, for any data (nulls included) and any predicate.
+# Pure-Python check against brute force; no Spark in the loop, so
+# hypothesis can hammer it.
+# ---------------------------------------------------------------------------
+
+
+def test_prune_never_skips_a_matching_file_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smashed_spark.sources.snapshot import _file_can_match
+
+    values_st = st.lists(
+        st.one_of(st.none(), st.integers(-50, 50)), min_size=0, max_size=12
+    )
+    op_st = st.sampled_from(["=", "<", "<=", ">", ">=", "in"])
+
+    def brute_force(vals, op, literal):
+        hits = []
+        for v in vals:
+            if v is None:
+                continue  # NULL fails every comparison / IN
+            if op == "=":
+                hits.append(v == literal)
+            elif op == "<":
+                hits.append(v < literal)
+            elif op == "<=":
+                hits.append(v <= literal)
+            elif op == ">":
+                hits.append(v > literal)
+            elif op == ">=":
+                hits.append(v >= literal)
+            elif op == "in":
+                hits.append(v in literal)
+        return any(hits)
+
+    def entry_for(vals, with_stats):
+        nonnull = [v for v in vals if v is not None]
+        entry = {"path": "f", "bytes": 1, "rows": len(vals)}
+        if with_stats:
+            stats = {"kind": "int", "nulls": len(vals) - len(nonnull)}
+            if nonnull:
+                stats["min"] = min(nonnull)
+                stats["max"] = max(nonnull)
+            entry["stats"] = {"c": stats}
+        return entry
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        vals=values_st,
+        op=op_st,
+        lit=st.integers(-60, 60),
+        in_set=st.lists(st.integers(-60, 60), min_size=0, max_size=5),
+        with_stats=st.booleans(),
+    )
+    def check(vals, op, lit, in_set, with_stats):
+        literal = in_set if op == "in" else lit
+        entry = entry_for(vals, with_stats)
+        kept = _file_can_match(entry, "c", op, literal)
+        # SOUNDNESS: skipping is only allowed when no row matches
+        if brute_force(vals, op, literal):
+            assert kept, (vals, op, literal, entry)
+        # precision spot: with stats present, an empty or all-null
+        # file is always provably skippable
+        if with_stats and not [v for v in vals if v is not None]:
+            assert not kept
+
+    check()
+
+
+def test_s3_append_and_pruned_read(spark, s3):
+    """Spec-2 appends and where= pruning behave identically on the s3
+    tier: multi-prefix manifests, carried stats, skip accounting."""
+    from smashed_spark.sources.snapshot import (
+        append_snapshot,
+        plan_snapshot_scan,
+    )
+
+    root = _s3_root()
+    publish_snapshot(
+        _df(spark, 100, "a").coalesce(1), root,
+        stats_columns=["doc_id"], client=s3,
+    )
+    info = append_snapshot(
+        _df(spark, 200, "b").filter("doc_id >= 100").coalesce(1), root,
+        stats_columns=["doc_id"], client=s3,
+    )
+    assert info.version == 2 and info.row_count == 200
+    assert len(info.prefixes) == 2
+    plan = plan_snapshot_scan(info, [("doc_id", ">=", 150)])
+    assert plan["files_kept"] == 1 and plan["files_skipped"] == 1
+    got = read_snapshot(
+        spark, root, where=[("doc_id", ">=", 150)],
+        client=s3, allow_driver_download=True,
+    )
+    assert sorted(r.doc_id for r in got.collect()) == list(range(150, 200))
+
+
+# ---------------------------------------------------------------------------
+# tags: pinned releases that vacuum must never destroy
+# ---------------------------------------------------------------------------
+
+
+def test_tag_pin_resolve_and_vacuum_protection(spark, tmp_path):
+    from smashed_spark.sources.snapshot import (
+        delete_tag,
+        list_tags,
+        resolve_tag,
+        tag_snapshot,
+    )
+
+    root = _root(tmp_path)
+    for i, tag in enumerate(["a", "b", "c", "d"], start=1):
+        publish_snapshot(_df(spark, 10 * i, tag), root)
+    assert tag_snapshot(root, "release-2026-08", version=2) == 2
+    assert list_tags(root) == {"release-2026-08": 2}
+    # the pinned release survives a keep_last=1 vacuum — and so does
+    # v3, which links it to the present: chain members drop only as a
+    # connected PREFIX ("published" is defined by pointer ancestry, so
+    # a hole would strand every older survivor off-chain)
+    report = vacuum_snapshots(root, keep_last=1)
+    assert report["dropped_versions"] == [1]
+    assert sorted(report["kept"]) == [2, 4]
+    assert list_snapshots(root) == [2, 3, 4]
+    # ...and still reads, byte-for-byte
+    pinned = resolve_tag(root, "release-2026-08")
+    assert pinned.version == 2
+    assert _rows(read_snapshot(spark, root, version=2)) == _rows(
+        _df(spark, 20, "b")
+    )
+    # unpin -> the release AND its linking version become vacuumable
+    delete_tag(root, "release-2026-08")
+    report = vacuum_snapshots(root, keep_last=1)
+    assert report["dropped_versions"] == [2, 3]
+    assert list_snapshots(root) == [4]
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        resolve_tag(root, "release-2026-08")
+
+
+def test_tag_refusals_and_replace(spark, tmp_path):
+    from smashed_spark.sources.snapshot import (
+        list_tags,
+        resolve_tag,
+        tag_snapshot,
+    )
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+    publish_snapshot(_df(spark, 20, "b"), root)
+    # default: tag the CURRENT version
+    assert tag_snapshot(root, "latest-blessed") == 2
+    # silently retargeting a release name is refused...
+    with pytest.raises(RuntimeError, match="already points at v2"):
+        tag_snapshot(root, "latest-blessed", version=1)
+    # ...unless explicit
+    assert tag_snapshot(root, "latest-blessed", version=1, replace=True) == 1
+    assert resolve_tag(root, "latest-blessed").version == 1
+    # tagging a nonexistent version is refused at tag time
+    with pytest.raises(FileNotFoundError, match="no manifest"):
+        tag_snapshot(root, "ghost", version=99)
+    with pytest.raises(ValueError, match="invalid tag"):
+        tag_snapshot(root, "../escape")
+    assert list_tags(root) == {"latest-blessed": 1}
+
+
+def test_tag_protects_append_chain_prefixes(spark, tmp_path):
+    """A tag on an append-chain version keeps every prefix it
+    references alive, even when vacuum drops the chain around it."""
+    from smashed_spark.sources.snapshot import tag_snapshot
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a").coalesce(1), root)
+    snap.append_snapshot(_df(spark, 5, "b").coalesce(1), root)
+    tag_snapshot(root, "pinned", version=2)
+    # full rewrite supersedes the chain, then vacuum to 1
+    compact_snapshot(spark, root)
+    report = vacuum_snapshots(root, keep_last=1)
+    assert report["dropped_versions"] == [1]
+    # v2 (tagged) still reads: BOTH its prefixes survived v1's drop
+    got = _rows(read_snapshot(spark, root, version=2))
+    assert len(got) == 15
+
+
+def test_tagged_offchain_version_survives_drop_unpublished(
+    spark, tmp_path, monkeypatch
+):
+    """An analyst can pin ANY resolvable version — including a
+    window-2 orphan (manifest without pointer flip).  The pin must
+    shield it from the drop_unpublished sweep."""
+    from smashed_spark.sources.snapshot import tag_snapshot
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+
+    real = snap._write_atomic
+
+    def boom(path, payload, client=None):
+        if path.endswith(snap.POINTER_NAME):
+            raise RuntimeError("simulated crash before pointer")
+        return real(path, payload, client=client)
+
+    monkeypatch.setattr(snap, "_write_atomic", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        publish_snapshot(_df(spark, 20, "b"), root)
+    monkeypatch.undo()
+
+    tag_snapshot(root, "forensics", version=2)  # the orphan
+    report = vacuum_snapshots(root, keep_last=1, drop_unpublished=True)
+    assert report["dropped_versions"] == []
+    assert 2 in list_snapshots(root)
+    assert _rows(read_snapshot(spark, root, version=2)) == _rows(
+        _df(spark, 20, "b")
+    )
+
+
+def test_s3_tags(spark, s3):
+    from smashed_spark.sources.snapshot import (
+        list_tags,
+        resolve_tag,
+        tag_snapshot,
+    )
+
+    root = _s3_root()
+    publish_snapshot(_df(spark, 10, "a"), root, client=s3)
+    publish_snapshot(_df(spark, 20, "b"), root, client=s3)
+    assert tag_snapshot(root, "rel", version=1, client=s3) == 1
+    assert list_tags(root, client=s3) == {"rel": 1}
+    report = vacuum_snapshots(root, keep_last=1, client=s3)
+    assert report["dropped_versions"] == []  # v1 pinned
+    assert resolve_tag(root, "rel", client=s3).version == 1
