@@ -171,6 +171,9 @@ class SnapshotInfo:
     parent: Optional[int]
     operation: str
     committed_at: float
+    # {column: spark simpleString type} as written; None for spec-1
+    # manifests that predate the field
+    columns: Optional[Dict[str, str]]
     # free-form operation metadata carried by the manifest (e.g. the
     # fitted Z-order bounds an optimize publish must hand the next one)
     properties: Dict[str, object]
@@ -280,6 +283,9 @@ def resolve_snapshot(
         parent=manifest.get("parent"),
         operation=str(manifest.get("operation", "publish")),
         committed_at=float(manifest.get("committed_at", 0.0)),
+        columns=(
+            dict(manifest["columns"]) if "columns" in manifest else None
+        ),
         properties=dict(manifest.get("properties") or {}),
     )
 
@@ -325,7 +331,14 @@ def _stats_kind(arrow_type) -> Optional[str]:
     if pa.types.is_date(arrow_type):
         return "date"
     if pa.types.is_timestamp(arrow_type):
-        return "ts"
+        # instant (tz-adjusted, Spark TIMESTAMP) vs wall-clock
+        # (TIMESTAMP_NTZ) are DIFFERENT kinds with different literal
+        # rules: an instant predicate must be tz-aware (a naive
+        # literal is interpreted in Spark's SESSION timezone, which
+        # the pruner cannot see — comparing it against UTC stats
+        # would skip matching files); a wall-clock predicate must be
+        # naive for the symmetric reason.
+        return "ts" if arrow_type.tz is not None else "tsntz"
     return None
 
 
@@ -356,13 +369,27 @@ def _norm_stat(value, kind: str):
         if isinstance(value, str):
             return _dt.date.fromisoformat(value).isoformat()
         raise TypeError(f"expected date, got {value!r}")
-    if kind == "ts":
+    if kind in ("ts", "tsntz"):
         if isinstance(value, str):
             value = _dt.datetime.fromisoformat(value)
         if not isinstance(value, _dt.datetime):
             raise TypeError(f"expected datetime, got {value!r}")
-        if value.tzinfo is not None:
+        if kind == "ts":
+            if value.tzinfo is None:
+                raise TypeError(
+                    f"expected a timezone-AWARE datetime, got naive "
+                    f"{value!r} — this column is an instant (Spark "
+                    "TIMESTAMP); Spark would interpret a naive literal "
+                    "in the session timezone, which the pruner cannot "
+                    "see, so naive instants are refused outright"
+                )
             value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        elif value.tzinfo is not None:
+            raise TypeError(
+                f"expected a NAIVE datetime, got {value!r} — this "
+                "column is wall-clock time (TIMESTAMP_NTZ) with no "
+                "timezone to convert through"
+            )
         return value.isoformat(timespec="microseconds")
     raise ValueError(f"unknown stats kind {kind!r}")
 
@@ -637,6 +664,7 @@ def publish_snapshot(
             f"append_snapshot: nothing published under {table_root!r} "
             "yet — the first write is a publish_snapshot"
         )
+    columns = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     if begin_version is not None:
         parent_info = resolve_snapshot(
             table_root, begin_version, client=client
@@ -649,6 +677,27 @@ def publish_snapshot(
             if k in parent_info.properties:
                 carried_props[k] = parent_info.properties[k]
         if _carry_parent:
+            # an append mixing files of a different shape would commit
+            # fine and then LOSE data at read time (spark.read.parquet
+            # samples one file's schema; missing columns silently
+            # disappear or null out) — refuse loudly instead.  Parent
+            # manifests predating the "columns" field skip the check.
+            parent_cols = parent_info.columns
+            if parent_cols is not None and dict(parent_cols) != columns:
+                extra = sorted(set(columns) - set(parent_cols))
+                missing = sorted(set(parent_cols) - set(columns))
+                changed = sorted(
+                    c for c in set(columns) & set(parent_cols)
+                    if columns[c] != parent_cols[c]
+                )
+                raise ValueError(
+                    "append_snapshot: batch schema does not match the "
+                    f"table's (extra={extra}, missing={missing}, "
+                    f"type-changed={changed}) — an append must ship "
+                    "every table column with its exact type; evolve "
+                    "the schema with a full publish (sources/evolve.py "
+                    "align_to_schema) instead"
+                )
             carried_files = [dict(f) for f in parent_info.files]
             carried_prefixes = list(parent_info.prefixes)
             carried_rows = parent_info.row_count
@@ -664,6 +713,7 @@ def publish_snapshot(
     manifest = {
         "version": version,
         "spec": 2,
+        "columns": columns,
         "data_prefix": rel_prefix,
         "prefixes": sorted(set(carried_prefixes) | {rel_prefix}),
         "files": carried_files + written["files"],
@@ -739,7 +789,7 @@ def append_snapshot(
     )
 
 
-def _where_to_column(df: DataFrame, where: Sequence):
+def _where_to_column(where: Sequence):
     """The Spark filter equivalent of a prune predicate list — applied
     to every pruned read so ``where=`` is SEMANTICALLY a filter and the
     envelope skipping is purely an optimization."""
@@ -799,13 +849,13 @@ def read_snapshot(
             base = _scan_files(
                 spark, table_root, one, client, allow_driver_download
             ).where(F.lit(False))
-            return base.where(_where_to_column(base, where))
+            return base.where(_where_to_column(where))
         info = SnapshotInfo(
             **{**info.__dict__, "files": plan["kept"]}
         )
     df = _scan_files(spark, table_root, info, client, allow_driver_download)
     if where is not None:
-        df = df.where(_where_to_column(df, where))
+        df = df.where(_where_to_column(where))
     return df
 
 
@@ -906,9 +956,18 @@ def list_tags(table_root: str, client=None) -> Dict[str, int]:
 
 def delete_tag(table_root: str, tag: str, client=None) -> None:
     """Unpin a tag (the version becomes vacuumable again under the
-    normal keep_last rules)."""
+    normal keep_last rules).  Deleting a missing tag raises
+    FileNotFoundError on BOTH storage tiers — s3 deletes are naturally
+    idempotent, so without the explicit check a typo'd tag name would
+    'succeed' in production and crash in local tests."""
     root = SmartPath.parse(table_root)
-    io_utils.remove_file(_tag_path(root, tag), client=client)
+    path = _tag_path(root, tag)
+    if not io_utils.exists(path, client=client):
+        raise FileNotFoundError(
+            f"delete_tag: no tag {tag!r} under {table_root!r} "
+            f"(known: {sorted(list_tags(table_root, client=client))})"
+        )
+    io_utils.remove_file(path, client=client)
 
 
 def resolve_tag(table_root: str, tag: str, client=None) -> SnapshotInfo:

@@ -94,7 +94,22 @@ def snapshot_batch_writer(
     ``skipped=True``."""
 
     def _body(batch: DataFrame, batch_id: int) -> None:
-        app, last = stream_commit_watermark(table_root, client=client)
+        # ONE resolve serves the watermark read AND the emptiness
+        # probe (publish/append resolve the parent once more
+        # internally — that one is inherent to the carry protocol).
+        # At the module's own 800k-file scale a manifest GET is tens
+        # of MB, so the hot ingest path must not repeat it.
+        try:
+            current = resolve_snapshot(table_root, client=client)
+            empty = False
+            props_now = current.properties
+        except FileNotFoundError:
+            empty = True
+            props_now = {}
+        app = props_now.get("stream_app_id")
+        app = None if app is None else str(app)
+        last = props_now.get("stream_batch_id")
+        last = None if last is None else int(last)
         if app is not None and app != app_id and not takeover:
             raise RuntimeError(
                 f"snapshot_batch_writer: table {table_root!r} was last "
@@ -116,11 +131,6 @@ def snapshot_batch_writer(
                 )
             return
         props = {"stream_app_id": app_id, "stream_batch_id": batch_id}
-        try:
-            resolve_snapshot(table_root, client=client)
-            empty = False
-        except FileNotFoundError:
-            empty = True
         if empty:
             info = publish_snapshot(
                 batch,

@@ -711,6 +711,7 @@ def test_stats_date_and_timestamp_envelopes(spark, tmp_path):
     info = resolve_snapshot(root)
     st = info.files[0]["stats"]
     assert st["d"]["min"] == "2024-01-05" and st["d"]["max"] == "2024-03-01"
+    assert st["t"]["kind"] == "ts"  # instant column (isAdjustedToUTC)
     assert st["t"]["min"].startswith("2024-01-05T12:00:00")
     # prune with a date literal (and its ISO-string spelling)
     assert plan_snapshot_scan(
@@ -719,11 +720,30 @@ def test_stats_date_and_timestamp_envelopes(spark, tmp_path):
     assert plan_snapshot_scan(info, [("d", ">", "2024-02-01")])[
         "files_kept"
     ] == 1
+    # instant predicates MUST be tz-aware: Spark interprets naive
+    # literals in the SESSION timezone, which the pruner cannot see —
+    # a naive literal is refused, never silently compared against UTC
+    with pytest.raises(TypeError, match="timezone-AWARE"):
+        plan_snapshot_scan(info, [("t", "<", dt.datetime(2024, 1, 1))])
+    utc = dt.timezone.utc
     assert plan_snapshot_scan(
-        info, [("t", "<", dt.datetime(2024, 1, 1))]
+        info, [("t", "<", dt.datetime(2024, 1, 1, tzinfo=utc))]
     )["files_kept"] == 0
+    # a non-UTC aware literal normalizes to the same instant
+    plus4 = dt.timezone(dt.timedelta(hours=4))
+    assert plan_snapshot_scan(
+        info, [("t", ">=", dt.datetime(2024, 3, 1, 4, 30, tzinfo=plus4))]
+    )["files_kept"] == 1
     got = read_snapshot(
         spark, root, where=[("d", ">=", dt.date(2024, 2, 1))]
+    )
+    assert [r.doc_id for r in got.collect()] == [2]
+    # the instant path end-to-end: pruned read == plain filter even
+    # through a non-UTC literal
+    got = read_snapshot(
+        spark,
+        root,
+        where=[("t", ">=", dt.datetime(2024, 3, 1, 4, 0, tzinfo=plus4))],
     )
     assert [r.doc_id for r in got.collect()] == [2]
 
@@ -1001,3 +1021,42 @@ def test_s3_tags(spark, s3):
     report = vacuum_snapshots(root, keep_last=1, client=s3)
     assert report["dropped_versions"] == []  # v1 pinned
     assert resolve_tag(root, "rel", client=s3).version == 1
+
+
+def test_append_schema_mismatch_refused(spark, tmp_path):
+    """An append whose batch drops, adds, or retypes a column would
+    commit a manifest mixing incompatible files and silently lose data
+    at read time — it must refuse at WRITE time instead."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)  # (doc_id, text)
+    with pytest.raises(ValueError, match="missing=\\['text'\\]"):
+        snap.append_snapshot(_df(spark, 5, "b").select("doc_id"), root)
+    with pytest.raises(ValueError, match="extra=\\['lang'\\]"):
+        snap.append_snapshot(
+            _df(spark, 5, "b").withColumn("lang", F.lit("en")), root
+        )
+    with pytest.raises(ValueError, match="type-changed=\\['doc_id'\\]"):
+        snap.append_snapshot(
+            _df(spark, 5, "b").withColumn(
+                "doc_id", F.col("doc_id").cast("int")
+            ),
+            root,
+        )
+    # matching schema still appends
+    info = snap.append_snapshot(_df(spark, 5, "b"), root)
+    assert info.row_count == 15
+
+
+def test_delete_missing_tag_raises_both_tiers(spark, tmp_path, s3):
+    from smashed_spark.sources.snapshot import delete_tag
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 5, "a"), root)
+    with pytest.raises(FileNotFoundError, match="no tag 'nope'"):
+        delete_tag(root, "nope")
+    s3root = _s3_root()
+    publish_snapshot(_df(spark, 5, "a"), s3root, client=s3)
+    with pytest.raises(FileNotFoundError, match="no tag 'nope'"):
+        delete_tag(s3root, "nope", client=s3)
