@@ -2037,10 +2037,14 @@ def q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The object-store table protocol (sources/snapshot.py), driven
     through a full lifecycle and value-certified end to end:
 
-    1. publish the first third of `documents` (doc_id%3=0) with
-       per-file envelope stats on (doc_id, n_chars);
-    2. APPEND the second third (doc_id%3=1) — O(new data), the parent
-       file entries ride the manifest verbatim;
+    1. the first third of `documents` (doc_id%3=0) lands through the
+       STREAMING SINK's foreachBatch body (batch 0 publishes, with
+       per-file envelope stats on (doc_id, n_chars));
+    2. the second third (doc_id%3=1) APPENDS as batch 1 — O(new data),
+       parent file entries riding the manifest verbatim — and batch 1
+       is then REDELIVERED: the exactly-once watermark must make the
+       replay a no-op, or the second third double-counts and every
+       downstream value (and the oracle hash) breaks;
     3. incremental consumers read exactly the appended batch via
        read_snapshot_changes (count + doc_id checksum ride the result
        as literals);
@@ -2067,11 +2071,10 @@ def q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..sources.snapshot import (
-        append_snapshot,
         apply_deletions_snapshot,
+        list_snapshots,
         optimize_snapshot,
         plan_snapshot_scan,
-        publish_snapshot,
         read_snapshot,
         read_snapshot_changes,
         resolve_snapshot,
@@ -2089,16 +2092,30 @@ def q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", "source"
     )
     stats_cols = ["doc_id", "n_chars"]
-    publish_snapshot(
-        docs.filter(F.col("doc_id") % 3 == 0).repartition(4),
-        table,
-        stats_columns=stats_cols,
+    # the two ingest commits run through the streaming sink's
+    # foreachBatch body (exactly-once watermark path), with batch 1
+    # REDELIVERED — the replay must be a committed no-op or the final
+    # row set (and the oracle hash with it) doubles the second third
+    from ..streaming.snapshot_sink import (
+        snapshot_batch_writer,
+        stream_commit_watermark,
     )
-    append_snapshot(
-        docs.filter(F.col("doc_id") % 3 == 1).repartition(4),
-        table,
-        stats_columns=stats_cols,
+
+    write_batch = snapshot_batch_writer(
+        table, app_id="gate-ingest", stats_columns=stats_cols
     )
+    write_batch(docs.filter(F.col("doc_id") % 3 == 0).repartition(4), 0)
+    write_batch(docs.filter(F.col("doc_id") % 3 == 1).repartition(4), 1)
+    write_batch(docs.filter(F.col("doc_id") % 3 == 1).repartition(4), 1)
+    sink_app, sink_last = stream_commit_watermark(table)
+    if (sink_app, sink_last) != ("gate-ingest", 1) or list_snapshots(
+        table
+    ) != [1, 2]:
+        raise AssertionError(
+            "snapshot_lifecycle: sink exactly-once contract broke — "
+            f"watermark ({sink_app}, {sink_last}), versions "
+            f"{list_snapshots(table)}"
+        )
     changes = read_snapshot_changes(spark, table, since_version=1)
     ch = changes.agg(
         F.count("*").alias("changes_rows"),
