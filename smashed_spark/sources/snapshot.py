@@ -1059,9 +1059,15 @@ def vacuum_snapshots(
     table_root: str,
     keep_last: int = 2,
     drop_unpublished: bool = False,
+    dry_run: bool = False,
     client=None,
 ) -> Dict[str, object]:
     """Garbage-collect what the pointer can no longer reach.
+    ``dry_run=True`` reports exactly what a real run would remove —
+    same decision code, deletes suppressed — so an operator can check
+    a keep_last/drop_unpublished combination against a production
+    table before destroying anything (the report gains
+    ``"dry_run": True``).
 
     "Published" means ON THE POINTER'S ANCESTRY CHAIN (current →
     parent → ...), not numerically below the pointer: a manifest from
@@ -1153,9 +1159,13 @@ def vacuum_snapshots(
     for v in to_drop:
         for rel in _prefixes(manifests[v]):
             if rel not in referenced_rel and rel not in swept_prefixes:
-                _remove_dir_quiet(str(root / rel), client=client)
+                if not dry_run:
+                    _remove_dir_quiet(str(root / rel), client=client)
                 swept_prefixes.add(rel)
-        io_utils.remove_file(str(root / _manifest_key(v)), client=client)
+        if not dry_run:
+            io_utils.remove_file(
+                str(root / _manifest_key(v)), client=client
+            )
         dropped_versions.append(v)
 
     # unreferenced data prefixes: crash window 1 (no manifest was ever
@@ -1173,16 +1183,22 @@ def vacuum_snapshots(
             rel = SmartPath.parse(f).relative_to(root / DATA_DIR)
             top = rel.split("/", 1)[0]
             seen_prefixes.add(f"{DATA_DIR}/{top}")
-        for prefix in sorted(seen_prefixes - referenced_rel):
-            _remove_dir_quiet(str(root / prefix), client=client)
+        for prefix in sorted(
+            seen_prefixes - referenced_rel - swept_prefixes
+        ):
+            if not dry_run:
+                _remove_dir_quiet(str(root / prefix), client=client)
             dropped_orphans.append(prefix)
 
-    return {
+    report = {
         "current": current,
         "kept": sorted(keep),
         "dropped_versions": sorted(dropped_versions),
         "dropped_orphan_prefixes": dropped_orphans,
     }
+    if dry_run:
+        report["dry_run"] = True
+    return report
 
 
 # ---------------------------------------------------------------------------

@@ -1060,3 +1060,43 @@ def test_delete_missing_tag_raises_both_tiers(spark, tmp_path, s3):
     publish_snapshot(_df(spark, 5, "a"), s3root, client=s3)
     with pytest.raises(FileNotFoundError, match="no tag 'nope'"):
         delete_tag(s3root, "nope", client=s3)
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path, monkeypatch):
+    """dry_run must predict the real run exactly (same decision code)
+    while deleting nothing — including the window-1 orphan double-
+    reporting subtlety: a dropped version's prefix still exists on
+    disk during a dry run and must not ALSO show up as an orphan."""
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+    publish_snapshot(_df(spark, 20, "b"), root)
+    publish_snapshot(_df(spark, 30, "c"), root)
+    # manufacture a window-1 orphan prefix (no manifest)
+    real = snap._write_atomic
+
+    def boom(path, payload, client=None):
+        if snap.MANIFEST_DIR in path:
+            raise RuntimeError("boom")
+        return real(path, payload, client=client)
+
+    monkeypatch.setattr(snap, "_write_atomic", boom)
+    with pytest.raises(RuntimeError):
+        publish_snapshot(_df(spark, 5, "x"), root)
+    monkeypatch.undo()
+
+    dry = vacuum_snapshots(
+        root, keep_last=1, drop_unpublished=True, dry_run=True
+    )
+    assert dry["dry_run"] is True
+    assert dry["dropped_versions"] == [1, 2]
+    assert len(dry["dropped_orphan_prefixes"]) == 1
+    # nothing was touched
+    assert list_snapshots(root) == [1, 2, 3]
+    assert len(os.listdir(os.path.join(root, snap.DATA_DIR))) == 4
+    # the real run does exactly what the dry run predicted
+    wet = vacuum_snapshots(root, keep_last=1, drop_unpublished=True)
+    assert "dry_run" not in wet
+    assert wet["dropped_versions"] == dry["dropped_versions"]
+    assert wet["dropped_orphan_prefixes"] == dry["dropped_orphan_prefixes"]
+    assert list_snapshots(root) == [3]
+    assert len(os.listdir(os.path.join(root, snap.DATA_DIR))) == 1
