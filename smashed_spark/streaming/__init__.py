@@ -1,8 +1,10 @@
 from .ingest import ingest_dedup_batch, streaming_ingest_dedup
 from .joins import interval_join, stream_static_enrich
 from .snapshot_sink import (
+    dedup_snapshot_batch_writer,
     snapshot_batch_writer,
     stream_commit_watermark,
+    streaming_dedup_to_snapshot,
     streaming_snapshot_append,
 )
 from .runner import (
@@ -15,12 +17,14 @@ from .runner import (
 __all__ = [
     "apply_pipeline_stream",
     "assert_streamable",
+    "dedup_snapshot_batch_writer",
     "ingest_dedup_batch",
     "interval_join",
     "snapshot_batch_writer",
     "stream_commit_watermark",
     "stream_static_enrich",
     "streamable",
+    "streaming_dedup_to_snapshot",
     "streaming_ingest_dedup",
     "streaming_snapshot_append",
     "windowed_event_counts",

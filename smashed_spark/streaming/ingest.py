@@ -162,7 +162,7 @@ def _read_state(
 def ingest_dedup_batch(
     batch: DataFrame,
     state_dir: str,
-    out_dir: str,
+    out_dir: Optional[str],
     batch_id: int,
     text_field: str = "text",
     words_field: str = "words",
@@ -179,11 +179,23 @@ def ingest_dedup_batch(
     return_stats: bool = False,
     max_probe_rows: int = 2_000_000,
     digest_bloom=None,
+    survivors_sink=None,
 ) -> "Optional[dict]":
     """Scrub ONE batch against the running indexes and commit
     survivors + index extensions under ``batch=<batch_id>`` —
     idempotent (overwrite) per batch id.  This is the foreachBatch
     body, also callable directly for a batch backfill.
+
+    ``survivors_sink`` (a ``(DataFrame, batch_id) -> None`` callable,
+    mutually exclusive with ``out_dir``) replaces the per-batch
+    survivor directory write — the seam that lands deduped survivors
+    in a governed snapshot table (streaming/snapshot_sink.py
+    ``dedup_snapshot_batch_writer``) instead of ``batch=`` dirs.  The
+    INDEX writes are not behind the sink and re-run on every
+    delivery: they are idempotent by overwrite, and a replay that
+    skipped them (because the sink's own commit already landed) would
+    lose the batch's index extensions and re-admit its duplicates
+    forever after.
 
     ``return_stats=True`` returns the per-batch numbers an ingestion
     pipeline logs: input/survivor/dropped doc counts and the index
@@ -226,6 +238,12 @@ def ingest_dedup_batch(
         with_semantic_cells,
     )
 
+    if (out_dir is None) == (survivors_sink is None):
+        raise ValueError(
+            "ingest_dedup_batch: pass exactly one of out_dir (per-batch "
+            "survivor dirs) or survivors_sink (callable, e.g. a snapshot "
+            "append)"
+        )
     spark = batch.sparkSession
     # ONE bounded sizing job on the RAW batch resolves probe-vs-plain
     # for BOTH operators: passing "auto" through would make the fuzzy
@@ -323,9 +341,12 @@ def ingest_dedup_batch(
     # only shed the words column if THIS function derived it — a
     # words column the caller shipped is payload, not scratch
     survivors = kept.drop(words_field) if words_added else kept
-    survivors.write.mode("overwrite").parquet(
-        os.path.join(out_dir, tag)
-    )
+    if survivors_sink is not None:
+        survivors_sink(survivors, batch_id)
+    else:
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, tag)
+        )
     with_digests(kept, text_field=text_field).write.mode(
         "overwrite"
     ).parquet(os.path.join(state_dir, "digests", tag))

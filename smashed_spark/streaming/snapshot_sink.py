@@ -51,8 +51,10 @@ from ..sources.snapshot import (
 )
 
 __all__ = [
-    "stream_commit_watermark",
+    "dedup_snapshot_batch_writer",
     "snapshot_batch_writer",
+    "stream_commit_watermark",
+    "streaming_dedup_to_snapshot",
     "streaming_snapshot_append",
 ]
 
@@ -161,6 +163,98 @@ def snapshot_batch_writer(
             )
 
     return _body
+
+
+def dedup_snapshot_batch_writer(
+    table_root: str,
+    state_dir: str,
+    app_id: str,
+    stats_columns: Sequence[str] = (),
+    compression: str = "zstd",
+    takeover: bool = False,
+    client=None,
+    on_commit: Optional[Callable[[dict], None]] = None,
+    **dedup_kwargs,
+) -> Callable[[DataFrame, int], None]:
+    """The governed landing zone in one ``foreachBatch`` body: scrub
+    each micro-batch against the running dedup indexes
+    (:func:`~smashed_spark.streaming.ingest.ingest_dedup_batch` —
+    exact digests + MinHash bands + optional semantic cells) and
+    commit the SURVIVORS as one snapshot version.
+
+    Replay discipline — the two effects have different idempotence
+    mechanisms and BOTH must hold on an at-least-once redelivery:
+
+    * The index extensions under ``state_dir`` are idempotent by
+      per-batch overwrite, so the dedup + index writes re-run on
+      every delivery.  (Skipping them on a detected replay would be
+      wrong: if the previous attempt crashed between the snapshot
+      append and an index write, the skip would lose the batch's
+      index rows and re-admit its duplicates forever.)
+    * The snapshot append is idempotent via the exactly-once
+      watermark: a replayed ``batch_id`` at or below the table's
+      recorded one skips ONLY the table commit.
+
+    ``dedup_kwargs`` forward to ``ingest_dedup_batch`` (fuzzy banding
+    parameters, ``verify_threshold``, field names, semantic
+    centroids...).  Local-filesystem ``table_root`` (the snapshot
+    writes run through Spark; this sandbox's s3 tier is
+    driver-staged and would serialize the hot path)."""
+    from .ingest import ingest_dedup_batch
+
+    append_batch = snapshot_batch_writer(
+        table_root,
+        app_id,
+        stats_columns=stats_columns,
+        compression=compression,
+        takeover=takeover,
+        client=client,
+        on_commit=on_commit,
+    )
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        ingest_dedup_batch(
+            batch,
+            state_dir,
+            out_dir=None,
+            batch_id=batch_id,
+            survivors_sink=append_batch,
+            **dedup_kwargs,
+        )
+
+    return _body
+
+
+def streaming_dedup_to_snapshot(
+    stream: DataFrame,
+    table_root: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    app_id: str,
+    query_name: str = "dedup_to_snapshot",
+    available_now: bool = True,
+    **writer_kwargs,
+):
+    """Run the dedup-then-append landing zone over an unbounded
+    stream: ``foreachBatch(dedup_snapshot_batch_writer(...))``.
+    Returns the started ``StreamingQuery``; see
+    :func:`dedup_snapshot_batch_writer` for the replay discipline."""
+    if not stream.isStreaming:
+        raise ValueError(
+            "streaming_dedup_to_snapshot needs a streaming DataFrame; "
+            "for batch data call dedup_snapshot_batch_writer directly"
+        )
+    body = dedup_snapshot_batch_writer(
+        table_root, state_dir, app_id, **writer_kwargs
+    )
+    writer = (
+        stream.writeStream.queryName(query_name)
+        .foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def streaming_snapshot_append(

@@ -171,3 +171,115 @@ def test_restart_with_new_checkpoint_same_app_resumes(spark, tmp_path):
     assert [c["skipped"] for c in commits] == [True, True, False]
     assert _ids(read_snapshot(spark, root)) == list(range(30))
     assert os.path.isfile(os.path.join(root, snap.POINTER_NAME))
+
+
+# ---------------------------------------------------------------------------
+# dedup-then-append landing zone: ingest dedup composed with the
+# exactly-once table commit
+# ---------------------------------------------------------------------------
+
+
+def _day(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+_BASE = " ".join(f"w{i}" for i in range(30))
+_FRESH = " ".join(f"u{i}" for i in range(25))
+
+
+def test_dedup_to_snapshot_streaming_lifecycle(spark, tmp_path):
+    """Two files arrive one per micro-batch; each batch dedups against
+    the running indexes and commits survivors as one table version —
+    cross-batch duplicates never reach the table."""
+    from smashed_spark.streaming.snapshot_sink import (
+        streaming_dedup_to_snapshot,
+    )
+
+    day1 = [(0, _BASE), (1, _FRESH), (2, _BASE)]  # 2 = in-batch dup of 0
+    day2 = [
+        (10, _BASE),                              # exact repost of 0
+        (12, " ".join(f"v{i}" for i in range(25))),
+    ]
+    src = str(tmp_path / "src")
+    _day(spark, day1).coalesce(1).write.parquet(src + "/f1")
+    _day(spark, day2).coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    table = str(tmp_path / "table")
+    q = streaming_dedup_to_snapshot(
+        stream,
+        table,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        app_id="landing",
+        stats_columns=["doc_id"],
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    assert list_snapshots(table) == [1, 2]
+    got = {r.doc_id for r in read_snapshot(spark, table).collect()}
+    # one of the day-1 twins survives, the day-2 repost never lands
+    assert 10 not in got
+    assert 1 in got and 12 in got
+    assert len({0, 2} & got) == 1
+    assert stream_commit_watermark(table) == ("landing", 1)
+    # the index state committed alongside (exact digests per batch)
+    assert os.path.isdir(os.path.join(str(tmp_path / "state"), "digests"))
+
+
+def test_dedup_to_snapshot_replay_skips_table_but_rewrites_indexes(
+    spark, tmp_path
+):
+    """At-least-once redelivery: the table must not double, but the
+    dedup + index writes MUST re-run (overwrite-idempotent) — a replay
+    that skipped them could lose index rows from a crash window."""
+    import glob
+
+    from smashed_spark.streaming.snapshot_sink import (
+        dedup_snapshot_batch_writer,
+    )
+
+    table = str(tmp_path / "table")
+    state = str(tmp_path / "state")
+    body = dedup_snapshot_batch_writer(table, state, app_id="landing")
+    body(_day(spark, [(0, _BASE), (1, _FRESH)]), 0)
+    rows_before = resolve_snapshot(table).row_count
+    digest_files = sorted(glob.glob(f"{state}/digests/batch=0/*.parquet"))
+    assert rows_before == 2 and digest_files
+    # wipe the batch-0 digest dir to simulate a crash AFTER the table
+    # append but BEFORE the index write; the replay must restore it
+    import shutil
+
+    shutil.rmtree(f"{state}/digests/batch=0")
+    body(_day(spark, [(0, _BASE), (1, _FRESH)]), 0)  # redelivery
+    assert resolve_snapshot(table).row_count == rows_before  # no double
+    assert list_snapshots(table) == [1]
+    restored = spark.read.parquet(f"{state}/digests/batch=0")
+    assert restored.count() == 2  # index extensions restored
+    # and the restored index actually drops a later repost
+    body(_day(spark, [(20, _BASE), (21, "zz 1")]), 1)
+    got = {r.doc_id for r in read_snapshot(spark, table).collect()}
+    assert 20 not in got and 21 in got
+
+
+def test_ingest_dedup_batch_sink_out_dir_exclusivity(spark, tmp_path):
+    from smashed_spark.streaming.ingest import ingest_dedup_batch
+
+    with pytest.raises(ValueError, match="exactly one of out_dir"):
+        ingest_dedup_batch(
+            _day(spark, [(0, _BASE)]),
+            str(tmp_path / "state"),
+            out_dir=None,
+            batch_id=0,
+        )
+    with pytest.raises(ValueError, match="exactly one of out_dir"):
+        ingest_dedup_batch(
+            _day(spark, [(0, _BASE)]),
+            str(tmp_path / "state"),
+            out_dir=str(tmp_path / "out"),
+            batch_id=0,
+            survivors_sink=lambda df, bid: None,
+        )
