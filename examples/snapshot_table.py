@@ -33,6 +33,7 @@ from smashed_spark.sources.snapshot import (
     read_snapshot_changes,
     resolve_snapshot,
     resolve_tag,
+    snapshot_history,
     tag_snapshot,
     vacuum_snapshots,
 )
@@ -99,6 +100,12 @@ def main() -> None:
         f"pinned release still reads: v{pinned.version}, "
         f"{pinned.row_count} rows"
     )
+    for h in snapshot_history(table):
+        tags = f" tags={h['tags']}" if h["tags"] else ""
+        print(
+            f"  v{h['version']:<3} {h['operation']:<9} "
+            f"rows={h['row_count']:<6} files={h['n_files']}{tags}"
+        )
 
     # --- envelope-stats file skipping on the optimized layout --------
     where = [("n_chars", ">=", 400)]

@@ -897,6 +897,51 @@ def _scan_files(
     return spark.read.parquet(*info.file_paths)
 
 
+def snapshot_history(
+    table_root: str,
+    limit: Optional[int] = None,
+    client=None,
+) -> List[Dict[str, object]]:
+    """The published chain, newest first — the operational "what
+    happened to this table" view (Delta's DESCRIBE HISTORY analog).
+    One dict per version on the pointer's ancestry chain: version,
+    parent, operation, committed_at, row_count, file/byte totals, the
+    tags pinning it, and whether its parent was vacuumed away
+    (``parent_vacuumed`` — the chain walk stops there, so older
+    history is no longer listable).  ``limit`` bounds the walk (and
+    its one-GET-per-version cost) for deep chains."""
+    tags_by_version: Dict[int, List[str]] = {}
+    for name, v in list_tags(table_root, client=client).items():
+        tags_by_version.setdefault(v, []).append(name)
+    out: List[Dict[str, object]] = []
+    cursor: Optional[int] = None  # None = current
+    while limit is None or len(out) < limit:
+        try:
+            info = resolve_snapshot(table_root, cursor, client=client)
+        except FileNotFoundError:
+            if out:
+                out[-1]["parent_vacuumed"] = True
+                break
+            raise  # empty table: surface the no-pointer error
+        out.append(
+            {
+                "version": info.version,
+                "parent": info.parent,
+                "operation": info.operation,
+                "committed_at": info.committed_at,
+                "row_count": info.row_count,
+                "n_files": len(info.files),
+                "bytes": sum(int(f["bytes"]) for f in info.files),
+                "tags": sorted(tags_by_version.get(info.version, [])),
+                "parent_vacuumed": False,
+            }
+        )
+        if info.parent is None:
+            break
+        cursor = info.parent
+    return out
+
+
 TAG_DIR = "_tags"
 
 
@@ -1395,6 +1440,7 @@ __all__ = [
     "list_tags",
     "delete_tag",
     "resolve_tag",
+    "snapshot_history",
     "resolve_snapshot",
     "list_snapshots",
     "vacuum_snapshots",

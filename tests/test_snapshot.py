@@ -1100,3 +1100,35 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path, monkeypatch):
     assert wet["dropped_orphan_prefixes"] == dry["dropped_orphan_prefixes"]
     assert list_snapshots(root) == [3]
     assert len(os.listdir(os.path.join(root, snap.DATA_DIR))) == 1
+
+
+def test_snapshot_history(spark, tmp_path):
+    from smashed_spark.sources.snapshot import (
+        snapshot_history,
+        tag_snapshot,
+    )
+
+    root = _root(tmp_path)
+    with pytest.raises(FileNotFoundError, match="no pointer"):
+        snapshot_history(root)
+    publish_snapshot(_df(spark, 10, "a").coalesce(1), root)
+    snap.append_snapshot(_df(spark, 5, "b").coalesce(1), root)
+    apply_deletions_snapshot(spark, root, keys=[0], key_field="doc_id")
+    tag_snapshot(root, "rel", version=2)
+    hist = snapshot_history(root)
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert [h["operation"] for h in hist] == ["delete", "append", "publish"]
+    # the delete removes BOTH doc_id=0 rows (one per appended batch)
+    assert [h["row_count"] for h in hist] == [13, 15, 10]
+    assert hist[1]["tags"] == ["rel"] and hist[0]["tags"] == []
+    assert hist[1]["n_files"] == 2  # the append spans both prefixes
+    assert all(h["bytes"] > 0 for h in hist)
+    assert all(h["parent_vacuumed"] is False for h in hist)
+    # limit bounds the walk
+    assert [h["version"] for h in snapshot_history(root, limit=2)] == [3, 2]
+    # vacuum the oldest: the walk reports where history now ends
+    # (v2 is tagged, so prefix-drop removes only v1)
+    vacuum_snapshots(root, keep_last=1)
+    hist = snapshot_history(root)
+    assert [h["version"] for h in hist] == [3, 2]
+    assert hist[-1]["parent_vacuumed"] is True
