@@ -556,20 +556,6 @@ def _inventory_entry(
     return entry
 
 
-# above this many files the publish-time footer walk distributes over
-# the executors (mapInPandas over the file list, same code path per
-# file) instead of looping on the driver.  The distributed tier's
-# regime is LATENCY-BOUND storage: at a real table's 800k s3 files a
-# sequential driver walk is ~20-50 ms x 800k = hours of GET latency,
-# while the fan-out is minutes — but on LOCAL files a footer read is
-# ~0.1 ms and the Spark job overhead loses (probe A/B at 1600 local
-# files: 7.9 s distributed vs 5.3 s driver walk), so the threshold
-# sits above any realistic local-mode publish and well below cluster
-# scale.  Tier equality is test-pinned, so the flip can never change
-# a manifest.
-DISTRIBUTED_INVENTORY_THRESHOLD = 4096
-
-
 def _build_inventory(
     spark: SparkSession,
     base_dir: str,
@@ -577,52 +563,25 @@ def _build_inventory(
     stats_columns: Sequence[str],
 ) -> List[Dict[str, object]]:
     """Per-file manifest entries for every parquet file under
-    ``base_dir`` — driver loop below the threshold, executor fan-out
-    above it.  Both tiers run the SAME per-file code
-    (:func:`_inventory_entry`), so manifests are byte-identical
-    whichever tier built them (tier-equality test-pinned)."""
-    files = _local_parquet_files(base_dir)
-    if len(files) <= DISTRIBUTED_INVENTORY_THRESHOLD:
-        return [
-            _inventory_entry(
-                f, rel_prefix, os.path.relpath(f, base_dir), stats_columns
-            )
-            for f in files
-        ]
-    cols = list(stats_columns)
-    n_slices = max(
-        1, min(len(files), spark.sparkContext.defaultParallelism * 4)
-    )
-    fdf = spark.createDataFrame(
-        [(f,) for f in files], "file_path: string"
-    ).repartition(n_slices)
-
-    def _go(batches):
-        import json as _json
-
-        import pandas as pd
-
-        from smashed_spark.sources.snapshot import _inventory_entry
-
-        for pdf in batches:
-            rows = []
-            for fp in pdf["file_path"]:
-                entry = _inventory_entry(fp, "", fp, cols)
-                rows.append((fp, _json.dumps(entry)))
-            yield pd.DataFrame(rows, columns=["file_path", "entry_json"])
-
-    by_path = {
-        r.file_path: json.loads(r.entry_json)
-        for r in fdf.mapInPandas(
-            _go, schema="file_path string, entry_json string"
-        ).collect()
-    }
-    out = []
-    for f in files:  # driver order = sorted rel paths, deterministic
-        entry = by_path[f]
-        entry["path"] = f"{rel_prefix}/{os.path.relpath(f, base_dir)}"
-        out.append(entry)
-    return out
+    ``base_dir`` — a DRIVER loop, deliberately.  The walk is the one
+    O(files) term a publish cannot avoid, and an executor fan-out was
+    built, probed, and REMOVED: every path this seam ever sees is
+    driver-local (the local-tier table dir, or the s3 tier's tempdir
+    staging where Spark just wrote), so on a real multi-node cluster
+    the shipped paths would be unreadable by executors, and on local
+    files the probe measured the fan-out LOSING (7.9 s vs 5.3 s at
+    1600 files — ~0.1 ms footer reads vs Spark job overhead;
+    BENCH_SCALE snapshot_protocol A/B).  The regime where
+    distribution wins — latency-bound footer GETs against a SHARED
+    prefix (s3a/HDFS) — belongs to the real-cluster direct-write
+    seam, where ``layout.scan_stats`` already shows the executor-side
+    footer-read pattern to build it from."""
+    return [
+        _inventory_entry(
+            f, rel_prefix, os.path.relpath(f, base_dir), stats_columns
+        )
+        for f in _local_parquet_files(base_dir)
+    ]
 
 
 def _write_data_prefix(

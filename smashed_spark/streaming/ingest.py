@@ -402,6 +402,7 @@ def compact_ingest_state(
     state_dir: str,
     fuzzy: bool = True,
     partitions: int = 32,
+    include_latest: bool = False,
 ) -> None:
     """Merge the per-batch index partitions into one consolidated
     ``batch=-1`` partition — the small-files compaction a long-running
@@ -452,6 +453,13 @@ def compact_ingest_state(
     interleave (the batch could commit its partition after compaction
     listed the directory).
 
+    ``include_latest=True`` folds the NEWEST per-batch partition too —
+    the decommissioned-checkpoint case (the snapshot landing zone's
+    takeover path): the replay-exclusion reason to keep it applies
+    only while its checkpoint can still redeliver that id, and a NEW
+    checkpoint restarting ids at 0 instead needs the old partitions
+    gone so its numbering cannot collide with theirs.
+
     Directory listing/rename/removal uses local-filesystem paths (the
     sandbox's storage); on object storage swap the ``os``/``shutil``
     calls for the Hadoop FileSystem API or your store's SDK — the
@@ -481,11 +489,12 @@ def compact_ingest_state(
         ) if os.path.isdir(root) else []
         # the newest batch stays out of the compaction: it may be an
         # uncommitted attempt, and its rows must remain excludable by
-        # batch id for the replay to recompute the same verdicts
-        old = real[:-1]
+        # batch id for the replay to recompute the same verdicts —
+        # unless the caller asserts its checkpoint is dead
+        old = real if include_latest else real[:-1]
         if not old:
             continue
-        keep_latest = real[-1]
+        keep_latest = None if include_latest else real[-1]
         # the ONE place a global distinct is right: this read's output
         # becomes the next duplicate-free batch=-1, so it must also
         # clear cross-partition duplicates a prior crashed compaction
@@ -547,11 +556,8 @@ def streaming_ingest_dedup(
     extra input evaluation every batch and silently discard the
     numbers.
     """
-    if not stream.isStreaming:
-        raise ValueError(
-            "streaming_ingest_dedup needs a streaming DataFrame; for "
-            "batch data call ingest_dedup_batch directly"
-        )
+    from .runner import start_foreach_batch
+
     if "return_stats" in batch_kwargs:
         raise ValueError(
             "streaming_ingest_dedup: pass on_stats=<callable> instead "
@@ -572,11 +578,12 @@ def streaming_ingest_dedup(
         if on_stats is not None:
             on_stats(stats)
 
-    writer = (
-        stream.writeStream.queryName(query_name)
-        .foreachBatch(_body)
-        .option("checkpointLocation", checkpoint_dir)
+    return start_foreach_batch(
+        stream,
+        _body,
+        checkpoint_dir,
+        query_name,
+        available_now,
+        "streaming_ingest_dedup",
+        "for batch data call ingest_dedup_batch directly",
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -264,3 +264,31 @@ def run_stream_bounded(
         timeout_seconds=timeout_seconds,
         output_mode=output_mode,
     )
+
+def start_foreach_batch(
+    stream,
+    body,
+    checkpoint_dir: str,
+    query_name: str,
+    available_now: bool,
+    entry_name: str,
+    batch_hint: str,
+):
+    """The shared foreachBatch launch sequence every streaming entry
+    point in this package uses (queryName -> foreachBatch ->
+    checkpointLocation -> optional availableNow trigger -> start), so
+    trigger/checkpoint handling changes in exactly one place.  Raises
+    for a batch DataFrame with the entry point's own name and its
+    batch-mode alternative."""
+    if not stream.isStreaming:
+        raise ValueError(
+            f"{entry_name} needs a streaming DataFrame; {batch_hint}"
+        )
+    writer = (
+        stream.writeStream.queryName(query_name)
+        .foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

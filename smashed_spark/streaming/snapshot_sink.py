@@ -174,6 +174,7 @@ def dedup_snapshot_batch_writer(
     takeover: bool = False,
     client=None,
     on_commit: Optional[Callable[[dict], None]] = None,
+    on_stats: Optional[Callable[[dict], None]] = None,
     **dedup_kwargs,
 ) -> Callable[[DataFrame, int], None]:
     """The governed landing zone in one ``foreachBatch`` body: scrub
@@ -195,12 +196,47 @@ def dedup_snapshot_batch_writer(
       watermark: a replayed ``batch_id`` at or below the table's
       recorded one skips ONLY the table commit.
 
+    Checkpoint identity and the ingest state: the table commit is
+    keyed on ``(app_id, batch_id)``, but the per-batch index dirs
+    under ``state_dir`` are keyed on the bare ``batch_id`` — so a
+    TAKEOVER (new checkpoint whose ids restart at 0 with different
+    data) would silently hide and then overwrite the dead
+    checkpoint's same-numbered index extensions, re-admitting its
+    duplicates forever.  The body therefore refuses a takeover while
+    per-batch index dirs exist, naming the remediation:
+    ``compact_ingest_state(state_dir, include_latest=True)`` folds
+    them into the collision-free ``batch=-1`` partition (dedup history
+    preserved), after which the new checkpoint's ids are safe.  A SAME-app restart needs no such
+    step: the documented contract is that a given (app, batch id)
+    always redelivers the same data, so recompute+overwrite is
+    idempotent.
+
+    ``on_stats`` receives each batch's dedup stats dict (drop counts,
+    index growth — :func:`~smashed_spark.streaming.ingest
+    .ingest_dedup_batch` ``return_stats`` docs); ``on_commit``
+    receives the table-side commit record.  Passing ``return_stats``
+    through ``dedup_kwargs`` is rejected loudly, exactly as
+    ``streaming_ingest_dedup`` rejects it: the body has nowhere to
+    return the dict, so it would pay the extra per-batch input
+    evaluation and deliver nothing.
+
     ``dedup_kwargs`` forward to ``ingest_dedup_batch`` (fuzzy banding
     parameters, ``verify_threshold``, field names, semantic
     centroids...).  Local-filesystem ``table_root`` (the snapshot
     writes run through Spark; this sandbox's s3 tier is
     driver-staged and would serialize the hot path)."""
+    import glob as _glob
+    import os as _os
+
     from .ingest import ingest_dedup_batch
+
+    if "return_stats" in dedup_kwargs:
+        raise ValueError(
+            "dedup_snapshot_batch_writer: pass on_stats=<callable> "
+            "instead of return_stats — the foreachBatch body discards "
+            "return values, so return_stats would cost an extra input "
+            "evaluation per batch and deliver nothing"
+        )
 
     append_batch = snapshot_batch_writer(
         table_root,
@@ -213,14 +249,52 @@ def dedup_snapshot_batch_writer(
     )
 
     def _body(batch: DataFrame, batch_id: int) -> None:
-        ingest_dedup_batch(
+        # the app-identity check must run BEFORE any dedup/index work:
+        # snapshot_batch_writer re-checks it at commit time, but by
+        # then a foreign checkpoint's batch would already have
+        # overwritten same-numbered index dirs
+        app, _last = stream_commit_watermark(table_root, client=client)
+        if app is not None and app != app_id:
+            if not takeover:
+                raise RuntimeError(
+                    f"dedup_snapshot_batch_writer: table {table_root!r} "
+                    f"was last written by stream app {app!r}, not "
+                    f"{app_id!r} — batch ids are per-checkpoint; pass "
+                    "takeover=True only after decommissioning the old "
+                    "checkpoint"
+                )
+            stale = [
+                d
+                for sub in ("digests", "bands", "semantic")
+                for d in _glob.glob(
+                    _os.path.join(state_dir, sub, "batch=*")
+                )
+                if not d.endswith("batch=-1")
+            ]
+            if stale:
+                raise RuntimeError(
+                    "dedup_snapshot_batch_writer: takeover with "
+                    f"{len(stale)} per-batch index dirs still under "
+                    f"{state_dir!r} — the new checkpoint's restarted "
+                    "batch ids would hide and then overwrite the dead "
+                    "checkpoint's same-numbered index extensions, "
+                    "re-admitting its duplicates.  Run "
+                    "compact_ingest_state(state_dir, "
+                    "include_latest=True) first (folds them into the "
+                    "collision-free batch=-1 partition, history "
+                    "preserved)."
+                )
+        stats = ingest_dedup_batch(
             batch,
             state_dir,
             out_dir=None,
             batch_id=batch_id,
             survivors_sink=append_batch,
+            return_stats=on_stats is not None,
             **dedup_kwargs,
         )
+        if on_stats is not None:
+            on_stats(stats)
 
     return _body
 
@@ -239,22 +313,20 @@ def streaming_dedup_to_snapshot(
     stream: ``foreachBatch(dedup_snapshot_batch_writer(...))``.
     Returns the started ``StreamingQuery``; see
     :func:`dedup_snapshot_batch_writer` for the replay discipline."""
-    if not stream.isStreaming:
-        raise ValueError(
-            "streaming_dedup_to_snapshot needs a streaming DataFrame; "
-            "for batch data call dedup_snapshot_batch_writer directly"
-        )
+    from .runner import start_foreach_batch
+
     body = dedup_snapshot_batch_writer(
         table_root, state_dir, app_id, **writer_kwargs
     )
-    writer = (
-        stream.writeStream.queryName(query_name)
-        .foreachBatch(body)
-        .option("checkpointLocation", checkpoint_dir)
+    return start_foreach_batch(
+        stream,
+        body,
+        checkpoint_dir,
+        query_name,
+        available_now,
+        "streaming_dedup_to_snapshot",
+        "for batch data call dedup_snapshot_batch_writer directly",
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def streaming_snapshot_append(
@@ -273,17 +345,15 @@ def streaming_snapshot_append(
     continuously.  ``writer_kwargs`` forward to
     :func:`snapshot_batch_writer` (``stats_columns``, ``on_commit``,
     ``takeover``...)."""
-    if not stream.isStreaming:
-        raise ValueError(
-            "streaming_snapshot_append needs a streaming DataFrame; for "
-            "batch data call publish_snapshot/append_snapshot directly"
-        )
+    from .runner import start_foreach_batch
+
     body = snapshot_batch_writer(table_root, app_id, **writer_kwargs)
-    writer = (
-        stream.writeStream.queryName(query_name)
-        .foreachBatch(body)
-        .option("checkpointLocation", checkpoint_dir)
+    return start_foreach_batch(
+        stream,
+        body,
+        checkpoint_dir,
+        query_name,
+        available_now,
+        "streaming_snapshot_append",
+        "for batch data call publish_snapshot/append_snapshot directly",
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

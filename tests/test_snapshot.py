@@ -1134,41 +1134,3 @@ def test_snapshot_history(spark, tmp_path):
     assert hist[-1]["parent_vacuumed"] is True
 
 
-def test_distributed_inventory_tier_equality(spark, tmp_path, monkeypatch):
-    """Above the threshold the publish-time footer walk fans out over
-    the executors; the manifest it builds must be BYTE-identical to
-    the driver tier's for the same files (same per-file code, same
-    deterministic order)."""
-    df = _stats_df(spark, 0, 400).repartition(12)
-    driver_root = _root(tmp_path) + "_driver"
-    dist_root = _root(tmp_path) + "_dist"
-    publish_snapshot(df, driver_root, stats_columns=["doc_id", "even"])
-    monkeypatch.setattr(snap, "DISTRIBUTED_INVENTORY_THRESHOLD", 4)
-    publish_snapshot(df, dist_root, stats_columns=["doc_id", "even"])
-    a = resolve_snapshot(driver_root)
-    b = resolve_snapshot(dist_root)
-    assert len(b.files) == 12
-
-    def _norm(info):
-        # identical up to the random prefix token and Spark's per-write
-        # part-file UUID: keep only the part index ("part-00007")
-        return [
-            {
-                **f,
-                "path": "-".join(
-                    f["path"].rsplit("/", 1)[-1].split("-")[:2]
-                ),
-            }
-            for f in info.files
-        ]
-
-    assert _norm(a) == _norm(b)
-    assert a.row_count == b.row_count == 400
-    # and the distributed tier's envelopes prune identically
-    from smashed_spark.sources.snapshot import plan_snapshot_scan
-
-    pa_ = plan_snapshot_scan(a, [("doc_id", ">=", 350)])
-    pb = plan_snapshot_scan(b, [("doc_id", ">=", 350)])
-    assert pa_["files_kept"] == pb["files_kept"]
-    got = read_snapshot(spark, dist_root, where=[("doc_id", ">=", 350)])
-    assert got.count() == 50

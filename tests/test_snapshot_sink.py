@@ -283,3 +283,58 @@ def test_ingest_dedup_batch_sink_out_dir_exclusivity(spark, tmp_path):
             batch_id=0,
             survivors_sink=lambda df, bid: None,
         )
+
+
+def test_dedup_writer_on_stats_and_return_stats_guard(spark, tmp_path):
+    from smashed_spark.streaming.snapshot_sink import (
+        dedup_snapshot_batch_writer,
+    )
+
+    with pytest.raises(ValueError, match="on_stats"):
+        dedup_snapshot_batch_writer(
+            str(tmp_path / "t"), str(tmp_path / "s"), "a",
+            return_stats=True,
+        )(_day(spark, [(0, _BASE)]), 0)
+    stats = []
+    body = dedup_snapshot_batch_writer(
+        str(tmp_path / "t"), str(tmp_path / "s"), "a",
+        on_stats=stats.append,
+    )
+    body(_day(spark, [(0, _BASE), (1, _BASE)]), 0)
+    assert stats[0]["n_input"] == 2 and stats[0]["n_survivors"] == 1
+
+
+def test_dedup_writer_takeover_requires_compacted_state(spark, tmp_path):
+    """A takeover restarts batch ids at 0 with DIFFERENT data; if the
+    dead checkpoint's per-batch index dirs still exist, the restarted
+    ids would hide then overwrite their same-numbered extensions and
+    re-admit duplicates — refuse until compact_ingest_state folds them
+    into batch=-1, then the takeover proceeds with history intact."""
+    from smashed_spark.streaming.ingest import compact_ingest_state
+    from smashed_spark.streaming.snapshot_sink import (
+        dedup_snapshot_batch_writer,
+        stream_commit_watermark,
+    )
+
+    table = str(tmp_path / "table")
+    state = str(tmp_path / "state")
+    old = dedup_snapshot_batch_writer(table, state, app_id="dead-ckpt")
+    old(_day(spark, [(0, _BASE), (1, _FRESH)]), 0)
+
+    new = dedup_snapshot_batch_writer(
+        table, state, app_id="new-ckpt", takeover=True
+    )
+    with pytest.raises(RuntimeError, match="compact_ingest_state"):
+        new(_day(spark, [(50, "aa bb")]), 0)
+    # without takeover, a foreign app is refused BEFORE any index work
+    plain = dedup_snapshot_batch_writer(table, state, app_id="new-ckpt")
+    with pytest.raises(RuntimeError, match="per-checkpoint"):
+        plain(_day(spark, [(50, "aa bb")]), 0)
+    # remediation: fold per-batch dirs into batch=-1, takeover works
+    # (include_latest — the old checkpoint is dead, so its newest
+    # batch no longer needs to stay excludable for replays)
+    compact_ingest_state(spark, state, include_latest=True)
+    new(_day(spark, [(50, "aa bb"), (51, _BASE)]), 0)  # 51 = old dup
+    assert stream_commit_watermark(table) == ("new-ckpt", 0)
+    got = {r.doc_id for r in read_snapshot(spark, table).collect()}
+    assert 50 in got and 51 not in got  # compacted history still drops
