@@ -11,6 +11,10 @@ foreachBatch's at-least-once contract).
 Here the "stream" is the documents table split into two parquet files
 drained one per micro-batch (``maxFilesPerTrigger=1``) — the same
 wiring points at a file-arrival directory or Kafka in production.
+The tail runs the SAME feed through ``streaming_dedup_to_snapshot``:
+survivors land as versions of a governed snapshot table (atomic
+commits, time travel, exactly-once via the app/batch watermark)
+instead of ``batch=`` directories — the landing-zone variant.
 
 Run: python examples/ingest_stream.py [sf_dir]
 """
@@ -72,6 +76,35 @@ def main() -> None:
         f"drained 2 micro-batches: {n} survivors "
         f"({n_reposts} reposts slipped through), index state: "
         f"{n_digests} digests + {n_bands} band keys"
+    )
+
+    # --- the landing-zone variant: same scrub, governed table sink --
+    from smashed_spark.sources.snapshot import (
+        list_snapshots,
+        read_snapshot,
+    )
+    from smashed_spark.streaming.snapshot_sink import (
+        streaming_dedup_to_snapshot,
+    )
+
+    stream2 = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed/*")
+    )
+    q = streaming_dedup_to_snapshot(
+        stream2,
+        table_root=f"{work}/table",
+        state_dir=f"{work}/state2",
+        checkpoint_dir=f"{work}/ckpt2",
+        app_id="ingest-demo",
+        stats_columns=["doc_id"],
+    )
+    q.awaitTermination(300)
+    table_n = read_snapshot(spark, f"{work}/table").count()
+    print(
+        f"landing zone: versions {list_snapshots(f'{work}/table')}, "
+        f"{table_n} deduped docs in the table"
     )
     spark.stop()
 
