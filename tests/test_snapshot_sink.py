@@ -338,3 +338,43 @@ def test_dedup_writer_takeover_requires_compacted_state(spark, tmp_path):
     assert stream_commit_watermark(table) == ("new-ckpt", 0)
     got = {r.doc_id for r in read_snapshot(spark, table).collect()}
     assert 50 in got and 51 not in got  # compacted history still drops
+
+
+# ---------------------------------------------------------------------------
+# s3 tier (moto): the sink's watermark/idempotence machinery is
+# storage-agnostic — same artifacts, same replay no-ops
+# ---------------------------------------------------------------------------
+
+BUCKET = "sinkbucket"
+
+
+@pytest.fixture()
+def s3():
+    boto3 = pytest.importorskip("boto3")
+    moto = pytest.importorskip("moto")
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket=BUCKET)
+        yield client
+
+
+def test_s3_sink_appends_and_replays(spark, s3):
+    root = f"s3://{BUCKET}/tables/stream"
+    commits = []
+    body = snapshot_batch_writer(
+        root, "app1", stats_columns=["doc_id"],
+        client=s3, on_commit=commits.append,
+    )
+    body(_df(spark, 0, 10), 0)
+    body(_df(spark, 10, 20), 1)
+    body(_df(spark, 10, 20), 1)  # redelivery: table-side no-op
+    assert [c["skipped"] for c in commits] == [False, False, True]
+    assert stream_commit_watermark(root, client=s3) == ("app1", 1)
+    assert list_snapshots(root, client=s3) == [1, 2]
+    info = resolve_snapshot(root, client=s3)
+    assert info.row_count == 20 and len(info.prefixes) == 2
+    assert "stats" in info.files[0]
+    got = read_snapshot(
+        spark, root, client=s3, allow_driver_download=True
+    )
+    assert _ids(got) == list(range(20))
