@@ -105,6 +105,65 @@ class OrcLoaderMapper(SparkMapper):
         return df.sparkSession.read.orc(paths)
 
 
+class SnapshotLoaderMapper(SparkMapper):
+    """Rows carry snapshot TABLE ROOTS (sources/snapshot.py) in
+    ``roots_field``; output is the union-by-name of each table's
+    resolved snapshot — the governed-table loader in the same
+    pipeline shape as the file loaders above, so a curation pipeline
+    can start from versioned tables instead of raw paths.
+
+    ``version``/``tag`` (mutually exclusive) time-travel every listed
+    table; ``where`` applies the envelope file-skipping + re-filter
+    contract of ``read_snapshot`` per table.  Beyond-reference
+    surface: the reference's loaders (loaders.py:100-192) read raw
+    files and have no table/catalog notion.
+    """
+
+    def __init__(
+        self,
+        roots_field: str,
+        version: Optional[int] = None,
+        tag: Optional[str] = None,
+        where=None,
+    ) -> None:
+        if version is not None and tag is not None:
+            raise ValueError(
+                "SnapshotLoaderMapper: pass version= or tag=, not both "
+                "(a tag IS a named version)"
+            )
+        self.roots_field = roots_field
+        self.version = version
+        self.tag = tag
+        self.where = list(where) if where is not None else None
+        super().__init__(input_fields=[roots_field])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from .snapshot import read_snapshot, resolve_tag
+
+        roots = [
+            r[0] for r in df.select(self.roots_field).distinct().collect()
+        ]
+        if not roots:
+            raise ValueError(
+                "SnapshotLoaderMapper: no table roots in "
+                f"{self.roots_field!r} — an empty loader input is "
+                "almost always an upstream bug"
+            )
+        spark = df.sparkSession
+        outs = []
+        for root in sorted(roots):
+            version = self.version
+            if self.tag is not None:
+                version = resolve_tag(root, self.tag).version
+            outs.append(
+                read_snapshot(spark, root, version=version, where=self.where)
+            )
+        merged = outs[0]
+        for other in outs[1:]:
+            merged = merged.unionByName(other)
+        return merged
+
+
 def concatenate_datasets(dfs: Sequence[DataFrame]) -> DataFrame:
     """Union by name (reference combine_strategy='concatenate',
     loaders.py:100-116)."""

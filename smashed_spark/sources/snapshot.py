@@ -1063,12 +1063,15 @@ def read_snapshot_changes(
     table_root: str,
     since_version: int,
     version: Optional[int] = None,
+    where: Optional[Sequence] = None,
     client=None,
     allow_driver_download: bool = False,
 ) -> DataFrame:
     """Scan only the rows ADDED after ``since_version`` (exclusive) up
     to ``version`` (default: current) — the incremental-consumer read
     (e.g. feeding only new documents into an incremental dedup index).
+    ``where=`` applies the same envelope file-skipping + re-filter
+    contract as :func:`read_snapshot`, over just the added files.
 
     Valid ONLY when every step on the chain between the two versions is
     an append: a rewrite (compact/optimize/delete/publish) invalidates
@@ -1107,15 +1110,23 @@ def read_snapshot_changes(
             f["path"] for f in cursor.files  # cursor == since snapshot
         }
         added = [f for f in target.files if f["path"] not in since_paths]
+    if added and where is not None:
+        added = plan_snapshot_scan(
+            SnapshotInfo(**{**target.__dict__, "files": added}), where
+        )["kept"]
     if not added:
         one = SnapshotInfo(**{**target.__dict__, "files": [target.files[0]]})
-        return _scan_files(
+        out = _scan_files(
             spark, table_root, one, client, allow_driver_download
         ).where(F.lit(False))
-    sub = SnapshotInfo(**{**target.__dict__, "files": added})
-    return _scan_files(
-        spark, table_root, sub, client, allow_driver_download
-    )
+    else:
+        sub = SnapshotInfo(**{**target.__dict__, "files": added})
+        out = _scan_files(
+            spark, table_root, sub, client, allow_driver_download
+        )
+    if where is not None:
+        out = out.where(_where_to_column(where))
+    return out
 
 
 def _remove_dir_quiet(path: str, client=None) -> None:

@@ -1134,3 +1134,70 @@ def test_snapshot_history(spark, tmp_path):
     assert hist[-1]["parent_vacuumed"] is True
 
 
+
+
+def test_read_snapshot_changes_with_where(spark, tmp_path):
+    from smashed_spark.sources.snapshot import read_snapshot_changes
+
+    root = _root(tmp_path)
+    publish_snapshot(
+        _stats_df(spark, 0, 100), root, stats_columns=["doc_id"]
+    )
+    snap.append_snapshot(
+        _stats_df(spark, 100, 200, "b"), root, stats_columns=["doc_id"]
+    )
+    snap.append_snapshot(
+        _stats_df(spark, 200, 300, "c"), root, stats_columns=["doc_id"]
+    )
+    got = read_snapshot_changes(
+        spark, root, since_version=1, where=[("doc_id", ">=", 250)]
+    )
+    assert sorted(r.doc_id for r in got.collect()) == list(range(250, 300))
+    # the second appended file (100..199) was pruned, not just filtered
+    assert len(got.inputFiles()) == 1
+    # prune everything: empty result, schema intact
+    none = read_snapshot_changes(
+        spark, root, since_version=1, where=[("doc_id", ">", 10_000)]
+    )
+    assert none.count() == 0 and "text" in none.columns
+
+
+def test_snapshot_loader_mapper(spark, tmp_path):
+    """The governed-table loader in the pipeline-mapper shape: union
+    of the listed tables' snapshots, with tag time travel and where=
+    pruning riding the same contracts as read_snapshot."""
+    from smashed_spark.sources.loaders import SnapshotLoaderMapper
+    from smashed_spark.sources.snapshot import tag_snapshot
+
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    publish_snapshot(
+        _stats_df(spark, 0, 50), t1, stats_columns=["doc_id"]
+    )
+    publish_snapshot(
+        _stats_df(spark, 50, 100, "b"), t2, stats_columns=["doc_id"]
+    )
+    tag_snapshot(t1, "rel")
+    publish_snapshot(_stats_df(spark, 500, 510), t1)  # newer v2
+
+    roots = spark.createDataFrame([(t1,), (t2,)], "root: string")
+    got = SnapshotLoaderMapper("root").map(roots)
+    ids = sorted(r.doc_id for r in got.collect())
+    assert ids == list(range(50, 100)) + list(range(500, 510))
+    # tag pins t1 back to v1 for every listed table carrying that tag
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        SnapshotLoaderMapper("root", tag="rel").map(roots).collect()
+    tag_snapshot(t2, "rel")
+    pinned = SnapshotLoaderMapper("root", tag="rel").map(roots)
+    assert sorted(r.doc_id for r in pinned.collect()) == list(range(100))
+    # where= prunes files per table
+    some = SnapshotLoaderMapper(
+        "root", tag="rel", where=[("doc_id", ">=", 75)]
+    ).map(roots)
+    assert sorted(r.doc_id for r in some.collect()) == list(range(75, 100))
+    assert len(some.inputFiles()) == 1  # t1's file pruned entirely
+    # refusals
+    with pytest.raises(ValueError, match="not both"):
+        SnapshotLoaderMapper("root", version=1, tag="rel")
+    empty = spark.createDataFrame([], "root: string")
+    with pytest.raises(ValueError, match="no table roots"):
+        SnapshotLoaderMapper("root").map(empty)
