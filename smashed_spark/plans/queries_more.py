@@ -2142,7 +2142,13 @@ def q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     where = [("n_chars", ">=", _SNAP_PRUNE_LOWER)]
     plan = plan_snapshot_scan(info, where)
     nonempty_total = sum(1 for f in info.files if f.get("rows"))
-    out = read_snapshot(spark, table, where=where)
+    # the final read goes through the pipeline-shape loader so the
+    # mapper surface (root-column fan-in + where= pruning) is
+    # oracle-certified, not just read_snapshot underneath it
+    from ..sources.loaders import SnapshotLoaderMapper
+
+    roots_df = spark.createDataFrame([(table,)], "root: string")
+    out = SnapshotLoaderMapper("root", where=where).map(roots_df)
     return (
         out.withColumn(
             "changes_rows", F.lit(int(ch["changes_rows"])).cast("bigint")
