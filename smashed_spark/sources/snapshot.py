@@ -515,12 +515,21 @@ def plan_snapshot_scan(
     counts; a file with no stats for a referenced column is always
     kept, so the plan is safe whatever was collected at publish time.
     Type mismatches between a literal and the column's stats kind raise
-    (a silent str-vs-int comparison is how wrong pruning happens)."""
+    (a silent str-vs-int comparison is how wrong pruning happens), and
+    so does a predicate column absent from the manifest's recorded
+    schema — inside ``read_snapshot`` the re-applied Spark filter would
+    catch the typo, but a standalone plan call would otherwise keep
+    every file and report a clean plan with no signal."""
     for col, op, _ in where:
         if op not in _PRUNE_OPS:
             raise ValueError(
                 f"plan_snapshot_scan: op {op!r} on {col!r} not in "
                 f"{_PRUNE_OPS}"
+            )
+        if info.columns is not None and col not in info.columns:
+            raise ValueError(
+                f"plan_snapshot_scan: predicate column {col!r} is not in "
+                f"the snapshot's schema {sorted(info.columns)}"
             )
     kept, skipped = [], []
     for entry in info.files:
@@ -557,7 +566,6 @@ def _inventory_entry(
 
 
 def _build_inventory(
-    spark: SparkSession,
     base_dir: str,
     rel_prefix: str,
     stats_columns: Sequence[str],
@@ -620,9 +628,7 @@ def _write_data_prefix(
                     "publish_snapshot: staging write finished without "
                     "_SUCCESS; refusing to publish"
                 )
-            inventory = _build_inventory(
-                df.sparkSession, staging, rel_prefix, stats_columns
-            )
+            inventory = _build_inventory(staging, rel_prefix, stats_columns)
             for f in _local_parquet_files(staging):
                 rel = os.path.relpath(f, staging)
                 dest = str(root / rel_prefix / rel)
@@ -647,9 +653,7 @@ def _write_data_prefix(
             "publish_snapshot: data write finished without _SUCCESS; "
             "refusing to publish"
         )
-    inventory = _build_inventory(
-        df.sparkSession, dest, rel_prefix, stats_columns
-    )
+    inventory = _build_inventory(dest, rel_prefix, stats_columns)
     return {
         "files": inventory,
         "row_count": sum(e["rows"] for e in inventory),
@@ -842,6 +846,24 @@ def _where_to_column(where: Sequence):
     return cond
 
 
+def _empty_typed(
+    spark: SparkSession, info: SnapshotInfo, table_root: str
+) -> DataFrame:
+    """An empty DataFrame carrying the snapshot's recorded schema — the
+    zero-file read path (an empty publish that produced no part files,
+    or a delete that removed every row).  Manifests predating the
+    ``columns`` field have no recorded schema to reconstruct from, so
+    those raise instead of guessing."""
+    if info.columns is None:
+        raise ValueError(
+            f"read_snapshot: v{info.version} of {table_root!r} lists no "
+            "data files and its manifest predates the 'columns' field — "
+            "no schema to build an empty result from"
+        )
+    ddl = ", ".join(f"`{c}` {t}" for c, t in info.columns.items())
+    return spark.createDataFrame([], schema=ddl)
+
+
 def read_snapshot(
     spark: SparkSession,
     table_root: str,
@@ -868,6 +890,11 @@ def read_snapshot(
     copies the snapshot to a local temp dir through io_utils first
     (driver-side: tests and small tables only, and it says so)."""
     info = resolve_snapshot(table_root, version, client=client)
+    if not info.files:
+        # zero-file snapshot (empty publish, delete-everything): the
+        # recorded schema is the only source of truth left
+        df = _empty_typed(spark, info, table_root)
+        return df.where(_where_to_column(where)) if where is not None else df
     if where is not None:
         plan = plan_snapshot_scan(info, where)
         if not plan["kept"]:
@@ -1115,10 +1142,15 @@ def read_snapshot_changes(
             SnapshotInfo(**{**target.__dict__, "files": added}), where
         )["kept"]
     if not added:
-        one = SnapshotInfo(**{**target.__dict__, "files": [target.files[0]]})
-        out = _scan_files(
-            spark, table_root, one, client, allow_driver_download
-        ).where(F.lit(False))
+        if not target.files:
+            out = _empty_typed(spark, target, table_root)
+        else:
+            one = SnapshotInfo(
+                **{**target.__dict__, "files": [target.files[0]]}
+            )
+            out = _scan_files(
+                spark, table_root, one, client, allow_driver_download
+            ).where(F.lit(False))
     else:
         sub = SnapshotInfo(**{**target.__dict__, "files": added})
         out = _scan_files(

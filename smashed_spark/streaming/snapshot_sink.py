@@ -252,16 +252,37 @@ def dedup_snapshot_batch_writer(
         # the app-identity check must run BEFORE any dedup/index work:
         # snapshot_batch_writer re-checks it at commit time, but by
         # then a foreign checkpoint's batch would already have
-        # overwritten same-numbered index dirs
+        # overwritten same-numbered index dirs.  Identity lives in TWO
+        # places, and both are checked: the table's watermark (who
+        # last committed) and a marker in state_dir itself (who last
+        # extended the index) — the marker is what catches a reused
+        # state_dir under a FRESH or recreated table, where the
+        # watermark app is None but batch=N dirs from a dead
+        # checkpoint still sit in state_dir waiting to collide with
+        # the new checkpoint's restarted ids.  A same-app crash-window
+        # redelivery (index extended, table commit lost) matches the
+        # marker and proceeds — recompute+overwrite of the same
+        # (app, batch) data is the documented idempotence.
         app, _last = stream_commit_watermark(table_root, client=client)
-        if app is not None and app != app_id:
+        marker_path = _os.path.join(state_dir, "_STATE_APP")
+        state_app = None
+        if _os.path.isfile(marker_path):
+            with open(marker_path, "r", encoding="utf-8") as fh:
+                state_app = fh.read().strip() or None
+        foreign = [
+            (src, a)
+            for src, a in (("table", app), ("state_dir", state_app))
+            if a is not None and a != app_id
+        ]
+        if foreign:
             if not takeover:
+                src, a = foreign[0]
                 raise RuntimeError(
-                    f"dedup_snapshot_batch_writer: table {table_root!r} "
-                    f"was last written by stream app {app!r}, not "
-                    f"{app_id!r} — batch ids are per-checkpoint; pass "
-                    "takeover=True only after decommissioning the old "
-                    "checkpoint"
+                    f"dedup_snapshot_batch_writer: {src} records stream "
+                    f"app {a!r}, not {app_id!r} (table={table_root!r}, "
+                    f"state_dir={state_dir!r}) — batch ids are "
+                    "per-checkpoint; pass takeover=True only after "
+                    "decommissioning the old checkpoint"
                 )
             stale = [
                 d
@@ -284,6 +305,10 @@ def dedup_snapshot_batch_writer(
                     "collision-free batch=-1 partition, history "
                     "preserved)."
                 )
+        if state_app != app_id:
+            _os.makedirs(state_dir, exist_ok=True)
+            with open(marker_path, "w", encoding="utf-8") as fh:
+                fh.write(app_id)
         stats = ingest_dedup_batch(
             batch,
             state_dir,

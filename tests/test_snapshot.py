@@ -1201,3 +1201,60 @@ def test_snapshot_loader_mapper(spark, tmp_path):
     empty = spark.createDataFrame([], "root: string")
     with pytest.raises(ValueError, match="no table roots"):
         SnapshotLoaderMapper("root").map(empty)
+
+
+# ---------------------------------------------------------------------------
+# zero-file snapshots + plan predicate validation (round-14 review fixes)
+# ---------------------------------------------------------------------------
+
+
+def _doctor_zero_file_append(root):
+    """Commit a v2 append manifest listing ZERO files — the shape an
+    empty write (no part files) or a delete-everything rewrite leaves
+    behind.  Hand-written because Spark's local writer usually emits
+    one empty part file; the protocol must survive the zero-file form
+    regardless of which writer produced it."""
+    mdir = os.path.join(root, snap.MANIFEST_DIR)
+    v1 = json.loads(open(os.path.join(mdir, "v00000001.json")).read())
+    v2 = {
+        **v1,
+        "version": 2,
+        "parent": 1,
+        "operation": "append",
+        "files": [],
+        "prefixes": [],
+        "row_count": 0,
+    }
+    with open(os.path.join(mdir, "v00000002.json"), "w") as f:
+        f.write(json.dumps(v2))
+    with open(os.path.join(root, snap.POINTER_NAME), "w") as f:
+        f.write(
+            json.dumps({"version": 2, "manifest": snap._manifest_key(2)})
+        )
+
+
+def test_zero_file_snapshot_reads_empty_typed(spark, tmp_path):
+    from smashed_spark.sources.snapshot import read_snapshot_changes
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 5), root)
+    _doctor_zero_file_append(root)
+    got = read_snapshot(spark, root)
+    assert got.count() == 0
+    assert dict(got.dtypes) == {"doc_id": "bigint", "text": "string"}
+    # where= over zero files must not IndexError either
+    got = read_snapshot(spark, root, where=[("doc_id", ">=", 3)])
+    assert got.count() == 0
+    # changes read whose target lists zero files
+    got = read_snapshot_changes(spark, root, since_version=2)
+    assert got.count() == 0
+    assert dict(got.dtypes) == {"doc_id": "bigint", "text": "string"}
+
+
+def test_plan_scan_unknown_predicate_column_raises(spark, tmp_path):
+    from smashed_spark.sources.snapshot import plan_snapshot_scan
+
+    root = _root(tmp_path)
+    info = publish_snapshot(_df(spark, 5), root, stats_columns=["doc_id"])
+    with pytest.raises(ValueError, match="not in the snapshot's schema"):
+        plan_snapshot_scan(info, [("doc_idd", ">=", 3)])

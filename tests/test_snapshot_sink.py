@@ -378,3 +378,41 @@ def test_s3_sink_appends_and_replays(spark, s3):
         spark, root, client=s3, allow_driver_download=True
     )
     assert _ids(got) == list(range(20))
+
+
+def test_reused_state_dir_with_fresh_table_refused(spark, tmp_path):
+    """Round-14 review fix: a FRESH table (no watermark app) gives the
+    table-side identity check nothing to compare, but a reused
+    state_dir still holds the dead checkpoint's per-batch index dirs —
+    the _STATE_APP marker written alongside the index is what catches
+    the collision before any index work runs."""
+    from smashed_spark.streaming.ingest import compact_ingest_state
+    from smashed_spark.streaming.snapshot_sink import (
+        dedup_snapshot_batch_writer,
+    )
+
+    state = str(tmp_path / "state")
+    old_table = str(tmp_path / "old_table")
+    old = dedup_snapshot_batch_writer(old_table, state, app_id="dead-ckpt")
+    old(_day(spark, [(0, _BASE), (1, _FRESH)]), 0)
+    assert open(f"{state}/_STATE_APP").read() == "dead-ckpt"
+
+    # fresh table, same state_dir: watermark app is None, marker isn't
+    fresh_table = str(tmp_path / "fresh_table")
+    plain = dedup_snapshot_batch_writer(fresh_table, state, app_id="new-ckpt")
+    with pytest.raises(RuntimeError, match="per-checkpoint"):
+        plain(_day(spark, [(50, "aa bb")]), 0)
+    new = dedup_snapshot_batch_writer(
+        fresh_table, state, app_id="new-ckpt", takeover=True
+    )
+    with pytest.raises(RuntimeError, match="compact_ingest_state"):
+        new(_day(spark, [(50, "aa bb")]), 0)
+    # remediation path: compacted history survives AND still dedups
+    compact_ingest_state(spark, state, include_latest=True)
+    new(_day(spark, [(50, "aa bb"), (51, _BASE)]), 0)  # 51 = old dup
+    assert open(f"{state}/_STATE_APP").read() == "new-ckpt"
+    got = {r.doc_id for r in read_snapshot(spark, fresh_table).collect()}
+    assert 50 in got and 51 not in got
+    # same-app crash-window redelivery still allowed (marker matches)
+    new(_day(spark, [(50, "aa bb"), (51, _BASE)]), 0)
+    assert resolve_snapshot(fresh_table).row_count == 1
