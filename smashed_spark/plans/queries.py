@@ -373,48 +373,22 @@ def q_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "prompt_family",
-    oracle="""
-    SELECT doc_id,
-           'doc ' || doc_id || ' [' || lang || ']: ' || source AS prompt,
-           to_json([CAST(1 AS BIGINT), 1, doc_id % 10, doc_id % 7])
-               AS input_ids,
-           to_json([1, 1, 1, 1]) AS attention_mask
-    FROM documents
-    """,
-)
-def q_prompt_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FillTextPromptMapper (reference prompting.py:151-231) and
-    FillEncodedPromptMapper (prompting.py:447-555) on one documents
-    scan: the literal segment 'q: ' tokenizes to two [UNK] pieces under
-    the tiny vocab; field ids concatenate after."""
-    from ..functions.wordpiece import tiny_bert_tokenizer
-    from ..operators.prompting import (
-        FillEncodedPromptMapper,
-        FillTextPromptMapper,
-    )
-
-    df = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array(
-            (F.col("doc_id") % 10).cast("bigint"),
-            (F.col("doc_id") % 7).cast("bigint"),
-        ).alias("ids"),
-    )
-    pipe = FillTextPromptMapper(
-        "doc {doc_id} [{lang}]: {source}", "prompt"
-    ) >> FillEncodedPromptMapper("q: {ids}", tokenizer=tiny_bert_tokenizer())
-    out = pipe.map(df)
-    return out.select("doc_id", "prompt", "input_ids", "attention_mask")
+# prompt_family rotated out round 14 (slot freed so the round-13
+# flagship snapshot_lifecycle fits inside the driver's 50-query
+# record): FillTextPromptMapper and FillEncodedPromptMapper now
+# certify inside multiseq_family below — same documents scan, same
+# per-doc column algebra, outputs renamed prompt/p_ids/p_am to avoid
+# colliding with the multiseq input_ids/attention_mask columns.
 
 
 @query(
     "multiseq_family",
     oracle="""
     SELECT doc_id,
+           'doc ' || doc_id || ' [' || lang || ']: ' || source AS prompt,
+           to_json([CAST(1 AS BIGINT), 1, doc_id % 10, doc_id % 7])
+               AS p_ids,
+           to_json([1, 1, 1, 1]) AS p_am,
            to_json([101, doc_id, doc_id + 1, 102, doc_id + 2, 103])
                AS input_ids,
            to_json([1, 1, 1, 1, 1, 1]) AS attention_mask,
@@ -433,7 +407,19 @@ def q_multiseq_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     TokenTypeIdsSequencePadding (reference multiseq.py:106-169),
     TokensSequencesPadding >> MakeAttentionMask >> SequencesConcatenate
     (multiseq.py:27-103, 172-194, 519-547), and SingleValueToSequence
-    'first'/'all' (multiseq.py:452-516)."""
+    'first'/'all' (multiseq.py:452-516).
+
+    Since round 14 (prompt_family rotated out under the driver's
+    50-query record) this gate also certifies FillTextPromptMapper
+    (reference prompting.py:151-231) and FillEncodedPromptMapper
+    (prompting.py:447-555) on the same scan: the literal segment
+    'q: ' tokenizes to two [UNK] pieces under the tiny vocab; field
+    ids concatenate after (columns prompt / p_ids / p_am)."""
+    from ..functions.wordpiece import tiny_bert_tokenizer
+    from ..operators.prompting import (
+        FillEncodedPromptMapper,
+        FillTextPromptMapper,
+    )
     from ..operators.multiseq import (
         AttentionMaskSequencePaddingMapper,
         MakeAttentionMaskMapper,
@@ -443,12 +429,34 @@ def q_multiseq_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         TokenTypeIdsSequencePaddingMapper,
     )
 
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array(
+            (F.col("doc_id") % 10).cast("bigint"),
+            (F.col("doc_id") % 7).cast("bigint"),
+        ).alias("ids"),
+    )
+    prompt_pipe = FillTextPromptMapper(
+        "doc {doc_id} [{lang}]: {source}", "prompt"
+    ) >> FillEncodedPromptMapper("q: {ids}", tokenizer=tiny_bert_tokenizer())
+    base = (
+        prompt_pipe.map(base)
+        .withColumnRenamed("input_ids", "p_ids")
+        .withColumnRenamed("attention_mask", "p_am")
+        .select("doc_id", "prompt", "p_ids", "p_am")
+    )
+
     labels = F.array(
         (F.col("doc_id") % 5).cast("bigint"),
         (F.col("doc_id") % 7).cast("bigint"),
     )
-    df = load(spark, sf_dir, "documents").select(
+    df = base.select(
         "doc_id",
+        "prompt",
+        "p_ids",
+        "p_am",
         F.array(F.array(F.lit(1), F.lit(1)), F.array(F.lit(1)))
         .cast("array<array<bigint>>")
         .alias("attention_mask"),
@@ -491,6 +499,9 @@ def q_multiseq_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tok_pipe.map(out)
     return out.select(
         "doc_id",
+        "prompt",
+        "p_ids",
+        "p_am",
         "input_ids",
         F.flatten("attention_mask").alias("attention_mask"),
         "am_pad",
