@@ -144,6 +144,11 @@ DATA_DIR = "data"
 # is the honest plan (same threshold as sources/retention.py)
 DEFAULT_BROADCAST_KEYS = 2_000_000
 
+# forget-key sets at or below this collect to the driver for literal
+# per-file `in` pruning (tightest file scoping); above it the plan
+# degrades to min/max range pruning — two scalars, never a big collect
+DEFAULT_PRUNE_COLLECT_KEYS = 100_000
+
 # manifest properties every publish re-states from its parent unless
 # the caller overrides them: the streaming sink's exactly-once
 # watermark must not vanish when a compaction (which sets its own
@@ -177,6 +182,12 @@ class SnapshotInfo:
     # free-form operation metadata carried by the manifest (e.g. the
     # fitted Z-order bounds an optimize publish must hand the next one)
     properties: Dict[str, object]
+    # schema-evolution registry: {schema_id: {column: type}} for every
+    # generation still referenced by a live file, and the id current
+    # writes land under.  None for manifests predating evolution
+    # support (every file then shares the manifest's ``columns``).
+    schemas: Optional[Dict[str, Dict[str, str]]] = None
+    schema_id: str = "0"
 
     @property
     def file_paths(self) -> List[str]:
@@ -287,6 +298,12 @@ def resolve_snapshot(
             dict(manifest["columns"]) if "columns" in manifest else None
         ),
         properties=dict(manifest.get("properties") or {}),
+        schemas=(
+            {str(k): dict(v) for k, v in manifest["schemas"].items()}
+            if "schemas" in manifest
+            else None
+        ),
+        schema_id=str(manifest.get("schema_id", "0")),
     )
 
 
@@ -660,6 +677,62 @@ def _write_data_prefix(
     }
 
 
+def _parse_type(type_str: str):
+    from pyspark.sql import types as T
+
+    return T.StructType.fromDDL(f"`c` {type_str}")[0].dataType
+
+
+def _evolve_batch(df: DataFrame, parent_cols: Dict[str, str]):
+    """Evolve the table schema to admit ``df`` — the
+    ``append_snapshot(evolve=True)`` matrix, built on evolve.py's
+    safe-cast policy:
+
+    * column in both, same type → unchanged;
+    * parent type losslessly widens to the batch's (int→bigint, …) →
+      the TABLE type widens (old files cast up at read);
+    * batch type losslessly widens to the parent's → the BATCH casts
+      up here, table type unchanged;
+    * lossy either way → raise (silent truncation at 100 TB is
+      unfindable later — same stance as align_to_schema);
+    * column only in the parent → kept, batch rows get typed NULLs;
+    * column only in the batch → appended to the table schema, rows in
+      old files read as NULL.
+
+    Returns ``(aligned_df, evolved_columns)``."""
+    from .evolve import align_to_schema, is_safe_cast
+
+    batch = {f.name: f.dataType for f in df.schema.fields}
+    target: Dict[str, str] = {}
+    for name, ptype in parent_cols.items():
+        if name not in batch:
+            target[name] = ptype
+            continue
+        btype = batch[name].simpleString()
+        if btype == ptype:
+            target[name] = ptype
+        elif is_safe_cast(_parse_type(ptype), batch[name]):
+            target[name] = btype
+        elif is_safe_cast(batch[name], _parse_type(ptype)):
+            target[name] = ptype
+        else:
+            raise ValueError(
+                f"append_snapshot: column {name!r} cannot evolve "
+                f"{ptype} <-> {btype}: neither direction is a lossless "
+                "widening — a lossy type change needs a full republish "
+                "with the cast owned explicitly (evolve.py "
+                "align_to_schema cast='force')"
+            )
+    for f in df.schema.fields:
+        if f.name not in target:
+            target[f.name] = f.dataType.simpleString()
+    ddl = ", ".join(f"`{c}` {t}" for c, t in target.items())
+    aligned = align_to_schema(
+        df, ddl, missing="null", extra="error", cast="safe"
+    )
+    return aligned, target
+
+
 def publish_snapshot(
     df: DataFrame,
     table_root: str,
@@ -669,10 +742,18 @@ def publish_snapshot(
     stats_columns: Sequence[str] = (),
     client=None,
     _carry_parent: bool = False,
+    _carry_files: Optional[List[Dict[str, object]]] = None,
+    _evolve: bool = False,
 ) -> SnapshotInfo:
     """Publish ``df`` as the table's next snapshot (see module docstring
     for the protocol and its crash windows).  Returns the committed
     :class:`SnapshotInfo`.
+
+    ``_carry_files`` (internal, used by the file-scoped delete): carry
+    exactly these parent file entries verbatim instead of all of them
+    — the entries MUST come from the current snapshot's manifest.  An
+    empty list is a valid value (rewrite touched every file); ``None``
+    means "carry nothing" (plain publish) unless ``_carry_parent``.
 
     ``stats_columns`` opts chosen columns into per-file envelope stats
     (min/max/nulls from the just-written footers) that
@@ -691,12 +772,15 @@ def publish_snapshot(
     carried_prefixes: List[str] = []
     carried_rows = 0
     carried_props: Dict[str, object] = {}
-    if _carry_parent and begin_version is None:
+    carry = _carry_parent or _carry_files is not None
+    if carry and begin_version is None:
         raise FileNotFoundError(
             f"append_snapshot: nothing published under {table_root!r} "
             "yet — the first write is a publish_snapshot"
         )
     columns = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schemas: Optional[Dict[str, Dict[str, str]]] = {"0": dict(columns)}
+    schema_id = "0"
     if begin_version is not None:
         parent_info = resolve_snapshot(
             table_root, begin_version, client=client
@@ -708,28 +792,85 @@ def publish_snapshot(
         for k in _PROPAGATED_PROPS:
             if k in parent_info.properties:
                 carried_props[k] = parent_info.properties[k]
-        if _carry_parent:
-            # an append mixing files of a different shape would commit
+        if carry:
+            # a commit mixing files of a different shape would land
             # fine and then LOSE data at read time (spark.read.parquet
             # samples one file's schema; missing columns silently
-            # disappear or null out) — refuse loudly instead.  Parent
-            # manifests predating the "columns" field skip the check.
+            # disappear or null out) — refuse loudly unless the caller
+            # opted into evolution.  Parent manifests predating the
+            # "columns" field skip the check.
             parent_cols = parent_info.columns
             if parent_cols is not None and dict(parent_cols) != columns:
-                extra = sorted(set(columns) - set(parent_cols))
-                missing = sorted(set(parent_cols) - set(columns))
-                changed = sorted(
-                    c for c in set(columns) & set(parent_cols)
-                    if columns[c] != parent_cols[c]
-                )
+                if _evolve:
+                    df, columns = _evolve_batch(df, dict(parent_cols))
+                else:
+                    extra = sorted(set(columns) - set(parent_cols))
+                    missing = sorted(set(parent_cols) - set(columns))
+                    changed = sorted(
+                        c for c in set(columns) & set(parent_cols)
+                        if columns[c] != parent_cols[c]
+                    )
+                    raise ValueError(
+                        "append_snapshot: batch schema does not match "
+                        f"the table's (extra={extra}, missing={missing}, "
+                        f"type-changed={changed}) — an append must ship "
+                        "every table column with its exact type; pass "
+                        "evolve=True for add-column / lossless-widen "
+                        "evolution, or republish for anything lossy"
+                    )
+            # schema registry: carried files keep the generation they
+            # were written under; this commit's new files land under
+            # the (possibly just-evolved) current generation
+            if parent_cols is not None:
+                parent_schemas = parent_info.schemas or {
+                    "0": dict(parent_cols)
+                }
+                if dict(columns) == dict(parent_cols):
+                    schema_id = parent_info.schema_id
+                    schemas = {k: dict(v) for k, v in parent_schemas.items()}
+                else:
+                    schema_id = str(
+                        max(int(k) for k in parent_schemas) + 1
+                    )
+                    schemas = {
+                        **{k: dict(v) for k, v in parent_schemas.items()},
+                        schema_id: dict(columns),
+                    }
+            else:
+                # spec-1 parent: no recorded schema to evolve against —
+                # keep legacy behavior (no registry in the descendant)
+                schemas = None
+        if _carry_files is not None:
+            parent_paths = {f["path"] for f in parent_info.files}
+            alien = [
+                f["path"] for f in _carry_files
+                if f["path"] not in parent_paths
+            ]
+            if alien:
                 raise ValueError(
-                    "append_snapshot: batch schema does not match the "
-                    f"table's (extra={extra}, missing={missing}, "
-                    f"type-changed={changed}) — an append must ship "
-                    "every table column with its exact type; evolve "
-                    "the schema with a full publish (sources/evolve.py "
-                    "align_to_schema) instead"
+                    "publish_snapshot: _carry_files entries not in the "
+                    f"current snapshot's manifest: {alien[:3]} — carried "
+                    "entries must be verbatim parent entries"
                 )
+            no_rows = [
+                f["path"] for f in _carry_files if f.get("rows") is None
+            ]
+            if no_rows:
+                raise ValueError(
+                    "publish_snapshot: _carry_files entries without a "
+                    f"'rows' count (spec-1 manifest?): {no_rows[:3]} — "
+                    "the descendant manifest's row_count would be wrong"
+                )
+            carried_files = [dict(f) for f in _carry_files]
+            # a prefix is the first-level dir under data/ (vacuum's
+            # orphan accounting uses the same split); prefixes whose
+            # files were ALL rewritten drop out so vacuum can reclaim
+            # them once the old versions age off the chain
+            carried_prefixes = sorted(
+                {"/".join(f["path"].split("/")[:2]) for f in carried_files}
+            )
+            carried_rows = sum(int(f["rows"]) for f in carried_files)
+        elif _carry_parent:
             carried_files = [dict(f) for f in parent_info.files]
             carried_prefixes = list(parent_info.prefixes)
             carried_rows = parent_info.row_count
@@ -741,6 +882,23 @@ def publish_snapshot(
         df, root, rel_prefix, compression,
         stats_columns=stats_columns, client=client,
     )
+    if schemas is not None and schema_id != "0":
+        # entries without a "schema" key default to generation "0", so
+        # only non-zero generations spend manifest bytes on the tag
+        for entry in written["files"]:
+            entry["schema"] = schema_id
+    all_files = carried_files + written["files"]
+    if schemas is not None:
+        referenced = {str(f.get("schema", "0")) for f in all_files}
+        referenced.add(schema_id)
+        missing_gen = referenced - set(schemas)
+        if missing_gen:
+            raise RuntimeError(
+                "publish_snapshot: carried files reference schema "
+                f"generations {sorted(missing_gen)} absent from the "
+                "parent's registry — manifest corruption"
+            )
+        schemas = {k: schemas[k] for k in sorted(referenced, key=int)}
 
     manifest = {
         "version": version,
@@ -748,7 +906,7 @@ def publish_snapshot(
         "columns": columns,
         "data_prefix": rel_prefix,
         "prefixes": sorted(set(carried_prefixes) | {rel_prefix}),
-        "files": carried_files + written["files"],
+        "files": all_files,
         "row_count": carried_rows + written["row_count"],
         "parent": begin_version,
         "operation": operation,
@@ -756,6 +914,9 @@ def publish_snapshot(
         "format": "parquet",
         "properties": {**carried_props, **(properties or {})},
     }
+    if schemas is not None:
+        manifest["schemas"] = schemas
+        manifest["schema_id"] = schema_id
     # manifests are immutable: if OUR allocated version already has one,
     # a second writer claimed it while we were writing data — refuse
     # rather than clobber their (possibly already-published) manifest.
@@ -799,6 +960,7 @@ def append_snapshot(
     compression: str = "zstd",
     properties: Optional[Dict[str, object]] = None,
     stats_columns: Sequence[str] = (),
+    evolve: bool = False,
     client=None,
 ) -> SnapshotInfo:
     """Publish ``df`` as new rows APPENDED to the current snapshot —
@@ -808,7 +970,16 @@ def append_snapshot(
     Same crash windows and single-writer detection as
     :func:`publish_snapshot`; the first write to an empty table must be
     a publish (raises FileNotFoundError otherwise, so a typo'd root
-    can't silently start a new table)."""
+    can't silently start a new table).
+
+    ``evolve=True`` admits a batch whose schema differs by ADDING
+    columns or LOSSLESSLY widening types (see :func:`_evolve_batch`):
+    the manifest records each schema generation it still references
+    plus which generation every file was written under, and
+    ``read_snapshot`` aligns old files to the current schema (typed
+    NULLs for later-added columns, safe upcasts for widened ones) —
+    daily-ingest tables gain columns without a full republish.  Lossy
+    changes still refuse, evolve or not."""
     return publish_snapshot(
         df,
         table_root,
@@ -818,6 +989,7 @@ def append_snapshot(
         stats_columns=stats_columns,
         client=client,
         _carry_parent=True,
+        _evolve=evolve,
     )
 
 
@@ -946,10 +1118,45 @@ def _scan_files(
             with io_utils.open_file_for_read(f, "rb", client=client) as r:
                 with open(dest, "wb") as w:
                     w.write(r.read())
-        return spark.read.parquet(
-            *[os.path.join(local_dir, x["path"]) for x in info.files]
+
+        def path_of(entry):
+            return os.path.join(local_dir, entry["path"])
+    else:
+        base = info.table_root.rstrip("/")
+
+        def path_of(entry):
+            return f"{base}/{entry['path']}"
+
+    # schema-evolution read: files from older generations are scanned
+    # as their own group and ALIGNED to the manifest's current schema
+    # (typed NULLs for later-added columns, safe upcasts for widened
+    # ones) — one mergeSchema read cannot do this (parquet merge
+    # refuses same-column type changes), and a single plain read would
+    # silently drop columns absent from the sampled file
+    by_gen: Dict[str, List[Dict[str, object]]] = {}
+    for entry in info.files:
+        by_gen.setdefault(str(entry.get("schema", "0")), []).append(entry)
+    homogeneous = (
+        info.schemas is None
+        or all(
+            info.schemas.get(g) == info.columns for g in by_gen
         )
-    return spark.read.parquet(*info.file_paths)
+    )
+    if homogeneous:
+        return spark.read.parquet(*[path_of(f) for f in info.files])
+    from .evolve import align_to_schema
+
+    target_ddl = ", ".join(
+        f"`{c}` {t}" for c, t in info.columns.items()
+    )
+    out: Optional[DataFrame] = None
+    for gen in sorted(by_gen, key=int):
+        part = spark.read.parquet(*[path_of(f) for f in by_gen[gen]])
+        part = align_to_schema(
+            part, target_ddl, missing="null", extra="error", cast="safe"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def snapshot_history(
@@ -1436,7 +1643,9 @@ def apply_deletions_snapshot(
     table_root: str,
     keys: Union[DataFrame, Sequence],
     key_field: str,
+    scope_where: Optional[Sequence] = None,
     broadcast_threshold_rows: int = DEFAULT_BROADCAST_KEYS,
+    prune_collect_cap: int = DEFAULT_PRUNE_COLLECT_KEYS,
     compression: str = "zstd",
     stats_columns: Sequence[str] = (),
     client=None,
@@ -1447,22 +1656,40 @@ def apply_deletions_snapshot(
     a snapshot publish (the object-store analog of
     ``retention.apply_deletions``).
 
-    Strategy mirrors retention.py: a bounded
+    **File-scoped, not O(table)**: the manifest's per-file envelope
+    stats decide which files CAN contain a forget key (literal ``in``
+    pruning when the key set fits ``prune_collect_cap``; min/max range
+    pruning above that — a bounded two-scalar agg, never a driver
+    collect of the key set).  Only those files are read, anti-joined,
+    and rewritten; every untouched file entry is carried VERBATIM into
+    the new manifest (stats included), so a 1,000-key forget list on a
+    100 TB table rewrites the few files whose envelopes straddle the
+    keys, not the table.  Files with no stats for ``key_field`` are
+    conservatively rewritten — publish with
+    ``stats_columns=[key_field]`` to keep future deletes scoped.  When
+    pruning proves NO file can match, the current :class:`SnapshotInfo`
+    is returned unchanged (no empty-delete version is committed).
+
+    ``scope_where`` (``[(column, op, value), ...]``, same grammar as
+    ``read_snapshot(where=)``) restricts the delete to rows ALSO
+    matching the scope — the partition-scoped delete: a key is only
+    forgotten inside the scope, rows outside survive even if their key
+    matches, and the scope predicates join the file-prune plan so an
+    out-of-scope file isn't even read.
+
+    Join strategy mirrors retention.py: a bounded
     ``limit(threshold+1).count()`` probe decides broadcast vs plain
     LEFT ANTI join.  NULL forget keys raise — NULL never equals
     anything in a join, so a NULL "deletion" would silently delete
     nothing."""
-    df = read_snapshot(
-        spark,
-        table_root,
-        client=client,
-        allow_driver_download=allow_driver_download,
-    )
-    if key_field not in df.columns:
+    info = resolve_snapshot(table_root, client=client)
+    if info.columns is not None and key_field not in info.columns:
         raise ValueError(
             f"apply_deletions_snapshot: key_field {key_field!r} not in "
-            f"snapshot columns {df.columns}"
+            f"snapshot columns {sorted(info.columns)}"
         )
+
+    literal_keys: Optional[list] = None
     if isinstance(keys, DataFrame):
         if key_field not in keys.columns:
             raise ValueError(
@@ -1471,25 +1698,99 @@ def apply_deletions_snapshot(
             )
         key_df = keys.select(key_field)
     else:
-        seq = list(keys)
-        if not seq:
+        literal_keys = list(keys)
+        if not literal_keys:
             raise ValueError(
                 "apply_deletions_snapshot: empty forget list — refusing "
                 "a no-op publish (pass a non-empty key set)"
             )
-        key_df = df.sparkSession.createDataFrame(
-            [(k,) for k in seq], schema=df.select(key_field).schema
-        )
-    if key_df.filter(F.col(key_field).isNull()).limit(1).count() > 0:
+        if any(k is None for k in literal_keys):
+            raise ValueError(
+                "apply_deletions_snapshot: NULL forget key — NULL never "
+                "joins, so it would silently delete nothing"
+            )
+        key_df = None  # built lazily only if any file is touched
+    if key_df is not None:
+        if key_df.filter(F.col(key_field).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                "apply_deletions_snapshot: NULL forget key — NULL never "
+                "joins, so it would silently delete nothing"
+            )
+        # literal in-pruning wants the keys on the driver; cap it so a
+        # huge forget DataFrame degrades to range pruning, not OOM
+        head = key_df.limit(prune_collect_cap + 1).collect()
+        if len(head) <= prune_collect_cap:
+            literal_keys = [r[0] for r in head]
+
+    # ----- file scoping via the manifest's envelope stats -----
+    prune: list = list(scope_where or [])
+    can_scope = True
+    if literal_keys is not None:
+        prune.append((key_field, "in", literal_keys))
+    else:
+        bounds = key_df.agg(
+            F.min(key_field).alias("lo"), F.max(key_field).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            raise ValueError(
+                "apply_deletions_snapshot: empty forget list — refusing "
+                "a no-op publish (pass a non-empty key set)"
+            )
+        prune.append((key_field, ">=", bounds["lo"]))
+        prune.append((key_field, "<=", bounds["hi"]))
+    # spec-1 manifests lack per-entry row counts, so untouched entries
+    # cannot be carried (the descendant's row_count would be a guess) —
+    # fall back to the full rewrite for those legacy tables
+    if any(f.get("rows") is None for f in info.files):
+        can_scope = False
+    if can_scope:
+        plan = plan_snapshot_scan(info, prune)
+        touched, untouched = plan["kept"], plan["skipped"]
+    else:
+        touched, untouched = list(info.files), []
+    if not touched:
+        # envelopes prove no file holds a forget-key row: nothing to
+        # rewrite, and an empty delete version would be noise
+        return info
+
+    scan_info = SnapshotInfo(**{**info.__dict__, "files": touched})
+    df = _scan_files(spark, table_root, scan_info, client,
+                     allow_driver_download)
+    if key_field not in df.columns:
         raise ValueError(
-            "apply_deletions_snapshot: NULL forget key — NULL never "
-            "joins, so it would silently delete nothing"
+            f"apply_deletions_snapshot: key_field {key_field!r} not in "
+            f"snapshot columns {df.columns}"
         )
+    if key_df is None:
+        key_df = spark.createDataFrame(
+            [(k,) for k in literal_keys], schema=df.select(key_field).schema
+        )
+    if scope_where:
+        # the marker join below must not fan out an out-of-scope
+        # surviving row once per duplicate forget key
+        key_df = key_df.distinct()
     probed = key_df.limit(broadcast_threshold_rows + 1).count()
     anti = (
         F.broadcast(key_df) if probed <= broadcast_threshold_rows else key_df
     )
-    survivors = df.join(anti, on=key_field, how="left_anti")
+    if scope_where:
+        # scoped delete: a row dies only when its key matches AND it is
+        # inside the scope — LEFT ANTI can't express the conjunction, so
+        # mark key matches with a left join and filter
+        marker = anti.withColumn("__forget__", F.lit(True))
+        survivors = (
+            df.join(marker, on=key_field, how="left")
+            .where(
+                ~(
+                    F.coalesce(F.col("__forget__"), F.lit(False))
+                    & _where_to_column(scope_where)
+                )
+            )
+            .drop("__forget__")
+            .select(*df.columns)
+        )
+    else:
+        survivors = df.join(anti, on=key_field, how="left_anti")
     return publish_snapshot(
         survivors,
         table_root,
@@ -1497,6 +1798,7 @@ def apply_deletions_snapshot(
         compression=compression,
         stats_columns=stats_columns,
         client=client,
+        _carry_files=untouched,
     )
 
 

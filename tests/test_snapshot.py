@@ -289,6 +289,130 @@ def test_apply_deletions_snapshot(spark, tmp_path):
     assert {r[0] for r in got} == set(range(100)) - {0, 7, 99}
 
 
+def test_delete_scoped_carries_untouched_files_verbatim(spark, tmp_path):
+    """The file-scoped forget-list rewrite: only files whose doc_id
+    envelope can contain a forget key are rewritten; every other file
+    entry (stats included) rides into the new manifest verbatim."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    lo = _df(spark, 100, "a").coalesce(1)  # doc_id 0..99
+    hi = (
+        _df(spark, 100, "b")
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        .coalesce(1)
+    )  # doc_id 1000..1099
+    publish_snapshot(lo, root, stats_columns=["doc_id"])
+    snap.append_snapshot(hi, root, stats_columns=["doc_id"])
+    before = resolve_snapshot(root)
+    assert len(before.files) == 2
+    lo_entry = next(
+        f for f in before.files if f["stats"]["doc_id"]["min"] == 0
+    )
+
+    info = apply_deletions_snapshot(
+        spark, root, keys=[1005, 1017], key_field="doc_id",
+        stats_columns=["doc_id"],
+    )
+    assert info.version == 3 and info.operation == "delete"
+    assert info.row_count == 198
+    # the low file was provably untouchable: entry carried verbatim
+    assert lo_entry in info.files
+    # and exactly one new file (the hi rewrite) joined the manifest
+    new_files = [f for f in info.files if f not in before.files]
+    assert len(new_files) == 1
+    assert info.prefixes == sorted(
+        {"/".join(f["path"].split("/")[:2]) for f in info.files}
+    )
+    got = {r[0] for r in _rows(read_snapshot(spark, root))}
+    assert got == (set(range(100)) | set(range(1000, 1100))) - {1005, 1017}
+
+
+def test_delete_noop_when_envelopes_prove_absent(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(
+        _df(spark, 50, "a").coalesce(1), root, stats_columns=["doc_id"]
+    )
+    before = resolve_snapshot(root)
+    info = apply_deletions_snapshot(
+        spark, root, keys=[5000, 6000], key_field="doc_id"
+    )
+    # nothing could match: no new version committed, same snapshot back
+    assert info.version == before.version
+    assert list_snapshots(root) == [1]
+
+
+def test_delete_range_prune_path_for_big_key_df(spark, tmp_path):
+    """Keys above prune_collect_cap degrade to min/max range pruning —
+    still file-scoped when the key range misses a file's envelope."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    lo = _df(spark, 100, "a").coalesce(1)
+    hi = (
+        _df(spark, 100, "b")
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        .coalesce(1)
+    )
+    publish_snapshot(lo, root, stats_columns=["doc_id"])
+    snap.append_snapshot(hi, root, stats_columns=["doc_id"])
+    before = resolve_snapshot(root)
+    lo_entry = next(
+        f for f in before.files if f["stats"]["doc_id"]["min"] == 0
+    )
+    keys = spark.range(1005, 1008).select(F.col("id").alias("doc_id"))
+    info = apply_deletions_snapshot(
+        spark, root, keys=keys, key_field="doc_id",
+        prune_collect_cap=0, stats_columns=["doc_id"],
+    )
+    assert lo_entry in info.files
+    assert info.row_count == 197
+
+
+def test_delete_scope_where_limits_blast_radius(spark, tmp_path):
+    """scope_where: a forget key only dies inside the scope; the same
+    key outside it survives, and duplicate forget keys don't fan out
+    surviving rows through the marker join."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10, "a").otherwise("b").alias("part"),
+    )
+    publish_snapshot(df, root, stats_columns=["doc_id"])
+    info = apply_deletions_snapshot(
+        spark,
+        root,
+        keys=[5, 5, 15],  # 15 is in part 'b': out of scope, survives
+        key_field="doc_id",
+        scope_where=[("part", "=", "a")],
+    )
+    got = sorted(
+        (r.doc_id, r.part) for r in read_snapshot(spark, root).collect()
+    )
+    assert got == sorted(
+        (i, "a" if i < 10 else "b") for i in range(20) if i != 5
+    )
+    assert info.row_count == 19
+
+
+def test_delete_scoped_equals_full_rewrite(spark, tmp_path):
+    """A/B: the scoped path and the stats-less full-rewrite path agree
+    on the surviving row set."""
+    roots = [str(tmp_path / "scoped"), str(tmp_path / "full")]
+    for root, stats in zip(roots, (["doc_id"], [])):
+        publish_snapshot(
+            _df(spark, 500, "a").repartition(8), root,
+            stats_columns=stats,
+        )
+        apply_deletions_snapshot(
+            spark, root, keys=[3, 77, 401], key_field="doc_id"
+        )
+    a, b = (_rows(read_snapshot(spark, r)) for r in roots)
+    assert a == b and len(a) == 497
+
+
 def test_apply_deletions_snapshot_refusals(spark, tmp_path):
     root = _root(tmp_path)
     publish_snapshot(_df(spark, 10, "a"), root)
@@ -1047,6 +1171,164 @@ def test_append_schema_mismatch_refused(spark, tmp_path):
     # matching schema still appends
     info = snap.append_snapshot(_df(spark, 5, "b"), root)
     assert info.row_count == 15
+
+
+# ---------------------------------------------------------------------------
+# schema evolution on governed tables: append_snapshot(evolve=True)
+# ---------------------------------------------------------------------------
+
+
+def test_append_evolve_three_generations(spark, tmp_path):
+    """add-column + lossless-widen lifecycle: gen0 (doc_id int, text),
+    gen1 adds score double, gen2 widens doc_id to bigint.  Reads align
+    every generation to the current schema; time travel still serves
+    each version under its own schema."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    g0 = spark.range(3).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    publish_snapshot(g0, root)
+
+    g1 = spark.range(3, 6).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") * 0.5).alias("score"),
+    )
+    info1 = snap.append_snapshot(g1, root, evolve=True)
+    assert info1.columns == {
+        "doc_id": "int", "text": "string", "score": "double"
+    }
+    assert info1.schema_id == "1" and set(info1.schemas) == {"0", "1"}
+
+    g2 = spark.range(6, 9).select(
+        F.col("id").alias("doc_id"),  # bigint: widens the table type
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") * 0.5).alias("score"),
+    )
+    info2 = snap.append_snapshot(g2, root, evolve=True)
+    assert info2.columns["doc_id"] == "bigint"
+    assert info2.schema_id == "2" and set(info2.schemas) == {"0", "1", "2"}
+
+    out = read_snapshot(spark, root)
+    assert dict(out.dtypes) == {
+        "doc_id": "bigint", "text": "string", "score": "double"
+    }
+    rows = sorted((r.doc_id, r.text, r.score) for r in out.collect())
+    assert rows == [
+        (i, f"t{i}", None if i < 3 else i * 0.5) for i in range(9)
+    ]
+    # time travel: v1 still reads under its own (gen0) schema
+    v1 = read_snapshot(spark, root, version=1)
+    assert dict(v1.dtypes) == {"doc_id": "int", "text": "string"}
+    assert v1.count() == 3
+
+
+def test_append_evolve_narrower_batch_casts_up(spark, tmp_path):
+    """A batch NARROWER than the table (int doc_id into a bigint
+    table, and missing a column) aligns up without touching the table
+    schema — no new generation is minted."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 3, "a"), root)  # doc_id bigint, text
+    batch = spark.range(100, 103).select(
+        F.col("id").cast("int").alias("doc_id")  # narrower + no text
+    )
+    info = snap.append_snapshot(batch, root, evolve=True)
+    assert info.columns == {"doc_id": "bigint", "text": "string"}
+    assert info.schema_id == "0" and set(info.schemas) == {"0"}
+    rows = sorted((r.doc_id, r.text) for r in read_snapshot(spark, root).collect())
+    assert rows[-3:] == [(100, None), (101, None), (102, None)]
+
+
+def test_append_evolve_lossy_still_refuses(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 3, "a"), root)  # doc_id bigint
+    bad = spark.range(3).select(
+        F.col("id").cast("double").alias("doc_id"),  # bigint<->double lossy
+        F.lit("x").alias("text"),
+    )
+    with pytest.raises(ValueError, match="lossless widening"):
+        snap.append_snapshot(bad, root, evolve=True)
+    # and without evolve=True the plain mismatch refusal names the flag
+    with pytest.raises(ValueError, match="evolve=True"):
+        snap.append_snapshot(
+            _df(spark, 3, "b").withColumn("lang", F.lit("en")), root
+        )
+
+
+def test_evolved_table_scoped_delete_and_pruned_read(spark, tmp_path):
+    """Evolution composes with the rest of the protocol: envelope
+    pruning on a where= read keeps old-generation files conservatively
+    for a later-added column, and the file-scoped delete rewrites an
+    old-generation file under the CURRENT schema while carrying the
+    untouched new-generation entry verbatim."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    g0 = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    ).coalesce(1)
+    publish_snapshot(g0, root, stats_columns=["doc_id"])
+    g1 = spark.range(1000, 1100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") % 7).alias("bucket"),
+    ).coalesce(1)
+    snap.append_snapshot(
+        g1, root, evolve=True, stats_columns=["doc_id", "bucket"]
+    )
+
+    # where= on the added column: gen0's file has no bucket stats →
+    # kept conservatively; values come back right (NULL fails filter)
+    got = read_snapshot(spark, root, where=[("bucket", "=", 3)])
+    assert {r.doc_id for r in got.collect()} == {
+        i for i in range(1000, 1100) if i % 7 == 3
+    }
+
+    before = resolve_snapshot(root)
+    g1_entry = next(
+        f for f in before.files if f["stats"]["doc_id"]["min"] == 1000
+    )
+    info = apply_deletions_snapshot(
+        spark, root, keys=[5, 7], key_field="doc_id",
+        stats_columns=["doc_id"],
+    )
+    assert g1_entry in info.files  # untouched new-gen entry verbatim
+    out = read_snapshot(spark, root)
+    assert out.count() == 198
+    # the rewritten gen0 rows now live under the CURRENT schema
+    assert dict(out.dtypes)["bucket"] == "bigint"
+    assert (
+        out.filter(F.col("doc_id") < 100)
+        .filter(F.col("bucket").isNull())
+        .count()
+        == 98
+    )
+
+
+def test_evolved_changes_read_serves_current_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 5, "a"), root)
+    g1 = spark.range(100, 103).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+        F.lit(1.5).alias("score"),
+    )
+    snap.append_snapshot(g1, root, evolve=True)
+    ch = snap.read_snapshot_changes(spark, root, since_version=1)
+    assert dict(ch.dtypes) == {
+        "doc_id": "bigint", "text": "string", "score": "double"
+    }
+    assert ch.count() == 3
 
 
 def test_delete_missing_tag_raises_both_tiers(spark, tmp_path, s3):
