@@ -52,11 +52,22 @@ Crash windows (writer side)
    from destroying it by default).
 3. The flip itself: atomic on both tiers (see above) — no window.
 
-Concurrency: SINGLE WRITER by assumption (like a bare-S3 Delta log).
-As a belt-and-braces lost-update check, the publisher re-reads the
-pointer immediately before flipping and refuses if it moved since the
-publish began; this detects, not prevents, a second writer (plain S3
-has no compare-and-swap to build a real lock on).
+Concurrency: the lost-update check (the publisher re-reads the pointer
+immediately before flipping) DETECTS a second writer — plain S3 has no
+compare-and-swap to build a real lock on.  What happens next depends on
+whether the operation commutes:
+
+* **Appends rebase and retry** (bounded by ``DEFAULT_COMMIT_RETRIES``):
+  an append only ADDS files, so the loser re-resolves the new parent,
+  re-carries its file list, re-allocates a version, and re-flips — the
+  immutable data prefix from the first attempt is reused, so a rebase
+  costs two small JSON writes, not a data rewrite.  Both interleaved
+  appends land, linearized.  A rebase that finds the table's SCHEMA
+  changed underneath it refuses (the written files may no longer
+  match).
+* **Everything else (publish/compact/optimize/delete) stays SINGLE
+  WRITER by contract** and raises: a rewrite rebased onto a moved
+  parent would silently drop the concurrent commit's rows.
 
 Scale notes
 -----------
@@ -148,6 +159,11 @@ DEFAULT_BROADCAST_KEYS = 2_000_000
 # per-file `in` pruning (tightest file scoping); above it the plan
 # degrades to min/max range pruning — two scalars, never a big collect
 DEFAULT_PRUNE_COLLECT_KEYS = 100_000
+
+# optimistic-append rebases before giving up: append commits commute,
+# so a lost pointer race re-resolves the new parent and retries; a
+# bounded count keeps a livelocked table loud instead of spinning
+DEFAULT_COMMIT_RETRIES = 4
 
 # manifest properties every publish re-states from its parent unless
 # the caller overrides them: the streaming sink's exactly-once
@@ -767,191 +783,246 @@ def publish_snapshot(
     snapshot fully readable and the debris invisible + vacuumable.
     """
     root = SmartPath.parse(table_root)
-    begin_version = _pointer_version(root, client=client)
-    carried_files: List[Dict[str, object]] = []
-    carried_prefixes: List[str] = []
-    carried_rows = 0
-    carried_props: Dict[str, object] = {}
     carry = _carry_parent or _carry_files is not None
-    if carry and begin_version is None:
-        raise FileNotFoundError(
-            f"append_snapshot: nothing published under {table_root!r} "
-            "yet — the first write is a publish_snapshot"
-        )
+    # append commits COMMUTE (each only adds files), so a lost race is
+    # rebased and retried instead of raised: re-resolve the new parent,
+    # re-carry its files, re-allocate a version, and re-flip — the data
+    # prefix written on the first attempt is immutable and reused (its
+    # name keeps the first attempt's allocation number; nothing parses
+    # prefix names).  Every other operation keeps the loud refusal: a
+    # rewrite (compact/optimize/delete) rebased onto a parent that
+    # changed underneath it would silently drop the concurrent commit's
+    # rows from the survivors.
+    retryable = _carry_parent and operation == "append"
+    attempts_left = DEFAULT_COMMIT_RETRIES if retryable else 0
+    written: Optional[Dict[str, object]] = None
+    rel_prefix: Optional[str] = None
     columns = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    schemas: Optional[Dict[str, Dict[str, str]]] = {"0": dict(columns)}
-    schema_id = "0"
-    if begin_version is not None:
-        parent_info = resolve_snapshot(
-            table_root, begin_version, client=client
-        )
-        # the streaming sink's exactly-once watermark must survive
-        # rewrites (compact/optimize/delete) AND vacuum, so every
-        # descendant manifest re-states it unless the caller advances
-        # it explicitly (streaming/snapshot_sink.py)
-        for k in _PROPAGATED_PROPS:
-            if k in parent_info.properties:
-                carried_props[k] = parent_info.properties[k]
-        if carry:
-            # a commit mixing files of a different shape would land
-            # fine and then LOSE data at read time (spark.read.parquet
-            # samples one file's schema; missing columns silently
-            # disappear or null out) — refuse loudly unless the caller
-            # opted into evolution.  Parent manifests predating the
-            # "columns" field skip the check.
-            parent_cols = parent_info.columns
-            if parent_cols is not None and dict(parent_cols) != columns:
-                if _evolve:
-                    df, columns = _evolve_batch(df, dict(parent_cols))
-                else:
-                    extra = sorted(set(columns) - set(parent_cols))
-                    missing = sorted(set(parent_cols) - set(columns))
-                    changed = sorted(
-                        c for c in set(columns) & set(parent_cols)
-                        if columns[c] != parent_cols[c]
-                    )
-                    raise ValueError(
-                        "append_snapshot: batch schema does not match "
-                        f"the table's (extra={extra}, missing={missing}, "
-                        f"type-changed={changed}) — an append must ship "
-                        "every table column with its exact type; pass "
-                        "evolve=True for add-column / lossless-widen "
-                        "evolution, or republish for anything lossy"
-                    )
-            # schema registry: carried files keep the generation they
-            # were written under; this commit's new files land under
-            # the (possibly just-evolved) current generation
-            if parent_cols is not None:
-                parent_schemas = parent_info.schemas or {
-                    "0": dict(parent_cols)
-                }
-                if dict(columns) == dict(parent_cols):
-                    schema_id = parent_info.schema_id
-                    schemas = {k: dict(v) for k, v in parent_schemas.items()}
-                else:
-                    schema_id = str(
-                        max(int(k) for k in parent_schemas) + 1
-                    )
-                    schemas = {
-                        **{k: dict(v) for k, v in parent_schemas.items()},
-                        schema_id: dict(columns),
+    while True:
+        begin_version = _pointer_version(root, client=client)
+        carried_files: List[Dict[str, object]] = []
+        carried_prefixes: List[str] = []
+        carried_rows = 0
+        carried_props: Dict[str, object] = {}
+        if carry and begin_version is None:
+            raise FileNotFoundError(
+                f"append_snapshot: nothing published under {table_root!r} "
+                "yet — the first write is a publish_snapshot"
+            )
+        schemas: Optional[Dict[str, Dict[str, str]]] = {"0": dict(columns)}
+        schema_id = "0"
+        if begin_version is not None:
+            parent_info = resolve_snapshot(
+                table_root, begin_version, client=client
+            )
+            # the streaming sink's exactly-once watermark must survive
+            # rewrites (compact/optimize/delete) AND vacuum, so every
+            # descendant manifest re-states it unless the caller
+            # advances it explicitly (streaming/snapshot_sink.py)
+            for k in _PROPAGATED_PROPS:
+                if k in parent_info.properties:
+                    carried_props[k] = parent_info.properties[k]
+            if carry:
+                # a commit mixing files of a different shape would land
+                # fine and then LOSE data at read time
+                # (spark.read.parquet samples one file's schema;
+                # missing columns silently disappear or null out) —
+                # refuse loudly unless the caller opted into evolution.
+                # Parent manifests predating "columns" skip the check.
+                parent_cols = parent_info.columns
+                if parent_cols is not None and dict(parent_cols) != columns:
+                    if written is not None:
+                        # rebase found a parent whose schema changed
+                        # AFTER our data landed — the concurrent commit
+                        # evolved the table; our files no longer match
+                        raise RuntimeError(
+                            "append_snapshot: concurrent commit changed "
+                            f"the table schema during the append to "
+                            f"{table_root!r} — rebase refused; re-run "
+                            "the append (our data prefix is an orphan; "
+                            "vacuum will sweep it)"
+                        )
+                    if _evolve:
+                        df, columns = _evolve_batch(df, dict(parent_cols))
+                    else:
+                        extra = sorted(set(columns) - set(parent_cols))
+                        missing = sorted(set(parent_cols) - set(columns))
+                        changed = sorted(
+                            c for c in set(columns) & set(parent_cols)
+                            if columns[c] != parent_cols[c]
+                        )
+                        raise ValueError(
+                            "append_snapshot: batch schema does not "
+                            "match the table's (extra="
+                            f"{extra}, missing={missing}, "
+                            f"type-changed={changed}) — an append must "
+                            "ship every table column with its exact "
+                            "type; pass evolve=True for add-column / "
+                            "lossless-widen evolution, or republish "
+                            "for anything lossy"
+                        )
+                # schema registry: carried files keep the generation
+                # they were written under; this commit's new files land
+                # under the (possibly just-evolved) current generation
+                if parent_cols is not None:
+                    parent_schemas = parent_info.schemas or {
+                        "0": dict(parent_cols)
                     }
-            else:
-                # spec-1 parent: no recorded schema to evolve against —
-                # keep legacy behavior (no registry in the descendant)
-                schemas = None
-        if _carry_files is not None:
-            parent_paths = {f["path"] for f in parent_info.files}
-            alien = [
-                f["path"] for f in _carry_files
-                if f["path"] not in parent_paths
-            ]
-            if alien:
-                raise ValueError(
-                    "publish_snapshot: _carry_files entries not in the "
-                    f"current snapshot's manifest: {alien[:3]} — carried "
-                    "entries must be verbatim parent entries"
+                    if dict(columns) == dict(parent_cols):
+                        schema_id = parent_info.schema_id
+                        schemas = {
+                            k: dict(v) for k, v in parent_schemas.items()
+                        }
+                    else:
+                        schema_id = str(
+                            max(int(k) for k in parent_schemas) + 1
+                        )
+                        schemas = {
+                            **{
+                                k: dict(v)
+                                for k, v in parent_schemas.items()
+                            },
+                            schema_id: dict(columns),
+                        }
+                else:
+                    # spec-1 parent: no recorded schema to evolve
+                    # against — legacy behavior (no registry)
+                    schemas = None
+            if _carry_files is not None:
+                parent_paths = {f["path"] for f in parent_info.files}
+                alien = [
+                    f["path"] for f in _carry_files
+                    if f["path"] not in parent_paths
+                ]
+                if alien:
+                    raise ValueError(
+                        "publish_snapshot: _carry_files entries not in "
+                        f"the current snapshot's manifest: {alien[:3]} "
+                        "— carried entries must be verbatim parent "
+                        "entries"
+                    )
+                no_rows = [
+                    f["path"] for f in _carry_files if f.get("rows") is None
+                ]
+                if no_rows:
+                    raise ValueError(
+                        "publish_snapshot: _carry_files entries without "
+                        f"a 'rows' count (spec-1 manifest?): "
+                        f"{no_rows[:3]} — the descendant manifest's "
+                        "row_count would be wrong"
+                    )
+                carried_files = [dict(f) for f in _carry_files]
+                # a prefix is the first-level dir under data/ (vacuum's
+                # orphan accounting uses the same split); prefixes whose
+                # files were ALL rewritten drop out so vacuum can
+                # reclaim them once the old versions age off the chain
+                carried_prefixes = sorted(
+                    {
+                        "/".join(f["path"].split("/")[:2])
+                        for f in carried_files
+                    }
                 )
-            no_rows = [
-                f["path"] for f in _carry_files if f.get("rows") is None
-            ]
-            if no_rows:
-                raise ValueError(
-                    "publish_snapshot: _carry_files entries without a "
-                    f"'rows' count (spec-1 manifest?): {no_rows[:3]} — "
-                    "the descendant manifest's row_count would be wrong"
-                )
-            carried_files = [dict(f) for f in _carry_files]
-            # a prefix is the first-level dir under data/ (vacuum's
-            # orphan accounting uses the same split); prefixes whose
-            # files were ALL rewritten drop out so vacuum can reclaim
-            # them once the old versions age off the chain
-            carried_prefixes = sorted(
-                {"/".join(f["path"].split("/")[:2]) for f in carried_files}
+                carried_rows = sum(int(f["rows"]) for f in carried_files)
+            elif _carry_parent:
+                carried_files = [dict(f) for f in parent_info.files]
+                carried_prefixes = list(parent_info.prefixes)
+                carried_rows = parent_info.row_count
+        version = _next_version(root, client=client)
+        if written is None:
+            token = uuid.uuid4().hex[:8]
+            rel_prefix = f"{DATA_DIR}/v{version:08d}-{token}"
+            written = _write_data_prefix(
+                df, root, rel_prefix, compression,
+                stats_columns=stats_columns, client=client,
             )
-            carried_rows = sum(int(f["rows"]) for f in carried_files)
-        elif _carry_parent:
-            carried_files = [dict(f) for f in parent_info.files]
-            carried_prefixes = list(parent_info.prefixes)
-            carried_rows = parent_info.row_count
-    version = _next_version(root, client=client)
-    token = uuid.uuid4().hex[:8]
-    rel_prefix = f"{DATA_DIR}/v{version:08d}-{token}"
-
-    written = _write_data_prefix(
-        df, root, rel_prefix, compression,
-        stats_columns=stats_columns, client=client,
-    )
-    if schemas is not None and schema_id != "0":
-        # entries without a "schema" key default to generation "0", so
-        # only non-zero generations spend manifest bytes on the tag
+        # (re)tag our files: a rebase may re-resolve a different parent
+        # registry, so the tag is recomputed each attempt
         for entry in written["files"]:
-            entry["schema"] = schema_id
-    all_files = carried_files + written["files"]
-    if schemas is not None:
-        referenced = {str(f.get("schema", "0")) for f in all_files}
-        referenced.add(schema_id)
-        missing_gen = referenced - set(schemas)
-        if missing_gen:
+            entry.pop("schema", None)
+        if schemas is not None and schema_id != "0":
+            # entries without a "schema" key default to generation "0",
+            # so only non-zero generations spend manifest bytes on it
+            for entry in written["files"]:
+                entry["schema"] = schema_id
+        all_files = carried_files + written["files"]
+        if schemas is not None:
+            referenced = {str(f.get("schema", "0")) for f in all_files}
+            referenced.add(schema_id)
+            missing_gen = referenced - set(schemas)
+            if missing_gen:
+                raise RuntimeError(
+                    "publish_snapshot: carried files reference schema "
+                    f"generations {sorted(missing_gen)} absent from the "
+                    "parent's registry — manifest corruption"
+                )
+            schemas = {k: schemas[k] for k in sorted(referenced, key=int)}
+
+        manifest = {
+            "version": version,
+            "spec": 2,
+            "columns": columns,
+            "data_prefix": rel_prefix,
+            "prefixes": sorted(set(carried_prefixes) | {rel_prefix}),
+            "files": all_files,
+            "row_count": carried_rows + written["row_count"],
+            "parent": begin_version,
+            "operation": operation,
+            "committed_at": time.time(),
+            "format": "parquet",
+            "properties": {**carried_props, **(properties or {})},
+        }
+        if schemas is not None:
+            manifest["schemas"] = schemas
+            manifest["schema_id"] = schema_id
+        # manifests are immutable: if OUR allocated version already has
+        # one, a second writer claimed it while we were writing data —
+        # rebase (appends) or refuse rather than clobber their
+        # (possibly already-published) manifest.  Detection, not
+        # prevention: the exists→write pair is not atomic on plain S3,
+        # but it converts the silent-overwrite failure mode into a loud
+        # one in every race this side of a same-millisecond photo
+        # finish.
+        manifest_path = str(root / _manifest_key(version))
+        if io_utils.exists(manifest_path, client=client):
+            if attempts_left > 0:
+                attempts_left -= 1
+                continue
             raise RuntimeError(
-                "publish_snapshot: carried files reference schema "
-                f"generations {sorted(missing_gen)} absent from the "
-                "parent's registry — manifest corruption"
+                f"publish_snapshot: manifest for v{version} already "
+                "exists — concurrent writer detected; this table "
+                "requires a single writer for non-append operations.  "
+                "Our data prefix is an orphan (vacuum will sweep it)."
             )
-        schemas = {k: schemas[k] for k in sorted(referenced, key=int)}
-
-    manifest = {
-        "version": version,
-        "spec": 2,
-        "columns": columns,
-        "data_prefix": rel_prefix,
-        "prefixes": sorted(set(carried_prefixes) | {rel_prefix}),
-        "files": all_files,
-        "row_count": carried_rows + written["row_count"],
-        "parent": begin_version,
-        "operation": operation,
-        "committed_at": time.time(),
-        "format": "parquet",
-        "properties": {**carried_props, **(properties or {})},
-    }
-    if schemas is not None:
-        manifest["schemas"] = schemas
-        manifest["schema_id"] = schema_id
-    # manifests are immutable: if OUR allocated version already has one,
-    # a second writer claimed it while we were writing data — refuse
-    # rather than clobber their (possibly already-published) manifest.
-    # Detection, not prevention: the exists→write pair is not atomic on
-    # plain S3, but it converts the silent-overwrite failure mode into a
-    # loud one in every race this side of a same-millisecond photo
-    # finish.
-    manifest_path = str(root / _manifest_key(version))
-    if io_utils.exists(manifest_path, client=client):
-        raise RuntimeError(
-            f"publish_snapshot: manifest for v{version} already exists — "
-            "concurrent writer detected; this table requires a single "
-            "writer.  Our data prefix is an orphan (vacuum will sweep it)."
+        _write_atomic(
+            manifest_path, json.dumps(manifest, indent=1), client=client
         )
-    _write_atomic(manifest_path, json.dumps(manifest, indent=1), client=client)
 
-    # lost-update check (detection, not prevention — single writer by
-    # contract): if someone else flipped the pointer while we wrote,
-    # flipping now would silently discard their snapshot from the chain
-    current = _pointer_version(root, client=client)
-    if current != begin_version:
-        raise RuntimeError(
-            f"publish_snapshot: pointer moved {begin_version} -> "
-            f"{current} during publish of v{version} — concurrent "
-            "writer detected; this table requires a single writer. "
-            f"The prepared manifest {_manifest_key(version)!r} was NOT "
-            "published (vacuum with drop_unpublished=True to discard, "
-            "or re-publish)."
+        # lost-update check: if someone else flipped the pointer while
+        # we wrote, flipping now would silently discard their snapshot
+        # from the chain — rebase (appends; our just-written manifest
+        # becomes off-chain debris exactly like crash window 2) or
+        # refuse (everything else)
+        current = _pointer_version(root, client=client)
+        if current != begin_version:
+            if attempts_left > 0:
+                attempts_left -= 1
+                continue
+            raise RuntimeError(
+                f"publish_snapshot: pointer moved {begin_version} -> "
+                f"{current} during publish of v{version} — concurrent "
+                "writer detected; this table requires a single writer "
+                "for non-append operations. The prepared manifest "
+                f"{_manifest_key(version)!r} was NOT published (vacuum "
+                "with drop_unpublished=True to discard, or re-publish)."
+            )
+        _write_atomic(
+            _pointer_path(root),
+            json.dumps(
+                {"version": version, "manifest": _manifest_key(version)}
+            ),
+            client=client,
         )
-    _write_atomic(
-        _pointer_path(root),
-        json.dumps({"version": version, "manifest": _manifest_key(version)}),
-        client=client,
-    )
-    return resolve_snapshot(table_root, version, client=client)
+        return resolve_snapshot(table_root, version, client=client)
 
 
 def append_snapshot(

@@ -230,6 +230,80 @@ def test_concurrent_writer_detected_at_flip(spark, tmp_path, monkeypatch):
     assert _rows(read_snapshot(spark, root)) == _rows(_df(spark, 5, "other"))
 
 
+def test_concurrent_appends_rebase_and_both_land(spark, tmp_path, monkeypatch):
+    """Append commits commute: when a second append flips the pointer
+    mid-commit, the loser rebases (new parent, new version, SAME data
+    prefix) instead of raising — both batches land, linearized."""
+    from pyspark.sql.functions import col as F_col
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a").coalesce(1), root)
+
+    real = snap._write_data_prefix
+    state = {"racing": False}
+
+    def race(df, root_sp, rel_prefix, compression, stats_columns=(), client=None):
+        out = real(
+            df, root_sp, rel_prefix, compression,
+            stats_columns=stats_columns, client=client,
+        )
+        if not state["racing"]:
+            state["racing"] = True
+            # competitor lands a whole append while ours is mid-write
+            snap.append_snapshot(
+                _df(spark, 5, "other").select(
+                    (F_col("doc_id") + 100).alias("doc_id"), "text"
+                ).coalesce(1),
+                str(root_sp),
+            )
+        return out
+
+    monkeypatch.setattr(snap, "_write_data_prefix", race)
+    info = snap.append_snapshot(
+        _df(spark, 20, "b").select(
+            (F_col("doc_id") + 200).alias("doc_id"), "text"
+        ).coalesce(1),
+        root,
+    )
+    monkeypatch.undo()
+    # linearized: v1 publish, v2 competitor, our rebased commit last
+    assert info.version == snap.list_snapshots(root)[-1]
+    assert info.parent == 2 and info.row_count == 35
+    got = {r[0] for r in _rows(read_snapshot(spark, root))}
+    assert got == (
+        set(range(10)) | set(range(100, 105)) | set(range(200, 220))
+    )
+    # the loser's first-attempt manifest (if any) is off-chain debris;
+    # vacuum with drop_unpublished sweeps it without touching data
+    vacuum_snapshots(root, keep_last=10, drop_unpublished=True)
+    assert read_snapshot(spark, root).count() == 35
+
+
+def test_concurrent_rewrite_still_refuses(spark, tmp_path, monkeypatch):
+    """Only appends rebase: a delete racing an append keeps the loud
+    single-writer refusal (a rebased rewrite would drop the concurrent
+    commit's rows)."""
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a").coalesce(1), root)
+
+    real = snap._write_data_prefix
+    state = {"racing": False}
+
+    def race(df, root_sp, rel_prefix, compression, stats_columns=(), client=None):
+        out = real(
+            df, root_sp, rel_prefix, compression,
+            stats_columns=stats_columns, client=client,
+        )
+        if not state["racing"]:
+            state["racing"] = True
+            snap.append_snapshot(_df(spark, 5, "b").coalesce(1), str(root_sp))
+        return out
+
+    monkeypatch.setattr(snap, "_write_data_prefix", race)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        apply_deletions_snapshot(spark, root, keys=[3], key_field="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # vacuum
 # ---------------------------------------------------------------------------
