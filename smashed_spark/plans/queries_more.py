@@ -234,16 +234,18 @@ def _ingest_fuzzy_oracle() -> str:
         "WHERE doc_id % 3 = 0",
         # near-reposts (one appended word): invisible to the digest
         # phase, caught (or legitimately missed, for short docs whose
-        # extra shingle shifts a band minimum) by the MinHash phase
+        # extra shingle shifts a band minimum) by the MinHash phase.
+        # The %6=0 reposts hit HISTORY (batch 0, read through the
+        # compacted band index); the %6=1 reposts near-duplicate docs
+        # in the SAME batch (their 1M-shifted originals), so the
+        # batch-internal greedy banding adjudicates them
         "SELECT 1 AS batch, doc_id + 1000000 AS doc_id, text "
         "FROM documents WHERE doc_id % 3 = 1 "
         "UNION ALL "
         "SELECT 1, doc_id + 2000000, text || ' repost' FROM documents "
-        "WHERE doc_id % 6 = 0",
-        "SELECT 2 AS batch, doc_id + 3000000 AS doc_id, text "
-        "FROM documents WHERE doc_id % 3 = 2 "
+        "WHERE doc_id % 6 = 0 "
         "UNION ALL "
-        "SELECT 2, doc_id + 4000000, text || ' repost' FROM documents "
+        "SELECT 1, doc_id + 4000000, text || ' repost' FROM documents "
         "WHERE doc_id % 6 = 1",
     ]
     ctes = [
@@ -325,16 +327,22 @@ def _ingest_fuzzy_oracle() -> str:
 def q_streaming_ingest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming-ingest composition gated on its FUZZY path (r10
     VERDICT ask #4 — the exact path's gate is
-    ``streaming_ingest_dedup``): three document micro-batches where
-    the cross-batch reposts carry ONE APPENDED WORD, so the digest
-    phase cannot catch them and the verdicts come from the MinHash
-    band index — including batch 2 reading the band index through the
-    ``compact_ingest_state(fuzzy=True)`` tail-union path.  The oracle
-    replays the full recurrence sequentially in SQL with the
-    operator's own hash coefficients (``_ingest_fuzzy_oracle``); the
-    short-doc reposts whose extra shingle shifts a band minimum
-    legitimately SURVIVE, and both engines must agree on exactly
-    which."""
+    ``streaming_ingest_dedup``): two document micro-batches where the
+    cross-batch reposts carry ONE APPENDED WORD, so the digest phase
+    cannot catch them and the verdicts come from the MinHash band
+    index — batch 1 reads that index ENTIRELY through
+    ``compact_ingest_state(fuzzy=True, include_latest=True)``'s
+    compacted ``batch=-1`` partition, and its same-batch reposts are
+    adjudicated by the batch-internal greedy banding.  (r14 trim per
+    the r13 VERDICT: the third batch re-certified claims the exact
+    path's 3-batch gate already carries — redelivery no-op and the
+    tail-union read — at 14% of the whole bench; the band-compaction
+    and history-verdict claims need one compaction and one readback,
+    which this shape keeps.)  The oracle replays the full recurrence
+    sequentially in SQL with the operator's own hash coefficients
+    (``_ingest_fuzzy_oracle``); the short-doc reposts whose extra
+    shingle shifts a band minimum legitimately SURVIVE, and both
+    engines must agree on exactly which."""
     import shutil
     import tempfile
 
@@ -352,8 +360,7 @@ def q_streaming_ingest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         shift(docs.filter(F.col("doc_id") % 3 == 1), 1_000_000)
         .unionByName(
             repost(shift(docs.filter(F.col("doc_id") % 6 == 0), 2_000_000))
-        ),
-        shift(docs.filter(F.col("doc_id") % 3 == 2), 3_000_000)
+        )
         .unionByName(
             repost(shift(docs.filter(F.col("doc_id") % 6 == 1), 4_000_000))
         ),
@@ -363,8 +370,14 @@ def q_streaming_ingest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for i, b in enumerate(batches):
             ingest_dedup_batch(b, state, out_dir, batch_id=i, fuzzy=True)
-            if i == 1:
-                compact_ingest_state(spark, state, fuzzy=True)
+            if i == 0:
+                # fold batch 0's digest+band partitions into batch=-1
+                # (include_latest: there is no earlier batch to keep
+                # as tail) — batch 1's history verdicts then come
+                # ENTIRELY through the compacted band index
+                compact_ingest_state(
+                    spark, state, fuzzy=True, include_latest=True
+                )
         out = (
             spark.read.parquet(out_dir)
             .select(F.col("batch").cast("bigint").alias("batch"), "doc_id")

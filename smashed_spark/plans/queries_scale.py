@@ -785,6 +785,8 @@ _DSIR_DIMS = 512
 _DSIR_K = 200
 _DSIR_GROUP_K = 20
 _DSIR_SEED = 13
+# r14 fold: per-source greedy token budgets for (src1, src2, src7)
+_BUDGETS = (4000, 2000, 3000)
 
 
 @query(
@@ -834,6 +836,33 @@ _DSIR_SEED = 13
             PARTITION BY source ORDER BY k DESC, doc_id) AS rn
         FROM keyed
     ) WHERE rn <= {_DSIR_GROUP_K}
+    UNION ALL
+    -- r14: per-source greedy token budgets — a doc is kept iff the
+    -- EXCLUSIVE prefix sum of n_chars before it WITHIN ITS SOURCE
+    -- (n_chars desc, doc_id tiebreak) is under that source's budget;
+    -- sources without a budget entry never appear
+    SELECT 'budget' AS stage, doc_id,
+           round(CAST(n_chars AS DOUBLE), 6) AS dsir_logw
+    FROM (
+        SELECT doc_id, n_chars, source,
+               coalesce(sum(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS pre
+        FROM documents WHERE source IN ('src1', 'src2', 'src7')
+    )
+    WHERE (source = 'src1' AND pre < {_BUDGETS[0]})
+       OR (source = 'src2' AND pre < {_BUDGETS[1]})
+       OR (source = 'src7' AND pre < {_BUDGETS[2]})
+    UNION ALL
+    -- r14: attribute-sidecar round trip — the Spark side writes a
+    -- (doc_id, lang, n_chars) sidecar to parquet, reads it back, and
+    -- JOINS n_chars onto a corpus projection that no longer carries
+    -- it; values surviving byte-equal proves the write/read/join path
+    SELECT 'sidecar' AS stage, doc_id,
+           round(CAST(n_chars AS DOUBLE), 6) AS dsir_logw
+    FROM documents WHERE doc_id % 37 = 0
     """,
 )
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,7 +883,20 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WindowGroupLimit — per-partition top-k before the one group-key
     exchange); the oracle replays it as a ROW_NUMBER over the same
     keyed CTE.  Both stages share the per-doc Gumbel key, so the gate
-    certifies the grouped ranking against the identical arithmetic."""
+    certifies the grouped ranking against the identical arithmetic.
+
+    r14 folds (the two §2.11 families that were unit-only): 'budget'
+    — :func:`~smashed_spark.sources.loaders.select_under_token_budgets`
+    fits each of three sources under its own n_chars budget (ONE slim
+    corpus scan, per-source range-partitioned prefix sums, flag
+    join-back keyed on (doc_id, source); unbudgeted sources certify
+    the keep=0 branch by absence); 'sidecar' —
+    :func:`~smashed_spark.sources.attributes.write_attributes` writes
+    a (doc_id, lang, n_chars) sidecar to parquet,
+    :func:`~smashed_spark.sources.attributes.join_attributes` joins
+    n_chars back onto a corpus projection that no longer carries it
+    (broadcast tier via the bounded probe), and the oracle's plain
+    documents read certifies the physical round trip value-for-value."""
     from ..functions.classifier import fit_unigram_logprob_table
     from ..functions.selection import (
         gumbel_top_k,
@@ -876,7 +918,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted, _DSIR_GROUP_K, "source",
         id_field="doc_id", seed=_DSIR_SEED,
     )
-    return picked.select(
+    out = picked.select(
         F.lit("global").alias("stage"),
         "doc_id",
         F.round("dsir_logw", 6).alias("dsir_logw"),
@@ -887,6 +929,63 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dsir_logw", 6).alias("dsir_logw"),
         )
     )
+
+    # r14 'budget' stage: per-source greedy token budgets
+    from ..sources.loaders import select_under_token_budgets
+
+    slim = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    budg = select_under_token_budgets(
+        slim,
+        budgets={
+            "src1": _BUDGETS[0],
+            "src2": _BUDGETS[1],
+            "src7": _BUDGETS[2],
+        },
+        source_field="source",
+        tokens_field="n_chars",
+        score_field="n_chars",
+        key_field="doc_id",
+    )
+    b_stage = budg.filter(F.col("in_budget") == 1).select(
+        F.lit("budget").alias("stage"),
+        "doc_id",
+        F.round(F.col("n_chars").cast("double"), 6).alias("dsir_logw"),
+    )
+
+    # r14 'sidecar' stage: write the attributes sidecar, join n_chars
+    # back onto a projection that no longer carries it.  The sidecar
+    # dir is read LAZILY by the returned frame — clean at exit, not
+    # here (the io_roundtrip pattern)
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.attributes import join_attributes, write_attributes
+
+    side_dir = tempfile.mkdtemp(prefix="smashed_sidecar_")
+    atexit.register(shutil.rmtree, side_dir, ignore_errors=True)
+    write_attributes(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        ),
+        side_dir,
+        key_field="doc_id",
+        num_files=4,
+    )
+    joined = join_attributes(
+        load(spark, sf_dir, "documents").select("doc_id", "source"),
+        side_dir,
+        key_field="doc_id",
+        fields=["n_chars"],
+    )
+    s_stage = joined.filter(F.col("doc_id") % 37 == 0).select(
+        F.lit("sidecar").alias("stage"),
+        "doc_id",
+        F.round(F.col("n_chars").cast("double"), 6).alias("dsir_logw"),
+    )
+    return out.unionByName(b_stage).unionByName(s_stage)
 
 
 # ---------------------------------------------------------------------------
