@@ -463,6 +463,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # skippable iff its footer min exceeds the bound (both engines compute
 # it from the SAME physical files the gate just wrote)
 _IO_SKIP_UPPER = 175
+# r14 cache-bracket fold: the bracketed BinarizerMapper threshold
+_IO_CACHE_THRESHOLD = 300
 
 
 def _bind_io_zdocs_path() -> str:
@@ -585,7 +587,8 @@ def _io_roundtrip_oracle() -> str:
     )
     SELECT d.doc_id, d.lang, d.n_chars, d.source, d.text,
            {interleave} AS zkey,
-           sk.rg_total, sk.rg_skipped, sk.rows_total, sk.rows_skipped
+           sk.rg_total, sk.rg_skipped, sk.rows_total, sk.rows_skipped,
+           CAST(d.n_chars > {_IO_CACHE_THRESHOLD} AS BIGINT) AS cache_flag
     FROM documents d JOIN zr USING (doc_id)
     CROSS JOIN sk
     WHERE d.doc_id % 37 <> 0
@@ -612,7 +615,19 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     its row-group skip accounting rides the result as literal columns;
     DuckDB's parquet_metadata() recomputes the same envelope math from
     the same physical footers — per-row-group min/max, row counts, and
-    the ``n_chars <= 175`` prune verdicts are all value-checked."""
+    the ``n_chars <= 175`` prune verdicts are all value-checked.
+
+    r14 fold (Start/EndCachingMapper's first driver gate, unit-only
+    since r5): a bracketed BinarizerMapper segment runs through
+    ``run_with_cache`` TWICE — the first pass writes the
+    fingerprint-addressed parquet checkpoint, the second must HIT it
+    (asserted by the checkpoint's file listing+mtimes being untouched,
+    and by the fingerprint path the gate recomputes independently
+    existing on disk).  The ``cache_flag`` column in the result is
+    read from the checkpoint files themselves, so the oracle's
+    ``n_chars > threshold`` replay certifies the cached values; the
+    changed-config MISS branch is pinned by the fingerprint unit
+    tests in tests/test_core_order.py."""
     import tempfile
 
     from ..sources.layout import optimize_layout
@@ -675,6 +690,54 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stats = scan_stats(spark, zdocs, columns=["n_chars"])
     sk = skip_fraction(stats, "n_chars", upper=_IO_SKIP_UPPER)
+    # r14 cache-bracket fold: miss pass writes the checkpoint, second
+    # pass must hit it — certified by the checkpoint staying untouched
+    # and by the independently recomputed fingerprint path existing
+    import os
+
+    from ..operators.types import BinarizerMapper
+    from ..sources.cache import (
+        EndCachingMapper,
+        StartCachingMapper,
+        dataset_fingerprint,
+        run_with_cache,
+        segment_fingerprint,
+    )
+
+    cache_dir = base + "/cache"
+    seg_in = docs.select(
+        "doc_id", F.col("n_chars").alias("cache_flag")
+    )
+    segment = [BinarizerMapper("cache_flag", _IO_CACHE_THRESHOLD)]
+    mappers = [StartCachingMapper(cache_dir)] + segment + [EndCachingMapper()]
+    run_with_cache(mappers, seg_in)  # miss: computes + writes
+
+    ckpt = os.path.join(
+        cache_dir, dataset_fingerprint(seg_in), segment_fingerprint(segment)
+    )
+    if not os.path.isdir(ckpt):
+        raise AssertionError(
+            "io_roundtrip: cache checkpoint missing at the recomputed "
+            f"fingerprint path {ckpt!r} — fingerprints drifted between "
+            "two computations over the same plan"
+        )
+
+    def _listing():
+        return sorted(
+            (n, os.path.getmtime(os.path.join(ckpt, n)))
+            for n in os.listdir(ckpt)
+        )
+
+    before_hit = _listing()
+    from_cache = run_with_cache(mappers, seg_in).select(
+        "doc_id", F.col("cache_flag").cast("bigint")
+    )
+    if _listing() != before_hit:
+        raise AssertionError(
+            "io_roundtrip: second run_with_cache pass REWROTE the "
+            "checkpoint — the hit path did not engage"
+        )
+
     from_z = spark.read.parquet(zdocs).select("doc_id", "zkey")
     csv_paths = spark.createDataFrame([(base + "/csv_docs",)], "path: string")
     jsonl_paths = spark.createDataFrame(
@@ -699,7 +762,11 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         from_csv.join(from_jsonl, "doc_id")
         .join(from_z, "doc_id")
-        .select("doc_id", "lang", "n_chars", "source", "text", "zkey")
+        .join(from_cache, "doc_id")
+        .select(
+            "doc_id", "lang", "n_chars", "source", "text", "zkey",
+            "cache_flag",
+        )
         .withColumn("rg_total", F.lit(sk["row_groups"]).cast("bigint"))
         .withColumn(
             "rg_skipped", F.lit(sk["skipped_row_groups"]).cast("bigint")

@@ -204,6 +204,12 @@ class SnapshotInfo:
     # support (every file then shares the manifest's ``columns``).
     schemas: Optional[Dict[str, Dict[str, str]]] = None
     schema_id: str = "0"
+    # declarative partition transforms: {dir_column: ["days"|"hours",
+    # src_col] or ["bucket", src_col, n]}.  The transform column lives
+    # only in directory names (readers scan explicit files, so it
+    # never enters the schema); each file entry records its values
+    # under "partition" and plan_snapshot_scan prunes on them.
+    partition_transforms: Optional[Dict[str, List]] = None
 
     @property
     def file_paths(self) -> List[str]:
@@ -320,6 +326,12 @@ def resolve_snapshot(
             else None
         ),
         schema_id=str(manifest.get("schema_id", "0")),
+        partition_transforms=(
+            {str(k): list(v) for k, v in
+             manifest["partition_transforms"].items()}
+            if "partition_transforms" in manifest
+            else None
+        ),
     )
 
 
@@ -539,6 +551,164 @@ def _file_can_match(
     raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _validate_transforms(
+    spec: Dict[str, Sequence], columns: Dict[str, str]
+) -> Dict[str, List]:
+    """Normalize/validate a partition-transform spec against the data
+    columns: each entry is ``name: ("days"|"hours", src)`` or
+    ``name: ("bucket", src, n)`` — src must be a data column, the dir
+    name must NOT be one (it lives only in paths)."""
+    out: Dict[str, List] = {}
+    for name, raw in spec.items():
+        t = list(raw)
+        if not t or t[0] not in ("days", "hours", "bucket"):
+            raise ValueError(
+                f"partition_transforms[{name!r}]: kind must be one of "
+                f"days/hours/bucket, got {t[:1]}"
+            )
+        if t[0] == "bucket":
+            if len(t) != 3 or int(t[2]) < 1:
+                raise ValueError(
+                    f"partition_transforms[{name!r}]: bucket needs "
+                    "(\"bucket\", src, n>=1)"
+                )
+            t[2] = int(t[2])
+        elif len(t) != 2:
+            raise ValueError(
+                f"partition_transforms[{name!r}]: {t[0]} needs "
+                f"(\"{t[0]}\", src)"
+            )
+        src = t[1]
+        if src not in columns:
+            raise ValueError(
+                f"partition_transforms[{name!r}]: source column "
+                f"{src!r} not in the data columns {sorted(columns)}"
+            )
+        if name in columns:
+            raise ValueError(
+                f"partition_transforms[{name!r}] collides with a data "
+                "column; the transform column lives only in directory "
+                "names — pick a fresh name"
+            )
+        if name.startswith((".", "_")):
+            raise ValueError(
+                f"partition_transforms[{name!r}]: names starting with "
+                "'.' or '_' are hidden to the inventory walk — pick a "
+                "plain name (e.g. 'day', 'bucket16')"
+            )
+        out[name] = t
+    return out
+
+
+def _transform_columns(spec: Dict[str, List]):
+    """The write-side Column for each transform (layout.py builders)."""
+    from .layout import bucket_by_md5, days, hours
+
+    cols = {}
+    for name, t in spec.items():
+        if t[0] == "days":
+            cols[name] = days(t[1])
+        elif t[0] == "hours":
+            cols[name] = hours(t[1])
+        else:
+            cols[name] = bucket_by_md5(t[1], int(t[2]))
+    return cols
+
+
+def _time_granule(value, kind: str) -> Optional[str]:
+    """The ``days``/``hours`` directory string a literal falls in, or
+    None when it cannot be derived safely (→ no pruning on it).  A
+    tz-aware datetime converts to UTC first (the write side formats
+    under the pinned-UTC session); naive datetimes/dates/ISO strings
+    are taken as the same wall clock the writer saw."""
+    import datetime as _dt
+    import re
+
+    if isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc)
+        return value.strftime(
+            "%Y-%m-%d" if kind == "days" else "%Y-%m-%d-%H"
+        )
+    if isinstance(value, _dt.date):
+        return (
+            value.strftime("%Y-%m-%d")
+            if kind == "days"
+            else value.strftime("%Y-%m-%d") + "-00"
+        )
+    if isinstance(value, str):
+        m = re.match(r"^(\d{4}-\d{2}-\d{2})([ T](\d{2}))?", value)
+        if not m:
+            return None
+        if kind == "days":
+            return m.group(1)
+        return f"{m.group(1)}-{m.group(3)}" if m.group(3) else None
+    return None
+
+
+def _md5_bucket(value, n: int) -> int:
+    """The portable md5-60 bucket of a literal — must agree with
+    layout.bucket_by_md5 (functions/hashing.py portable_hash60 of the
+    value cast to string)."""
+    import hashlib
+
+    s = str(value)
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % n
+
+
+def _partition_can_match(
+    entry: Dict[str, object],
+    transforms: Dict[str, List],
+    col: str,
+    op: str,
+    value,
+) -> bool:
+    """Directory-level envelope test, conservative like the stats one:
+    False ONLY when the file's recorded partition value proves no row
+    can satisfy the predicate on the transform's SOURCE column."""
+    part = entry.get("partition") or {}
+    for name, t in transforms.items():
+        kind, src = t[0], t[1]
+        if src != col:
+            continue
+        raw = part.get(name)
+        if raw is None or raw == _HIVE_NULL:
+            continue  # unknown / all-NULL source rows: keep
+        if kind in ("days", "hours"):
+            if op == "in":
+                gs = [_time_granule(v, kind) for v in value]
+                if all(g is not None for g in gs) and raw not in gs:
+                    return False
+                continue
+            g = _time_granule(value, kind)
+            if g is None:
+                continue
+            if op == "=" and raw != g:
+                return False
+            # granule-inclusive bounds: rows strictly before/after the
+            # literal can still share its granule, so <,> keep it
+            if op in (">", ">=") and raw < g:
+                return False
+            if op in ("<", "<=") and raw > g:
+                return False
+        else:  # bucket
+            n = int(t[2])
+            try:
+                b = int(raw)
+            except ValueError:
+                continue
+            if op == "=" and _md5_bucket(value, n) != b:
+                return False
+            if op == "in" and all(
+                _md5_bucket(v, n) != b for v in value
+            ):
+                return False
+    return True
+
+
 def plan_snapshot_scan(
     info: SnapshotInfo, where: Sequence
 ) -> Dict[str, object]:
@@ -565,8 +735,16 @@ def plan_snapshot_scan(
                 f"the snapshot's schema {sorted(info.columns)}"
             )
     kept, skipped = [], []
+    transforms = info.partition_transforms or {}
     for entry in info.files:
-        if all(_file_can_match(entry, c, op, v) for c, op, v in where):
+        if all(
+            _file_can_match(entry, c, op, v)
+            and (
+                not transforms
+                or _partition_can_match(entry, transforms, c, op, v)
+            )
+            for c, op, v in where
+        ):
             kept.append(entry)
         else:
             skipped.append(entry)
@@ -593,6 +771,18 @@ def _inventory_entry(
         "bytes": os.path.getsize(local_file),
         "rows": pf.metadata.num_rows,
     }
+    # hive-style path segments (name=value) are the partition
+    # transform's directory values — recorded per entry so the pruner
+    # never touches the filesystem (Spark URL-encodes specials)
+    from urllib.parse import unquote
+
+    part = {}
+    for seg in rel.replace(os.sep, "/").split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            part[k] = unquote(v)
+    if part:
+        entry["partition"] = part
     if stats_columns:
         entry["stats"] = _file_column_stats(pf, stats_columns)
     return entry
@@ -632,6 +822,7 @@ def _write_data_prefix(
     compression: str,
     stats_columns: Sequence[str] = (),
     client=None,
+    transforms: Optional[Dict[str, List]] = None,
 ) -> Dict[str, object]:
     """Write ``df`` as parquet under ``root/rel_prefix`` and return the
     manifest's file inventory (root-relative paths, sizes, per-file row
@@ -639,23 +830,37 @@ def _write_data_prefix(
     Stats come from the footers of the files JUST written — read once
     here, carried by every descendant manifest, never recomputed.
 
+    ``transforms`` (validated spec) adds derived directory columns and
+    writes ``partitionBy`` them: the data files keep every source
+    column (only the DERIVED column moves into the path), the
+    inventory records each file's partition values, and the pruner
+    serves directory-level skipping from the manifest alone.
+
     Local tier: a direct Spark write.  S3 tier: the Spark write lands
     in a local staging dir and io_utils uploads it — the sandbox has no
     s3 Hadoop connector; on a real cluster pass an ``s3a://`` root
     straight to Spark instead and executors write the prefix directly
     (the manifest/pointer protocol above this seam is identical).
     """
+    part_names = []
+    if transforms:
+        for name, col in _transform_columns(transforms).items():
+            df = df.withColumn(name, col)
+            part_names.append(name)
+
+    def _writer(frame):
+        w = frame.write.mode("errorifexists").option(
+            "compression", compression
+        )
+        return w.partitionBy(*part_names) if part_names else w
+
     if root.is_s3:
         staging_root = tempfile.mkdtemp(prefix="smashed_snap_")
         # mkdtemp creates the dir, which errorifexists would refuse —
         # Spark writes a fresh child instead
         staging = os.path.join(staging_root, "data")
         try:
-            (
-                df.write.mode("errorifexists")
-                .option("compression", compression)
-                .parquet(staging)
-            )
+            _writer(df).parquet(staging)
             if not os.path.isfile(os.path.join(staging, "_SUCCESS")):
                 raise RuntimeError(
                     "publish_snapshot: staging write finished without "
@@ -676,11 +881,7 @@ def _write_data_prefix(
             shutil.rmtree(staging_root, ignore_errors=True)
 
     dest = str(root / rel_prefix)
-    (
-        df.write.mode("errorifexists")
-        .option("compression", compression)
-        .parquet(dest)
-    )
+    _writer(df).parquet(dest)
     if not os.path.isfile(os.path.join(dest, "_SUCCESS")):
         raise RuntimeError(
             "publish_snapshot: data write finished without _SUCCESS; "
@@ -756,6 +957,7 @@ def publish_snapshot(
     compression: str = "zstd",
     properties: Optional[Dict[str, object]] = None,
     stats_columns: Sequence[str] = (),
+    partition_transforms: Optional[Dict[str, Sequence]] = None,
     client=None,
     _carry_parent: bool = False,
     _carry_files: Optional[List[Dict[str, object]]] = None,
@@ -776,6 +978,18 @@ def publish_snapshot(
     ``read_snapshot(where=...)`` uses for file skipping.  Opt-in, not
     automatic: at 800k files × many columns the manifest is the cost,
     and the caller knows which columns queries actually filter on.
+
+    ``partition_transforms`` (``{name: ("days"|"hours", src)`` or
+    ``("bucket", src, n)}``) lays the data prefix out in Iceberg-style
+    transform directories: the DERIVED column lives only in paths (the
+    data files keep every source column, and snapshot readers scan
+    explicit files, so it never enters the schema), each file entry
+    records its partition values, and ``read_snapshot(where=...)``
+    prunes on them — directory-level skipping on top of (and without
+    needing) envelope stats.  Commits that carry parent files (append,
+    file-scoped delete) INHERIT the table's transforms; passing a
+    different spec there refuses.  A plain publish defines the
+    table's layout fresh.
 
     Order of operations IS the crash-safety argument: data prefix
     (new, random-token suffix) → manifest (immutable, versioned) →
@@ -927,6 +1141,33 @@ def publish_snapshot(
                 carried_files = [dict(f) for f in parent_info.files]
                 carried_prefixes = list(parent_info.prefixes)
                 carried_rows = parent_info.row_count
+        # partition-transform layout: carried commits inherit the
+        # table's (a different spec would mix layouts in one table —
+        # refuse); a plain publish defines it fresh
+        if carry and begin_version is not None:
+            inherited = parent_info.partition_transforms
+            if partition_transforms is not None:
+                given = _validate_transforms(
+                    dict(partition_transforms), columns
+                )
+                if given != (inherited or {}):
+                    raise ValueError(
+                        "publish_snapshot: partition_transforms "
+                        f"{given} differ from the table's "
+                        f"{inherited} — carried commits inherit the "
+                        "layout; republish to change it"
+                    )
+            eff_transforms = (
+                _validate_transforms(dict(inherited), columns)
+                if inherited
+                else None
+            )
+        elif partition_transforms is not None:
+            eff_transforms = _validate_transforms(
+                dict(partition_transforms), columns
+            )
+        else:
+            eff_transforms = None
         version = _next_version(root, client=client)
         if written is None:
             token = uuid.uuid4().hex[:8]
@@ -934,6 +1175,7 @@ def publish_snapshot(
             written = _write_data_prefix(
                 df, root, rel_prefix, compression,
                 stats_columns=stats_columns, client=client,
+                transforms=eff_transforms,
             )
         # (re)tag our files: a rebase may re-resolve a different parent
         # registry, so the tag is recomputed each attempt
@@ -974,6 +1216,8 @@ def publish_snapshot(
         if schemas is not None:
             manifest["schemas"] = schemas
             manifest["schema_id"] = schema_id
+        if eff_transforms:
+            manifest["partition_transforms"] = eff_transforms
         # manifests are immutable: if OUR allocated version already has
         # one, a second writer claimed it while we were writing data —
         # rebase (appends) or refuse rather than clobber their
@@ -1619,6 +1863,7 @@ def compact_snapshot(
     via the pointer — crash-safe on storage with no atomic rename.
     Old files stay readable until :func:`vacuum_snapshots`."""
     with packed_scan_conf(spark, target_file_bytes):
+        info = resolve_snapshot(table_root, client=client)
         df = read_snapshot(
             spark,
             table_root,
@@ -1627,12 +1872,16 @@ def compact_snapshot(
         )
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
+        # a transformed table keeps its directory layout through
+        # compaction (the bin-packed scan lists files in path order,
+        # so each task covers contiguous partition dirs)
         return publish_snapshot(
             df,
             table_root,
             operation="compact",
             compression=compression,
             stats_columns=stats_columns,
+            partition_transforms=info.partition_transforms,
             client=client,
         )
 
@@ -1660,14 +1909,23 @@ def optimize_snapshot(
     next optimize can keep Z-keys append-stable by passing them back
     as ``bounds=`` — no side-channel caller persistence needed.
 
-    No ``partition_transforms`` tier here BY DESIGN: snapshot readers
-    scan the manifest's explicit file list, and Spark does not infer
-    hive partition columns from explicit file paths — a partitioned
-    prefix would silently lose those columns on read.  Directory-level
-    pruning belongs to ``optimize_layout`` datasets; snapshots prune at
-    the file/row-group tier, which the Z-order write is for."""
+    Tables laid out with ``partition_transforms`` refuse here: the
+    single ``repartitionByRange`` on the Z-key would scatter every
+    partition directory across every output task (file explosion).
+    Compact (layout-preserving) or republish with a fresh layout
+    instead; within-directory clustering for transformed tables is a
+    composition this module does not yet carry."""
     from .layout import ZORDER_FIELD, fit_zorder_bounds, zorder_column
 
+    pre = resolve_snapshot(table_root, client=client)
+    if pre.partition_transforms:
+        raise NotImplementedError(
+            "optimize_snapshot: this table is laid out with partition "
+            f"transforms {pre.partition_transforms} — a Z-order "
+            "repartitionByRange would scatter every partition directory "
+            "across every output task.  compact_snapshot preserves the "
+            "layout; republish to change it."
+        )
     df = read_snapshot(
         spark,
         table_root,

@@ -127,6 +127,43 @@ def test_cache_roundtrip_schemes(spark, tmp_path, scheme):
     assert out2 == [99]
 
 
+def test_cache_miss_on_changed_config(spark, tmp_path):
+    """A changed segment config (different mapper argument) must MISS:
+    its fingerprint addresses a NEW checkpoint while the old one stays
+    untouched — the property that makes stale-cache reuse impossible."""
+    import glob
+
+    from smashed_spark.operators.debug import MockMapper
+    from smashed_spark.sources.cache import (
+        EndCachingMapper,
+        StartCachingMapper,
+        run_with_cache,
+    )
+
+    base = str(tmp_path / "cache")
+    df = spark.createDataFrame([(i,) for i in range(5)], "a: bigint")
+
+    def pipe(k):
+        return [
+            StartCachingMapper(cache_dir=base),
+            MockMapper(k),
+            EndCachingMapper(),
+        ]
+
+    out1 = sorted(r.a for r in run_with_cache(pipe(1), df).collect())
+    assert out1 == [1, 2, 3, 4, 5]
+    ckpts1 = set(glob.glob(f"{base}/*/*"))
+    assert len(ckpts1) == 1
+
+    out2 = sorted(r.a for r in run_with_cache(pipe(7), df).collect())
+    assert out2 == [7, 8, 9, 10, 11]
+    ckpts2 = set(glob.glob(f"{base}/*/*"))
+    assert len(ckpts2) == 2 and ckpts1 < ckpts2  # old checkpoint intact
+    # and the changed config re-reads ITS OWN checkpoint, not the old
+    out3 = sorted(r.a for r in run_with_cache(pipe(7), df).collect())
+    assert out3 == out2
+
+
 def test_cache_and_loader_over_remote_scheme(spark, tmp_path):
     """Non-``file`` Hadoop scheme parity (reference tests/test_s3.py:
     loaders and cache work against a remote object store).  moto/minio

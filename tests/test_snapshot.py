@@ -215,8 +215,9 @@ def test_concurrent_writer_detected_at_flip(spark, tmp_path, monkeypatch):
     real = snap._write_data_prefix
     state = {"racing": False}
 
-    def race(df, root_sp, rel_prefix, compression, stats_columns=(), client=None):
-        out = real(df, root_sp, rel_prefix, compression, client=client)
+    def race(df, root_sp, rel_prefix, compression, stats_columns=(),
+             client=None, **kw):
+        out = real(df, root_sp, rel_prefix, compression, client=client, **kw)
         if not state["racing"]:
             state["racing"] = True
             publish_snapshot(_df(spark, 5, "other"), str(root_sp))
@@ -242,10 +243,11 @@ def test_concurrent_appends_rebase_and_both_land(spark, tmp_path, monkeypatch):
     real = snap._write_data_prefix
     state = {"racing": False}
 
-    def race(df, root_sp, rel_prefix, compression, stats_columns=(), client=None):
+    def race(df, root_sp, rel_prefix, compression, stats_columns=(),
+             client=None, **kw):
         out = real(
             df, root_sp, rel_prefix, compression,
-            stats_columns=stats_columns, client=client,
+            stats_columns=stats_columns, client=client, **kw,
         )
         if not state["racing"]:
             state["racing"] = True
@@ -289,10 +291,11 @@ def test_concurrent_rewrite_still_refuses(spark, tmp_path, monkeypatch):
     real = snap._write_data_prefix
     state = {"racing": False}
 
-    def race(df, root_sp, rel_prefix, compression, stats_columns=(), client=None):
+    def race(df, root_sp, rel_prefix, compression, stats_columns=(),
+             client=None, **kw):
         out = real(
             df, root_sp, rel_prefix, compression,
-            stats_columns=stats_columns, client=client,
+            stats_columns=stats_columns, client=client, **kw,
         )
         if not state["racing"]:
             state["racing"] = True
@@ -1403,6 +1406,152 @@ def test_evolved_changes_read_serves_current_schema(spark, tmp_path):
         "doc_id": "bigint", "text": "string", "score": "double"
     }
     assert ch.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# partition transforms on governed tables (directory-level pruning)
+# ---------------------------------------------------------------------------
+
+
+def _ts_df(spark, lo_day, n_days, per_day=4):
+    from pyspark.sql import functions as F
+
+    n = n_days * per_day
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (
+            F.to_timestamp(F.lit(f"2024-03-0{lo_day} 00:00:00"))
+            + F.make_interval(
+                days=(F.col("id") % n_days).cast("int"),
+                hours=(F.col("id") % 24).cast("int"),
+            )
+        ).alias("ts"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+
+
+def test_partition_transform_days_prunes_without_stats(spark, tmp_path):
+    """days() layout: the derived column lives only in directory
+    names (schema intact on read), and where= prunes files from the
+    manifest's recorded partition values alone — no envelope stats."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    df = _ts_df(spark, 1, 3)  # 2024-03-01 .. 2024-03-03
+    info = publish_snapshot(
+        df, root, partition_transforms={"day": ("days", "ts")}
+    )
+    assert info.partition_transforms == {"day": ["days", "ts"]}
+    assert all("/day=" in f["path"] for f in info.files)
+    assert all(f["partition"]["day"].startswith("2024-03") for f in info.files)
+
+    out = read_snapshot(spark, root)
+    assert set(out.columns) == {"doc_id", "ts", "text"}  # no 'day' leak
+    assert out.count() == 12
+
+    cut = dt.datetime(2024, 3, 3, tzinfo=dt.timezone.utc)
+    plan = snap.plan_snapshot_scan(info, [("ts", ">=", cut)])
+    days_kept = {f["partition"]["day"] for f in plan["kept"]}
+    assert days_kept == {"2024-03-03"}
+    assert plan["files_skipped"] > 0
+
+    got = read_snapshot(spark, root, where=[("ts", ">=", cut)])
+    want = df.filter(F.col("ts") >= F.lit(cut)).select("doc_id")
+    assert {r.doc_id for r in got.collect()} == {
+        r.doc_id for r in want.collect()
+    }
+
+
+def test_partition_transform_bucket_prunes_equality(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), (F.col("id") % 17).cast("string")).alias("user"),
+    )
+    info = publish_snapshot(
+        df, root, partition_transforms={"b8": ("bucket", "user", 8)}
+    )
+    assert len({f["partition"]["b8"] for f in info.files}) > 1
+    plan = snap.plan_snapshot_scan(info, [("user", "=", "u3")])
+    assert 0 < plan["files_kept"] < plan["files_total"]
+    got = read_snapshot(spark, root, where=[("user", "=", "u3")])
+    assert got.count() == df.filter(F.col("user") == "u3").count()
+    # the in-list prunes to the union of its buckets
+    plan_in = snap.plan_snapshot_scan(
+        info, [("user", "in", ["u3", "u11"])]
+    )
+    assert plan_in["files_kept"] <= 2 * plan["files_kept"] + 1
+
+
+def test_partition_transform_append_inherits_and_refuses_mismatch(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(
+        _ts_df(spark, 1, 2), root,
+        partition_transforms={"day": ("days", "ts")},
+    )
+    info = snap.append_snapshot(_ts_df(spark, 3, 1), root)
+    assert info.partition_transforms == {"day": ["days", "ts"]}
+    assert all("/day=" in f["path"] for f in info.files)
+    with pytest.raises(ValueError, match="inherit the layout"):
+        publish_snapshot(
+            _ts_df(spark, 4, 1), root,
+            partition_transforms={"hr": ("hours", "ts")},
+            _carry_parent=True,
+        )
+    # maintenance composes: compact preserves the layout, optimize
+    # refuses (Z-order would scatter the directories)
+    compacted = compact_snapshot(spark, root)
+    assert compacted.partition_transforms == {"day": ["days", "ts"]}
+    assert all("/day=" in f["path"] for f in compacted.files)
+    with pytest.raises(NotImplementedError, match="partition transforms"):
+        snap.optimize_snapshot(spark, root, cluster_by=["doc_id"])
+    # scoped delete keeps the layout and the untouched-day entries
+    before = resolve_snapshot(root)
+    doomed = read_snapshot(spark, root).filter(
+        F.col("doc_id").isin(0, 1)
+    ).count()  # doc_ids repeat across the publish+append batches
+    after = apply_deletions_snapshot(
+        spark, root, keys=[0, 1], key_field="doc_id"
+    )
+    assert after.partition_transforms == {"day": ["days", "ts"]}
+    assert after.row_count == before.row_count - doomed
+    assert read_snapshot(spark, root).filter(
+        F.col("doc_id").isin(0, 1)
+    ).count() == 0
+
+
+def test_partition_transform_spec_refusals(spark, tmp_path):
+    root = _root(tmp_path)
+    df = _ts_df(spark, 1, 1)
+    with pytest.raises(ValueError, match="kind must be"):
+        publish_snapshot(
+            df, str(tmp_path / "a"),
+            partition_transforms={"day": ("weeks", "ts")},
+        )
+    with pytest.raises(ValueError, match="not in the data columns"):
+        publish_snapshot(
+            df, str(tmp_path / "b"),
+            partition_transforms={"day": ("days", "nope")},
+        )
+    with pytest.raises(ValueError, match="collides with a data column"):
+        publish_snapshot(
+            df, str(tmp_path / "c"),
+            partition_transforms={"ts": ("days", "ts")},
+        )
+    with pytest.raises(ValueError, match="hidden to the inventory"):
+        publish_snapshot(
+            df, str(tmp_path / "d"),
+            partition_transforms={"_day": ("days", "ts")},
+        )
+    assert not (tmp_path / "a").exists()
 
 
 def test_delete_missing_tag_raises_both_tiers(spark, tmp_path, s3):
