@@ -1,5 +1,5 @@
 """Per-job census of the streaming_ingest_fuzzy gate (r12 VERDICT ask
-#6): which Spark jobs inside the 3-batch fuzzy-ingest lifecycle cost
+#6; r14: mirrors the trimmed 2-batch gate): which jobs cost
 what at the bench shape (sf0.1, local[32])?
 
 Method: monkeypatch the four job-producing DataFrame entry points
@@ -101,12 +101,15 @@ def main():
     repost = lambda df: df.withColumn(  # noqa: E731
         "text", F.concat(F.col("text"), F.lit(" repost"))
     )
+    # r14 gate shape: TWO batches, compaction (include_latest) after
+    # batch 0 so batch 1 reads history entirely through batch=-1
     batches = [
         docs.filter(F.col("doc_id") % 3 == 0),
-        shift(docs.filter(F.col("doc_id") % 3 == 1), 1_000_000).unionByName(
+        shift(docs.filter(F.col("doc_id") % 3 == 1), 1_000_000)
+        .unionByName(
             repost(shift(docs.filter(F.col("doc_id") % 6 == 0), 2_000_000))
-        ),
-        shift(docs.filter(F.col("doc_id") % 3 == 2), 3_000_000).unionByName(
+        )
+        .unionByName(
             repost(shift(docs.filter(F.col("doc_id") % 6 == 1), 4_000_000))
         ),
     ]
@@ -119,8 +122,11 @@ def main():
                 b, warm_root + "/state", warm_root + "/out",
                 batch_id=i, fuzzy=True,
             )
-            if i == 1:
-                compact_ingest_state(spark, warm_root + "/state", fuzzy=True)
+            if i == 0:
+                compact_ingest_state(
+                    spark, warm_root + "/state", fuzzy=True,
+                    include_latest=True,
+                )
     finally:
         shutil.rmtree(warm_root, ignore_errors=True)
     RECORDS.clear()
@@ -134,10 +140,12 @@ def main():
             t0 = time.time()
             ingest_dedup_batch(b, state, out_dir, batch_id=i, fuzzy=True)
             print(f"## batch {i}: {time.time() - t0:.3f}s", file=sys.stderr)
-            if i == 1:
+            if i == 0:
                 _MARK["label"] = "compact"
                 t0 = time.time()
-                compact_ingest_state(spark, state, fuzzy=True)
+                compact_ingest_state(
+                    spark, state, fuzzy=True, include_latest=True
+                )
                 print(
                     f"## compaction: {time.time() - t0:.3f}s",
                     file=sys.stderr,
