@@ -120,6 +120,89 @@ def main() -> None:
         F.avg("n_chars").alias("avg_chars"),
     ).orderBy("lang").show()
 
+    # --- r14: a partitioned table + schema evolution + scoped delete
+    # A daily-ingest table laid out in days() directories: the derived
+    # day column lives only in paths (the schema never changes), and
+    # time-range reads prune whole directories from the manifest alone
+    # — no envelope stats needed.
+    import datetime as dt
+
+    from smashed_spark.sources.snapshot import (
+        append_snapshot,
+        publish_snapshot,
+    )
+
+    table2 = f"{work}/daily"
+    dated = docs.withColumn(
+        "ingested_at",
+        F.to_timestamp(F.lit("2026-08-01 00:00:00"))
+        + F.make_interval(days=(F.col("doc_id") % 7).cast("int")),
+    )
+    publish_snapshot(
+        dated,
+        table2,
+        partition_transforms={"day": ("days", "ingested_at")},
+        stats_columns=["doc_id"],
+    )
+    cut = dt.datetime(2026, 8, 6, tzinfo=dt.timezone.utc)
+    where2 = [("ingested_at", ">=", cut)]
+    plan2 = plan_snapshot_scan(resolve_snapshot(table2), where2)
+    print(
+        f"directory pruning: {plan2['files_kept']}/"
+        f"{plan2['files_total']} files for ingested_at >= {cut.date()}"
+    )
+    recent = read_snapshot(spark, table2, where=where2)
+    print("recent rows:", recent.count())
+
+    # schema evolution: a later batch ships a quality score — the
+    # manifest mints a new schema generation, old rows read back with
+    # a typed NULL, and the daily layout is inherited automatically
+    day8 = (
+        docs.limit(50)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn(
+            "ingested_at", F.to_timestamp(F.lit("2026-08-08 00:00:00"))
+        )
+        .withColumn("quality", (F.col("n_chars") / 100.0))
+    )
+    evolved = append_snapshot(table_root=table2, df=day8, evolve=True)
+    print(
+        "evolved schema generations:",
+        sorted(evolved.schemas),
+        "columns:",
+        list(evolved.columns),
+    )
+    with_quality = read_snapshot(spark, table2)
+    print(
+        "rows with quality score:",
+        with_quality.filter(F.col("quality").isNotNull()).count(),
+        "of",
+        with_quality.count(),
+    )
+
+    # file-scoped forget-list: only files whose doc_id envelopes can
+    # hold a forget key are rewritten — every other entry is carried
+    # verbatim (O(affected files), not O(table)); scope_where bounds
+    # the delete to one day so the same key elsewhere survives
+    before2 = resolve_snapshot(table2)
+    # doc_id 5 lands on 2026-08-06 (in scope: deleted); doc_id 3 on
+    # 2026-08-04 (out of scope: survives even though its key matches)
+    after2 = apply_deletions_snapshot(
+        spark,
+        table2,
+        keys=[5, 3],
+        key_field="doc_id",
+        scope_where=[("ingested_at", ">=", cut)],
+        stats_columns=["doc_id"],
+    )
+    untouched = sum(1 for f in after2.files if f in before2.files)
+    print(
+        f"scoped delete: {untouched}/{len(before2.files)} file entries "
+        f"carried verbatim; rows {before2.row_count} -> {after2.row_count}"
+        f"; doc 3 (out of scope) survives: "
+        f"{read_snapshot(spark, table2).filter('doc_id = 3').count() == 1}"
+    )
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 

@@ -2083,8 +2083,11 @@ def _snapshot_lifecycle_oracle() -> str:
     table = f"{_SNAP_STAGING_PATH}/table"
     return f"""
     WITH surv AS (
-        SELECT doc_id, lang, n_chars, source FROM documents
-        WHERE doc_id % 3 IN (0, 1) AND doc_id % 10 <> 0
+        SELECT doc_id, lang, n_chars, source,
+               CASE WHEN doc_id % 3 = 2 THEN doc_id % 7
+                    ELSE NULL END AS mark
+        FROM documents
+        WHERE doc_id % 10 <> 0
     ), ch AS (
         SELECT CAST(count(*) AS BIGINT) AS changes_rows,
                CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS changes_sum
@@ -2103,7 +2106,7 @@ def _snapshot_lifecycle_oracle() -> str:
     ), tot AS (
         SELECT CAST(count(*) AS BIGINT) AS final_rows FROM surv
     )
-    SELECT s.doc_id, s.lang, s.n_chars, s.source,
+    SELECT s.doc_id, s.lang, s.n_chars, s.source, s.mark,
            ch.changes_rows, ch.changes_sum,
            pr.files_total, pr.files_kept,
            tot.final_rows
@@ -2128,9 +2131,18 @@ def q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. incremental consumers read exactly the appended batch via
        read_snapshot_changes (count + doc_id checksum ride the result
        as literals);
-    4. GDPR forget-list rewrite (doc_id%10=0) as a new version;
+    3b. (r14) the LAST third (doc_id%3=2) appends with
+       ``evolve=True`` carrying a NEW column ``mark = doc_id % 7`` —
+       the manifest mints a second schema generation, the earlier
+       files' rows read back with a typed-NULL ``mark``, and the
+       final aligned values are oracle-checked (the CASE tail);
+    4. GDPR forget-list rewrite (doc_id%10=0) as a new version — the
+       file-scoped path, pruning on the doc_id envelopes across BOTH
+       schema generations;
     5. optimize_snapshot Z-orders the survivors on (n_chars, doc_id),
-       so file envelopes separate and skipping has something to skip;
+       so file envelopes separate and skipping has something to skip
+       (the rewrite also re-homogenizes every row under the evolved
+       schema);
     6. vacuum to ONE version (drop_unpublished sweeps everything
        unreferenced), leaving only the optimized prefix under data/ —
        which is what lets the oracle glob the physical footers;
@@ -2201,6 +2213,25 @@ def q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("changes_rows"),
         F.coalesce(F.sum("doc_id"), F.lit(0)).alias("changes_sum"),
     ).collect()[0]
+    # r14 evolution stage: the last third appends with a NEW column
+    # under evolve=True — a second schema generation in the manifest;
+    # rows already on disk read back with a typed-NULL mark
+    from ..sources.snapshot import append_snapshot
+
+    evolved = append_snapshot(
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .withColumn("mark", (F.col("doc_id") % 7).cast("bigint"))
+        .repartition(4),
+        table,
+        evolve=True,
+        stats_columns=stats_cols,
+    )
+    if evolved.schema_id == "0" or "mark" not in (evolved.columns or {}):
+        raise AssertionError(
+            "snapshot_lifecycle: evolve append did not mint a new "
+            f"schema generation (id {evolved.schema_id}, columns "
+            f"{evolved.columns})"
+        )
     apply_deletions_snapshot(
         spark,
         table,

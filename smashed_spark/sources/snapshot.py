@@ -1909,23 +1909,15 @@ def optimize_snapshot(
     next optimize can keep Z-keys append-stable by passing them back
     as ``bounds=`` — no side-channel caller persistence needed.
 
-    Tables laid out with ``partition_transforms`` refuse here: the
-    single ``repartitionByRange`` on the Z-key would scatter every
-    partition directory across every output task (file explosion).
-    Compact (layout-preserving) or republish with a fresh layout
-    instead; within-directory clustering for transformed tables is a
-    composition this module does not yet carry."""
+    Tables laid out with ``partition_transforms`` cluster WITHIN their
+    directories: the range partitioning keys on (transform columns...,
+    Z-key) — the optimize_layout composition — so each output task
+    owns one directory's contiguous Z-range instead of scattering
+    every directory across every task, and the layout (which carried
+    commits inherit) survives the rewrite."""
     from .layout import ZORDER_FIELD, fit_zorder_bounds, zorder_column
 
     pre = resolve_snapshot(table_root, client=client)
-    if pre.partition_transforms:
-        raise NotImplementedError(
-            "optimize_snapshot: this table is laid out with partition "
-            f"transforms {pre.partition_transforms} — a Z-order "
-            "repartitionByRange would scatter every partition directory "
-            "across every output task.  compact_snapshot preserves the "
-            "layout; republish to change it."
-        )
     df = read_snapshot(
         spark,
         table_root,
@@ -1945,19 +1937,35 @@ def optimize_snapshot(
     out = df.withColumn(
         ZORDER_FIELD, zorder_column(df, cluster_by, bounds, bits)
     )
+    # transformed tables cluster within their directories: range keys
+    # = (derived transform columns..., Z-key), so each task owns one
+    # directory's contiguous Z-range.  The derived columns are dropped
+    # before publish — _write_data_prefix re-derives identical values
+    # for partitionBy (pure functions of the data), and a projection
+    # never reorders rows, so the physical order survives.
+    part_keys = []
+    if pre.partition_transforms:
+        for name, col in _transform_columns(
+            dict(pre.partition_transforms)
+        ).items():
+            out = out.withColumn(name, col)
+            part_keys.append(name)
     if num_files is None:
         num_files = spark.sparkContext.defaultParallelism
+    range_keys = part_keys + [ZORDER_FIELD]
     out = out.repartitionByRange(
-        num_files, ZORDER_FIELD
-    ).sortWithinPartitions(ZORDER_FIELD)
-    if not keep_zorder_column:
-        out = out.drop(ZORDER_FIELD)
+        num_files, *range_keys
+    ).sortWithinPartitions(*range_keys)
+    drop_cols = part_keys + ([] if keep_zorder_column else [ZORDER_FIELD])
+    if drop_cols:
+        out = out.drop(*drop_cols)
     return publish_snapshot(
         out,
         table_root,
         operation="optimize",
         compression=compression,
         stats_columns=stats_columns,
+        partition_transforms=pre.partition_transforms,
         properties={
             "zorder_bounds": {c: list(bounds[c]) for c in cluster_by},
             "zorder_bits": int(bits),

@@ -1506,13 +1506,25 @@ def test_partition_transform_append_inherits_and_refuses_mismatch(
             partition_transforms={"hr": ("hours", "ts")},
             _carry_parent=True,
         )
-    # maintenance composes: compact preserves the layout, optimize
-    # refuses (Z-order would scatter the directories)
+    # maintenance composes: compact preserves the layout; optimize
+    # clusters WITHIN the directories (range keys = transform cols +
+    # Z-key) and the layout survives the rewrite
     compacted = compact_snapshot(spark, root)
     assert compacted.partition_transforms == {"day": ["days", "ts"]}
     assert all("/day=" in f["path"] for f in compacted.files)
-    with pytest.raises(NotImplementedError, match="partition transforms"):
-        snap.optimize_snapshot(spark, root, cluster_by=["doc_id"])
+    optimized = snap.optimize_snapshot(
+        spark, root, cluster_by=["doc_id"], num_files=4
+    )
+    assert optimized.partition_transforms == {"day": ["days", "ts"]}
+    assert all("/day=" in f["path"] for f in optimized.files)
+    assert optimized.row_count == compacted.row_count
+    assert _rows(
+        read_snapshot(spark, root).select("doc_id", "text")
+    ) == _rows(
+        read_snapshot(spark, root, version=compacted.version).select(
+            "doc_id", "text"
+        )
+    )
     # scoped delete keeps the layout and the untouched-day entries
     before = resolve_snapshot(root)
     doomed = read_snapshot(spark, root).filter(
