@@ -785,8 +785,10 @@ _DSIR_DIMS = 512
 _DSIR_K = 200
 _DSIR_GROUP_K = 20
 _DSIR_SEED = 13
-# r14 fold: per-source greedy token budgets for (src1, src2, src7)
-_BUDGETS = (4000, 2000, 3000)
+# r14 fold: per-source greedy token budgets for (src1, src7) — two
+# sources keep both the independence and the keep=0 branches live
+# while paying two (not three) prefix-sum materializations
+_BUDGETS = (4000, 3000)
 
 
 @query(
@@ -850,11 +852,10 @@ _BUDGETS = (4000, 2000, 3000)
                    ORDER BY n_chars DESC, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS pre
-        FROM documents WHERE source IN ('src1', 'src2', 'src7')
+        FROM documents WHERE source IN ('src1', 'src7')
     )
     WHERE (source = 'src1' AND pre < {_BUDGETS[0]})
-       OR (source = 'src2' AND pre < {_BUDGETS[1]})
-       OR (source = 'src7' AND pre < {_BUDGETS[2]})
+       OR (source = 'src7' AND pre < {_BUDGETS[1]})
     UNION ALL
     -- r14: attribute-sidecar round trip — the Spark side writes a
     -- (doc_id, lang, n_chars) sidecar to parquet, reads it back, and
@@ -887,7 +888,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r14 folds (the two §2.11 families that were unit-only): 'budget'
     — :func:`~smashed_spark.sources.loaders.select_under_token_budgets`
-    fits each of three sources under its own n_chars budget (ONE slim
+    fits each of two sources under its own n_chars budget (ONE slim
     corpus scan, per-source range-partitioned prefix sums, flag
     join-back keyed on (doc_id, source); unbudgeted sources certify
     the keep=0 branch by absence); 'sidecar' —
@@ -938,11 +939,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     budg = select_under_token_budgets(
         slim,
-        budgets={
-            "src1": _BUDGETS[0],
-            "src2": _BUDGETS[1],
-            "src7": _BUDGETS[2],
-        },
+        budgets={"src1": _BUDGETS[0], "src7": _BUDGETS[1]},
         source_field="source",
         tokens_field="n_chars",
         score_field="n_chars",
