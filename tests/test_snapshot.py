@@ -1540,6 +1540,127 @@ def test_partition_transform_append_inherits_and_refuses_mismatch(
     ).count() == 0
 
 
+def test_partition_prune_never_skips_matching_file_property():
+    """Soundness of the directory-level pruner, mirroring the stats
+    pruner's property test: whatever the transform kind, literal form,
+    and op, a file containing a matching row is NEVER skipped."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smashed_spark.sources.snapshot import (
+        _md5_bucket,
+        _partition_can_match,
+    )
+
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        day=st.integers(0, 5),
+        offs=st.lists(st.integers(0, 86399), min_size=1, max_size=8),
+        lit_s=st.integers(-86400, 7 * 86400),
+        op=st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+        kind=st.sampled_from(["days", "hours"]),
+        lit_form=st.sampled_from(["aware", "iso"]),
+    )
+    def check_time(day, offs, lit_s, op, kind, lit_form):
+        if kind == "hours":
+            # a partitioned file holds ONE hour granule
+            hour = offs[0] // 3600 * 3600
+            rows = [
+                base + dt.timedelta(days=day, seconds=hour + o % 3600)
+                for o in offs
+            ]
+        else:
+            rows = [base + dt.timedelta(days=day, seconds=o) for o in offs]
+        raw = rows[0].strftime(
+            "%Y-%m-%d" if kind == "days" else "%Y-%m-%d-%H"
+        )
+        entry = {"path": "f", "partition": {"p": raw}}
+        transforms = {"p": [kind, "ts"]}
+        lit_dt = base + dt.timedelta(seconds=lit_s)
+        in_lits = [lit_dt, lit_dt + dt.timedelta(hours=7)]
+
+        def enc(d):
+            return (
+                d.strftime("%Y-%m-%d %H:%M:%S")
+                if lit_form == "iso"
+                else d
+            )
+
+        literal = (
+            [enc(x) for x in in_lits] if op == "in" else enc(lit_dt)
+        )
+
+        def row_matches(v):
+            if op == "=":
+                return v == lit_dt
+            if op == "<":
+                return v < lit_dt
+            if op == "<=":
+                return v <= lit_dt
+            if op == ">":
+                return v > lit_dt
+            if op == ">=":
+                return v >= lit_dt
+            return v in in_lits
+
+        if any(row_matches(r) for r in rows):
+            assert _partition_can_match(entry, transforms, "ts", op, literal)
+
+    check_time()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=10),
+        n=st.integers(1, 16),
+        lit=st.integers(-1000, 1000),
+        use_in=st.booleans(),
+    )
+    def check_bucket(vals, n, lit, use_in):
+        b = _md5_bucket(vals[0], n)
+        file_vals = [v for v in vals if _md5_bucket(v, n) == b]
+        entry = {"path": "f", "partition": {"p": str(b)}}
+        transforms = {"p": ["bucket", "k", n]}
+        op = "in" if use_in else "="
+        literal = [lit, lit + 1] if use_in else lit
+        lits = literal if use_in else [literal]
+        if any(v in file_vals for v in lits):
+            assert _partition_can_match(entry, transforms, "k", op, literal)
+
+    check_bucket()
+
+
+def test_s3_partition_transform_roundtrip(spark, s3):
+    """The s3 staging upload preserves the nested partition dirs, the
+    manifest records their values, and the pruner serves them — same
+    artifacts as the local tier."""
+    import datetime as dt
+
+    root = f"s3://{BUCKET}/tables/ptbl"
+    df = _ts_df(spark, 1, 3)
+    info = publish_snapshot(
+        df, root, partition_transforms={"day": ("days", "ts")}, client=s3
+    )
+    assert all("/day=" in f["path"] for f in info.files)
+    assert all("partition" in f for f in info.files)
+    got = read_snapshot(
+        spark, root, client=s3, allow_driver_download=True
+    )
+    assert set(got.columns) == {"doc_id", "ts", "text"}
+    assert got.count() == 12
+    cut = dt.datetime(2024, 3, 3, tzinfo=dt.timezone.utc)
+    plan = snap.plan_snapshot_scan(info, [("ts", ">=", cut)])
+    assert {f["partition"]["day"] for f in plan["kept"]} == {"2024-03-03"}
+    pruned = read_snapshot(
+        spark, root, where=[("ts", ">=", cut)],
+        client=s3, allow_driver_download=True,
+    )
+    assert pruned.count() == 4
+
+
 def test_partition_transform_spec_refusals(spark, tmp_path):
     root = _root(tmp_path)
     df = _ts_df(spark, 1, 1)
