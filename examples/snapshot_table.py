@@ -48,6 +48,9 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[*]")
         .config("spark.sql.shuffle.partitions", "32")
+        # days()-partitioned tables format directory granules under
+        # the session zone; the pruner compares read literals in UTC
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     work = tempfile.mkdtemp(prefix="snapshot_table_example_")

@@ -519,10 +519,15 @@ _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 def _file_can_match(
-    entry: Dict[str, object], col: str, op: str, value
+    entry: Dict[str, object], col: str, op: str, value, _cache=None
 ) -> bool:
     """Conservative envelope test: False ONLY when the file provably
-    contains no matching row.  Missing stats → True (keep)."""
+    contains no matching row.  Missing stats → True (keep).
+
+    ``_cache`` (a per-predicate dict plan_snapshot_scan threads
+    through) memoizes literal normalization by stats kind, so a
+    100k-key ``in`` list against an 800k-file manifest normalizes each
+    key once, not once per file."""
     rows = entry.get("rows")
     if rows == 0:
         return False
@@ -536,8 +541,25 @@ def _file_can_match(
         return False
     lo, hi = stats["min"], stats["max"]
     if op == "in":
-        return any(lo <= _norm_stat(v, kind) <= hi for v in value)
-    v = _norm_stat(value, kind)
+        normed = None
+        if _cache is not None:
+            normed = _cache.get(("in", kind))
+        if normed is None:
+            normed = sorted(_norm_stat(v, kind) for v in value)
+            if _cache is not None:
+                _cache[("in", kind)] = normed
+        import bisect
+
+        # sorted + bisect: the membership-in-envelope test is
+        # O(log k) per file instead of O(k)
+        i = bisect.bisect_left(normed, lo)
+        return i < len(normed) and normed[i] <= hi
+    if _cache is not None and ("lit", kind) in _cache:
+        v = _cache[("lit", kind)]
+    else:
+        v = _norm_stat(value, kind)
+        if _cache is not None:
+            _cache[("lit", kind)] = v
     if op == "=":
         return lo <= v <= hi
     if op == "<":
@@ -586,6 +608,19 @@ def _validate_transforms(
             raise ValueError(
                 f"partition_transforms[{name!r}]: source column "
                 f"{src!r} not in the data columns {sorted(columns)}"
+            )
+        if t[0] == "bucket" and columns[src] not in (
+            "string", "tinyint", "smallint", "int", "bigint"
+        ):
+            # Python-side literal hashing at plan time must reproduce
+            # Spark's CAST(col AS STRING) at write time; only string
+            # and integer types have provably identical text forms
+            raise ValueError(
+                f"partition_transforms[{name!r}]: bucket source "
+                f"{src!r} is {columns[src]} — bucket transforms "
+                "support string and integer columns (float/bool/"
+                "timestamp text forms differ between the writer's "
+                "CAST and the pruner's str())"
             )
         if name in columns:
             raise ValueError(
@@ -665,10 +700,13 @@ def _partition_can_match(
     col: str,
     op: str,
     value,
+    _cache=None,
 ) -> bool:
     """Directory-level envelope test, conservative like the stats one:
     False ONLY when the file's recorded partition value proves no row
-    can satisfy the predicate on the transform's SOURCE column."""
+    can satisfy the predicate on the transform's SOURCE column.
+    ``_cache`` memoizes literal granules/buckets across the file loop
+    (same contract as :func:`_file_can_match`)."""
     part = entry.get("partition") or {}
     for name, t in transforms.items():
         kind, src = t[0], t[1]
@@ -679,11 +717,22 @@ def _partition_can_match(
             continue  # unknown / all-NULL source rows: keep
         if kind in ("days", "hours"):
             if op == "in":
-                gs = [_time_granule(v, kind) for v in value]
-                if all(g is not None for g in gs) and raw not in gs:
+                gs = None
+                if _cache is not None:
+                    gs = _cache.get(("granules", kind))
+                if gs is None:
+                    gs = {_time_granule(v, kind) for v in value}
+                    if _cache is not None:
+                        _cache[("granules", kind)] = gs
+                if None not in gs and raw not in gs:
                     return False
                 continue
-            g = _time_granule(value, kind)
+            if _cache is not None and ("granule", kind) in _cache:
+                g = _cache[("granule", kind)]
+            else:
+                g = _time_granule(value, kind)
+                if _cache is not None:
+                    _cache[("granule", kind)] = g
             if g is None:
                 continue
             if op == "=" and raw != g:
@@ -700,12 +749,35 @@ def _partition_can_match(
                 b = int(raw)
             except ValueError:
                 continue
-            if op == "=" and _md5_bucket(value, n) != b:
-                return False
-            if op == "in" and all(
-                _md5_bucket(v, n) != b for v in value
-            ):
-                return False
+            # prune ONLY for literal types whose Python str() provably
+            # matches Spark's CAST(col AS STRING) (str, non-bool int):
+            # bool ('True' vs 'true'), float ('1e+20' vs '1.0E20'),
+            # and datetime reprs diverge — hashing the wrong text
+            # would skip the file that holds the matching rows
+            def _bucketable(v):
+                return isinstance(v, str) or (
+                    isinstance(v, int) and not isinstance(v, bool)
+                )
+
+            if op == "=" and _bucketable(value):
+                if _cache is not None and ("bucket", n) in _cache:
+                    vb = _cache[("bucket", n)]
+                else:
+                    vb = _md5_bucket(value, n)
+                    if _cache is not None:
+                        _cache[("bucket", n)] = vb
+                if vb != b:
+                    return False
+            if op == "in" and all(_bucketable(v) for v in value):
+                vbs = None
+                if _cache is not None:
+                    vbs = _cache.get(("buckets", n))
+                if vbs is None:
+                    vbs = {_md5_bucket(v, n) for v in value}
+                    if _cache is not None:
+                        _cache[("buckets", n)] = vbs
+                if b not in vbs:
+                    return False
     return True
 
 
@@ -736,14 +808,20 @@ def plan_snapshot_scan(
             )
     kept, skipped = [], []
     transforms = info.partition_transforms or {}
+    # one normalization cache PER predicate, shared across the file
+    # loop: a k-literal `in` list over an n-file manifest normalizes
+    # k values once (plus an O(log k) bisect per file), not k*n times
+    caches = [({}, {}) for _ in where]
     for entry in info.files:
         if all(
-            _file_can_match(entry, c, op, v)
+            _file_can_match(entry, c, op, v, _cache=sc)
             and (
                 not transforms
-                or _partition_can_match(entry, transforms, c, op, v)
+                or _partition_can_match(
+                    entry, transforms, c, op, v, _cache=pc
+                )
             )
-            for c, op, v in where
+            for (c, op, v), (sc, pc) in zip(where, caches)
         ):
             kept.append(entry)
         else:
@@ -844,6 +922,24 @@ def _write_data_prefix(
     """
     part_names = []
     if transforms:
+        if any(t[0] in ("days", "hours") for t in transforms.values()):
+            # the directory strings are date_format under the SESSION
+            # timezone, but the pruner normalizes read literals to UTC
+            # — a non-UTC writer would shelve rows in directories the
+            # pruner then skips (silently missing rows).  Refuse
+            # rather than record a tz the reader must re-honor.
+            tz = df.sparkSession.conf.get(
+                "spark.sql.session.timeZone", ""
+            )
+            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                raise ValueError(
+                    "publish_snapshot: days/hours partition transforms "
+                    "require spark.sql.session.timeZone=UTC (found "
+                    f"{tz!r}) — directory granules are formatted under "
+                    "the session zone while the pruner compares read "
+                    "literals in UTC; a mismatch silently prunes "
+                    "directories that hold matching rows"
+                )
         for name, col in _transform_columns(transforms).items():
             df = df.withColumn(name, col)
             part_names.append(name)
@@ -919,18 +1015,23 @@ def _evolve_batch(df: DataFrame, parent_cols: Dict[str, str]):
     Returns ``(aligned_df, evolved_columns)``."""
     from .evolve import align_to_schema, is_safe_cast
 
-    batch = {f.name: f.dataType for f in df.schema.fields}
+    # name resolution is case-INSENSITIVE, matching align_to_schema and
+    # Spark's default resolver (spark.sql.caseSensitive=false): a batch
+    # shipping DOC_ID must evolve against doc_id, not mint a duplicate
+    # column pair that every later append would then be refused over
+    batch = {f.name.lower(): f.dataType for f in df.schema.fields}
     target: Dict[str, str] = {}
     for name, ptype in parent_cols.items():
-        if name not in batch:
+        hit = batch.get(name.lower())
+        if hit is None:
             target[name] = ptype
             continue
-        btype = batch[name].simpleString()
+        btype = hit.simpleString()
         if btype == ptype:
             target[name] = ptype
-        elif is_safe_cast(_parse_type(ptype), batch[name]):
+        elif is_safe_cast(_parse_type(ptype), hit):
             target[name] = btype
-        elif is_safe_cast(batch[name], _parse_type(ptype)):
+        elif is_safe_cast(hit, _parse_type(ptype)):
             target[name] = ptype
         else:
             raise ValueError(
@@ -940,8 +1041,9 @@ def _evolve_batch(df: DataFrame, parent_cols: Dict[str, str]):
                 "with the cast owned explicitly (evolve.py "
                 "align_to_schema cast='force')"
             )
+    parent_lower = {n.lower() for n in parent_cols}
     for f in df.schema.fields:
-        if f.name not in target:
+        if f.name.lower() not in parent_lower:
             target[f.name] = f.dataType.simpleString()
     ddl = ", ".join(f"`{c}` {t}" for c, t in target.items())
     aligned = align_to_schema(
@@ -962,6 +1064,7 @@ def publish_snapshot(
     _carry_parent: bool = False,
     _carry_files: Optional[List[Dict[str, object]]] = None,
     _evolve: bool = False,
+    _expect_parent: Optional[int] = None,
 ) -> SnapshotInfo:
     """Publish ``df`` as the table's next snapshot (see module docstring
     for the protocol and its crash windows).  Returns the committed
@@ -1011,9 +1114,27 @@ def publish_snapshot(
     attempts_left = DEFAULT_COMMIT_RETRIES if retryable else 0
     written: Optional[Dict[str, object]] = None
     rel_prefix: Optional[str] = None
+    # when _evolve rewrote `columns` on the first attempt, this holds
+    # the parent schema it evolved FROM — a rebase onto a parent with
+    # that same schema is safe (the concurrent commit did not change
+    # it); anything else refuses
+    evolved_from: Optional[Dict[str, str]] = None
     columns = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     while True:
         begin_version = _pointer_version(root, client=client)
+        # rewrite operations (delete/compact/optimize) plan against a
+        # resolved snapshot BEFORE calling here; if another commit
+        # landed in between, publishing would silently drop its rows
+        # from the rewritten table — refuse while nothing has been
+        # written yet
+        if _expect_parent is not None and begin_version != _expect_parent:
+            raise RuntimeError(
+                f"publish_snapshot: the table advanced v{_expect_parent} "
+                f"-> v{begin_version} after this {operation} was planned "
+                "— committing would silently drop the newer commit's "
+                "rows.  Re-run the operation against the current "
+                "snapshot."
+            )
         carried_files: List[Dict[str, object]] = []
         carried_prefixes: List[str] = []
         carried_rows = 0
@@ -1046,17 +1167,30 @@ def publish_snapshot(
                 parent_cols = parent_info.columns
                 if parent_cols is not None and dict(parent_cols) != columns:
                     if written is not None:
-                        # rebase found a parent whose schema changed
-                        # AFTER our data landed — the concurrent commit
-                        # evolved the table; our files no longer match
-                        raise RuntimeError(
-                            "append_snapshot: concurrent commit changed "
-                            f"the table schema during the append to "
-                            f"{table_root!r} — rebase refused; re-run "
-                            "the append (our data prefix is an orphan; "
-                            "vacuum will sweep it)"
-                        )
-                    if _evolve:
+                        if (
+                            evolved_from is not None
+                            and dict(parent_cols) == evolved_from
+                        ):
+                            # rebase after OUR evolve: the concurrent
+                            # commit kept the schema we evolved from,
+                            # so the already-written files still fit —
+                            # proceed to mint the generation against
+                            # the new parent's registry
+                            pass
+                        else:
+                            # the concurrent commit changed the table
+                            # schema AFTER our data landed — our files
+                            # no longer match
+                            raise RuntimeError(
+                                "append_snapshot: concurrent commit "
+                                "changed the table schema during the "
+                                f"append to {table_root!r} — rebase "
+                                "refused; re-run the append (our data "
+                                "prefix is an orphan; vacuum will "
+                                "sweep it)"
+                            )
+                    elif _evolve:
+                        evolved_from = dict(parent_cols)
                         df, columns = _evolve_batch(df, dict(parent_cols))
                     else:
                         extra = sorted(set(columns) - set(parent_cols))
@@ -2062,8 +2196,15 @@ def apply_deletions_snapshot(
     # ----- file scoping via the manifest's envelope stats -----
     prune: list = list(scope_where or [])
     can_scope = True
-    if literal_keys is not None:
+    if literal_keys is not None and len(literal_keys) <= prune_collect_cap:
         prune.append((key_field, "in", literal_keys))
+    elif literal_keys is not None:
+        # a literal list over the cap degrades to range pruning the
+        # same way an oversized key DataFrame does — in-list planning
+        # is memoized per predicate but still O(keys) to normalize,
+        # and the bisect per file wants a bounded sorted list
+        prune.append((key_field, ">=", min(literal_keys)))
+        prune.append((key_field, "<=", max(literal_keys)))
     else:
         bounds = key_df.agg(
             F.min(key_field).alias("lo"), F.max(key_field).alias("hi")
@@ -2112,15 +2253,22 @@ def apply_deletions_snapshot(
     )
     if scope_where:
         # scoped delete: a row dies only when its key matches AND it is
-        # inside the scope — LEFT ANTI can't express the conjunction, so
-        # mark key matches with a left join and filter
+        # PROVABLY inside the scope — LEFT ANTI can't express the
+        # conjunction, so mark key matches with a left join and filter.
+        # Both sides of the conjunction coalesce to False: under SQL
+        # three-valued logic a NULL scope column (e.g. an old-generation
+        # row predating an evolved column) would make the whole
+        # predicate NULL and WHERE would DROP the row — deleting
+        # out-of-scope data, the exact blast radius scope_where bounds
         marker = anti.withColumn("__forget__", F.lit(True))
         survivors = (
             df.join(marker, on=key_field, how="left")
             .where(
                 ~(
                     F.coalesce(F.col("__forget__"), F.lit(False))
-                    & _where_to_column(scope_where)
+                    & F.coalesce(
+                        _where_to_column(scope_where), F.lit(False)
+                    )
                 )
             )
             .drop("__forget__")
@@ -2136,6 +2284,7 @@ def apply_deletions_snapshot(
         stats_columns=stats_columns,
         client=client,
         _carry_files=untouched,
+        _expect_parent=info.version,
     )
 
 

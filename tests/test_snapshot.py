@@ -1661,6 +1661,174 @@ def test_s3_partition_transform_roundtrip(spark, s3):
     assert pruned.count() == 4
 
 
+# ---------------------------------------------------------------------------
+# r14 review-pass regressions (code-review findings, each reproduced
+# before the fix landed)
+# ---------------------------------------------------------------------------
+
+
+def test_scoped_delete_null_scope_column_survives(spark, tmp_path):
+    """Three-valued-logic regression: a row whose scope column is NULL
+    (an old-generation row predating an evolved column) is OUT of
+    scope and must survive even when its key matches the forget list —
+    the unfixed filter dropped it."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)  # (doc_id, text)
+    g1 = spark.range(100, 110).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+        (F.col("id") % 3).alias("bucket"),
+    )
+    snap.append_snapshot(g1, root, evolve=True)
+    # doc 5 is old-gen: bucket NULL -> out of scope, must survive;
+    # doc 102 is in scope (bucket 0) and dies
+    info = apply_deletions_snapshot(
+        spark, root, keys=[5, 102], key_field="doc_id",
+        scope_where=[("bucket", "=", 0)],
+    )
+    got = {r.doc_id for r in read_snapshot(spark, root).collect()}
+    assert 5 in got and 102 not in got
+    assert info.row_count == 19
+
+
+def test_rewrite_refuses_when_table_advanced_after_planning(
+    spark, tmp_path, monkeypatch
+):
+    """Stale-parent regression: an append landing between a delete's
+    planning resolve and its publish must make the delete REFUSE —
+    the unfixed path committed a manifest without the appended files
+    (silent data loss)."""
+    root = _root(tmp_path)
+    publish_snapshot(
+        _df(spark, 10, "a").coalesce(1), root, stats_columns=["doc_id"]
+    )
+
+    from pyspark.sql import functions as F
+
+    real_scan = snap._scan_files
+    state = {"racing": False}
+
+    def race_scan(*a, **kw):
+        # fire between the delete's planning resolve and its publish —
+        # the window the pointer-moved check (which only sees movement
+        # AFTER publish begins) cannot cover
+        if not state["racing"]:
+            state["racing"] = True
+            snap.append_snapshot(
+                _df(spark, 5, "b").select(
+                    (F.col("doc_id") + 100).alias("doc_id"), "text"
+                ).coalesce(1),
+                root,
+            )
+        return real_scan(*a, **kw)
+
+    monkeypatch.setattr(snap, "_scan_files", race_scan)
+    with pytest.raises(RuntimeError, match="advanced"):
+        apply_deletions_snapshot(spark, root, keys=[3], key_field="doc_id")
+    monkeypatch.undo()
+    # the concurrent append's rows are intact; no delete committed
+    got = {r[0] for r in _rows(read_snapshot(spark, root))}
+    assert got == set(range(10)) | set(range(100, 105))
+
+
+def test_evolve_append_rebases_when_schema_unchanged(
+    spark, tmp_path, monkeypatch
+):
+    """An evolve=True append racing a PLAIN append must rebase like
+    any other append (the concurrent commit kept the schema it evolved
+    from) — the unfixed path raised 'concurrent commit changed the
+    table schema' and orphaned the data."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 5, "a").coalesce(1), root)
+
+    real = snap._write_data_prefix
+    state = {"racing": False}
+
+    def race(df, root_sp, rel_prefix, compression, stats_columns=(),
+             client=None, **kw):
+        out = real(
+            df, root_sp, rel_prefix, compression,
+            stats_columns=stats_columns, client=client, **kw,
+        )
+        if not state["racing"]:
+            state["racing"] = True
+            snap.append_snapshot(
+                _df(spark, 3, "b").select(
+                    (F.col("doc_id") + 100).alias("doc_id"), "text"
+                ).coalesce(1),
+                str(root_sp),
+            )
+        return out
+
+    monkeypatch.setattr(snap, "_write_data_prefix", race)
+    evolved_batch = spark.range(200, 203).select(
+        F.col("id").alias("doc_id"),
+        F.lit("c").alias("text"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+    info = snap.append_snapshot(evolved_batch, root, evolve=True)
+    monkeypatch.undo()
+    assert info.schema_id != "0" and "score" in info.columns
+    got = read_snapshot(spark, root)
+    assert got.count() == 11  # 5 + 3 (racer) + 3 (evolved)
+    assert got.filter(F.col("score").isNotNull()).count() == 3
+
+
+def test_bucket_transform_refuses_unportable_source_types(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 0.5).alias("w")
+    )
+    with pytest.raises(ValueError, match="string and integer columns"):
+        publish_snapshot(
+            df, str(tmp_path / "t"),
+            partition_transforms={"b4": ("bucket", "w", 4)},
+        )
+    # and an unportable LITERAL never prunes (conservative keep)
+    from smashed_spark.sources.snapshot import _partition_can_match
+
+    entry = {"path": "f", "partition": {"b4": "2"}}
+    assert _partition_can_match(
+        entry, {"b4": ["bucket", "doc_id", 4]}, "doc_id", "=", True
+    )
+
+
+def test_time_transform_requires_utc_session(spark, tmp_path):
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            publish_snapshot(
+                _ts_df(spark, 1, 2), str(tmp_path / "t"),
+                partition_transforms={"day": ("days", "ts")},
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_evolve_matches_column_names_case_insensitively(spark, tmp_path):
+    """A case-variant batch column must evolve AGAINST the existing
+    column (Spark's default resolver is case-insensitive), not mint a
+    duplicate pair that refuses every later append."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 3, "a"), root)
+    batch = spark.range(100, 103).select(
+        F.col("id").alias("DOC_ID"), F.lit("x").alias("text")
+    )
+    info = snap.append_snapshot(batch, root, evolve=True)
+    assert info.columns == {"doc_id": "bigint", "text": "string"}
+    assert read_snapshot(spark, root).count() == 6
+    # and a plain same-schema append still lands afterwards
+    snap.append_snapshot(_df(spark, 2, "b"), root)
+
+
 def test_partition_transform_spec_refusals(spark, tmp_path):
     root = _root(tmp_path)
     df = _ts_df(spark, 1, 1)

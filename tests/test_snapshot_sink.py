@@ -416,3 +416,43 @@ def test_reused_state_dir_with_fresh_table_refused(spark, tmp_path):
     # same-app crash-window redelivery still allowed (marker matches)
     new(_day(spark, [(50, "aa bb"), (51, _BASE)]), 0)
     assert resolve_snapshot(fresh_table).row_count == 1
+
+
+def test_legacy_unmarked_state_dir_refused_under_fresh_table(
+    spark, tmp_path
+):
+    """A PRE-MARKER state_dir (no _STATE_APP file) holding batch=N
+    index dirs under a fresh/recreated table must refuse like a
+    foreign checkpoint's — anonymous extensions would collide with the
+    new checkpoint's restarted ids exactly the same way."""
+    import os
+
+    from smashed_spark.streaming.ingest import compact_ingest_state
+    from smashed_spark.streaming.snapshot_sink import (
+        dedup_snapshot_batch_writer,
+    )
+
+    state = str(tmp_path / "state")
+    old_table = str(tmp_path / "old_table")
+    old = dedup_snapshot_batch_writer(old_table, state, app_id="dead-ckpt")
+    old(_day(spark, [(0, _BASE), (1, _FRESH)]), 0)
+    # simulate a pre-upgrade checkpoint: the marker never existed
+    os.remove(f"{state}/_STATE_APP")
+
+    fresh_table = str(tmp_path / "fresh_table")
+    plain = dedup_snapshot_batch_writer(
+        fresh_table, state, app_id="new-ckpt"
+    )
+    with pytest.raises(RuntimeError, match="per-checkpoint"):
+        plain(_day(spark, [(50, "aa bb")]), 0)
+    # takeover still demands compaction first, then proceeds with the
+    # anonymous history intact (old dup 51 is still caught)
+    new = dedup_snapshot_batch_writer(
+        fresh_table, state, app_id="new-ckpt", takeover=True
+    )
+    with pytest.raises(RuntimeError, match="compact_ingest_state"):
+        new(_day(spark, [(50, "aa bb")]), 0)
+    compact_ingest_state(spark, state, include_latest=True)
+    new(_day(spark, [(50, "aa bb"), (51, _BASE)]), 0)
+    got = {r.doc_id for r in read_snapshot(spark, fresh_table).collect()}
+    assert got == {50}
