@@ -1998,9 +1998,13 @@ def compact_snapshot(
     Old files stay readable until :func:`vacuum_snapshots`."""
     with packed_scan_conf(spark, target_file_bytes):
         info = resolve_snapshot(table_root, client=client)
+        # read the PLANNED version explicitly so the rewrite and its
+        # _expect_parent guard agree even if the table advances between
+        # these two lines (the guard then catches it at publish)
         df = read_snapshot(
             spark,
             table_root,
+            version=info.version,
             client=client,
             allow_driver_download=allow_driver_download,
         )
@@ -2017,6 +2021,7 @@ def compact_snapshot(
             stats_columns=stats_columns,
             partition_transforms=info.partition_transforms,
             client=client,
+            _expect_parent=info.version,
         )
 
 
@@ -2055,6 +2060,7 @@ def optimize_snapshot(
     df = read_snapshot(
         spark,
         table_root,
+        version=pre.version,
         client=client,
         allow_driver_download=allow_driver_download,
     )
@@ -2106,6 +2112,7 @@ def optimize_snapshot(
             "cluster_by": cluster_by,
         },
         client=client,
+        _expect_parent=pre.version,
     )
 
 
