@@ -130,6 +130,7 @@ from crash debris.  Retargeting an existing tag requires an explicit
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import shutil
@@ -548,8 +549,6 @@ def _file_can_match(
             normed = sorted(_norm_stat(v, kind) for v in value)
             if _cache is not None:
                 _cache[("in", kind)] = normed
-        import bisect
-
         # sorted + bisect: the membership-in-envelope test is
         # O(log k) per file instead of O(k)
         i = bisect.bisect_left(normed, lo)
@@ -577,12 +576,20 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _validate_transforms(
-    spec: Dict[str, Sequence], columns: Dict[str, str]
+    spec: Dict[str, Sequence],
+    columns: Dict[str, str],
+    strict_bucket_types: bool = True,
 ) -> Dict[str, List]:
     """Normalize/validate a partition-transform spec against the data
     columns: each entry is ``name: ("days"|"hours", src)`` or
     ``name: ("bucket", src, n)`` — src must be a data column, the dir
-    name must NOT be one (it lives only in paths)."""
+    name must NOT be one (it lives only in paths).
+
+    ``strict_bucket_types=False`` (inherited specs on carried commits)
+    skips the bucket source-type restriction: the table already exists
+    with that layout, the pruner's ``_bucketable`` literal guard keeps
+    reads safe whatever the source type, and refusing would brick
+    every append to a previously healthy table."""
     out: Dict[str, List] = {}
     for name, raw in spec.items():
         t = list(raw)
@@ -609,18 +616,23 @@ def _validate_transforms(
                 f"partition_transforms[{name!r}]: source column "
                 f"{src!r} not in the data columns {sorted(columns)}"
             )
-        if t[0] == "bucket" and columns[src] not in (
-            "string", "tinyint", "smallint", "int", "bigint"
+        if (
+            strict_bucket_types
+            and t[0] == "bucket"
+            and columns[src] not in (
+                "string", "tinyint", "smallint", "int", "bigint", "date"
+            )
         ):
             # Python-side literal hashing at plan time must reproduce
-            # Spark's CAST(col AS STRING) at write time; only string
-            # and integer types have provably identical text forms
+            # Spark's CAST(col AS STRING) at write time; string,
+            # integer, and date types have provably identical text
+            # forms (str(datetime.date) is yyyy-MM-dd, same as CAST)
             raise ValueError(
                 f"partition_transforms[{name!r}]: bucket source "
                 f"{src!r} is {columns[src]} — bucket transforms "
-                "support string and integer columns (float/bool/"
-                "timestamp text forms differ between the writer's "
-                "CAST and the pruner's str())"
+                "support string, integer, and date columns (float/"
+                "bool/timestamp text forms differ between the "
+                "writer's CAST and the pruner's str())"
             )
         if name in columns:
             raise ValueError(
@@ -653,21 +665,38 @@ def _transform_columns(spec: Dict[str, List]):
     return cols
 
 
-def _time_granule(value, kind: str) -> Optional[str]:
+def _time_granule(value, kind: str, instant: bool = True) -> Optional[str]:
     """The ``days``/``hours`` directory string a literal falls in, or
-    None when it cannot be derived safely (→ no pruning on it).  A
-    tz-aware datetime converts to UTC first (the write side formats
-    under the pinned-UTC session); naive datetimes/dates/ISO strings
-    are taken as the same wall clock the writer saw."""
+    None when it cannot be derived safely (→ no pruning on it).
+
+    ``instant=True`` (a Spark TIMESTAMP source — tz-adjusted): only a
+    TZ-AWARE datetime prunes, converted to UTC (the write-side guard
+    pins the formatting session to UTC).  A naive datetime or ISO
+    string would be resolved by Spark's re-applied filter under the
+    READER's session timezone — pruning it by UTC wall clock could
+    skip the directory holding the matching rows, so those never
+    prune here (the same tz-ambiguity refusal the stats pruner's
+    ``_norm_stat`` applies).
+
+    ``instant=False`` (TIMESTAMP_NTZ / DATE / string sources — zone-
+    free wall clock): naive datetimes, dates, and ISO strings compare
+    textually; a tz-aware literal against a wall-clock column is the
+    ambiguous case and never prunes."""
     import datetime as _dt
     import re
 
     if isinstance(value, _dt.datetime):
-        if value.tzinfo is not None:
+        if instant:
+            if value.tzinfo is None:
+                return None
             value = value.astimezone(_dt.timezone.utc)
+        elif value.tzinfo is not None:
+            return None
         return value.strftime(
             "%Y-%m-%d" if kind == "days" else "%Y-%m-%d-%H"
         )
+    if instant:
+        return None
     if isinstance(value, _dt.date):
         return (
             value.strftime("%Y-%m-%d")
@@ -694,6 +723,23 @@ def _md5_bucket(value, n: int) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % n
 
 
+def _bucketable(v) -> bool:
+    """Literal types whose Python str() provably matches Spark's
+    CAST(col AS STRING): str, non-bool int, and date (yyyy-MM-dd).
+    bool ('True' vs 'true'), float ('1e+20' vs '1.0E20'), and datetime
+    reprs diverge — hashing the wrong text would skip the file that
+    holds the matching rows, so those never prune."""
+    import datetime as _dt
+
+    if isinstance(v, str):
+        return True
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, int):
+        return True
+    return isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+
+
 def _partition_can_match(
     entry: Dict[str, object],
     transforms: Dict[str, List],
@@ -701,12 +747,16 @@ def _partition_can_match(
     op: str,
     value,
     _cache=None,
+    src_types: Optional[Dict[str, str]] = None,
 ) -> bool:
     """Directory-level envelope test, conservative like the stats one:
     False ONLY when the file's recorded partition value proves no row
     can satisfy the predicate on the transform's SOURCE column.
-    ``_cache`` memoizes literal granules/buckets across the file loop
-    (same contract as :func:`_file_can_match`)."""
+    ``_cache`` memoizes literal granules/buckets/eligibility across
+    the file loop (same contract as :func:`_file_can_match`);
+    ``src_types`` (the manifest's column→type map) decides whether a
+    time source is an INSTANT (tz-adjusted) — unknown types are
+    treated as instants, the stricter literal rule."""
     part = entry.get("partition") or {}
     for name, t in transforms.items():
         kind, src = t[0], t[1]
@@ -716,12 +766,15 @@ def _partition_can_match(
         if raw is None or raw == _HIVE_NULL:
             continue  # unknown / all-NULL source rows: keep
         if kind in ("days", "hours"):
+            instant = (src_types or {}).get(src) not in (
+                "timestamp_ntz", "date", "string"
+            )
             if op == "in":
                 gs = None
                 if _cache is not None:
                     gs = _cache.get(("granules", kind))
                 if gs is None:
-                    gs = {_time_granule(v, kind) for v in value}
+                    gs = {_time_granule(v, kind, instant) for v in value}
                     if _cache is not None:
                         _cache[("granules", kind)] = gs
                 if None not in gs and raw not in gs:
@@ -730,7 +783,7 @@ def _partition_can_match(
             if _cache is not None and ("granule", kind) in _cache:
                 g = _cache[("granule", kind)]
             else:
-                g = _time_granule(value, kind)
+                g = _time_granule(value, kind, instant)
                 if _cache is not None:
                     _cache[("granule", kind)] = g
             if g is None:
@@ -749,34 +802,34 @@ def _partition_can_match(
                 b = int(raw)
             except ValueError:
                 continue
-            # prune ONLY for literal types whose Python str() provably
-            # matches Spark's CAST(col AS STRING) (str, non-bool int):
-            # bool ('True' vs 'true'), float ('1e+20' vs '1.0E20'),
-            # and datetime reprs diverge — hashing the wrong text
-            # would skip the file that holds the matching rows
-            def _bucketable(v):
-                return isinstance(v, str) or (
-                    isinstance(v, int) and not isinstance(v, bool)
-                )
-
-            if op == "=" and _bucketable(value):
-                if _cache is not None and ("bucket", n) in _cache:
-                    vb = _cache[("bucket", n)]
-                else:
-                    vb = _md5_bucket(value, n)
+            if op == "=":
+                vb = None
+                if _cache is not None:
+                    vb = _cache.get(("bucket", n))
+                if vb is None:
+                    vb = (
+                        _md5_bucket(value, n) if _bucketable(value)
+                        else "ineligible"
+                    )
                     if _cache is not None:
                         _cache[("bucket", n)] = vb
-                if vb != b:
+                if vb != "ineligible" and vb != b:
                     return False
-            if op == "in" and all(_bucketable(v) for v in value):
+            if op == "in":
                 vbs = None
                 if _cache is not None:
                     vbs = _cache.get(("buckets", n))
                 if vbs is None:
-                    vbs = {_md5_bucket(v, n) for v in value}
+                    # the eligibility sweep is O(k) ONCE per predicate,
+                    # not once per file
+                    vbs = (
+                        {_md5_bucket(v, n) for v in value}
+                        if all(_bucketable(v) for v in value)
+                        else "ineligible"
+                    )
                     if _cache is not None:
                         _cache[("buckets", n)] = vbs
-                if b not in vbs:
+                if vbs != "ineligible" and b not in vbs:
                     return False
     return True
 
@@ -818,7 +871,8 @@ def plan_snapshot_scan(
             and (
                 not transforms
                 or _partition_can_match(
-                    entry, transforms, c, op, v, _cache=pc
+                    entry, transforms, c, op, v, _cache=pc,
+                    src_types=info.columns,
                 )
             )
             for (c, op, v), (sc, pc) in zip(where, caches)
@@ -1018,7 +1072,18 @@ def _evolve_batch(df: DataFrame, parent_cols: Dict[str, str]):
     # name resolution is case-INSENSITIVE, matching align_to_schema and
     # Spark's default resolver (spark.sql.caseSensitive=false): a batch
     # shipping DOC_ID must evolve against doc_id, not mint a duplicate
-    # column pair that every later append would then be refused over
+    # column pair that every later append would then be refused over.
+    # Case-DISTINCT batch columns (legal under caseSensitive=true)
+    # refuse loudly — folding them would silently drop one
+    lowered = [f.name.lower() for f in df.schema.fields]
+    if len(set(lowered)) != len(lowered):
+        dupes = sorted({n for n in lowered if lowered.count(n) > 1})
+        raise ValueError(
+            "append_snapshot: batch has case-distinct column pairs "
+            f"{dupes} — evolution resolves names case-insensitively "
+            "(Spark's default), which would silently collapse them; "
+            "rename one side first"
+        )
     batch = {f.name.lower(): f.dataType for f in df.schema.fields}
     target: Dict[str, str] = {}
     for name, ptype in parent_cols.items():
@@ -1092,7 +1157,10 @@ def publish_snapshot(
     needing) envelope stats.  Commits that carry parent files (append,
     file-scoped delete) INHERIT the table's transforms; passing a
     different spec there refuses.  A plain publish defines the
-    table's layout fresh.
+    table's layout fresh.  Time granules are UTC BY PROTOCOL: the
+    write side has refused non-UTC sessions since the feature
+    shipped, so every directory this code ever formatted is UTC and
+    the pruner needs no per-table timezone record.
 
     Order of operations IS the crash-safety argument: data prefix
     (new, random-token suffix) → manifest (immutable, versioned) →
@@ -1146,6 +1214,9 @@ def publish_snapshot(
             )
         schemas: Optional[Dict[str, Dict[str, str]]] = {"0": dict(columns)}
         schema_id = "0"
+        # set only by a rebase onto an evolved parent: the generation
+        # to tag OUR files with (older than the table's current)
+        file_gen: Optional[str] = None
         if begin_version is not None:
             parent_info = resolve_snapshot(
                 table_root, begin_version, client=client
@@ -1167,6 +1238,16 @@ def publish_snapshot(
                 parent_cols = parent_info.columns
                 if parent_cols is not None and dict(parent_cols) != columns:
                     if written is not None:
+                        rebase_gen = next(
+                            (
+                                g
+                                for g, cols in (
+                                    parent_info.schemas or {}
+                                ).items()
+                                if dict(cols) == columns
+                            ),
+                            None,
+                        )
                         if (
                             evolved_from is not None
                             and dict(parent_cols) == evolved_from
@@ -1177,6 +1258,14 @@ def publish_snapshot(
                             # proceed to mint the generation against
                             # the new parent's registry
                             pass
+                        elif rebase_gen is not None:
+                            # the concurrent commit EVOLVED the table,
+                            # but our written files match a generation
+                            # its registry still carries — tag them
+                            # with that generation and adopt the new
+                            # parent's (current) schema for the table
+                            file_gen = rebase_gen
+                            columns = dict(parent_cols)
                         else:
                             # the concurrent commit changed the table
                             # schema AFTER our data landed — our files
@@ -1292,7 +1381,12 @@ def publish_snapshot(
                         "layout; republish to change it"
                     )
             eff_transforms = (
-                _validate_transforms(dict(inherited), columns)
+                # inherited specs skip the bucket source-type
+                # restriction: the table already has the layout, and
+                # refusing would brick appends to healthy tables
+                _validate_transforms(
+                    dict(inherited), columns, strict_bucket_types=False
+                )
                 if inherited
                 else None
             )
@@ -1312,14 +1406,18 @@ def publish_snapshot(
                 transforms=eff_transforms,
             )
         # (re)tag our files: a rebase may re-resolve a different parent
-        # registry, so the tag is recomputed each attempt
+        # registry, so the tag is recomputed each attempt.  A rebase
+        # onto an evolved parent tags with the OLDER generation the
+        # files were actually written under (file_gen), not the
+        # table's current one
+        own_gen = file_gen if file_gen is not None else schema_id
         for entry in written["files"]:
             entry.pop("schema", None)
-        if schemas is not None and schema_id != "0":
+        if schemas is not None and own_gen != "0":
             # entries without a "schema" key default to generation "0",
             # so only non-zero generations spend manifest bytes on it
             for entry in written["files"]:
-                entry["schema"] = schema_id
+                entry["schema"] = own_gen
         all_files = carried_files + written["files"]
         if schemas is not None:
             referenced = {str(f.get("schema", "0")) for f in all_files}

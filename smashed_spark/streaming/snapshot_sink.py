@@ -274,13 +274,8 @@ def dedup_snapshot_batch_writer(
             for src, a in (("table", app), ("state_dir", state_app))
             if a is not None and a != app_id
         ]
-        if not foreign and state_app is None and app is None:
-            # a PRE-MARKER state_dir (legacy checkpoint, no _STATE_APP)
-            # under a fresh/recreated table: nobody can vouch for the
-            # batch=N dirs in it, so they are treated exactly like a
-            # foreign checkpoint's — anonymous extensions would collide
-            # with this checkpoint's restarted ids just the same
-            legacy = [
+        def _per_batch_index_dirs():
+            return [
                 d
                 for sub in ("digests", "bands", "semantic")
                 for d in _glob.glob(
@@ -288,7 +283,14 @@ def dedup_snapshot_batch_writer(
                 )
                 if not d.endswith("batch=-1")
             ]
-            if legacy:
+
+        if not foreign and state_app is None and app is None:
+            # a PRE-MARKER state_dir (legacy checkpoint, no _STATE_APP)
+            # under a fresh/recreated table: nobody can vouch for the
+            # batch=N dirs in it, so they are treated exactly like a
+            # foreign checkpoint's — anonymous extensions would collide
+            # with this checkpoint's restarted ids just the same
+            if _per_batch_index_dirs():
                 foreign = [("state_dir", "<unmarked legacy checkpoint>")]
         if foreign:
             if not takeover:
@@ -300,14 +302,7 @@ def dedup_snapshot_batch_writer(
                     "per-checkpoint; pass takeover=True only after "
                     "decommissioning the old checkpoint"
                 )
-            stale = [
-                d
-                for sub in ("digests", "bands", "semantic")
-                for d in _glob.glob(
-                    _os.path.join(state_dir, sub, "batch=*")
-                )
-                if not d.endswith("batch=-1")
-            ]
+            stale = _per_batch_index_dirs()
             if stale:
                 raise RuntimeError(
                     "dedup_snapshot_batch_writer: takeover with "

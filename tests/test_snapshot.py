@@ -1784,7 +1784,7 @@ def test_bucket_transform_refuses_unportable_source_types(spark, tmp_path):
     df = spark.range(5).select(
         F.col("id").alias("doc_id"), (F.col("id") * 0.5).alias("w")
     )
-    with pytest.raises(ValueError, match="string and integer columns"):
+    with pytest.raises(ValueError, match="string, integer, and date"):
         publish_snapshot(
             df, str(tmp_path / "t"),
             partition_transforms={"b4": ("bucket", "w", 4)},
@@ -1827,6 +1827,123 @@ def test_evolve_matches_column_names_case_insensitively(spark, tmp_path):
     assert read_snapshot(spark, root).count() == 6
     # and a plain same-schema append still lands afterwards
     snap.append_snapshot(_df(spark, 2, "b"), root)
+
+
+def test_plain_append_rebases_onto_evolved_parent(
+    spark, tmp_path, monkeypatch
+):
+    """Review round 2: a plain append racing a concurrent EVOLVE
+    commit rebases by tagging its written files with the generation
+    they match in the new parent's registry — both commits land, and
+    the appended rows read back with typed-NULL evolved columns."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 5, "a").coalesce(1), root)
+
+    real = snap._write_data_prefix
+    state = {"racing": False}
+
+    def race(df, root_sp, rel_prefix, compression, stats_columns=(),
+             client=None, **kw):
+        out = real(
+            df, root_sp, rel_prefix, compression,
+            stats_columns=stats_columns, client=client, **kw,
+        )
+        if not state["racing"]:
+            state["racing"] = True
+            evolved = spark.range(100, 103).select(
+                F.col("id").alias("doc_id"),
+                F.lit("e").alias("text"),
+                (F.col("id") * 2.0).alias("score"),
+            )
+            snap.append_snapshot(evolved, str(root_sp), evolve=True)
+        return out
+
+    monkeypatch.setattr(snap, "_write_data_prefix", race)
+    info = snap.append_snapshot(
+        _df(spark, 3, "b").select(
+            (F.col("doc_id") + 200).alias("doc_id"), "text"
+        ).coalesce(1),
+        root,
+    )
+    monkeypatch.undo()
+    # table schema is the EVOLVED one; our files carry the old gen tag
+    assert "score" in info.columns
+    got = read_snapshot(spark, root)
+    assert got.count() == 11
+    assert got.filter(
+        F.col("doc_id").between(200, 202) & F.col("score").isNull()
+    ).count() == 3
+
+
+def test_instant_timestamp_literals_prune_only_tz_aware():
+    """Review round 2: naive datetimes / ISO strings against an
+    INSTANT (tz-adjusted) timestamp source never prune — Spark's
+    re-applied filter resolves them under the READER's session zone,
+    so UTC-wall-clock pruning could skip the matching directory.
+    Wall-clock sources (date/ntz/string) keep the textual rules."""
+    import datetime as dt
+
+    from smashed_spark.sources.snapshot import _partition_can_match
+
+    entry = {"path": "f", "partition": {"day": "2024-03-02"}}
+    tr = {"day": ["days", "ts"]}
+    naive = dt.datetime(2024, 3, 1, 12, 0)
+    aware = dt.datetime(2024, 3, 1, 12, 0, tzinfo=dt.timezone.utc)
+    # instant source (default / per manifest type): naive + ISO keep
+    for lit in (naive, "2024-03-01 12:00:00", dt.date(2024, 3, 1)):
+        assert _partition_can_match(
+            entry, tr, "ts", "=", lit, src_types={"ts": "timestamp"}
+        )
+    # ...but a tz-aware literal prunes
+    assert not _partition_can_match(
+        entry, tr, "ts", "=", aware, src_types={"ts": "timestamp"}
+    )
+    # wall-clock source: naive/date/ISO prune, aware keeps
+    for lit in (naive, "2024-03-01 12:00:00", dt.date(2024, 3, 1)):
+        assert not _partition_can_match(
+            entry, tr, "ts", "=", lit,
+            src_types={"ts": "timestamp_ntz"},
+        )
+    assert _partition_can_match(
+        entry, tr, "ts", "=", aware, src_types={"ts": "timestamp_ntz"}
+    )
+
+
+def test_inherited_bucket_spec_skips_type_strictness():
+    """Review round 2: inherited specs on carried commits must not
+    re-raise the bucket source-type restriction (it would brick every
+    append to a pre-existing table); the read side stays safe via the
+    literal _bucketable guard."""
+    from smashed_spark.sources.snapshot import _validate_transforms
+
+    spec = {"b4": ("bucket", "w", 4)}
+    cols = {"doc_id": "bigint", "w": "double"}
+    with pytest.raises(ValueError, match="string, integer, and date"):
+        _validate_transforms(spec, cols)
+    assert _validate_transforms(spec, cols, strict_bucket_types=False) == {
+        "b4": ["bucket", "w", 4]
+    }
+    # date sources are portable (str(date) == CAST text) — strict OK
+    assert _validate_transforms(
+        {"b4": ("bucket", "d", 4)}, {"d": "date"}
+    ) == {"b4": ["bucket", "d", 4]}
+
+
+def test_evolve_refuses_case_distinct_batch_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 3, "a"), root)
+    bad = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+        F.lit(1).alias("extra"),
+        F.lit(2).alias("EXTRA"),
+    )
+    with pytest.raises(ValueError, match="case-distinct"):
+        snap.append_snapshot(bad, root, evolve=True)
 
 
 def test_partition_transform_spec_refusals(spark, tmp_path):
