@@ -170,8 +170,14 @@ DEFAULT_COMMIT_RETRIES = 4
 # the caller overrides them: the streaming sink's exactly-once
 # watermark must not vanish when a compaction (which sets its own
 # properties) commits on top of the last stream append, or when vacuum
-# later removes that append's manifest
-_PROPAGATED_PROPS = ("stream_app_id", "stream_batch_id")
+# later removes that append's manifest.  The optimize contract
+# (bounds/bits/cluster_by) propagates the same way so an INCREMENTAL
+# optimize can run off the current snapshot after any number of
+# appends/deletes without chasing the last optimize's manifest
+_PROPAGATED_PROPS = (
+    "stream_app_id", "stream_batch_id",
+    "zorder_bounds", "zorder_bits", "cluster_by",
+)
 
 
 @dataclass(frozen=True)
@@ -1130,6 +1136,7 @@ def publish_snapshot(
     _carry_files: Optional[List[Dict[str, object]]] = None,
     _evolve: bool = False,
     _expect_parent: Optional[int] = None,
+    _mark_files: Optional[Dict[str, object]] = None,
 ) -> SnapshotInfo:
     """Publish ``df`` as the table's next snapshot (see module docstring
     for the protocol and its crash windows).  Returns the committed
@@ -1418,6 +1425,11 @@ def publish_snapshot(
             # so only non-zero generations spend manifest bytes on it
             for entry in written["files"]:
                 entry["schema"] = own_gen
+        if _mark_files:
+            # operation-specific entry metadata (e.g. optimize's
+            # "clustered" tag, which incremental optimize carries by)
+            for entry in written["files"]:
+                entry.update(_mark_files)
         all_files = carried_files + written["files"]
         if schemas is not None:
             referenced = {str(f.get("schema", "0")) for f in all_files}
@@ -2131,6 +2143,7 @@ def optimize_snapshot(
     bounds=None,
     num_files: Optional[int] = None,
     keep_zorder_column: bool = False,
+    incremental: bool = False,
     compression: str = "zstd",
     stats_columns: Sequence[str] = (),
     client=None,
@@ -2146,6 +2159,19 @@ def optimize_snapshot(
     next optimize can keep Z-keys append-stable by passing them back
     as ``bounds=`` — no side-channel caller persistence needed.
 
+    ``incremental=True`` is the daily-maintenance tier: only files NOT
+    written by a previous optimize (appends, delete-survivor rewrites)
+    are read, Z-keyed under the PERSISTED bounds, and rewritten; every
+    already-clustered entry (tagged ``"clustered": true`` at optimize
+    time) carries into the new manifest verbatim — O(new data) however
+    large the table, the same shape as ``append_snapshot``.  Requires
+    a prior full optimize with the same ``cluster_by``/``bits`` (its
+    persisted bounds ARE the Z-key contract; a mismatch refuses).
+    Nothing to rewrite returns the current snapshot unchanged.  New
+    files' Z-ranges overlap the old files' — per-file envelope
+    skipping is unaffected, global clustering degrades gradually; run
+    a full optimize occasionally, exactly like Delta/Iceberg OPTIMIZE.
+
     Tables laid out with ``partition_transforms`` cluster WITHIN their
     directories: the range partitioning keys on (transform columns...,
     Z-key) — the optimize_layout composition — so each output task
@@ -2155,14 +2181,56 @@ def optimize_snapshot(
     from .layout import ZORDER_FIELD, fit_zorder_bounds, zorder_column
 
     pre = resolve_snapshot(table_root, client=client)
-    df = read_snapshot(
-        spark,
-        table_root,
-        version=pre.version,
-        client=client,
-        allow_driver_download=allow_driver_download,
-    )
     cluster_by = list(cluster_by)
+    carry_entries: Optional[List[Dict[str, object]]] = None
+    if incremental:
+        props = pre.properties
+        if bounds is None:
+            persisted = props.get("zorder_bounds")
+            if persisted is None:
+                raise ValueError(
+                    "optimize_snapshot(incremental=True): no persisted "
+                    "zorder_bounds on the current snapshot — run a full "
+                    "optimize first (its bounds are the Z-key contract "
+                    "incremental passes must keep)"
+                )
+            bounds = {c: tuple(v) for c, v in persisted.items()}
+        if (
+            list(props.get("cluster_by") or []) != cluster_by
+            or int(props.get("zorder_bits") or -1) != int(bits)
+        ):
+            raise ValueError(
+                "optimize_snapshot(incremental=True): cluster_by/bits "
+                f"({cluster_by}, {bits}) differ from the persisted "
+                f"({props.get('cluster_by')}, "
+                f"{props.get('zorder_bits')}) — Z-keys would be "
+                "incomparable across files; run a full optimize to "
+                "change the clustering"
+            )
+        if any(f.get("rows") is None for f in pre.files):
+            raise ValueError(
+                "optimize_snapshot(incremental=True): spec-1 file "
+                "entries without row counts cannot be carried — run a "
+                "full optimize"
+            )
+        carry_entries = [f for f in pre.files if f.get("clustered")]
+        to_rewrite = [f for f in pre.files if not f.get("clustered")]
+        if not to_rewrite:
+            return pre
+        scan_info = SnapshotInfo(
+            **{**pre.__dict__, "files": to_rewrite}
+        )
+        df = _scan_files(
+            spark, table_root, scan_info, client, allow_driver_download
+        )
+    else:
+        df = read_snapshot(
+            spark,
+            table_root,
+            version=pre.version,
+            client=client,
+            allow_driver_download=allow_driver_download,
+        )
     if ZORDER_FIELD in df.columns:
         raise ValueError(
             f"optimize_snapshot: snapshot already has a {ZORDER_FIELD!r} "
@@ -2210,7 +2278,9 @@ def optimize_snapshot(
             "cluster_by": cluster_by,
         },
         client=client,
+        _carry_files=carry_entries,
         _expect_parent=pre.version,
+        _mark_files={"clustered": True},
     )
 
 

@@ -353,6 +353,87 @@ def test_compact_snapshot(spark, tmp_path):
     assert len(resolve_snapshot(root, version=1).files) == len(before.files)
 
 
+def test_incremental_optimize_rewrites_only_new_files(spark, tmp_path):
+    """Daily-maintenance Z-order: after a full optimize, an
+    incremental pass reads ONLY the files later commits added (under
+    the persisted bounds), carries every clustered entry verbatim,
+    and marks its output clustered so the next pass skips it too."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(
+        _df(spark, 200, "a").repartition(2), root,
+        stats_columns=["doc_id"],
+    )
+    full = snap.optimize_snapshot(
+        spark, root, cluster_by=["doc_id"], bits=8, num_files=2,
+        stats_columns=["doc_id"],
+    )
+    assert all(f.get("clustered") for f in full.files if f.get("rows"))
+    assert "zorder_bounds" in full.properties
+
+    snap.append_snapshot(
+        _df(spark, 50, "b")
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        .coalesce(1),
+        root,
+        stats_columns=["doc_id"],
+    )
+    before = resolve_snapshot(root)
+    clustered_before = [f for f in before.files if f.get("clustered")]
+
+    inc = snap.optimize_snapshot(
+        spark, root, cluster_by=["doc_id"], bits=8, num_files=1,
+        incremental=True, stats_columns=["doc_id"],
+    )
+    # every previously-clustered entry rides verbatim; only the
+    # appended file was rewritten (and is now clustered itself)
+    for f in clustered_before:
+        assert f in inc.files
+    new_files = [f for f in inc.files if f not in before.files]
+    assert new_files and all(f.get("clustered") for f in new_files)
+    assert inc.row_count == before.row_count
+    got = {r[0] for r in _rows(read_snapshot(spark, root))}
+    assert got == set(range(200)) | set(range(1000, 1050))
+
+    # nothing unclustered left: a second incremental pass is a no-op
+    # (same version back, no new commit)
+    again = snap.optimize_snapshot(
+        spark, root, cluster_by=["doc_id"], bits=8, incremental=True
+    )
+    assert again.version == inc.version
+
+    # a delete-survivor rewrite is unclustered — the next incremental
+    # pass picks exactly it up
+    apply_deletions_snapshot(
+        spark, root, keys=[5], key_field="doc_id",
+        stats_columns=["doc_id"],
+    )
+    after_del = resolve_snapshot(root)
+    assert any(not f.get("clustered") for f in after_del.files)
+    inc2 = snap.optimize_snapshot(
+        spark, root, cluster_by=["doc_id"], bits=8, num_files=1,
+        incremental=True, stats_columns=["doc_id"],
+    )
+    assert all(
+        f.get("clustered") for f in inc2.files if f.get("rows")
+    )
+    assert inc2.row_count == before.row_count - 1
+
+    # contract refusals: changed clustering or missing bounds
+    with pytest.raises(ValueError, match="incomparable"):
+        snap.optimize_snapshot(
+            spark, root, cluster_by=["doc_id"], bits=10,
+            incremental=True,
+        )
+    fresh = str(tmp_path / "fresh")
+    publish_snapshot(_df(spark, 10, "a"), fresh)
+    with pytest.raises(ValueError, match="full optimize first"):
+        snap.optimize_snapshot(
+            spark, fresh, cluster_by=["doc_id"], incremental=True
+        )
+
+
 def test_apply_deletions_snapshot(spark, tmp_path):
     root = _root(tmp_path)
     publish_snapshot(_df(spark, 100, "a"), root)
