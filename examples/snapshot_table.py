@@ -206,6 +206,31 @@ def main() -> None:
         f"{read_snapshot(spark, table2).filter('doc_id = 3').count() == 1}"
     )
 
+    # incremental Z-order maintenance on the first corpus table: the
+    # day's append is re-keyed under the PERSISTED bounds and every
+    # already-clustered file entry rides the manifest verbatim —
+    # O(new data) daily maintenance, like Delta/Iceberg OPTIMIZE
+    append_snapshot(
+        docs.limit(40).withColumn("doc_id", F.col("doc_id") + 2_000_000),
+        table,
+        stats_columns=["doc_id", "n_chars"],
+    )
+    pre_inc = resolve_snapshot(table)
+    inc = optimize_snapshot(
+        spark,
+        table,
+        cluster_by=["n_chars", "doc_id"],
+        bits=10,
+        num_files=1,
+        incremental=True,
+        stats_columns=["doc_id", "n_chars"],
+    )
+    carried = sum(1 for f in inc.files if f in pre_inc.files)
+    print(
+        f"incremental optimize: {carried}/{len(pre_inc.files)} entries "
+        f"carried, {len(inc.files) - carried} file(s) re-keyed"
+    )
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 

@@ -979,6 +979,100 @@ def main() -> None:
             "files_rewritten": rewritten,
         }
 
+    # r14: incremental optimize — a constant daily batch re-keyed onto
+    # a clustered table whose CLUSTERED file count grows 16/160/1600.
+    # The carried entries ride the manifest verbatim, so the wall
+    # should stay ~flat (the O(new data) maintenance claim) while a
+    # full optimize would re-read and re-write the whole table.
+    inc_opt_selected = not only or "snapshot_incremental_optimize" in only
+
+    def run_inc_optimize(n_files: int, reps: int = 2) -> dict:
+        import tempfile as _tf
+
+        from smashed_spark.sources.snapshot import (
+            append_snapshot,
+            optimize_snapshot,
+            publish_snapshot,
+            resolve_snapshot,
+        )
+
+        best = {"incremental": -1.0}
+        rewritten = None
+        for _ in range(reps):
+            isolate()
+            root = _tf.mkdtemp(prefix="smashed_incopt_") + "/tbl"
+            base = (
+                spark.range(160_000)
+                .selectExpr("id AS doc_id", "id % 997 AS n_chars")
+            )
+            publish_snapshot(base.repartition(4), root)
+            optimize_snapshot(
+                spark, root, cluster_by=["doc_id"], bits=8,
+                num_files=n_files,
+            )
+            batch = spark.range(1_000_000, 1_001_000).selectExpr(
+                "id AS doc_id", "id % 997 AS n_chars"
+            ).coalesce(1)
+            append_snapshot(batch, root)
+            before = resolve_snapshot(root)
+            t0 = time.perf_counter()
+            info = optimize_snapshot(
+                spark, root, cluster_by=["doc_id"], bits=8,
+                num_files=1, incremental=True,
+            )
+            t_inc = time.perf_counter() - t0
+            prev = {f["path"] for f in before.files}
+            rewritten = sum(
+                1 for f in info.files if f["path"] not in prev
+            )
+            assert info.row_count == 161_000
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+            best["incremental"] = (
+                t_inc
+                if best["incremental"] < 0
+                else min(best["incremental"], t_inc)
+            )
+        return {
+            "incremental": round(best["incremental"], 4),
+            "files_rewritten": rewritten,
+        }
+
+    if inc_opt_selected:
+        sweep = {n: run_inc_optimize(n) for n in (16, 160, 1600)}
+        result["queries"]["snapshot_incremental_optimize"] = {
+            "clustered_files_sweep": {str(n): sweep[n] for n in sweep},
+            "wall_ratio_per_decade": [
+                round(
+                    sweep[160]["incremental"]
+                    / max(sweep[16]["incremental"], 1e-9),
+                    2,
+                ),
+                round(
+                    sweep[1600]["incremental"]
+                    / max(sweep[160]["incremental"], 1e-9),
+                    2,
+                ),
+            ],
+            "note": (
+                "constant 1000-row daily batch incrementally re-keyed "
+                "onto a table whose CLUSTERED file count grows "
+                "16/160/1600 (constant 160k rows).  files_rewritten "
+                "counts the new commit's files — bounded by the batch, "
+                "never the table; wall may grow mildly with manifest "
+                "JSON size, nothing else.  A full optimize at the same "
+                "points rewrites the entire table."
+            ),
+        }
+        print(
+            "# snapshot_incremental_optimize: "
+            + str(
+                result["queries"]["snapshot_incremental_optimize"][
+                    "clustered_files_sweep"
+                ]
+            ),
+            file=sys.stderr,
+        )
+
     if scoped_delete_selected:
         sweep = {n: run_scoped_delete(n) for n in (16, 160, 1600)}
         result["queries"]["snapshot_scoped_delete"] = {
