@@ -1927,6 +1927,64 @@ def read_snapshot_changes(
     return out
 
 
+def snapshot_table_stats(
+    table_root: str,
+    version: Optional[int] = None,
+    client=None,
+) -> Dict[str, object]:
+    """The operational "describe table": everything a maintenance loop
+    decides by, computed from the manifest alone — two GETs, zero
+    Spark jobs, zero file listings.
+
+    Returns file/row/byte totals, file-size distribution (min/avg/max
+    and a small-files count under 16 MiB — the compaction trigger),
+    schema-generation spread (how much of the table still reads
+    through the evolution aligner), clustered fraction (how much an
+    incremental optimize would skip), per-transform directory counts,
+    and which columns carry envelope stats (what ``where=`` can prune
+    on)."""
+    info = resolve_snapshot(table_root, version, client=client)
+    sizes = [int(f.get("bytes") or 0) for f in info.files]
+    n = len(info.files)
+    gens: Dict[str, int] = {}
+    clustered = 0
+    stats_cols: Dict[str, int] = {}
+    dir_values: Dict[str, set] = {}
+    for f in info.files:
+        g = str(f.get("schema", "0"))
+        gens[g] = gens.get(g, 0) + 1
+        if f.get("clustered"):
+            clustered += 1
+        for c in (f.get("stats") or {}):
+            stats_cols[c] = stats_cols.get(c, 0) + 1
+        for k, v in (f.get("partition") or {}).items():
+            dir_values.setdefault(k, set()).add(v)
+    small = sum(1 for s in sizes if s < (16 << 20))
+    return {
+        "version": info.version,
+        "operation": info.operation,
+        "files": n,
+        "rows": info.row_count,
+        "bytes": sum(sizes),
+        "file_bytes_min": min(sizes) if sizes else 0,
+        "file_bytes_avg": (sum(sizes) // n) if n else 0,
+        "file_bytes_max": max(sizes) if sizes else 0,
+        "small_files_lt_16mib": small,
+        "prefixes": len(info.prefixes),
+        "schema_generations": {k: gens[k] for k in sorted(gens, key=int)},
+        "current_schema_id": info.schema_id,
+        "clustered_files": clustered,
+        "unclustered_files": n - clustered,
+        "partition_transforms": info.partition_transforms,
+        "partition_dirs": {
+            k: len(v) for k, v in sorted(dir_values.items())
+        },
+        "stats_columns": {
+            c: stats_cols[c] for c in sorted(stats_cols)
+        },
+    }
+
+
 def _remove_dir_quiet(path: str, client=None) -> None:
     """remove_directory tolerating an already-missing target — what
     makes an interrupted vacuum re-runnable (s3 deletes are naturally
@@ -2475,6 +2533,7 @@ __all__ = [
     "delete_tag",
     "resolve_tag",
     "snapshot_history",
+    "snapshot_table_stats",
     "resolve_snapshot",
     "list_snapshots",
     "vacuum_snapshots",

@@ -2027,6 +2027,76 @@ def test_evolve_refuses_case_distinct_batch_columns(spark, tmp_path):
         snap.append_snapshot(bad, root, evolve=True)
 
 
+def test_snapshot_table_stats_inspector(spark, tmp_path):
+    """The manifest-only describe-table: generation spread, clustered
+    fraction, transform dir counts, stats coverage — zero Spark jobs,
+    zero listings (verified by feeding it a root whose data dirs were
+    renamed away: resolve still answers from the manifest)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smashed_spark.sources.snapshot import snapshot_table_stats
+
+    root = _root(tmp_path)
+    publish_snapshot(
+        _ts_df(spark, 1, 2).coalesce(2), root,
+        partition_transforms={"day": ("days", "ts")},
+        stats_columns=["doc_id"],
+    )
+    snap.append_snapshot(
+        _ts_df(spark, 3, 1)
+        .withColumn("score", F.col("doc_id") * 0.5)
+        .coalesce(1),
+        root,
+        evolve=True,
+        stats_columns=["doc_id"],
+    )
+    st = snapshot_table_stats(root)
+    assert st["rows"] == 12 and st["files"] == len(
+        resolve_snapshot(root).files
+    )
+    assert st["schema_generations"]["1"] >= 1  # the evolved batch
+    assert st["current_schema_id"] == "1"
+    assert st["clustered_files"] == 0
+    assert st["partition_transforms"] == {"day": ["days", "ts"]}
+    assert st["partition_dirs"]["day"] == 3  # three distinct days
+    assert st["stats_columns"]["doc_id"] == st["files"]
+    assert st["small_files_lt_16mib"] == st["files"]
+    # manifest-only: answers even with the data renamed out from under
+    os.rename(f"{root}/data", f"{root}/data_hidden")
+    try:
+        assert snapshot_table_stats(root)["rows"] == 12
+    finally:
+        os.rename(f"{root}/data_hidden", f"{root}/data")
+    # time travel addresses a version's own manifest
+    assert snapshot_table_stats(root, version=1)["rows"] == 8
+
+
+def test_changes_read_prunes_on_transformed_table(spark, tmp_path):
+    """read_snapshot_changes(where=) serves partition-scoped
+    consumers: directory pruning applies to the appended files too."""
+    import datetime as dt
+
+    root = _root(tmp_path)
+    publish_snapshot(
+        _ts_df(spark, 1, 2), root,
+        partition_transforms={"day": ("days", "ts")},
+    )
+    snap.append_snapshot(_ts_df(spark, 3, 2), root)
+    cut = dt.datetime(2024, 3, 4, tzinfo=dt.timezone.utc)
+    ch = snap.read_snapshot_changes(
+        spark, root, since_version=1, where=[("ts", ">=", cut)]
+    )
+    rows = ch.collect()
+    assert rows and all(
+        r.ts >= dt.datetime(2024, 3, 4) for r in rows
+    )
+    # only day>=2024-03-04 dirs of the APPENDED files are scanned
+    scanned = ch.inputFiles()
+    assert scanned and all("day=2024-03-04" in f for f in scanned)
+
+
 def test_partition_transform_spec_refusals(spark, tmp_path):
     root = _root(tmp_path)
     df = _ts_df(spark, 1, 1)
