@@ -112,11 +112,13 @@ class SnapshotLoaderMapper(SparkMapper):
     pipeline shape as the file loaders above, so a curation pipeline
     can start from versioned tables instead of raw paths.
 
-    ``version``/``tag`` (mutually exclusive) time-travel every listed
-    table; ``where`` applies the envelope file-skipping + re-filter
-    contract of ``read_snapshot`` per table.  Beyond-reference
-    surface: the reference's loaders (loaders.py:100-192) read raw
-    files and have no table/catalog notion.
+    ``version``/``tag``/``as_of`` (mutually exclusive) time-travel
+    every listed table — ``as_of`` is an instant (epoch seconds or a
+    tz-aware datetime; see ``resolve_snapshot``); ``where`` applies
+    the envelope file-skipping + re-filter contract of
+    ``read_snapshot`` per table.  Beyond-reference surface: the
+    reference's loaders (loaders.py:100-192) read raw files and have
+    no table/catalog notion.
     """
 
     def __init__(
@@ -125,15 +127,17 @@ class SnapshotLoaderMapper(SparkMapper):
         version: Optional[int] = None,
         tag: Optional[str] = None,
         where=None,
+        as_of=None,
     ) -> None:
-        if version is not None and tag is not None:
+        if sum(x is not None for x in (version, tag, as_of)) > 1:
             raise ValueError(
-                "SnapshotLoaderMapper: pass version= or tag=, not both "
-                "(a tag IS a named version)"
+                "SnapshotLoaderMapper: version=, tag=, and as_of= are "
+                "mutually exclusive (each names one snapshot)"
             )
         self.roots_field = roots_field
         self.version = version
         self.tag = tag
+        self.as_of = as_of
         self.where = list(where) if where is not None else None
         super().__init__(input_fields=[roots_field])
 
@@ -156,7 +160,13 @@ class SnapshotLoaderMapper(SparkMapper):
             if self.tag is not None:
                 version = resolve_tag(root, self.tag).version
             outs.append(
-                read_snapshot(spark, root, version=version, where=self.where)
+                read_snapshot(
+                    spark,
+                    root,
+                    version=version,
+                    where=self.where,
+                    as_of=self.as_of,
+                )
             )
         merged = outs[0]
         for other in outs[1:]:

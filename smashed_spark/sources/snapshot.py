@@ -283,20 +283,126 @@ def list_snapshots(table_root: str, client=None) -> List[int]:
     return sorted(out)
 
 
+def _as_of_epoch(as_of) -> float:
+    """Normalize an ``as_of`` instant to epoch seconds — numbers pass
+    through, tz-aware datetimes convert, naive datetimes refuse (the
+    session-timezone ambiguity the whole pruning layer refuses)."""
+    import datetime as _dt
+
+    if isinstance(as_of, bool):
+        raise TypeError(f"as_of: expected an instant, got {as_of!r}")
+    if isinstance(as_of, (int, float)):
+        return float(as_of)
+    if isinstance(as_of, _dt.datetime):
+        if as_of.tzinfo is None:
+            raise TypeError(
+                f"as_of: naive datetime {as_of!r} — committed_at is a "
+                "UTC epoch instant; pass a timezone-aware datetime or "
+                "epoch seconds"
+            )
+        return as_of.timestamp()
+    raise TypeError(
+        f"as_of: expected epoch seconds or a tz-aware datetime, got "
+        f"{type(as_of).__name__}"
+    )
+
+
+def _as_of_version(
+    root: SmartPath, as_of, table_root: str, client=None
+) -> int:
+    """The newest version on the pointer chain committed at-or-before
+    ``as_of`` — one manifest GET per chain step walked."""
+    epoch = _as_of_epoch(as_of)
+    cursor = _pointer_version(root, client=client)
+    if cursor is None:
+        raise FileNotFoundError(
+            f"resolve_snapshot: no pointer at {_pointer_path(root)!r} "
+            "— nothing has been published to this table root"
+        )
+    while cursor is not None:
+        doc = _read_json(str(root / _manifest_key(cursor)), client=client)
+        if doc is None:
+            raise FileNotFoundError(
+                f"resolve_snapshot: as_of chain walk broke at v{cursor} "
+                f"under {table_root!r} — the chain is vacuumed past the "
+                "requested instant; older states are unrecoverable"
+            )
+        if float(doc.get("committed_at", 0.0)) <= epoch:
+            return int(doc["version"])
+        cursor = doc.get("parent")
+    raise ValueError(
+        f"resolve_snapshot: as_of instant predates version 1 of "
+        f"{table_root!r} — nothing was published yet at that time"
+    )
+
+
 def resolve_snapshot(
-    table_root: str, version: Optional[int] = None, client=None
+    table_root: str,
+    version: Optional[int] = None,
+    client=None,
+    as_of=None,
+    verify_chain: bool = False,
 ) -> SnapshotInfo:
     """Resolve the current (or an explicit ``version``) snapshot: two
     GETs, no listing.  Raises if the table has no published snapshot or
     the requested version's manifest is absent (vacuumed or never
-    committed)."""
+    committed).
+
+    ``as_of`` (exclusive with ``version``) is timestamp time travel:
+    the newest snapshot on the CURRENT pointer chain whose
+    ``committed_at`` is <= the given instant — a tz-AWARE datetime or
+    an epoch-seconds number (``committed_at`` is ``time.time()``, so
+    epoch is the native currency; a naive datetime is refused, the
+    same tz-ambiguity stance the stats pruner takes).  Walks parent
+    links from the pointer, one manifest GET per step; refuses when
+    the instant predates version 1 or the chain is vacuumed past it.
+
+    CAVEAT (explicit ``version``): an append that lost a pointer race
+    and rebased leaves its earlier manifests behind as OFF-CHAIN
+    debris — states that were never current (each is missing the
+    concurrent commit it lost to).  A bare ``version=N`` GET cannot
+    tell debris from history; pass ``verify_chain=True`` to walk the
+    pointer chain and refuse any version not on it (O(chain) manifest
+    GETs).  ``as_of`` resolution walks the chain by construction and
+    can never serve debris."""
     root = SmartPath.parse(table_root)
+    if as_of is not None:
+        if version is not None:
+            raise ValueError(
+                "resolve_snapshot: version= and as_of= are exclusive"
+            )
+        version = _as_of_version(root, as_of, table_root, client=client)
     if version is None:
         version = _pointer_version(root, client=client)
         if version is None:
             raise FileNotFoundError(
                 f"resolve_snapshot: no pointer at {_pointer_path(root)!r} "
                 "— nothing has been published to this table root"
+            )
+    elif verify_chain and as_of is None:
+        cursor = _pointer_version(root, client=client)
+        on_chain = False
+        while cursor is not None and cursor >= version:
+            if cursor == version:
+                on_chain = True
+                break
+            doc = _read_json(
+                str(root / _manifest_key(cursor)), client=client
+            )
+            if doc is None:
+                raise FileNotFoundError(
+                    f"resolve_snapshot: chain walk broke at v{cursor} "
+                    f"under {table_root!r} (vacuumed) — cannot verify "
+                    f"v{version} is on the published chain"
+                )
+            cursor = doc.get("parent")
+        if not on_chain:
+            raise ValueError(
+                f"resolve_snapshot: v{version} of {table_root!r} is "
+                "not on the published pointer chain — it is off-chain "
+                "debris from a rebased append (a state that was never "
+                "current); resolve without verify_chain=True only if "
+                "you mean to inspect it"
             )
     manifest = _read_json(str(root / _manifest_key(version)), client=client)
     if manifest is None:
@@ -592,10 +698,12 @@ def _validate_transforms(
     name must NOT be one (it lives only in paths).
 
     ``strict_bucket_types=False`` (inherited specs on carried commits)
-    skips the bucket source-type restriction: the table already exists
-    with that layout, the pruner's ``_bucketable`` literal guard keeps
-    reads safe whatever the source type, and refusing would brick
-    every append to a previously healthy table."""
+    skips the SOURCE-TYPE restrictions (bucket and days/hours alike):
+    the table already exists with that layout, the pruners' literal
+    guards keep reads safe whatever the source type (``_bucketable``
+    for buckets; ``_partition_can_match`` never time-prunes a string
+    source), and refusing would brick every append to a previously
+    healthy table."""
     out: Dict[str, List] = {}
     for name, raw in spec.items():
         t = list(raw)
@@ -639,6 +747,29 @@ def _validate_transforms(
                 "support string, integer, and date columns (float/"
                 "bool/timestamp text forms differ between the "
                 "writer's CAST and the pruner's str())"
+            )
+        if (
+            strict_bucket_types
+            and t[0] in ("days", "hours")
+            and columns[src] not in ("date", "timestamp", "timestamp_ntz")
+        ):
+            # the write side's date_format CASTS a string source to
+            # timestamp (honoring embedded UTC offsets: '2023-12-31T23:
+            # 00:00-05:00' lands in directory 2024-01-01) while a read
+            # literal against the same string column compares as text —
+            # an equality on it would prune the directory that holds
+            # the matching row.  Same text-form-divergence stance as
+            # the bucket guard above; legacy string-sourced tables
+            # still read safely because _partition_can_match never
+            # time-prunes a string source.
+            raise ValueError(
+                f"partition_transforms[{name!r}]: {t[0]} source "
+                f"{src!r} is {columns[src]} — days/hours transforms "
+                "support date/timestamp/timestamp_ntz columns (a "
+                "string source is cast by the writer's date_format, "
+                "honoring embedded UTC offsets, but compares as text "
+                "in predicates — the two disagree on which directory "
+                "holds a row)"
             )
         if name in columns:
             raise ValueError(
@@ -772,9 +903,15 @@ def _partition_can_match(
         if raw is None or raw == _HIVE_NULL:
             continue  # unknown / all-NULL source rows: keep
         if kind in ("days", "hours"):
-            instant = (src_types or {}).get(src) not in (
-                "timestamp_ntz", "date", "string"
-            )
+            src_type = (src_types or {}).get(src)
+            if src_type == "string":
+                # legacy string-sourced time transform (new tables
+                # refuse them in _validate_transforms): the writer's
+                # date_format CAST honors embedded UTC offsets while
+                # any literal rule here would compare text — no safe
+                # granule exists, so string sources never time-prune
+                continue
+            instant = src_type not in ("timestamp_ntz", "date")
             if op == "in":
                 gs = None
                 if _cache is not None:
@@ -893,6 +1030,20 @@ def plan_snapshot_scan(
         "files_kept": len(kept),
         "files_skipped": len(skipped),
     }
+
+
+def _inherited_stats_columns(info: SnapshotInfo) -> List[str]:
+    """The envelope-stats column set a maintenance rewrite should keep
+    collecting by default: every column ANY parent file entry carries
+    stats for.  Rewrites (compact/optimize/delete) used to default to
+    ``()``, silently degrading file-scoped deletes over the table's
+    life — a table published with ``stats_columns=['id']`` would lose
+    its envelopes at the first compaction and every later delete
+    would rewrite O(table)."""
+    cols: set = set()
+    for f in info.files:
+        cols.update((f.get("stats") or {}).keys())
+    return sorted(cols)
 
 
 def _inventory_entry(
@@ -1072,8 +1223,16 @@ def _evolve_batch(df: DataFrame, parent_cols: Dict[str, str]):
     * column only in the batch → appended to the table schema, rows in
       old files read as NULL.
 
-    Returns ``(aligned_df, evolved_columns)``."""
-    from .evolve import align_to_schema, is_safe_cast
+    Returns ``(aligned_df, evolved_columns)``.
+
+    The TABLE type only ever widens within evolve.py's
+    ``_SAFE_WIDENINGS`` (numeric/temporal) — NOT the anything→string
+    rule ``is_safe_cast`` also allows for batch-side casts: "widening"
+    an int column to string would strand the old files' envelope
+    stats at kind 'int', and the first ``read_snapshot(where=...)``
+    with a string literal would then raise against them.  A to-string
+    change is a republish, owned explicitly."""
+    from .evolve import _SAFE_WIDENINGS, align_to_schema, is_safe_cast
 
     # name resolution is case-INSENSITIVE, matching align_to_schema and
     # Spark's default resolver (spark.sql.caseSensitive=false): a batch
@@ -1100,7 +1259,7 @@ def _evolve_batch(df: DataFrame, parent_cols: Dict[str, str]):
         btype = hit.simpleString()
         if btype == ptype:
             target[name] = ptype
-        elif is_safe_cast(_parse_type(ptype), hit):
+        elif (ptype, btype) in _SAFE_WIDENINGS:
             target[name] = btype
         elif is_safe_cast(hit, _parse_type(ptype)):
             target[name] = ptype
@@ -1108,7 +1267,8 @@ def _evolve_batch(df: DataFrame, parent_cols: Dict[str, str]):
             raise ValueError(
                 f"append_snapshot: column {name!r} cannot evolve "
                 f"{ptype} <-> {btype}: neither direction is a lossless "
-                "widening — a lossy type change needs a full republish "
+                "widening (numeric/temporal only — to-string is a type "
+                "change, not a widening) — it needs a full republish "
                 "with the cast owned explicitly (evolve.py "
                 "align_to_schema cast='force')"
             )
@@ -1188,6 +1348,12 @@ def publish_snapshot(
     retryable = _carry_parent and operation == "append"
     attempts_left = DEFAULT_COMMIT_RETRIES if retryable else 0
     written: Optional[Dict[str, object]] = None
+    # the transform spec the data prefix was actually LAID OUT under —
+    # a rebase re-derives eff_transforms from the NEW parent, and if a
+    # concurrent republish redefined a transform (same directory name,
+    # different source/kind) the already-written partition values would
+    # be recorded under the wrong spec (silent mispruning) — refuse
+    written_transforms: Optional[Dict[str, List]] = None
     rel_prefix: Optional[str] = None
     # when _evolve rewrote `columns` on the first attempt, this holds
     # the parent schema it evolved FROM — a rebase onto a parent with
@@ -1403,6 +1569,17 @@ def publish_snapshot(
             )
         else:
             eff_transforms = None
+        if written is not None and eff_transforms != written_transforms:
+            raise RuntimeError(
+                "append_snapshot: concurrent commit changed the "
+                f"table's partition_transforms during the append to "
+                f"{table_root!r} ({written_transforms} -> "
+                f"{eff_transforms}) — the written data prefix is laid "
+                "out under the old spec, so its recorded partition "
+                "values would misprune under the new one; rebase "
+                "refused.  Re-run the append (our data prefix is an "
+                "orphan; vacuum will sweep it)."
+            )
         version = _next_version(root, client=client)
         if written is None:
             token = uuid.uuid4().hex[:8]
@@ -1412,6 +1589,7 @@ def publish_snapshot(
                 stats_columns=stats_columns, client=client,
                 transforms=eff_transforms,
             )
+            written_transforms = eff_transforms
         # (re)tag our files: a rebase may re-resolve a different parent
         # registry, so the tag is recomputed each attempt.  A rebase
         # onto an evolved parent tags with the OLDER generation the
@@ -1475,6 +1653,15 @@ def publish_snapshot(
             if attempts_left > 0:
                 attempts_left -= 1
                 continue
+            if retryable:
+                raise RuntimeError(
+                    f"append_snapshot: manifest for v{version} already "
+                    f"exists after {DEFAULT_COMMIT_RETRIES} rebase "
+                    "retries — sustained concurrent writes on "
+                    f"{table_root!r}; re-run the append (our data "
+                    "prefix and any off-chain manifests are debris; "
+                    "vacuum with drop_unpublished=True sweeps them)."
+                )
             raise RuntimeError(
                 f"publish_snapshot: manifest for v{version} already "
                 "exists — concurrent writer detected; this table "
@@ -1495,6 +1682,16 @@ def publish_snapshot(
             if attempts_left > 0:
                 attempts_left -= 1
                 continue
+            if retryable:
+                raise RuntimeError(
+                    f"append_snapshot: pointer moved {begin_version} "
+                    f"-> {current} after {DEFAULT_COMMIT_RETRIES} "
+                    "rebase retries — sustained concurrent writes on "
+                    f"{table_root!r}; re-run the append.  The prepared "
+                    f"manifest {_manifest_key(version)!r} was NOT "
+                    "published (off-chain debris; vacuum with "
+                    "drop_unpublished=True to discard)."
+                )
             raise RuntimeError(
                 f"publish_snapshot: pointer moved {begin_version} -> "
                 f"{current} during publish of v{version} — concurrent "
@@ -1602,6 +1799,7 @@ def read_snapshot(
     where: Optional[Sequence] = None,
     client=None,
     allow_driver_download: bool = False,
+    as_of=None,
 ) -> DataFrame:
     """Scan a snapshot.  The resolved file list (not the prefix) is
     passed to the reader, so debris from a crashed write inside the
@@ -1619,8 +1817,13 @@ def read_snapshot(
     scan ``s3://`` directly here — on a real cluster the same resolved
     paths scan as ``s3a://`` URIs.  ``allow_driver_download=True``
     copies the snapshot to a local temp dir through io_utils first
-    (driver-side: tests and small tables only, and it says so)."""
-    info = resolve_snapshot(table_root, version, client=client)
+    (driver-side: tests and small tables only, and it says so).
+
+    ``as_of`` (exclusive with ``version``) reads the table as it was
+    at an instant — see :func:`resolve_snapshot`."""
+    info = resolve_snapshot(
+        table_root, version, client=client, as_of=as_of
+    )
     if not info.files:
         # zero-file snapshot (empty publish, delete-everything): the
         # recorded schema is the only source of truth left
@@ -2154,7 +2357,7 @@ def compact_snapshot(
     target_file_bytes: int = 128 << 20,
     compression: str = "zstd",
     sort_within: Sequence[str] = (),
-    stats_columns: Sequence[str] = (),
+    stats_columns: Optional[Sequence[str]] = None,
     client=None,
     allow_driver_download: bool = False,
 ) -> SnapshotInfo:
@@ -2163,9 +2366,15 @@ def compact_snapshot(
     bin-packs via ``packed_scan_conf``; each task writes one
     target-sized file) but the output lands in a NEW prefix and commits
     via the pointer — crash-safe on storage with no atomic rename.
-    Old files stay readable until :func:`vacuum_snapshots`."""
+    Old files stay readable until :func:`vacuum_snapshots`.
+
+    ``stats_columns=None`` (default) INHERITS the parent's envelope-
+    stats column set, so file-scoped deletes keep pruning after
+    routine maintenance; pass ``()`` to drop stats explicitly."""
     with packed_scan_conf(spark, target_file_bytes):
         info = resolve_snapshot(table_root, client=client)
+        if stats_columns is None:
+            stats_columns = _inherited_stats_columns(info)
         # read the PLANNED version explicitly so the rewrite and its
         # _expect_parent guard agree even if the table advances between
         # these two lines (the guard then catches it at publish)
@@ -2203,7 +2412,7 @@ def optimize_snapshot(
     keep_zorder_column: bool = False,
     incremental: bool = False,
     compression: str = "zstd",
-    stats_columns: Sequence[str] = (),
+    stats_columns: Optional[Sequence[str]] = None,
     client=None,
     allow_driver_download: bool = False,
 ) -> SnapshotInfo:
@@ -2240,6 +2449,10 @@ def optimize_snapshot(
 
     pre = resolve_snapshot(table_root, client=client)
     cluster_by = list(cluster_by)
+    if stats_columns is None:
+        # inherit the parent's envelope-stats set (same default as
+        # compact_snapshot) so maintenance never degrades later deletes
+        stats_columns = _inherited_stats_columns(pre)
     carry_entries: Optional[List[Dict[str, object]]] = None
     if incremental:
         props = pre.properties
@@ -2351,7 +2564,7 @@ def apply_deletions_snapshot(
     broadcast_threshold_rows: int = DEFAULT_BROADCAST_KEYS,
     prune_collect_cap: int = DEFAULT_PRUNE_COLLECT_KEYS,
     compression: str = "zstd",
-    stats_columns: Sequence[str] = (),
+    stats_columns: Optional[Sequence[str]] = None,
     client=None,
     allow_driver_download: bool = False,
 ) -> SnapshotInfo:
@@ -2385,8 +2598,14 @@ def apply_deletions_snapshot(
     ``limit(threshold+1).count()`` probe decides broadcast vs plain
     LEFT ANTI join.  NULL forget keys raise — NULL never equals
     anything in a join, so a NULL "deletion" would silently delete
-    nothing."""
+    nothing.
+
+    ``stats_columns=None`` (default) INHERITS the parent's envelope-
+    stats column set for the rewritten files, so the NEXT delete still
+    prunes; pass ``()`` to drop stats explicitly."""
     info = resolve_snapshot(table_root, client=client)
+    if stats_columns is None:
+        stats_columns = _inherited_stats_columns(info)
     if info.columns is not None and key_field not in info.columns:
         raise ValueError(
             f"apply_deletions_snapshot: key_field {key_field!r} not in "
@@ -2414,6 +2633,27 @@ def apply_deletions_snapshot(
                 "joins, so it would silently delete nothing"
             )
         key_df = None  # built lazily only if any file is touched
+    # collect() renders a Spark TIMESTAMP (an instant) as a NAIVE
+    # datetime in the session timezone; the stats pruner refuses naive
+    # instants outright (tz-ambiguity), so internally derived literals
+    # re-attach the session zone before planning.  TIMESTAMP_NTZ
+    # collects naive and must STAY naive — only instants convert.
+    def _prune_literal(v, dtype):
+        import datetime as _dt
+
+        from pyspark.sql import types as T
+
+        if (
+            isinstance(v, _dt.datetime)
+            and v.tzinfo is None
+            and isinstance(dtype, T.TimestampType)
+        ):
+            from zoneinfo import ZoneInfo
+
+            tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+            return v.replace(tzinfo=ZoneInfo(tz))
+        return v
+
     if key_df is not None:
         if key_df.filter(F.col(key_field).isNull()).limit(1).count() > 0:
             raise ValueError(
@@ -2424,7 +2664,8 @@ def apply_deletions_snapshot(
         # huge forget DataFrame degrades to range pruning, not OOM
         head = key_df.limit(prune_collect_cap + 1).collect()
         if len(head) <= prune_collect_cap:
-            literal_keys = [r[0] for r in head]
+            kt = key_df.schema[key_field].dataType
+            literal_keys = [_prune_literal(r[0], kt) for r in head]
 
     # ----- file scoping via the manifest's envelope stats -----
     prune: list = list(scope_where or [])
@@ -2447,16 +2688,25 @@ def apply_deletions_snapshot(
                 "apply_deletions_snapshot: empty forget list — refusing "
                 "a no-op publish (pass a non-empty key set)"
             )
-        prune.append((key_field, ">=", bounds["lo"]))
-        prune.append((key_field, "<=", bounds["hi"]))
+        kt = key_df.schema[key_field].dataType
+        prune.append((key_field, ">=", _prune_literal(bounds["lo"], kt)))
+        prune.append((key_field, "<=", _prune_literal(bounds["hi"], kt)))
     # spec-1 manifests lack per-entry row counts, so untouched entries
     # cannot be carried (the descendant's row_count would be a guess) —
     # fall back to the full rewrite for those legacy tables
     if any(f.get("rows") is None for f in info.files):
         can_scope = False
     if can_scope:
-        plan = plan_snapshot_scan(info, prune)
-        touched, untouched = plan["kept"], plan["skipped"]
+        try:
+            plan = plan_snapshot_scan(info, prune)
+            touched, untouched = plan["kept"], plan["skipped"]
+        except TypeError:
+            # a literal the pruner refuses to compare (e.g. a naive
+            # datetime forget key against instant envelope stats):
+            # the delete's SEMANTICS never depended on pruning — fall
+            # back to the full anti-join rewrite instead of failing a
+            # delete that would have worked before stats existed
+            touched, untouched = list(info.files), []
     else:
         touched, untouched = list(info.files), []
     if not touched:

@@ -2270,7 +2270,7 @@ def test_snapshot_loader_mapper(spark, tmp_path):
     assert sorted(r.doc_id for r in some.collect()) == list(range(75, 100))
     assert len(some.inputFiles()) == 1  # t1's file pruned entirely
     # refusals
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="mutually exclusive"):
         SnapshotLoaderMapper("root", version=1, tag="rel")
     empty = spark.createDataFrame([], "root: string")
     with pytest.raises(ValueError, match="no table roots"):

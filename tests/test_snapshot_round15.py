@@ -1,0 +1,427 @@
+"""Round-15 snapshot hardening: string-sourced time transforms refuse
+(write) / never prune (read), evolve's table type only widens within
+_SAFE_WIDENINGS, timestamp forget keys plan tz-correctly, rebases
+refuse a concurrently changed layout, off-chain debris is detectable,
+as_of time travel, and maintenance rewrites inherit envelope stats.
+"""
+
+import datetime as dt
+import json
+
+import pytest
+
+import smashed_spark.sources.snapshot as snap
+from smashed_spark.sources.snapshot import (
+    append_snapshot,
+    apply_deletions_snapshot,
+    compact_snapshot,
+    optimize_snapshot,
+    plan_snapshot_scan,
+    publish_snapshot,
+    read_snapshot,
+    resolve_snapshot,
+    vacuum_snapshots,
+)
+
+
+def _root(tmp_path):
+    return str(tmp_path / "table")
+
+
+def _df(spark, n=100, tag="a"):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(tag + "_"), F.col("id")).alias("text"),
+    )
+
+
+@pytest.fixture()
+def micros_ts(spark):
+    """Stats on timestamp columns need the footer-bearing micros
+    layout, not Spark's legacy INT96."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    yield
+    spark.conf.set(key, prev)
+
+
+def _ts_df(spark, n=12):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-03-0"),
+                (F.col("id") % 3 + 1).cast("string"),
+                F.lit(" 10:00:00"),
+            )
+        ).alias("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE finding 1: string-sourced days/hours transforms
+# ---------------------------------------------------------------------------
+
+
+def test_time_transform_refuses_string_source(spark, tmp_path):
+    """The writer's date_format CASTS a string source (honoring
+    embedded UTC offsets) while read literals compare as text — the
+    two can disagree on which directory holds a row, so a NEW table
+    refuses string sources for days/hours outright."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.lit("2023-12-31T23:00:00-05:00").alias("when"),
+    )
+    with pytest.raises(ValueError, match="days/hours transforms support"):
+        publish_snapshot(
+            df,
+            _root(tmp_path),
+            partition_transforms={"day": ("days", "when")},
+        )
+
+
+def test_time_transform_string_source_inherited_never_prunes():
+    """Legacy tables that already carry a string-sourced time layout
+    (admitted via the inherited non-strict path) stay readable: the
+    pruner keeps every directory for predicates on that source, so
+    the offset-bearing row the writer shelved in 'tomorrow's'
+    directory is never skipped."""
+    from smashed_spark.sources.snapshot import (
+        _partition_can_match,
+        _validate_transforms,
+    )
+
+    # inherited (non-strict) validation still admits the legacy spec
+    spec = _validate_transforms(
+        {"day": ("days", "when")},
+        {"when": "string"},
+        strict_bucket_types=False,
+    )
+    assert spec == {"day": ["days", "when"]}
+
+    # the writer put '2023-12-31T23:00:00-05:00' in day=2024-01-01
+    entry = {"path": "f", "partition": {"day": "2024-01-01"}}
+    tr = {"day": ["days", "when"]}
+    # a textual equality read on the string column must NOT prune it
+    assert _partition_can_match(
+        entry,
+        tr,
+        "when",
+        "=",
+        "2023-12-31T23:00:00-05:00",
+        src_types={"when": "string"},
+    )
+    # nor any other literal form — string sources never time-prune
+    for lit in ("2023-12-31", dt.date(2023, 12, 31)):
+        assert _partition_can_match(
+            entry, tr, "when", "=", lit, src_types={"when": "string"}
+        )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE finding 2: evolve's table type never "widens" to string
+# ---------------------------------------------------------------------------
+
+
+def test_evolve_refuses_int_to_string_type_change(spark, tmp_path):
+    """int→string passes is_safe_cast's to-string rule but is a TYPE
+    CHANGE, not a widening: old files' envelope stats keep kind 'int'
+    and a later string-literal pruned read would crash against them.
+    evolve=True refuses; a republish owns the cast explicitly."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 5), root, stats_columns=["doc_id"])
+    batch = spark.range(5, 8).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("s").alias("text"),
+    )
+    with pytest.raises(ValueError, match="cannot evolve"):
+        append_snapshot(batch, root, evolve=True)
+    # numeric widening still evolves
+    wide = spark.range(5, 8).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.lit("w").alias("text"),
+    )
+    info = append_snapshot(wide, root, evolve=True)
+    assert info.columns["doc_id"] == "bigint"
+    # and the pruned read over both generations still works
+    got = read_snapshot(spark, root, where=[("doc_id", ">=", 5)])
+    assert got.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# ADVICE finding 3: timestamp forget keys from a DataFrame
+# ---------------------------------------------------------------------------
+
+
+def test_delete_timestamp_keys_dataframe_prunes_not_crashes(
+    spark, tmp_path, micros_ts
+):
+    """collect() renders TIMESTAMP keys as naive session-zone
+    datetimes; the internally derived prune literals must re-attach
+    the zone instead of tripping _norm_stat's naive-instant refusal.
+    The delete both works AND stays file-scoped."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    df = _ts_df(spark, 12).repartition(3, "ts")
+    publish_snapshot(df, root, stats_columns=["ts"])
+
+    forget = df.filter(F.col("doc_id") == 0).select("ts")
+    info = apply_deletions_snapshot(spark, root, forget, "ts")
+    got = read_snapshot(spark, root)
+    # doc_ids 0,3,6,9 share ts 2024-03-01 10:00 — all four rows die
+    assert got.count() == 8
+    assert got.filter(F.col("doc_id").isin(0, 3, 6, 9)).count() == 0
+    # file-scoped: at least one of the three ts-partitioned files was
+    # carried verbatim (untouched) rather than rewritten
+    carried = [f for f in info.files if "v00000001" in f["path"]]
+    assert carried, "expected untouched parent files carried verbatim"
+
+
+def test_delete_naive_literal_keys_fall_back_to_full_rewrite(
+    spark, tmp_path, micros_ts
+):
+    """User-passed NAIVE datetime forget keys against instant envelope
+    stats: the pruner refuses them (tz-ambiguity), but the delete's
+    semantics never depended on pruning — it falls back to the full
+    anti-join rewrite instead of raising."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_ts_df(spark, 12), root, stats_columns=["ts"])
+    info = apply_deletions_snapshot(
+        spark, root, [dt.datetime(2024, 3, 1, 10, 0)], "ts"
+    )
+    got = read_snapshot(spark, root)
+    assert got.count() == 8
+    assert (
+        got.filter(F.col("ts") == F.lit("2024-03-01 10:00:00")).count()
+        == 0
+    )
+    assert info.operation == "delete"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE finding 4: rebase refuses a concurrently changed layout
+# ---------------------------------------------------------------------------
+
+
+def test_append_rebase_refuses_layout_change(spark, tmp_path, monkeypatch):
+    """An append racing a republish that REDEFINED a transform (same
+    directory name, different source) must refuse the rebase: the
+    written prefix is laid out under the old spec, and its recorded
+    partition values would misprune under the new one."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+
+    def two_key(spark, lo, hi, tag):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("u"), (F.col("id") % 5).cast("string")).alias(
+                "user_a"
+            ),
+            F.concat(F.lit("v"), (F.col("id") % 7).cast("string")).alias(
+                "user_b"
+            ),
+        )
+
+    publish_snapshot(
+        two_key(spark, 0, 20, "a"),
+        root,
+        partition_transforms={"b4": ("bucket", "user_a", 4)},
+    )
+
+    real = snap._write_data_prefix
+    state = {"raced": False}
+
+    def race(df, root_sp, rel_prefix, compression, stats_columns=(),
+             client=None, **kw):
+        out = real(
+            df, root_sp, rel_prefix, compression,
+            stats_columns=stats_columns, client=client, **kw,
+        )
+        if not state["raced"]:
+            state["raced"] = True
+            # concurrent republish: SAME directory name b4, different
+            # source column — same schema, so the schema guard alone
+            # would wave the rebase through
+            publish_snapshot(
+                two_key(spark, 0, 20, "r"),
+                str(root_sp),
+                partition_transforms={"b4": ("bucket", "user_b", 4)},
+            )
+        return out
+
+    monkeypatch.setattr(snap, "_write_data_prefix", race)
+    with pytest.raises(RuntimeError, match="partition_transforms"):
+        append_snapshot(two_key(spark, 20, 25, "b"), root)
+    monkeypatch.undo()
+    # the winning republish is intact
+    assert resolve_snapshot(root).partition_transforms == {
+        "b4": ["bucket", "user_b", 4]
+    }
+
+
+# ---------------------------------------------------------------------------
+# ADVICE finding 5: off-chain debris + append retry-exhausted text
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_verify_chain_refuses_offchain_debris(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 5, "a"), root)
+    append_snapshot(_df(spark, 3, "b"), root)
+
+    # hand-plant rebase-style debris: a manifest numbered PAST the
+    # pointer (exists, parseable, never published)
+    v2 = resolve_snapshot(root)
+    debris = {
+        "version": 3,
+        "spec": 2,
+        "columns": v2.columns,
+        "data_prefix": "data/v00000003-dead",
+        "prefixes": ["data/v00000003-dead"],
+        "files": [],
+        "row_count": 0,
+        "parent": 1,
+        "operation": "append",
+        "committed_at": 0.0,
+    }
+    (tmp_path / "table" / "_manifests").mkdir(exist_ok=True)
+    path = tmp_path / "table" / snap._manifest_key(3)
+    path.write_text(json.dumps(debris))
+
+    # bare explicit-version resolution still serves it (documented)
+    assert resolve_snapshot(root, version=3).row_count == 0
+    # verify_chain walks pointer→parents and refuses
+    with pytest.raises(ValueError, match="off-chain debris"):
+        resolve_snapshot(root, version=3, verify_chain=True)
+    # chain members pass verification
+    assert resolve_snapshot(root, version=1, verify_chain=True).version == 1
+    assert resolve_snapshot(root, version=2, verify_chain=True).version == 2
+
+
+def test_append_retry_exhausted_names_the_append(spark, tmp_path,
+                                                 monkeypatch):
+    """The exhausted-retries error for an APPEND must not claim the
+    table 'requires a single writer for non-append operations'."""
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 5, "a"), root)
+    monkeypatch.setattr(snap, "DEFAULT_COMMIT_RETRIES", 0)
+
+    real = snap._write_data_prefix
+    state = {"raced": False}
+
+    def race(df, root_sp, rel_prefix, compression, stats_columns=(),
+             client=None, **kw):
+        out = real(
+            df, root_sp, rel_prefix, compression,
+            stats_columns=stats_columns, client=client, **kw,
+        )
+        if not state["raced"]:
+            state["raced"] = True
+            append_snapshot(_df(spark, 2, "r"), str(root_sp))
+        return out
+
+    monkeypatch.setattr(snap, "_write_data_prefix", race)
+    with pytest.raises(RuntimeError, match="rebase retries"):
+        append_snapshot(_df(spark, 3, "b"), root)
+
+
+# ---------------------------------------------------------------------------
+# as_of timestamp time travel
+# ---------------------------------------------------------------------------
+
+
+def test_as_of_time_travel(spark, tmp_path):
+    root = _root(tmp_path)
+    v1 = publish_snapshot(_df(spark, 5, "a"), root)
+    v2 = append_snapshot(_df(spark, 3, "b"), root)
+    assert v2.committed_at > v1.committed_at
+
+    mid = (v1.committed_at + v2.committed_at) / 2
+    assert resolve_snapshot(root, as_of=mid).version == 1
+    assert resolve_snapshot(root, as_of=v1.committed_at).version == 1
+    assert resolve_snapshot(root, as_of=v2.committed_at + 10).version == 2
+    aware = dt.datetime.fromtimestamp(mid, tz=dt.timezone.utc)
+    assert resolve_snapshot(root, as_of=aware).version == 1
+    assert read_snapshot(spark, root, as_of=mid).count() == 5
+
+    with pytest.raises(ValueError, match="predates version 1"):
+        resolve_snapshot(root, as_of=v1.committed_at - 10)
+    with pytest.raises(TypeError, match="naive datetime"):
+        resolve_snapshot(root, as_of=dt.datetime(2024, 1, 1))
+    with pytest.raises(ValueError, match="exclusive"):
+        resolve_snapshot(root, version=1, as_of=mid)
+
+
+def test_as_of_refuses_vacuumed_chain(spark, tmp_path):
+    root = _root(tmp_path)
+    v1 = publish_snapshot(_df(spark, 5, "a"), root)
+    append_snapshot(_df(spark, 3, "b"), root)
+    append_snapshot(_df(spark, 2, "c"), root)
+    vacuum_snapshots(root, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        resolve_snapshot(root, as_of=v1.committed_at)
+
+
+def test_snapshot_loader_mapper_as_of(spark, tmp_path):
+    from smashed_spark.sources.loaders import SnapshotLoaderMapper
+
+    root = _root(tmp_path)
+    v1 = publish_snapshot(_df(spark, 5, "a"), root)
+    append_snapshot(_df(spark, 3, "b"), root)
+    roots = spark.createDataFrame([(root,)], "root string")
+    out = SnapshotLoaderMapper("root", as_of=v1.committed_at).apply(roots)
+    assert out.count() == 5
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SnapshotLoaderMapper("root", version=1, as_of=v1.committed_at)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT ask 3: maintenance rewrites inherit envelope stats
+# ---------------------------------------------------------------------------
+
+
+def test_maintenance_inherits_stats_columns(spark, tmp_path):
+    """publish with stats → compact → delete → the NEXT delete still
+    prunes to a strict subset of files; no caller re-plumbed
+    stats_columns through any maintenance call."""
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    ).repartition(8, "doc_id").sortWithinPartitions("doc_id")
+    publish_snapshot(df, root, stats_columns=["doc_id"])
+
+    compacted = compact_snapshot(spark, root, target_file_bytes=4 << 10)
+    assert all("doc_id" in (f.get("stats") or {}) for f in compacted.files)
+
+    d1 = apply_deletions_snapshot(spark, root, [1], "doc_id")
+    assert all("doc_id" in (f.get("stats") or {}) for f in d1.files)
+
+    # the NEXT delete proves the point: its plan prunes
+    plan = plan_snapshot_scan(d1, [("doc_id", "in", [2])])
+    assert plan["skipped"], "post-maintenance delete should still prune"
+    assert len(plan["kept"]) < len(d1.files)
+
+    opt = optimize_snapshot(spark, root, cluster_by=["doc_id"], bits=8)
+    assert all("doc_id" in (f.get("stats") or {}) for f in opt.files)
+
+    # explicit () still drops stats (the old default, now opt-in)
+    dropped = compact_snapshot(
+        spark, root, target_file_bytes=4 << 10, stats_columns=()
+    )
+    assert all("stats" not in f for f in dropped.files)
