@@ -2073,9 +2073,11 @@ _SNAP_STAGING_PATH = _bind_snapshot_table_path()
 
 def _snapshot_lifecycle_oracle() -> str:
     """The whole lifecycle is deterministic arithmetic on `documents`:
-    published thirds (doc_id%3 in (0,1)) minus the forget list
-    (doc_id%10=0) is the final row set, the incremental-changes stage
-    is the second third, and the file-skipping accounting is replayed
+    published thirds, MERGE-replaced (doc_id%10=5 take the re-crawl
+    batch's values) and MERGE-inserted (shifted ids) rows, minus the
+    forget list (doc_id%10=0), is the final row set; the
+    incremental-changes stage is the second third, and the
+    file-skipping accounting is replayed
     from the PHYSICAL parquet footers of the final (vacuumed-to-one-
     version) table via parquet_metadata() — the same footers the
     publish-time stats collector read, so a drift between manifest
@@ -2087,7 +2089,15 @@ def _snapshot_lifecycle_oracle() -> str:
                CASE WHEN doc_id % 3 = 2 THEN doc_id % 7
                     ELSE NULL END AS mark
         FROM documents
-        WHERE doc_id % 10 <> 0
+        WHERE doc_id % 10 NOT IN (0, 5)
+        UNION ALL
+        SELECT doc_id, lang, n_chars + 100000,
+               'upsert' AS source, doc_id % 7 AS mark
+        FROM documents WHERE doc_id % 10 = 5
+        UNION ALL
+        SELECT doc_id + 10000000, lang, n_chars,
+               'insert' AS source, CAST(-1 AS BIGINT) AS mark
+        FROM documents WHERE doc_id % 10 = 7
     ), ch AS (
         SELECT CAST(count(*) AS BIGINT) AS changes_rows,
                CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS changes_sum
@@ -2136,6 +2146,13 @@ def q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
        the manifest mints a second schema generation, the earlier
        files' rows read back with a typed-NULL ``mark``, and the
        final aligned values are oracle-checked (the CASE tail);
+    3c. (r15) a re-crawl batch MERGEs (``merge_snapshot``): every
+       doc_id%10=5 row is REPLACED by the batch copy (n_chars bumped
+       +100000, source='upsert', mark backfilled) and a shifted id
+       set (doc_id%10=7, +10,000,000) INSERTS — matched rows take the
+       batch value, unmatched insert, untouched survive; the row
+       count is asserted exactly (updates replace 1:1, inserts add)
+       and every surviving value is oracle-checked downstream;
     4. GDPR forget-list rewrite (doc_id%10=0) as a new version — the
        file-scoped path, pruning on the doc_id envelopes across BOTH
        schema generations;
@@ -2231,6 +2248,38 @@ def q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snapshot_lifecycle: evolve append did not mint a new "
             f"schema generation (id {evolved.schema_id}, columns "
             f"{evolved.columns})"
+        )
+    # r15 upsert stage: the re-crawl MERGE — matched rows take the
+    # batch value, unmatched insert, untouched rows/files survive
+    from ..sources.snapshot import merge_snapshot
+
+    upd = docs.filter(F.col("doc_id") % 10 == 5).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") + 100000).alias("n_chars"),
+        F.lit("upsert").alias("source"),
+        (F.col("doc_id") % 7).cast("bigint").alias("mark"),
+    )
+    ins = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "lang",
+        "n_chars",
+        F.lit("insert").alias("source"),
+        F.lit(-1).cast("bigint").alias("mark"),
+    )
+    n_upd, n_ins = upd.count(), ins.count()
+    merged = merge_snapshot(
+        spark,
+        table,
+        upd.unionByName(ins).repartition(4),
+        "doc_id",
+        stats_columns=stats_cols,
+    )
+    if merged.row_count != evolved.row_count + n_ins:
+        raise AssertionError(
+            "snapshot_lifecycle: merge row accounting broke — "
+            f"{evolved.row_count} rows + {n_ins} inserts "
+            f"(+{n_upd} 1:1 updates) != {merged.row_count}"
         )
     apply_deletions_snapshot(
         spark,

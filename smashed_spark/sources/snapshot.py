@@ -2555,6 +2555,29 @@ def optimize_snapshot(
     )
 
 
+def _collected_prune_literal(spark: SparkSession, v, dtype):
+    """collect() renders a Spark TIMESTAMP (an instant) as a NAIVE
+    datetime in the session timezone; the stats pruner refuses naive
+    instants outright (tz-ambiguity), so internally derived prune
+    literals re-attach the session zone before planning.
+    TIMESTAMP_NTZ collects naive and must STAY naive — only instants
+    convert."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    if (
+        isinstance(v, _dt.datetime)
+        and v.tzinfo is None
+        and isinstance(dtype, T.TimestampType)
+    ):
+        from zoneinfo import ZoneInfo
+
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        return v.replace(tzinfo=ZoneInfo(tz))
+    return v
+
+
 def apply_deletions_snapshot(
     spark: SparkSession,
     table_root: str,
@@ -2633,26 +2656,8 @@ def apply_deletions_snapshot(
                 "joins, so it would silently delete nothing"
             )
         key_df = None  # built lazily only if any file is touched
-    # collect() renders a Spark TIMESTAMP (an instant) as a NAIVE
-    # datetime in the session timezone; the stats pruner refuses naive
-    # instants outright (tz-ambiguity), so internally derived literals
-    # re-attach the session zone before planning.  TIMESTAMP_NTZ
-    # collects naive and must STAY naive — only instants convert.
     def _prune_literal(v, dtype):
-        import datetime as _dt
-
-        from pyspark.sql import types as T
-
-        if (
-            isinstance(v, _dt.datetime)
-            and v.tzinfo is None
-            and isinstance(dtype, T.TimestampType)
-        ):
-            from zoneinfo import ZoneInfo
-
-            tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-            return v.replace(tzinfo=ZoneInfo(tz))
-        return v
+        return _collected_prune_literal(spark, v, dtype)
 
     if key_df is not None:
         if key_df.filter(F.col(key_field).isNull()).limit(1).count() > 0:
@@ -2771,10 +2776,168 @@ def apply_deletions_snapshot(
     )
 
 
+def merge_snapshot(
+    spark: SparkSession,
+    table_root: str,
+    batch: DataFrame,
+    key_field: str,
+    broadcast_threshold_rows: int = DEFAULT_BROADCAST_KEYS,
+    prune_collect_cap: int = DEFAULT_PRUNE_COLLECT_KEYS,
+    compression: str = "zstd",
+    stats_columns: Optional[Sequence[str]] = None,
+    client=None,
+    allow_driver_download: bool = False,
+) -> SnapshotInfo:
+    """Keyed MERGE (upsert): publish the next snapshot in which every
+    table row whose ``key_field`` matches a batch row is REPLACED by
+    that batch row, every unmatched batch row is INSERTED, and every
+    other row survives untouched — the daily re-crawl ingest verb
+    ("replace the doc by id") and the last of the Delta/Iceberg
+    maintenance verbs on this protocol (Delta's ``MERGE WHEN MATCHED
+    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``).
+
+    **File-scoped like the delete, not O(table)**: the manifest's
+    per-file envelope stats prune to the files whose key ranges CAN
+    overlap the batch (literal ``in`` under ``prune_collect_cap``,
+    min/max range above it); only those are read, anti-joined against
+    the batch keys, and rewritten together with the batch — every
+    untouched file entry is carried VERBATIM.  On a table clustered
+    by the key (``optimize_snapshot``), a day's re-crawl touches the
+    few files its ids straddle, not 100 TB.  Files without key stats
+    are conservatively rewritten.
+
+    Refusals (each silent alternative loses data):
+
+    * batch schema must match the table's exactly (same columns,
+      value-preserving casts only) — evolution during a merge would
+      entangle two risky operations; run ``append_snapshot(evolve=
+      True)`` or a republish first;
+    * NULL batch keys (NULL never joins — the "update" would insert a
+      ghost);
+    * duplicate batch keys (which copy wins is ambiguous — dedupe
+      upstream where the ordering rule lives);
+    * a concurrent commit between planning and publish (the
+      ``_expect_parent`` guard: a merge rebased onto a parent that
+      changed underneath would silently drop the concurrent commit's
+      rows from the survivors — appends rebase, rewrites refuse).
+
+    ``stats_columns=None`` (default) inherits the parent's envelope-
+    stats column set, so later merges/deletes keep pruning."""
+    info = resolve_snapshot(table_root, client=client)
+    if stats_columns is None:
+        stats_columns = _inherited_stats_columns(info)
+    if info.columns is not None and key_field not in info.columns:
+        raise ValueError(
+            f"merge_snapshot: key_field {key_field!r} not in snapshot "
+            f"columns {sorted(info.columns)}"
+        )
+    if key_field not in batch.columns:
+        raise ValueError(
+            f"merge_snapshot: key_field {key_field!r} not in batch "
+            f"columns {batch.columns}"
+        )
+    if info.columns is not None:
+        from .evolve import align_to_schema
+
+        ddl = ", ".join(
+            f"`{c}` {t}" for c, t in info.columns.items()
+        )
+        # exact column set, value-preserving casts, table column order
+        batch = align_to_schema(
+            batch, ddl, missing="error", extra="error", cast="safe"
+        )
+    if batch.filter(F.col(key_field).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            "merge_snapshot: NULL batch key — NULL never joins, so the "
+            "row would neither update nor match reads; fix the batch"
+        )
+    dup = (
+        batch.groupBy(key_field)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_snapshot: duplicate batch key {dup[0][0]!r} — which "
+            "copy wins is ambiguous; dedupe the batch upstream where "
+            "the ordering rule lives (e.g. keep the newest crawl)"
+        )
+
+    # ----- file scoping via the manifest's envelope stats -----
+    key_df = batch.select(key_field)
+    kt = key_df.schema[key_field].dataType
+    prune: list = []
+    head = key_df.limit(prune_collect_cap + 1).collect()
+    if len(head) <= prune_collect_cap:
+        prune.append(
+            (
+                key_field,
+                "in",
+                [_collected_prune_literal(spark, r[0], kt) for r in head],
+            )
+        )
+    else:
+        bounds = key_df.agg(
+            F.min(key_field).alias("lo"), F.max(key_field).alias("hi")
+        ).collect()[0]
+        prune.append(
+            (key_field, ">=",
+             _collected_prune_literal(spark, bounds["lo"], kt))
+        )
+        prune.append(
+            (key_field, "<=",
+             _collected_prune_literal(spark, bounds["hi"], kt))
+        )
+    can_scope = not any(f.get("rows") is None for f in info.files)
+    if can_scope:
+        try:
+            plan = plan_snapshot_scan(info, prune)
+            touched, untouched = plan["kept"], plan["skipped"]
+        except TypeError:
+            # same stance as apply_deletions_snapshot: a literal the
+            # pruner refuses to compare degrades to the full rewrite,
+            # never a crash — the merge's semantics are the join's
+            touched, untouched = list(info.files), []
+    else:
+        touched, untouched = list(info.files), []
+
+    if touched:
+        scan_info = SnapshotInfo(**{**info.__dict__, "files": touched})
+        existing = _scan_files(
+            spark, table_root, scan_info, client, allow_driver_download
+        )
+        probed = key_df.limit(broadcast_threshold_rows + 1).count()
+        anti = (
+            F.broadcast(key_df)
+            if probed <= broadcast_threshold_rows
+            else key_df
+        )
+        survivors = existing.join(anti, on=key_field, how="left_anti")
+        out = survivors.unionByName(batch)
+    else:
+        # no file's key range overlaps the batch: pure insert, every
+        # parent file carried verbatim (still a merge commit — the
+        # batch lands)
+        out = batch
+    return publish_snapshot(
+        out,
+        table_root,
+        operation="merge",
+        compression=compression,
+        stats_columns=stats_columns,
+        client=client,
+        _carry_files=untouched,
+        _expect_parent=info.version,
+    )
+
+
 __all__ = [
     "SnapshotInfo",
     "publish_snapshot",
     "append_snapshot",
+    "merge_snapshot",
     "read_snapshot",
     "read_snapshot_changes",
     "plan_snapshot_scan",

@@ -425,3 +425,221 @@ def test_maintenance_inherits_stats_columns(spark, tmp_path):
         spark, root, target_file_bytes=4 << 10, stats_columns=()
     )
     assert all("stats" not in f for f in dropped.files)
+
+
+# ---------------------------------------------------------------------------
+# merge_snapshot: keyed MERGE/upsert
+# ---------------------------------------------------------------------------
+
+
+def _merge_df(spark, ids, tag):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        .select(
+            "doc_id",
+            F.concat(F.lit(tag + "_"), F.col("doc_id")).alias("text"),
+        )
+    )
+
+
+def test_merge_updates_inserts_and_carries(spark, tmp_path):
+    """Matched keys take the batch row, unmatched insert, untouched
+    rows AND untouched files survive verbatim."""
+    from smashed_spark.sources.snapshot import merge_snapshot
+
+    root = _root(tmp_path)
+    base = _df(spark, 100, "a").repartitionByRange(4, "doc_id")
+    base = base.sortWithinPartitions("doc_id")
+    publish_snapshot(base, root, stats_columns=["doc_id"])
+    v1_files = len(resolve_snapshot(root).files)
+
+    batch = _merge_df(spark, [5, 17, 200, 201], "new")
+    info = merge_snapshot(spark, root, batch, "doc_id")
+    assert info.operation == "merge"
+    assert info.row_count == 102  # 100 - 2 replaced + 4 batch
+
+    got = {r.doc_id: r.text for r in read_snapshot(spark, root).collect()}
+    assert got[5] == "new_5" and got[17] == "new_17"  # updated
+    assert got[200] == "new_200" and got[201] == "new_201"  # inserted
+    assert got[3] == "a_3" and len(got) == 102  # untouched
+
+    # file-scoped: the hash-partitioned files not holding keys 5/17
+    # ride the manifest verbatim from the v1 prefix
+    carried = [f for f in info.files if "v00000001" in f["path"]]
+    rewritten = [f for f in info.files if "v00000001" not in f["path"]]
+    assert carried and rewritten
+    assert len(carried) + len(rewritten) == len(info.files)
+    assert len(carried) < v1_files  # at least one file was rewritten
+
+
+def test_merge_pure_insert_carries_everything(spark, tmp_path):
+    from smashed_spark.sources.snapshot import merge_snapshot
+
+    root = _root(tmp_path)
+    publish_snapshot(
+        _df(spark, 50, "a").coalesce(2), root, stats_columns=["doc_id"]
+    )
+    v1 = resolve_snapshot(root)
+    info = merge_snapshot(
+        spark, root, _merge_df(spark, [900, 901], "ins"), "doc_id"
+    )
+    assert info.row_count == 52
+    # envelopes prove no overlap: every parent file carried verbatim
+    assert {f["path"] for f in v1.files} <= {f["path"] for f in info.files}
+    # inherited stats: the new file carries doc_id envelopes too
+    new = [f for f in info.files if f["path"] not in
+           {g["path"] for g in v1.files}]
+    assert all("doc_id" in (f.get("stats") or {}) for f in new)
+
+
+def test_merge_refusals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from smashed_spark.sources.snapshot import merge_snapshot
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+
+    with pytest.raises(ValueError, match="duplicate batch key"):
+        merge_snapshot(
+            spark, root, _merge_df(spark, [1, 1, 2], "d"), "doc_id"
+        )
+    nulls = spark.createDataFrame(
+        [(None, "x")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="NULL batch key"):
+        merge_snapshot(spark, root, nulls, "doc_id")
+    with pytest.raises(ValueError, match="key_field"):
+        merge_snapshot(spark, root, _merge_df(spark, [1], "x"), "nope")
+    # extra batch column: schema must match the table's exactly
+    extra = _merge_df(spark, [1], "x").withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError):
+        merge_snapshot(spark, root, extra, "doc_id")
+    # missing batch column refuses too
+    with pytest.raises(ValueError):
+        merge_snapshot(
+            spark, root,
+            spark.createDataFrame([(1,)], "doc_id bigint"), "doc_id",
+        )
+
+
+def test_merge_refuses_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A merge is a REWRITE: racing commit between planning and
+    publish refuses loudly (rebasing would drop the concurrent
+    commit's rows from the survivors)."""
+    from smashed_spark.sources.snapshot import merge_snapshot
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 20, "a"), root)
+
+    real = snap._write_data_prefix
+    state = {"raced": False}
+
+    def race(df, root_sp, rel_prefix, compression, stats_columns=(),
+             client=None, **kw):
+        out = real(
+            df, root_sp, rel_prefix, compression,
+            stats_columns=stats_columns, client=client, **kw,
+        )
+        if not state["raced"]:
+            state["raced"] = True
+            append_snapshot(_df(spark, 3, "r"), str(root_sp))
+        return out
+
+    monkeypatch.setattr(snap, "_write_data_prefix", race)
+    # the race lands after the parent check but before the manifest
+    # write: the merge refuses on whichever guard fires first — both
+    # name the concurrent writer, neither silently drops rows
+    with pytest.raises(RuntimeError, match="concurrent writer|advanced"):
+        merge_snapshot(
+            spark, root, _merge_df(spark, [1, 2], "m"), "doc_id"
+        )
+    monkeypatch.undo()
+    # ...and the reverse race: an APPEND racing a merge REBASES onto
+    # the merge commit — both land
+    info = merge_snapshot(
+        spark, root, _merge_df(spark, [1, 2], "m"), "doc_id"
+    )
+
+    def race2(df, root_sp, rel_prefix, compression, stats_columns=(),
+              client=None, **kw):
+        out = real(
+            df, root_sp, rel_prefix, compression,
+            stats_columns=stats_columns, client=client, **kw,
+        )
+        if state["raced"]:
+            state["raced"] = False
+            merge_snapshot(
+                spark, str(root_sp), _merge_df(spark, [4], "m2"),
+                "doc_id",
+            )
+        return out
+
+    state["raced"] = True
+    monkeypatch.setattr(snap, "_write_data_prefix", race2)
+    out = append_snapshot(_merge_df(spark, [500], "app"), root)
+    monkeypatch.undo()
+    got = {r.doc_id: r.text for r in read_snapshot(spark, root).collect()}
+    assert got[4] == "m2_4" and got[500] == "app_500"
+    assert got[1] == "m_1"
+
+
+def test_merge_on_evolved_table_aligns_generations(spark, tmp_path):
+    """Merging into a table whose files span two schema generations:
+    old-generation survivors read with typed-NULL evolved columns,
+    the batch ships the full current schema, and the merge result is
+    one consistent table."""
+    from pyspark.sql import functions as F
+
+    from smashed_spark.sources.snapshot import merge_snapshot
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+    append_snapshot(
+        _df(spark, 5, "b")
+        .select(
+            (F.col("doc_id") + 100).alias("doc_id"),
+            "text",
+            F.lit(1.5).alias("score"),
+        ),
+        root,
+        evolve=True,
+    )
+    batch = spark.createDataFrame(
+        [(3, "m_3", 9.9), (300, "m_300", 8.8)],
+        "doc_id bigint, text string, score double",
+    )
+    info = merge_snapshot(spark, root, batch, "doc_id")
+    assert info.row_count == 16
+    got = {
+        r.doc_id: (r.text, r.score)
+        for r in read_snapshot(spark, root).collect()
+    }
+    assert got[3] == ("m_3", 9.9)
+    assert got[300] == ("m_300", 8.8)
+    assert got[2] == ("a_2", None)  # old-gen survivor, typed NULL
+    assert got[101] == ("b_1", 1.5)
+
+
+def test_merge_timestamp_keys(spark, tmp_path, micros_ts):
+    from pyspark.sql import functions as F
+
+    from smashed_spark.sources.snapshot import merge_snapshot
+
+    root = _root(tmp_path)
+    publish_snapshot(
+        _ts_df(spark, 12).repartition(3, "ts"), root, stats_columns=["ts"]
+    )
+    batch = _ts_df(spark, 12).filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "ts"
+    )
+    info = merge_snapshot(spark, root, batch, "ts")
+    got = read_snapshot(spark, root)
+    # doc_ids 1,4,7,10 shared that ts and were replaced by ONE row
+    assert got.count() == 9
+    assert got.filter(F.col("doc_id") == 1001).count() == 1
+    assert got.filter(F.col("doc_id").isin(1, 4, 7, 10)).count() == 0
+    carried = [f for f in info.files if "v00000001" in f["path"]]
+    assert carried, "timestamp prune literals should stay file-scoped"
