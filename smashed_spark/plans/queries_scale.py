@@ -554,10 +554,79 @@ _MODELQ_CTE = (
 )
 
 
+def _bind_bpe_stage_path() -> str:
+    """Import-time binding for the gate's persisted BPE merge table —
+    same pid-keyed pattern (and SMASHED_BPE_DIR override) as the
+    snapshot gate's staging path: the oracle string embeds this path,
+    and DuckDB reads the file AFTER the Spark side has fit and saved
+    it (oracles execute after their query in the driver's compare)."""
+    import os
+    import tempfile
+
+    override = os.environ.get("SMASHED_BPE_DIR")
+    if override:
+        return override
+    return os.path.join(
+        tempfile.gettempdir(), f"smashed_bpe_gate_{os.getpid()}"
+    )
+
+
+_BPE_STAGE_PATH = _bind_bpe_stage_path()
+
+# Replay the greedy BPE encode (functions/bpe.py bpe_encode_word) in
+# pure SQL: per word, repeatedly merge the LOWEST-RANK adjacent pair
+# (first position wins rank ties — the min_by key is rank*1e6 + i),
+# one merge per recursion level; a word's final state is its shortest
+# accumulated symbol list.  The merge table is the artifact the gate
+# just fit and saved — the same certify-from-the-artifact pattern as
+# the snapshot gate's parquet_metadata() accounting.
+_BPE_CTE = f"""
+    , mr AS (
+        SELECT i - 1 AS rnk,
+               merges[i][1] || chr(0) || merges[i][2] AS pair
+        FROM read_json('{_BPE_STAGE_PATH}/merges.json',
+             columns={{'format_version': 'BIGINT', 'eow': 'VARCHAR',
+                       'num_merges': 'BIGINT',
+                       'merges': 'VARCHAR[][]'}}),
+             unnest(range(1, len(merges)+1)) AS t(i)
+    ), bocc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(text, '\\s+'),
+                         x -> x != '')) AS w
+              FROM documents)
+        GROUP BY doc_id, w
+    ), bdw AS (
+        SELECT DISTINCT w FROM bocc
+    ), benc AS (
+        SELECT w, list_append(regexp_extract_all(w, '.'), '</w>')
+                   AS syms
+        FROM bdw
+        UNION ALL
+        SELECT w, list_concat(syms[1:bi-1],
+                   list_concat([syms[bi] || syms[bi+1]], syms[bi+2:]))
+        FROM (
+            SELECT e.w, e.syms,
+                   min_by(t.i, mr.rnk * 1000000 + t.i) AS bi
+            FROM benc e, unnest(range(1, len(e.syms))) AS t(i)
+            JOIN mr ON mr.pair = e.syms[t.i] || chr(0)
+                                 || e.syms[t.i+1]
+            GROUP BY e.w, e.syms
+        )
+    ), bfin AS (
+        SELECT w, min(len(syms)) AS ntok FROM benc GROUP BY w
+    ), bpe AS (
+        SELECT o.doc_id, sum(o.c * f.ntok)::BIGINT AS n_bpe_learned
+        FROM bocc o JOIN bfin f ON o.w = f.w GROUP BY o.doc_id
+    )
+"""
+
+
 @query(
     "text_stats",
     oracle="""
-    WITH n AS (
+    WITH RECURSIVE n AS (
         SELECT doc_id,
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
         FROM documents
@@ -644,6 +713,7 @@ _MODELQ_CTE = (
         FROM gr
     )"""
     + _MODELQ_CTE
+    + _BPE_CTE
     + """
     , thr AS (
         SELECT source,
@@ -691,7 +761,8 @@ _MODELQ_CTE = (
            CAST(gv.gopher_reason = '' AS INT) AS gopher_keep,
            mq.model_q_score,
            thr.src_threshold,
-           CAST(mq.model_q_score >= thr.src_threshold AS INT) AS q_keep
+           CAST(mq.model_q_score >= thr.src_threshold AS INT) AS q_keep,
+           coalesce(bpe.n_bpe_learned, 0)::BIGINT AS n_bpe_learned
     FROM documents d
     JOIN n ON d.doc_id = n.doc_id
     JOIN q ON d.doc_id = q.doc_id
@@ -701,6 +772,7 @@ _MODELQ_CTE = (
     JOIN gv ON d.doc_id = gv.doc_id
     JOIN mq ON d.doc_id = mq.doc_id
     JOIN thr ON d.source = thr.source
+    LEFT JOIN bpe ON d.doc_id = bpe.doc_id
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,6 +830,40 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_field="q_keep",
         threshold_field="src_threshold",
     )
+    # r15 fold: the LEARNED-BPE token accounting (functions/bpe.py) —
+    # fit 64 merge rules on the corpus (one bounded word-type
+    # exchange + a driver merge loop), persist the merge table next
+    # to the gate, and count tokens in one Arrow pass.  The oracle
+    # replays the greedy encode from the SAVED artifact via a
+    # recursive CTE, so the counts are value-checked bit-for-bit;
+    # fit determinism itself is unit-pinned (test_bpe).
+    import atexit
+    import shutil
+
+    from ..functions.bpe import (
+        BpeTokenCountMapper,
+        fit_bpe_merges,
+        save_bpe_merges,
+    )
+    from .queries_more import _claim_io_zdocs_dir
+
+    _claim_io_zdocs_dir(_BPE_STAGE_PATH, env_var="SMASHED_BPE_DIR")
+    atexit.register(shutil.rmtree, _BPE_STAGE_PATH, ignore_errors=True)
+    bpe_words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    # fit from the RAW table (a narrow scan), not the assembled
+    # pipeline — the fit is an eager action and would otherwise
+    # compute the whole stats plan once here and again at collect
+    merges = fit_bpe_merges(
+        load(spark, sf_dir, "documents").select(
+            bpe_words.alias("bpe_words")
+        ),
+        "bpe_words",
+        num_merges=64,
+    )
+    save_bpe_merges(merges, _BPE_STAGE_PATH)
+    out = BpeTokenCountMapper(
+        merges, "bpe_words", "n_bpe_learned"
+    ).map(out.withColumn("bpe_words", bpe_words))
     return out.select(
         "doc_id",
         "n_ws_tokens",
@@ -778,6 +884,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "model_q_score",
         "src_threshold",
         "q_keep",
+        "n_bpe_learned",
     )
 
 
