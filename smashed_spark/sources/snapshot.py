@@ -2145,7 +2145,18 @@ def snapshot_table_stats(
     through the evolution aligner), clustered fraction (how much an
     incremental optimize would skip), per-transform directory counts,
     and which columns carry envelope stats (what ``where=`` can prune
-    on)."""
+    on).
+
+    ``envelope_overlap_avg`` (per stats column) is the DELETE/MERGE
+    scoping health check: the mean number of files whose [min, max]
+    envelope contains a point key (averaged over every file's own min
+    — an O(n log n) endpoint sweep, no data reads).  ~1 means a
+    single-key delete rewrites one file; anything >> 1 means the
+    envelopes straddle and keyed deletes/merges silently degrade
+    toward an O(table) rewrite (correct, just not scoped; on a fully
+    hash-scattered layout the endpoint sampling reads ~files/2) —
+    cluster by the key (``optimize_snapshot``) before relying on
+    file-scoped maintenance."""
     info = resolve_snapshot(table_root, version, client=client)
     sizes = [int(f.get("bytes") or 0) for f in info.files]
     n = len(info.files)
@@ -2163,6 +2174,34 @@ def snapshot_table_stats(
         for k, v in (f.get("partition") or {}).items():
             dir_values.setdefault(k, set()).add(v)
     small = sum(1 for s in sizes if s < (16 << 20))
+    overlap: Dict[str, float] = {}
+    for c in stats_cols:
+        # per-kind envelopes are normalized to mutually comparable
+        # JSON forms at publish time (ints; ISO strings), so the
+        # sweep needs no datetime parsing.  Mixed kinds across
+        # generations (int vs str after a republish) skip the metric.
+        ivals = []
+        kinds = set()
+        for f in info.files:
+            st = (f.get("stats") or {}).get(c)
+            if st is None or "min" not in st:
+                continue
+            kinds.add(st.get("kind"))
+            ivals.append((st["min"], st["max"]))
+        if len(kinds) != 1 or not ivals:
+            continue
+        import bisect
+
+        mins = sorted(v[0] for v in ivals)
+        maxes = sorted(v[1] for v in ivals)
+        depth = 0
+        for lo, _ in ivals:
+            # files whose envelope contains this file's min:
+            # count(min_i <= lo) - count(max_i < lo)
+            depth += bisect.bisect_right(mins, lo) - bisect.bisect_left(
+                maxes, lo
+            )
+        overlap[c] = round(depth / len(ivals), 2)
     return {
         "version": info.version,
         "operation": info.operation,
@@ -2185,6 +2224,7 @@ def snapshot_table_stats(
         "stats_columns": {
             c: stats_cols[c] for c in sorted(stats_cols)
         },
+        "envelope_overlap_avg": overlap,
     }
 
 
@@ -2606,7 +2646,17 @@ def apply_deletions_snapshot(
     100 TB table rewrites the few files whose envelopes straddle the
     keys, not the table.  Files with no stats for ``key_field`` are
     conservatively rewritten — publish with
-    ``stats_columns=[key_field]`` to keep future deletes scoped.  When
+    ``stats_columns=[key_field]`` to keep future deletes scoped.
+
+    **Clustering contract**: envelope pruning only scopes if the table
+    is CLUSTERED by ``key_field`` (``optimize_snapshot`` /
+    ``repartitionByRange`` at publish) — on a hash- or
+    arrival-ordered layout every file's [min, max] straddles the key
+    space and the delete silently degrades to an O(table) rewrite
+    (correct, just not scoped; BENCH_SCALE ``snapshot_unclustered_
+    delete`` measures it).  ``snapshot_table_stats``'s
+    ``envelope_overlap_avg`` is the health check: ~1 scopes, anything
+    >> 1 does not.  When
     pruning proves NO file can match, the current :class:`SnapshotInfo`
     is returned unchanged (no empty-delete version is committed).
 

@@ -643,3 +643,42 @@ def test_merge_timestamp_keys(spark, tmp_path, micros_ts):
     assert got.filter(F.col("doc_id").isin(1, 4, 7, 10)).count() == 0
     carried = [f for f in info.files if "v00000001" in f["path"]]
     assert carried, "timestamp prune literals should stay file-scoped"
+
+
+# ---------------------------------------------------------------------------
+# delete-key clustering health check: envelope_overlap_avg
+# ---------------------------------------------------------------------------
+
+
+def test_envelope_overlap_metric_flags_unclustered_keys(spark, tmp_path):
+    """snapshot_table_stats.envelope_overlap_avg ~1 on a key-clustered
+    layout (deletes/merges scope), >>1 on a hash-scattered one (they
+    silently degrade to O(table) — the BENCH_SCALE negative probe)."""
+    from pyspark.sql import functions as F
+
+    from smashed_spark.sources.snapshot import snapshot_table_stats
+
+    base = spark.range(4000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    clustered = str(tmp_path / "clus")
+    publish_snapshot(
+        base.repartitionByRange(8, "doc_id").sortWithinPartitions(
+            "doc_id"
+        ),
+        clustered,
+        stats_columns=["doc_id"],
+    )
+    scattered = str(tmp_path / "scat")
+    publish_snapshot(
+        base.repartition(8, "doc_id"), scattered,
+        stats_columns=["doc_id"],
+    )
+    c = snapshot_table_stats(clustered)["envelope_overlap_avg"]["doc_id"]
+    s = snapshot_table_stats(scattered)["envelope_overlap_avg"]["doc_id"]
+    assert c == 1.0
+    assert s > 3.0  # endpoint sampling reads ~files/2 when straddling
+    # no stats published -> the metric is simply absent for the column
+    none = str(tmp_path / "none")
+    publish_snapshot(base.coalesce(1), none)
+    assert snapshot_table_stats(none)["envelope_overlap_avg"] == {}

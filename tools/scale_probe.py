@@ -979,6 +979,71 @@ def main() -> None:
             "files_rewritten": rewritten,
         }
 
+    # r15 (judge ask #7): the clustering CONTRACT's negative space —
+    # the same one-key forget-list delete against a table whose files
+    # are HASH-partitioned on the key, so every envelope straddles the
+    # key space and pruning cannot scope.  files_rewritten should be
+    # ~all files (the documented O(table) degradation), and
+    # snapshot_table_stats's envelope_overlap_avg should flag it.
+    uncl_delete_selected = (
+        not only or "snapshot_unclustered_delete" in only
+    )
+
+    def run_unclustered_delete(n_files: int, reps: int = 2) -> dict:
+        import tempfile as _tf
+
+        from smashed_spark.sources.snapshot import (
+            apply_deletions_snapshot,
+            publish_snapshot,
+            resolve_snapshot,
+            snapshot_table_stats,
+        )
+
+        best = {"delete": -1.0}
+        rewritten = overlap = None
+        for _ in range(reps):
+            isolate()
+            root = _tf.mkdtemp(prefix="smashed_uncldel_") + "/tbl"
+            df = (
+                spark.range(160_000)
+                .selectExpr("id AS doc_id", "id % 997 AS n_chars")
+                .repartition(n_files, "doc_id")  # hash: envelopes straddle
+            )
+            publish_snapshot(df, root, stats_columns=["doc_id"])
+            overlap = snapshot_table_stats(root)[
+                "envelope_overlap_avg"
+            ].get("doc_id")
+            before = {f["path"] for f in resolve_snapshot(root).files}
+            t0 = time.perf_counter()
+            # a MID-RANGE key: an edge key (the scoped probe's 5)
+            # would dodge most hash-scattered envelopes by luck (a
+            # file's min of ~100 uniform draws is rarely <= 5); the
+            # middle of the key space is what a real forget key
+            # looks like against this layout
+            info = apply_deletions_snapshot(
+                spark, root, keys=[80_000], key_field="doc_id",
+                stats_columns=["doc_id"],
+            )
+            t_del = time.perf_counter() - t0
+            assert info.row_count == 160_000 - 1
+            # carried = parent entries that rode the manifest verbatim
+            # (pruned away from the rewrite); touched = what the
+            # delete had to READ and rewrite.  Output-file counts
+            # would lie here: AQE coalesces the full-table rewrite
+            # into a handful of parts
+            carried = sum(1 for f in info.files if f["path"] in before)
+            rewritten = len(before) - carried
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+            best["delete"] = (
+                t_del if best["delete"] < 0 else min(best["delete"], t_del)
+            )
+        return {
+            "delete": round(best["delete"], 4),
+            "files_touched": rewritten,
+            "files_carried": carried,
+            "envelope_overlap_avg": overlap,
+        }
+
     # r14: incremental optimize — a constant daily batch re-keyed onto
     # a clustered table whose CLUSTERED file count grows 16/160/1600.
     # The carried entries ride the manifest verbatim, so the wall
@@ -1096,6 +1161,35 @@ def main() -> None:
         print(
             "# snapshot_scoped_delete: "
             f"{result['queries']['snapshot_scoped_delete']['files_sweep']}",
+            file=sys.stderr,
+        )
+
+    if uncl_delete_selected:
+        sweep = {n: run_unclustered_delete(n) for n in (16, 160, 1600)}
+        result["queries"]["snapshot_unclustered_delete"] = {
+            "files_sweep": {str(n): sweep[n] for n in sweep},
+            "note": (
+                "the clustering contract's NEGATIVE probe: same 160k "
+                "rows / one forget key as snapshot_scoped_delete, but "
+                "hash-partitioned on the key so every file's envelope "
+                "straddles the key space.  files_touched == ALL files "
+                "(files_carried == 0) is the documented O(table) "
+                "degradation — the delete is still correct, just "
+                "unscoped; the scoped probe's counterpart carries all "
+                "but 1.  envelope_overlap_avg is the "
+                "snapshot_table_stats health check that predicts it "
+                "without reading data: ~1 on the clustered layout, "
+                "~files/2 here (endpoint sampling of fully-straddling "
+                "envelopes reads n/2; any value >> 1 means unscoped). "
+                "Cluster by the delete key (optimize_snapshot) to get "
+                "the scoped path; positional delete files are the "
+                "eventual answer if a real workload needs scoped "
+                "deletes on an uncluster-able key."
+            ),
+        }
+        print(
+            "# snapshot_unclustered_delete: "
+            f"{result['queries']['snapshot_unclustered_delete']['files_sweep']}",
             file=sys.stderr,
         )
 
