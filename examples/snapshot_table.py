@@ -231,6 +231,57 @@ def main() -> None:
         f"carried, {len(inc.files) - carried} file(s) re-keyed"
     )
 
+    # --- r15: MERGE (upsert) — the daily re-crawl verb ---------------
+    # Matched doc_ids are REPLACED by the batch copy, unmatched ids
+    # INSERT, untouched rows — and untouched FILES, on this clustered
+    # table — survive verbatim, all as one atomic commit
+    from smashed_spark.sources.snapshot import merge_snapshot
+
+    recrawl = docs.filter(F.col("doc_id") % 97 == 1).withColumn(
+        "text", F.concat(F.lit("[recrawled] "), F.col("text"))
+    )
+    inserts = (
+        docs.limit(25)
+        .withColumn("doc_id", F.col("doc_id") + 3_000_000)
+    )
+    pre_merge = resolve_snapshot(table)
+    merged = merge_snapshot(
+        spark, table, recrawl.unionByName(inserts), "doc_id"
+    )
+    carried_m = sum(1 for f in merged.files if f in pre_merge.files)
+    print(
+        f"merge upsert: rows {pre_merge.row_count} -> "
+        f"{merged.row_count}; {carried_m}/{len(pre_merge.files)} file "
+        "entries carried verbatim"
+    )
+    print(
+        "recrawled text visible:",
+        read_snapshot(spark, table)
+        .filter(F.col("text").startswith("[recrawled]"))
+        .count(),
+    )
+
+    # --- r15: as_of time travel — read the table as it WAS -----------
+    # (pre-merge state by instant, not version number; an instant that
+    # predates version 1 or a vacuumed chain refuses loudly)
+    back_then = read_snapshot(
+        spark, table, as_of=pre_merge.committed_at
+    )
+    print(
+        f"as_of {pre_merge.committed_at:.0f}: "
+        f"{back_then.filter(F.col('text').startswith('[recrawled]')).count()} "
+        f"recrawled rows (pre-merge state), {back_then.count()} total"
+    )
+
+    # --- r15: the delete/merge scoping health check -------------------
+    from smashed_spark.sources.snapshot import snapshot_table_stats
+
+    overlap = snapshot_table_stats(table)["envelope_overlap_avg"]
+    print(
+        "envelope_overlap_avg (should be ~1 on this clustered table; "
+        f">>1 means keyed deletes/merges degrade to O(table)): {overlap}"
+    )
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
