@@ -309,9 +309,13 @@ def _as_of_epoch(as_of) -> float:
 
 def _as_of_version(
     root: SmartPath, as_of, table_root: str, client=None
-) -> int:
-    """The newest version on the pointer chain committed at-or-before
-    ``as_of`` — one manifest GET per chain step walked."""
+) -> dict:
+    """The newest chain manifest committed at-or-before ``as_of`` —
+    one GET per chain step walked, and the matched manifest document
+    is returned (already parsed) so the caller never re-fetches it.
+    Manifests predating ``committed_at`` refuse: defaulting them to
+    epoch 0 would silently serve a state NEWER than the asked-for
+    instant."""
     epoch = _as_of_epoch(as_of)
     cursor = _pointer_version(root, client=client)
     if cursor is None:
@@ -327,8 +331,15 @@ def _as_of_version(
                 f"under {table_root!r} — the chain is vacuumed past the "
                 "requested instant; older states are unrecoverable"
             )
-        if float(doc.get("committed_at", 0.0)) <= epoch:
-            return int(doc["version"])
+        if doc.get("committed_at") is None:
+            raise ValueError(
+                f"resolve_snapshot: v{cursor} of {table_root!r} has no "
+                "committed_at (a manifest predating the field) — as_of "
+                "cannot order against it without silently serving a "
+                "too-new state; resolve by version= instead"
+            )
+        if float(doc["committed_at"]) <= epoch:
+            return doc
         cursor = doc.get("parent")
     raise ValueError(
         f"resolve_snapshot: as_of instant predates version 1 of "
@@ -366,12 +377,16 @@ def resolve_snapshot(
     GETs).  ``as_of`` resolution walks the chain by construction and
     can never serve debris."""
     root = SmartPath.parse(table_root)
+    manifest: Optional[dict] = None
     if as_of is not None:
         if version is not None:
             raise ValueError(
                 "resolve_snapshot: version= and as_of= are exclusive"
             )
-        version = _as_of_version(root, as_of, table_root, client=client)
+        # the walk already parsed the matched manifest — reuse it
+        # (one GET saved per as_of resolution)
+        manifest = _as_of_version(root, as_of, table_root, client=client)
+        version = int(manifest["version"])
     if version is None:
         version = _pointer_version(root, client=client)
         if version is None:
@@ -404,7 +419,10 @@ def resolve_snapshot(
                 "current); resolve without verify_chain=True only if "
                 "you mean to inspect it"
             )
-    manifest = _read_json(str(root / _manifest_key(version)), client=client)
+    if manifest is None:
+        manifest = _read_json(
+            str(root / _manifest_key(version)), client=client
+        )
     if manifest is None:
         raise FileNotFoundError(
             f"resolve_snapshot: no manifest for version {version} under "
@@ -1032,17 +1050,40 @@ def plan_snapshot_scan(
     }
 
 
+#: Spark simpleString types whose parquet footers carry usable
+#: envelope stats (mirrors _stats_kind; float/double refused there —
+#: parquet min/max is NaN-blind)
+_STATS_ELIGIBLE_TYPES = frozenset(
+    (
+        "tinyint", "smallint", "int", "bigint", "boolean", "string",
+        "date", "timestamp", "timestamp_ntz",
+    )
+)
+
+
 def _inherited_stats_columns(info: SnapshotInfo) -> List[str]:
-    """The envelope-stats column set a maintenance rewrite should keep
+    """The envelope-stats column set a carried commit should keep
     collecting by default: every column ANY parent file entry carries
-    stats for.  Rewrites (compact/optimize/delete) used to default to
-    ``()``, silently degrading file-scoped deletes over the table's
-    life — a table published with ``stats_columns=['id']`` would lose
-    its envelopes at the first compaction and every later delete
-    would rewrite O(table)."""
+    stats for.  Rewrites (compact/optimize/delete/merge) and appends
+    used to default to ``()``, silently degrading file-scoped deletes
+    over the table's life — a table published with
+    ``stats_columns=['id']`` would lose its envelopes at the first
+    compaction and every later delete would rewrite O(table).
+
+    Columns whose CURRENT table type is no longer stats-eligible are
+    dropped: an ``evolve=True`` widening like int→double leaves the
+    old files' int envelopes behind while the next rewrite would
+    write double — ``_file_column_stats`` refuses float, so blindly
+    inheriting would brick every maintenance call after such an
+    evolve."""
     cols: set = set()
     for f in info.files:
         cols.update((f.get("stats") or {}).keys())
+    if info.columns is not None:
+        cols = {
+            c for c in cols
+            if info.columns.get(c) in _STATS_ELIGIBLE_TYPES
+        }
     return sorted(cols)
 
 
@@ -1715,7 +1756,7 @@ def append_snapshot(
     table_root: str,
     compression: str = "zstd",
     properties: Optional[Dict[str, object]] = None,
-    stats_columns: Sequence[str] = (),
+    stats_columns: Optional[Sequence[str]] = None,
     evolve: bool = False,
     client=None,
 ) -> SnapshotInfo:
@@ -1735,7 +1776,38 @@ def append_snapshot(
     ``read_snapshot`` aligns old files to the current schema (typed
     NULLs for later-added columns, safe upcasts for widened ones) —
     daily-ingest tables gain columns without a full republish.  Lossy
-    changes still refuse, evolve or not."""
+    changes still refuse, evolve or not.
+
+    ``stats_columns=None`` (default) INHERITS the parent's envelope-
+    stats column set — without it, every default append adds
+    envelope-less files that all later file-scoped deletes/merges
+    must conservatively rewrite (``snapshot_table_stats``'s
+    ``envelope_overlap_avg`` counts such files as always-touched).
+    Pass ``()`` to skip stats explicitly; columns the batch ships
+    with a no-longer-eligible type (e.g. widened to double) drop out
+    of the inherited set."""
+    if stats_columns is None:
+        try:
+            stats_columns = _inherited_stats_columns(
+                resolve_snapshot(table_root, client=client)
+            )
+        except FileNotFoundError:
+            # nothing published yet: publish_snapshot will raise the
+            # canonical first-write error — don't mask it here
+            stats_columns = ()
+        if stats_columns:
+            # the inherited set must also be eligible in THIS batch's
+            # shape (an evolve batch may widen a column past
+            # eligibility, or not ship it at all — it then lands as
+            # typed NULLs with no envelope either way)
+            batch_types = {
+                f.name: f.dataType.simpleString()
+                for f in df.schema.fields
+            }
+            stats_columns = [
+                c for c in stats_columns
+                if batch_types.get(c) in _STATS_ELIGIBLE_TYPES
+            ]
     return publish_snapshot(
         df,
         table_root,
@@ -2201,7 +2273,13 @@ def snapshot_table_stats(
             depth += bisect.bisect_right(mins, lo) - bisect.bisect_left(
                 maxes, lo
             )
-        overlap[c] = round(depth / len(ivals), 2)
+        # files WITHOUT an envelope for this column (no stats
+        # collected, or all-NULL) are conservatively touched by EVERY
+        # keyed delete/merge — count them in, or a table whose
+        # appends skipped stats would read ~1.0 ("scoped") while
+        # every delete rewrites those files
+        missing = n - len(ivals)
+        overlap[c] = round(depth / len(ivals) + missing, 2)
     return {
         "version": info.version,
         "operation": info.operation,
@@ -2601,7 +2679,17 @@ def _collected_prune_literal(spark: SparkSession, v, dtype):
     instants outright (tz-ambiguity), so internally derived prune
     literals re-attach the session zone before planning.
     TIMESTAMP_NTZ collects naive and must STAY naive — only instants
-    convert."""
+    convert.
+
+    Wall-clock → instant is NOT injective: a DST fall-back hour names
+    two instants (re-attaching the zone could pick the wrong one and
+    prune the file holding the key — a silent incomplete delete), a
+    spring-forward hour names none, and Spark accepts zone spellings
+    zoneinfo does not ('GMT+8').  Every such case returns the value
+    UNCONVERTED: the naive instant then trips ``_norm_stat``'s refusal
+    inside ``plan_snapshot_scan`` and the caller's TypeError fallback
+    degrades to the full (always-correct) rewrite instead of
+    mispruning or crashing."""
     import datetime as _dt
 
     from pyspark.sql import types as T
@@ -2614,7 +2702,17 @@ def _collected_prune_literal(spark: SparkSession, v, dtype):
         from zoneinfo import ZoneInfo
 
         tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-        return v.replace(tzinfo=ZoneInfo(tz))
+        try:
+            zone = ZoneInfo(tz)
+        except Exception:
+            return v  # Spark-legal, zoneinfo-unknown spelling
+        aware = v.replace(tzinfo=zone)
+        if aware.utcoffset() != v.replace(tzinfo=zone, fold=1).utcoffset():
+            return v  # ambiguous (DST fall-back repeats this hour)
+        roundtrip = aware.astimezone(_dt.timezone.utc).astimezone(zone)
+        if roundtrip.replace(tzinfo=None) != v:
+            return v  # imaginary (spring-forward gap)
+        return aware
     return v
 
 
@@ -2866,13 +2964,22 @@ def merge_snapshot(
       ghost);
     * duplicate batch keys (which copy wins is ambiguous — dedupe
       upstream where the ordering rule lives);
+    * an EMPTY batch (a no-op 'merge' version would still break
+      ``read_snapshot_changes`` for every consumer reading across it);
     * a concurrent commit between planning and publish (the
       ``_expect_parent`` guard: a merge rebased onto a parent that
       changed underneath would silently drop the concurrent commit's
       rows from the survivors — appends rebase, rewrites refuse).
 
     ``stats_columns=None`` (default) inherits the parent's envelope-
-    stats column set, so later merges/deletes keep pruning."""
+    stats column set, so later merges/deletes keep pruning.
+
+    The batch is localCheckpoint-pinned before anything reads it: the
+    NULL/dup checks, the prune-key collect, and the final write must
+    see the SAME rows (a nondeterministic batch re-evaluated between
+    prune and write could plant a duplicate key in a carried file).
+    Size batches accordingly — this verb is for bounded re-crawl
+    batches, not unbounded backfills (republish for those)."""
     info = resolve_snapshot(table_root, client=client)
     if stats_columns is None:
         stats_columns = _inherited_stats_columns(info)
@@ -2896,6 +3003,14 @@ def merge_snapshot(
         batch = align_to_schema(
             batch, ddl, missing="error", extra="error", cast="safe"
         )
+    # PIN the batch: the NULL/dup checks, the prune-key collect, and
+    # the final write must all see the SAME rows — a nondeterministic
+    # batch plan (limit without order, sampling, now()) re-evaluated
+    # between the prune and the write could prove a file
+    # non-overlapping and then insert a row whose key lives in it
+    # (duplicate keys, the exact contract this verb exists to keep).
+    # localCheckpoint, not persist: eviction would re-evaluate.
+    batch = batch.localCheckpoint(eager=True)
     if batch.filter(F.col(key_field).isNull()).limit(1).count() > 0:
         raise ValueError(
             "merge_snapshot: NULL batch key — NULL never joins, so the "
@@ -2920,6 +3035,13 @@ def merge_snapshot(
     kt = key_df.schema[key_field].dataType
     prune: list = []
     head = key_df.limit(prune_collect_cap + 1).collect()
+    if not head:
+        raise ValueError(
+            "merge_snapshot: empty batch — refusing a no-op publish "
+            "(a spurious 'merge' version would also break "
+            "read_snapshot_changes for every consumer reading across it)"
+        )
+    batch_rows_capped = len(head)  # exact when <= the collect cap
     if len(head) <= prune_collect_cap:
         prune.append(
             (
@@ -2958,7 +3080,13 @@ def merge_snapshot(
         existing = _scan_files(
             spark, table_root, scan_info, client, allow_driver_download
         )
-        probed = key_df.limit(broadcast_threshold_rows + 1).count()
+        # the capped head already counted the batch exactly when it
+        # fit the collect cap — only an over-cap batch needs a probe
+        probed = (
+            batch_rows_capped
+            if batch_rows_capped <= prune_collect_cap
+            else key_df.limit(broadcast_threshold_rows + 1).count()
+        )
         anti = (
             F.broadcast(key_df)
             if probed <= broadcast_threshold_rows

@@ -682,3 +682,137 @@ def test_envelope_overlap_metric_flags_unclustered_keys(spark, tmp_path):
     none = str(tmp_path / "none")
     publish_snapshot(base.coalesce(1), none)
     assert snapshot_table_stats(none)["envelope_overlap_avg"] == {}
+
+
+# ---------------------------------------------------------------------------
+# round-15 review-pass fixes
+# ---------------------------------------------------------------------------
+
+
+def test_collected_prune_literal_dst_and_zone_edges(spark):
+    """Wall-clock -> instant is not injective: DST-ambiguous and
+    imaginary times, and Spark-legal zone spellings zoneinfo cannot
+    resolve, all return the value UNCONVERTED (the naive instant then
+    trips the pruner's refusal and the caller degrades to the full
+    rewrite instead of mispruning)."""
+    from pyspark.sql import types as T
+
+    from smashed_spark.sources.snapshot import _collected_prune_literal
+
+    ts = T.TimestampType()
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "America/Los_Angeles")
+        ok = dt.datetime(2024, 6, 1, 12, 0)
+        out = _collected_prune_literal(spark, ok, ts)
+        assert out.tzinfo is not None
+        assert out.astimezone(dt.timezone.utc).hour == 19  # PDT +7
+        ambiguous = dt.datetime(2024, 11, 3, 1, 30)  # fall-back hour
+        assert _collected_prune_literal(spark, ambiguous, ts) is ambiguous
+        imaginary = dt.datetime(2024, 3, 10, 2, 30)  # spring-forward gap
+        assert _collected_prune_literal(spark, imaginary, ts) is imaginary
+        spark.conf.set(key, "GMT+8")  # Spark-legal, zoneinfo-unknown
+        naive = dt.datetime(2024, 6, 1, 12, 0)
+        assert _collected_prune_literal(spark, naive, ts) is naive
+    finally:
+        spark.conf.set(key, prev)
+    # non-instant types never convert
+    assert (
+        _collected_prune_literal(
+            spark, dt.datetime(2024, 1, 1), T.TimestampNTZType()
+        ).tzinfo
+        is None
+    )
+
+
+def test_merge_refuses_empty_batch(spark, tmp_path):
+    from smashed_spark.sources.snapshot import merge_snapshot
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10, "a"), root)
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="empty batch"):
+        merge_snapshot(spark, root, empty, "doc_id")
+    assert resolve_snapshot(root).version == 1  # nothing published
+
+
+def test_as_of_refuses_legacy_manifest_without_committed_at(
+    spark, tmp_path
+):
+    """A chain manifest predating committed_at cannot be ordered
+    against an instant — defaulting it to epoch 0 would silently
+    serve a state NEWER than asked for."""
+    root = _root(tmp_path)
+    v1 = publish_snapshot(_df(spark, 5, "a"), root)
+    path = tmp_path / "table" / snap._manifest_key(1)
+    doc = json.loads(path.read_text())
+    del doc["committed_at"]
+    path.write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="committed_at"):
+        resolve_snapshot(root, as_of=v1.committed_at + 100)
+
+
+def test_overlap_metric_counts_statless_files(spark, tmp_path):
+    """Files without an envelope are touched by EVERY keyed
+    delete/merge — the health check counts them instead of reporting
+    a clean ~1.0 on a half-blind table."""
+    from smashed_spark.sources.snapshot import snapshot_table_stats
+
+    root = _root(tmp_path)
+    publish_snapshot(
+        _df(spark, 100, "a")
+        .repartitionByRange(4, "doc_id")
+        .sortWithinPartitions("doc_id"),
+        root,
+        stats_columns=["doc_id"],
+    )
+    assert (
+        snapshot_table_stats(root)["envelope_overlap_avg"]["doc_id"]
+        == 1.0
+    )
+    # an explicit stats-less append adds 2 always-touched files
+    append_snapshot(
+        _df(spark, 10, "b").coalesce(2).withColumn(
+            "doc_id", snap.F.col("doc_id") + 200
+        ),
+        root,
+        stats_columns=(),
+    )
+    got = snapshot_table_stats(root)["envelope_overlap_avg"]["doc_id"]
+    assert got == 3.0  # 1.0 scoped + 2 blind files
+
+
+def test_append_inherits_stats_columns_by_default(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(
+        _df(spark, 20, "a").withColumn(
+            "doc_id", F.col("doc_id").cast("int")
+        ),
+        root,
+        stats_columns=["doc_id"],
+    )
+    info = append_snapshot(
+        _df(spark, 5, "b").select(
+            (F.col("doc_id") + 100).cast("int").alias("doc_id"), "text"
+        ),
+        root,
+    )
+    new = [f for f in info.files if "v00000002" in f["path"]]
+    assert new and all("doc_id" in (f.get("stats") or {}) for f in new)
+    # evolve widens doc_id out of eligibility (int -> double): the
+    # inherited set drops it instead of crashing the append — and the
+    # next compact inherits safely too
+    wide = spark.range(300, 303).select(
+        F.col("id").cast("double").alias("doc_id"),
+        F.lit("w").alias("text"),
+    )
+    info2 = append_snapshot(wide, root, evolve=True)
+    assert info2.columns["doc_id"] == "double"
+    compacted = compact_snapshot(spark, root, target_file_bytes=1 << 20)
+    assert all(
+        "doc_id" not in (f.get("stats") or {})
+        for f in compacted.files
+    )
