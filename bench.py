@@ -176,6 +176,33 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 4)
+    # r15 host normalization (r14 VERDICT ask #5): this host's speed
+    # drifts up to ~1.2x round-to-round with zero code change (PLANS.md
+    # r14 bench analysis derived the factor by hand).  A pinned control
+    # set of single-stage queries whose code has not changed since the
+    # r13 record — and their r13-record seconds — lets every artifact
+    # carry its own host factor: median(this_run / r13_record) over the
+    # controls.  total_normalized = total / host_factor is the
+    # cross-round-comparable number; judges should read per-query
+    # deltas against host_factor, not raw.  If a control's code ever
+    # changes, REPIN its reference here in the same commit.
+    control_ref = {
+        "filter_project": 0.1514,
+        "unpack_explode": 0.1734,
+        "masks_family": 0.5289,
+    }
+    ratios = sorted(
+        ok[name] / ref
+        for name, ref in control_ref.items()
+        if ok.get(name, -1) > 0
+    )
+    # the references are sf0.1-record seconds — the factor is
+    # meaningless at other scales
+    host_factor = (
+        round(ratios[len(ratios) // 2], 4)
+        if ratios and sf == "0.1"
+        else None
+    )
     # Per-rep raw timings go to a sidecar file (and stderr), NOT the
     # stdout JSON: round 4 put "reps" on the stdout line, which grew past
     # the driver's tail-capture buffer, truncated the head of the line,
@@ -216,6 +243,18 @@ def main() -> None:
                 # overstate the engine's cost
                 "host_noise": host_noise,
                 "idle_wait_sec": round(waited, 1),
+                # r15: per-artifact host factor from the pinned
+                # control set (median this-run/r13-record over
+                # filter_project, unpack_explode, masks_family) and
+                # the host-equivalent total.  1.0 = the r13 record's
+                # host speed; see the comment at control_ref.
+                "host_factor": host_factor,
+                "total_normalized": (
+                    round(total / host_factor, 4)
+                    if host_factor
+                    else None
+                ),
+                "control_queries": sorted(control_ref),
                 "methodology_note": (
                     "PLANS.md 'Round-6 measurement fix: noop-sink "
                     "timing' + 'Round-6 bench host-noise forensics'"
