@@ -816,3 +816,77 @@ def test_append_inherits_stats_columns_by_default(spark, tmp_path):
         "doc_id" not in (f.get("stats") or {})
         for f in compacted.files
     )
+
+
+# ---------------------------------------------------------------------------
+# merge: transformed-table layout and s3 tier
+# ---------------------------------------------------------------------------
+
+BUCKET = "smashed-test-bucket"
+
+
+@pytest.fixture()
+def s3():
+    boto3 = pytest.importorskip("boto3")
+    moto = pytest.importorskip("moto")
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket=BUCKET)
+        yield client
+
+
+def test_merge_on_transformed_table_keeps_layout(spark, tmp_path):
+    """Merging into a bucket-partitioned table: the rewrite inherits
+    the directory layout (carried commits must not mix layouts), new
+    files land in transform dirs with recorded partition values, and
+    directory pruning still works afterwards."""
+    from pyspark.sql import functions as F
+
+    from smashed_spark.sources.snapshot import merge_snapshot
+
+    root = _root(tmp_path)
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), (F.col("id") % 7).cast("string")).alias(
+            "user"
+        ),
+    )
+    publish_snapshot(
+        df, root, partition_transforms={"b4": ("bucket", "user", 4)}
+    )
+    batch = spark.createDataFrame(
+        [(5, "u5"), (500, "u500")], "doc_id bigint, user string"
+    )
+    info = merge_snapshot(spark, root, batch, "doc_id")
+    assert info.partition_transforms == {"b4": ["bucket", "user", 4]}
+    new = [f for f in info.files if "v00000002" in f["path"]]
+    assert new and all("b4" in (f.get("partition") or {}) for f in new)
+    got = {r.doc_id: r.user for r in read_snapshot(spark, root).collect()}
+    assert got[5] == "u5" and got[500] == "u500" and len(got) == 101
+    # directory pruning still serves equality predicates on the source
+    plan = plan_snapshot_scan(info, [("user", "=", "u3")])
+    assert plan["files_skipped"] > 0
+
+
+def test_s3_merge_roundtrip(spark, s3):
+    from smashed_spark.sources.snapshot import merge_snapshot
+
+    root = f"s3://{BUCKET}/tables/merge"
+    publish_snapshot(
+        _df(spark, 50, "a").coalesce(2), root,
+        stats_columns=["doc_id"], client=s3,
+    )
+    batch = _df(spark, 3, "m").withColumn(
+        "doc_id", snap.F.col("doc_id") + 48
+    )
+    info = merge_snapshot(
+        spark, root, batch, "doc_id",
+        client=s3, allow_driver_download=True,
+    )
+    assert info.version == 2 and info.row_count == 51
+    got = read_snapshot(
+        spark, root, client=s3, allow_driver_download=True
+    )
+    rows = {r.doc_id: r.text for r in got.collect()}
+    assert rows[48] == "m_0" and rows[49] == "m_1" and rows[50] == "m_2"
+    assert rows[0] == "a_0" and len(rows) == 51

@@ -1044,6 +1044,57 @@ def main() -> None:
             "envelope_overlap_avg": overlap,
         }
 
+    # r15: merge_snapshot on a key-clustered table — a constant small
+    # re-crawl batch upserted into a growing file count.  The merge
+    # must touch only the files whose envelopes straddle the batch
+    # keys (carried ≈ all), so the wall stays ~flat — the
+    # O(affected-files) claim, same shape as the scoped delete.
+    merge_selected = not only or "snapshot_merge" in only
+
+    def run_merge(n_files: int, reps: int = 2) -> dict:
+        import tempfile as _tf
+
+        from pyspark.sql import functions as PF
+
+        from smashed_spark.sources.snapshot import (
+            merge_snapshot,
+            publish_snapshot,
+            resolve_snapshot,
+        )
+
+        best = {"merge": -1.0}
+        touched = carried = None
+        for _ in range(reps):
+            isolate()
+            root = _tf.mkdtemp(prefix="smashed_merge_") + "/tbl"
+            df = (
+                spark.range(160_000)
+                .selectExpr("id AS doc_id", "id % 997 AS n_chars")
+                .repartitionByRange(n_files, "doc_id")
+                .sortWithinPartitions("doc_id")
+            )
+            publish_snapshot(df, root, stats_columns=["doc_id"])
+            before = {f["path"] for f in resolve_snapshot(root).files}
+            batch = spark.range(3).select(
+                (PF.col("id") + 80_000).alias("doc_id"),
+                PF.lit(-1).alias("n_chars"),
+            )
+            t0 = time.perf_counter()
+            info = merge_snapshot(spark, root, batch, "doc_id")
+            t_m = time.perf_counter() - t0
+            assert info.row_count == 160_000  # 3 updates, 0 inserts
+            carried = sum(1 for f in info.files if f["path"] in before)
+            touched = len(before) - carried
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+            best["merge"] = (
+                t_m if best["merge"] < 0 else min(best["merge"], t_m)
+            )
+        return {
+            "merge": round(best["merge"], 4),
+            "files_touched": touched,
+            "files_carried": carried,
+        }
+
     # r14: incremental optimize — a constant daily batch re-keyed onto
     # a clustered table whose CLUSTERED file count grows 16/160/1600.
     # The carried entries ride the manifest verbatim, so the wall
@@ -1161,6 +1212,32 @@ def main() -> None:
         print(
             "# snapshot_scoped_delete: "
             f"{result['queries']['snapshot_scoped_delete']['files_sweep']}",
+            file=sys.stderr,
+        )
+
+    if merge_selected:
+        sweep = {n: run_merge(n) for n in (16, 160, 1600)}
+        result["queries"]["snapshot_merge"] = {
+            "files_sweep": {str(n): sweep[n] for n in sweep},
+            "wall_ratio_per_decade": [
+                round(sweep[160]["merge"] / max(sweep[16]["merge"], 1e-9), 2),
+                round(
+                    sweep[1600]["merge"] / max(sweep[160]["merge"], 1e-9), 2
+                ),
+            ],
+            "note": (
+                "constant 3-key re-crawl batch upserted into a table "
+                "whose range-partitioned file count grows 16/160/1600 "
+                "(constant 160k rows, doc_id envelopes).  "
+                "files_touched must stay ~1 whatever the file count — "
+                "the O(affected-files) claim, mirroring "
+                "snapshot_scoped_delete; wall may grow mildly with "
+                "manifest JSON size only."
+            ),
+        }
+        print(
+            "# snapshot_merge: "
+            f"{result['queries']['snapshot_merge']['files_sweep']}",
             file=sys.stderr,
         )
 
