@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -197,10 +198,12 @@ def main() -> None:
         if ok.get(name, -1) > 0
     )
     # the references are sf0.1-record seconds — the factor is
-    # meaningless at other scales
+    # meaningless at other scales; and a factor from a PARTIAL
+    # control set (a control query failed this run) would silently
+    # skew normalized totals, so all controls must have run
     host_factor = (
-        round(ratios[len(ratios) // 2], 4)
-        if ratios and sf == "0.1"
+        round(statistics.median(ratios), 4)
+        if len(ratios) == len(control_ref) and sf == "0.1"
         else None
     )
     # Per-rep raw timings go to a sidecar file (and stderr), NOT the

@@ -1050,15 +1050,27 @@ def plan_snapshot_scan(
     }
 
 
-#: Spark simpleString types whose parquet footers carry usable
-#: envelope stats (mirrors _stats_kind; float/double refused there —
-#: parquet min/max is NaN-blind)
+#: Spark simpleString base types whose parquet footers carry usable
+#: envelope stats.  This MIRRORS ``_stats_kind``'s arrow-type
+#: eligibility (the two speak different type vocabularies — arrow at
+#: collect time, manifest simpleString here); when a kind is added
+#: there, add its simpleString spellings here in the same commit.
+#: float/double stay out on both sides (parquet min/max is NaN-blind).
 _STATS_ELIGIBLE_TYPES = frozenset(
     (
         "tinyint", "smallint", "int", "bigint", "boolean", "string",
-        "date", "timestamp", "timestamp_ntz",
+        "varchar", "char", "date", "timestamp", "timestamp_ntz",
     )
 )
+
+
+def _stats_eligible_simple(type_str: Optional[str]) -> bool:
+    """Envelope eligibility of a manifest/simpleString type —
+    parameterized spellings ('varchar(8)', 'char(4)') normalize to
+    their base (arrow sees them all as string)."""
+    if type_str is None:
+        return False
+    return type_str.split("(", 1)[0] in _STATS_ELIGIBLE_TYPES
 
 
 def _inherited_stats_columns(info: SnapshotInfo) -> List[str]:
@@ -1082,7 +1094,7 @@ def _inherited_stats_columns(info: SnapshotInfo) -> List[str]:
     if info.columns is not None:
         cols = {
             c for c in cols
-            if info.columns.get(c) in _STATS_ELIGIBLE_TYPES
+            if _stats_eligible_simple(info.columns.get(c))
         }
     return sorted(cols)
 
@@ -1330,7 +1342,7 @@ def publish_snapshot(
     operation: str = "publish",
     compression: str = "zstd",
     properties: Optional[Dict[str, object]] = None,
-    stats_columns: Sequence[str] = (),
+    stats_columns: Optional[Sequence[str]] = (),
     partition_transforms: Optional[Dict[str, Sequence]] = None,
     client=None,
     _carry_parent: bool = False,
@@ -1354,6 +1366,12 @@ def publish_snapshot(
     ``read_snapshot(where=...)`` uses for file skipping.  Opt-in, not
     automatic: at 800k files × many columns the manifest is the cost,
     and the caller knows which columns queries actually filter on.
+    ``None`` on a CARRIED commit (append/delete/merge/compact) inherits
+    the parent's envelope-stats column set — computed from the parent
+    manifest the carry protocol already resolved, zero extra GETs on
+    the hot ingest path — filtered to columns still stats-eligible
+    under the (possibly evolved) new schema; on a plain publish,
+    ``None`` means ``()``.
 
     ``partition_transforms`` (``{name: ("days"|"hours", src)`` or
     ``("bucket", src, n)}``) lays the data prefix out in Iceberg-style
@@ -1623,11 +1641,24 @@ def publish_snapshot(
             )
         version = _next_version(root, client=client)
         if written is None:
+            eff_stats = stats_columns
+            if eff_stats is None:
+                # inherit on carried commits, from the parent manifest
+                # this loop already resolved (no extra GETs); filtered
+                # to columns still eligible under the new schema so an
+                # evolve widening past eligibility can't brick the write
+                eff_stats = ()
+                if carry and begin_version is not None:
+                    eff_stats = [
+                        c
+                        for c in _inherited_stats_columns(parent_info)
+                        if _stats_eligible_simple(columns.get(c))
+                    ]
             token = uuid.uuid4().hex[:8]
             rel_prefix = f"{DATA_DIR}/v{version:08d}-{token}"
             written = _write_data_prefix(
                 df, root, rel_prefix, compression,
-                stats_columns=stats_columns, client=client,
+                stats_columns=eff_stats, client=client,
                 transforms=eff_transforms,
             )
             written_transforms = eff_transforms
@@ -1783,31 +1814,12 @@ def append_snapshot(
     envelope-less files that all later file-scoped deletes/merges
     must conservatively rewrite (``snapshot_table_stats``'s
     ``envelope_overlap_avg`` counts such files as always-touched).
-    Pass ``()`` to skip stats explicitly; columns the batch ships
-    with a no-longer-eligible type (e.g. widened to double) drop out
-    of the inherited set."""
-    if stats_columns is None:
-        try:
-            stats_columns = _inherited_stats_columns(
-                resolve_snapshot(table_root, client=client)
-            )
-        except FileNotFoundError:
-            # nothing published yet: publish_snapshot will raise the
-            # canonical first-write error — don't mask it here
-            stats_columns = ()
-        if stats_columns:
-            # the inherited set must also be eligible in THIS batch's
-            # shape (an evolve batch may widen a column past
-            # eligibility, or not ship it at all — it then lands as
-            # typed NULLs with no envelope either way)
-            batch_types = {
-                f.name: f.dataType.simpleString()
-                for f in df.schema.fields
-            }
-            stats_columns = [
-                c for c in stats_columns
-                if batch_types.get(c) in _STATS_ELIGIBLE_TYPES
-            ]
+    The inheritance happens inside :func:`publish_snapshot` against
+    the parent manifest the carry protocol already resolves — NO
+    extra manifest GET on the hot ingest path.  Pass ``()`` to skip
+    stats explicitly; columns whose evolved type is no longer
+    stats-eligible (e.g. widened to double) drop out of the
+    inherited set."""
     return publish_snapshot(
         df,
         table_root,
@@ -2220,15 +2232,19 @@ def snapshot_table_stats(
     on).
 
     ``envelope_overlap_avg`` (per stats column) is the DELETE/MERGE
-    scoping health check: the mean number of files whose [min, max]
-    envelope contains a point key (averaged over every file's own min
-    — an O(n log n) endpoint sweep, no data reads).  ~1 means a
-    single-key delete rewrites one file; anything >> 1 means the
-    envelopes straddle and keyed deletes/merges silently degrade
-    toward an O(table) rewrite (correct, just not scoped; on a fully
-    hash-scattered layout the endpoint sampling reads ~files/2) —
-    cluster by the key (``optimize_snapshot``) before relying on
-    file-scoped maintenance."""
+    scoping health check: the mean number of files a point key forces
+    a keyed delete/merge to touch — the mean count of files whose
+    [min, max] envelope contains a point key (averaged over every
+    enveloped file's own min, an O(n log n) endpoint sweep, no data
+    reads) PLUS the count of files with no envelope for the column,
+    which every keyed rewrite must conservatively touch.  ~1 means a
+    single-key delete rewrites one file; anything >> 1 means scoping
+    is degraded — by straddling envelopes (re-cluster with
+    ``optimize_snapshot``; a fully hash-scattered layout reads
+    ~files/2 under the endpoint sampling) or by envelope-less files
+    (re-collect stats via a maintenance rewrite), and keyed
+    deletes/merges trend toward an O(table) rewrite (correct, just
+    not scoped)."""
     info = resolve_snapshot(table_root, version, client=client)
     sizes = [int(f.get("bytes") or 0) for f in info.files]
     n = len(info.files)
@@ -2708,10 +2724,10 @@ def _collected_prune_literal(spark: SparkSession, v, dtype):
             return v  # Spark-legal, zoneinfo-unknown spelling
         aware = v.replace(tzinfo=zone)
         if aware.utcoffset() != v.replace(tzinfo=zone, fold=1).utcoffset():
-            return v  # ambiguous (DST fall-back repeats this hour)
-        roundtrip = aware.astimezone(_dt.timezone.utc).astimezone(zone)
-        if roundtrip.replace(tzinfo=None) != v:
-            return v  # imaginary (spring-forward gap)
+            # PEP 495: BOTH the ambiguous (fall-back repeat) and the
+            # imaginary (spring-forward gap) hours are exactly the
+            # wall times whose fold-0/fold-1 offsets differ
+            return v
         return aware
     return v
 
@@ -3011,26 +3027,12 @@ def merge_snapshot(
     # (duplicate keys, the exact contract this verb exists to keep).
     # localCheckpoint, not persist: eviction would re-evaluate.
     batch = batch.localCheckpoint(eager=True)
-    if batch.filter(F.col(key_field).isNull()).limit(1).count() > 0:
-        raise ValueError(
-            "merge_snapshot: NULL batch key — NULL never joins, so the "
-            "row would neither update nor match reads; fix the batch"
-        )
-    dup = (
-        batch.groupBy(key_field)
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"merge_snapshot: duplicate batch key {dup[0][0]!r} — which "
-            "copy wins is ambiguous; dedupe the batch upstream where "
-            "the ordering rule lives (e.g. keep the newest crawl)"
-        )
 
-    # ----- file scoping via the manifest's envelope stats -----
+    # ----- key validation + file scoping, one collect when bounded --
+    # the capped head serves FOUR purposes for an under-cap batch:
+    # empty refusal, NULL/dup key validation (driver-side, free — no
+    # extra Spark jobs), the in-list prune literals, and the exact
+    # row count the broadcast decision needs
     key_df = batch.select(key_field)
     kt = key_df.schema[key_field].dataType
     prune: list = []
@@ -3042,7 +3044,52 @@ def merge_snapshot(
             "read_snapshot_changes for every consumer reading across it)"
         )
     batch_rows_capped = len(head)  # exact when <= the collect cap
-    if len(head) <= prune_collect_cap:
+    if batch_rows_capped <= prune_collect_cap:
+        keys_head = [r[0] for r in head]
+        if any(k is None for k in keys_head):
+            raise ValueError(
+                "merge_snapshot: NULL batch key — NULL never joins, so "
+                "the row would neither update nor match reads; fix the "
+                "batch"
+            )
+        try:
+            distinct_heads = len(set(keys_head))
+        except TypeError:
+            # unhashable collected form (binary keys -> bytearray):
+            # one bounded Spark job instead
+            distinct_heads = key_df.distinct().count()
+        if distinct_heads != len(keys_head):
+            raise ValueError(
+                "merge_snapshot: duplicate batch keys — which copy "
+                "wins is ambiguous; dedupe the batch upstream where "
+                "the ordering rule lives (e.g. keep the newest crawl)"
+            )
+    else:
+        # over-cap batch: validate with bounded Spark jobs instead
+        if (
+            batch.filter(F.col(key_field).isNull()).limit(1).count()
+            > 0
+        ):
+            raise ValueError(
+                "merge_snapshot: NULL batch key — NULL never joins, so "
+                "the row would neither update nor match reads; fix the "
+                "batch"
+            )
+        dup = (
+            batch.groupBy(key_field)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_snapshot: duplicate batch key {dup[0][0]!r} — "
+                "which copy wins is ambiguous; dedupe the batch "
+                "upstream where the ordering rule lives (e.g. keep "
+                "the newest crawl)"
+            )
+    if batch_rows_capped <= prune_collect_cap:
         prune.append(
             (
                 key_field,

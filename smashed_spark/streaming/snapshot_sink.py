@@ -81,7 +81,7 @@ def stream_commit_watermark(
 def snapshot_batch_writer(
     table_root: str,
     app_id: str,
-    stats_columns: Sequence[str] = (),
+    stats_columns: Optional[Sequence[str]] = None,
     compression: str = "zstd",
     takeover: bool = False,
     client=None,
@@ -93,7 +93,16 @@ def snapshot_batch_writer(
     publish; every later one an append.  ``on_commit`` (driver-side,
     keep it cheap) receives ``{"batch_id", "version", "rows",
     "skipped"}`` per delivery — including replays, with
-    ``skipped=True``."""
+    ``skipped=True``.
+
+    ``stats_columns=None`` (default) inherits the table's envelope-
+    stats column set on every append (publish_snapshot computes it
+    from the parent manifest the carry already resolves — no extra
+    GETs): a stream that skipped stats would otherwise add
+    envelope-less files that every later keyed delete/merge must
+    conservatively rewrite.  The FIRST batch (the publish) has no
+    parent to inherit from — pass an explicit list to seed stats on
+    a fresh table."""
 
     def _body(batch: DataFrame, batch_id: int) -> None:
         # ONE resolve serves the watermark read AND the emptiness
@@ -169,7 +178,7 @@ def dedup_snapshot_batch_writer(
     table_root: str,
     state_dir: str,
     app_id: str,
-    stats_columns: Sequence[str] = (),
+    stats_columns: Optional[Sequence[str]] = None,
     compression: str = "zstd",
     takeover: bool = False,
     client=None,

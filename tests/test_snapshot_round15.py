@@ -890,3 +890,34 @@ def test_s3_merge_roundtrip(spark, s3):
     rows = {r.doc_id: r.text for r in got.collect()}
     assert rows[48] == "m_0" and rows[49] == "m_1" and rows[50] == "m_2"
     assert rows[0] == "a_0" and len(rows) == 51
+
+
+def test_sink_appends_inherit_stats_columns(spark, tmp_path):
+    """Review pass 2: the streaming sink's default must inherit the
+    table's envelope-stats set on every append — a stream that
+    silently skipped stats would add files every later keyed
+    delete/merge has to rewrite."""
+    from smashed_spark.sources.snapshot import snapshot_table_stats
+    from smashed_spark.streaming.snapshot_sink import (
+        snapshot_batch_writer,
+    )
+
+    root = _root(tmp_path)
+    # seed the table WITH stats (the first sink batch is a publish
+    # with no parent — seed explicitly, as the docstring says)
+    publish_snapshot(_df(spark, 20, "a"), root, stats_columns=["doc_id"])
+    write_batch = snapshot_batch_writer(root, app_id="t")
+    write_batch(
+        _df(spark, 5, "b").withColumn(
+            "doc_id", snap.F.col("doc_id") + 100
+        ),
+        0,
+    )
+    info = resolve_snapshot(root)
+    assert info.version == 2
+    new = [f for f in info.files if "v00000002" in f["path"]]
+    assert new and all("doc_id" in (f.get("stats") or {}) for f in new)
+    assert (
+        snapshot_table_stats(root)["envelope_overlap_avg"]["doc_id"]
+        >= 1.0
+    )
