@@ -273,6 +273,20 @@ def main() -> None:
         f"recrawled rows (pre-merge state), {back_then.count()} total"
     )
 
+    # --- r15: ROLLBACK — undo the merge as one metadata-only commit --
+    # (zero data moved; history preserved: the merged version stays
+    # readable behind the new head until vacuumed.  Restoring past a
+    # GDPR delete resurrects the forgotten rows — re-apply the list.)
+    from smashed_spark.sources.snapshot import restore_snapshot
+
+    rolled = restore_snapshot(table, version=pre_merge.version)
+    print(
+        f"restore: v{rolled.version} (restored_from v"
+        f"{pre_merge.version}), rows back to {rolled.row_count}; "
+        f"recrawled rows now: "
+        f"{read_snapshot(spark, table).filter(F.col('text').startswith('[recrawled]')).count()}"
+    )
+
     # --- r15: the delete/merge scoping health check -------------------
     from smashed_spark.sources.snapshot import snapshot_table_stats
 

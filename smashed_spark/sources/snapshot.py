@@ -3158,11 +3158,125 @@ def merge_snapshot(
     )
 
 
+def restore_snapshot(
+    table_root: str,
+    version: Optional[int] = None,
+    as_of=None,
+    client=None,
+) -> SnapshotInfo:
+    """Roll the table back (or forward along the chain) to a previous
+    state as a NEW commit — Delta's RESTORE.  Metadata-only: zero data
+    reads or writes; the new manifest carries the target version's
+    file inventory, schema registry, and layout verbatim, and the
+    pointer flip is the commit.  History is PRESERVED — the bad
+    versions stay readable behind the new head until vacuumed, and
+    ``snapshot_history`` shows the restore as its own step (its
+    manifest records ``restored_from``).
+
+    The target resolves by ``version=`` (chain-verified — off-chain
+    rebase debris refuses) or ``as_of=`` an instant ("put the table
+    back the way it was before Tuesday's bad ingest").  Restoring to
+    the current version refuses (a no-op commit is noise).
+
+    Two properties deliberately do NOT come from the target:
+
+    * the streaming watermark (``stream_app_id``/``stream_batch_id``)
+      stays the CURRENT head's — restoring old data must not restore
+      an old watermark, or the stream's next redelivered micro-batch
+      would double-append;
+    * nothing else: Z-order bounds DO come from the target (they
+      describe the restored files' actual clustering).
+
+    **Deletion caveat**: restoring past an ``apply_deletions_snapshot``
+    commit RESURRECTS the forgotten rows — a GDPR forget-list must be
+    re-applied after any restore that jumps it.  Same single-writer
+    contract as every rewrite: a concurrent commit between planning
+    and publish refuses loudly."""
+    root = SmartPath.parse(table_root)
+    current = resolve_snapshot(table_root, client=client)
+    target = resolve_snapshot(
+        table_root,
+        version=version,
+        as_of=as_of,
+        verify_chain=version is not None,
+        client=client,
+    )
+    if target.version == current.version:
+        raise ValueError(
+            f"restore_snapshot: v{target.version} is already the "
+            f"current head of {table_root!r} — nothing to restore"
+        )
+    tdoc = _read_json(
+        str(root / _manifest_key(target.version)), client=client
+    )
+    props = dict(target.properties)
+    # exactly-once: the watermark tracks the CHECKPOINT, not the data
+    for k in ("stream_app_id", "stream_batch_id"):
+        props.pop(k, None)
+        if k in current.properties:
+            props[k] = current.properties[k]
+    new_version = _next_version(root, client=client)
+    # paths/prefixes come from the RESOLVED info, which normalizes
+    # spec-1 targets to the spec-2 root-relative convention
+    manifest = {
+        "version": new_version,
+        "spec": 2,
+        "data_prefix": str(tdoc["data_prefix"]),
+        "prefixes": [str(p) for p in target.prefixes],
+        "files": [dict(f) for f in target.files],
+        "row_count": target.row_count,
+        "parent": current.version,
+        "operation": "restore",
+        "restored_from": target.version,
+        "committed_at": time.time(),
+        "format": str(tdoc.get("format", "parquet")),
+        "properties": props,
+    }
+    if target.columns is not None:
+        manifest["columns"] = dict(target.columns)
+    if target.schemas is not None:
+        manifest["schemas"] = {
+            k: dict(v) for k, v in target.schemas.items()
+        }
+        manifest["schema_id"] = target.schema_id
+    if target.partition_transforms:
+        manifest["partition_transforms"] = {
+            k: list(v) for k, v in target.partition_transforms.items()
+        }
+    manifest_path = str(root / _manifest_key(new_version))
+    if io_utils.exists(manifest_path, client=client):
+        raise RuntimeError(
+            f"restore_snapshot: manifest for v{new_version} already "
+            "exists — concurrent writer detected; this table requires "
+            "a single writer for non-append operations."
+        )
+    _write_atomic(manifest_path, json.dumps(manifest, indent=1),
+                  client=client)
+    moved = _pointer_version(root, client=client)
+    if moved != current.version:
+        raise RuntimeError(
+            f"restore_snapshot: pointer moved {current.version} -> "
+            f"{moved} during the restore — concurrent writer detected; "
+            f"the prepared manifest {_manifest_key(new_version)!r} was "
+            "NOT published (vacuum with drop_unpublished=True to "
+            "discard, or re-run the restore)."
+        )
+    _write_atomic(
+        _pointer_path(root),
+        json.dumps(
+            {"version": new_version, "manifest": _manifest_key(new_version)}
+        ),
+        client=client,
+    )
+    return resolve_snapshot(table_root, new_version, client=client)
+
+
 __all__ = [
     "SnapshotInfo",
     "publish_snapshot",
     "append_snapshot",
     "merge_snapshot",
+    "restore_snapshot",
     "read_snapshot",
     "read_snapshot_changes",
     "plan_snapshot_scan",

@@ -921,3 +921,148 @@ def test_sink_appends_inherit_stats_columns(spark, tmp_path):
         snapshot_table_stats(root)["envelope_overlap_avg"]["doc_id"]
         >= 1.0
     )
+
+
+# ---------------------------------------------------------------------------
+# restore_snapshot: Delta-style ROLLBACK as a new commit
+# ---------------------------------------------------------------------------
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    from smashed_spark.sources.snapshot import (
+        restore_snapshot,
+        snapshot_history,
+    )
+
+    root = _root(tmp_path)
+    v1 = publish_snapshot(_df(spark, 10, "a"), root)
+    append_snapshot(_df(spark, 5, "b").withColumn(
+        "doc_id", snap.F.col("doc_id") + 100), root)
+    apply_deletions_snapshot(spark, root, [0, 1], "doc_id")
+    assert resolve_snapshot(root).row_count == 13
+
+    info = restore_snapshot(root, version=1)
+    assert info.version == 4 and info.operation == "restore"
+    assert info.row_count == 10
+    got = read_snapshot(spark, root)
+    assert sorted(r.doc_id for r in got.collect()) == list(range(10))
+    # the deleted rows are resurrected (the documented caveat)
+    assert got.filter("doc_id IN (0, 1)").count() == 2
+    # history shows the restore; the bad versions stay readable
+    hist = snapshot_history(root)
+    assert hist[0]["operation"] == "restore"
+    assert read_snapshot(spark, root, version=3).count() == 13
+    # audit marker
+    doc = json.loads(
+        (tmp_path / "table" / snap._manifest_key(4)).read_text()
+    )
+    assert doc["restored_from"] == 1 and doc["parent"] == 3
+    # metadata-only: the restored head references v1's physical prefix
+    assert set(info.prefixes) == set(v1.prefixes)
+
+    with pytest.raises(ValueError, match="already the current head"):
+        restore_snapshot(root, version=4)
+
+
+def test_restore_as_of_and_vacuum_survival(spark, tmp_path):
+    from smashed_spark.sources.snapshot import restore_snapshot
+
+    root = _root(tmp_path)
+    v1 = publish_snapshot(_df(spark, 8, "a"), root)
+    publish_snapshot(_df(spark, 20, "bad"), root)  # the bad ingest
+    info = restore_snapshot(root, as_of=v1.committed_at)
+    assert info.row_count == 8
+    # vacuum keeps the restored head's (old) prefixes alive
+    vacuum_snapshots(root, keep_last=1, drop_unpublished=True)
+    assert read_snapshot(spark, root).count() == 8
+
+
+def test_restore_preserves_stream_watermark(spark, tmp_path):
+    """Restoring old DATA must not restore an old stream watermark —
+    the next redelivered micro-batch would double-append."""
+    from smashed_spark.sources.snapshot import restore_snapshot
+    from smashed_spark.streaming.snapshot_sink import (
+        snapshot_batch_writer,
+        stream_commit_watermark,
+    )
+
+    root = _root(tmp_path)
+    wb = snapshot_batch_writer(root, app_id="app")
+    wb(_df(spark, 5, "a"), 0)
+    wb(_df(spark, 3, "b").withColumn(
+        "doc_id", snap.F.col("doc_id") + 100), 1)
+    restore_snapshot(root, version=1)
+    assert stream_commit_watermark(root) == ("app", 1)
+    wb(_df(spark, 3, "b"), 1)  # redelivery: must stay a no-op
+    assert resolve_snapshot(root).row_count == 5
+
+
+def test_restore_refuses_concurrent_commit(spark, tmp_path, monkeypatch):
+    from smashed_spark.sources.snapshot import restore_snapshot
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 5, "a"), root)
+    append_snapshot(_df(spark, 2, "b").withColumn(
+        "doc_id", snap.F.col("doc_id") + 10), root)
+
+    # the race lands while the restore is still planning (same place
+    # the publish race sims hook: before the manifest-exists check) —
+    # the detection contract is exists-refusal or pointer-moved
+    # refusal, minus the documented same-millisecond TOCTOU window
+    real = snap._next_version
+    state = {"raced": False}
+
+    def race(root_sp, client=None):
+        out = real(root_sp, client=client)
+        if not state["raced"]:
+            state["raced"] = True
+            append_snapshot(_df(spark, 1, "r").withColumn(
+                "doc_id", snap.F.col("doc_id") + 50), root)
+        return out
+
+    monkeypatch.setattr(snap, "_next_version", race)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        restore_snapshot(root, version=1)
+    monkeypatch.undo()
+    # the racing append won; the table is intact
+    assert resolve_snapshot(root).row_count == 8
+
+
+def test_restore_reverts_schema_generations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from smashed_spark.sources.snapshot import restore_snapshot
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 6, "a"), root)
+    append_snapshot(
+        _df(spark, 2, "b")
+        .select((F.col("doc_id") + 100).alias("doc_id"), "text")
+        .withColumn("score", F.lit(1.0)),
+        root,
+        evolve=True,
+    )
+    assert "score" in resolve_snapshot(root).columns
+    info = restore_snapshot(root, version=1)
+    assert "score" not in info.columns
+    got = read_snapshot(spark, root)
+    assert set(got.columns) == {"doc_id", "text"} and got.count() == 6
+    # appends against the restored (old) schema work again
+    append_snapshot(_df(spark, 2, "c").withColumn(
+        "doc_id", snap.F.col("doc_id") + 200), root)
+    assert resolve_snapshot(root).row_count == 8
+
+
+def test_changes_read_refuses_across_restore(spark, tmp_path):
+    from smashed_spark.sources.snapshot import (
+        read_snapshot_changes,
+        restore_snapshot,
+    )
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 5, "a"), root)
+    append_snapshot(_df(spark, 2, "b").withColumn(
+        "doc_id", snap.F.col("doc_id") + 10), root)
+    restore_snapshot(root, version=1)
+    with pytest.raises(ValueError, match="non-append"):
+        read_snapshot_changes(spark, root, since_version=1)
