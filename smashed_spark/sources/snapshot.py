@@ -115,6 +115,27 @@ parquet truncation keeps a prefix for min (still a lower bound) and
 increments the last byte for max (still an upper bound), and envelope
 pruning needs only bound validity, never exactness.
 
+Maintenance verbs (the Delta/Iceberg-shaped surface)
+----------------------------------------------------
+All commit through the same protocol, all crash-safe, all file-scoped
+where envelopes allow: :func:`compact_snapshot` (zero-exchange
+bin-packed rewrite), :func:`optimize_snapshot` (Z-order clustering,
+``incremental=True`` re-keys only unclustered files under persisted
+bounds), :func:`apply_deletions_snapshot` (forget-list delete,
+envelope-pruned to the files whose key ranges can match, optional
+``scope_where``), :func:`merge_snapshot` (keyed MERGE/upsert — the
+daily re-crawl verb: matched rows take the batch copy, unmatched
+insert, untouched files carried verbatim), and
+:func:`restore_snapshot` (metadata-only ROLLBACK to a chain version
+or ``as_of`` instant — zero data moved, history preserved).  Time
+travel: ``version=``, ``tag=``, or ``as_of=`` (committed_at chain
+walk) on :func:`resolve_snapshot` / :func:`read_snapshot`;
+``verify_chain=True`` refuses off-chain rebase debris.
+:func:`snapshot_table_stats` is the manifest-only describe-table,
+including ``envelope_overlap_avg`` — the health check that predicts
+whether keyed deletes/merges will scope (~1) or degrade to O(table)
+(>> 1: re-cluster by the key, or re-collect stats).
+
 Tags (pinned releases)
 ----------------------
 :func:`tag_snapshot` pins a version under a name ("the 2026-08
