@@ -128,9 +128,11 @@ daily re-crawl verb: matched rows take the batch copy, unmatched
 insert, untouched files carried verbatim), and
 :func:`restore_snapshot` (metadata-only ROLLBACK to a chain version
 or ``as_of`` instant — zero data moved, history preserved).  Time
-travel: ``version=``, ``tag=``, or ``as_of=`` (committed_at chain
-walk) on :func:`resolve_snapshot` / :func:`read_snapshot`;
-``verify_chain=True`` refuses off-chain rebase debris.
+travel: ``version=`` or ``as_of=`` (committed_at chain walk) on
+:func:`resolve_snapshot` / :func:`read_snapshot`, named versions via
+:func:`resolve_tag` (or ``SnapshotLoaderMapper(tag=...)``);
+``resolve_snapshot(verify_chain=True)`` refuses off-chain rebase
+debris.
 :func:`snapshot_table_stats` is the manifest-only describe-table,
 including ``envelope_overlap_avg`` — the health check that predicts
 whether keyed deletes/merges will scope (~1) or degrade to O(table)
@@ -238,6 +240,10 @@ class SnapshotInfo:
     # never enters the schema); each file entry records its values
     # under "partition" and plan_snapshot_scan prunes on them.
     partition_transforms: Optional[Dict[str, List]] = None
+    # the version a restore commit rolled back to (operation
+    # "restore" only) — the audit answer to "what did this restore
+    # restore?", surfaced by snapshot_history
+    restored_from: Optional[int] = None
 
     @property
     def file_paths(self) -> List[str]:
@@ -482,6 +488,11 @@ def resolve_snapshot(
             {str(k): list(v) for k, v in
              manifest["partition_transforms"].items()}
             if "partition_transforms" in manifest
+            else None
+        ),
+        restored_from=(
+            int(manifest["restored_from"])
+            if "restored_from" in manifest
             else None
         ),
     )
@@ -2063,6 +2074,11 @@ def snapshot_history(
                 "bytes": sum(int(f["bytes"]) for f in info.files),
                 "tags": sorted(tags_by_version.get(info.version, [])),
                 "parent_vacuumed": False,
+                **(
+                    {"restored_from": info.restored_from}
+                    if info.restored_from is not None
+                    else {}
+                ),
             }
         )
         if info.parent is None:
@@ -3227,9 +3243,6 @@ def restore_snapshot(
             f"restore_snapshot: v{target.version} is already the "
             f"current head of {table_root!r} — nothing to restore"
         )
-    tdoc = _read_json(
-        str(root / _manifest_key(target.version)), client=client
-    )
     props = dict(target.properties)
     # exactly-once: the watermark tracks the CHECKPOINT, not the data
     for k in ("stream_app_id", "stream_batch_id"):
@@ -3237,12 +3250,15 @@ def restore_snapshot(
         if k in current.properties:
             props[k] = current.properties[k]
     new_version = _next_version(root, client=client)
-    # paths/prefixes come from the RESOLVED info, which normalizes
-    # spec-1 targets to the spec-2 root-relative convention
+    # everything comes from the RESOLVED target info (which normalizes
+    # spec-1 targets to the spec-2 root-relative convention) — no
+    # second manifest GET.  data_prefix was built as str(root / rel)
+    # at resolve time; strip the root back off for the manifest field.
+    rel_prefix = target.data_prefix[len(str(root)):].lstrip("/")
     manifest = {
         "version": new_version,
         "spec": 2,
-        "data_prefix": str(tdoc["data_prefix"]),
+        "data_prefix": rel_prefix,
         "prefixes": [str(p) for p in target.prefixes],
         "files": [dict(f) for f in target.files],
         "row_count": target.row_count,
@@ -3250,7 +3266,8 @@ def restore_snapshot(
         "operation": "restore",
         "restored_from": target.version,
         "committed_at": time.time(),
-        "format": str(tdoc.get("format", "parquet")),
+        # module-wide invariant: every publish writes format=parquet
+        "format": "parquet",
         "properties": props,
     }
     if target.columns is not None:
@@ -3264,6 +3281,11 @@ def restore_snapshot(
         manifest["partition_transforms"] = {
             k: list(v) for k, v in target.partition_transforms.items()
         }
+    # commit tail — a MIRROR of publish_snapshot's (manifest-exists
+    # refusal → atomic manifest write → pointer-moved refusal → flip),
+    # minus the append-rebase retry state that keeps the two from
+    # sharing a helper cleanly.  A protocol change there (e.g. a new
+    # pointer-JSON field) must land HERE too.
     manifest_path = str(root / _manifest_key(new_version))
     if io_utils.exists(manifest_path, client=client):
         raise RuntimeError(

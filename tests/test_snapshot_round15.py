@@ -952,7 +952,9 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     hist = snapshot_history(root)
     assert hist[0]["operation"] == "restore"
     assert read_snapshot(spark, root, version=3).count() == 13
-    # audit marker
+    # audit marker — surfaced through the public API, not just JSON
+    assert info.restored_from == 1 and info.parent == 3
+    assert hist[0]["restored_from"] == 1
     doc = json.loads(
         (tmp_path / "table" / snap._manifest_key(4)).read_text()
     )
@@ -1066,3 +1068,18 @@ def test_changes_read_refuses_across_restore(spark, tmp_path):
     restore_snapshot(root, version=1)
     with pytest.raises(ValueError, match="non-append"):
         read_snapshot_changes(spark, root, since_version=1)
+
+
+def test_s3_restore_roundtrip(spark, s3):
+    from smashed_spark.sources.snapshot import restore_snapshot
+
+    root = f"s3://{BUCKET}/tables/restore"
+    publish_snapshot(_df(spark, 10, "a"), root, client=s3)
+    publish_snapshot(_df(spark, 30, "bad"), root, client=s3)
+    info = restore_snapshot(root, version=1, client=s3)
+    assert info.version == 3 and info.row_count == 10
+    assert info.restored_from == 1
+    got = read_snapshot(
+        spark, root, client=s3, allow_driver_download=True
+    )
+    assert got.count() == 10
