@@ -106,6 +106,27 @@ def main() -> None:
         f"landing zone: versions {list_snapshots(f'{work}/table')}, "
         f"{table_n} deduped docs in the table"
     )
+
+    # --- downstream consumer: the durable-cursor change feed --------
+    # (an index builder / feature job polls the governed table and
+    # processes ONLY the rows new since its last poll — at-least-once,
+    # cursor advanced only after the callback returns)
+    from smashed_spark.sources.change_feed import snapshot_change_feed
+
+    seen = []
+    feed = lambda df, since, version: seen.append(  # noqa: E731
+        (since, version, df.count())
+    )
+    out1 = snapshot_change_feed(
+        spark, f"{work}/table", f"{work}/feed_cursor.json", feed
+    )
+    out2 = snapshot_change_feed(  # nothing new: noop, no callback
+        spark, f"{work}/table", f"{work}/feed_cursor.json", feed
+    )
+    print(
+        f"change feed: bootstrap processed {seen[0][2]} rows at "
+        f"v{out1['version']}; second poll: {out2['status']}"
+    )
     spark.stop()
 
 
