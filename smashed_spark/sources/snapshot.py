@@ -119,11 +119,15 @@ Maintenance verbs (the Delta/Iceberg-shaped surface)
 ----------------------------------------------------
 All commit through the same protocol, all crash-safe, all file-scoped
 where envelopes allow: :func:`compact_snapshot` (zero-exchange
-bin-packed rewrite), :func:`optimize_snapshot` (Z-order clustering,
+bin-packed rewrite; also applies and clears pending positional
+deletes), :func:`optimize_snapshot` (Z-order clustering,
 ``incremental=True`` re-keys only unclustered files under persisted
 bounds), :func:`apply_deletions_snapshot` (forget-list delete,
 envelope-pruned to the files whose key ranges can match, optional
-``scope_where``), :func:`merge_snapshot` (keyed MERGE/upsert — the
+``scope_where``; ``positional=True`` is the merge-on-read tier for
+keys the table is NOT clustered by — (file, row-index) sidecars,
+zero files rewritten, reads anti-join them away),
+:func:`merge_snapshot` (keyed MERGE/upsert — the
 daily re-crawl verb: matched rows take the batch copy, unmatched
 insert, untouched files carried verbatim), and
 :func:`restore_snapshot` (metadata-only ROLLBACK to a chain version
@@ -244,6 +248,11 @@ class SnapshotInfo:
     # "restore" only) — the audit answer to "what did this restore
     # restore?", surfaced by snapshot_history
     restored_from: Optional[int] = None
+    # pending POSITIONAL deletes (merge-on-read): sidecar parquet
+    # files of (path, pos) rows every read anti-joins away.  Entries
+    # are {"path": root-relative sidecar, "rows": n, "bytes": b}.
+    # None/empty = merge-on-write only (the common case).
+    delete_files: Optional[List[Dict[str, object]]] = None
 
     @property
     def file_paths(self) -> List[str]:
@@ -493,6 +502,11 @@ def resolve_snapshot(
         restored_from=(
             int(manifest["restored_from"])
             if "restored_from" in manifest
+            else None
+        ),
+        delete_files=(
+            [dict(d) for d in manifest["delete_files"]]
+            if manifest.get("delete_files")
             else None
         ),
     )
@@ -1471,6 +1485,7 @@ def publish_snapshot(
         carried_prefixes: List[str] = []
         carried_rows = 0
         carried_props: Dict[str, object] = {}
+        carried_deletes: List[Dict[str, object]] = []
         if carry and begin_version is None:
             raise FileNotFoundError(
                 f"append_snapshot: nothing published under {table_root!r} "
@@ -1589,6 +1604,23 @@ def publish_snapshot(
                     # spec-1 parent: no recorded schema to evolve
                     # against — legacy behavior (no registry)
                     schemas = None
+            if carry and parent_info.delete_files:
+                if _carry_files is not None:
+                    # a partial rewrite under pending positional
+                    # deletes would need per-file delete accounting to
+                    # keep row_count exact — the protocol refuses the
+                    # combination instead (compact applies + clears)
+                    raise RuntimeError(
+                        f"publish_snapshot: {operation} with "
+                        "_carry_files on a table with pending "
+                        "positional delete_files — run compact_snapshot"
+                        " (or a full optimize) to apply them first"
+                    )
+                # appends carry pending deletes verbatim: dropping
+                # them would RESURRECT the deleted rows
+                carried_deletes = [
+                    dict(d) for d in parent_info.delete_files
+                ]
             if _carry_files is not None:
                 parent_paths = {f["path"] for f in parent_info.files}
                 alien = [
@@ -1739,6 +1771,8 @@ def publish_snapshot(
             "format": "parquet",
             "properties": {**carried_props, **(properties or {})},
         }
+        if carried_deletes:
+            manifest["delete_files"] = carried_deletes
         if schemas is not None:
             manifest["schemas"] = schemas
             manifest["schema_id"] = schema_id
@@ -1964,14 +1998,31 @@ def read_snapshot(
     return df
 
 
+#: internal column names the position-aware scan threads through a
+#: plan (dropped before the reader sees the result)
+_FILE_COL = "__snap_file__"
+_POS_COL = "__snap_pos__"
+
+
 def _scan_files(
     spark: SparkSession,
     table_root: str,
     info: SnapshotInfo,
     client,
     allow_driver_download: bool,
+    keep_positions: bool = False,
 ) -> DataFrame:
+    """Scan a snapshot's listed files.  When the manifest carries
+    ``delete_files`` (positional merge-on-read deletes), every scanned
+    row is tagged with its root-relative file path + in-file row index
+    (``_metadata.file_path`` / ``row_index`` — stable across file
+    splits since Spark 3.5) and anti-joined against the sidecars, so
+    deleted rows never reach the reader.  ``keep_positions=True``
+    keeps the two tag columns (``__snap_file__``/``__snap_pos__``) on
+    the result — the positional-delete WRITER's input."""
     root = SmartPath.parse(table_root)
+    delete_entries = list(info.delete_files or [])
+    need_meta = keep_positions or bool(delete_entries)
     if root.is_s3:
         if not allow_driver_download:
             raise NotImplementedError(
@@ -1989,21 +2040,46 @@ def _scan_files(
         import atexit
 
         atexit.register(shutil.rmtree, local_dir, ignore_errors=True)
-        for f in info.file_paths:
-            rel = SmartPath.parse(f).relative_to(root)
+        rels = [f["path"] for f in info.files] + [
+            d["path"] for d in delete_entries
+        ]
+        for rel in rels:
             dest = os.path.join(local_dir, rel)
             os.makedirs(os.path.dirname(dest) or local_dir, exist_ok=True)
-            with io_utils.open_file_for_read(f, "rb", client=client) as r:
+            src = str(root / rel)
+            with io_utils.open_file_for_read(src, "rb", client=client) as r:
                 with open(dest, "wb") as w:
                     w.write(r.read())
+        scan_base = local_dir
 
-        def path_of(entry):
-            return os.path.join(local_dir, entry["path"])
+        def path_of(rel_path: str) -> str:
+            return os.path.join(local_dir, rel_path)
     else:
         base = info.table_root.rstrip("/")
+        # the rel-path tag strips the ABSOLUTE scan base off
+        # _metadata.file_path's URI; absolutize a relative table root
+        # the same way Hadoop's Path qualification will
+        scan_base = os.path.abspath(base)
 
-        def path_of(entry):
-            return f"{base}/{entry['path']}"
+        def path_of(rel_path: str) -> str:
+            return f"{base}/{rel_path}"
+
+    # _metadata.file_path is the file URI: "file:" + <abs path>.  The
+    # root-relative tag is everything after "<uri base>/"; the
+    # positional-delete writer VERIFIES the tags against the manifest
+    # paths at write time, so a normalization drift fails loudly there
+    # rather than silently resurrecting rows here.
+    uri_base_len = len("file:" + scan_base)
+
+    def _with_meta(df: DataFrame) -> DataFrame:
+        if not need_meta:
+            return df
+        return df.withColumn(
+            _FILE_COL,
+            F.col("_metadata.file_path").substr(
+                F.lit(uri_base_len + 2), F.lit(1 << 30)
+            ),
+        ).withColumn(_POS_COL, F.col("_metadata.row_index"))
 
     # schema-evolution read: files from older generations are scanned
     # as their own group and ALIGNED to the manifest's current schema
@@ -2021,19 +2097,49 @@ def _scan_files(
         )
     )
     if homogeneous:
-        return spark.read.parquet(*[path_of(f) for f in info.files])
-    from .evolve import align_to_schema
-
-    target_ddl = ", ".join(
-        f"`{c}` {t}" for c, t in info.columns.items()
-    )
-    out: Optional[DataFrame] = None
-    for gen in sorted(by_gen, key=int):
-        part = spark.read.parquet(*[path_of(f) for f in by_gen[gen]])
-        part = align_to_schema(
-            part, target_ddl, missing="null", extra="error", cast="safe"
+        out = _with_meta(
+            spark.read.parquet(*[path_of(f["path"]) for f in info.files])
         )
-        out = part if out is None else out.unionByName(part)
+    else:
+        from .evolve import align_to_schema
+
+        target_ddl = ", ".join(
+            f"`{c}` {t}" for c, t in info.columns.items()
+        )
+        out = None
+        for gen in sorted(by_gen, key=int):
+            part = _with_meta(
+                spark.read.parquet(
+                    *[path_of(f["path"]) for f in by_gen[gen]]
+                )
+            )
+            # extra="keep" carries the meta tag columns through the
+            # alignment projection (they trail the target columns in
+            # every group, so the unionByName lines up)
+            part = align_to_schema(
+                part,
+                target_ddl,
+                missing="null",
+                extra="keep" if need_meta else "error",
+                cast="safe",
+            )
+            out = part if out is None else out.unionByName(part)
+    if delete_entries:
+        dels = spark.read.parquet(
+            *[path_of(d["path"]) for d in delete_entries]
+        ).select(
+            F.col("path").alias(_FILE_COL),
+            F.col("pos").alias(_POS_COL),
+        )
+        pending = sum(int(d.get("rows") or 0) for d in delete_entries)
+        anti = (
+            F.broadcast(dels)
+            if pending <= DEFAULT_BROADCAST_KEYS
+            else dels
+        )
+        out = out.join(anti, on=[_FILE_COL, _POS_COL], how="left_anti")
+    if need_meta and not keep_positions:
+        out = out.drop(_FILE_COL, _POS_COL)
     return out
 
 
@@ -2356,6 +2462,12 @@ def snapshot_table_stats(
             c: stats_cols[c] for c in sorted(stats_cols)
         },
         "envelope_overlap_avg": overlap,
+        # merge-on-read debt: sidecar count + rows every read is
+        # anti-joining away; compact/full-optimize applies and clears
+        "pending_delete_files": len(info.delete_files or []),
+        "pending_delete_rows": sum(
+            int(d.get("rows") or 0) for d in (info.delete_files or [])
+        ),
     }
 
 
@@ -2625,6 +2737,13 @@ def optimize_snapshot(
         # compact_snapshot) so maintenance never degrades later deletes
         stats_columns = _inherited_stats_columns(pre)
     carry_entries: Optional[List[Dict[str, object]]] = None
+    if incremental and pre.delete_files:
+        raise RuntimeError(
+            "optimize_snapshot(incremental=True): the table has "
+            "pending positional delete_files — carried entries would "
+            "need per-file delete accounting; run a FULL optimize or "
+            "compact_snapshot (both apply and clear the sidecars)"
+        )
     if incremental:
         props = pre.properties
         if bounds is None:
@@ -2769,6 +2888,150 @@ def _collected_prune_literal(spark: SparkSession, v, dtype):
     return v
 
 
+_DELETE_DIR = "_deletes"
+
+
+def _write_delete_sidecar(
+    positions: DataFrame,
+    root: SmartPath,
+    rel_prefix: str,
+    compression: str,
+    client=None,
+) -> List[Dict[str, object]]:
+    """Write a positional-delete sidecar (slim ``path``/``pos`` rows)
+    under ``<prefix>/_deletes/`` — the underscore keeps it invisible
+    to the data-file inventory walk while the prefix itself rides the
+    manifest's ``prefixes`` list, so vacuum protects it exactly like
+    data.  Returns manifest entries (root-relative path, rows, bytes)
+    read from the just-written footers."""
+    import pyarrow.parquet as pq
+
+    target_rel = f"{rel_prefix}/{_DELETE_DIR}"
+
+    def _entries(base_dir: str) -> List[Dict[str, object]]:
+        out = []
+        for cur, _dirs, names in os.walk(base_dir):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                p = os.path.join(cur, n)
+                rel = os.path.relpath(p, base_dir)
+                out.append(
+                    {
+                        "path": f"{target_rel}/{rel}",
+                        "rows": pq.ParquetFile(p).metadata.num_rows,
+                        "bytes": os.path.getsize(p),
+                    }
+                )
+        return out
+
+    writer = positions.coalesce(1).write.mode("errorifexists").option(
+        "compression", compression
+    )
+    if root.is_s3:
+        staging_root = tempfile.mkdtemp(prefix="smashed_snapdel_")
+        staging = os.path.join(staging_root, "d")
+        try:
+            writer.parquet(staging)
+            entries = _entries(staging)
+            for e in entries:
+                local = os.path.join(
+                    staging, os.path.relpath(e["path"], target_rel)
+                )
+                with open(local, "rb") as r:
+                    with io_utils.open_file_for_write(
+                        str(root / e["path"]), "wb", client=client
+                    ) as w:
+                        w.write(r.read())
+            return entries
+        finally:
+            shutil.rmtree(staging_root, ignore_errors=True)
+    dest = str(root / target_rel)
+    writer.parquet(dest)
+    return _entries(dest)
+
+
+def _commit_positional_delete(
+    table_root: str,
+    parent: SnapshotInfo,
+    positions: DataFrame,
+    n_deleted: int,
+    compression: str,
+    client=None,
+) -> SnapshotInfo:
+    """Commit a positional delete: parent file entries VERBATIM, one
+    new sidecar, row_count down by exactly ``n_deleted`` (the
+    positions were computed over a delete-aware scan, so they are
+    disjoint from every pending sidecar).  Commit tail mirrors
+    publish_snapshot's (see that cross-reference)."""
+    root = SmartPath.parse(table_root)
+    new_version = _next_version(root, client=client)
+    token = uuid.uuid4().hex[:8]
+    rel_prefix = f"{DATA_DIR}/v{new_version:08d}-{token}"
+    sidecars = _write_delete_sidecar(
+        positions, root, rel_prefix, compression, client=client
+    )
+    props = {
+        k: parent.properties[k]
+        for k in _PROPAGATED_PROPS
+        if k in parent.properties
+    }
+    manifest = {
+        "version": new_version,
+        "spec": 2,
+        "data_prefix": rel_prefix,
+        "prefixes": sorted(set(parent.prefixes) | {rel_prefix}),
+        "files": [dict(f) for f in parent.files],
+        "row_count": parent.row_count - n_deleted,
+        "parent": parent.version,
+        "operation": "delete",
+        "committed_at": time.time(),
+        "format": "parquet",
+        "properties": props,
+        "delete_files": [
+            *(dict(d) for d in parent.delete_files or []),
+            *sidecars,
+        ],
+    }
+    if parent.columns is not None:
+        manifest["columns"] = dict(parent.columns)
+    if parent.schemas is not None:
+        manifest["schemas"] = {
+            k: dict(v) for k, v in parent.schemas.items()
+        }
+        manifest["schema_id"] = parent.schema_id
+    if parent.partition_transforms:
+        manifest["partition_transforms"] = {
+            k: list(v) for k, v in parent.partition_transforms.items()
+        }
+    manifest_path = str(root / _manifest_key(new_version))
+    if io_utils.exists(manifest_path, client=client):
+        raise RuntimeError(
+            f"apply_deletions_snapshot: manifest for v{new_version} "
+            "already exists — concurrent writer detected; this table "
+            "requires a single writer for non-append operations."
+        )
+    _write_atomic(manifest_path, json.dumps(manifest, indent=1),
+                  client=client)
+    moved = _pointer_version(root, client=client)
+    if moved != parent.version:
+        raise RuntimeError(
+            f"apply_deletions_snapshot: pointer moved {parent.version} "
+            f"-> {moved} during the positional delete — concurrent "
+            f"writer detected; the prepared manifest "
+            f"{_manifest_key(new_version)!r} was NOT published (vacuum "
+            "with drop_unpublished=True to discard, or re-run)."
+        )
+    _write_atomic(
+        _pointer_path(root),
+        json.dumps(
+            {"version": new_version, "manifest": _manifest_key(new_version)}
+        ),
+        client=client,
+    )
+    return resolve_snapshot(table_root, new_version, client=client)
+
+
 def apply_deletions_snapshot(
     spark: SparkSession,
     table_root: str,
@@ -2781,6 +3044,7 @@ def apply_deletions_snapshot(
     stats_columns: Optional[Sequence[str]] = None,
     client=None,
     allow_driver_download: bool = False,
+    positional: bool = False,
 ) -> SnapshotInfo:
     """Publish a copy of the current snapshot without any row whose
     ``key_field`` appears in ``keys`` — the GDPR/forget-list rewrite as
@@ -2826,8 +3090,33 @@ def apply_deletions_snapshot(
 
     ``stats_columns=None`` (default) INHERITS the parent's envelope-
     stats column set for the rewritten files, so the NEXT delete still
-    prunes; pass ``()`` to drop stats explicitly."""
+    prunes; pass ``()`` to drop stats explicitly.
+
+    ``positional=True`` is the MERGE-ON-READ tier — the answer for
+    tables NOT clustered by the delete key, where envelope pruning
+    degrades the rewrite to O(table) (the BENCH_SCALE
+    ``snapshot_unclustered_delete`` probe): instead of rewriting the
+    touched files, the matching rows' (file, row-position) pairs are
+    written as a slim SIDECAR (Iceberg positional-delete shape, built
+    on ``_metadata.row_index``) and every read anti-joins them away —
+    the delete costs O(deleted rows), whatever the layout.  Reads pay
+    one (usually broadcast) anti-join until a ``compact_snapshot`` /
+    full ``optimize_snapshot`` applies and clears the sidecars.
+    Positional deletes STACK (each is computed over a delete-aware
+    scan, so counts stay exact); partial-carry rewrites (rewrite-mode
+    delete, merge, incremental optimize) refuse while sidecars are
+    pending — compact first.  Appends carry sidecars verbatim, and a
+    write-time path check makes a tag-normalization drift fail loudly
+    instead of silently resurrecting rows."""
     info = resolve_snapshot(table_root, client=client)
+    if info.delete_files and not positional:
+        raise RuntimeError(
+            "apply_deletions_snapshot: the table has pending "
+            "positional delete_files — a partial rewrite under them "
+            "would need per-file delete accounting; run "
+            "compact_snapshot to apply them first, or pass "
+            "positional=True to stack another positional delete"
+        )
     if stats_columns is None:
         stats_columns = _inherited_stats_columns(info)
     if info.columns is not None and key_field not in info.columns:
@@ -2922,7 +3211,8 @@ def apply_deletions_snapshot(
 
     scan_info = SnapshotInfo(**{**info.__dict__, "files": touched})
     df = _scan_files(spark, table_root, scan_info, client,
-                     allow_driver_download)
+                     allow_driver_download,
+                     keep_positions=positional)
     if key_field not in df.columns:
         raise ValueError(
             f"apply_deletions_snapshot: key_field {key_field!r} not in "
@@ -2940,6 +3230,46 @@ def apply_deletions_snapshot(
     anti = (
         F.broadcast(key_df) if probed <= broadcast_threshold_rows else key_df
     )
+    if positional:
+        if scope_where:
+            marker = anti.withColumn("__forget__", F.lit(True))
+            matched = (
+                df.join(marker, on=key_field, how="left")
+                .where(
+                    F.coalesce(F.col("__forget__"), F.lit(False))
+                    & F.coalesce(
+                        _where_to_column(scope_where), F.lit(False)
+                    )
+                )
+            )
+        else:
+            matched = df.join(anti, on=key_field, how="left_semi")
+        positions = matched.select(
+            F.col(_FILE_COL).alias("path"),
+            F.col(_POS_COL).cast("bigint").alias("pos"),
+        ).localCheckpoint(eager=True)
+        n_deleted = positions.count()
+        if n_deleted == 0:
+            return info
+        # tag-normalization guard: every tagged path must be a
+        # manifest path, or the READ side's anti-join would silently
+        # miss (resurrected rows) — fail HERE, loudly, instead
+        known = {f["path"] for f in touched}
+        tagged = [
+            r[0] for r in positions.select("path").distinct().collect()
+        ]
+        alien = [p for p in tagged if p not in known]
+        if alien:
+            raise RuntimeError(
+                "apply_deletions_snapshot: positional tags do not "
+                f"match manifest paths (e.g. {alien[:3]}) — the "
+                "file-path normalization drifted; refusing to write a "
+                "sidecar reads would silently ignore"
+            )
+        return _commit_positional_delete(
+            table_root, info, positions, n_deleted, compression,
+            client=client,
+        )
     if scope_where:
         # scoped delete: a row dies only when its key matches AND it is
         # PROVABLY inside the scope — LEFT ANTI can't express the
@@ -3034,6 +3364,13 @@ def merge_snapshot(
     Size batches accordingly — this verb is for bounded re-crawl
     batches, not unbounded backfills (republish for those)."""
     info = resolve_snapshot(table_root, client=client)
+    if info.delete_files:
+        raise RuntimeError(
+            "merge_snapshot: the table has pending positional "
+            "delete_files — a partial rewrite under them would need "
+            "per-file delete accounting; run compact_snapshot to "
+            "apply them first"
+        )
     if stats_columns is None:
         stats_columns = _inherited_stats_columns(info)
     if info.columns is not None and key_field not in info.columns:
@@ -3281,6 +3618,12 @@ def restore_snapshot(
         manifest["partition_transforms"] = {
             k: list(v) for k, v in target.partition_transforms.items()
         }
+    if target.delete_files:
+        # restoring to a state with pending positional deletes keeps
+        # them pending — their sidecar prefixes are in target.prefixes
+        manifest["delete_files"] = [
+            dict(d) for d in target.delete_files
+        ]
     # commit tail — a MIRROR of publish_snapshot's (manifest-exists
     # refusal → atomic manifest write → pointer-moved refusal → flip),
     # minus the append-rebase retry state that keeps the two from

@@ -1,0 +1,288 @@
+"""Positional (merge-on-read) deletes — the O(deleted rows) tier for
+tables NOT clustered by the delete key: sidecar (file, row-position)
+parquet + a read-side anti-join, Iceberg's positional-delete shape on
+``_metadata.row_index``.  Covers exactness, stacking, scope, schema
+generations, the compact apply-and-clear, partial-rewrite refusals,
+append/vacuum/restore interplay, and the moto s3 tier.
+"""
+
+import json
+
+import pytest
+
+import smashed_spark.sources.snapshot as snap
+from smashed_spark.sources.snapshot import (
+    append_snapshot,
+    apply_deletions_snapshot,
+    compact_snapshot,
+    merge_snapshot,
+    optimize_snapshot,
+    publish_snapshot,
+    read_snapshot,
+    resolve_snapshot,
+    restore_snapshot,
+    snapshot_table_stats,
+    vacuum_snapshots,
+)
+
+
+def _df(spark, n=100, tag="a"):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(tag + "_"), F.col("id")).alias("text"),
+    )
+
+
+def _scattered(spark, n=1000, files=8):
+    # hash layout: every file's envelope straddles the key space —
+    # the exact regime the positional tier exists for
+    return _df(spark, n).repartition(files, "text")
+
+
+def _root(tmp_path):
+    return str(tmp_path / "table")
+
+
+def test_positional_delete_exact_and_zero_rewrites(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_scattered(spark, 1000), root,
+                     stats_columns=["doc_id"])
+    v1 = resolve_snapshot(root)
+
+    info = apply_deletions_snapshot(
+        spark, root, [5, 17, 444], "doc_id", positional=True
+    )
+    assert info.operation == "delete"
+    assert info.row_count == 997
+    # ZERO data files rewritten: every entry carried verbatim
+    assert {f["path"] for f in info.files} == {
+        f["path"] for f in v1.files
+    }
+    assert info.delete_files and sum(
+        d["rows"] for d in info.delete_files
+    ) == 3
+    got = read_snapshot(spark, root)
+    assert got.count() == 997
+    assert got.filter("doc_id IN (5, 17, 444)").count() == 0
+    # no tag columns leak to the reader
+    assert set(got.columns) == {"doc_id", "text"}
+    # where= pruning composes with the anti-join
+    sub = read_snapshot(spark, root, where=[("doc_id", "<", 20)])
+    assert sorted(r.doc_id for r in sub.collect()) == [
+        i for i in range(20) if i not in (5, 17)
+    ]
+    stats = snapshot_table_stats(root)
+    assert stats["pending_delete_files"] == 1
+    assert stats["pending_delete_rows"] == 3
+
+
+def test_positional_deletes_stack_and_noop(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_scattered(spark, 500), root)
+    apply_deletions_snapshot(spark, root, [1, 2], "doc_id",
+                             positional=True)
+    info = apply_deletions_snapshot(
+        spark, root, [2, 3], "doc_id", positional=True
+    )
+    # key 2 was already positionally deleted: only 3 is new
+    assert info.row_count == 497
+    assert sum(d["rows"] for d in info.delete_files) == 3
+    assert len(info.delete_files) == 2  # stacked sidecars
+    # all keys already gone -> no-op, no new version
+    same = apply_deletions_snapshot(
+        spark, root, [1, 2, 3], "doc_id", positional=True
+    )
+    assert same.version == info.version
+    got = read_snapshot(spark, root)
+    assert got.count() == 497
+    assert got.filter("doc_id IN (1,2,3)").count() == 0
+
+
+def test_compact_applies_and_clears_sidecars(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_scattered(spark, 600), root,
+                     stats_columns=["doc_id"])
+    apply_deletions_snapshot(spark, root, [10, 20, 30], "doc_id",
+                             positional=True)
+    info = compact_snapshot(spark, root, target_file_bytes=1 << 20)
+    assert info.delete_files is None
+    assert info.row_count == 597
+    got = read_snapshot(spark, root)
+    assert got.count() == 597
+    assert got.filter("doc_id IN (10,20,30)").count() == 0
+    # physical rows now match net rows (the debt is paid)
+    assert sum(f["rows"] for f in info.files) == 597
+    # and file-scoped (rewrite-mode) deletes work again
+    d = apply_deletions_snapshot(spark, root, [40], "doc_id")
+    assert d.row_count == 596
+
+
+def test_partial_rewrites_refuse_under_pending_deletes(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_scattered(spark, 300), root,
+                     stats_columns=["doc_id"])
+    optimize_snapshot(spark, root, cluster_by=["doc_id"], bits=8,
+                      num_files=4)
+    apply_deletions_snapshot(spark, root, [7], "doc_id",
+                             positional=True)
+    with pytest.raises(RuntimeError, match="pending positional"):
+        apply_deletions_snapshot(spark, root, [8], "doc_id")
+    with pytest.raises(RuntimeError, match="pending positional"):
+        merge_snapshot(
+            spark, root, _df(spark, 2, "m"), "doc_id"
+        )
+    with pytest.raises(RuntimeError, match="pending positional"):
+        optimize_snapshot(
+            spark, root, cluster_by=["doc_id"], bits=8,
+            incremental=True,
+        )
+    # a FULL optimize applies and clears, like compact
+    info = optimize_snapshot(
+        spark, root, cluster_by=["doc_id"], bits=8, num_files=4
+    )
+    assert info.delete_files is None and info.row_count == 299
+
+
+def test_appends_carry_sidecars_and_vacuum_protects(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_scattered(spark, 400), root)
+    apply_deletions_snapshot(spark, root, [100, 200], "doc_id",
+                             positional=True)
+    del_info = resolve_snapshot(root)
+    append_snapshot(
+        _df(spark, 50, "b").withColumn(
+            "doc_id", snap.F.col("doc_id") + 1000
+        ),
+        root,
+    )
+    info = resolve_snapshot(root)
+    assert info.row_count == 448
+    assert [d["path"] for d in info.delete_files] == [
+        d["path"] for d in del_info.delete_files
+    ]
+    got = read_snapshot(spark, root)
+    assert got.count() == 448
+    assert got.filter("doc_id IN (100, 200)").count() == 0
+    assert got.filter("doc_id >= 1000").count() == 50
+    # vacuum away the pre-append versions: the sidecar prefix is
+    # referenced by the surviving manifest and must live on
+    vacuum_snapshots(root, keep_last=1, drop_unpublished=True)
+    got = read_snapshot(spark, root)
+    assert got.count() == 448
+    assert got.filter("doc_id IN (100, 200)").count() == 0
+
+
+def test_scoped_positional_delete(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    df = _df(spark, 100).withColumn(
+        "src", F.when(F.col("doc_id") % 2 == 0, "web").otherwise("book")
+    ).repartition(4, "text")
+    publish_snapshot(df, root)
+    info = apply_deletions_snapshot(
+        spark, root, [4, 5], "doc_id",
+        scope_where=[("src", "=", "web")], positional=True,
+    )
+    # 4 is web (deleted); 5 is book (out of scope, survives)
+    assert info.row_count == 99
+    got = read_snapshot(spark, root)
+    assert got.filter("doc_id = 4").count() == 0
+    assert got.filter("doc_id = 5").count() == 1
+
+
+def test_positional_delete_across_schema_generations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 40, "a").coalesce(2), root)
+    append_snapshot(
+        _df(spark, 10, "b")
+        .select((F.col("doc_id") + 100).alias("doc_id"), "text")
+        .withColumn("score", F.lit(1.0)),
+        root,
+        evolve=True,
+    )
+    info = apply_deletions_snapshot(
+        spark, root, [3, 105], "doc_id", positional=True
+    )
+    assert info.row_count == 48
+    got = read_snapshot(spark, root)
+    assert got.count() == 48
+    assert got.filter("doc_id IN (3, 105)").count() == 0
+    assert set(got.columns) == {"doc_id", "text", "score"}
+
+
+def test_restore_keeps_pending_deletes(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_scattered(spark, 200), root)
+    apply_deletions_snapshot(spark, root, [9], "doc_id",
+                             positional=True)
+    del_v = resolve_snapshot(root).version
+    append_snapshot(
+        _df(spark, 5, "c").withColumn(
+            "doc_id", snap.F.col("doc_id") + 900
+        ),
+        root,
+    )
+    info = restore_snapshot(root, version=del_v)
+    assert info.delete_files and info.row_count == 199
+    got = read_snapshot(spark, root)
+    assert got.count() == 199 and got.filter("doc_id = 9").count() == 0
+
+
+def test_positional_delete_race_refuses(spark, tmp_path, monkeypatch):
+    root = _root(tmp_path)
+    publish_snapshot(_scattered(spark, 100), root)
+
+    real = snap._next_version
+    state = {"raced": False}
+
+    def race(root_sp, client=None):
+        out = real(root_sp, client=client)
+        if not state["raced"]:
+            state["raced"] = True
+            append_snapshot(
+                _df(spark, 2, "r").withColumn(
+                    "doc_id", snap.F.col("doc_id") + 500
+                ),
+                root,
+            )
+        return out
+
+    monkeypatch.setattr(snap, "_next_version", race)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        apply_deletions_snapshot(spark, root, [1], "doc_id",
+                                 positional=True)
+    monkeypatch.undo()
+    assert resolve_snapshot(root).row_count == 102
+
+
+BUCKET = "smashed-test-bucket"
+
+
+@pytest.fixture()
+def s3():
+    boto3 = pytest.importorskip("boto3")
+    moto = pytest.importorskip("moto")
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket=BUCKET)
+        yield client
+
+
+def test_s3_positional_delete_roundtrip(spark, s3):
+    root = f"s3://{BUCKET}/tables/posdel"
+    publish_snapshot(_scattered(spark, 150, files=3), root, client=s3)
+    info = apply_deletions_snapshot(
+        spark, root, [11, 12], "doc_id", positional=True,
+        client=s3, allow_driver_download=True,
+    )
+    assert info.row_count == 148 and info.delete_files
+    got = read_snapshot(
+        spark, root, client=s3, allow_driver_download=True
+    )
+    assert got.count() == 148
+    assert got.filter("doc_id IN (11, 12)").count() == 0

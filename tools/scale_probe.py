@@ -995,14 +995,15 @@ def main() -> None:
         from smashed_spark.sources.snapshot import (
             apply_deletions_snapshot,
             publish_snapshot,
+            read_snapshot,
             resolve_snapshot,
             snapshot_table_stats,
         )
 
-        best = {"delete": -1.0}
-        rewritten = overlap = None
-        for _ in range(reps):
-            isolate()
+        best = {"delete": -1.0, "positional": -1.0, "mor_read": -1.0}
+        rewritten = overlap = pos_rewritten = None
+
+        def fresh() -> str:
             root = _tf.mkdtemp(prefix="smashed_uncldel_") + "/tbl"
             df = (
                 spark.range(160_000)
@@ -1010,6 +1011,13 @@ def main() -> None:
                 .repartition(n_files, "doc_id")  # hash: envelopes straddle
             )
             publish_snapshot(df, root, stats_columns=["doc_id"])
+            return root
+
+        for _ in range(reps):
+            isolate()
+            # tier 1 — the REWRITE path on a virgin table: the
+            # documented O(table) degradation this probe exists for
+            root = fresh()
             overlap = snapshot_table_stats(root)[
                 "envelope_overlap_avg"
             ].get("doc_id")
@@ -1034,13 +1042,35 @@ def main() -> None:
             carried = sum(1 for f in info.files if f["path"] in before)
             rewritten = len(before) - carried
             shutil.rmtree(os.path.dirname(root), ignore_errors=True)
-            best["delete"] = (
-                t_del if best["delete"] < 0 else min(best["delete"], t_del)
+            # tier 2 — the r15 POSITIONAL (merge-on-read) answer on an
+            # identical virgin table: O(deleted rows), zero files
+            # rewritten, whatever the layout; plus the read-side cost
+            # of the pending sidecar (the merge-on-read tradeoff)
+            root = fresh()
+            before = {f["path"] for f in resolve_snapshot(root).files}
+            t0 = time.perf_counter()
+            pinfo = apply_deletions_snapshot(
+                spark, root, keys=[80_000], key_field="doc_id",
+                positional=True,
             )
+            t_pos = time.perf_counter() - t0
+            assert pinfo.row_count == 160_000 - 1
+            pos_rewritten = sum(
+                1 for f in pinfo.files if f["path"] not in before
+            )
+            t0 = time.perf_counter()
+            assert read_snapshot(spark, root).count() == 160_000 - 1
+            t_read = time.perf_counter() - t0
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+            for k, v in (("delete", t_del), ("positional", t_pos),
+                         ("mor_read", t_read)):
+                best[k] = v if best[k] < 0 else min(best[k], v)
         return {
             "delete": round(best["delete"], 4),
             "files_touched": rewritten,
-            "files_carried": carried,
+            "positional_delete": round(best["positional"], 4),
+            "positional_files_rewritten": pos_rewritten,
+            "mor_read": round(best["mor_read"], 4),
             "envelope_overlap_avg": overlap,
         }
 
@@ -1250,18 +1280,25 @@ def main() -> None:
                 "rows / one forget key as snapshot_scoped_delete, but "
                 "hash-partitioned on the key so every file's envelope "
                 "straddles the key space.  files_touched == ALL files "
-                "(files_carried == 0) is the documented O(table) "
-                "degradation — the delete is still correct, just "
-                "unscoped; the scoped probe's counterpart carries all "
-                "but 1.  envelope_overlap_avg is the "
-                "snapshot_table_stats health check that predicts it "
-                "without reading data: ~1 on the clustered layout, "
-                "~files/2 here (endpoint sampling of fully-straddling "
-                "envelopes reads n/2; any value >> 1 means unscoped). "
-                "Cluster by the delete key (optimize_snapshot) to get "
-                "the scoped path; positional delete files are the "
-                "eventual answer if a real workload needs scoped "
-                "deletes on an uncluster-able key."
+                "is the documented O(table) rewrite degradation; "
+                "envelope_overlap_avg is the snapshot_table_stats "
+                "health check that predicts it without reading data "
+                "(~1 clustered, ~files/2 here; >> 1 means unscoped). "
+                "r15 built the answer: positional_delete is "
+                "apply_deletions_snapshot(positional=True) on the "
+                "identical table — positional_files_rewritten pins at "
+                "0 at every file count (the sidecar is O(deleted "
+                "rows)).  Its wall still contains the FIND-the-rows "
+                "scan (unavoidable on an unclustered key: every "
+                "straddling file must be read once), but the write "
+                "half and the file churn — the halves that dominate "
+                "at real scale and wreck cache locality / downstream "
+                "incremental readers — are gone.  mor_read is the "
+                "merge-on-read tax: one full read through the pending "
+                "anti-join; compact_snapshot applies and clears it.  "
+                "Cluster by the delete key (optimize_snapshot) when "
+                "possible — the scoped rewrite tier stays the best of "
+                "both."
             ),
         }
         print(
