@@ -38,7 +38,6 @@ from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import io_utils
 from .io_utils import SmartPath
 from .snapshot import (
     _read_json,
@@ -95,20 +94,8 @@ def snapshot_change_feed(
     current = resolve_snapshot(table_root, client=client)
     cursor = read_feed_cursor(cpath, client=client)
 
-    def _advance(version: int) -> None:
-        _write_atomic(
-            cpath, json.dumps({"version": int(version)}), client=client
-        )
-
-    if cursor is None:
-        if initial == "latest":
-            _advance(current.version)
-            return {
-                "status": "noop",
-                "since": None,
-                "version": current.version,
-            }
-        df = read_snapshot(
+    def _full_read() -> DataFrame:
+        return read_snapshot(
             spark,
             table_root,
             version=current.version,
@@ -116,13 +103,29 @@ def snapshot_change_feed(
             client=client,
             allow_driver_download=allow_driver_download,
         )
-        process(df, None, current.version)
+
+    def _deliver(df: Optional[DataFrame], since, status: str) -> dict:
+        # the ONE delivery path every status shares: process first,
+        # advance the cursor only after it returns (the at-least-once
+        # contract), report what happened
+        if df is not None:
+            process(df, since, current.version)
         _advance(current.version)
         return {
-            "status": "bootstrap",
-            "since": None,
+            "status": status,
+            "since": since,
             "version": current.version,
         }
+
+    def _advance(version: int) -> None:
+        _write_atomic(
+            cpath, json.dumps({"version": int(version)}), client=client
+        )
+
+    if cursor is None:
+        if initial == "latest":
+            return _deliver(None, None, "noop")
+        return _deliver(_full_read(), None, "bootstrap")
     if cursor == current.version:
         return {
             "status": "noop",
@@ -144,25 +147,5 @@ def snapshot_change_feed(
         # cursor vacuumed off it
         if on_rewrite == "raise":
             raise
-        df = read_snapshot(
-            spark,
-            table_root,
-            version=current.version,
-            where=where,
-            client=client,
-            allow_driver_download=allow_driver_download,
-        )
-        process(df, cursor, current.version)
-        _advance(current.version)
-        return {
-            "status": "full_resync",
-            "since": cursor,
-            "version": current.version,
-        }
-    process(df, cursor, current.version)
-    _advance(current.version)
-    return {
-        "status": "changes",
-        "since": cursor,
-        "version": current.version,
-    }
+        return _deliver(_full_read(), cursor, "full_resync")
+    return _deliver(df, cursor, "changes")

@@ -188,6 +188,14 @@ DEFAULT_BROADCAST_KEYS = 2_000_000
 # degrades to min/max range pruning — two scalars, never a big collect
 DEFAULT_PRUNE_COLLECT_KEYS = 100_000
 
+# positional-delete sidecars broadcast only while their recorded
+# parquet bytes stay under this (their rows carry a path string each,
+# far wider than scalar forget keys — the row cap alone could force a
+# GB-scale hash relation near its limit); above it the anti-join
+# shuffles honestly.  Dictionary encoding makes real sidecars much
+# smaller than raw, so this admits tens of millions of positions.
+DELETE_BROADCAST_BYTES = 64 << 20
+
 # optimistic-append rebases before giving up: append commits commute,
 # so a lost pointer race re-resolves the new parent and retries; a
 # bounded count keeps a livelocked table loud instead of spinning
@@ -256,6 +264,11 @@ class SnapshotInfo:
 
     @property
     def file_paths(self) -> List[str]:
+        """Fully-qualified data-file paths — for handing to an engine
+        directly (e.g. s3a:// on a real cluster).  CAVEAT: a raw scan
+        of these paths IGNORES pending ``delete_files`` (positionally
+        deleted rows come back); go through ``read_snapshot`` — or
+        compact first — when ``delete_files`` is non-empty."""
         base = self.table_root.rstrip("/")
         return [f"{base}/{f['path']}" for f in self.files]
 
@@ -2030,8 +2043,17 @@ def _scan_files(
                 "Hadoop connector (hadoop-aws/s3a is not on the "
                 "classpath), so the resolved s3:// files cannot be "
                 "scanned directly.  On a real cluster read "
-                "SnapshotInfo.file_paths as s3a:// URIs; for tests and "
-                "small tables pass allow_driver_download=True."
+                "SnapshotInfo.file_paths as s3a:// URIs"
+                + (
+                    " — but NOT for this snapshot as-is: it carries "
+                    "pending positional delete_files that a raw path "
+                    "scan would ignore (deleted rows resurrect); "
+                    "compact_snapshot first"
+                    if delete_entries
+                    else ""
+                )
+                + "; for tests and small tables pass "
+                "allow_driver_download=True."
             )
         local_dir = tempfile.mkdtemp(prefix="smashed_snapread_")
         # the returned DataFrame reads these files LAZILY, so the dir
@@ -2069,17 +2091,39 @@ def _scan_files(
     # positional-delete writer VERIFIES the tags against the manifest
     # paths at write time, so a normalization drift fails loudly there
     # rather than silently resurrecting rows here.
-    uri_base_len = len("file:" + scan_base)
+    uri_base = "file:" + scan_base
 
     def _with_meta(df: DataFrame) -> DataFrame:
         if not need_meta:
             return df
-        return df.withColumn(
-            _FILE_COL,
-            F.col("_metadata.file_path").substr(
-                F.lit(uri_base_len + 2), F.lit(1 << 30)
-            ),
-        ).withColumn(_POS_COL, F.col("_metadata.row_index"))
+        fp = F.col("_metadata.file_path")
+        # read-side normalization guard: if THIS environment's
+        # file-URI form ever differs from the writer's assumption
+        # (triple-slash qualification, Windows drive paths, ...), the
+        # anti-join would silently match nothing and deleted rows
+        # would RESURRECT — raise per-row instead, loudly
+        rel = F.when(
+            fp.startswith(uri_base + "/"),
+            fp.substr(F.lit(len(uri_base) + 2), F.lit(1 << 30)),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "snapshot positional-delete scan: "
+                        "_metadata.file_path does not start with the "
+                        f"expected base {uri_base + '/'!r} — path "
+                        "normalization drifted between writer and "
+                        "reader; refusing a read that would silently "
+                        "skip the delete anti-join (got: "
+                    ),
+                    fp,
+                    F.lit(")"),
+                )
+            )
+        )
+        return df.withColumn(_FILE_COL, rel).withColumn(
+            _POS_COL, F.col("_metadata.row_index")
+        )
 
     # schema-evolution read: files from older generations are scanned
     # as their own group and ALIGNED to the manifest's current schema
@@ -2113,14 +2157,19 @@ def _scan_files(
                     *[path_of(f["path"]) for f in by_gen[gen]]
                 )
             )
-            # extra="keep" carries the meta tag columns through the
-            # alignment projection (they trail the target columns in
-            # every group, so the unionByName lines up)
+            # the meta tag columns join the TARGET schema (typed), so
+            # extra="error" keeps rejecting genuinely unexpected
+            # columns exactly as it did before the positional tier
             part = align_to_schema(
                 part,
-                target_ddl,
+                target_ddl
+                + (
+                    f", `{_FILE_COL}` string, `{_POS_COL}` bigint"
+                    if need_meta
+                    else ""
+                ),
                 missing="null",
-                extra="keep" if need_meta else "error",
+                extra="error",
                 cast="safe",
             )
             out = part if out is None else out.unionByName(part)
@@ -2131,10 +2180,22 @@ def _scan_files(
             F.col("path").alias(_FILE_COL),
             F.col("pos").alias(_POS_COL),
         )
-        pending = sum(int(d.get("rows") or 0) for d in delete_entries)
+        pending_rows = sum(
+            int(d.get("rows") or 0) for d in delete_entries
+        )
+        pending_bytes = sum(
+            int(d.get("bytes") or 0) for d in delete_entries
+        )
+        # sidecar rows are WIDER than scalar forget keys (a path
+        # string per row), so the row cap alone could force a
+        # GB-scale broadcast near the limit — gate on the manifest's
+        # recorded parquet bytes too (both facts are free)
         anti = (
             F.broadcast(dels)
-            if pending <= DEFAULT_BROADCAST_KEYS
+            if (
+                pending_rows <= DEFAULT_BROADCAST_KEYS
+                and pending_bytes <= DELETE_BROADCAST_BYTES
+            )
             else dels
         )
         out = out.join(anti, on=[_FILE_COL, _POS_COL], how="left_anti")
@@ -2891,6 +2952,46 @@ def _collected_prune_literal(spark: SparkSession, v, dtype):
 _DELETE_DIR = "_deletes"
 
 
+def _commit_manifest(
+    root: SmartPath,
+    table_root: str,
+    manifest: Dict[str, object],
+    expect_parent: Optional[int],
+    verb: str,
+    client=None,
+) -> SnapshotInfo:
+    """Commit tail shared by the non-rebasing single-commit verbs
+    (restore, positional delete): manifest-exists refusal -> atomic
+    manifest write -> pointer-moved refusal -> pointer flip.
+    publish_snapshot keeps its OWN copy of this sequence, intertwined
+    with the append-rebase retry state — a protocol change here must
+    land there too (and vice versa)."""
+    version = int(manifest["version"])
+    manifest_path = str(root / _manifest_key(version))
+    if io_utils.exists(manifest_path, client=client):
+        raise RuntimeError(
+            f"{verb}: manifest for v{version} already exists - "
+            "concurrent writer detected; this table requires a single "
+            "writer for non-append operations."
+        )
+    _write_atomic(manifest_path, json.dumps(manifest, indent=1),
+                  client=client)
+    moved = _pointer_version(root, client=client)
+    if moved != expect_parent:
+        raise RuntimeError(
+            f"{verb}: pointer moved {expect_parent} -> {moved} during "
+            "the commit - concurrent writer detected; the prepared "
+            f"manifest {_manifest_key(version)!r} was NOT published "
+            "(vacuum with drop_unpublished=True to discard, or re-run)."
+        )
+    _write_atomic(
+        _pointer_path(root),
+        json.dumps({"version": version, "manifest": _manifest_key(version)}),
+        client=client,
+    )
+    return resolve_snapshot(table_root, version, client=client)
+
+
 def _write_delete_sidecar(
     positions: DataFrame,
     root: SmartPath,
@@ -3004,32 +3105,10 @@ def _commit_positional_delete(
         manifest["partition_transforms"] = {
             k: list(v) for k, v in parent.partition_transforms.items()
         }
-    manifest_path = str(root / _manifest_key(new_version))
-    if io_utils.exists(manifest_path, client=client):
-        raise RuntimeError(
-            f"apply_deletions_snapshot: manifest for v{new_version} "
-            "already exists — concurrent writer detected; this table "
-            "requires a single writer for non-append operations."
-        )
-    _write_atomic(manifest_path, json.dumps(manifest, indent=1),
-                  client=client)
-    moved = _pointer_version(root, client=client)
-    if moved != parent.version:
-        raise RuntimeError(
-            f"apply_deletions_snapshot: pointer moved {parent.version} "
-            f"-> {moved} during the positional delete — concurrent "
-            f"writer detected; the prepared manifest "
-            f"{_manifest_key(new_version)!r} was NOT published (vacuum "
-            "with drop_unpublished=True to discard, or re-run)."
-        )
-    _write_atomic(
-        _pointer_path(root),
-        json.dumps(
-            {"version": new_version, "manifest": _manifest_key(new_version)}
-        ),
-        client=client,
+    return _commit_manifest(
+        root, table_root, manifest, parent.version,
+        "apply_deletions_snapshot", client=client,
     )
-    return resolve_snapshot(table_root, new_version, client=client)
 
 
 def apply_deletions_snapshot(
@@ -3624,37 +3703,10 @@ def restore_snapshot(
         manifest["delete_files"] = [
             dict(d) for d in target.delete_files
         ]
-    # commit tail — a MIRROR of publish_snapshot's (manifest-exists
-    # refusal → atomic manifest write → pointer-moved refusal → flip),
-    # minus the append-rebase retry state that keeps the two from
-    # sharing a helper cleanly.  A protocol change there (e.g. a new
-    # pointer-JSON field) must land HERE too.
-    manifest_path = str(root / _manifest_key(new_version))
-    if io_utils.exists(manifest_path, client=client):
-        raise RuntimeError(
-            f"restore_snapshot: manifest for v{new_version} already "
-            "exists — concurrent writer detected; this table requires "
-            "a single writer for non-append operations."
-        )
-    _write_atomic(manifest_path, json.dumps(manifest, indent=1),
-                  client=client)
-    moved = _pointer_version(root, client=client)
-    if moved != current.version:
-        raise RuntimeError(
-            f"restore_snapshot: pointer moved {current.version} -> "
-            f"{moved} during the restore — concurrent writer detected; "
-            f"the prepared manifest {_manifest_key(new_version)!r} was "
-            "NOT published (vacuum with drop_unpublished=True to "
-            "discard, or re-run the restore)."
-        )
-    _write_atomic(
-        _pointer_path(root),
-        json.dumps(
-            {"version": new_version, "manifest": _manifest_key(new_version)}
-        ),
-        client=client,
+    return _commit_manifest(
+        root, table_root, manifest, current.version,
+        "restore_snapshot", client=client,
     )
-    return resolve_snapshot(table_root, new_version, client=client)
 
 
 __all__ = [

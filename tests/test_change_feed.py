@@ -5,7 +5,6 @@ at-least-once replay, rewrite handling, vacuumed-cursor resync.
 
 import pytest
 
-import smashed_spark.sources.snapshot as snap
 from smashed_spark.sources.change_feed import (
     read_feed_cursor,
     snapshot_change_feed,

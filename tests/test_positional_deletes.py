@@ -6,8 +6,6 @@ generations, the compact apply-and-clear, partial-rewrite refusals,
 append/vacuum/restore interplay, and the moto s3 tier.
 """
 
-import json
-
 import pytest
 
 import smashed_spark.sources.snapshot as snap
