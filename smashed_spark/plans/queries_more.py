@@ -2089,7 +2089,7 @@ def _snapshot_lifecycle_oracle() -> str:
                CASE WHEN doc_id % 3 = 2 THEN doc_id % 7
                     ELSE NULL END AS mark
         FROM documents
-        WHERE doc_id % 10 NOT IN (0, 5)
+        WHERE doc_id % 10 NOT IN (0, 3, 5)
         UNION ALL
         SELECT doc_id, lang, n_chars + 100000,
                'upsert' AS source, doc_id % 7 AS mark
@@ -2153,6 +2153,12 @@ def q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
        batch value, unmatched insert, untouched survive; the row
        count is asserted exactly (updates replace 1:1, inserts add)
        and every surviving value is oracle-checked downstream;
+    3d. (r15) a POSITIONAL merge-on-read delete (doc_id%10=3): the
+       sidecar commit must rewrite ZERO data files (asserted against
+       the manifest) while every read excludes the rows, then
+       ``compact_snapshot`` APPLIES and CLEARS the sidecar (asserted
+       empty) — the deleted rows must stay gone through the physical
+       rewrite or the oracle hash breaks;
     4. GDPR forget-list rewrite (doc_id%10=0) as a new version — the
        file-scoped path, pruning on the doc_id envelopes across BOTH
        schema generations;
@@ -2280,6 +2286,45 @@ def q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snapshot_lifecycle: merge row accounting broke — "
             f"{evolved.row_count} rows + {n_ins} inserts "
             f"(+{n_upd} 1:1 updates) != {merged.row_count}"
+        )
+    # r15 positional stage: merge-on-read delete of doc_id%10=3 (no
+    # inserted id ends in 3 — inserts shift by 10M, preserving the
+    # last digit 7 — and no update does either, so the forget set is
+    # exactly the original rows), then compact applies + clears
+    from ..sources.snapshot import compact_snapshot
+
+    n_pos = docs.filter(F.col("doc_id") % 10 == 3).count()
+    pos_info = apply_deletions_snapshot(
+        spark,
+        table,
+        keys=docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"),
+        key_field="doc_id",
+        positional=True,
+    )
+    if not pos_info.delete_files or pos_info.row_count != (
+        merged.row_count - n_pos
+    ):
+        raise AssertionError(
+            "snapshot_lifecycle: positional delete accounting broke — "
+            f"{merged.row_count} - {n_pos} != {pos_info.row_count} "
+            f"(delete_files={pos_info.delete_files})"
+        )
+    if {f["path"] for f in pos_info.files} != {
+        f["path"] for f in merged.files
+    }:
+        raise AssertionError(
+            "snapshot_lifecycle: positional delete rewrote data files "
+            "— the sidecar tier must carry every entry verbatim"
+        )
+    compacted = compact_snapshot(spark, table, stats_columns=stats_cols)
+    if compacted.delete_files is not None or (
+        compacted.row_count != pos_info.row_count
+    ):
+        raise AssertionError(
+            "snapshot_lifecycle: compact did not apply+clear the "
+            f"positional sidecar (delete_files="
+            f"{compacted.delete_files}, rows {pos_info.row_count} -> "
+            f"{compacted.row_count})"
         )
     apply_deletions_snapshot(
         spark,
