@@ -892,10 +892,14 @@ def _time_granule(value, kind: str, instant: bool = True) -> Optional[str]:
     prune here (the same tz-ambiguity refusal the stats pruner's
     ``_norm_stat`` applies).
 
-    ``instant=False`` (TIMESTAMP_NTZ / DATE / string sources — zone-
-    free wall clock): naive datetimes, dates, and ISO strings compare
+    ``instant=False`` (TIMESTAMP_NTZ / DATE sources — zone-free wall
+    clock): naive datetimes, dates, and ISO strings compare
     textually; a tz-aware literal against a wall-clock column is the
-    ambiguous case and never prunes."""
+    ambiguous case and never prunes.  STRING sources never reach here
+    at all — ``_partition_can_match`` skips them outright (the
+    writer's date_format CASTS strings, honoring embedded offsets,
+    while predicates compare text; new tables refuse the layout in
+    ``_validate_transforms``)."""
     import datetime as _dt
     import re
 
