@@ -201,6 +201,23 @@ DELETE_BROADCAST_BYTES = 64 << 20
 # bounded count keeps a livelocked table loud instead of spinning
 DEFAULT_COMMIT_RETRIES = 4
 
+# positional-delete sidecar files are sharded to roughly this many
+# (path, pos) rows each: a single coalesce(1) task serializing a
+# 100M-row forget sweep would make the one tier whose pitch is
+# "O(deleted rows), whatever the layout" driver-bound at exactly the
+# scale it exists for.  ~4M slim rows ≈ tens of MB per file after
+# dictionary encoding — few enough files that reads stay cheap, small
+# enough that no single write task owns the sweep.
+SIDECAR_ROWS_PER_FILE = 4_000_000
+
+# compact-debt advice thresholds (snapshot_table_stats): recommend a
+# compact/full-optimize once pending positional-delete sidecars exceed
+# this many files or this fraction of the table's physical rows —
+# every read pays one anti-join per accumulated sidecar batch, and the
+# debt only clears on a rewrite.
+COMPACT_DEBT_FILES = 8
+COMPACT_DEBT_ROW_FRACTION = 0.05
+
 # manifest properties every publish re-states from its parent unless
 # the caller overrides them: the streaming sink's exactly-once
 # watermark must not vanish when a compaction (which sets its own
@@ -2452,7 +2469,13 @@ def snapshot_table_stats(
     ~files/2 under the endpoint sampling) or by envelope-less files
     (re-collect stats via a maintenance rewrite), and keyed
     deletes/merges trend toward an O(table) rewrite (correct, just
-    not scoped)."""
+    not scoped).
+
+    ``recommend_compact`` is the merge-on-read debt flag: True once
+    pending positional-delete sidecars exceed ``COMPACT_DEBT_FILES``
+    files or ``COMPACT_DEBT_ROW_FRACTION`` of the table's physical
+    rows — the point at which paying the read-side anti-join on every
+    scan costs more than one ``compact_snapshot``."""
     info = resolve_snapshot(table_root, version, client=client)
     sizes = [int(f.get("bytes") or 0) for f in info.files]
     n = len(info.files)
@@ -2470,6 +2493,10 @@ def snapshot_table_stats(
         for k, v in (f.get("partition") or {}).items():
             dir_values.setdefault(k, set()).add(v)
     small = sum(1 for s in sizes if s < (16 << 20))
+    physical_rows = sum(int(f.get("rows") or 0) for f in info.files)
+    pending_rows = sum(
+        int(d.get("rows") or 0) for d in (info.delete_files or [])
+    )
     overlap: Dict[str, float] = {}
     for c in stats_cols:
         # per-kind envelopes are normalized to mutually comparable
@@ -2530,8 +2557,18 @@ def snapshot_table_stats(
         # merge-on-read debt: sidecar count + rows every read is
         # anti-joining away; compact/full-optimize applies and clears
         "pending_delete_files": len(info.delete_files or []),
-        "pending_delete_rows": sum(
-            int(d.get("rows") or 0) for d in (info.delete_files or [])
+        "pending_delete_rows": pending_rows,
+        # the maintenance-loop trigger: too many sidecar files (one
+        # anti-join relation per accumulated batch) or too large a
+        # deleted-row fraction of the physical rows → pay the debt
+        # down with compact_snapshot / a full optimize_snapshot
+        "recommend_compact": bool(
+            len(info.delete_files or []) > COMPACT_DEBT_FILES
+            or (
+                physical_rows > 0
+                and pending_rows / physical_rows
+                > COMPACT_DEBT_ROW_FRACTION
+            )
         ),
     }
 
@@ -3001,6 +3038,7 @@ def _write_delete_sidecar(
     root: SmartPath,
     rel_prefix: str,
     compression: str,
+    n_rows: int,
     client=None,
 ) -> List[Dict[str, object]]:
     """Write a positional-delete sidecar (slim ``path``/``pos`` rows)
@@ -3008,7 +3046,14 @@ def _write_delete_sidecar(
     to the data-file inventory walk while the prefix itself rides the
     manifest's ``prefixes`` list, so vacuum protects it exactly like
     data.  Returns manifest entries (root-relative path, rows, bytes)
-    read from the just-written footers."""
+    read from the just-written footers.
+
+    The write is SHARDED by ``n_rows`` (one file per
+    ``SIDECAR_ROWS_PER_FILE`` positions, via coalesce — no shuffle):
+    small forget lists still land as one file, but a corpus-wide sweep
+    fans out across tasks instead of serializing through one.  The
+    read side and the manifest already speak LISTS of delete entries,
+    so shard count is invisible above this function."""
     import pyarrow.parquet as pq
 
     target_rel = f"{rel_prefix}/{_DELETE_DIR}"
@@ -3030,9 +3075,10 @@ def _write_delete_sidecar(
                 )
         return out
 
-    writer = positions.coalesce(1).write.mode("errorifexists").option(
-        "compression", compression
-    )
+    shards = max(1, -(-int(n_rows) // SIDECAR_ROWS_PER_FILE))
+    writer = positions.coalesce(shards).write.mode(
+        "errorifexists"
+    ).option("compression", compression)
     if root.is_s3:
         staging_root = tempfile.mkdtemp(prefix="smashed_snapdel_")
         staging = os.path.join(staging_root, "d")
@@ -3056,6 +3102,57 @@ def _write_delete_sidecar(
     return _entries(dest)
 
 
+def _rebase_append_only_head(
+    table_root: str,
+    planned_version: int,
+    verb: str,
+    client=None,
+) -> SnapshotInfo:
+    """Re-resolve the head after a lost commit race and validate that
+    rebasing onto it is SAFE for a positional delete: every commit
+    between the planned parent and the head must be a pure append.
+    Appends only add files (parent entries carried verbatim), so the
+    sidecar's (file, position) pairs still point at exactly the rows
+    they were computed over; any rewrite (compact/optimize/delete/
+    merge/restore/publish) can move or drop those rows and refuses.
+    Returns the validated head snapshot, with a belt-and-braces check
+    that the planned parent's file paths all survive in it."""
+    head = resolve_snapshot(table_root, client=client)
+    cursor = head
+    planned_files: Optional[set] = None
+    while cursor.version != planned_version:
+        if cursor.operation != "append":
+            raise RuntimeError(
+                f"{verb}: a concurrent {cursor.operation!r} commit "
+                f"(v{cursor.version}) landed after this positional "
+                "delete was planned — a rewrite can move or drop the "
+                "rows the sidecar's (file, position) pairs point at, "
+                "so the rebase is refused.  Re-run against the current "
+                "snapshot (the written sidecar prefix is an orphan; "
+                "vacuum will sweep it)."
+            )
+        if cursor.parent is None:
+            raise RuntimeError(
+                f"{verb}: planned parent v{planned_version} is no "
+                f"longer on the chain (it bottoms out at "
+                f"v{cursor.version}) — cannot rebase; re-run against "
+                "the current snapshot."
+            )
+        cursor = resolve_snapshot(table_root, cursor.parent, client=client)
+        planned_files = {f["path"] for f in cursor.files}
+    if planned_files is not None:
+        head_paths = {f["path"] for f in head.files}
+        lost = planned_files - head_paths
+        if lost:
+            raise RuntimeError(
+                f"{verb}: append-only chain v{planned_version} -> "
+                f"v{head.version} dropped file entries (e.g. "
+                f"{sorted(lost)[:3]}) — manifest corruption; rebase "
+                "refused."
+            )
+    return head
+
+
 def _commit_positional_delete(
     table_root: str,
     parent: SnapshotInfo,
@@ -3064,55 +3161,107 @@ def _commit_positional_delete(
     compression: str,
     client=None,
 ) -> SnapshotInfo:
-    """Commit a positional delete: parent file entries VERBATIM, one
-    new sidecar, row_count down by exactly ``n_deleted`` (the
+    """Commit a positional delete: parent file entries VERBATIM, new
+    sidecar shards, row_count down by exactly ``n_deleted`` (the
     positions were computed over a delete-aware scan, so they are
-    disjoint from every pending sidecar).  Commit tail mirrors
-    publish_snapshot's (see that cross-reference)."""
+    disjoint from every pending sidecar).
+
+    **Commutes with concurrent appends** (publish_snapshot's rebase
+    discipline, specialized): the sidecar references only files that
+    existed at planning time, and an append carries every parent entry
+    verbatim, so a lost race against a pure append REBASES onto the
+    new head and retries instead of refusing — the busy-ingest table
+    no longer has to quiesce its stream to forget rows.  Semantics are
+    write-serializable, matching Iceberg's positional tier: the delete
+    applies to the rows that existed when it was PLANNED; a row with a
+    matching key appended concurrently is not scanned and survives.
+    Any concurrent REWRITE still refuses (it can move the very rows
+    the positions point at).  The sidecar prefix is written once and
+    reused across attempts (its name keeps the first allocation's
+    number; nothing parses prefix names)."""
     root = SmartPath.parse(table_root)
-    new_version = _next_version(root, client=client)
+    version = _next_version(root, client=client)
     token = uuid.uuid4().hex[:8]
-    rel_prefix = f"{DATA_DIR}/v{new_version:08d}-{token}"
+    rel_prefix = f"{DATA_DIR}/v{version:08d}-{token}"
     sidecars = _write_delete_sidecar(
-        positions, root, rel_prefix, compression, client=client
+        positions, root, rel_prefix, compression, n_deleted,
+        client=client,
     )
-    props = {
-        k: parent.properties[k]
-        for k in _PROPAGATED_PROPS
-        if k in parent.properties
-    }
-    manifest = {
-        "version": new_version,
-        "spec": 2,
-        "data_prefix": rel_prefix,
-        "prefixes": sorted(set(parent.prefixes) | {rel_prefix}),
-        "files": [dict(f) for f in parent.files],
-        "row_count": parent.row_count - n_deleted,
-        "parent": parent.version,
-        "operation": "delete",
-        "committed_at": time.time(),
-        "format": "parquet",
-        "properties": props,
-        "delete_files": [
-            *(dict(d) for d in parent.delete_files or []),
-            *sidecars,
-        ],
-    }
-    if parent.columns is not None:
-        manifest["columns"] = dict(parent.columns)
-    if parent.schemas is not None:
-        manifest["schemas"] = {
-            k: dict(v) for k, v in parent.schemas.items()
+    head = parent
+    attempts_left = DEFAULT_COMMIT_RETRIES
+    verb = "apply_deletions_snapshot"
+    while True:
+        props = {
+            k: head.properties[k]
+            for k in _PROPAGATED_PROPS
+            if k in head.properties
         }
-        manifest["schema_id"] = parent.schema_id
-    if parent.partition_transforms:
-        manifest["partition_transforms"] = {
-            k: list(v) for k, v in parent.partition_transforms.items()
+        manifest = {
+            "version": version,
+            "spec": 2,
+            "data_prefix": rel_prefix,
+            "prefixes": sorted(set(head.prefixes) | {rel_prefix}),
+            "files": [dict(f) for f in head.files],
+            "row_count": head.row_count - n_deleted,
+            "parent": head.version,
+            "operation": "delete",
+            "committed_at": time.time(),
+            "format": "parquet",
+            "properties": props,
+            "delete_files": [
+                *(dict(d) for d in head.delete_files or []),
+                *sidecars,
+            ],
         }
-    return _commit_manifest(
-        root, table_root, manifest, parent.version,
-        "apply_deletions_snapshot", client=client,
-    )
+        if head.columns is not None:
+            manifest["columns"] = dict(head.columns)
+        if head.schemas is not None:
+            manifest["schemas"] = {
+                k: dict(v) for k, v in head.schemas.items()
+            }
+            manifest["schema_id"] = head.schema_id
+        if head.partition_transforms:
+            manifest["partition_transforms"] = {
+                k: list(v) for k, v in head.partition_transforms.items()
+            }
+        manifest_path = str(root / _manifest_key(version))
+        raced = io_utils.exists(manifest_path, client=client)
+        if not raced:
+            _write_atomic(
+                manifest_path, json.dumps(manifest, indent=1),
+                client=client,
+            )
+            moved = _pointer_version(root, client=client)
+            if moved == head.version:
+                _write_atomic(
+                    _pointer_path(root),
+                    json.dumps(
+                        {
+                            "version": version,
+                            "manifest": _manifest_key(version),
+                        }
+                    ),
+                    client=client,
+                )
+                return resolve_snapshot(table_root, version, client=client)
+            raced = True
+        if attempts_left <= 0:
+            raise RuntimeError(
+                f"{verb}: commit still racing after "
+                f"{DEFAULT_COMMIT_RETRIES} append-rebase retries — "
+                f"sustained concurrent writes on {table_root!r}; re-run "
+                "the positional delete (the sidecar prefix and any "
+                "off-chain manifests are debris; vacuum with "
+                "drop_unpublished=True sweeps them)."
+            )
+        attempts_left -= 1
+        # the rebase validates append-only ancestry back to the
+        # PLANNED parent — the snapshot the positions were computed
+        # over — not merely the previous attempt's head
+        head = _rebase_append_only_head(
+            table_root, parent.version, verb, client=client
+        )
+        version = _next_version(root, client=client)
 
 
 def apply_deletions_snapshot(
@@ -3390,6 +3539,103 @@ def apply_deletions_snapshot(
     )
 
 
+def _commit_positional_merge(
+    table_root: str,
+    parent: SnapshotInfo,
+    batch: DataFrame,
+    positions: Optional[DataFrame],
+    n_matched: int,
+    compression: str,
+    stats_columns: Optional[Sequence[str]],
+    client=None,
+) -> SnapshotInfo:
+    """Commit a merge-on-read upsert in ONE version: every parent file
+    entry VERBATIM, the batch as new data files, the matched rows'
+    positions as a delete sidecar in the same prefix — physical writes
+    are O(batch) + O(matched rows), never O(table).  The batch was
+    aligned to the table's current schema by the caller, so its files
+    are tagged with the current generation; the sidecar is
+    schema-independent (path/pos only).  Commit tail is the
+    single-commit `_commit_manifest` (a concurrent append could
+    insert the same key after our match scan — two live copies — so
+    unlike the pure positional delete this verb does NOT rebase)."""
+    root = SmartPath.parse(table_root)
+    version = _next_version(root, client=client)
+    token = uuid.uuid4().hex[:8]
+    rel_prefix = f"{DATA_DIR}/v{version:08d}-{token}"
+    columns = (
+        dict(parent.columns) if parent.columns is not None else None
+    )
+    transforms = None
+    if parent.partition_transforms:
+        # inherited layout, same stance as publish's carried commits
+        # (no strict bucket-type re-check: the table already has it)
+        transforms = _validate_transforms(
+            dict(parent.partition_transforms),
+            columns or {},
+            strict_bucket_types=False,
+        )
+    eff_stats = [
+        c
+        for c in (stats_columns or ())
+        if columns is None or _stats_eligible_simple(columns.get(c))
+    ]
+    written = _write_data_prefix(
+        batch, root, rel_prefix, compression,
+        stats_columns=eff_stats, client=client, transforms=transforms,
+    )
+    sidecars: List[Dict[str, object]] = []
+    if positions is not None and n_matched > 0:
+        sidecars = _write_delete_sidecar(
+            positions, root, rel_prefix, compression, n_matched,
+            client=client,
+        )
+    for entry in written["files"]:
+        entry.pop("schema", None)
+    if parent.schemas is not None and parent.schema_id != "0":
+        for entry in written["files"]:
+            entry["schema"] = parent.schema_id
+    props = {
+        k: parent.properties[k]
+        for k in _PROPAGATED_PROPS
+        if k in parent.properties
+    }
+    delete_files = [
+        *(dict(d) for d in parent.delete_files or []),
+        *sidecars,
+    ]
+    manifest = {
+        "version": version,
+        "spec": 2,
+        "data_prefix": rel_prefix,
+        "prefixes": sorted(set(parent.prefixes) | {rel_prefix}),
+        "files": [dict(f) for f in parent.files] + written["files"],
+        "row_count": parent.row_count - n_matched + written["row_count"],
+        "parent": parent.version,
+        "operation": "merge",
+        "committed_at": time.time(),
+        "format": "parquet",
+        "properties": props,
+    }
+    if delete_files:
+        manifest["delete_files"] = delete_files
+    if columns is not None:
+        manifest["columns"] = columns
+    if parent.schemas is not None:
+        manifest["schemas"] = {
+            k: dict(v) for k, v in parent.schemas.items()
+        }
+        manifest["schema_id"] = parent.schema_id
+    if parent.partition_transforms:
+        manifest["partition_transforms"] = {
+            k: list(v) for k, v in parent.partition_transforms.items()
+        }
+    return _commit_manifest(
+        root, table_root, manifest, parent.version, "merge_snapshot",
+        client=client,
+    )
+
+
 def merge_snapshot(
     spark: SparkSession,
     table_root: str,
@@ -3401,6 +3647,7 @@ def merge_snapshot(
     stats_columns: Optional[Sequence[str]] = None,
     client=None,
     allow_driver_download: bool = False,
+    positional: bool = False,
 ) -> SnapshotInfo:
     """Keyed MERGE (upsert): publish the next snapshot in which every
     table row whose ``key_field`` matches a batch row is REPLACED by
@@ -3445,14 +3692,29 @@ def merge_snapshot(
     see the SAME rows (a nondeterministic batch re-evaluated between
     prune and write could plant a duplicate key in a carried file).
     Size batches accordingly — this verb is for bounded re-crawl
-    batches, not unbounded backfills (republish for those)."""
+    batches, not unbounded backfills (republish for those).
+
+    ``positional=True`` is the MERGE-ON-READ upsert tier — the answer
+    for tables NOT clustered by ``key_field``, where envelope pruning
+    degrades the copy-on-write rewrite to O(table) exactly as it did
+    for deletes before the positional tier: instead of rewriting the
+    touched files, the MATCHED rows' (file, row-position) pairs land
+    as a positional-delete SIDECAR and the whole batch appends as new
+    files — ONE commit, O(batch) whatever the layout, zero data files
+    rewritten.  Reads pay the same anti-join the positional delete
+    costs until compact/full-optimize clears the sidecars; positional
+    merges STACK on pending sidecars (the match scan is delete-aware,
+    so counts stay exact) and interleave freely with positional
+    deletes.  Result values are identical to the copy-on-write merge
+    — only the physical strategy differs."""
     info = resolve_snapshot(table_root, client=client)
-    if info.delete_files:
+    if info.delete_files and not positional:
         raise RuntimeError(
             "merge_snapshot: the table has pending positional "
             "delete_files — a partial rewrite under them would need "
             "per-file delete accounting; run compact_snapshot to "
-            "apply them first"
+            "apply them first, or pass positional=True to stack a "
+            "merge-on-read upsert"
         )
     if stats_columns is None:
         stats_columns = _inherited_stats_columns(info)
@@ -3580,10 +3842,6 @@ def merge_snapshot(
         touched, untouched = list(info.files), []
 
     if touched:
-        scan_info = SnapshotInfo(**{**info.__dict__, "files": touched})
-        existing = _scan_files(
-            spark, table_root, scan_info, client, allow_driver_download
-        )
         # the capped head already counted the batch exactly when it
         # fit the collect cap — only an over-cap batch needs a probe
         probed = (
@@ -3595,6 +3853,51 @@ def merge_snapshot(
             F.broadcast(key_df)
             if probed <= broadcast_threshold_rows
             else key_df
+        )
+    if positional:
+        positions: Optional[DataFrame] = None
+        n_matched = 0
+        if touched:
+            scan_info = SnapshotInfo(
+                **{**info.__dict__, "files": touched}
+            )
+            existing = _scan_files(
+                spark, table_root, scan_info, client,
+                allow_driver_download, keep_positions=True,
+            )
+            matched = existing.join(anti, on=key_field, how="left_semi")
+            positions = matched.select(
+                F.col(_FILE_COL).alias("path"),
+                F.col(_POS_COL).cast("bigint").alias("pos"),
+            ).localCheckpoint(eager=True)
+            n_matched = positions.count()
+            if n_matched:
+                # same tag-normalization guard as the positional
+                # delete: an alien tag would write a sidecar reads
+                # silently ignore (duplicate keys resurrect)
+                known = {f["path"] for f in touched}
+                tagged = [
+                    r[0]
+                    for r in positions.select("path").distinct().collect()
+                ]
+                alien = [p for p in tagged if p not in known]
+                if alien:
+                    raise RuntimeError(
+                        "merge_snapshot: positional tags do not match "
+                        f"manifest paths (e.g. {alien[:3]}) — the "
+                        "file-path normalization drifted; refusing to "
+                        "write a sidecar reads would silently ignore"
+                    )
+            else:
+                positions = None
+        return _commit_positional_merge(
+            table_root, info, batch, positions, n_matched,
+            compression, stats_columns, client=client,
+        )
+    if touched:
+        scan_info = SnapshotInfo(**{**info.__dict__, "files": touched})
+        existing = _scan_files(
+            spark, table_root, scan_info, client, allow_driver_download
         )
         survivors = existing.join(anti, on=key_field, how="left_anti")
         out = survivors.unionByName(batch)

@@ -231,7 +231,13 @@ def test_restore_keeps_pending_deletes(spark, tmp_path):
     assert got.count() == 199 and got.filter("doc_id = 9").count() == 0
 
 
-def test_positional_delete_race_refuses(spark, tmp_path, monkeypatch):
+def test_positional_delete_rebases_onto_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    # a positional delete COMMUTES with a pure append (its sidecar
+    # references only files that existed at planning), so a lost race
+    # rebases and LANDS instead of refusing — the busy-ingest table
+    # doesn't quiesce its stream to forget rows
     root = _root(tmp_path)
     publish_snapshot(_scattered(spark, 100), root)
 
@@ -251,11 +257,179 @@ def test_positional_delete_race_refuses(spark, tmp_path, monkeypatch):
         return out
 
     monkeypatch.setattr(snap, "_next_version", race)
-    with pytest.raises(RuntimeError, match="concurrent writer"):
+    info = apply_deletions_snapshot(spark, root, [1], "doc_id",
+                                    positional=True)
+    monkeypatch.undo()
+    # rebased onto the append: its 2 rows live, our 1 row forgotten
+    assert info.row_count == 101
+    assert info.operation == "delete"
+    got = read_snapshot(spark, root)
+    assert got.count() == 101
+    assert got.filter("doc_id = 1").count() == 0
+    assert got.filter("doc_id >= 500").count() == 2
+    # write-serializable semantics: a concurrently appended row with a
+    # matching key is NOT scanned by the already-planned delete
+    state["raced"] = False
+
+    def race_same_key(root_sp, client=None):
+        out = real(root_sp, client=client)
+        if not state["raced"]:
+            state["raced"] = True
+            append_snapshot(
+                _df(spark, 1, "k").withColumn(
+                    "doc_id", snap.F.lit(7).cast("bigint")
+                ),
+                root,
+            )
+        return out
+
+    monkeypatch.setattr(snap, "_next_version", race_same_key)
+    info = apply_deletions_snapshot(spark, root, [7], "doc_id",
+                                    positional=True)
+    monkeypatch.undo()
+    got = read_snapshot(spark, root)
+    assert got.filter("doc_id = 7").count() == 1  # the appended copy
+
+
+def test_positional_delete_rewrite_race_refuses(
+    spark, tmp_path, monkeypatch
+):
+    # a concurrent REWRITE can move the very rows the positions point
+    # at — the rebase must refuse, loudly
+    root = _root(tmp_path)
+    publish_snapshot(_scattered(spark, 100), root,
+                     stats_columns=["doc_id"])
+
+    real = snap._next_version
+    state = {"raced": False}
+
+    def race(root_sp, client=None):
+        out = real(root_sp, client=client)
+        if not state["raced"]:
+            state["raced"] = True
+            compact_snapshot(spark, root, target_file_bytes=1 << 20)
+        return out
+
+    monkeypatch.setattr(snap, "_next_version", race)
+    with pytest.raises(RuntimeError, match="concurrent 'compact'"):
         apply_deletions_snapshot(spark, root, [1], "doc_id",
                                  positional=True)
     monkeypatch.undo()
-    assert resolve_snapshot(root).row_count == 102
+    # the table is untouched by the refused delete
+    assert resolve_snapshot(root).row_count == 100
+
+
+def test_positional_merge_zero_rewrites_and_parity(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    # the merge-on-read upsert: matched rows -> sidecar, batch ->
+    # append, ONE commit, zero data files rewritten on ANY layout
+    root_mor = _root(tmp_path) + "_mor"
+    root_cow = _root(tmp_path) + "_cow"
+    base = _scattered(spark, 300)
+    publish_snapshot(base, root_mor, stats_columns=["doc_id"])
+    publish_snapshot(base, root_cow, stats_columns=["doc_id"])
+    v1 = resolve_snapshot(root_mor)
+    batch = _df(spark, 5, "new").withColumn(
+        "doc_id", F.col("doc_id") + 298
+    )  # keys 298..302: 298/299 update, 300..302 insert
+
+    info = merge_snapshot(spark, root_mor, batch, "doc_id",
+                          positional=True)
+    assert info.operation == "merge"
+    assert info.row_count == 303
+    # every parent entry carried verbatim; only NEW batch files added
+    assert {f["path"] for f in v1.files} <= {
+        f["path"] for f in info.files
+    }
+    assert sum(d["rows"] for d in info.delete_files) == 2
+    # value parity with the copy-on-write merge
+    merge_snapshot(spark, root_cow, batch, "doc_id")
+    mor = read_snapshot(spark, root_mor)
+    cow = read_snapshot(spark, root_cow)
+    assert sorted(map(tuple, mor.collect())) == sorted(
+        map(tuple, cow.collect())
+    )
+    assert mor.filter("doc_id = 298 AND text = 'new_0'").count() == 1
+    # stacks with positional deletes, counts stay exact
+    apply_deletions_snapshot(spark, root_mor, [299], "doc_id",
+                             positional=True)
+    info2 = merge_snapshot(
+        spark, root_mor,
+        _df(spark, 1, "again").withColumn(
+            "doc_id", F.col("doc_id") + 298
+        ),
+        "doc_id", positional=True,
+    )
+    assert info2.row_count == 302
+    got = read_snapshot(spark, root_mor)
+    assert got.count() == 302
+    assert got.filter("doc_id = 298 AND text = 'again_0'").count() == 1
+    assert got.filter("doc_id = 298").count() == 1
+    assert got.filter("doc_id = 299").count() == 0
+    # compact pays the whole debt down and values survive
+    c = compact_snapshot(spark, root_mor, target_file_bytes=1 << 20)
+    assert c.delete_files is None and c.row_count == 302
+    assert read_snapshot(spark, root_mor).filter(
+        "doc_id = 298 AND text = 'again_0'"
+    ).count() == 1
+
+
+def test_positional_merge_pure_insert_and_refusals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _root(tmp_path)
+    publish_snapshot(_scattered(spark, 50), root,
+                     stats_columns=["doc_id"])
+    v1 = resolve_snapshot(root)
+    # no key overlap -> pure insert, no sidecar
+    info = merge_snapshot(
+        spark, root,
+        _df(spark, 3, "ins").withColumn("doc_id",
+                                        F.col("doc_id") + 1000),
+        "doc_id", positional=True,
+    )
+    assert info.row_count == 53
+    assert not info.delete_files
+    assert {f["path"] for f in v1.files} <= {
+        f["path"] for f in info.files
+    }
+    # the shared refusals hold on the positional tier too
+    with pytest.raises(ValueError, match="duplicate batch keys"):
+        merge_snapshot(
+            spark, root,
+            _df(spark, 2, "d").withColumn("doc_id", F.lit(5)),
+            "doc_id", positional=True,
+        )
+    with pytest.raises(ValueError, match="empty batch"):
+        merge_snapshot(
+            spark, root, _df(spark, 0, "e"), "doc_id", positional=True
+        )
+
+
+def test_sidecar_sharding_and_recommend_compact(spark, tmp_path,
+                                                monkeypatch):
+    root = _root(tmp_path)
+    publish_snapshot(_scattered(spark, 2000), root)
+    stats = snapshot_table_stats(root)
+    assert stats["recommend_compact"] is False
+    # force tiny shards: a 300-row sweep must fan out across files
+    monkeypatch.setattr(snap, "SIDECAR_ROWS_PER_FILE", 100)
+    info = apply_deletions_snapshot(
+        spark, root, list(range(0, 600, 2)), "doc_id", positional=True
+    )
+    monkeypatch.undo()
+    assert sum(d["rows"] for d in info.delete_files) == 300
+    assert len(info.delete_files) >= 3  # sharded, not coalesce(1)
+    got = read_snapshot(spark, root)
+    assert got.count() == 1700
+    assert got.filter("doc_id < 600 AND doc_id % 2 = 0").count() == 0
+    # 300/2000 deleted rows > 5% physical -> pay the debt down
+    stats = snapshot_table_stats(root)
+    assert stats["pending_delete_rows"] == 300
+    assert stats["recommend_compact"] is True
+    compact_snapshot(spark, root, target_file_bytes=1 << 20)
+    assert snapshot_table_stats(root)["recommend_compact"] is False
 
 
 BUCKET = "smashed-test-bucket"
