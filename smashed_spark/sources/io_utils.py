@@ -16,9 +16,11 @@ deployments need no AWS SDK at all.
 
 from __future__ import annotations
 
+import functools
 import io
 import os
 import shutil
+import tempfile
 from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Iterator, Optional
@@ -457,6 +459,84 @@ def copy_directory(
                 w.write(r.read())
 
 
+class upload_on_success:
+    """Upload a local working directory to a remote destination only
+    when the wrapped block exits cleanly (reference
+    utils/io_utils/closures.py:15-107) — the "stage results locally,
+    publish on success" closure around a training run or report job.
+
+    Two forms, matching the reference:
+
+    1. Context manager::
+
+        with upload_on_success("s3://bucket/results") as path:
+            ...  # write under `path`; uploaded iff no exception
+
+    2. Decorator (the local path is PREPENDED to the call args)::
+
+        @upload_on_success("s3://bucket/results")
+        def job(path, ...):
+            ...
+
+    ``local_path=None`` (default) stages in a fresh temporary
+    directory, removed at exit; an explicit ``local_path`` may be kept
+    with ``keep_local=True`` (refused for the temporary default —
+    there would be nothing durable to keep, reference
+    closures.py:69-72).  On an exception NOTHING uploads and the
+    exception propagates untouched.  Driver-side and sequential like
+    :func:`copy_directory`: manifests, models, reports — not datasets
+    (those belong to ``df.write``)."""
+
+    def __init__(self, remote_path, local_path=None, keep_local=False,
+                 client=None):
+        if local_path is None and keep_local:
+            raise ValueError(
+                "upload_on_success: keep_local=True needs an explicit "
+                "local_path — the default staging dir is temporary by "
+                "definition"
+            )
+        self.remote_path = str(remote_path)
+        self._tmp = None
+        if local_path is None:
+            self._tmp = tempfile.mkdtemp(prefix="smashed_upload_")
+            local_path = self._tmp
+        self.local_path = str(local_path)
+        self.keep_local = keep_local
+        self.client = client
+
+    def __enter__(self) -> str:
+        os.makedirs(self.local_path, exist_ok=True)
+        return self.local_path
+
+    def __exit__(self, exc_type, exc_value, traceback) -> None:
+        try:
+            if exc_type is None:
+                copy_directory(
+                    self.local_path, self.remote_path, client=self.client
+                )
+        finally:
+            if not self.keep_local:
+                shutil.rmtree(self.local_path, ignore_errors=True)
+        return None  # never swallow the block's exception
+
+    def __call__(self, func):
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            # fresh staging per call so a decorated function is
+            # re-entrant (the reference re-instantiates per call,
+            # closures.py:80-89)
+            with type(self)(
+                self.remote_path,
+                local_path=None if self._tmp is not None
+                else self.local_path,
+                keep_local=self.keep_local,
+                client=self.client,
+            ) as path:
+                return func(path, *args, **kwargs)
+
+        return wrapper
+
+
 __all__ = [
     "SmartPath",
     "open_file_for_read",
@@ -470,4 +550,5 @@ __all__ = [
     "remove_file",
     "remove_directory",
     "copy_directory",
+    "upload_on_success",
 ]

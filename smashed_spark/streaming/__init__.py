@@ -1,5 +1,6 @@
 from .ingest import ingest_dedup_batch, streaming_ingest_dedup
 from .joins import interval_join, stream_static_enrich
+from .snapshot_source import read_snapshot_stream, read_stream_offset
 from .snapshot_sink import (
     dedup_snapshot_batch_writer,
     snapshot_batch_writer,
@@ -20,6 +21,8 @@ __all__ = [
     "dedup_snapshot_batch_writer",
     "ingest_dedup_batch",
     "interval_join",
+    "read_snapshot_stream",
+    "read_stream_offset",
     "snapshot_batch_writer",
     "stream_commit_watermark",
     "stream_static_enrich",

@@ -114,6 +114,41 @@ def test_feed_rewrite_raises_or_resyncs(spark, tmp_path):
     assert read_feed_cursor(cur) == 2
 
 
+def test_feed_restore_surfaces_policy(spark, tmp_path):
+    # a consumer resuming after restore_snapshot sees the documented
+    # rewrite policy, not silence — even though the restore re-points
+    # at data the consumer already processed, the rollback of the
+    # in-between append means its deliveries are no longer the table
+    from smashed_spark.sources.snapshot import (
+        resolve_snapshot,
+        restore_snapshot,
+    )
+
+    root, cur = str(tmp_path / "t"), str(tmp_path / "cursor.json")
+    publish_snapshot(_df(spark, 0, 6), root)
+    keep = resolve_snapshot(root).version
+    sink = Sink()
+    snapshot_change_feed(spark, root, cur, sink)
+    append_snapshot(_df(spark, 6, 9), root)
+    snapshot_change_feed(spark, root, cur, sink)
+    assert sink.batches[-1][2] == [6, 7, 8]
+    restore_snapshot(root, version=keep)
+    with pytest.raises(ValueError, match="non-append"):
+        snapshot_change_feed(spark, root, cur, sink)
+    out = snapshot_change_feed(
+        spark, root, cur, sink, on_rewrite="full_resync"
+    )
+    assert out["status"] == "full_resync"
+    # the catch-up batch is the ROLLED-BACK table: rows 6..8 are gone
+    assert sink.batches[-1][2] == list(range(6))
+    # and the cursor converges with the sink watermark story: a new
+    # append flows as a normal increment again
+    append_snapshot(_df(spark, 9, 11), root)
+    out = snapshot_change_feed(spark, root, cur, sink)
+    assert out["status"] == "changes"
+    assert sink.batches[-1][2] == [9, 10]
+
+
 def test_feed_vacuumed_cursor_resyncs(spark, tmp_path):
     root, cur = str(tmp_path / "t"), str(tmp_path / "cursor.json")
     publish_snapshot(_df(spark, 0, 4), root)

@@ -304,3 +304,69 @@ def test_relative_to_component_boundary():
     assert sp.relative_to("s3://b/database") == "file.txt"
     with _pt.raises(ValueError):
         SmartPath.parse("/tmp/abc/f").relative_to("/tmp/ab")
+
+
+def test_upload_on_success_success_and_failure(s3, tmp_path):
+    from smashed_spark.sources.io_utils import upload_on_success
+
+    remote = f"s3://{BUCKET}/results/run1"
+    with upload_on_success(remote, client=s3) as path:
+        with open(f"{path}/model.txt", "w") as fh:
+            fh.write("weights")
+        staged = path
+    with open_file_for_read(f"{remote}/model.txt", client=s3) as fh:
+        assert fh.read() == "weights"
+    assert not __import__("os").path.exists(staged)  # temp dir swept
+
+    # failure path: NOTHING uploads, the exception propagates
+    remote2 = f"s3://{BUCKET}/results/run2"
+    with pytest.raises(RuntimeError, match="boom"):
+        with upload_on_success(remote2, client=s3) as path:
+            with open(f"{path}/partial.txt", "w") as fh:
+                fh.write("junk")
+            raise RuntimeError("boom")
+    assert list(recursively_list_files(
+        f"s3://{BUCKET}/results/run2", s3)) == []
+
+
+def test_upload_on_success_decorator_and_keep_local(s3, tmp_path):
+    import os
+
+    from smashed_spark.sources.io_utils import upload_on_success
+
+    remote = f"s3://{BUCKET}/results/deco"
+
+    @upload_on_success(remote, client=s3)
+    def job(path, content):
+        with open(os.path.join(path, "out.txt"), "w") as fh:
+            fh.write(content)
+        return "done"
+
+    assert job("hello") == "done"
+    with open_file_for_read(f"{remote}/out.txt", client=s3) as fh:
+        assert fh.read() == "hello"
+
+    # explicit local_path + keep_local survives the exit
+    local = str(tmp_path / "stage")
+    remote3 = f"s3://{BUCKET}/results/kept"
+    with upload_on_success(remote3, local_path=local, keep_local=True,
+                           client=s3) as path:
+        with open(os.path.join(path, "a.txt"), "w") as fh:
+            fh.write("x")
+    assert os.path.isfile(os.path.join(local, "a.txt"))
+    with open_file_for_read(f"{remote3}/a.txt", client=s3) as fh:
+        assert fh.read() == "x"
+    # the reference's refusal: keeping a temp dir is meaningless
+    with pytest.raises(ValueError, match="keep_local"):
+        upload_on_success(remote3, keep_local=True)
+
+
+def test_upload_on_success_local_destination(tmp_path):
+    from smashed_spark.sources.io_utils import upload_on_success
+
+    dest = str(tmp_path / "out")
+    with upload_on_success(dest) as path:
+        with open(f"{path}/r.txt", "w") as fh:
+            fh.write("local")
+    with open(f"{dest}/r.txt") as fh:
+        assert fh.read() == "local"
