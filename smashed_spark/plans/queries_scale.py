@@ -573,6 +573,48 @@ def _bind_bpe_stage_path() -> str:
 
 _BPE_STAGE_PATH = _bind_bpe_stage_path()
 
+# one fit per (process, sf_dir): the merge table is deterministic for
+# a given corpus, so bench reps and repeated gate invocations reuse it
+# — the artifact on disk is re-saved only when the corpus changes
+# (the oracle reads it AFTER each query run, so the path always holds
+# the merges matching the last-queried sf_dir)
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_gate_merges(spark, sf_dir: str, bpe_words):
+    import atexit
+    import shutil
+
+    from ..functions.bpe import fit_bpe_merges, save_bpe_merges
+    from .queries_more import _claim_io_zdocs_dir
+    from .registry import load
+
+    merges = _BPE_MERGES_CACHE.get(sf_dir)
+    if merges is None:
+        _claim_io_zdocs_dir(_BPE_STAGE_PATH, env_var="SMASHED_BPE_DIR")
+        if not _BPE_MERGES_CACHE:
+            atexit.register(
+                shutil.rmtree, _BPE_STAGE_PATH, ignore_errors=True
+            )
+        # fit from the RAW table (a narrow scan), not the assembled
+        # pipeline — the fit is an eager action and would otherwise
+        # compute the whole stats plan once here and again at collect
+        merges = fit_bpe_merges(
+            load(spark, sf_dir, "documents").select(
+                bpe_words.alias("bpe_words")
+            ),
+            "bpe_words",
+            num_merges=64,
+        )
+        _BPE_MERGES_CACHE[sf_dir] = merges
+    # the artifact on disk must hold THIS sf_dir's merges when the
+    # oracle replays it after the query — re-save on corpus switches
+    # (cheap: one small json), skip on the rep-loop hot path
+    if _BPE_MERGES_CACHE.get("__on_disk__") != sf_dir:
+        save_bpe_merges(merges, _BPE_STAGE_PATH)
+        _BPE_MERGES_CACHE["__on_disk__"] = sf_dir
+    return merges
+
 # Replay the greedy BPE encode (functions/bpe.py bpe_encode_word) in
 # pure SQL: per word, repeatedly merge the LOWEST-RANK adjacent pair
 # (first position wins rank ties — the min_by key is rank*1e6 + i),
@@ -837,30 +879,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replays the greedy encode from the SAVED artifact via a
     # recursive CTE, so the counts are value-checked bit-for-bit;
     # fit determinism itself is unit-pinned (test_bpe).
-    import atexit
-    import shutil
+    from ..functions.bpe import BpeTokenCountMapper
 
-    from ..functions.bpe import (
-        BpeTokenCountMapper,
-        fit_bpe_merges,
-        save_bpe_merges,
-    )
-    from .queries_more import _claim_io_zdocs_dir
-
-    _claim_io_zdocs_dir(_BPE_STAGE_PATH, env_var="SMASHED_BPE_DIR")
-    atexit.register(shutil.rmtree, _BPE_STAGE_PATH, ignore_errors=True)
     bpe_words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
-    # fit from the RAW table (a narrow scan), not the assembled
-    # pipeline — the fit is an eager action and would otherwise
-    # compute the whole stats plan once here and again at collect
-    merges = fit_bpe_merges(
-        load(spark, sf_dir, "documents").select(
-            bpe_words.alias("bpe_words")
-        ),
-        "bpe_words",
-        num_merges=64,
-    )
-    save_bpe_merges(merges, _BPE_STAGE_PATH)
+    # r16 (r15-VERDICT ask #8): fit ONCE per process per sf_dir —
+    # the persisted-centroid pattern the IVF/diversity gates use.
+    # Bench reps re-invoke the query body; refitting an identical
+    # deterministic artifact per rep priced the gate's top line at
+    # fit-cost × reps while certifying nothing the first fit hadn't.
+    merges = _bpe_gate_merges(spark, sf_dir, bpe_words)
     out = BpeTokenCountMapper(
         merges, "bpe_words", "n_bpe_learned"
     ).map(out.withColumn("bpe_words", bpe_words))
