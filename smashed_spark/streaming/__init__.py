@@ -1,3 +1,4 @@
+from .datasource import SnapshotDataSource, register_snapshot_source
 from .ingest import ingest_dedup_batch, streaming_ingest_dedup
 from .joins import interval_join, stream_static_enrich
 from .snapshot_source import read_snapshot_stream, read_stream_offset
@@ -16,6 +17,7 @@ from .runner import (
 )
 
 __all__ = [
+    "SnapshotDataSource",
     "apply_pipeline_stream",
     "assert_streamable",
     "dedup_snapshot_batch_writer",
@@ -23,6 +25,7 @@ __all__ = [
     "interval_join",
     "read_snapshot_stream",
     "read_stream_offset",
+    "register_snapshot_source",
     "snapshot_batch_writer",
     "stream_commit_watermark",
     "stream_static_enrich",

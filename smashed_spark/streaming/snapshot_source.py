@@ -11,17 +11,19 @@ reach for as ``spark.readStream.table(...)``: checkpointed offsets,
 bounded micro-batches, an ``availableNow``-style drain, and a
 documented rewrite policy.
 
-Why a driver loop and not a registered V2 source
-------------------------------------------------
-Structured Streaming custom sources are a JVM (DataSource V2 /
-``MicroBatchStream``) extension point; PySpark cannot register one
-without shipping a jar.  The idiomatic PySpark shape for
-"source-side custom logic" is therefore the mirror image of the
-sink's ``foreachBatch``: a driver loop that resolves offsets
-(snapshot versions), hands each bounded increment to a user body, and
-checkpoints progress — exactly what this module implements.  On a
-cluster the loop is a thin driver-side coordinator; all data movement
-stays executor-side in the ``read_snapshot_changes`` scans.
+Driver loop vs the registered source
+------------------------------------
+Two consumption shapes exist, by design.  ``streaming/datasource.py``
+registers a real ``spark.readStream.format("smashed_snapshot")``
+source via PySpark 4's Python DataSource API — Spark's own offset
+log, any sink, deterministic replay — but its rows flow through
+Python workers as Arrow batches.  THIS module is the mirror image of
+the sink's ``foreachBatch``: a driver loop that resolves offsets
+(snapshot versions), hands each bounded increment to a user body,
+and checkpoints progress, with every scan staying JVM-side in
+``read_snapshot_changes`` — the throughput shape for heavy
+backfills, at the cost of owning its own checkpoint and an
+at-least-once (not exactly-once) callback contract.
 
 Delivery contract
 -----------------

@@ -1,0 +1,370 @@
+"""The registered ``smashed_snapshot`` Python data source
+(streaming/datasource.py): light-resolver parity with the full
+manifest reader, batch reads (time travel, evolution alignment,
+positional-delete masking, envelope filter pushdown), the real
+``readStream`` tier (bootstrap, checkpointed increments, rewrite
+policy, initial=latest), and the unit-level offset protocol
+(bounded batches, deterministic replay)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from smashed_spark.sources.snapshot import (
+    append_snapshot,
+    apply_deletions_snapshot,
+    compact_snapshot,
+    publish_snapshot,
+    read_snapshot,
+    resolve_snapshot,
+)
+from smashed_spark.streaming.datasource import (
+    SnapshotDataSource,
+    _chain_versions,
+    _light_resolve,
+    _SnapshotBatchReaderPushdown,
+    _SnapshotStreamReader,
+    register_snapshot_source,
+)
+
+
+def _df(spark, n=100, tag="a", base=0):
+    return spark.range(base, base + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(tag + "_"), F.col("id")).alias("text"),
+    )
+
+
+def _root(tmp_path, name="table"):
+    return str(tmp_path / name)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register_snapshot_source(spark)
+    return spark
+
+
+# ------------------------------------------------------------------
+# the light mirror vs the full resolver
+# ------------------------------------------------------------------
+
+
+def test_light_resolver_parity(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 50), root, stats_columns=["doc_id"])
+    append_snapshot(_df(spark, 30, base=50), root)
+    apply_deletions_snapshot(
+        spark, root, [3, 7], "doc_id", positional=True
+    )
+    for version in (None, 1, 2, 3):
+        full = resolve_snapshot(root, version)
+        light = _light_resolve(root, version)
+        assert light.version == full.version
+        assert light.parent == full.parent
+        assert light.operation == full.operation
+        assert light.columns == full.columns
+        assert [f["path"] for f in light.files] == [
+            f["path"] for f in full.files
+        ]
+        assert [d["path"] for d in light.delete_files] == [
+            d["path"] for d in (full.delete_files or [])
+        ]
+
+
+def test_remote_root_refused():
+    with pytest.raises(NotImplementedError, match="read_snapshot_stream"):
+        SnapshotDataSource({"path": "s3://bucket/t"}).schema()
+
+
+# ------------------------------------------------------------------
+# batch reads
+# ------------------------------------------------------------------
+
+
+def test_batch_read_matches_read_snapshot(registered, tmp_path):
+    spark = registered
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 40), root)
+    append_snapshot(_df(spark, 20, tag="b", base=40), root)
+    got = spark.read.format("smashed_snapshot").load(root)
+    assert got.schema.simpleString() == "struct<doc_id:bigint,text:string>"
+    assert _rows(got) == _rows(read_snapshot(spark, root))
+
+
+def test_batch_time_travel_and_empty_filter(registered, tmp_path):
+    spark = registered
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 40), root)
+    append_snapshot(_df(spark, 20, base=40), root)
+    v1 = (
+        spark.read.format("smashed_snapshot")
+        .option("version", "1")
+        .load(root)
+    )
+    assert v1.count() == 40
+    # filters Spark re-applies post-scan, pushdown off
+    assert (
+        spark.read.format("smashed_snapshot")
+        .load(root)
+        .where("doc_id >= 55")
+        .count()
+        == 5
+    )
+
+
+def test_batch_read_applies_positional_deletes(registered, tmp_path):
+    spark = registered
+    root = _root(tmp_path)
+    publish_snapshot(
+        _df(spark, 200).repartition(4, "text"), root
+    )
+    apply_deletions_snapshot(
+        spark, root, [5, 17, 44, 199], "doc_id", positional=True
+    )
+    got = spark.read.format("smashed_snapshot").load(root)
+    assert got.count() == 196
+    assert (
+        got.where(F.col("doc_id").isin(5, 17, 44, 199)).count() == 0
+    )
+    assert _rows(got) == _rows(read_snapshot(spark, root))
+
+
+def test_batch_read_aligns_evolved_generations(registered, tmp_path):
+    spark = registered
+    root = _root(tmp_path)
+    publish_snapshot(
+        _df(spark, 10).withColumn(
+            "score", F.col("doc_id").cast("int")
+        ),
+        root,
+    )
+    # widen score int->bigint and add a column; old files must come
+    # back upcast + null-padded
+    append_snapshot(
+        _df(spark, 5, base=10)
+        .withColumn("score", F.col("doc_id").cast("bigint"))
+        .withColumn("lang", F.lit("en")),
+        root,
+        evolve=True,
+    )
+    got = spark.read.format("smashed_snapshot").load(root)
+    assert got.schema["score"].dataType.simpleString() == "bigint"
+    assert _rows(got) == _rows(read_snapshot(spark, root))
+    assert got.where("lang is null").count() == 10
+
+
+def test_batch_filter_pushdown_prunes_files(registered, tmp_path):
+    spark = registered
+    root = _root(tmp_path)
+    # range layout: disjoint doc_id envelopes per file
+    publish_snapshot(
+        _df(spark, 400).repartitionByRange(4, "doc_id"),
+        root,
+        stats_columns=["doc_id"],
+    )
+    # unit level: the pushdown reader prunes partitions off envelopes
+    reader = _SnapshotBatchReaderPushdown(
+        StructType.fromDDL("doc_id bigint, text string"),
+        {"path": root},
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    returned = reader.pushFilters(
+        [GreaterThanOrEqual(("doc_id",), 390)]
+    )
+    # every filter reported unsupported (skip + re-filter contract)
+    assert len(list(returned)) == 1
+    parts = reader.partitions()
+    assert 1 <= len(parts) < 4
+    # end to end with the conf on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("smashed_snapshot")
+            .option("filterPushdown", "true")
+            .load(root)
+            .where("doc_id >= 390")
+        )
+        assert got.count() == 10
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+# ------------------------------------------------------------------
+# offset protocol (unit level, no streaming query)
+# ------------------------------------------------------------------
+
+
+def _reader(root, schema="doc_id bigint, text string", **opts):
+    base = {"path": root}
+    base.update({k.lower(): v for k, v in opts.items()})
+    return _SnapshotStreamReader(StructType.fromDDL(schema), base)
+
+
+def test_stream_offsets_bootstrap_then_increment(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 40), root)
+    r = _reader(root)
+    assert r.initialOffset() == {"version": -1}
+    end = r.latestOffset()
+    assert end == {"version": 1}
+    boot = r.partitions({"version": -1}, end)
+    assert len(boot) == len(resolve_snapshot(root).files)
+    append_snapshot(_df(spark, 20, base=40), root)
+    end2 = r.latestOffset()
+    assert end2 == {"version": 2}
+    inc = r.partitions(end, end2)
+    v1_paths = {f["path"] for f in resolve_snapshot(root, 1).files}
+    assert all(p.rel_path not in v1_paths for p in inc)
+    assert r.partitions(end2, end2) == []
+    # deterministic replay: same range, same partitions
+    assert [p.rel_path for p in r.partitions(end, end2)] == [
+        p.rel_path for p in inc
+    ]
+
+
+def test_stream_initial_latest_skips_existing(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 40), root)
+    r = _reader(root, initial="latest")
+    assert r.initialOffset() == {"version": 1}
+
+
+def test_stream_bounded_backlog(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10), root)
+    r = _reader(root, maxVersionsPerBatch="1")
+    start = r.initialOffset()
+    end = r.latestOffset()
+    r.partitions(start, end)  # floor = v1
+    for i in range(3):
+        append_snapshot(_df(spark, 5, base=100 * (i + 1)), root)
+    # backlog v2..v4 drains one version per batch
+    assert r.latestOffset() == {"version": 2}
+    r.partitions({"version": 1}, {"version": 2})
+    assert r.latestOffset() == {"version": 3}
+    r.partitions({"version": 2}, {"version": 3})
+    assert r.latestOffset() == {"version": 4}
+
+
+def test_stream_rewrite_raises_or_resyncs(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 40), root)
+    r = _reader(root)
+    offset = r.latestOffset()
+    append_snapshot(_df(spark, 20, base=40), root)
+    compact_snapshot(spark, root, target_file_bytes=1 << 30)
+    head = r.latestOffset()
+    with pytest.raises(ValueError, match="rewrite"):
+        r.partitions(offset, head)
+    resync = _reader(root, onRewrite="full_resync")
+    parts = resync.partitions(offset, head)
+    assert {p.rel_path for p in parts} == {
+        f["path"] for f in resolve_snapshot(root).files
+    }
+
+
+def test_chain_versions_stops_on_vacuumed_manifest(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10), root)
+    append_snapshot(_df(spark, 5, base=10), root)
+    append_snapshot(_df(spark, 5, base=15), root)
+    os.remove(os.path.join(root, "_manifests", "v00000002.json"))
+    head = _light_resolve(root)
+    assert _chain_versions(root, head, 1) is None
+
+
+# ------------------------------------------------------------------
+# real streaming queries
+# ------------------------------------------------------------------
+
+
+def _run_available_now(spark, root, out_dir, checkpoint, **opts):
+    reader = spark.readStream.format("smashed_snapshot")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(root)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_readstream_bootstrap_and_incremental_resume(
+    registered, tmp_path
+):
+    spark = registered
+    root = _root(tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    publish_snapshot(_df(spark, 40), root)
+    append_snapshot(_df(spark, 20, tag="b", base=40), root)
+    _run_available_now(spark, root, out, ckpt)
+    assert _rows(spark.read.parquet(out)) == _rows(
+        read_snapshot(spark, root)
+    )
+    # nothing new: resume is a no-op
+    _run_available_now(spark, root, out, ckpt)
+    assert spark.read.parquet(out).count() == 60
+    # two more appends, resume delivers exactly the increment
+    append_snapshot(_df(spark, 5, tag="c", base=60), root)
+    append_snapshot(_df(spark, 5, tag="d", base=65), root)
+    _run_available_now(spark, root, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 70
+    assert _rows(got) == _rows(read_snapshot(spark, root))
+
+
+def test_readstream_initial_latest(registered, tmp_path):
+    spark = registered
+    root = _root(tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    publish_snapshot(_df(spark, 40), root)
+    _run_available_now(spark, root, out, ckpt, initial="latest")
+    assert not os.path.exists(out) or not [
+        f
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ] or spark.read.parquet(out).count() == 0
+    append_snapshot(_df(spark, 7, tag="z", base=40), root)
+    _run_available_now(spark, root, out, ckpt, initial="latest")
+    got = spark.read.parquet(out)
+    assert got.count() == 7
+    assert got.where("text like 'z%'").count() == 7
+
+
+def test_readstream_rewrite_policy_end_to_end(registered, tmp_path):
+    spark = registered
+    root = _root(tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    publish_snapshot(_df(spark, 30), root)
+    _run_available_now(spark, root, out, ckpt)
+    append_snapshot(_df(spark, 10, base=30), root)
+    compact_snapshot(spark, root, target_file_bytes=1 << 30)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="rewrite"):
+        _run_available_now(spark, root, out, ckpt)
+    out2 = str(tmp_path / "out2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    # a fresh full_resync consumer sees the post-compact state
+    _run_available_now(
+        spark, root, out2, ckpt2, onRewrite="full_resync"
+    )
+    assert _rows(spark.read.parquet(out2)) == _rows(
+        read_snapshot(spark, root)
+    )
