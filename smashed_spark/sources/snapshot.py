@@ -1430,6 +1430,7 @@ def publish_snapshot(
     _evolve: bool = False,
     _expect_parent: Optional[int] = None,
     _mark_files: Optional[Dict[str, object]] = None,
+    _pre_written: Optional[Dict[str, object]] = None,
 ) -> SnapshotInfo:
     """Publish ``df`` as the table's next snapshot (see module docstring
     for the protocol and its crash windows).  Returns the committed
@@ -1499,7 +1500,36 @@ def publish_snapshot(
     # that same schema is safe (the concurrent commit did not change
     # it); anything else refuses
     evolved_from: Optional[Dict[str, str]] = None
-    columns = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if _pre_written is not None:
+        # files already on disk under <table_root>/<rel_prefix>
+        # (append_files_snapshot / the registered sink and writer):
+        # adopt them as this commit's write and skip the Spark write
+        # below.  SparkSession-free by construction — `df` is unused.
+        pre_ok = (_carry_parent and operation == "append") or (
+            not _carry_parent
+            and _carry_files is None
+            and operation == "publish"
+        )
+        if not pre_ok or _evolve or partition_transforms is not None:
+            raise ValueError(
+                "publish_snapshot: _pre_written is only valid for a "
+                "carried append or a plain publish, without evolution "
+                "or partition_transforms (pre-written files are not "
+                "laid out under a transform spec)"
+            )
+        columns = dict(_pre_written["columns"])
+        rel_prefix = str(_pre_written["rel_prefix"])
+        written = {
+            "files": [dict(e) for e in _pre_written["files"]],
+            "row_count": sum(
+                int(e["rows"]) for e in _pre_written["files"]
+            ),
+        }
+        written_transforms = None
+    else:
+        columns = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
     while True:
         begin_version = _pointer_version(root, client=client)
         # rewrite operations (delete/compact/optimize) plan against a
@@ -1930,6 +1960,123 @@ def append_snapshot(
         client=client,
         _carry_parent=True,
         _evolve=evolve,
+    )
+
+
+def _validate_pre_written_entries(
+    verb: str, rel_prefix: str, files: Sequence[Dict[str, object]]
+) -> str:
+    prefix = rel_prefix.strip("/")
+    for e in files:
+        if not str(e.get("path", "")).startswith(prefix + "/"):
+            raise ValueError(
+                f"{verb}: entry path {e.get('path')!r} is not under "
+                f"rel_prefix {prefix!r}"
+            )
+        if e.get("rows") is None:
+            raise ValueError(
+                f"{verb}: entry {e.get('path')!r} lacks a 'rows' count"
+            )
+    return prefix
+
+
+def publish_files_snapshot(
+    table_root: str,
+    rel_prefix: str,
+    files: Sequence[Dict[str, object]],
+    columns: Dict[str, str],
+    properties: Optional[Dict[str, object]] = None,
+    client=None,
+) -> SnapshotInfo:
+    """Publish PRE-WRITTEN parquet files as the table's next snapshot
+    — the SparkSession-free :func:`publish_snapshot` (the registered
+    batch writer's ``mode("overwrite")`` path).  Same entry shape and
+    stances as :func:`append_files_snapshot`, but this REPLACES the
+    table state (or creates the table) instead of appending; the old
+    version stays readable on the chain until vacuumed, and pending
+    positional deletes do not carry (the new state supersedes them).
+    """
+    _validate_pre_written_entries(
+        "publish_files_snapshot", rel_prefix, files
+    )
+    return publish_snapshot(
+        None,
+        table_root,
+        operation="publish",
+        properties=properties,
+        client=client,
+        _pre_written={
+            "rel_prefix": rel_prefix.strip("/"),
+            "files": [dict(e) for e in files],
+            "columns": dict(columns),
+        },
+    )
+
+
+def append_files_snapshot(
+    table_root: str,
+    rel_prefix: str,
+    files: Sequence[Dict[str, object]],
+    columns: Dict[str, str],
+    properties: Optional[Dict[str, object]] = None,
+    client=None,
+) -> SnapshotInfo:
+    """Append PRE-WRITTEN parquet files to the current snapshot — the
+    SparkSession-free append for writers that already landed their
+    data (the registered streaming sink's ``commit`` hook runs in a
+    sessionless worker process and is the motivating caller).
+
+    ``files`` are manifest entries for files ALREADY on disk under
+    ``<table_root>/<rel_prefix>``, in :func:`_inventory_entry`'s shape
+    (root-relative ``path``, ``bytes``, ``rows``, optional ``stats``);
+    ``columns`` is the written schema as ``{name: simpleString}``.
+    Same commit protocol as :func:`append_snapshot` — parent entries
+    carried verbatim, watermark properties propagated, optimistic
+    append rebase on a lost pointer race — with the same stances:
+    the first write to an empty table must be a publish, and the
+    batch schema must exactly match the table's current schema or a
+    generation its registry still carries (files then land tagged
+    with that older generation); evolution is refused.  Tables with
+    ``partition_transforms`` refuse: the pre-written files are not
+    laid out under the table's transform directories, so their
+    recorded partition values would misprune."""
+    head = resolve_snapshot(table_root, client=client)
+    if head.partition_transforms:
+        raise ValueError(
+            "append_files_snapshot: the table has partition_transforms "
+            f"({sorted(head.partition_transforms)}) and pre-written "
+            "files are not laid out under its transform directories — "
+            "append through append_snapshot, which lays the prefix out "
+            "under the table's spec"
+        )
+    generations = head.schemas or (
+        {"0": dict(head.columns)} if head.columns is not None else {}
+    )
+    if generations and not any(
+        dict(g) == dict(columns) for g in generations.values()
+    ):
+        raise ValueError(
+            "append_files_snapshot: the written schema does not match "
+            "the table's current schema or any generation its registry "
+            f"carries (written={sorted(columns)}, current="
+            f"{sorted(head.columns or {})}) — evolution is not "
+            "supported on this path; use append_snapshot(evolve=True)"
+        )
+    prefix = _validate_pre_written_entries(
+        "append_files_snapshot", rel_prefix, files
+    )
+    return publish_snapshot(
+        None,
+        table_root,
+        operation="append",
+        properties=properties,
+        client=client,
+        _carry_parent=True,
+        _pre_written={
+            "rel_prefix": prefix,
+            "files": [dict(e) for e in files],
+            "columns": dict(columns),
+        },
     )
 
 

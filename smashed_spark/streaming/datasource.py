@@ -1,6 +1,7 @@
-"""A registered Structured-Streaming/batch DATA SOURCE for governed
-snapshot tables — ``spark.readStream.format("smashed_snapshot")`` /
-``spark.read.format("smashed_snapshot")`` — built on PySpark 4's
+"""A registered Structured-Streaming/batch DATA SOURCE AND SINK for
+governed snapshot tables — ``spark.readStream.format(
+"smashed_snapshot")`` / ``spark.read.format("smashed_snapshot")`` /
+``df.writeStream.format("smashed_snapshot")`` — built on PySpark 4's
 Python DataSource API (``pyspark.sql.datasource``).
 
 Beyond-reference surface (the reference — ``src/smashed/mappers`` —
@@ -45,8 +46,19 @@ Delivery contract (stream)
   (re)start is planned before the reader has seen the checkpointed
   offset and is not bounded.
 
-Why this module is self-contained
----------------------------------
+Delivery contract (sink)
+------------------------
+``df.writeStream.format("smashed_snapshot").option("path", root)``
+appends each micro-batch as ONE snapshot version under the
+``stream_app_id``/``stream_batch_id`` exactly-once watermark — the
+contract of the foreachBatch tier (streaming/snapshot_sink.py),
+mirrored verbatim: replays skip, a foreign app's table refuses
+unless ``takeover``.  See ``_SnapshotStreamWriter`` for the
+two-phase (stage → rename-into-prefix → manifest commit) shape and
+its append-only / importability caveats.
+
+Why the read side is self-contained
+-----------------------------------
 Spark runs Python data-source hooks in separate worker processes
 (``pyspark/sql/worker/*.py``): ``schema()``/``partitions()`` in a
 planner worker on the driver node, ``read()`` in executor workers.
@@ -76,8 +88,11 @@ from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -86,6 +101,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -495,6 +511,287 @@ class _SnapshotBatchReaderPushdown(_SnapshotBatchReader):
 
 
 # --------------------------------------------------------------------
+# streaming sink (writeStream.format("smashed_snapshot"))
+# --------------------------------------------------------------------
+
+_STAGING_DIR = "_staging"
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged_path: str
+    rows: int
+
+
+def _stage_arrow(root, compression, iterator):
+    """Executor-side half of the two-phase write: stream the task's
+    Arrow batches into ONE unique parquet file under
+    ``<root>/_staging/`` (underscore: invisible to the data-file
+    inventory walk).  Returns the commit message, or None for an
+    empty task.  stdlib + pyarrow only."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(root, _STAGING_DIR)
+    os.makedirs(staging, exist_ok=True)
+    path = os.path.join(staging, f"stream-{uuid.uuid4().hex}.parquet")
+    writer = None
+    rows = 0
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    path, batch.schema, compression=compression
+                )
+            writer.write_batch(batch)
+            rows += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return None
+    return _StagedFile(staged_path=path, rows=rows)
+
+
+def _discard_staged(messages) -> None:
+    for m in messages:
+        if m is not None:
+            try:
+                os.remove(m.staged_path)
+            except OSError:
+                pass
+
+
+def _rename_into_prefix(root, rel_prefix, staged, eff_stats):
+    """Driver-side half: same-filesystem rename of the staged files
+    into one fresh data prefix, then footer reads for manifest
+    entries (the ``_build_inventory`` driver-loop stance).  Imports
+    the protocol module, so the package must be importable on the
+    driver node."""
+    from ..sources.snapshot import _inventory_entry
+
+    dest = os.path.join(root, rel_prefix)
+    os.makedirs(dest)
+    entries = []
+    for i, m in enumerate(staged):
+        name = f"part-{i:05d}.parquet"
+        os.replace(m.staged_path, os.path.join(dest, name))
+        entries.append(
+            _inventory_entry(
+                os.path.join(dest, name), rel_prefix, name, eff_stats
+            )
+        )
+    return entries
+
+
+class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once append sink: each micro-batch commits as ONE
+    snapshot version stamped with the ``stream_app_id``/
+    ``stream_batch_id`` watermark — the same contract as the
+    foreachBatch tier (streaming/snapshot_sink.py), whose replay and
+    foreign-app rules this mirrors (skip ``batchId <= watermark``,
+    refuse another app's table unless ``takeover``).
+
+    Two-phase shape: ``write`` tasks stream their Arrow batches into
+    UNIQUE files under ``<root>/_staging/`` (underscore: invisible to
+    the data-file inventory walk) and stats stay off the hot path;
+    ``commit`` renames the batch's staged files into one fresh
+    ``data/`` prefix — same-filesystem renames, metadata-only — reads
+    their footers for manifest entries (inheriting the table's
+    envelope-stats column set, the ``_build_inventory`` driver-loop
+    stance), and lands them via ``append_files_snapshot``.  A crash
+    before commit leaves only ``_staging`` debris; ``abort`` sweeps
+    what its messages name and a replay re-stages cleanly.
+
+    Unlike the READ side this is not self-contained: ``commit``/
+    ``abort`` run on the driver node and import the protocol module
+    (``smashed_spark.sources.snapshot``), so the package must be
+    importable there — true whenever it is installed or the app runs
+    from the repo.  ``write`` itself stays stdlib + pyarrow.
+
+    Append-only: the table must already have a published snapshot
+    (the ``append_snapshot`` stance — a typo'd root can't silently
+    start a new table; publish first, or use ``snapshot_batch_writer``
+    which creates on the first batch), and the written schema must
+    match the table's current schema or a registered generation."""
+
+    def __init__(self, schema: StructType, options: Dict[str, str]):
+        self._root = _refuse_remote(options["path"])
+        self._app_id = str(
+            options.get("appid", "smashed_snapshot_sink")
+        )
+        self._takeover = options.get("takeover", "false").lower() in (
+            "true",
+            "1",
+        )
+        self._compression = options.get("compression", "zstd")
+        self._columns = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
+
+    def write(self, iterator):
+        return _stage_arrow(self._root, self._compression, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import uuid
+
+        from ..sources.snapshot import (
+            _inherited_stats_columns,
+            _stats_eligible_simple,
+            append_files_snapshot,
+            resolve_snapshot,
+        )
+
+        staged = [m for m in messages if m is not None]
+        try:
+            head = resolve_snapshot(self._root)
+        except FileNotFoundError:
+            _discard_staged(staged)
+            raise FileNotFoundError(
+                "smashed_snapshot sink: nothing published under "
+                f"{self._root!r} yet — the first write to a table is "
+                "a publish_snapshot (or snapshot_batch_writer, which "
+                "creates on its first batch)"
+            )
+        app = head.properties.get("stream_app_id")
+        app = None if app is None else str(app)
+        last = head.properties.get("stream_batch_id")
+        last = None if last is None else int(last)
+        if app is not None and app != self._app_id and not self._takeover:
+            _discard_staged(staged)
+            raise RuntimeError(
+                f"smashed_snapshot sink: table {self._root!r} was "
+                f"last written by stream app {app!r}, not "
+                f"{self._app_id!r} — batch ids are per-checkpoint, so "
+                "honoring this batch could replay or drop data.  Pass "
+                ".option('takeover', 'true') if the old checkpoint is "
+                "decommissioned."
+            )
+        if app == self._app_id and last is not None and batchId <= last:
+            # replayed batch after a crash between sink commit and
+            # offset-log write: already in the table — drop the dupes
+            _discard_staged(staged)
+            return
+        if not staged:
+            return
+        eff_stats = [
+            c
+            for c in _inherited_stats_columns(head)
+            if c in self._columns
+            and _stats_eligible_simple(self._columns.get(c))
+        ]
+        rel_prefix = (
+            f"data/stream-{batchId:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        entries = _rename_into_prefix(
+            self._root, rel_prefix, staged, eff_stats
+        )
+        append_files_snapshot(
+            self._root,
+            rel_prefix,
+            entries,
+            self._columns,
+            properties={
+                "stream_app_id": self._app_id,
+                "stream_batch_id": int(batchId),
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _discard_staged(messages)
+
+
+class _SnapshotBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("smashed_snapshot")`` — the batch half of
+    the same two-phase shape: ``mode("append")`` lands the staged
+    files as one append commit (table must exist; envelope-stats
+    columns inherited, or pass ``statsColumns``);
+    ``mode("overwrite")`` publishes them as the table's next full
+    state (creating the table if absent) — the old version stays on
+    the chain for time travel until vacuumed.  For heavy batch
+    writes prefer ``publish_snapshot``/``append_snapshot`` (JVM
+    parquet write + executor-side stats); this path exists so a
+    registered-format user never has to leave the format."""
+
+    def __init__(
+        self,
+        schema: StructType,
+        options: Dict[str, str],
+        overwrite: bool,
+    ):
+        self._root = _refuse_remote(options["path"])
+        self._overwrite = overwrite
+        self._compression = options.get("compression", "zstd")
+        sc = options.get("statscolumns")
+        self._stats_option = (
+            [c.strip() for c in sc.split(",") if c.strip()]
+            if sc is not None
+            else None
+        )
+        self._columns = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
+
+    def write(self, iterator):
+        return _stage_arrow(self._root, self._compression, iterator)
+
+    def commit(self, messages) -> None:
+        import uuid
+
+        from ..sources.snapshot import (
+            _inherited_stats_columns,
+            _stats_eligible_simple,
+            append_files_snapshot,
+            publish_files_snapshot,
+            resolve_snapshot,
+        )
+
+        staged = [m for m in messages if m is not None]
+        if self._stats_option is not None:
+            eff_stats = self._stats_option
+        elif not self._overwrite:
+            try:
+                head = resolve_snapshot(self._root)
+            except FileNotFoundError:
+                _discard_staged(staged)
+                raise FileNotFoundError(
+                    "smashed_snapshot writer: nothing published "
+                    f"under {self._root!r} yet — mode('append') "
+                    "needs an existing table; use mode('overwrite') "
+                    "(or publish_snapshot) for the first write"
+                )
+            eff_stats = [
+                c
+                for c in _inherited_stats_columns(head)
+                if c in self._columns
+                and _stats_eligible_simple(self._columns.get(c))
+            ]
+        else:
+            eff_stats = []
+        if not staged and not self._overwrite:
+            return  # appending nothing is a no-op
+        verb = "overwrite" if self._overwrite else "append"
+        rel_prefix = f"data/{verb}-{uuid.uuid4().hex[:8]}"
+        entries = _rename_into_prefix(
+            self._root, rel_prefix, staged, eff_stats
+        )
+        if self._overwrite:
+            publish_files_snapshot(
+                self._root, rel_prefix, entries, self._columns
+            )
+        else:
+            append_files_snapshot(
+                self._root, rel_prefix, entries, self._columns
+            )
+
+    def abort(self, messages) -> None:
+        _discard_staged(messages)
+
+
+# --------------------------------------------------------------------
 # the data source + registration
 # --------------------------------------------------------------------
 
@@ -545,6 +842,20 @@ class SnapshotDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _SnapshotStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _SnapshotBatchWriter(schema, self.options, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> DataSourceStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "smashed_snapshot sink: outputMode complete/overwrite "
+                "is not supported — the sink appends one snapshot "
+                "version per micro-batch; use outputMode('append')"
+            )
+        return _SnapshotStreamWriter(schema, self.options)
 
 
 def register_snapshot_source(spark) -> None:

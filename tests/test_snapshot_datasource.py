@@ -368,3 +368,260 @@ def test_readstream_rewrite_policy_end_to_end(registered, tmp_path):
     assert _rows(spark.read.parquet(out2)) == _rows(
         read_snapshot(spark, root)
     )
+
+
+# ------------------------------------------------------------------
+# the registered sink + append_files_snapshot
+# ------------------------------------------------------------------
+
+
+def _arrow_batches(spark, df):
+    """The df's rows as pyarrow batches in Spark's arrow mapping —
+    what the sink's write() receives from the runner."""
+    import pyarrow as pa
+
+    tbl = pa.Table.from_pandas(
+        df.toPandas(), preserve_index=False
+    )
+    return list(tbl.to_batches())
+
+
+def _writer(root, schema="doc_id bigint, text string", **opts):
+    from smashed_spark.streaming.datasource import (
+        _SnapshotStreamWriter,
+    )
+
+    base = {"path": root}
+    base.update({k.lower(): str(v) for k, v in opts.items()})
+    return _SnapshotStreamWriter(StructType.fromDDL(schema), base)
+
+
+def test_append_files_snapshot_validations(spark, tmp_path):
+    from smashed_spark.sources.snapshot import append_files_snapshot
+
+    root = _root(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        append_files_snapshot(
+            root, "data/x", [], {"doc_id": "bigint"}
+        )
+    publish_snapshot(_df(spark, 10), root)
+    with pytest.raises(ValueError, match="does not match"):
+        append_files_snapshot(
+            root,
+            "data/x",
+            [{"path": "data/x/a.parquet", "rows": 1, "bytes": 1}],
+            {"doc_id": "bigint", "other": "string"},
+        )
+    cols = {"doc_id": "bigint", "text": "string"}
+    with pytest.raises(ValueError, match="not under rel_prefix"):
+        append_files_snapshot(
+            root,
+            "data/x",
+            [{"path": "data/y/a.parquet", "rows": 1, "bytes": 1}],
+            cols,
+        )
+    with pytest.raises(ValueError, match="rows"):
+        append_files_snapshot(
+            root, "data/x", [{"path": "data/x/a.parquet"}], cols
+        )
+
+
+def test_append_files_snapshot_refuses_transform_tables(
+    spark, tmp_path
+):
+    from smashed_spark.sources.snapshot import append_files_snapshot
+
+    root = _root(tmp_path)
+    publish_snapshot(
+        _df(spark, 10).withColumn(
+            "b", F.col("doc_id").cast("string")
+        ),
+        root,
+        partition_transforms={"bk": ("bucket", "b", 4)},
+    )
+    with pytest.raises(ValueError, match="partition_transforms"):
+        append_files_snapshot(
+            root,
+            "data/x",
+            [],
+            {"doc_id": "bigint", "text": "string", "b": "string"},
+        )
+
+
+def test_sink_commit_appends_with_stats_and_watermark(
+    spark, tmp_path
+):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 20), root, stats_columns=["doc_id"])
+    w = _writer(root, appId="appA")
+    msg = w.write(iter(_arrow_batches(spark, _df(spark, 7, base=20))))
+    assert msg is not None and msg.rows == 7
+    assert os.path.exists(msg.staged_path)
+    w.commit([msg, None], batchId=0)
+    info = resolve_snapshot(root)
+    assert info.operation == "append"
+    assert info.row_count == 27
+    assert info.properties["stream_app_id"] == "appA"
+    assert info.properties["stream_batch_id"] == 0
+    # staged file moved, not copied; stats inherited onto the entry
+    assert not os.path.exists(msg.staged_path)
+    new_entries = [
+        f for f in info.files if f["path"].startswith("data/stream-")
+    ]
+    assert len(new_entries) == 1
+    assert "doc_id" in new_entries[0]["stats"]
+    assert _rows(read_snapshot(spark, root)) == _rows(
+        _df(spark, 27)
+    )
+
+
+def test_sink_replay_skips_and_discards(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 20), root)
+    w = _writer(root, appId="appA")
+    w.commit(
+        [w.write(iter(_arrow_batches(spark, _df(spark, 5, base=20))))],
+        batchId=0,
+    )
+    v_after = resolve_snapshot(root).version
+    # crash between sink commit and offset log: batch 0 replays
+    replay = w.write(
+        iter(_arrow_batches(spark, _df(spark, 5, base=20)))
+    )
+    w.commit([replay], batchId=0)
+    assert resolve_snapshot(root).version == v_after
+    assert not os.path.exists(replay.staged_path)
+    assert read_snapshot(spark, root).count() == 25
+
+
+def test_sink_foreign_app_refuses_unless_takeover(spark, tmp_path):
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10), root)
+    _writer(root, appId="appA").commit(
+        [_writer(root, appId="appA").write(
+            iter(_arrow_batches(spark, _df(spark, 5, base=10)))
+        )],
+        batchId=0,
+    )
+    wb = _writer(root, appId="appB")
+    staged = wb.write(
+        iter(_arrow_batches(spark, _df(spark, 5, base=15)))
+    )
+    with pytest.raises(RuntimeError, match="takeover"):
+        wb.commit([staged], batchId=0)
+    assert not os.path.exists(staged.staged_path)
+    wt = _writer(root, appId="appB", takeover="true")
+    wt.commit(
+        [wt.write(
+            iter(_arrow_batches(spark, _df(spark, 5, base=15)))
+        )],
+        batchId=0,
+    )
+    assert read_snapshot(spark, root).count() == 20
+
+
+def test_sink_empty_table_refuses_and_abort_cleans(spark, tmp_path):
+    root = _root(tmp_path)
+    os.makedirs(root)
+    w = _writer(root)
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_pydict(
+        {"doc_id": [1], "text": ["x"]}
+    )
+    staged = w.write(iter([batch]))
+    with pytest.raises(FileNotFoundError, match="publish"):
+        w.commit([staged], batchId=0)
+    staged2 = w.write(iter([batch]))
+    w.abort([staged2, None], batchId=1)
+    assert not os.path.exists(staged2.staged_path)
+    # empty batch: no file staged, commit is a no-op
+    assert w.write(iter([])) is None
+
+
+def test_registered_source_to_sink_roundtrip(registered, tmp_path):
+    spark = registered
+    src = _root(tmp_path, "src")
+    dst = _root(tmp_path, "dst")
+    ckpt = str(tmp_path / "ckpt")
+    publish_snapshot(_df(spark, 30), src)
+    publish_snapshot(_df(spark, 0), dst)  # sink is append-only
+    append_snapshot(_df(spark, 10, tag="b", base=30), src)
+
+    def run():
+        q = (
+            spark.readStream.format("smashed_snapshot")
+            .load(src)
+            .writeStream.format("smashed_snapshot")
+            .option("path", dst)
+            .option("appId", "roundtrip")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert _rows(read_snapshot(spark, dst)) == _rows(
+        read_snapshot(spark, src)
+    )
+    # incremental resume flows source appends through to the sink
+    append_snapshot(_df(spark, 5, tag="c", base=40), src)
+    run()
+    assert _rows(read_snapshot(spark, dst)) == _rows(
+        read_snapshot(spark, src)
+    )
+    assert read_snapshot(spark, dst).count() == 45
+
+
+# ------------------------------------------------------------------
+# the registered batch writer (df.write.format)
+# ------------------------------------------------------------------
+
+
+def test_batch_write_append_and_overwrite(registered, tmp_path):
+    spark = registered
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 20), root, stats_columns=["doc_id"])
+    _df(spark, 10, tag="b", base=20).write.format(
+        "smashed_snapshot"
+    ).mode("append").save(root)
+    info = resolve_snapshot(root)
+    assert info.operation == "append" and info.row_count == 30
+    # inherited envelope stats on the appended entries
+    appended = [
+        f for f in info.files if f["path"].startswith("data/append-")
+    ]
+    assert appended and all("doc_id" in f["stats"] for f in appended)
+    assert _rows(read_snapshot(spark, root)) == _rows(
+        spark.read.format("smashed_snapshot").load(root)
+    )
+    _df(spark, 5, tag="z").write.format("smashed_snapshot").mode(
+        "overwrite"
+    ).save(root)
+    info = resolve_snapshot(root)
+    assert info.operation == "publish" and info.row_count == 5
+    # old state still on the chain for time travel
+    assert read_snapshot(spark, root, version=2).count() == 30
+
+
+def test_batch_write_creates_on_overwrite_refuses_on_append(
+    registered, tmp_path
+):
+    spark = registered
+    root = _root(tmp_path)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(Exception, match="mode..overwrite"):
+        _df(spark, 5).write.format("smashed_snapshot").mode(
+            "append"
+        ).save(root)
+    _df(spark, 5).write.format("smashed_snapshot").mode(
+        "overwrite"
+    ).option("statsColumns", "doc_id").save(root)
+    info = resolve_snapshot(root)
+    assert info.version == 1 and info.row_count == 5
+    assert all("doc_id" in f["stats"] for f in info.files)
+    # no staging debris after a clean commit
+    staging = os.path.join(root, "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
