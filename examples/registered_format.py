@@ -47,7 +47,7 @@ def main() -> None:
     table = os.path.join(work, "docs_table")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "lang", "n_tokens"
+        "doc_id", "lang", "n_chars"
     )
 
     # 1. batch write: overwrite creates the table (envelope stats on
