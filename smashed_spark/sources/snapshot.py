@@ -176,6 +176,10 @@ from .layout import packed_scan_conf
 
 MANIFEST_DIR = "_manifests"
 POINTER_NAME = "_latest.json"
+# where the registered write paths (streaming/datasource.py, which
+# keeps its own copy of this name — parity-pinned by its tests) stage
+# task files before the commit-time rename into a data prefix
+_STAGING_DIR_NAME = "_staging"
 DATA_DIR = "data"
 
 # forget lists are usually thousands to low millions of keys; above
@@ -2678,6 +2682,22 @@ def snapshot_table_stats(
         # every delete rewrites those files
         missing = n - len(ivals)
         overlap[c] = round(depth / len(ivals) + missing, 2)
+    staging_files = 0
+    staging_bytes = 0
+    staging_dir = str(
+        SmartPath.parse(table_root) / _STAGING_DIR_NAME
+    )
+    if not SmartPath.parse(table_root).is_s3 and os.path.isdir(
+        staging_dir
+    ):
+        for name in os.listdir(staging_dir):
+            p = os.path.join(staging_dir, name)
+            try:
+                if os.path.isfile(p):
+                    staging_files += 1
+                    staging_bytes += os.path.getsize(p)
+            except OSError:
+                pass  # raced a concurrent commit's rename
     return {
         "version": info.version,
         "operation": info.operation,
@@ -2717,6 +2737,12 @@ def snapshot_table_stats(
                 > COMPACT_DEBT_ROW_FRACTION
             )
         ),
+        # registered-writer staging debris (crashed before the
+        # commit-time rename): invisible to data walks by the
+        # underscore convention, swept age-guarded by
+        # vacuum_snapshots(staging_ttl_s=...)
+        "staging_files": staging_files,
+        "staging_bytes": staging_bytes,
     }
 
 
@@ -2735,6 +2761,7 @@ def vacuum_snapshots(
     keep_last: int = 2,
     drop_unpublished: bool = False,
     dry_run: bool = False,
+    staging_ttl_s: Optional[float] = 6 * 3600,
     client=None,
 ) -> Dict[str, object]:
     """Garbage-collect what the pointer can no longer reach.
@@ -2763,6 +2790,17 @@ def vacuum_snapshots(
     The CURRENT snapshot is never removed, whatever ``keep_last`` says.
     Idempotent under interruption: removals tolerate already-missing
     targets, and a half-removed version is simply re-removed next run.
+
+    ``staging_ttl_s``: the registered write paths (streaming/
+    datasource.py) stage each task's file under ``<root>/_staging/``
+    and rename it into a data prefix at commit; a crash between the
+    two leaves debris the underscore convention hides from every
+    other walk (including this vacuum's orphan sweep).  Stage→rename
+    spans one micro-batch, so anything older than the TTL (mtime;
+    default 6 h) is swept — age-guarded precisely because a FRESH
+    staged file is indistinguishable from a write in flight.  ``None``
+    disables.  Local roots only (the registered writers refuse remote
+    roots, so ``_staging`` never exists elsewhere).
     """
     if keep_last < 1:
         raise ValueError("vacuum_snapshots: keep_last must be >= 1")
@@ -2865,11 +2903,30 @@ def vacuum_snapshots(
                 _remove_dir_quiet(str(root / prefix), client=client)
             dropped_orphans.append(prefix)
 
+    dropped_staging: List[str] = []
+    staging_dir = str(root / _STAGING_DIR_NAME)
+    if (
+        staging_ttl_s is not None
+        and not root.is_s3
+        and os.path.isdir(staging_dir)
+    ):
+        cutoff = time.time() - float(staging_ttl_s)
+        for name in sorted(os.listdir(staging_dir)):
+            p = os.path.join(staging_dir, name)
+            try:
+                if os.path.isfile(p) and os.path.getmtime(p) <= cutoff:
+                    if not dry_run:
+                        os.remove(p)
+                    dropped_staging.append(f"{_STAGING_DIR_NAME}/{name}")
+            except OSError:
+                pass  # raced its own removal / concurrent commit rename
+
     report = {
         "current": current,
         "kept": sorted(keep),
         "dropped_versions": sorted(dropped_versions),
         "dropped_orphan_prefixes": dropped_orphans,
+        "dropped_staging_files": dropped_staging,
     }
     if dry_run:
         report["dry_run"] = True

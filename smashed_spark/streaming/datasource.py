@@ -225,11 +225,16 @@ class _SnapFilePartition(InputPartition):
     table-root-relative path the positional-delete sidecars key on;
     ``sidecar_paths`` is empty for append increments (a pending
     sidecar can only reference files that predate the increment —
-    committing one is itself a non-append step)."""
+    committing one is itself a non-append step).  ``version`` is the
+    snapshot version whose commit delivered this file (the append
+    step for increments; the batch's end version for bootstrap /
+    full_resync state reads) — surfaced per row by the
+    ``versionColumn`` option."""
 
     abs_path: str
     rel_path: str
     sidecar_paths: Tuple[str, ...] = ()
+    version: Optional[int] = None
 
 
 def _deleted_positions(
@@ -251,14 +256,18 @@ def _deleted_positions(
 
 
 def _read_file_partition(
-    part: _SnapFilePartition, target_schema: StructType
+    part: _SnapFilePartition,
+    target_schema: StructType,
+    version_col: Optional[str] = None,
 ) -> Iterator["pa.RecordBatch"]:  # noqa: F821
     """Read one data file as Arrow batches in the QUERY's schema:
     align by name (case-insensitive fallback, matching the evolve
     module's resolution), add typed nulls for columns the file
     predates, safe-cast widened generations up — pyarrow refuses a
     narrowing cast, which is exactly the widen-only evolution
-    contract — and mask out positionally-deleted rows."""
+    contract — and mask out positionally-deleted rows.
+    ``version_col`` names a schema field filled with the partition's
+    delivering snapshot version instead of file data."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -277,6 +286,13 @@ def _read_file_partition(
     lower = {n.lower(): n for n in table.column_names}
     arrays = []
     for fld in pa_schema:
+        if version_col is not None and fld.name == version_col:
+            arrays.append(
+                pa.array(
+                    [part.version] * table.num_rows, type=fld.type
+                )
+            )
+            continue
         name = (
             fld.name
             if fld.name in table.column_names
@@ -306,6 +322,7 @@ def _full_state_partitions(
             abs_path=os.path.join(table_root, f["path"]),
             rel_path=str(f["path"]),
             sidecar_paths=sidecars,
+            version=snap.version,
         )
         for f in snap.files
     ]
@@ -332,6 +349,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 f"smashed_snapshot: onRewrite={self._on_rewrite!r} — "
                 "pass 'raise' or 'full_resync'"
             )
+        # CDC metadata: name a bigint schema field to fill with the
+        # delivering snapshot version per row (the append step for
+        # increments; the state version for bootstrap/full_resync)
+        self._version_col = options.get("versioncolumn")
         mvpb = options.get("maxversionsperbatch")
         self._max_versions = int(mvpb) if mvpb is not None else None
         if self._max_versions is not None and self._max_versions < 1:
@@ -410,6 +431,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                         _SnapFilePartition(
                             abs_path=os.path.join(self._root, rel),
                             rel_path=rel,
+                            version=step.version,
                         )
                     )
         return parts
@@ -417,7 +439,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def read(
         self, partition: InputPartition
     ) -> Iterator["pa.RecordBatch"]:  # noqa: F821
-        return _read_file_partition(partition, self._schema)
+        return _read_file_partition(
+            partition, self._schema, self._version_col
+        )
 
     def commit(self, end: dict) -> None:
         # progress lives in Spark's offset log; nothing to clean
@@ -444,6 +468,7 @@ class _SnapshotBatchReader(DataSourceReader):
         self._root = _refuse_remote(options["path"])
         v = options.get("version")
         self._version = int(v) if v is not None else None
+        self._version_col = options.get("versioncolumn")
         self._where: List[Tuple[str, str, object]] = []
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -480,7 +505,9 @@ class _SnapshotBatchReader(DataSourceReader):
     def read(
         self, partition: InputPartition
     ) -> Iterator["pa.RecordBatch"]:  # noqa: F821
-        return _read_file_partition(partition, self._schema)
+        return _read_file_partition(
+            partition, self._schema, self._version_col
+        )
 
 
 class _SnapshotBatchReaderPushdown(_SnapshotBatchReader):
@@ -825,9 +852,18 @@ class SnapshotDataSource(DataSource):
                 "predates the manifest 'columns' field — no recorded "
                 "schema; pass .schema(...) explicitly"
             )
-        return ", ".join(
+        ddl = ", ".join(
             f"`{c}` {t}" for c, t in snap.columns.items()
         )
+        vcol = self.options.get("versioncolumn")
+        if vcol is not None:
+            if vcol in snap.columns:
+                raise ValueError(
+                    f"smashed_snapshot: versionColumn {vcol!r} "
+                    "collides with a table column — pick another name"
+                )
+            ddl += f", `{vcol}` bigint"
+        return ddl
 
     def reader(self, schema: StructType) -> DataSourceReader:
         pushdown = self.options.get(

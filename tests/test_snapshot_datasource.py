@@ -625,3 +625,80 @@ def test_batch_write_creates_on_overwrite_refuses_on_append(
     # no staging debris after a clean commit
     staging = os.path.join(root, "_staging")
     assert not os.path.exists(staging) or not os.listdir(staging)
+
+
+# ------------------------------------------------------------------
+# staging debris lifecycle + the versionColumn CDC option
+# ------------------------------------------------------------------
+
+
+def test_vacuum_sweeps_stale_staging_and_stats_report(
+    spark, tmp_path
+):
+    from smashed_spark.sources.snapshot import (
+        snapshot_table_stats,
+        vacuum_snapshots,
+    )
+
+    root = _root(tmp_path)
+    publish_snapshot(_df(spark, 10), root)
+    staging = os.path.join(root, "_staging")
+    os.makedirs(staging)
+    stale = os.path.join(staging, "stream-dead.parquet")
+    fresh = os.path.join(staging, "stream-live.parquet")
+    for p in (stale, fresh):
+        with open(p, "wb") as f:
+            f.write(b"x" * 10)
+    os.utime(stale, (1, 1))  # crashed long ago
+    stats = snapshot_table_stats(root)
+    assert stats["staging_files"] == 2
+    assert stats["staging_bytes"] == 20
+    dry = vacuum_snapshots(root, dry_run=True)
+    assert dry["dropped_staging_files"] == ["_staging/stream-dead.parquet"]
+    assert os.path.exists(stale)
+    report = vacuum_snapshots(root)
+    assert report["dropped_staging_files"] == [
+        "_staging/stream-dead.parquet"
+    ]
+    # the fresh file is write-in-flight shaped: kept
+    assert not os.path.exists(stale) and os.path.exists(fresh)
+    assert vacuum_snapshots(root, staging_ttl_s=None)[
+        "dropped_staging_files"
+    ] == []
+    assert snapshot_table_stats(root)["staging_files"] == 1
+
+
+def test_version_column_stream_and_batch(registered, tmp_path):
+    spark = registered
+    root = _root(tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    publish_snapshot(_df(spark, 10), root)
+    append_snapshot(_df(spark, 5, base=10), root)
+    _run_available_now(
+        spark, root, out, ckpt, versionColumn="_commit_version"
+    )
+    got = spark.read.parquet(out)
+    # bootstrap delivers the STATE at v2: every row tagged v2
+    assert got.where("_commit_version = 2").count() == 15
+    append_snapshot(_df(spark, 5, base=15), root)
+    append_snapshot(_df(spark, 5, base=20), root)
+    _run_available_now(
+        spark, root, out, ckpt, versionColumn="_commit_version"
+    )
+    got = spark.read.parquet(out)
+    # increments carry their own append step's version
+    assert got.where("_commit_version = 3").count() == 5
+    assert got.where("_commit_version = 4").count() == 5
+    # batch read: state-as-of tag
+    b = (
+        spark.read.format("smashed_snapshot")
+        .option("versionColumn", "_v")
+        .load(root)
+    )
+    assert b.where("_v = 4").count() == 25
+    # collision with a table column refuses
+    with pytest.raises(Exception, match="collides"):
+        spark.read.format("smashed_snapshot").option(
+            "versionColumn", "text"
+        ).load(root).count()
