@@ -1245,6 +1245,119 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # r16: the registered streaming source — a CONSTANT 1-file append
+    # consumed as an increment against tables whose file count grows
+    # 16/160/1600.  The planner walks only the diff manifests and the
+    # read touches only the new file, so files_delivered must stay 1
+    # and the wall ~flat whatever the table width (the O(new data)
+    # consumption claim); bootstrap_s is the expected-linear contrast.
+    stream_src_selected = not only or "snapshot_stream_source" in only
+
+    def run_stream_source(n_files: int, reps: int = 2) -> dict:
+        import tempfile as _tf
+
+        from pyspark.sql.types import StructType
+
+        from smashed_spark.sources.snapshot import (
+            append_snapshot,
+            publish_snapshot,
+        )
+        from smashed_spark.streaming.datasource import (
+            _read_file_partition,
+            _SnapshotStreamReader,
+        )
+
+        best = {"increment": -1.0}
+        boot_s = delivered = None
+        for _ in range(reps):
+            isolate()
+            root = _tf.mkdtemp(prefix="smashed_ssrc_") + "/tbl"
+            publish_snapshot(
+                spark.range(160_000)
+                .selectExpr("id AS doc_id", "id % 997 AS n_chars")
+                .repartitionByRange(n_files, "doc_id"),
+                root,
+            )
+            schema = StructType.fromDDL(
+                "doc_id bigint, n_chars bigint"
+            )
+            reader = _SnapshotStreamReader(schema, {"path": root})
+            t0 = time.perf_counter()
+            boot = reader.partitions(
+                reader.initialOffset(), reader.latestOffset()
+            )
+            boot_rows = sum(
+                b.num_rows
+                for p in boot
+                for b in _read_file_partition(p, schema)
+            )
+            t_boot = time.perf_counter() - t0
+            assert boot_rows == 160_000
+            start = reader.latestOffset()
+            append_snapshot(
+                spark.range(1_000_000, 1_001_000)
+                .selectExpr("id AS doc_id", "id % 997 AS n_chars")
+                .coalesce(1),
+                root,
+            )
+            t0 = time.perf_counter()
+            end = reader.latestOffset()
+            parts = reader.partitions(start, end)
+            inc_rows = sum(
+                b.num_rows
+                for p in parts
+                for b in _read_file_partition(p, schema)
+            )
+            t_inc = time.perf_counter() - t0
+            assert inc_rows == 1_000
+            delivered = len(parts)
+            boot_s = round(t_boot, 4)
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+            best["increment"] = (
+                t_inc
+                if best["increment"] < 0
+                else min(best["increment"], t_inc)
+            )
+        return {
+            "increment": round(best["increment"], 4),
+            "bootstrap_s": boot_s,
+            "files_delivered": delivered,
+        }
+
+    if stream_src_selected:
+        sweep = {n: run_stream_source(n) for n in (16, 160, 1600)}
+        result["queries"]["snapshot_stream_source"] = {
+            "files_sweep": {str(n): sweep[n] for n in sweep},
+            "wall_ratio_per_decade": [
+                round(
+                    sweep[160]["increment"]
+                    / max(sweep[16]["increment"], 1e-9),
+                    2,
+                ),
+                round(
+                    sweep[1600]["increment"]
+                    / max(sweep[160]["increment"], 1e-9),
+                    2,
+                ),
+            ],
+            "note": (
+                "registered smashed_snapshot stream source: constant "
+                "1-file/1k-row append consumed as an increment against "
+                "16/160/1600-file tables.  files_delivered must stay 1 "
+                "and the increment wall ~flat (the planner walks only "
+                "the diff manifests; only the new file is read) — the "
+                "O(new data) consumption claim; bootstrap_s is the "
+                "expected-linear full-state contrast.  Driver-process "
+                "timing (reader hooks run in Spark's planner/executor "
+                "workers in production, same code)."
+            ),
+        }
+        print(
+            "# snapshot_stream_source: "
+            f"{result['queries']['snapshot_stream_source']['files_sweep']}",
+            file=sys.stderr,
+        )
+
     if merge_selected:
         sweep = {n: run_merge(n) for n in (16, 160, 1600)}
         result["queries"]["snapshot_merge"] = {
