@@ -1340,10 +1340,18 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     on md5 of the doc key/text, so the whole chain is
     partitioning-independent and the oracle replays it exactly in
     SQL."""
+    from ..core.parallel import ensure_min_parallelism
     from ..sources.loaders import sample_mix
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", "text"
+    # r16 opt: widen the one-task scan once, ahead of the whole chain
+    # (guide §2.5) — every stage keys on md5(doc key/text) and the
+    # prefix-sum stage sorts globally first, so values are
+    # partitioning-independent by construction (the gate docstring's
+    # standing claim)
+    docs = ensure_min_parallelism(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", "text"
+        )
     )
     en = docs.filter(F.col("lang") == "en")
     rest = docs.filter(F.col("lang") != "en")
@@ -1570,12 +1578,16 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 hashing here for engine-portable parity; the production
     default is xxhash64 (8-byte shuffle keys), property-tested equal
     in tests/test_substring.py."""
+    from ..core.parallel import ensure_min_parallelism
     from ..functions.substring import (
         DuplicatedSpansMapper,
         RemoveDuplicatedSpansMapper,
     )
 
-    df = _words(spark, sf_dir)
+    # r16 opt: widen the one-task scan before the per-position window
+    # hashing (guide §2.5); spans key on (doc_id, position), never on
+    # partitioning
+    df = ensure_min_parallelism(_words(spark, sf_dir))
     spans = DuplicatedSpansMapper(width=6, hash_fn="md5").map(df)
     spans_per_doc = spans.groupBy("doc_id").agg(
         F.array_join(

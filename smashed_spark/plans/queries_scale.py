@@ -171,6 +171,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import ExactDedupMapper
     from ..functions.diff import corpus_diff
 
+    # r16 opt probe: widening this one-task scan was tried and REVERTED
+    # (0.87 -> 2.17 s): the gate is join-bound, not expression-bound —
+    # the added exchange is recomputed under each of the three diff
+    # branches and buys no parallel win (OPTIMIZATION_r16.md)
     docs = load(spark, sf_dir, "documents")
     deduped = ExactDedupMapper().map(docs)
     edited = F.col("doc_id") % 5 == 0
@@ -297,11 +301,14 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone ``dedup_minhash_sig`` gate folded in — MinHashMapper's
     output is certified value-for-value here, freeing a slot under the
     50-query cap for ``pack_bins``)."""
+    from ..core.parallel import ensure_min_parallelism
     from ..functions.dedup import MinHashLSHPairsMapper, MinHashMapper
 
-    df = load(spark, sf_dir, "documents").withColumn(
-        "words", F.split("text", " ")
-    )
+    # r16 opt: single-row-group scan -> one task; spread the shingle/
+    # minhash expression work across cores (guide §2.5)
+    df = ensure_min_parallelism(
+        load(spark, sf_dir, "documents")
+    ).withColumn("words", F.split("text", " "))
     sig = MinHashMapper(num_hashes=16).map(df)
     # carry_signatures emits minhash_a/minhash_b straight from the
     # banded shuffle (r6) — no post-joins
@@ -317,14 +324,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components (functions/graph.py), every document labeled
     with its cluster's canonical keeper.  The DuckDB oracle replays
     the pair graph and closes it with a recursive CTE."""
+    from ..core.parallel import ensure_min_parallelism
     from ..functions.dedup import MinHashLSHPairsMapper, MinHashMapper
     from ..functions.graph import DedupClustersMapper
 
     docs = load(spark, sf_dir, "documents")
+    # r16 opt: widen the one-task scan before the minhash pass
+    # (guide §2.5); the cluster labels are pure functions of the pair
+    # graph, not of partitioning
     pairs = (
         MinHashMapper(num_hashes=16)
         >> MinHashLSHPairsMapper("doc_id", bands=4, rows_per_band=4)
-    ).map(docs.withColumn("words", F.split("text", " ")))
+    ).map(
+        ensure_min_parallelism(docs).withColumn(
+            "words", F.split("text", " ")
+        )
+    )
     out = DedupClustersMapper(pairs).map(docs.select("doc_id"))
     return out.select("doc_id", "cluster_id", "is_kept")
 
@@ -348,11 +363,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the widest width whose two-word md5 composition stays inside
     DuckDB's signed BIGINT for oracle parity.  Both endpoints'
     fingerprints ride along (folded dedup_simhash gate)."""
+    from ..core.parallel import ensure_min_parallelism
     from ..functions.dedup import SimHashMapper, SimHashNearDupPairsMapper
 
-    df = load(spark, sf_dir, "documents").withColumn(
-        "words", F.split("text", " ")
-    )
+    # r16 opt: widen the one-task scan before the per-token simhash
+    # fold (guide §2.5)
+    df = ensure_min_parallelism(
+        load(spark, sf_dir, "documents")
+    ).withColumn("words", F.split("text", " "))
     sig = SimHashMapper(bits=56).map(df).select("doc_id", "simhash")
     # emit_fingerprints rides the banded shuffle the Hamming verify
     # already pays for; a noop-action same-session A/B (r6) measures
@@ -384,6 +402,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored in the oracle's ``f <= 1024`` filter."""
     from ..functions.dedup import NGramJaccardPairsMapper
 
+    # r16 opt probe: widening this scan was tried and REVERTED
+    # (4.14 -> 4.48 s): the inverted-index explode immediately
+    # exchanges on the shingle key, so the extra exchange buys nothing
+    # (OPTIMIZATION_r16.md)
     df = load(spark, sf_dir, "documents").withColumn(
         "words", F.split("text", " ")
     )
@@ -848,7 +870,18 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # test_cleaning is the stronger check there)
         >> GopherQualityFilterMapper()
     )
-    out = pipe.map(load(spark, sf_dir, "documents"))
+    # r16 opt: the corpus scans as ONE task (single-row-group file) and
+    # this family is per-row expression work (the md5 k-gram sketch
+    # alone is ~3 s single-core at sf0.1) — spread it across the
+    # session's cores before the heavy mappers (guide §2.5, measured
+    # 6.5x on the fingerprint stage; values are partitioning-independent
+    # — every column is a pure function of the row or of keyed
+    # aggregates)
+    from ..core.parallel import ensure_min_parallelism
+
+    out = pipe.map(
+        ensure_min_parallelism(load(spark, sf_dir, "documents"))
+    )
     # r7 fold: the model-based quality scorer (hashed-BoW linear
     # classifier, narrow aggregate fold) joins the family — weights
     # deterministically md5-derived so the oracle replays bit-for-bit
@@ -1039,9 +1072,14 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_importance_logweight,
     )
 
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "words", F.split("text", " ")
-    )
+    # r16 opt: widen the one-task scan before the word explode + hashed
+    # projections feeding both unigram fits and the importance weights
+    # (guide §2.5)
+    from ..core.parallel import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        load(spark, sf_dir, "documents")
+    ).withColumn("words", F.split("text", " "))
     target = docs.filter(F.col("n_chars") >= 400)
     t_table = fit_unigram_logprob_table(target, dims=_DSIR_DIMS)
     r_table = fit_unigram_logprob_table(docs, dims=_DSIR_DIMS)
@@ -2476,7 +2514,14 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         d % 13 == 0,
         F.concat(F.lit("no url here "), d.cast("string")),
     ).otherwise(url_built)
-    docs = load(spark, sf_dir, "documents").select(
+    # r16 opt: widen the one-task scan before the regex-heavy redact/
+    # canonicalize/C4 stages (guide §2.5); every column is a pure
+    # function of the row or of doc-keyed window verdicts
+    from ..core.parallel import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        load(spark, sf_dir, "documents")
+    ).select(
         "doc_id",
         F.concat(
             F.lit("reach me at "),
@@ -2578,6 +2623,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SemanticDecontaminateMapper,
     )
 
+    # r16 opt probe: widening this scan was tried and REVERTED
+    # (1.26 -> 1.73 s): the corpus side is deliberately unshuffled
+    # (benchmark side broadcasts) and the added exchange also rode the
+    # benchmark-derivation branch (OPTIMIZATION_r16.md)
     docs = load(spark, sf_dir, "documents").withColumn(
         "words", F.split("text", " ")
     )
