@@ -225,11 +225,20 @@ def test_text_stats_exchange_budget(spark, sf_dir):
     rank window over the FULL frame, which would exchange+sort the
     corpus at full row width, text included) and the per-source
     thresholds BroadcastExchange (KB-sized).  The corpus side of the
-    join-back must NOT exchange."""
+    join-back must NOT exchange — excepting the r16 scan-parallelism
+    repair (core/parallel.py): at test SF the single-row-group scan
+    is widened by a RoundRobinPartitioning exchange under each scan
+    branch (ensure_min_parallelism is identity once the scan is
+    already >= defaultParallelism wide, so these nodes vanish at the
+    100 TB design point and are excluded from the algorithmic
+    budget; their count is capped separately so a widen can never
+    silently multiply)."""
     from smashed_spark.plans.queries_scale import q_text_stats
 
     plan = _explain(q_text_stats(spark, sf_dir))
-    assert plan.count("Exchange (") <= 5, plan
+    n_widen = plan.count("RoundRobinPartitioning")
+    assert n_widen <= 3, plan
+    assert plan.count("Exchange (") - n_widen <= 5, plan
     assert plan.count("BroadcastExchange (") >= 1, plan
     assert plan.count("HashAggregate (") >= 4, plan
     assert "CartesianProduct" not in plan, plan
