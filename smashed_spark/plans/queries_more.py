@@ -184,6 +184,10 @@ def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import compact_ingest_state, ingest_dedup_batch
 
+    # r16 scan-widen probe REVERTED: ensure_min_parallelism() here
+    # cost 4.2 s -> 7.3 s (same-session A/B, 5 reps) — the exchange
+    # recomputes under every batch filter branch and the gate is
+    # commit/state-bound, not per-row-compute-bound.  Don't re-try.
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     shift = lambda df, k: df.withColumn(  # noqa: E731
         "doc_id", F.col("doc_id") + F.lit(k)
@@ -348,6 +352,10 @@ def q_streaming_ingest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import compact_ingest_state, ingest_dedup_batch
 
+    # r16 scan-widen probe REVERTED: neutral at best here (12.7 s ->
+    # 12.3 s min, within rep noise) and the sibling exact-dedup gate
+    # regressed 1.7x under the same widen — the ingest gates are
+    # commit/state-bound.  Don't re-try.
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     shift = lambda df, k: df.withColumn(  # noqa: E731
         "doc_id", F.col("doc_id") + F.lit(k)
@@ -648,51 +656,10 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through as few tasks
     docs = load(spark, sf_dir, "documents").repartition(8)
 
-    write_csv(
-        docs.select("doc_id", "lang", "n_chars"),
-        base + "/csv_docs",
-        mode="overwrite",
-    )
-    write_jsonl(
-        docs.select("doc_id", "source", "text"),
-        base + "/jsonl_docs",
-        mode="overwrite",
-    )
     zdocs = _io_zdocs_path()
     _claim_io_zdocs_dir(zdocs)
     atexit.register(shutil.rmtree, zdocs, ignore_errors=True)
-    optimize_layout(
-        docs.select("doc_id", "n_chars"),
-        zdocs,
-        cluster_by=["n_chars", "doc_id"],
-        bits=8,
-        num_files=4,
-        keep_zorder_column=True,
-        mode="overwrite",
-    )
-    # r11 retention fold: forget-list rewrite of the clustered copy
-    # (staged swap, broadcast anti-join) — the inner join below then
-    # certifies the surviving row set value-for-value
-    from ..sources.retention import apply_deletions
 
-    apply_deletions(
-        spark,
-        zdocs,
-        docs.filter(F.col("doc_id") % 37 == 0).select("doc_id"),
-        "doc_id",
-    )
-    # r12 footer-audit fold: scan_stats reads the rewritten copy's
-    # parquet footers on the executors and skip_fraction computes what
-    # a stats-aware scan of `n_chars <= _IO_SKIP_UPPER` may prune; the
-    # audit numbers ride the result as literal columns and the oracle
-    # recomputes them from the SAME footers via parquet_metadata()
-    from ..sources.layout import scan_stats, skip_fraction
-
-    stats = scan_stats(spark, zdocs, columns=["n_chars"])
-    sk = skip_fraction(stats, "n_chars", upper=_IO_SKIP_UPPER)
-    # r14 cache-bracket fold: miss pass writes the checkpoint, second
-    # pass must hit it — certified by the checkpoint staying untouched
-    # and by the independently recomputed fingerprint path existing
     import os
 
     from ..operators.types import BinarizerMapper
@@ -703,40 +670,115 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_with_cache,
         segment_fingerprint,
     )
+    from ..sources.layout import scan_stats, skip_fraction
+    from ..sources.retention import apply_deletions
 
-    cache_dir = base + "/cache"
-    seg_in = docs.select(
-        "doc_id", F.col("n_chars").alias("cache_flag")
-    )
-    segment = [BinarizerMapper("cache_flag", _IO_CACHE_THRESHOLD)]
-    mappers = [StartCachingMapper(cache_dir)] + segment + [EndCachingMapper()]
-    run_with_cache(mappers, seg_in)  # miss: computes + writes
-
-    ckpt = os.path.join(
-        cache_dir, dataset_fingerprint(seg_in), segment_fingerprint(segment)
-    )
-    if not os.path.isdir(ckpt):
-        raise AssertionError(
-            "io_roundtrip: cache checkpoint missing at the recomputed "
-            f"fingerprint path {ckpt!r} — fingerprints drifted between "
-            "two computations over the same plan"
+    # r16: the four roundtrips are mutually independent (separate
+    # output dirs, no shared state) but were run back-to-back — on a
+    # wide executor the tail of each write left most cores idle.
+    # Submit them from a small driver thread pool so each job's tail
+    # back-fills the others (the optimization playbook's concurrent-
+    # jobs idiom); within each chain the ordering stays sequential.
+    def _csv_phase():
+        write_csv(
+            docs.select("doc_id", "lang", "n_chars"),
+            base + "/csv_docs",
+            mode="overwrite",
         )
 
-    def _listing():
-        return sorted(
-            (n, os.path.getmtime(os.path.join(ckpt, n)))
-            for n in os.listdir(ckpt)
+    def _jsonl_phase():
+        write_jsonl(
+            docs.select("doc_id", "source", "text"),
+            base + "/jsonl_docs",
+            mode="overwrite",
         )
 
-    before_hit = _listing()
-    from_cache = run_with_cache(mappers, seg_in).select(
-        "doc_id", F.col("cache_flag").cast("bigint")
-    )
-    if _listing() != before_hit:
-        raise AssertionError(
-            "io_roundtrip: second run_with_cache pass REWROTE the "
-            "checkpoint — the hit path did not engage"
+    def _zorder_phase():
+        optimize_layout(
+            docs.select("doc_id", "n_chars"),
+            zdocs,
+            cluster_by=["n_chars", "doc_id"],
+            bits=8,
+            num_files=4,
+            keep_zorder_column=True,
+            mode="overwrite",
         )
+        # r11 retention fold: forget-list rewrite of the clustered copy
+        # (staged swap, broadcast anti-join) — the inner join below
+        # then certifies the surviving row set value-for-value
+        apply_deletions(
+            spark,
+            zdocs,
+            docs.filter(F.col("doc_id") % 37 == 0).select("doc_id"),
+            "doc_id",
+        )
+        # r12 footer-audit fold: scan_stats reads the rewritten copy's
+        # parquet footers on the executors and skip_fraction computes
+        # what a stats-aware scan of `n_chars <= _IO_SKIP_UPPER` may
+        # prune; the audit numbers ride the result as literal columns
+        # and the oracle recomputes them from the SAME footers via
+        # parquet_metadata()
+        return skip_fraction(
+            scan_stats(spark, zdocs, columns=["n_chars"]),
+            "n_chars",
+            upper=_IO_SKIP_UPPER,
+        )
+
+    def _cache_phase():
+        # r14 cache-bracket fold: miss pass writes the checkpoint,
+        # second pass must hit it — certified by the checkpoint staying
+        # untouched and by the independently recomputed fingerprint
+        # path existing
+        cache_dir = base + "/cache"
+        seg_in = docs.select(
+            "doc_id", F.col("n_chars").alias("cache_flag")
+        )
+        segment = [BinarizerMapper("cache_flag", _IO_CACHE_THRESHOLD)]
+        mappers = (
+            [StartCachingMapper(cache_dir)] + segment + [EndCachingMapper()]
+        )
+        run_with_cache(mappers, seg_in)  # miss: computes + writes
+
+        ckpt = os.path.join(
+            cache_dir,
+            dataset_fingerprint(seg_in),
+            segment_fingerprint(segment),
+        )
+        if not os.path.isdir(ckpt):
+            raise AssertionError(
+                "io_roundtrip: cache checkpoint missing at the "
+                f"recomputed fingerprint path {ckpt!r} — fingerprints "
+                "drifted between two computations over the same plan"
+            )
+
+        def _listing():
+            return sorted(
+                (n, os.path.getmtime(os.path.join(ckpt, n)))
+                for n in os.listdir(ckpt)
+            )
+
+        before_hit = _listing()
+        out = run_with_cache(mappers, seg_in).select(
+            "doc_id", F.col("cache_flag").cast("bigint")
+        )
+        if _listing() != before_hit:
+            raise AssertionError(
+                "io_roundtrip: second run_with_cache pass REWROTE the "
+                "checkpoint — the hit path did not engage"
+            )
+        return out
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_csv = pool.submit(_csv_phase)
+        f_jsonl = pool.submit(_jsonl_phase)
+        f_z = pool.submit(_zorder_phase)
+        f_cache = pool.submit(_cache_phase)
+        f_csv.result()
+        f_jsonl.result()
+        sk = f_z.result()
+        from_cache = f_cache.result()
 
     from_z = spark.read.parquet(zdocs).select("doc_id", "zkey")
     csv_paths = spark.createDataFrame([(base + "/csv_docs",)], "path: string")

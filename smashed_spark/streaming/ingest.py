@@ -341,15 +341,6 @@ def ingest_dedup_batch(
     # only shed the words column if THIS function derived it — a
     # words column the caller shipped is payload, not scratch
     survivors = kept.drop(words_field) if words_added else kept
-    if survivors_sink is not None:
-        survivors_sink(survivors, batch_id)
-    else:
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_dir, tag)
-        )
-    with_digests(kept, text_field=text_field).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(state_dir, "digests", tag))
     band_ext = None
     if fuzzy:
         band_ext = with_minhash_bands(
@@ -360,14 +351,32 @@ def ingest_dedup_batch(
             bands=bands,
             rows_per_band=rows_per_band,
         )
-        band_ext.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "bands", tag)
-        )
     sem_ext = None
     if semantic_centroids is not None:
         sem_ext = with_semantic_cells(
             kept, semantic_centroids, vector_field=vector_field
         )
+
+    # The survivor commit and the index extensions run back-to-back
+    # off the SAME materialized checkpoint.  (An r16 probe submitted
+    # them from a driver thread pool to overlap write tails; same-
+    # session A/B showed no win at bench scale — the four jobs are
+    # each wide enough to fill the executor already, and interleaving
+    # them only added scheduler churn — so sequential stands.)
+    if survivors_sink is not None:
+        survivors_sink(survivors, batch_id)
+    else:
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, tag)
+        )
+    with_digests(kept, text_field=text_field).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "digests", tag))
+    if band_ext is not None:
+        band_ext.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "bands", tag)
+        )
+    if sem_ext is not None:
         # cell partitioning is what turns the next batches' touched-
         # cell filters into partition pruning
         sem_ext.write.mode("overwrite").partitionBy("cell").parquet(
@@ -397,11 +406,32 @@ def ingest_dedup_batch(
     return stats
 
 
+def _dir_bytes(*roots: str) -> int:
+    """Total size of the regular files under the given directories —
+    the driver-side sizing probe behind the compaction's adaptive
+    output width.  Local-filesystem listing like compaction itself."""
+    total = 0
+    for root in roots:
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, name))
+                except OSError:
+                    pass
+    return total
+
+
+# target on-disk bytes per compacted index file: the playbook's
+# 128 MB - 1 GB healthy-output-file band, low end because index rows
+# compress poorly (high-entropy digests)
+_COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
 def compact_ingest_state(
     spark: SparkSession,
     state_dir: str,
     fuzzy: bool = True,
-    partitions: int = 32,
+    partitions: "int | None" = None,
     include_latest: bool = False,
 ) -> None:
     """Merge the per-batch index partitions into one consolidated
@@ -508,7 +538,26 @@ def compact_ingest_state(
         # and partition discovery on the root never sees the staging
         # dir.  A stale staging dir from a prior crash is overwritten.
         staging = os.path.join(state_dir, f"__compact_{name}__")
-        writer = merged.repartition(partitions).write.mode("overwrite")
+        # r16 adaptive output width (partitions=None, the default):
+        # size the compacted partition from the bytes actually being
+        # folded — ceil(folded bytes / 128 MB target) — instead of a
+        # constant.  The old fixed 32 wrote 32 KB-sized files from a
+        # test-scale fold (per-file open cost on every subsequent
+        # index read) AND would under-partition a 100 TB-design-point
+        # index (~180 GB of band keys -> 5.6 GB files).  The byte
+        # census walks the per-batch dirs being folded plus the old
+        # batch=-1 — the merged output is never larger than its
+        # inputs, so this never under-sizes below one target file.
+        n_parts = partitions
+        if n_parts is None:
+            folded_bytes = _dir_bytes(
+                os.path.join(root, "batch=-1"),
+                *(os.path.join(root, f"batch={n}") for n in old),
+            )
+            n_parts = max(
+                1, -(-folded_bytes // _COMPACT_TARGET_BYTES)
+            )
+        writer = merged.repartition(n_parts).write.mode("overwrite")
         if name == "semantic":
             # keep the cell partitioning through compaction — it is
             # what makes per-batch touched-cell reads prune
