@@ -142,21 +142,40 @@ def profile_corpus(
             scalar.append(c)
         # complex types: counts/nulls only
 
-    row = df.agg(*aggs).collect()[0]
-    n_rows = row["__n__"]
+    # r16: the three audit passes (scalar aggregate, exact quantiles,
+    # KMV candidates) are mutually independent reads of the same input
+    # — submit them from a driver thread pool so each job's task tail
+    # back-fills the others (the optimization playbook's concurrent-
+    # jobs idiom).  The empty-corpus short-circuit is preserved by
+    # DISCARDING the quantile/KMV results when the count comes back 0
+    # (on an empty frame those jobs are no-op-cheap, so running them
+    # speculatively costs nothing).
+    from concurrent.futures import ThreadPoolExecutor
 
-    exact_q: dict = {}
     numeric = [c for c in names if isinstance(by_name[c], _NUMERIC)]
-    if quantile_mode == "exact" and numeric and n_rows:
-        exact_q = _exact_quantiles(df, numeric, quantiles)
-
-    est = {}
     kmv_cols = [c for c in scalar if not isinstance(by_name[c], T.BooleanType)]
-    if kmv_cols and n_rows:
-        est = {
-            c: float(sk.estimate())
-            for c, sk in kmv_sketch_multi(df, kmv_cols, k=kmv_k).items()
-        }
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_row = pool.submit(lambda: df.agg(*aggs).collect()[0])
+        f_q = (
+            pool.submit(_exact_quantiles, df, numeric, quantiles)
+            if quantile_mode == "exact" and numeric
+            else None
+        )
+        f_kmv = (
+            pool.submit(kmv_sketch_multi, df, kmv_cols, kmv_k)
+            if kmv_cols
+            else None
+        )
+        row = f_row.result()
+        n_rows = row["__n__"]
+        exact_q: dict = (
+            f_q.result() if (f_q is not None and n_rows) else {}
+        )
+        est = (
+            {c: float(sk.estimate()) for c, sk in f_kmv.result().items()}
+            if (f_kmv is not None and n_rows)
+            else {}
+        )
 
     out = []
     d = row.asDict()

@@ -164,23 +164,35 @@ def kmv_sketch_multi(
     by_col: dict = {i: [] for i in range(len(columns))}
     for r in cand.collect():
         by_col[r.cidx].append(r.h)
+    # >half of a column's 2k smallest rows were duplicates: fall back
+    # to the exact-distinct path for the bottom of that column's hash
+    # space.  r16: ONE batched job for every pathological column (the
+    # old per-column loop ran a separate full-scan job per column —
+    # N extra corpus passes when N columns are duplicate-heavy).  The
+    # `pairs` frame already holds exactly the old fallback's input
+    # (null-compacted (cidx, hash)); distinct + per-column top-k over
+    # it returns the identical k smallest distinct hashes per column.
+    fallback = [
+        i
+        for i in range(len(columns))
+        if len(set(by_col[i])) < k and len(by_col[i]) == 2 * k
+    ]
+    fb_uniq: dict = {}
+    if fallback:
+        fb = (
+            pairs.where(F.col("cidx").isin(fallback))
+            .distinct()
+            .withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") <= k)
+        )
+        for r in fb.collect():
+            fb_uniq.setdefault(r.cidx, []).append(r.h)
     out = {}
     for i, c in enumerate(columns):
-        hs = by_col[i]
-        uniq = sorted(set(hs))
-        if len(uniq) < k and len(hs) == 2 * k:
-            # >half of this column's 2k smallest rows were duplicates:
-            # exact-distinct fallback for the bottom of the hash space
-            # (extra jobs only in this pathological branch)
-            uniq = [
-                r[0]
-                for r in df.where(F.col(c).isNotNull())
-                .select(portable_hash60(F.col(c).cast("string")).alias("h"))
-                .distinct()
-                .orderBy("h")
-                .limit(k)
-                .collect()
-            ]
+        if i in fb_uniq:
+            uniq = sorted(fb_uniq[i])
+        else:
+            uniq = sorted(set(by_col[i]))
         out[c] = KMVSketch(k, uniq[:k])
     return out
 
