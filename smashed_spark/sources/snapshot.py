@@ -3586,17 +3586,27 @@ def apply_deletions_snapshot(
         return _collected_prune_literal(spark, v, dtype)
 
     if key_df is not None:
-        if key_df.filter(F.col(key_field).isNull()).limit(1).count() > 0:
+        # literal in-pruning wants the keys on the driver; cap it so a
+        # huge forget DataFrame degrades to range pruning, not OOM.
+        # r16: the head probe runs FIRST — when it comes back complete
+        # (<= cap) it also serves the NULL refusal below for free; the
+        # dedicated NULL-scan job runs only for over-cap forget sets.
+        head = key_df.limit(prune_collect_cap + 1).collect()
+        if len(head) <= prune_collect_cap:
+            if any(r[0] is None for r in head):
+                raise ValueError(
+                    "apply_deletions_snapshot: NULL forget key — NULL "
+                    "never joins, so it would silently delete nothing"
+                )
+            kt = key_df.schema[key_field].dataType
+            literal_keys = [_prune_literal(r[0], kt) for r in head]
+        elif (
+            key_df.filter(F.col(key_field).isNull()).limit(1).count() > 0
+        ):
             raise ValueError(
                 "apply_deletions_snapshot: NULL forget key — NULL never "
                 "joins, so it would silently delete nothing"
             )
-        # literal in-pruning wants the keys on the driver; cap it so a
-        # huge forget DataFrame degrades to range pruning, not OOM
-        head = key_df.limit(prune_collect_cap + 1).collect()
-        if len(head) <= prune_collect_cap:
-            kt = key_df.schema[key_field].dataType
-            literal_keys = [_prune_literal(r[0], kt) for r in head]
 
     # ----- file scoping via the manifest's envelope stats -----
     prune: list = list(scope_where or [])
@@ -3662,7 +3672,19 @@ def apply_deletions_snapshot(
         # the marker join below must not fan out an out-of-scope
         # surviving row once per duplicate forget key
         key_df = key_df.distinct()
-    probed = key_df.limit(broadcast_threshold_rows + 1).count()
+    # r16: when the forget set's exact size is already known on the
+    # driver (literal list, or a head probe that came back complete),
+    # the broadcast decision needs no extra count job.  A known size
+    # under the threshold stays valid through the scope_where
+    # distinct() above (dedup only shrinks); a known size OVER the
+    # threshold after a distinct() must still be probed, since the
+    # dedup could have brought it back under.
+    if literal_keys is not None and (
+        not scope_where or len(literal_keys) <= broadcast_threshold_rows
+    ):
+        probed = len(literal_keys)
+    else:
+        probed = key_df.limit(broadcast_threshold_rows + 1).count()
     anti = (
         F.broadcast(key_df) if probed <= broadcast_threshold_rows else key_df
     )
@@ -3684,16 +3706,19 @@ def apply_deletions_snapshot(
             F.col(_FILE_COL).alias("path"),
             F.col(_POS_COL).cast("bigint").alias("pos"),
         ).localCheckpoint(eager=True)
-        n_deleted = positions.count()
+        # r16: one aggregate over the checkpointed positions serves
+        # both the empty-delete short-circuit (row count) and the
+        # tag-normalization guard (distinct paths) — previously two
+        # separate jobs over the same cached partitions
+        per_path = positions.groupBy("path").count().collect()
+        n_deleted = sum(r["count"] for r in per_path)
         if n_deleted == 0:
             return info
         # tag-normalization guard: every tagged path must be a
         # manifest path, or the READ side's anti-join would silently
         # miss (resurrected rows) — fail HERE, loudly, instead
         known = {f["path"] for f in touched}
-        tagged = [
-            r[0] for r in positions.select("path").distinct().collect()
-        ]
+        tagged = [r["path"] for r in per_path]
         alien = [p for p in tagged if p not in known]
         if alien:
             raise RuntimeError(
