@@ -323,7 +323,13 @@ def q_truncate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         TruncateMultipleNestedFieldsMapper,
     )
 
-    df = _with_words(spark, sf_dir).select(
+    from ..core.parallel import ensure_min_parallelism
+
+    # r16 opt: widen the one-task scan before the slice/pad/truncate
+    # array algebra (guide §2.5); per-doc outputs, order-independent
+    df = ensure_min_parallelism(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("words", F.split(F.col("text"), " ")).select(
         "doc_id",
         "words",
         F.col("words").alias("a"),
@@ -586,7 +592,14 @@ def q_multiseq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         MultiSequenceStriderMapper,
     )
 
-    df = _with_words(spark, sf_dir).select(
+    from ..core.parallel import ensure_min_parallelism
+
+    # r16 opt: widen the one-task scan before the nested-array stride/
+    # mask algebra; output is keyed per doc_id (no encounter-order
+    # dependence), so the round-robin exchange is value-neutral
+    df = ensure_min_parallelism(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("words", F.split(F.col("text"), " ")).select(
         "doc_id",
         F.transform(
             F.slice(F.col("words"), 1, 9),
@@ -775,10 +788,15 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TokenizerMapper with the deterministic WordPiece tokenizer
     (reference tokenize.py:84-229); oracle derived from the tiny vocab
     (every corpus word maps to one piece)."""
+    from ..core.parallel import ensure_min_parallelism
     from ..functions.wordpiece import tiny_bert_tokenizer
     from ..operators.hf_tokenize import TokenizerMapper
 
-    df = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # r16 opt: single-row-group scan -> one task; spread the per-word
+    # WordPiece expression tree across cores (guide §2.5)
+    df = ensure_min_parallelism(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     out = TokenizerMapper(
         tiny_bert_tokenizer(model_max_length=4096),
         input_field="text",

@@ -69,9 +69,17 @@ def q_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.wordpiece import tiny_bert_tokenizer
     from ..operators.hf_tokenize import DecodingMapper, EncodeFieldsMapper
 
+    from ..core.parallel import ensure_min_parallelism
+
     tok = tiny_bert_tokenizer(model_max_length=4096)
-    df = load(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").alias("ids"), F.col("text").alias("decoded")
+    # r16 opt: widen the one-task scan before the encode/decode
+    # expression trees run twice per row (guide §2.5)
+    df = ensure_min_parallelism(
+        load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.col("text").alias("ids"),
+            F.col("text").alias("decoded"),
+        )
     )
     pipe = EncodeFieldsMapper(["ids", "decoded"], tok) >> DecodingMapper(
         tok, fields=["decoded"]

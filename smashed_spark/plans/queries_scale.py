@@ -530,10 +530,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a separate unit test."""
     from ..functions.similarity import HyperplaneLSHTopK
 
+    from ..core.parallel import ensure_min_parallelism
+
     out = HyperplaneLSHTopK(
         k=5, num_bits=6, num_tables=4, queries_filter="vec_id < 20",
         dims=64,  # known testdata width: skips the one-row probe job
-    ).map(load(spark, sf_dir, "embeddings"))
+    ).map(
+        # r16 opt: widen the one-task embeddings scan before the
+        # per-table hyperplane-dot hashing (guide §2.5)
+        ensure_min_parallelism(load(spark, sf_dir, "embeddings"))
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -1690,10 +1696,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import IVFCosineTopK
 
     _IVF_GATE_SF_DIR["dir"] = os.path.normpath(sf_dir)
+    from ..core.parallel import ensure_min_parallelism
+
     out = IVFCosineTopK(
         k=5, n_centroids=8, n_probe=3, max_iter=3, seed=42,
         queries_filter="vec_id < 20",
-    ).map(load(spark, sf_dir, "embeddings"))
+    ).map(
+        # r16 opt: widen the one-task embeddings scan before the cell
+        # assignment + rerank math; the fit sample is hash-ordered
+        # (partition-independent), so values are unchanged
+        ensure_min_parallelism(load(spark, sf_dir, "embeddings"))
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -1994,8 +2007,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.similarity import fit_centroids_sampled
 
+    from ..core.parallel import ensure_min_parallelism
+
     _SEM_GATE_SF_DIR["dir"] = os.path.normpath(sf_dir)
-    emb = load(spark, sf_dir, "embeddings")
+    # r16 opt: widen the one-task embeddings scan before the Arrow
+    # cell-assignment passes; the centroid fit sample is hash-ordered
+    # (partition-independent), so values are unchanged
+    emb = ensure_min_parallelism(load(spark, sf_dir, "embeddings"))
     # ONE quantizer fit serves both stages (injection is the
     # documented contract; a second identical fit would double the
     # driver-side k-means and make the shared-centroids guarantee
@@ -2187,9 +2205,16 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .queries_more import _claim_io_zdocs_dir
 
+    from ..core.parallel import ensure_min_parallelism
+
     ensure_shipped(spark)
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("media")
+    # r16 opt: widen the one-task documents scan — parallelizes both
+    # the media synth write (multi-file side parquet -> multi-task
+    # header parse) and the byte-feature pipe (guide §2.5)
+    docs = ensure_min_parallelism(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("media")
+        )
     )
 
     _claim_io_zdocs_dir(_MEDIA_GATE_PATH, env_var="SMASHED_MEDIA_GATE_DIR")
