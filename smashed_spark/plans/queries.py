@@ -435,14 +435,20 @@ def q_multiseq_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         TokenTypeIdsSequencePaddingMapper,
     )
 
-    base = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array(
-            (F.col("doc_id") % 10).cast("bigint"),
-            (F.col("doc_id") % 7).cast("bigint"),
-        ).alias("ids"),
+    from ..core.parallel import ensure_min_parallelism
+
+    # r16 opt: widen the one-task scan before the pad/concat/prompt
+    # array algebra (guide §2.5); per-doc outputs, order-independent
+    base = ensure_min_parallelism(
+        load(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array(
+                (F.col("doc_id") % 10).cast("bigint"),
+                (F.col("doc_id") % 7).cast("bigint"),
+            ).alias("ids"),
+        )
     )
     prompt_pipe = FillTextPromptMapper(
         "doc {doc_id} [{lang}]: {source}", "prompt"
@@ -647,7 +653,13 @@ def q_words_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import TextToWordsMapper, WordsToTextMapper
     from ..operators.tokenize import ValidUnicodeMapper
 
-    df = _with_words(spark, sf_dir).select(
+    from ..core.parallel import ensure_min_parallelism
+
+    # r16 opt: widen the one-task scan before the split/case/unicode
+    # per-row work (guide §2.5); per-doc outputs, order-independent
+    df = ensure_min_parallelism(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("words", F.split(F.col("text"), " ")).select(
         "doc_id",
         F.col("text").alias("t"),
         F.transform(

@@ -118,7 +118,13 @@ def q_strider_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride == max_length the window's token range is [st, st+len)."""
     from ..operators.shape import SingleSequenceStriderMapperWithLocations
 
-    df = _words(spark, sf_dir).select(
+    from ..core.parallel import ensure_min_parallelism
+
+    # r16 opt: widen the one-task scan before the window explode +
+    # overlap tagging (guide §2.5); per-doc outputs, order-independent
+    df = ensure_min_parallelism(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("words", F.split(F.col("text"), " ")).select(
         "doc_id",
         "words",
         F.array(
@@ -913,6 +919,11 @@ def q_combine_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="smashed_evolve_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # r16 scan-overlap probe REVERTED: submitting these two writes
+    # from a driver thread pool (io_roundtrip pattern) measured 1.49
+    # -> 1.62 s min-of-7 — each job is ONE task at gate scale (the
+    # docs scan is a single row group), so there is no task tail to
+    # back-fill, only scheduler churn.  Don't re-try.
     docs.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").cast("int").alias("doc_id"), "lang"
     ).write.mode("overwrite").parquet(base + "/v1")

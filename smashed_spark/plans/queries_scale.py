@@ -1401,8 +1401,12 @@ def q_contrib_squad(spark: SparkSession, sf_dir: str) -> DataFrame:
         UniqueAnswerMapper,
     )
 
+    from ..core.parallel import ensure_min_parallelism
+
+    # r16 opt: widen the one-task scan before the evidence-location
+    # string search (guide §2.5); per-doc outputs, order-independent
     df = (
-        load(spark, sf_dir, "documents")
+        ensure_min_parallelism(load(spark, sf_dir, "documents"))
         .withColumn("context", F.array("lang", "source"))
         .withColumn(
             "evidences",
