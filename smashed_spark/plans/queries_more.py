@@ -1033,7 +1033,14 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast join on a slim projection rather than re-evaluating the
     # 8x-replicated salted plan a second time (TRAP 14: filter/fit
     # side-pipelines should never double-evaluate a wide parent)
-    key_stream = orders.select("custkey").join(
+    # r16 opt: the fit's map side (md5 position arithmetic per row)
+    # ran on the single-row-group orders scan's ONE task; fit_cms is
+    # documented partition-invariant, so the widen is value-safe.
+    # Only the fit branch is widened — the salted join plan above is
+    # exchange-bound and keeps its scan untouched.
+    from ..core.parallel import ensure_min_parallelism
+
+    key_stream = ensure_min_parallelism(orders.select("custkey")).join(
         F.broadcast(customer.select("custkey", "c_nationkey")), "custkey"
     ).select(F.col("c_nationkey").cast("bigint").alias("nationkey"))
     sketch = fit_cms(

@@ -466,6 +466,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over *rounded* similarity so ordering is engine-stable."""
     from ..functions.similarity import CosineTopK
 
+    # r16 scan-widen probe REVERTED: 0.51 -> 1.04 s min-of-7 — the
+    # broadcast-BLAS pass is too cheap here to amortize the exchange,
+    # which recomputes under the query/corpus branches.  Don't re-try.
     out = CosineTopK(k=5, queries_filter="vec_id < 20").map(
         load(spark, sf_dir, "embeddings")
     )
@@ -1963,6 +1966,10 @@ def q_diversity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "per-corpus by construction."
         )
     _DSEL_GATE_SF_DIR["dir"] = os.path.normpath(sf_dir)
+    # r16 scan-widen probe REVERTED: 0.81 -> 1.11 s min-of-7 — the
+    # prototypicality matmul is one cheap Arrow pass and the in-cell
+    # rank exchange sits directly above it; the widen exchange only
+    # added a recompute under the fit/score branches.  Don't re-try.
     emb = load(spark, sf_dir, "embeddings")
     base = emb.select(
         F.col("vec_id").alias("__id__"),
