@@ -135,6 +135,28 @@ def test_multi_column_matches_per_column_bitwise(spark):
         assert multi[col].estimate() == single.estimate()
 
 
+def test_multi_column_batched_fallback_two_pathological(spark):
+    """r16: when SEVERAL columns trip the exact-distinct fallback they
+    share ONE batched job instead of a full scan each — the batch must
+    stay bit-identical to the per-column kmv_sketch path for every
+    column, pathological or not."""
+    from smashed_spark.functions.sketches import kmv_sketch_multi
+
+    rows = [
+        (f"x{i % 4}", f"y{i % 7}", f"w{i}") for i in range(2100)
+    ]
+    df = spark.createDataFrame(rows, "a: string, b: string, c: string")
+    # a (4 distinct) and b (7 distinct) both saturate 2k candidate
+    # rows with duplicates -> both take the batched fallback; c stays
+    # on the sketch path
+    multi = kmv_sketch_multi(df, ["a", "b", "c"], k=64)
+    assert multi["a"].estimate() == 4
+    assert multi["b"].estimate() == 7
+    for col in ("a", "b", "c"):
+        single = kmv_sketch(df, col, k=64)
+        assert multi[col].hashes == single.hashes, col
+
+
 def test_multi_column_single_pass_plan(spark):
     """The scale contract: ONE scan feeding a WindowGroupLimit-pushed
     per-column top-k — the partial limit must sit below the exchange

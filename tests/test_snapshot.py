@@ -585,6 +585,17 @@ def test_apply_deletions_snapshot_refusals(spark, tmp_path):
         apply_deletions_snapshot(
             spark, root, keys=null_keys, key_field="doc_id"
         )
+    # r16: the refusal has two routes — the head probe serves it for
+    # under-cap forget sets (above), a dedicated NULL scan for
+    # over-cap sets.  Force the over-cap route with cap=0.
+    with pytest.raises(ValueError, match="NULL forget key"):
+        apply_deletions_snapshot(
+            spark,
+            root,
+            keys=null_keys,
+            key_field="doc_id",
+            prune_collect_cap=0,
+        )
 
 
 # ---------------------------------------------------------------------------
