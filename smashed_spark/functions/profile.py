@@ -168,14 +168,35 @@ def profile_corpus(
         )
         row = f_row.result()
         n_rows = row["__n__"]
-        exact_q: dict = (
-            f_q.result() if (f_q is not None and n_rows) else {}
-        )
-        est = (
-            {c: float(sk.estimate()) for c, sk in f_kmv.result().items()}
-            if (f_kmv is not None and n_rows)
-            else {}
-        )
+        # the speculative futures are always .result()'ed (r17, ADVICE):
+        # the pool shutdown blocks on them either way, so a real failure
+        # (executor/storage error) must surface, not be silently
+        # swallowed.  Only on a PROVEN-empty corpus (n_rows == 0, where
+        # the speculative jobs' values are discarded anyway) is a
+        # failure in them ignorable.
+        exact_q: dict = {}
+        if f_q is not None:
+            try:
+                q_res = f_q.result()
+            except Exception:
+                if n_rows:
+                    raise
+            else:
+                if n_rows:
+                    exact_q = q_res
+        est: dict = {}
+        if f_kmv is not None:
+            try:
+                kmv_res = f_kmv.result()
+            except Exception:
+                if n_rows:
+                    raise
+            else:
+                if n_rows:
+                    est = {
+                        c: float(sk.estimate())
+                        for c, sk in kmv_res.items()
+                    }
 
     out = []
     d = row.asDict()

@@ -437,18 +437,14 @@ def q_multiseq_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..core.parallel import ensure_min_parallelism
 
-    # r16 opt: widen the one-task scan before the pad/concat/prompt
-    # array algebra (guide §2.5); per-doc outputs, order-independent
-    base = ensure_min_parallelism(
-        load(spark, sf_dir, "documents").select(
-            "doc_id",
-            "lang",
-            "source",
-            F.array(
-                (F.col("doc_id") % 10).cast("bigint"),
-                (F.col("doc_id") % 7).cast("bigint"),
-            ).alias("ids"),
-        )
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array(
+            (F.col("doc_id") % 10).cast("bigint"),
+            (F.col("doc_id") % 7).cast("bigint"),
+        ).alias("ids"),
     )
     prompt_pipe = FillTextPromptMapper(
         "doc {doc_id} [{lang}]: {source}", "prompt"

@@ -782,6 +782,11 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return out
 
+    # r17 quiet-host adjudication (VERDICT item 7): pooled vs
+    # sequential min-of-7 on an idle host = 4.10 s vs 4.46 s (steady
+    # reps 4.1-4.3 vs 4.6-6.1) — the pool stands; the r16 driver's
+    # 0.63x "regression" was shared-disk contention, where four
+    # concurrent write chains serialize behind the device anyway.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
@@ -1415,12 +1420,17 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (guide §2.5) — every stage keys on md5(doc key/text) and the
     # prefix-sum stage sorts globally first, so values are
     # partitioning-independent by construction (the gate docstring's
-    # standing claim)
+    # standing claim).  r17 (VERDICT item 4): the chain's branches
+    # (epoch copies, split, dedup join-backs, budget prefix sums)
+    # re-executed the widen exchange 8x per plan; one in-gate
+    # localCheckpoint of the ~600 KB widened scan (inside the timed
+    # region — every rep pays it) makes all branches share ONE
+    # materialized child instead.
     docs = ensure_min_parallelism(
         load(spark, sf_dir, "documents").select(
             "doc_id", "lang", "n_chars", "text"
         )
-    )
+    ).localCheckpoint(eager=True)
     en = docs.filter(F.col("lang") == "en")
     rest = docs.filter(F.col("lang") != "en")
     from ..sources.loaders import quota_sample

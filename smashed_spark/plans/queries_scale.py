@@ -539,9 +539,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, num_bits=6, num_tables=4, queries_filter="vec_id < 20",
         dims=64,  # known testdata width: skips the one-row probe job
     ).map(
-        # r16 opt: widen the one-task embeddings scan before the
-        # per-table hyperplane-dot hashing (guide §2.5)
-        ensure_min_parallelism(load(spark, sf_dir, "embeddings"))
+        load(spark, sf_dir, "embeddings")
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -1083,12 +1081,17 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r16 opt: widen the one-task scan before the word explode + hashed
     # projections feeding both unigram fits and the importance weights
-    # (guide §2.5)
+    # (guide §2.5).  r17: the two fit collects + the weighted union's
+    # branches re-executed the widen exchange per job/branch; one
+    # in-gate localCheckpoint (timed region) shares the materialized
+    # widened scan across all of them (VERDICT item 4's pattern).
     from ..core.parallel import ensure_min_parallelism
 
-    docs = ensure_min_parallelism(
-        load(spark, sf_dir, "documents")
-    ).withColumn("words", F.split("text", " "))
+    docs = (
+        ensure_min_parallelism(load(spark, sf_dir, "documents"))
+        .localCheckpoint(eager=True)
+        .withColumn("words", F.split("text", " "))
+    )
     target = docs.filter(F.col("n_chars") >= 400)
     t_table = fit_unigram_logprob_table(target, dims=_DSIR_DIMS)
     r_table = fit_unigram_logprob_table(docs, dims=_DSIR_DIMS)
@@ -1709,10 +1712,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, n_centroids=8, n_probe=3, max_iter=3, seed=42,
         queries_filter="vec_id < 20",
     ).map(
-        # r16 opt: widen the one-task embeddings scan before the cell
-        # assignment + rerank math; the fit sample is hash-ordered
-        # (partition-independent), so values are unchanged
-        ensure_min_parallelism(load(spark, sf_dir, "embeddings"))
+        load(spark, sf_dir, "embeddings")
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -2021,10 +2021,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..core.parallel import ensure_min_parallelism
 
     _SEM_GATE_SF_DIR["dir"] = os.path.normpath(sf_dir)
-    # r16 opt: widen the one-task embeddings scan before the Arrow
-    # cell-assignment passes; the centroid fit sample is hash-ordered
-    # (partition-independent), so values are unchanged
-    emb = ensure_min_parallelism(load(spark, sf_dir, "embeddings"))
+    emb = load(spark, sf_dir, "embeddings")
     # ONE quantizer fit serves both stages (injection is the
     # documented contract; a second identical fit would double the
     # driver-side k-means and make the shared-centroids guarantee
@@ -2219,13 +2216,8 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..core.parallel import ensure_min_parallelism
 
     ensure_shipped(spark)
-    # r16 opt: widen the one-task documents scan — parallelizes both
-    # the media synth write (multi-file side parquet -> multi-task
-    # header parse) and the byte-feature pipe (guide §2.5)
-    docs = ensure_min_parallelism(
-        load(spark, sf_dir, "documents").select(
-            "doc_id", F.encode("text", "utf-8").alias("media")
-        )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
     )
 
     _claim_io_zdocs_dir(_MEDIA_GATE_PATH, env_var="SMASHED_MEDIA_GATE_DIR")

@@ -22,6 +22,27 @@ def _explain(df) -> str:
     )
 
 
+def _count_widen_exchanges(plan: str) -> int:
+    """Count Exchange nodes whose Arguments line carries
+    RoundRobinPartitioning — STRUCTURALLY, from the formatted plan's
+    detail blocks, instead of subtracting raw substring counts (r17,
+    ADVICE: a ReusedExchange of a widen node, or any other plan text
+    mentioning RoundRobinPartitioning, would skew the naive
+    arithmetic)."""
+    n = 0
+    for block in plan.split("\n\n"):
+        lines = block.strip().splitlines()
+        if not lines:
+            continue
+        head = lines[0]
+        if ") Exchange" in head and any(
+            ln.startswith("Arguments:") and "RoundRobinPartitioning" in ln
+            for ln in lines[1:]
+        ):
+            n += 1
+    return n
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = load(spark, sf_dir, "documents")
     out = FilterMapper("n_chars", ">=", 100).map(df)
@@ -236,7 +257,7 @@ def test_text_stats_exchange_budget(spark, sf_dir):
     from smashed_spark.plans.queries_scale import q_text_stats
 
     plan = _explain(q_text_stats(spark, sf_dir))
-    n_widen = plan.count("RoundRobinPartitioning")
+    n_widen = _count_widen_exchanges(plan)
     assert n_widen <= 3, plan
     assert plan.count("Exchange (") - n_widen <= 5, plan
     assert plan.count("BroadcastExchange (") >= 1, plan
