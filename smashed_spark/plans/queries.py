@@ -435,8 +435,6 @@ def q_multiseq_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         TokenTypeIdsSequencePaddingMapper,
     )
 
-    from ..core.parallel import ensure_min_parallelism
-
     base = load(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
