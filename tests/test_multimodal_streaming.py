@@ -1555,3 +1555,46 @@ def test_ingest_semantic_family(spark, tmp_path):
         ).collect()
     ]
     assert surv3 == [], surv3
+
+
+def test_ingest_plain_mode_small_index_parity(spark, tmp_path, monkeypatch):
+    """r17 routing refinement: while the on-disk index stays under
+    ``_PLAIN_INDEX_MAX_BYTES``, ingest_dedup_batch skips broadcast-probe
+    mode (the plain join auto-broadcasts a small index, so the probe's
+    extra batch evaluations buy nothing) AND skips the batch-sizing
+    count.  Verdicts must be identical in both routings, batch by
+    batch — reposts against history included."""
+    import smashed_spark.streaming.ingest as ingest_mod
+    from smashed_spark.streaming.ingest import ingest_dedup_batch
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(30)
+    ]
+    b0 = spark.createDataFrame(rows[:20], "doc_id: bigint, text: string")
+    # batch 1 reposts 5 docs of batch 0 (exact) and brings 10 new ones
+    b1 = spark.createDataFrame(
+        rows[:5] + rows[20:], "doc_id: bigint, text: string"
+    )
+
+    def run(root: str) -> "list[tuple]":
+        state, out = root + "/state", root + "/out"
+        ingest_dedup_batch(b0, state, out, batch_id=0)
+        ingest_dedup_batch(b1, state, out, batch_id=1)
+        return sorted(
+            (r.batch, r.doc_id)
+            for r in spark.read.parquet(out)
+            .selectExpr("CAST(batch AS BIGINT) batch", "doc_id")
+            .collect()
+        )
+
+    # default routing: tiny test index -> plain mode
+    assert ingest_mod._PLAIN_INDEX_MAX_BYTES > 0
+    plain = run(str(tmp_path / "plain"))
+    # force the old always-probe routing and replay identically
+    monkeypatch.setattr(ingest_mod, "_PLAIN_INDEX_MAX_BYTES", 0)
+    probed = run(str(tmp_path / "probe"))
+    assert plain == probed
+    # the repost dedup actually happened (5 history dups dropped)
+    assert [d for b, d in plain if b == 1] == sorted(
+        r[0] for r in rows[20:]
+    )
