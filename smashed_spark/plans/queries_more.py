@@ -201,7 +201,11 @@ def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16 scan-widen probe REVERTED: ensure_min_parallelism() here
     # cost 4.2 s -> 7.3 s (same-session A/B, 5 reps) — the exchange
     # recomputes under every batch filter branch and the gate is
-    # commit/state-bound, not per-row-compute-bound.  Don't re-try.
+    # commit/state-bound, not per-row-compute-bound.  r17 re-probe:
+    # widen + in-gate localCheckpoint (the sample_mix fix for the
+    # recompute) measured NEUTRAL-to-worse too (min-of-7 4.96 -> 5.48;
+    # fuzzy sibling 10.30 -> 10.28) — the eval cost is not scan
+    # parallelism.  Don't re-try either form.
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     shift = lambda df, k: df.withColumn(  # noqa: E731
         "doc_id", F.col("doc_id") + F.lit(k)
@@ -369,7 +373,9 @@ def q_streaming_ingest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16 scan-widen probe REVERTED: neutral at best here (12.7 s ->
     # 12.3 s min, within rep noise) and the sibling exact-dedup gate
     # regressed 1.7x under the same widen — the ingest gates are
-    # commit/state-bound.  Don't re-try.
+    # commit/state-bound.  r17 re-probe: widen + in-gate
+    # localCheckpoint also neutral (10.30 -> 10.28 min-of-7).  Don't
+    # re-try either form.
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     shift = lambda df, k: df.withColumn(  # noqa: E731
         "doc_id", F.col("doc_id") + F.lit(k)
@@ -1862,7 +1868,26 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sketches import distinct_estimate
 
     ev = load(spark, sf_dir, "events")
-    kmv = distinct_estimate(ev, ["user_id", "event_type"], k=64).select(
+    # r17: the KMV stage (events) and the profile stage (documents)
+    # are independent eager driver computations over different tables
+    # — overlap them from a driver pool (guide §2.6) so the profile's
+    # three pooled jobs back-fill the KMV window job's tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    docs = load(spark, sf_dir, "documents")
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_kmv = _pool.submit(
+            distinct_estimate, ev, ["user_id", "event_type"], 64
+        )
+        _f_prof = _pool.submit(
+            profile_corpus,
+            docs.select("doc_id", "lang", "n_chars"),
+            kmv_k=256,
+            quantile_mode="exact",
+        )
+        kmv_raw = _f_kmv.result()
+        prof_raw = _f_prof.result()
+    kmv = kmv_raw.select(
         F.lit("kmv").alias("stage"),
         "column", "k_used", "n_hashes", "kth_hash", "est_distinct",
         F.lit(None).cast("string").alias("dtype"),
@@ -1880,12 +1905,7 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("q75"),
         F.lit(None).cast("double").alias("q99"),
     )
-    docs = load(spark, sf_dir, "documents")
-    prof = profile_corpus(
-        docs.select("doc_id", "lang", "n_chars"),
-        kmv_k=256,
-        quantile_mode="exact",
-    ).select(
+    prof = prof_raw.select(
         F.lit("profile").alias("stage"),
         "column",
         F.lit(None).cast("bigint").alias("k_used"),

@@ -1370,7 +1370,16 @@ def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="smashed_rollup_gate_")
     try:
-        for i in range(3):
+        # r17: batches 0 and 1 are independent commits to DISJOINT
+        # batch= dirs, and the compaction (whose no-concurrent-write
+        # contract is what killed the r16 overlap probe) only runs
+        # after BOTH have committed — so the two partial-rollup jobs
+        # overlap from a driver pool (guide §2.6) without touching
+        # that contract.  Batch 2 stays after the compaction, as the
+        # lifecycle being certified requires.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _ingest(i: int) -> None:
             rollup_ingest_batch(
                 spark,
                 root,
@@ -1379,10 +1388,15 @@ def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spec,
                 "hour",
             )
-            if i == 1:
-                # folds batch 0 into the manifest-carrying batch=-1;
-                # the final read then merges compacted + tail partials
-                compact_rollup_state(spark, root, spec)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f0, f1 = pool.submit(_ingest, 0), pool.submit(_ingest, 1)
+            f0.result()
+            f1.result()
+        # folds batch 0 into the manifest-carrying batch=-1; the final
+        # read then merges compacted + tail partials
+        compact_rollup_state(spark, root, spec)
+        _ingest(2)
         daily = rollup_to_granularity(
             read_rollup(spark, root, spec), "day", spec, finer="hour"
         )

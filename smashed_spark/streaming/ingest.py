@@ -245,6 +245,27 @@ def ingest_dedup_batch(
             "append)"
         )
     spark = batch.sparkSession
+    # r17 routing refinement (guide §3.1 — broadcast the side that
+    # fits): probe mode exists so the HISTORY index is never exchanged
+    # once it outgrows a broadcast (~180 GB at the design point).
+    # While the index is still SMALL enough that the plain join would
+    # auto-broadcast it anyway (Catalyst sizes parquet relations from
+    # file bytes), the probe's extra batch evaluations + two broadcast
+    # builds are pure overhead — measured 1.9x on the fuzzy decision
+    # plan.  The index's on-disk size is already known driver-side
+    # (the same local listing the compaction sizer uses); a non-local
+    # state_dir (no "://" handling here — compaction is local-FS-only
+    # by the module contract anyway) or a big index keeps probe mode.
+    def _small_index(name: str) -> bool:
+        root = os.path.join(state_dir, name)
+        if not os.path.isdir(root):
+            # absent/unlistable locally: empty first-batch index (plain
+            # join against an empty frame is free) — but an unlistable
+            # REMOTE path must not be mistaken for empty
+            return "://" not in state_dir
+        return _dir_bytes(root) <= _PLAIN_INDEX_MAX_BYTES
+    small_exact = _small_index("digests")
+    small_fuzzy = _small_index("bands")
     # ONE bounded sizing job on the RAW batch resolves probe-vs-plain
     # for BOTH operators: passing "auto" through would make the fuzzy
     # operator's own sizing count run on the UNMATERIALIZED exact-dedup
@@ -253,12 +274,20 @@ def ingest_dedup_batch(
     # fuzzy stage's input (survivors <= batch rows), so the routing is
     # conservative in the safe direction: an oversized batch exchanges
     # instead of broadcasting.  limit() keeps the job O(cap) however
-    # large the batch.
-    cap_fuzzy = max(1, max_probe_rows // max(1, bands))
-    sizing_cap = max(max_probe_rows, cap_fuzzy)
-    batch_rows_capped = batch.limit(sizing_cap + 1).count()
-    probe_exact = batch_rows_capped <= max_probe_rows
-    probe_fuzzy = batch_rows_capped <= cap_fuzzy
+    # large the batch.  Skipped entirely when every index in play is
+    # small (the batch size only matters for probe-mode eligibility).
+    if small_exact and (small_fuzzy or not fuzzy):
+        probe_exact = probe_fuzzy = False
+    else:
+        cap_fuzzy = max(1, max_probe_rows // max(1, bands))
+        sizing_cap = max(max_probe_rows, cap_fuzzy)
+        batch_rows_capped = batch.limit(sizing_cap + 1).count()
+        probe_exact = (
+            batch_rows_capped <= max_probe_rows and not small_exact
+        )
+        probe_fuzzy = (
+            batch_rows_capped <= cap_fuzzy and not small_fuzzy
+        )
     digest_index = _read_state(
         spark,
         os.path.join(state_dir, "digests"),
@@ -425,6 +454,14 @@ def _dir_bytes(*roots: str) -> int:
 # 128 MB - 1 GB healthy-output-file band, low end because index rows
 # compress poorly (high-entropy digests)
 _COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+# index size (on-disk bytes) below which the per-batch dedup joins run
+# in PLAIN mode instead of broadcast-probe mode: well under Spark's
+# 10 MB autoBroadcastJoinThreshold (digest/band parquet compresses
+# poorly, so on-disk bytes track the relation estimate closely) — the
+# plain join then auto-broadcasts the index and probe mode's extra
+# batch evaluations buy nothing (r17; see ingest_dedup_batch)
+_PLAIN_INDEX_MAX_BYTES = 4 * 1024 * 1024
 
 
 def compact_ingest_state(
