@@ -1,6 +1,10 @@
 """Multimodal binary plumbing + structured streaming."""
 
 import pytest
+
+# r17: slow integration tier — deselected by the default (fast) run;
+# full tier: python -m pytest tests/ -q -m ''
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from smashed_spark.operators.multimodal import (

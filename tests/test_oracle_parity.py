@@ -9,6 +9,10 @@ import os
 import duckdb
 import pytest
 
+# r17: slow integration tier — deselected by the default (fast) run;
+# full tier: python -m pytest tests/ -q -m ''
+pytestmark = pytest.mark.slow
+
 import __spark_entry__ as entry_mod
 from smashed_spark.plans.registry import TABLES
 

@@ -445,6 +445,7 @@ def test_fuzzy_dedup_simhash_128_bit_composes(spark):
     assert out[3] == (3, 1)
 
 
+@pytest.mark.slow
 def test_no_row_python_eval_in_any_gate_plan(spark, sf_dir):
     """The repo-wide claim VERDICT audits by hand — 'no row-at-a-time
     Python UDF anywhere in the hot paths' — pinned as a sweep: every
@@ -511,6 +512,7 @@ def example_lint_results():
     return json.loads(line[len("RESULTS: "):])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("example", _EXAMPLES)
 def test_no_row_python_eval_in_example_plans(
     example, example_lint_results

@@ -9,6 +9,10 @@ policy, initial=latest), and the unit-level offset protocol
 import os
 
 import pytest
+
+# r17: slow integration tier — deselected by the default (fast) run;
+# full tier: python -m pytest tests/ -q -m ''
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 

@@ -8,6 +8,10 @@ import os
 
 import pytest
 
+# r17: slow integration tier — deselected by the default (fast) run;
+# full tier: python -m pytest tests/ -q -m ''
+pytestmark = pytest.mark.slow
+
 import smashed_spark.sources.snapshot as snap
 from smashed_spark.sources.snapshot import (
     compact_snapshot,

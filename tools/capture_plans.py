@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for gate queries into plans/r16/.
+"""Capture .explain("formatted") for gate queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [q1 q2 ...]
-  suffix: "before" or "after" — file name becomes plans/r16/<q>_<suffix>.txt
+  suffix: "before" or "after" — file name becomes plans/<round>/<q>_<suffix>.txt
+  Round dir from $SMASHED_PLANS_ROUND (default r17).
   With no query names, captures every registered query.
 
 Eager gates (snapshot_lifecycle, streaming_ingest_*) run their staged
@@ -24,7 +25,8 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans",
+        os.environ.get("SMASHED_PLANS_ROUND", "r17"))
     os.makedirs(out_dir, exist_ok=True)
 
     from pyspark.sql import SparkSession
