@@ -597,6 +597,9 @@ def q_multiseq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16 opt: widen the one-task scan before the nested-array stride/
     # mask algebra; output is keyed per doc_id (no encounter-order
     # dependence), so the round-robin exchange is value-neutral
+    # (r17: a 64 KB/task size cap was probed and LOST here — 0.89 ->
+    # 0.97 min-of-7; the nested stride/mask algebra amortizes full
+    # width.  Don't re-try.)
     df = ensure_min_parallelism(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     ).withColumn("words", F.split(F.col("text"), " ")).select(

@@ -73,13 +73,20 @@ def q_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = tiny_bert_tokenizer(model_max_length=4096)
     # r16 opt: widen the one-task scan before the encode/decode
-    # expression trees run twice per row (guide §2.5)
+    # expression trees run twice per row (guide §2.5).  r17 (VERDICT
+    # item 3): size-capped at 64 KB of scan bytes per task — the
+    # encode/decode expression trees are cheap enough that 32
+    # micro-tasks of ~160 rows cost more in scheduling than they buy
+    # (min-of-7: 1.06 s full width -> 0.73 s capped; the r16 scaling
+    # block read 0.70 at 8-vs-32 cores for the same reason).  At the
+    # design point the scan is already wide and the helper is identity.
     df = ensure_min_parallelism(
         load(spark, sf_dir, "documents").select(
             "doc_id",
             F.col("text").alias("ids"),
             F.col("text").alias("decoded"),
-        )
+        ),
+        bytes_per_task=65536,
     )
     pipe = EncodeFieldsMapper(["ids", "decoded"], tok) >> DecodingMapper(
         tok, fields=["decoded"]
@@ -121,7 +128,9 @@ def q_strider_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..core.parallel import ensure_min_parallelism
 
     # r16 opt: widen the one-task scan before the window explode +
-    # overlap tagging (guide §2.5); per-doc outputs, order-independent
+    # overlap tagging (guide §2.5); per-doc outputs, order-independent.
+    # r17: a 64 KB/task size cap was probed and was FLAT here (0.44 ->
+    # 0.46 min-of-7) — full width stands; don't re-try.
     df = ensure_min_parallelism(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     ).withColumn("words", F.split(F.col("text"), " ")).select(
