@@ -858,7 +858,21 @@ class NGramJaccardPairsMapper(SparkMapper):
         )
 
     def _pairs_join(self, inv: DataFrame) -> DataFrame:
-        l, r = inv.alias("l"), inv.alias("r")
+        # MERGE hint (r17): this is a SELF-join — when both sides
+        # shuffle on __s__, ReuseExchange computes the inverted index
+        # (shingle explode + hash + frequency-cap window) ONCE and
+        # both sides read it, which is the class docstring's design.
+        # Left to auto-selection, Catalyst instead broadcasts one side
+        # at small SF, and the broadcast side RE-derives the whole
+        # inverted index (its exchange cannot be reused into a
+        # broadcast build): two shingle passes + a build for zero
+        # gain.  At corpus scale the index never fits a broadcast, so
+        # the hint only pins the plan the operator already has there.
+        # (A shuffle_hash hint measured another ~10% at bench SF but
+        # builds per-partition hash tables — it would break this
+        # method's documented no-per-group-memory-bound contract at
+        # scale, so merge stands.)
+        l, r = inv.alias("l").hint("merge"), inv.alias("r")
         return (
             l.join(
                 r,
