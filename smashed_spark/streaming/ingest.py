@@ -133,7 +133,15 @@ def _read_state(
 
     _recover_compaction_swap(path)
     try:
-        df = spark.read.parquet(path)
+        # r17: explicit read schema — the index schemas are module
+        # constants and every writer in this module lands rows under a
+        # ``batch=N`` partition dir (``cell=M`` additionally for the
+        # semantic index, whose partition column rides the declared
+        # schema), so footer-based schema inference is ~100 ms of
+        # driver time per read for information already known.  Missing
+        # paths still raise PATH_NOT_FOUND at listing (the empty-frame
+        # mapping below is unchanged).
+        df = spark.read.schema(schema + ", batch int").parquet(path)
     except AnalysisException as e:
         cond = getattr(e, "getCondition", lambda: None)() or str(e)
         if (
